@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle statement in DuckDB against the parquet tables in <sfDir>, loads the
+Spark result parquet from <verifyOutDir>/<name>/, and compares: row count,
+column names (sorted), and cell values (columns sorted by name, rows
+compared as written — both sides carry a total ORDER BY).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(norm_cell(r[i]) for i in order) for r in rows]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            o = con.execute(sql)
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        try:
+            s = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [d[0] for d in s.description]
+            s_rows = s.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"FAIL {name}: columns oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            n_fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
+            n_fail += 1
+            continue
+        on = norm_rows(o_cols, o_rows)
+        sn = norm_rows(s_cols, s_rows)
+        if on != sn:
+            # find first diff (also try set compare to report order-only diffs)
+            order_only = sorted(map(repr, on)) == sorted(map(repr, sn))
+            for i, (a, b) in enumerate(zip(on, sn)):
+                if a != b:
+                    print(f"FAIL {name}: first diff row {i} (order_only={order_only}):\n  oracle={a}\n  spark ={b}")
+                    break
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(o_rows)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,606 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.ops.{Coercion, Relational}
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extension layer), each with an
+  * equivalent DuckDB oracle in `oracleSql`.
+  *
+  * Determinism rules used throughout so the parquet/oracle hash compare
+  * is stable: every query ends in a total ORDER BY; floating-point
+  * aggregates are rounded (2dp for sums on a 2-decimal grid, 4-6dp
+  * elsewhere); integer-ish outputs are cast to the same width on both
+  * sides (Spark long <-> DuckDB BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q01(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- core
+
+  /** TPC-H Q1 shape: scan+filter+hash-agg+sort. Filter and the 7-column
+    * projection are pushed to the parquet scan. */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q02(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_extendedprice") * col("l_discount"), 4).as("saving"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** TPC-H Q3 shape: 3-way join; customer side is filtered then joined —
+    * small enough to broadcast at any SF where customers << lineitem. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = T(s, d, "orders").filter(col("o_orderdate") < cutoff)
+    val li = T(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi-join with a cross-table predicate (EXISTS). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val ord = T(s, d, "orders")
+    val li = T(s, d, "lineitem")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape: 5-way join, dimension tables broadcast. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val cust = T(s, d, "customer")
+    val ord = T(s, d, "orders")
+    val li = T(s, d, "lineitem")
+    val sup = T(s, d, "supplier")
+    val nat = T(s, d, "nation")
+    val reg = T(s, d, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: pure scan+filter+global agg — everything pushes to
+    * the parquet reader; single-stage partial/final agg. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** Anti-join: customers with no orders (db-copy new-rows shape,
+    * SURVEY §2.4). */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    Relational.newRows(
+        T(s, d, "customer").withColumnRenamed("c_custkey", "k"),
+        T(s, d, "orders").select(col("o_custkey").as("k")), "k")
+      .select(col("k").as("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi-join: brands that actually ship. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    Relational.existingRows(
+        T(s, d, "part").withColumnRenamed("p_partkey", "k"),
+        T(s, d, "lineitem").select(col("l_partkey").as("k")), "k")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  /** Top-N with deterministic tie-break (TakeOrdered — no full sort). */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** table-cardinality parity (lwetl/programs/table_cardinality/main.py:40-42). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Relational.profileCardinality(T(s, d, "orders"), "o_orderpriority")
+
+  /** Row md5 checksum (examples/calc_md5.py). */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Relational.rowChecksum(T(s, d, "nation"),
+        Seq("n_nationkey", "n_name", "n_regionkey"))
+      .select(col("n_nationkey"), col("row_md5"))
+      .orderBy(col("n_nationkey"))
+
+  /** CASE/LIKE/UPPER scalar surface (SURVEY §2.8). */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    T(s, d, "part")
+      .groupBy(
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "medium")
+          .otherwise("large").as("size_class"),
+        upper(col("p_type")).like("%ROMO%").as("is_promo"))
+      .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("size_class"), col("is_promo"))
+
+  /** EXCEPT set-op (db-copy sync set-difference, SURVEY §2.7). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(col("n_nationkey"))
+      .except(T(s, d, "customer").select(col("c_nationkey").as("n_nationkey")))
+      .orderBy(col("n_nationkey"))
+
+  /** UNION (distinct) set-op. */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    T(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      .union(T(s, d, "customer").select(col("c_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  /** Window: top-3 orders per customer by row_number. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Window: running per-customer revenue (sequential frame sum —
+    * deterministic association on both engines). */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Regex extraction from a JSON-ish string column. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+
+  /** Tumbling-window (hourly) event aggregation — the batch equivalent
+    * of the Structured-Streaming path (SURVEY §7.4.8). */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization via lag + gap threshold (30 min). */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T(s, d, "events")
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L)).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** empty-string ≡ NULL coercion (lwetl/utils.py:17-23). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .select(Coercion.emptyStringAsNull(
+        when(col("o_orderstatus") === "O", lit("")).otherwise(col("o_orderstatus"))).as("v"))
+      .select(coalesce(col("v"), lit("(null)")).as("status_norm"))
+      .groupBy(col("status_norm"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_norm"))
+
+  /** bool-ish string cast (lwetl/jdbc.py:332-334). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .select(Coercion.boolish(
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1)).as("k_boolish"))
+      .groupBy(col("k_boolish"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k_boolish"))
+
+  /** Positional cast-DSL (lwetl/jdbc.py:328-355). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Coercion.applyCastSpecs(
+        T(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate")),
+        Seq("int", "int", "float", "str"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  // ------------------------------------------------- text / dedup layer
+
+  /** Document fingerprint (md5 of normalized text). */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact-dedup groups (hash-groupBy on fingerprint). */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
+
+  /** Token / character counting. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring (stopword + punctuation heuristics). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language corpus profile. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Language-ID heuristic (stopword-marker argmax). */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash band signatures (shingle → minhash). */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashBands(T(s, d, "documents"), "doc_id", "text", 3, 4)
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH near-dup candidate pairs + Jaccard verification. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Dedup.lshNearDupPairs(T(s, d, "documents"), "doc_id", "text", 3, 4, 0.1)
+
+  // ------------------------------------------------ similarity layer
+
+  /** Brute-force cosine top-k (ANN baseline). */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineTopK(T(s, d, "embeddings"), "vec_id", "embedding", 0L, 10)
+
+  /** Per-block embedding centroids (IVF training step shape). */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    Similarity.centroidsLong(T(s, d, "embeddings"), "label", "embedding")
+      .withColumn("pos", col("pos").cast("long"))
+      .select(col("label"), col("pos"), col("avg_v"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Blocked embedding near-dup pairs (label = IVF-cell analogue). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairsBlocked(T(s, d, "embeddings"), "vec_id", "embedding",
+      "label", 0.25)
+
+  /** Opaque-binary plumbing: byte length of the encoded payload. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_topn" -> (q02 _),
+    "q03_shipping_priority" -> (q03 _),
+    "q04_order_priority_exists" -> (q04 _),
+    "q05_region_revenue" -> (q05 _),
+    "q06_revenue_forecast" -> (q06 _),
+    "q07_customers_without_orders" -> (q07 _),
+    "q08_brands_shipped" -> (q08 _),
+    "q09_top_orders" -> (q09 _),
+    "q10_cardinality_profile" -> (q10 _),
+    "q11_row_md5" -> (q11 _),
+    "q12_case_like" -> (q12 _),
+    "q13_except_setop" -> (q13 _),
+    "q14_union_setop" -> (q14 _),
+    "q15_window_topk_per_group" -> (q15 _),
+    "q16_window_running_total" -> (q16 _),
+    "q17_regex_extract" -> (q17 _),
+    "q18_events_hourly" -> (q18 _),
+    "q19_sessionize" -> (q19 _),
+    "q20_empty_string_null" -> (q20 _),
+    "q21_boolish_cast" -> (q21 _),
+    "q22_cast_dsl" -> (q22 _),
+    "q23_doc_fingerprint" -> (q23 _),
+    "q24_exact_dedup" -> (q24 _),
+    "q25_token_stats" -> (q25 _),
+    "q26_quality_score" -> (q26 _),
+    "q27_lang_profile" -> (q27 _),
+    "q28_lang_id" -> (q28 _),
+    "q29_minhash_bands" -> (q29 _),
+    "q30_lsh_near_dup" -> (q30 _),
+    "q31_cosine_topk" -> (q31 _),
+    "q32_embed_centroids" -> (q32 _),
+    "q33_embed_near_dup" -> (q33 _),
+    "q34_binary_meta" -> (q34 _),
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val ShW =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+  private def shingleExpr(w: String): String =
+    s"CASE WHEN len($w) >= 3 THEN [array_to_string(($w)[i:i+2], ' ') for i in range(1, len($w)-1)] ELSE CAST([] AS VARCHAR[]) END"
+  private def minhashExpr(sh: String, seed: Int): String =
+    s"list_min([md5('$seed|' || x) for x in $sh])"
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity),2) AS sum_qty,
+           round(sum(l_extendedprice),2) AS sum_base_price,
+           round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+           round(avg(l_quantity),6) AS avg_qty,
+           round(avg(l_extendedprice),6) AS avg_price,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_topn" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+           round(l_extendedprice*l_discount,4) AS saving
+         FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q03_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q04_order_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_region_revenue" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q06_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q07_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q08_brands_shipped" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q09_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q10_cardinality_profile" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         WHERE o_orderpriority IS NOT NULL
+         GROUP BY o_orderpriority HAVING count(*) > 1
+         ORDER BY cnt DESC, o_orderpriority""",
+    "q11_row_md5" ->
+      """SELECT n_nationkey,
+           md5(concat_ws(';', CAST(n_nationkey AS VARCHAR), n_name,
+                              CAST(n_regionkey AS VARCHAR))) AS row_md5
+         FROM nation ORDER BY n_nationkey""",
+    "q12_case_like" ->
+      """SELECT CASE WHEN p_size < 10 THEN 'small'
+                     WHEN p_size < 30 THEN 'medium'
+                     ELSE 'large' END AS size_class,
+           upper(p_type) LIKE '%ROMO%' AS is_promo,
+           count(*) AS n, round(avg(p_retailprice),4) AS avg_price
+         FROM part GROUP BY 1, 2 ORDER BY size_class, is_promo""",
+    "q13_except_setop" ->
+      """SELECT n_nationkey FROM nation
+         EXCEPT SELECT c_nationkey FROM customer
+         ORDER BY n_nationkey""",
+    "q14_union_setop" ->
+      """SELECT s_nationkey AS nationkey FROM supplier
+         UNION SELECT c_nationkey FROM customer
+         ORDER BY nationkey""",
+    "q15_window_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+    "q16_window_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q17_regex_extract" ->
+      """SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+         FROM events ORDER BY event_id LIMIT 1000""",
+    "q18_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q19_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q20_empty_string_null" ->
+      """SELECT coalesce(nullif(trim(CASE WHEN o_orderstatus = 'O' THEN ''
+                                          ELSE o_orderstatus END), ''),
+                         '(null)') AS status_norm,
+           count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY status_norm""",
+    "q21_boolish_cast" ->
+      """SELECT CASE WHEN k IS NULL THEN NULL
+                     ELSE lower(trim(k)) IN ('true','1','yes','si','y','s')
+                END AS k_boolish, count(*) AS n
+         FROM (SELECT regexp_extract(props, '"k": (\d+)', 1) AS k FROM events)
+         GROUP BY 1 ORDER BY k_boolish""",
+    "q22_cast_dsl" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity,
+           CAST(l_shipdate AS VARCHAR) AS l_shipdate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q23_doc_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q24_exact_dedup" ->
+      """SELECT fp, count(*) AS cnt, CAST(min(doc_id) AS BIGINT) AS min_id
+         FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+               FROM documents)
+         GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    "q25_token_stats" ->
+      s"""SELECT doc_id,
+           CAST(len($ShW) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         FROM documents ORDER BY doc_id""",
+    "q26_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $ShW AS w, text FROM documents),
+         s AS (SELECT doc_id,
+             CAST(len(list_filter(w, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','on','for'], x))) AS DOUBLE)
+               / len(w) AS stop_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+           FROM t)
+         SELECT doc_id,
+           round(least(1.0, stop_ratio*2 + (1.0-punct_ratio)*0.5), 4) AS quality
+         FROM s ORDER BY doc_id""",
+    "q27_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q28_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
+         h AS (SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['the','and','of','to','is'], x))) AS en,
+           len(list_filter(w, x -> list_contains(['der','und','die','das','ist'], x))) AS de,
+           len(list_filter(w, x -> list_contains(['el','y','los','que','es'], x))) AS es,
+           len(list_filter(w, x -> list_contains(['le','et','les','des','est'], x))) AS fr,
+           len(list_filter(w, x -> list_contains(['的','了','是'], x))) AS zh
+         FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(en,de,es,fr,zh) = 0 THEN 'und'
+                WHEN en = greatest(en,de,es,fr,zh) THEN 'en'
+                WHEN de = greatest(en,de,es,fr,zh) THEN 'de'
+                WHEN es = greatest(en,de,es,fr,zh) THEN 'es'
+                WHEN fr = greatest(en,de,es,fr,zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM h ORDER BY doc_id""",
+    "q29_minhash_bands" -> {
+      val sh = "sh"
+      s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
+         s AS (SELECT doc_id, ${shingleExpr("w")} AS sh FROM t)
+         SELECT doc_id, ${minhashExpr(sh, 0)} AS mh0, ${minhashExpr(sh, 1)} AS mh1,
+           ${minhashExpr(sh, 2)} AS mh2, ${minhashExpr(sh, 3)} AS mh3
+         FROM s ORDER BY doc_id"""
+    },
+    "q30_lsh_near_dup" -> {
+      s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
+         s AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS sh FROM t),
+         b AS (SELECT doc_id, sh, unnest([${minhashExpr("sh", 0)}, ${minhashExpr("sh", 1)},
+               ${minhashExpr("sh", 2)}, ${minhashExpr("sh", 3)}]) AS band FROM s),
+         bb AS (SELECT * FROM b WHERE band IS NOT NULL),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             round(CASE WHEN len(a.sh) + len(c.sh)
+                  - len(list_filter(a.sh, x -> list_contains(c.sh, x))) > 0
+               THEN CAST(len(list_filter(a.sh, x -> list_contains(c.sh, x))) AS DOUBLE)
+                  / (len(a.sh) + len(c.sh)
+                     - len(list_filter(a.sh, x -> list_contains(c.sh, x))))
+               ELSE 0.0 END, 4) AS jaccard
+           FROM bb a JOIN bb c ON a.band = c.band AND a.doc_id < c.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1
+         ORDER BY id_a, id_b"""
+    },
+    "q31_cosine_topk" ->
+      """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+                        FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), p)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(p, p))), 6) AS cos_sim
+         FROM embeddings, probe WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q32_embed_centroids" ->
+      """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),6) AS avg_v
+         FROM embeddings, range(1,65) r(i)
+         GROUP BY label, i ORDER BY label, pos""",
+    "q33_embed_near_dup" ->
+      """SELECT * FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE cos_sim >= 0.25 ORDER BY id_a, id_b""",
+    "q34_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+  )
 }

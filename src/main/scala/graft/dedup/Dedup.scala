@@ -1,0 +1,84 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: exact dedup is a single hash-groupBy (map-side partial
+  * aggregation, one shuffle on the fingerprint). MinHash-LSH follows the
+  * classic shingle → minhash → band → bucket-join shape: candidate
+  * generation is an equi-join on band values, so the only shuffle is on
+  * band keys and the quadratic Jaccard verification runs ONLY inside
+  * buckets — never across the full corpus. At 100 TB the band join is
+  * skew-sensitive (a degenerate common shingle ⇒ hot bucket): cap bucket
+  * sizes upstream or salt the band key; AQE skew-join handles moderate
+  * cases.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
+      .filter(col("cnt") > 1)
+      .orderBy(col("fp"))
+
+  /** id + one minhash column per band seed. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   nGram: Int, bands: Int): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), nGram)
+    val mh = (0 until bands).map(b => TextOps.minhash(sh, b).as(s"mh$b"))
+    df.select((col(idCol) +: mh): _*)
+  }
+
+  /** Jaccard similarity of two (deduplicated) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = (size(da) + size(db)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** LSH candidate pairs: documents sharing ANY minhash band, verified
+    * with true n-gram Jaccard. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, one row per pair even if several bands collide.
+    * The per-band equi-join is the scale path — no cross join anywhere. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      nGram: Int = 3, bands: Int = 4,
+                      minJaccard: Double = 0.0): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
+    val banded = (0 until bands).map { b =>
+      base.select(col("id"), col("sh"), TextOps.minhash(col("sh"), b).as("band"))
+        .filter(col("band").isNotNull)
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash-style 32-bit signature: per bit, majority vote over the
+    * word set's crc32 hashes. Hamming-near signatures ⇒ near-dup texts.
+    * Pure expressions: transform/aggregate over the token array. */
+  def simhash32(textCol: Column): Column = {
+    val hashes = transform(TextOps.words(lower(textCol)), w => crc32(w))
+    val bitSums = (0 until 32).map { bit =>
+      val mask = lit(1L << bit)
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L)) > 0,
+        lit(1L << bit)).otherwise(lit(0L))
+    }
+    bitSums.reduce(_ + _)
+  }
+}

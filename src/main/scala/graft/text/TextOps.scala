@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, document
+  * fingerprints. All pure `Column` expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with input splits —
+  * no shuffle is introduced by any function here.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `trim` first so leading/trailing
+    * whitespace doesn't produce empty tokens. */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L)).otherwise(size(words(c)).cast("long"))
+
+  /** Normalized text: lowercase, whitespace collapsed, trimmed. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Deterministic document fingerprint = md5 of normalized text.
+    * Exact-dedup key; scales as a pure map + hash-groupBy. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Word n-gram shingles of the normalized token stream; empty array
+    * when the document has fewer than n tokens. */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(lower(c))
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** One minhash value over a shingle array: lexicographic min of
+    * md5("<seed>|" + shingle). Using md5-hex keeps the hash family
+    * identical across engines (same trick is available to any SQL
+    * oracle), while behaving like a random permutation per seed. */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(words(lower(c)), w => w.isInCollection(Stopwords))).cast("long")
+
+  /** Characters remaining after stripping whitespace. */
+  def nonWsChars(c: Column): Column =
+    length(regexp_replace(c, "\\s", "")).cast("long")
+
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,;:!?]", ""))).cast("long")
+
+  /** Composite quality score in [0,1]-ish: favors texts with a sane
+    * stopword ratio and low punctuation density (cheap heuristics in the
+    * spirit of C4/Gopher quality filters). */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c)
+    val stopRatio = when(toks > 0, stopwordCount(c).cast("double") / toks).otherwise(lit(0.0))
+    val punctRatio = when(length(c) > 0, punctCount(c).cast("double") / length(c)).otherwise(lit(0.0))
+    round(least(lit(1.0), stopRatio * 2 + (lit(1.0) - punctRatio) * 0.5), 4)
+  }
+
+  /** Tiny per-language stopword tables for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "y", "los", "que", "es"),
+    "fr" -> Seq("le", "et", "les", "des", "est"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** N-gram/stopword language-ID heuristic: count marker hits per
+    * language, argmax with a fixed tie-break order (the declaration
+    * order above); zero hits everywhere → "und". */
+  def langIdHeuristic(c: Column): Column = {
+    val w = words(lower(c))
+    val hits = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isInCollection(ms))).cast("long")
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstMatch = hits.foldLeft(when(best === 0, "und")) {
+      case (acc, (lang, h)) => acc.when(h === best, lang)
+    }
+    firstMatch.otherwise("und")
+  }
+
+  /** Rolling polynomial hash over normalized words (base 31, mod 2^61-1
+    * via Long arithmetic) — a cheap order-sensitive document signature,
+    * complementing the order-insensitive minhash. */
+  def rollingWordHash(c: Column): Column =
+    aggregate(
+      transform(words(lower(c)), w => crc32(w)),
+      lit(0L),
+      (acc, h) => acc * 31 + h % 1000003L)
+}
