@@ -322,6 +322,80 @@ object SparkEntry {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
 
+  /** SimHash document signatures (Dedup.simhash32). */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive rolling word hash (TextOps.rollingWordHash). */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), TextOps.rollingWordHash(col("text")).as("rh"))
+      .orderBy(col("doc_id"))
+
+  /** IVF-style ANN: search only the 2 cells nearest the probe. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(T(s, d, "embeddings"), "vec_id", "embedding", "label",
+      0L, 2, 10)
+
+  /** BPE-ish regex tokenization (letters / digits / single punct). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Backward as-of join: each purchase event paired with the user's
+    * most recent preceding click. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val ev = T(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    Relational.asofJoinBackward(purchases, clicks, "user_id",
+        "ts", "ts", "event_id", "last_click_id")
+      .filter(col("last_click_id").isNotNull)
+      .select(col("event_id"), col("last_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Dedup materialization: keep first doc per fingerprint, count
+    * survivors per language. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** Multi-column exact distinct counts (cardinality summary). */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+
+  /** ROLLUP grouping sets with grouping() flags. */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g1"),
+        grouping(col("l_linestatus")).cast("long").as("g2"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g1"), col("g2"), col("n"), col("sum_qty"))
+      .orderBy(col("g1"), col("g2"), col("rf"), col("ls"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -357,6 +431,14 @@ object SparkEntry {
     "q32_embed_centroids" -> (q32 _),
     "q33_embed_near_dup" -> (q33 _),
     "q34_binary_meta" -> (q34 _),
+    "q35_simhash" -> (q35 _),
+    "q36_rolling_hash" -> (q36 _),
+    "q37_ivf_topk" -> (q37 _),
+    "q38_bpe_tokens" -> (q38 _),
+    "q39_asof_join" -> (q39 _),
+    "q40_dedup_keep_first" -> (q40 _),
+    "q41_distinct_counts" -> (q41 _),
+    "q42_rollup" -> (q42 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -602,5 +684,67 @@ object SparkEntry {
     "q34_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+    "q35_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS w
+                    FROM documents),
+         h AS (SELECT doc_id, try_cast('0x'||substring(md5(w),1,8) AS BIGINT) AS hv FROM t),
+         b AS (SELECT doc_id, bit,
+                 sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h, range(0,32) r(bit) GROUP BY doc_id, bit)
+         SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS simhash
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
+    "q36_rolling_hash" ->
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           [try_cast('0x'||substring(md5(w),1,8) AS BIGINT) % 1000000007
+            for w in string_split_regex(trim(lower(text)),'\s+')]),
+           (acc,h) -> (acc*31 + h) % 1000000007) AS rh
+         FROM documents ORDER BY doc_id""",
+    "q37_ivf_topk" ->
+      """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+                        FROM embeddings WHERE vec_id = 0),
+         cent AS (SELECT label, list(av ORDER BY pos) AS c FROM (
+             SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS av
+             FROM embeddings, range(1,65) r(i) GROUP BY label, i) GROUP BY label),
+         top AS (SELECT label FROM cent, probe
+                 ORDER BY list_dot_product(c,p)
+                   / (sqrt(list_dot_product(c,c))*sqrt(list_dot_product(p,p))) DESC
+                 LIMIT 2)
+         SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(p, p))), 6) AS cos_sim
+         FROM embeddings e JOIN top USING(label), probe WHERE e.vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q38_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "q39_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type='purchase'),
+         r AS (SELECT user_id, event_id AS r_id, ts AS r_ts FROM events WHERE event_type='click')
+         SELECT l.event_id, (max(struct_pack(ts := r_ts, id := r_id))).id AS last_click_id
+         FROM l JOIN r ON l.user_id = r.user_id AND r_ts <= l.ts
+         GROUP BY l.event_id ORDER BY l.event_id""",
+    "q40_dedup_keep_first" ->
+      """WITH f AS (SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
+         SELECT lang, count(*) AS n_docs FROM f JOIN k USING(doc_id)
+         GROUP BY lang ORDER BY lang""",
+    "q41_distinct_counts" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(DISTINCT o_orderstatus) AS n_status
+         FROM orders""",
+    "q42_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+           count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY g1, g2, rf, ls""",
   )
 }

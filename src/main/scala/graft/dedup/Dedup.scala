@@ -69,10 +69,11 @@ object Dedup {
   }
 
   /** SimHash-style 32-bit signature: per bit, majority vote over the
-    * word set's crc32 hashes. Hamming-near signatures ⇒ near-dup texts.
-    * Pure expressions: transform/aggregate over the token array. */
+    * word stream's md5-32 hashes. Hamming-near signatures ⇒ near-dup
+    * texts. Pure expressions: transform/aggregate over the token array,
+    * so the whole signature is computed in one codegen'd map stage. */
   def simhash32(textCol: Column): Column = {
-    val hashes = transform(TextOps.words(lower(textCol)), w => crc32(w))
+    val hashes = transform(TextOps.words(lower(textCol)), w => TextOps.md5_32(w))
     val bitSums = (0 until 32).map { bit =>
       val mask = lit(1L << bit)
       when(aggregate(hashes, lit(0L),

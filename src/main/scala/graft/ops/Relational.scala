@@ -59,4 +59,38 @@ object Relational {
   /** Full upsert plan (db-copy mode=update): (toInsert, toUpdate). */
   def upsertPlan(src: DataFrame, trg: DataFrame, pk: String): (DataFrame, DataFrame) =
     (newRows(src, trg, pk), existingRows(src, trg, pk))
+
+  /** Backward as-of join: for each left row, the most recent right row
+    * with rightTime <= leftTime for the same key; ts ties broken toward
+    * the larger right id (max-struct semantics).
+    *
+    * Implemented union-sort-window, NOT join+filter+reduce: both sides
+    * shuffle ONCE on the key, then a single ordered window pass carries
+    * the last-seen right payload forward. No join blow-up — a key with n
+    * left and m right rows costs O(n+m log(n+m)) instead of the O(n*m)
+    * intermediate a range-join would materialize, which is what keeps a
+    * skewed key (one hot user with millions of events) from OOMing an
+    * executor at 100 TB. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       rightId: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_tag", lit(1))
+      .withColumn("_rid", lit(null).cast("long"))
+    val r = right.select(col(key), col(rightTime).as("_t"),
+      lit(0).as("_tag"), col(rightId).cast("long").as("_rid"))
+    val lCols = left.columns
+    val merged = l.select((lCols.map(col) ++ Seq(col("_t"), col("_tag"), col("_rid"))): _*)
+      .unionByName(r.select(
+        (lCols.map(c => if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
+          ++ Seq(col("_t"), col("_tag"), col("_rid"))): _*))
+    // right rows (_tag=0) sort before the left row at equal _t, and by
+    // _rid among themselves, so last() picks (max ts, then max id).
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"), col("_rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn(outCol, last(col("_rid"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_t", "_tag", "_rid")
+  }
 }

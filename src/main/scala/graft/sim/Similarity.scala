@@ -54,6 +54,40 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-block centroids as arrays (block → mean vector). The element-wise
+    * mean is a hash-agg on (block, pos) followed by a re-assembly into
+    * array order; centroid cardinality = #blocks, tiny by construction. */
+  def centroids(emb: DataFrame, blockCol: String, vecCol: String): DataFrame =
+    emb.select(col(blockCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(blockCol), col("pos"))
+      .agg(avg(col("v").cast("double")).as("av"))
+      .groupBy(col(blockCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("av")))).as("pa"))
+      .select(col(blockCol), transform(col("pa"), x => x.getField("av")).as("centroid"))
+
+  /** IVF-style ANN top-k: rank cells (blocks) by centroid similarity to
+    * the probe, then brute-force ONLY the top `nprobe` cells. At scale the
+    * centroid table is tiny (broadcast both ways); the expensive scan
+    * touches nprobe/#cells of the data instead of all of it, and the
+    * final top-k is a TakeOrdered (k rows per partition, no full sort). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
+              probeId: Long, nprobe: Int, k: Int): DataFrame = {
+    val probe = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("probe_vec"))
+    val topCells = centroids(emb, blockCol, vecCol)
+      .crossJoin(broadcast(probe))
+      .orderBy(cosine(col("centroid"), col("probe_vec")).desc)
+      .limit(nprobe)
+      .select(col(blockCol))
+    emb.join(broadcast(topCells), Seq(blockCol), "left_semi")
+      .filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-block centroids in long format (block, pos, avg component) —
     * the k-means/IVF training step's inner aggregate. Long format keeps
     * the aggregation a plain hash-agg on (block, pos). */

@@ -90,12 +90,22 @@ object TextOps {
     firstMatch.otherwise("und")
   }
 
-  /** Rolling polynomial hash over normalized words (base 31, mod 2^61-1
-    * via Long arithmetic) — a cheap order-sensitive document signature,
-    * complementing the order-insensitive minhash. */
+  /** 32-bit hash derived from the first 8 hex chars of md5 — chosen over
+    * crc32/xxhash because every SQL engine with md5 can reproduce it
+    * (the DuckDB oracle uses `try_cast('0x'||substring(md5(x),1,8))`). */
+  def md5_32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Rolling polynomial hash over the word stream (base 31, mod 1e9+7,
+    * md5-32 per word) — a cheap order-sensitive document signature,
+    * complementing the order-insensitive minhash. Modular at every step
+    * so the fold never overflows (and never wraps differently across
+    * engines). */
+  val RollingMod = 1000000007L
+
   def rollingWordHash(c: Column): Column =
     aggregate(
-      transform(words(lower(c)), w => crc32(w)),
+      transform(words(lower(c)), w => md5_32(w) % RollingMod),
       lit(0L),
-      (acc, h) => acc * 31 + h % 1000003L)
+      (acc, h) => (acc * 31 + h) % RollingMod)
 }
