@@ -396,6 +396,35 @@ object SparkEntry {
         col("g1"), col("g2"), col("n"), col("sum_qty"))
       .orderBy(col("g1"), col("g2"), col("rf"), col("ls"))
 
+  /** SQL-INSERT rendering (SqlFormatter/NativeUploader parity,
+    * distributed string build — no collect). */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    io.SqlRender.insertStatements(T(s, d, "nation"), "NATION")
+      .orderBy(col("stmt"))
+
+  /** SQL-INSERT timestamp-literal rendering (uploader _convert_date). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    io.SqlRender.insertStatements(
+        T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+          .filter(col("o_orderkey") < 100),
+        "ORDERS")
+      .orderBy(col("stmt"))
+
+  /** Fixed-width text render (TextFormatter parity: right-aligned
+    * numbers, '...'-truncated strings, width 20). */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    io.Sinks.fixedWidthLines(
+        T(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .filter(col("p_partkey") < 200))
+      .orderBy(col("line"))
+
+  /** SpreadsheetML (excel-XML) row render (XmlFormatter parity). */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    io.Sinks.xmlRowLines(T(s, d, "nation"), "excel")
+      .orderBy(col("line"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -439,6 +468,10 @@ object SparkEntry {
     "q40_dedup_keep_first" -> (q40 _),
     "q41_distinct_counts" -> (q41 _),
     "q42_rollup" -> (q42 _),
+    "q43_sql_insert_render" -> (q43 _),
+    "q44_sql_insert_ts" -> (q44 _),
+    "q45_fixed_width_render" -> (q45 _),
+    "q46_xml_render" -> (q46 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -746,5 +779,39 @@ object SparkEntry {
            count(*) AS n, round(sum(l_quantity),2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY g1, g2, rf, ls""",
+    "q43_sql_insert_render" ->
+      """SELECT 'INSERT INTO NATION (N_NATIONKEY,N_NAME,N_REGIONKEY) VALUES ('
+           || n_nationkey || ',''' || replace(n_name,'''','''''') || ''','
+           || n_regionkey || ')' AS stmt
+         FROM nation ORDER BY stmt""",
+    "q44_sql_insert_ts" ->
+      """SELECT 'INSERT INTO ORDERS (O_ORDERKEY,O_ORDERDATE,O_ORDERSTATUS) VALUES ('
+           || o_orderkey || ',''' || strftime(o_orderdate,'%Y-%m-%d %H:%M:%S.%g')
+           || '000'',''' || o_orderstatus || ''')' AS stmt
+         FROM orders WHERE o_orderkey < 100 ORDER BY stmt""",
+    "q45_fixed_width_render" ->
+      """SELECT concat_ws(' | ',
+           CASE WHEN p_partkey IS NULL THEN repeat(' ',20)
+                WHEN length(CAST(p_partkey AS VARCHAR)) > 20 THEN CAST(p_partkey AS VARCHAR)
+                ELSE lpad(CAST(p_partkey AS VARCHAR),20,' ') END,
+           CASE WHEN p_name IS NULL OR trim(p_name) = '' THEN repeat(' ',20)
+                WHEN length(p_name) > 20 THEN substring(p_name,1,17) || '...'
+                ELSE rpad(p_name,20,' ') END,
+           CASE WHEN p_retailprice IS NULL THEN repeat(' ',20)
+                WHEN length(CAST(p_retailprice AS VARCHAR)) > 20 THEN CAST(p_retailprice AS VARCHAR)
+                ELSE rpad(CAST(p_retailprice AS VARCHAR),20,' ') END) AS line
+         FROM part WHERE p_partkey < 200 ORDER BY line""",
+    "q46_xml_render" ->
+      """SELECT '<Row>'
+           || CASE WHEN n_nationkey IS NULL THEN '<Cell />'
+                   ELSE '<Cell><Data>' || n_nationkey || '</Data></Cell>' END
+           || CASE WHEN n_name IS NULL OR trim(n_name) = '' THEN '<Cell />'
+                   ELSE '<Cell><Data>'
+                     || replace(replace(replace(n_name,'&','&amp;'),'<','&lt;'),'>','&gt;')
+                     || '</Data></Cell>' END
+           || CASE WHEN n_regionkey IS NULL THEN '<Cell />'
+                   ELSE '<Cell><Data>' || n_regionkey || '</Data></Cell>' END
+           || '</Row>' AS line
+         FROM nation ORDER BY line""",
   )
 }

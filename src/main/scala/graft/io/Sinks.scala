@@ -1,0 +1,188 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's formatter sinks (SURVEY.md §2.2) re-expressed
+  * Spark-first: each formatter becomes (a) a distributed ROW RENDER —
+  * pure `Column` string expressions producing one line per row, which
+  * scales to any size via `df.write.text` — and (b) a thin driver-side
+  * WRITE wrapper that adds header/footer framing for the single-file
+  * outputs the reference produces (`toLocalIterator`, so the driver
+  * never holds more than a partition at a time).
+  *
+  * Binary cells render as the literal 'Binary data suppressed.'
+  * (`lwetl/formatter.py:181`).
+  */
+object Sinks {
+
+  val BinarySuppressed = "Binary data suppressed."
+
+  private def displayValue(f: StructField): Column = f.dataType match {
+    case _: BinaryType => when(col(f.name).isNotNull, lit(BinarySuppressed))
+    case _: DoubleType | _: FloatType =>
+      // match Python str(float): integral doubles show as "10000.0"
+      when(col(f.name).cast("double") === col(f.name).cast("long").cast("double"),
+        concat(col(f.name).cast("long").cast("string"), lit(".0")))
+        .otherwise(col(f.name).cast("string"))
+    case _: TimestampType | _: TimestampNTZType =>
+      date_format(col(f.name), "yyyy-MM-dd HH:mm:ss")
+    case _ => col(f.name).cast("string")
+  }
+
+  // ------------------------------------------------------------- csv
+
+  /** CsvFormatter parity (`lwetl/formatter.py:257-290`): `;` separator,
+    * header, excel-style quoting — Spark's csv writer matches when
+    * configured with these options. Distributed multi-part output. */
+  def writeCsv(df: DataFrame, path: String, sep: String = ";",
+               header: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", header.toString).option("sep", sep)
+      .option("quoteAll", "false").option("emptyValue", "")
+      .csv(path)
+
+  /** One CSV line per row as a Column render (for tests/oracles and for
+    * piping CSV text through other operators). Quotes a field iff it
+    * contains the separator, a quote, or a newline (excel dialect). */
+  def csvLine(df: DataFrame, sep: String = ";"): DataFrame = {
+    val cells = df.schema.fields.map { f =>
+      val v = coalesce(displayValue(f), lit(""))
+      val needsQuote = v.contains(sep) || v.contains("\"") || v.contains("\n")
+      when(needsQuote,
+        concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
+        .otherwise(v)
+    }
+    df.select(concat_ws(sep, cells.toIndexedSeq: _*).as("line"))
+  }
+
+  // ----------------------------------------------------- fixed width
+
+  /** TextFormatter cell semantics (`lwetl/formatter.py:226-253`):
+    * null/blank → width spaces; ints/decimals right-aligned (never
+    * truncated); everything else left-aligned, truncated to width-3
+    * + '...' when too long. */
+  private def fixedCell(f: StructField, width: Int): Column = {
+    val numeric = f.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DecimalType => true
+      case _ => false
+    }
+    val s = displayValue(f)
+    val blank = lit(" " * width)
+    if (numeric)
+      when(col(f.name).isNull, blank)
+        .otherwise(when(length(s) > width, s).otherwise(lpad(s, width, " ")))
+    else
+      when(s.isNull || trim(s) === "", blank)
+        .otherwise(when(length(s) > width,
+          concat(substring(s, 1, width - 3), lit("...")))
+          .otherwise(rpad(s, width, " ")))
+  }
+
+  /** Fixed-width row render, ' | ' separated (TextFormatter parity).
+    * Width clamps at min 5 like `_set_column_width`. */
+  def fixedWidthLines(df: DataFrame, columnWidth: Int = 20): DataFrame = {
+    val w = math.max(columnWidth, 5)
+    val cells = df.schema.fields.map(f => fixedCell(f, w))
+    df.select(concat_ws(" | ", cells.toIndexedSeq: _*).as("line"))
+  }
+
+  /** Header line for the fixed-width format. */
+  def fixedWidthHeader(df: DataFrame, columnWidth: Int = 20): String = {
+    val w = math.max(columnWidth, 5)
+    df.columns.map { c =>
+      if (c.length > w) c.substring(0, w - 3) + "..." else c.padTo(w, ' ')
+    }.mkString(" | ")
+  }
+
+  // -------------------------------------------------------------- xml
+
+  def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  private def xmlAttrEscape(c: Column): Column =
+    regexp_replace(xmlEscape(c), "\"", "&quot;")
+
+  /** XmlFormatter row renders for the three dialects
+    * (`lwetl/formatter.py:294-438`). Framing (Document/Workbook open +
+    * close tags, header row) comes from [[xmlHeader]]/[[xmlFooter]]. */
+  def xmlRowLines(df: DataFrame, dialect: String = "excel"): DataFrame = {
+    val fields = df.schema.fields
+    val row: Column = dialect match {
+      case "plain" =>
+        val cells = fields.map { f =>
+          val v = displayValue(f)
+          when(v.isNull || trim(v) === "", lit(s"<${f.name} />"))
+            .otherwise(concat(lit(s"<${f.name}>"), xmlEscape(v), lit(s"</${f.name}>")))
+        }
+        concat(lit("<Row>"), concat(cells.toIndexedSeq: _*), lit("</Row>"))
+      case "value" =>
+        val cells = fields.map { f =>
+          concat(lit(s"""<${f.name} value=""""),
+            xmlAttrEscape(coalesce(displayValue(f), lit(""))), lit("\" />"))
+        }
+        concat(lit("<Row>"), concat(cells.toIndexedSeq: _*), lit("</Row>"))
+      case _ => // excel SpreadsheetML
+        val cells = fields.map { f =>
+          val v = displayValue(f)
+          when(v.isNull || trim(v) === "", lit("<Cell />"))
+            .otherwise(concat(lit("<Cell><Data>"), xmlEscape(v), lit("</Data></Cell>")))
+        }
+        concat(lit("<Row>"), concat(cells.toIndexedSeq: _*), lit("</Row>"))
+    }
+    df.select(row.as("line"))
+  }
+
+  def xmlHeader(df: DataFrame, dialect: String = "excel",
+                sheetName: String = "Sheet1"): String = dialect match {
+    case "plain" =>
+      val hdr = df.columns.map(c => s"<$c>$c</$c>").mkString
+      s"<Document><Table><Row>$hdr</Row>"
+    case "value" =>
+      val hdr = df.columns.map(c => s"""<$c value="$c" />""").mkString
+      s"<Document><Table><Row>$hdr</Row>"
+    case _ =>
+      val hdr = df.columns.map(c => s"<Cell><Data>$c</Data></Cell>").mkString
+      "<Workbook xmlns=\"urn:schemas-microsoft-com:office:spreadsheet\" " +
+        "xmlns:o=\"urn:schemas-microsoft-com:office:office\" " +
+        "xmlns:x=\"urn:schemas-microsoft-com:office:excel\" " +
+        "xmlns:ss=\"urn:schemas-microsoft-com:office:spreadsheet\" " +
+        "xmlns:html=\"http://www.w3.org/TR/REC-html40\">" +
+        "<DocumentProperties xmlns=\"urn:schemas-microsoft-com:office:office\" />" +
+        s"""<ss:Worksheet ss:Name="$sheetName"><Table><Row>$hdr</Row>"""
+  }
+
+  def xmlFooter(dialect: String = "excel"): String = dialect match {
+    case "plain" | "value" => "</Table></Document>"
+    case _ => "</Table></ss:Worksheet></Workbook>"
+  }
+
+  // -------------------------------------------------- framed writer
+
+  /** Write a rendered single-column frame as ONE text file with optional
+    * header/footer framing — the reference's single-stream output shape.
+    * Streams partition-by-partition via toLocalIterator; the driver
+    * never materializes the dataset. For cluster-scale multi-part
+    * output use `df.write.text` on the render instead. */
+  def writeFramed(lines: DataFrame, path: String,
+                  header: Option[String] = None,
+                  footer: Option[String] = None): Unit = {
+    val out = new java.io.PrintWriter(
+      new java.io.BufferedWriter(new java.io.FileWriter(path), 1 << 20))
+    try {
+      header.foreach(out.println)
+      val it = lines.toLocalIterator()
+      while (it.hasNext) out.println(it.next().getString(0))
+      footer.foreach(out.println)
+    } finally out.close()
+  }
+
+  /** SqlFormatter one-shot (`lwetl/formatter.py:529-594`): the result
+    * set rendered as INSERT statements. */
+  def writeSqlInserts(df: DataFrame, table: String, path: String,
+                      d: SqlRender.Dialect = SqlRender.Ansi): Unit =
+    writeFramed(SqlRender.insertStatements(df, table, d), path)
+}
