@@ -1,0 +1,261 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal XLSX source/sink (`lwetl/table_import.py:378-480` XlsxImport,
+  * `lwetl/formatter.py:442-525` XlsxFormatter) with ZERO extra
+  * dependencies: an .xlsx file is a zip of XML parts, which the JDK's
+  * zip + StAX handle fine.
+  *
+  * Deliberately driver-side, like the reference (openpyxl) — the format
+  * itself is single-file/non-splittable and reference usage is small
+  * config-scale workbooks. The sink streams rows via `toLocalIterator`
+  * so nothing is collected; for 100 TB exports use the distributed
+  * sinks (parquet/csv) instead — this exists for format parity.
+  */
+object Xlsx {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // ------------------------------------------------------------ write
+
+  /** Write sheets of (name, DataFrame) as one workbook. Numbers/bools
+    * are native cells; timestamps render as text (the reference's
+    * date-coercion renders display strings too); everything else is an
+    * inline string. */
+  def write(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    try {
+      val n = sheets.length
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (1 to n).map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+          "</Types>")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          "</Relationships>")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          sheets.zipWithIndex.map { case ((name, _), i) =>
+            s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          }.mkString + "</sheets></workbook>")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (1 to n).map(i =>
+            s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
+          "</Relationships>")
+
+      sheets.zipWithIndex.foreach { case ((_, df), si) =>
+        zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
+        val w = new java.io.OutputStreamWriter(zos, StandardCharsets.UTF_8)
+        w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        w.write("<row>" + df.columns.map(c =>
+          s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""").mkString + "</row>")
+        val fields = df.schema.fields
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          val cells = fields.indices.map { i =>
+            if (row.isNullAt(i)) "<c/>"
+            else fields(i).dataType match {
+              case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+                   _: DoubleType | _: FloatType | _: DecimalType =>
+                s"<c><v>${row.get(i)}</v></c>"
+              case _: BooleanType =>
+                s"""<c t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>"""
+              case _: BinaryType =>
+                s"""<c t="inlineStr"><is><t>${esc(Sinks.BinarySuppressed)}</t></is></c>"""
+              case _ =>
+                s"""<c t="inlineStr"><is><t>${esc(String.valueOf(row.get(i)))}</t></is></c>"""
+            }
+          }
+          w.write("<row>" + cells.mkString + "</row>")
+        }
+        w.write("</sheetData></worksheet>")
+        w.flush()
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
+
+  // ------------------------------------------------------------- read
+
+  /** Read one sheet (first by default, or by name) into a DataFrame of
+    * strings; header row → columns via [[Naming.uniqueColumnNames]],
+    * empty cells → NULL (lwetl is_empty), all-empty rows dropped. */
+  def read(spark: SparkSession, path: String,
+           sheet: Option[String] = None): DataFrame = {
+    val zf = new ZipFile(path)
+    try {
+      val sheetPath = resolveSheet(zf, sheet)
+      val shared = readSharedStrings(zf)
+      val rows = readSheetRows(zf, sheetPath, shared)
+      if (rows.isEmpty)
+        throw new IllegalArgumentException(s"No data found for: '$path'")
+      val names = Naming.uniqueColumnNames(rows.head.map(_.orNull))
+      val data = rows.tail
+        .map(r => Row.fromSeq(names.indices.map(i =>
+          r.lift(i).flatten.filter(_.trim.nonEmpty).orNull)))
+        .filter(r => names.indices.exists(i => r.get(i) != null))
+      val schema = StructType(names.map(n => StructField(n, StringType)))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+        schema)
+    } finally zf.close()
+  }
+
+  private def resolveSheet(zf: ZipFile, sheet: Option[String]): String = {
+    val xif = XMLInputFactory.newInstance()
+    // sheet name → r:id from workbook.xml
+    var rid: String = null
+    val wb = xif.createXMLStreamReader(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+    var firstRid: String = null
+    while (wb.hasNext) {
+      if (wb.next() == XMLStreamConstants.START_ELEMENT && wb.getLocalName == "sheet") {
+        var name: String = null; var id: String = null
+        (0 until wb.getAttributeCount).foreach { i =>
+          wb.getAttributeLocalName(i) match {
+            case "name" => name = wb.getAttributeValue(i)
+            case "id" => id = wb.getAttributeValue(i)
+            case _ =>
+          }
+        }
+        if (firstRid == null) firstRid = id
+        if (sheet.contains(name)) rid = id
+      }
+    }
+    wb.close()
+    val want = Option(rid).getOrElse(
+      sheet match {
+        case Some(s) => throw new IllegalArgumentException(s"sheet not found: $s")
+        case None => firstRid
+      })
+    // r:id → target from workbook rels
+    var target: String = null
+    val rels = xif.createXMLStreamReader(
+      zf.getInputStream(zf.getEntry("xl/_rels/workbook.xml.rels")))
+    while (rels.hasNext) {
+      if (rels.next() == XMLStreamConstants.START_ELEMENT && rels.getLocalName == "Relationship") {
+        var id: String = null; var tgt: String = null
+        (0 until rels.getAttributeCount).foreach { i =>
+          rels.getAttributeLocalName(i) match {
+            case "Id" => id = rels.getAttributeValue(i)
+            case "Target" => tgt = rels.getAttributeValue(i)
+            case _ =>
+          }
+        }
+        if (id == want) target = tgt
+      }
+    }
+    rels.close()
+    if (target == null) throw new IllegalArgumentException("worksheet rel not found")
+    if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+  }
+
+  private def readSharedStrings(zf: ZipFile): IndexedSeq[String] = {
+    val e = zf.getEntry("xl/sharedStrings.xml")
+    if (e == null) return IndexedSeq.empty
+    val xif = XMLInputFactory.newInstance()
+    val r = xif.createXMLStreamReader(zf.getInputStream(e))
+    val out = IndexedSeq.newBuilder[String]
+    var cur: StringBuilder = null
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          cur = new StringBuilder
+        case XMLStreamConstants.CHARACTERS if cur != null =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          out += cur.result(); cur = null
+        case _ =>
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** Column letter(s) of an A1-style ref → 0-based index. */
+  private[io] def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+
+  private def readSheetRows(zf: ZipFile, sheetPath: String,
+                            shared: IndexedSeq[String]): Seq[IndexedSeq[Option[String]]] = {
+    val xif = XMLInputFactory.newInstance()
+    val r = xif.createXMLStreamReader(
+      new BufferedInputStream(zf.getInputStream(zf.getEntry(sheetPath))))
+    val rows = Seq.newBuilder[IndexedSeq[Option[String]]]
+    var row: scala.collection.mutable.ArrayBuffer[Option[String]] = null
+    var cellIdx = -1
+    var cellType = ""
+    var inV = false
+    var inT = false
+    var text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => row = scala.collection.mutable.ArrayBuffer.empty
+          case "c" =>
+            cellType = ""
+            cellIdx = row.length
+            (0 until r.getAttributeCount).foreach { i =>
+              r.getAttributeLocalName(i) match {
+                case "r" => cellIdx = colIndex(r.getAttributeValue(i))
+                case "t" => cellType = r.getAttributeValue(i)
+                case _ =>
+              }
+            }
+            while (row.length < cellIdx) row += None
+            row += None
+          case "v" => inV = true; text = new StringBuilder
+          case "t" => inT = true; if (!inV) text = new StringBuilder
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS if inV || inT =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "row" => rows += row.toIndexedSeq; row = null
+          case "v" =>
+            inV = false
+            val raw = text.result()
+            val v = cellType match {
+              case "s" => shared.lift(raw.trim.toInt).getOrElse("")
+              case "b" => if (raw.trim == "1") "true" else "false"
+              case _ => raw
+            }
+            if (cellIdx >= 0 && cellIdx < row.length) row(cellIdx) = Some(v)
+          case "t" =>
+            if (inT && cellType == "inlineStr" && cellIdx >= 0 && cellIdx < row.length)
+              row(cellIdx) = Some(text.result())
+            inT = false
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+}

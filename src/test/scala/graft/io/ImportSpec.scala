@@ -1,0 +1,156 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class NamingSpec extends SparkSpec {
+  test("uniqueColumnName normalizes, generates, and dedups") {
+    assert(Naming.uniqueColumnNames(Seq("name", "Price")) == Seq("NAME", "PRICE"))
+    assert(Naming.uniqueColumnNames(Seq("", "x ", null)) == Seq("C1", "X", "C3"))
+    assert(Naming.uniqueColumnNames(Seq("A", "a", "A")) == Seq("A", "A1", "A2"))
+    // invalid leading char → positional name (reference RE_START_WITH_CHAR)
+    assert(Naming.uniqueColumnNames(Seq("1col", "_ok")) == Seq("C1", "_OK"))
+  }
+}
+
+class CsvImportSpec extends SparkSpec {
+  private def tmp(content: String, suffix: String = ".csv"): String = {
+    val f = Files.createTempFile("graft", suffix)
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  test("TAB-delimited with header, empty values → NULL, blank rows dropped") {
+    val p = tmp("NAME\tPRICE\nBIKE\t99.95\nCAR\t10000.00\n\t\nTRIKE\t\n")
+    val df = CsvImport.read(spark, p)
+    assert(df.columns.toSeq == Seq("NAME", "PRICE"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("BIKE", "99.95"), ("CAR", "10000.00"), ("TRIKE", null)))
+  }
+
+  test("dynamic widening: rows wider than the header get C<n> columns") {
+    val p = tmp("A;B\n1;2\n3;4;5;6\n", ".csv")
+    val df = CsvImport.read(spark, p, delimiter = ";")
+    assert(df.columns.toSeq == Seq("A", "B", "C3", "C4"))
+    val wide = df.collect().find(_.getString(0) == "3").get
+    assert(wide.getString(2) == "5" && wide.getString(3) == "6")
+  }
+
+  test("quoted separators don't inflate the width pass") {
+    val p = tmp("A;B\n\"x;y\";2\n", ".csv")
+    val df = CsvImport.read(spark, p, delimiter = ";")
+    assert(df.columns.toSeq == Seq("A", "B"))
+    assert(df.collect().head.getString(0) == "x;y")
+  }
+
+  test("header-cell splitter honors quotes") {
+    assert(CsvImport.splitCsvLine("a;\"b;c\";d", ';') == Seq("a", "b;c", "d"))
+    assert(CsvImport.splitCsvLine("\"he said \"\"hi\"\"\";x", ';') ==
+      Seq("he said \"hi\"", "x"))
+  }
+}
+
+class LdifImportSpec extends SparkSpec {
+  private val sample =
+    """dn: cn=John E Doe, o=University of Higher Learning, c=US
+      |cn: John E Doe
+      |cn: John Doe
+      |objectclass: person
+      |sn: Doe
+      |
+      |dn: cn=Bjorn L Doe, o=University of Higher
+      |  Learning, c=US
+      |cn: Bjorn L Doe
+      |objectclass: person
+      |sn: Doe
+      |price: 10.5
+      |b64:: aGVsbG8gd29ybGQ=
+      |""".stripMargin
+
+  private def tmp(content: String): String = {
+    val f = Files.createTempFile("graft", ".ldif")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  test("records parse: continuation, base64, repeated attrs") {
+    val df = LdifImport.read(spark, tmp(sample))
+    assert(df.columns.toSeq == Seq("dn", "cn", "objectclass", "sn", "price", "b64"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val john = rows.find(_.getString(0).contains("John")).get
+    // repeated cn → array column
+    assert(john.getSeq[String](1) == Seq("John E Doe", "John Doe"))
+    val bjorn = rows.find(r => Option(r.getString(0)).exists(_.contains("Bjorn"))).get
+    // continuation line folds into dn (leading space dropped)
+    assert(bjorn.getString(0) == "cn=Bjorn L Doe, o=University of Higher Learning, c=US")
+    // single cn still lands in the array-typed column as a 1-element list
+    assert(bjorn.getSeq[String](1) == Seq("Bjorn L Doe"))
+    assert(bjorn.getString(5) == "hello world") // base64-decoded
+  }
+
+  test("separator joins multi-values instead of arrays") {
+    val df = LdifImport.read(spark, tmp(sample), separator = Some("; "))
+    val john = df.collect().find(_.getString(0).contains("John")).get
+    assert(john.getString(1) == "John E Doe; John Doe")
+  }
+
+  test("non-UTF8 base64 stays encoded and round-trips via binaryColumn") {
+    val payload = Array[Byte](-1, -40, -1, -32, 0, 1) // JPEG-ish, not UTF-8
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    val df = LdifImport.read(spark, tmp(s"dn: x\nphoto:: $b64\n"))
+    val decoded = LdifImport.binaryColumn(df, "photo").collect().head
+    assert(decoded.getAs[Array[Byte]]("photo").toSeq == payload.toSeq)
+  }
+}
+
+class SqlScriptSpec extends SparkSpec {
+  test("splits on terminator at EOL only") {
+    val stmts = SqlScript.split(
+      "SELECT 1;\nSELECT a\nFROM t WHERE x = ';';\n\nSELECT 2;")
+    assert(stmts == Seq("SELECT 1", "SELECT a\nFROM t WHERE x = ';'", "SELECT 2"))
+  }
+
+  test("trailing statement without terminator is kept") {
+    assert(SqlScript.split("SELECT 1;\nSELECT 2") == Seq("SELECT 1", "SELECT 2"))
+  }
+
+  test("runs against registered views") {
+    graft.Tables.registerAll(spark, sf())
+    val out = SqlScript.runLast(spark,
+      "SELECT count(*) AS n FROM nation;").get.collect()
+    assert(out.head.getLong(0) == 25L)
+  }
+}
+
+class XlsxSpec extends SparkSpec {
+  test("write → read round-trip, types as display strings") {
+    import spark.implicits._
+    val df = Seq((1L, "BIKE", 99.95), (2L, "CAR", 10000.0), (3L, null, 0.5))
+      .toDF("ID", "NAME", "PRICE")
+    val p = Files.createTempFile("graft", ".xlsx").toString
+    Xlsx.write(Seq("Sheet1" -> df), p)
+    val back = Xlsx.read(spark, p)
+    assert(back.columns.toSeq == Seq("ID", "NAME", "PRICE"))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set(("1", "BIKE", "99.95"), ("2", "CAR", "10000.0"), ("3", null, "0.5")))
+  }
+
+  test("multi-sheet: read by name") {
+    import spark.implicits._
+    val a = Seq(("x")).toDF("A")
+    val b = Seq(("y")).toDF("B")
+    val p = Files.createTempFile("graft", ".xlsx").toString
+    Xlsx.write(Seq("first" -> a, "second" -> b), p)
+    assert(Xlsx.read(spark, p, Some("second")).collect().head.getString(0) == "y")
+    assert(Xlsx.read(spark, p).columns.toSeq == Seq("A"))
+  }
+
+  test("colIndex decodes A1 refs") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA12") == 26)
+  }
+}
