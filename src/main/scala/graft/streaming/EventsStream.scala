@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming extension over the `events` table shape
+  * (SURVEY §2.7/§7.4.8 — the reference has no streaming; this is the
+  * scale path for continuous ingestion).
+  *
+  * Batch/stream symmetry: every transform here ALSO works on a batch
+  * DataFrame of the same schema (tested against the batch queries
+  * q18/q19), which is the property that matters at 100 TB — backfill
+  * and live paths share one definition.
+  */
+object EventsStream {
+
+  /** Tumbling-window per-type counts with a watermark: the streaming
+    * form of q18_events_hourly. State is bounded by the watermark;
+    * partial aggregation happens map-side before the keyed shuffle. */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization with custom state
+    * (flatMapGroupsWithState): emits a session when a gap > `gapMinutes`
+    * arrives or — with `timeout = true` — when the group's
+    * processing-time timeout fires (live streams; note a
+    * processing-time timeout keeps the query permanently re-triggering,
+    * so tests and drain-and-stop jobs run with `timeout = false`).
+    * The batch analogue is q19_sessionize (lag + gap threshold). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 timeout: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(),
+        if (timeout) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            val out = Vector.newBuilder[SessionOut]
+            var cur = state.getOption.orNull
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case null =>
+                  cur = SessionState(t, t, 1L)
+                case s if t - s.lastSeen > gapMs =>
+                  out += SessionOut(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastSeen), s.nEvents)
+                  cur = SessionState(t, t, 1L)
+                case s =>
+                  cur = s.copy(lastSeen = t, nEvents = s.nEvents + 1)
+              }
+            }
+            state.update(cur)
+            if (timeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup on a fingerprint column with watermarked state —
+    * `dropDuplicates` keyed state is the streaming form of exact dedup. */
+  def dedupStream(events: DataFrame, keyCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyCounts over a memory stream matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    input.addData(
+      (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, ts("2024-01-01 10:55:00"), "click", 2.0),
+      (3L, ts("2024-01-01 11:05:00"), "view", 5.0))
+    val q = EventsStream.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("hourly")
+      .select("hour", "event_type", "n", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+  }
+
+  test("hourlyCounts is batch/stream symmetric (same code on a batch frame)") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, ts("2024-01-01 10:55:00"), "click", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    // watermark is a no-op on batch; aggregation must agree
+    val got = EventsStream.hourlyCounts(batch)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+  }
+
+  test("sessionize emits closed sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    input.addData(
+      EventsStream.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 0),
+      EventsStream.Event(2L, ts("2024-01-01 10:10:00"), 7L, "view", 0),
+      // 40-minute gap → first session closes when this arrives
+      EventsStream.Event(3L, ts("2024-01-01 10:50:00"), 7L, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions")
+      .as[EventsStream.SessionOut].collect()
+    assert(got.length == 1)
+    assert(got.head.user_id == 7L)
+    assert(got.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(got.head.session_end == ts("2024-01-01 10:10:00"))
+    assert(got.head.n_events == 2L)
+  }
+
+  test("dedupStream drops same-key events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp)]
+    val events = input.toDF().toDF("fp", "ts")
+    val q = EventsStream.dedupStream(events, "fp")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    input.addData(("a", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-01 10:05:00")),
+      ("b", ts("2024-01-01 10:06:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("deduped").select("fp").as[String].collect().toSeq
+    assert(got.sorted == Seq("a", "b"))
+  }
+}
