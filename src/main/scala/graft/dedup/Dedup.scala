@@ -34,10 +34,12 @@ object Dedup {
     df.select((col(idCol) +: mh): _*)
   }
 
-  /** Jaccard similarity of two (deduplicated) shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
+  /** Jaccard similarity of two shingle arrays (dedups its inputs). */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard over arrays ALREADY distinct — skips the re-dedup. */
+  private def jaccardDistinct(da: Column, db: Column): Column = {
     val inter = size(array_intersect(da, db)).cast("double")
     val union = (size(da) + size(db)).cast("double") - inter
     when(union > 0, inter / union).otherwise(lit(0.0))
@@ -46,24 +48,42 @@ object Dedup {
   /** LSH candidate pairs: documents sharing ANY minhash band, verified
     * with true n-gram Jaccard. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, one row per pair even if several bands collide.
-    * The per-band equi-join is the scale path — no cross join anywhere. */
+    *
+    * Scale shape: bands come from ONE shingle pass (explode, not a
+    * per-band union re-reading the corpus); the candidate join carries
+    * only (band, id) — the heavy shingle arrays are fetched AFTER pair
+    * dedup, so the band shuffle stays bytes-per-doc small and Jaccard
+    * is computed once per distinct pair, not once per colliding band. */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                       nGram: Int = 3, bands: Int = 4,
-                      minJaccard: Double = 0.0): DataFrame = {
-    val base = df.select(
+                      minJaccard: Double = 0.0,
+                      cacheSignatures: Boolean = true): DataFrame = {
+    // signature pass: shingles + banded minhashes computed ONCE per doc.
+    // The self-join and the two late sh-fetches would otherwise
+    // re-evaluate the (interpreted, higher-order) shingle expressions
+    // 4x — caching the signature table is the same call Spark ML's LSH
+    // makes; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOM.
+    val sig0 = df.select(
       col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
-    val banded = (0 until bands).map { b =>
-      base.select(col("id"), col("sh"), TextOps.minhash(col("sh"), b).as("band"))
-        .filter(col("band").isNotNull)
-    }.reduce(_ unionByName _)
-    val l = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band"))
+      .withColumn("bands",
+        array((0 until bands).map(b => TextOps.minhash(col("sh"), b)): _*))
+    val sig = if (cacheSignatures)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
+
+    val banded = sig.select(col("id"), explode(col("bands")).as("band"))
+      .filter(col("band").isNotNull)
+    val pairs = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -27,29 +27,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one probe vector (by id).
-    * Baseline for ANN; exact answer. */
+    * Baseline for ANN; exact answer. The probe's norm is folded in
+    * before the broadcast so per-row work is one dot + one own-norm. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  probeId: Long, k: Int): DataFrame = {
     val probe = emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("probe_vec"))
+      .select(col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
     emb.filter(col(idCol) =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
+        round(dot(col(vecCol), col("probe_vec"))
+          / (norm(col(vecCol)) * col("probe_norm")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
 
   /** Blocked near-duplicate pairs: quadratic verification only inside a
-    * coarse block (IVF-cell analogue). Returns (id_a, id_b, cos_sim). */
+    * coarse block (IVF-cell analogue). Returns (id_a, id_b, cos_sim).
+    * Norms are computed ONCE per vector before the self-join — per pair
+    * only the dot product remains (~3x fewer float ops than naive
+    * cosine-per-pair; at n² pairs per cell that dominates the stage). */
   def nearDupPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
                           blockCol: String, minCos: Double): DataFrame = {
-    val l = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val normed = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val l = normed.select(col("blk"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val r = normed.select(col("blk"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .orderBy(col("id_a"), col("id_b"))
   }

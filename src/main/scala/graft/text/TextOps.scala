@@ -37,12 +37,18 @@ object TextOps {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** One minhash value over a shingle array: lexicographic min of
-    * md5("<seed>|" + shingle). Using md5-hex keeps the hash family
-    * identical across engines (same trick is available to any SQL
+  /** One minhash value over a shingle array: lexicographic min of a
+    * per-seed hash. Seeds 0-3 slice disjoint 8-hex-char windows out of
+    * ONE md5 per shingle — 4 independent hash functions for the price
+    * of one digest (the md5 is the hot instruction in LSH banding);
+    * larger seeds fall back to md5("<seed>|" + shingle). md5-hex keeps
+    * the family identical across engines (reproducible in any SQL
     * oracle), while behaving like a random permutation per seed. */
   def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
+    if (seed < 4)
+      array_min(transform(shingleCol, s => substring(md5(s), 1 + 8 * seed, 8)))
+    else
+      array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
 
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
