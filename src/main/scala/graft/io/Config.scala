@@ -1,0 +1,181 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Connection/config model (`lwetl/config_parser.py` — SURVEY §1.4):
+  * a layered config of drivers / servers / aliases resolved from
+  * oracle-style login strings `user/password@service`, mapped onto
+  * `spark.read.jdbc` options instead of a client cursor.
+  *
+  * The reference merges YAML from module dir → /etc/lwetl → ~/.lwetl;
+  * here the layers are plain key-value maps merged the same way
+  * (`config_parser.py:66-83` merge semantics: later layers override,
+  * nested maps merge). A minimal flat-YAML subset parser is included so
+  * existing config files keep working without a YAML dependency —
+  * Fernet password encryption is intentionally out of scope (stub
+  * hook on [[Config.decrypt]]).
+  */
+object Config {
+
+  case class Driver(urlPrefix: String, attr: String = "", escape: Boolean = false,
+                    jdbcClass: String = "")
+  case class Server(dbType: String, url: String)
+
+  case class Resolved(user: Option[String], password: Option[String],
+                      dbType: String, schema: Option[String], url: String,
+                      escape: Boolean)
+
+  case class Conf(drivers: Map[String, Driver] = Map.empty,
+                  servers: Map[String, Server] = Map.empty,
+                  aliases: Map[String, String] = Map.empty) {
+    /** Layer merge: `other` overrides/extends this (reference `merge`). */
+    def merged(other: Conf): Conf = Conf(
+      drivers ++ other.drivers, servers ++ other.servers, aliases ++ other.aliases)
+  }
+
+  /** Password decrypt hook — the reference's Fernet layer
+    * (`lwetl/security.py`); identity by default. */
+  var decrypt: String => String = identity
+
+  class ServiceNotFound(msg: String) extends IllegalArgumentException(msg)
+
+  /** `parse_login` parity (`config_parser.py:86-146`): resolve alias →
+    * `user/password@service` → (credentials, type, schema, url, escape). */
+  def parseLogin(cfg: Conf, login: String): Resolved = {
+    // sqlite shortcut: direct file reference
+    if (login.startsWith("sqlite:") && cfg.drivers.contains("sqlite")) {
+      val dbFile = login.drop(7)
+      val d = cfg.drivers("sqlite")
+      return Resolved(None, None, "sqlite", None, d.urlPrefix + dbFile, escape = false)
+    }
+    val cred = cfg.aliases.getOrElse(login, login)
+    val (userPass, service) = cred.lastIndexOf('@') match {
+      case -1 => (None, cred)
+      case i => (Some(cred.substring(0, i)), cred.substring(i + 1))
+    }
+    val (user, pass) = userPass match {
+      case Some(up) => up.lastIndexOf('/') match {
+        case -1 => (Some(up), None)
+        case i => (Some(up.substring(0, i)), Some(decrypt(up.substring(i + 1))))
+      }
+      case None => (None, None)
+    }
+    val serviceName = service.trim.toLowerCase
+    val srv = cfg.servers.getOrElse(serviceName,
+      throw new ServiceNotFound(
+        s"Service ($serviceName) not found in list (${cfg.servers.keys.mkString(", ")})"))
+    val drv = cfg.drivers.getOrElse(srv.dbType,
+      throw new ServiceNotFound(
+        s"Database type (${srv.dbType}) not found in list (${cfg.drivers.keys.mkString(", ")})"))
+    val url = drv.urlPrefix + srv.url + drv.attr
+    val schema =
+      if (srv.dbType == "oracle") user
+      else Some(srv.url.split("/").last)
+    Resolved(user, pass, srv.dbType, schema, url, drv.escape)
+  }
+
+  /** Options for `spark.read.format("jdbc")` from a resolved login —
+    * fetchsize defaults to the reference's array_size=1000
+    * (`lwetl/jdbc.py:626`); `partitionColumn`+bounds turn the single
+    * cursor stream into N parallel range scans. */
+  def jdbcOptions(r: Resolved, fetchSize: Int = 1000): Map[String, String] = {
+    val base = Map("url" -> r.url, "fetchsize" -> fetchSize.toString)
+    val auth = Seq(
+      r.user.map("user" -> _), r.password.map("password" -> _),
+      r.dbType match {
+        case t if t.nonEmpty && cfgDriverClass(r.dbType).nonEmpty =>
+          Some("driver" -> cfgDriverClass(r.dbType))
+        case _ => None
+      }).flatten
+    base ++ auth
+  }
+
+  private def cfgDriverClass(dbType: String): String = dbType match {
+    case "oracle" => "oracle.jdbc.OracleDriver"
+    case "mysql" => "com.mysql.cj.jdbc.Driver"
+    case "sqlserver" => "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    case "postgresql" => "org.postgresql.Driver"
+    case "sqlite" => "org.sqlite.JDBC"
+    case _ => ""
+  }
+
+  /** Read a table/query through the resolved connection. `partitionOn`
+    * (pk column, lower, upper, n) parallelizes the scan — the scale
+    * replacement for the reference's single ordered cursor. */
+  def readJdbc(spark: SparkSession, r: Resolved, tableOrQuery: String,
+               partitionOn: Option[(String, Long, Long, Int)] = None,
+               fetchSize: Int = 1000): DataFrame = {
+    val reader0 = spark.read.format("jdbc")
+    val withOpts = jdbcOptions(r, fetchSize).foldLeft(reader0) {
+      case (rd, (k, v)) => rd.option(k, v)
+    }
+    val keyed =
+      if (tableOrQuery.trim.toLowerCase.startsWith("select "))
+        withOpts.option("query", tableOrQuery)
+      else withOpts.option("dbtable", tableOrQuery)
+    partitionOn match {
+      case Some((c, lo, hi, n)) => keyed
+        .option("partitionColumn", c)
+        .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+        .load()
+      case None => keyed.load()
+    }
+  }
+
+  // ------------------------------------------------ flat-YAML subset
+
+  /** Parse the minimal YAML subset the reference configs use: 2-space
+    * nested maps of scalar leaves (drivers/servers/alias sections). No
+    * sequences, anchors, or multi-line scalars. */
+  def parseYaml(text: String): Conf = {
+    // section → name → key → value
+    val tree = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]]
+    var section: String = null
+    var entry: String = null
+    text.split("\r?\n").foreach { raw =>
+      val line = raw.replaceAll("#.*$", "").replaceAll("\\s+$", "")
+      if (line.trim.nonEmpty) {
+        val indent = line.takeWhile(_ == ' ').length
+        val body = line.trim
+        val (k, v) = body.split(":", 2) match {
+          case Array(a, b) => (a.trim, b.trim)
+          case Array(a) => (a.trim, "")
+        }
+        if (indent == 0) { section = k; entry = null }
+        else if (indent == 2 && v.isEmpty) {
+          entry = k
+          tree.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+            .getOrElseUpdate(entry, scala.collection.mutable.Map.empty)
+        }
+        else if (indent == 2) { // flat alias: name: value
+          tree.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+            .getOrElseUpdate("", scala.collection.mutable.Map.empty)
+            .update(k, stripQuotes(v))
+        }
+        else if (indent >= 4 && entry != null)
+          tree(section)(entry).update(k, stripQuotes(v))
+      }
+    }
+    val drivers = tree.getOrElse("drivers", scala.collection.mutable.Map.empty).collect {
+      case (name, m) if name.nonEmpty => name -> Driver(
+        urlPrefix = m.getOrElse("url", ""),
+        attr = m.getOrElse("attr", ""),
+        escape = m.get("escape").exists(x => Set("true", "1", "yes").contains(x.toLowerCase)),
+        jdbcClass = m.getOrElse("class", ""))
+    }.toMap
+    val servers = tree.getOrElse("servers", scala.collection.mutable.Map.empty).collect {
+      case (name, m) if name.nonEmpty =>
+        name.toLowerCase -> Server(m.getOrElse("type", ""), m.getOrElse("url", ""))
+    }.toMap
+    val aliases = tree.getOrElse("alias", scala.collection.mutable.Map.empty)
+      .getOrElse("", scala.collection.mutable.Map.empty[String, String]).toMap
+    Conf(drivers, servers, aliases)
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+}
