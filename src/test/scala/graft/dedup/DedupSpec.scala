@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds only the exact pair") {
+    val got = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 2L) // cnt
+    assert(got.head.getLong(2) == 1L) // min_id
+  }
+
+  test("lshNearDupPairs surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", 3, 4, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup shares most shingles
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("lsh jaccard values are exact (verified against hand computation)") {
+    val j = Dedup.lshNearDupPairs(docs, "doc_id", "text", 3, 4, 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 4)
+      .select("jaccard").as[Double].collect().head
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical texts equal, near texts hamming-close, far texts not") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("saltedJoin returns the same rows as a plain join") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
+    val plain = big.join(dim, Seq("k")).select("k", "v", "label").collect().toSet
+    val salted = Skew.saltedJoin(big, dim, "k", 8)
+      .select("k", "v", "label").collect().toSet
+    assert(salted == plain)
+    assert(salted.count(_.getString(0) == "hot") == 100)
+  }
+
+  test("keyHistogram ranks heavy keys first") {
+    val df = (Seq.fill(50)("hot") ++ Seq("a", "b")).toDF("k")
+    val top = Skew.keyHistogram(df, "k", 1).collect().head
+    assert(top.getString(0) == "hot" && top.getLong(1) == 50L)
+  }
+}
