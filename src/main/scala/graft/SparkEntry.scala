@@ -51,7 +51,7 @@ object SparkEntry {
       .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         round(col("l_extendedprice") * col("l_discount"), 4).as("saving"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .limit(100)
 
   /** TPC-H Q3 shape: 3-way join; customer side is filtered then joined —
@@ -246,7 +246,8 @@ object SparkEntry {
         T(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate")),
         Seq("int", "int", "float", "str"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
       .limit(100)
 
   // ------------------------------------------------- text / dedup layer
@@ -425,6 +426,21 @@ object SparkEntry {
     io.Sinks.xmlRowLines(T(s, d, "nation"), "excel")
       .orderBy(col("line"))
 
+  /** INTERSECT set-op (completes the set-op family with q13/q14). */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(col("n_nationkey").as("nationkey"))
+      .intersect(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** Heavy-key histogram (skew diagnostic, ops.Skew.keyHistogram). */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.keyHistogram(T(s, d, "lineitem"), "l_suppkey", 20)
+
+  /** Near-dup clusters: connected components over the LSH pair graph. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.lshNearDupPairs(T(s, d, "documents"), "doc_id", "text", 3, 4, 0.1))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -472,6 +488,9 @@ object SparkEntry {
     "q44_sql_insert_ts" -> (q44 _),
     "q45_fixed_width_render" -> (q45 _),
     "q46_xml_render" -> (q46 _),
+    "q47_intersect_setop" -> (q47 _),
+    "q48_key_histogram" -> (q48 _),
+    "q49_dup_clusters" -> (q49 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -482,6 +501,35 @@ object SparkEntry {
     s"CASE WHEN len($w) >= 3 THEN [array_to_string(($w)[i:i+2], ' ') for i in range(1, len($w)-1)] ELSE CAST([] AS VARCHAR[]) END"
   private def minhashExpr(sh: String, seed: Int): String =
     s"list_min([substring(md5(x), ${1 + 8 * seed}, 8) for x in $sh])"
+
+  /** q30 oracle body, reused by q49's recursive-CTE clustering. */
+  private def q30Sql: String =
+    s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
+         s AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS sh FROM t),
+         b AS (SELECT doc_id, sh, unnest([${minhashExpr("sh", 0)}, ${minhashExpr("sh", 1)},
+               ${minhashExpr("sh", 2)}, ${minhashExpr("sh", 3)}]) AS band FROM s),
+         bb AS (SELECT * FROM b WHERE band IS NOT NULL),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             round(CASE WHEN len(a.sh) + len(c.sh)
+                  - len(list_filter(a.sh, x -> list_contains(c.sh, x))) > 0
+               THEN CAST(len(list_filter(a.sh, x -> list_contains(c.sh, x))) AS DOUBLE)
+                  / (len(a.sh) + len(c.sh)
+                     - len(list_filter(a.sh, x -> list_contains(c.sh, x))))
+               ELSE 0.0 END, 4) AS jaccard
+           FROM bb a JOIN bb c ON a.band = c.band AND a.doc_id < c.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1
+         ORDER BY id_a, id_b"""
+
+  private def q49Sql: String =
+    s"""WITH RECURSIVE prs AS ($q30Sql),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id, min(label) AS cluster FROM reach GROUP BY id ORDER BY id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -500,7 +548,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey,
            round(l_extendedprice*l_discount,4) AS saving
          FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
-         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 100""",
     "q03_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
            round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
@@ -615,7 +663,8 @@ object SparkEntry {
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
            CAST(l_quantity AS DOUBLE) AS l_quantity,
            CAST(l_shipdate AS VARCHAR) AS l_shipdate
-         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate LIMIT 100""",
     "q23_doc_fingerprint" ->
       """SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -671,23 +720,7 @@ object SparkEntry {
            ${minhashExpr(sh, 2)} AS mh2, ${minhashExpr(sh, 3)} AS mh3
          FROM s ORDER BY doc_id"""
     },
-    "q30_lsh_near_dup" -> {
-      s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
-         s AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS sh FROM t),
-         b AS (SELECT doc_id, sh, unnest([${minhashExpr("sh", 0)}, ${minhashExpr("sh", 1)},
-               ${minhashExpr("sh", 2)}, ${minhashExpr("sh", 3)}]) AS band FROM s),
-         bb AS (SELECT * FROM b WHERE band IS NOT NULL),
-         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-             round(CASE WHEN len(a.sh) + len(c.sh)
-                  - len(list_filter(a.sh, x -> list_contains(c.sh, x))) > 0
-               THEN CAST(len(list_filter(a.sh, x -> list_contains(c.sh, x))) AS DOUBLE)
-                  / (len(a.sh) + len(c.sh)
-                     - len(list_filter(a.sh, x -> list_contains(c.sh, x))))
-               ELSE 0.0 END, 4) AS jaccard
-           FROM bb a JOIN bb c ON a.band = c.band AND a.doc_id < c.doc_id)
-         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1
-         ORDER BY id_a, id_b"""
-    },
+    "q30_lsh_near_dup" -> q30Sql,
     "q31_cosine_topk" ->
       """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
                         FROM embeddings WHERE vec_id = 0)
@@ -813,5 +846,15 @@ object SparkEntry {
                    ELSE '<Cell><Data>' || n_regionkey || '</Data></Cell>' END
            || '</Row>' AS line
          FROM nation ORDER BY line""",
+    "q47_intersect_setop" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+         INTERSECT SELECT s_nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q48_key_histogram" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+           round(count(*) / (sum(count(*)) OVER ()), 6) AS share
+         FROM lineitem GROUP BY l_suppkey
+         ORDER BY cnt DESC, l_suppkey LIMIT 20""",
+    "q49_dup_clusters" -> q49Sql,
   )
 }

@@ -88,6 +88,38 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation (each node's label becomes the min
+    * label among itself and its neighbors, to fixpoint). No GraphX —
+    * each round is one join + hash-agg, labels localCheckpoint'ed so
+    * lineage stays flat; rounds needed = graph diameter, which for
+    * near-dup clusters is tiny. Returns (id, cluster) where cluster =
+    * min doc id of the component. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = true
+    while (changed) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster")).orderBy(col("id"))
+  }
+
   /** SimHash-style 32-bit signature: per bit, majority vote over the
     * word stream's md5-32 hashes. Hamming-near signatures ⇒ near-dup
     * texts. Pure expressions: transform/aggregate over the token array,

@@ -123,6 +123,21 @@ object Config {
     }
   }
 
+  /** Batched JDBC append — the MultiParameterUploader/executemany path
+    * (`lwetl/uploader.py:644-698`): Spark's JDBC writer batches
+    * `batchsize` rows per executeBatch, per partition (the reference's
+    * commit-every-N becomes per-partition transactions). */
+  def writeJdbc(df: DataFrame, r: Resolved, table: String,
+                batchSize: Int = 1000): Unit = {
+    val props = new java.util.Properties()
+    r.user.foreach(props.setProperty("user", _))
+    r.password.foreach(props.setProperty("password", _))
+    val cls = cfgDriverClass(r.dbType)
+    if (cls.nonEmpty) props.setProperty("driver", cls)
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(r.url, table, props)
+  }
+
   // ------------------------------------------------ flat-YAML subset
 
   /** Parse the minimal YAML subset the reference configs use: 2-space

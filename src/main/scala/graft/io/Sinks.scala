@@ -180,6 +180,25 @@ object Sinks {
     } finally out.close()
   }
 
+  /** Binary extraction (`examples/extract-images.py:33-40`): write each
+    * row's binary payload to a file named by another column. Runs on the
+    * executors via foreachPartition — payloads never pass through the
+    * driver (`dir` must be a path every executor can reach). */
+  def extractBinaries(df: DataFrame, nameCol: String, dataCol: String,
+                      dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    df.select(col(nameCol).cast("string"), col(dataCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val name = new java.io.File(r.getString(0)).getName // no traversal
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, name), r.getAs[Array[Byte]](1))
+          }
+        }
+      }
+  }
+
   /** SqlFormatter one-shot (`lwetl/formatter.py:529-594`): the result
     * set rendered as INSERT statements. */
   def writeSqlInserts(df: DataFrame, table: String, path: String,

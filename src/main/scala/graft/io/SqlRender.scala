@@ -94,7 +94,8 @@ object SqlRender {
     * ("stmt") — pipe it to a text sink or any downstream. */
   def insertStatements(df: DataFrame, table: String, d: Dialect = Ansi,
                        escape: Boolean = false,
-                       upperCaseNames: Boolean = true): DataFrame = {
+                       upperCaseNames: Boolean = true,
+                       rawValues: Map[String, String] = Map.empty): DataFrame = {
     val fields = df.schema.fields
     val rendered = fields.map { f =>
       val name = if (upperCaseNames) f.name.toUpperCase else f.name
@@ -104,6 +105,12 @@ object SqlRender {
         when(keep && litv.isNotNull, lit(escapeIdent(name, d, escape)))
           .otherwise(lit(null).cast("string")).as("n"),
         when(keep, litv).otherwise(lit(null).cast("string")).as("v"))
+    } ++ rawValues.map { case (name, fragment) =>
+      // NativeExpression passthrough (`lwetl/uploader.py:64-70`): a raw
+      // SQL fragment — DEFAULT, SEQ.NEXTVAL, SYSDATE — emitted verbatim
+      struct(lit(escapeIdent(
+        if (upperCaseNames) name.toUpperCase else name, d, escape)).as("n"),
+        lit(fragment).as("v"))
     }
     val pairs = filter(array(rendered.toIndexedSeq: _*), p => p.getField("n").isNotNull)
     df.select(

@@ -32,10 +32,11 @@ object Skew {
   /** Top-N heavy keys with their share — the diagnostic to decide
     * between plain join, AQE, and salting. One hash-agg + TakeOrdered. */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
-    val total = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .withColumn("share", round(col("cnt") / total, 6))
-      .orderBy(col("cnt").desc)
+      .withColumn("share",
+        round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy(col("cnt").desc, col(key))
       .limit(topN)
   }
 }
