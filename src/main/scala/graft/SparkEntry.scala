@@ -441,6 +441,21 @@ object SparkEntry {
     Dedup.dupClusters(
       Dedup.lshNearDupPairs(T(s, d, "documents"), "doc_id", "text", 3, 4, 0.1))
 
+  /** Exact interpolated percentiles (vs approx_percentile, which is the
+    * 100 TB default — exact shown here because the oracle can check it). */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+
+  /** Calendar rollup: revenue by year/month (date-function surface). */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -491,6 +506,8 @@ object SparkEntry {
     "q47_intersect_setop" -> (q47 _),
     "q48_key_histogram" -> (q48 _),
     "q49_dup_clusters" -> (q49 _),
+    "q50_percentiles" -> (q50 _),
+    "q51_monthly_revenue" -> (q51 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -856,5 +873,14 @@ object SparkEntry {
          FROM lineitem GROUP BY l_suppkey
          ORDER BY cnt DESC, l_suppkey LIMIT 20""",
     "q49_dup_clusters" -> q49Sql,
+    "q50_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders""",
+    "q51_monthly_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1, 2 ORDER BY y, m""",
   )
 }

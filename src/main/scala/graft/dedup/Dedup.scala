@@ -97,9 +97,13 @@ object Dedup {
     * min doc id of the component. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b"): DataFrame = {
+    // materialize the edge list ONCE — every propagation round joins
+    // against it, and without this each round would re-evaluate the
+    // upstream pair pipeline (for LSH input: the full shingle+band run)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var changed = true
