@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product — native Catalyst expression (graft.functions
+    * .DotProduct, codegen'd tight loop). Same left-to-right accumulation
+    * order as the composable form, so results are bit-identical. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftExtensions.dot(a, b)
+
+  /** The composable (zip_with + aggregate) form — reference
+    * implementation the native expression is verified against. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

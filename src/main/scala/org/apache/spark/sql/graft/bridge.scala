@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (Connect-compatible Column is expression-free), so
+  * extension libraries shipping native expressions reach them from
+  * inside the package — the standard pattern for classic-mode
+  * extensions; used ONLY to wrap graft's own expressions. */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

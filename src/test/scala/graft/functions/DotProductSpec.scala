@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot equals the composable zip_with+aggregate dot") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val both = emb.select(
+      Similarity.dotComposed(col("embedding"), col("embedding")).as("composed"),
+      GraftExtensions.dot(col("embedding"), col("embedding")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("works over double arrays and int arrays") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(GraftExtensions.dot(col("a"), col("b")))
+      .as[Double].collect().head == 32.0)
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    assert(ints.select(GraftExtensions.dot(col("a"), col("b")))
+      .as[Double].collect().head == 11.0)
+  }
+
+  test("NULL array → NULL; length mismatch raises") {
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(GraftExtensions.dot(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(GraftExtensions.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause.getMessage.contains("length mismatch"))
+  }
+
+  test("registered SQL function: SELECT graft_dot(...)") {
+    GraftExtensions.registerAll(spark)
+    graft.Tables.registerAll(spark, sf())
+    val r = spark.sql(
+      "SELECT round(graft_dot(embedding, embedding), 4) AS d FROM embeddings LIMIT 3")
+      .as[Double].collect()
+    assert(r.length == 3 && r.forall(_ > 0.0))
+  }
+
+  test("non-numeric arrays rejected at analysis") {
+    val df = Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftExtensions.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("numeric array") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("micro-bench: native is not slower than composable (informational)") {
+    val emb = graft.Tables.load(spark, sf("sf0.1"), "embeddings")
+      .select(col("embedding")).cache()
+    emb.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once
+    emb.select(sum(Similarity.dotComposed(col("embedding"), col("embedding")))).collect()
+    emb.select(sum(GraftExtensions.dot(col("embedding"), col("embedding")))).collect()
+    val tComposed = time {
+      (1 to 5).foreach { _ =>
+        emb.select(sum(Similarity.dotComposed(col("embedding"), col("embedding")))).collect()
+      }
+    }
+    val tNative = time {
+      (1 to 5).foreach { _ =>
+        emb.select(sum(GraftExtensions.dot(col("embedding"), col("embedding")))).collect()
+      }
+    }
+    info(f"composable: $tComposed%.3fs, native: $tNative%.3fs, " +
+      f"speedup ${tComposed / tNative}%.1fx")
+    emb.unpersist()
+    assert(tNative <= tComposed * 1.5) // generous guard against regression
+  }
+}
