@@ -456,6 +456,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("y"), col("m"))
 
+  /** Batch/stream symmetry through the gate: the STREAMING hourly
+    * aggregation (EventsStream.hourlyCounts — watermark is a no-op on
+    * batch) must equal q18's oracle. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventsStream.hourlyCounts(T(s, d, "events"))
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Multimodal pipeline through the gate (rows-only check): fake
+    * payloads built deterministically from documents → decode →
+    * features. Exercises the partition-wise codec path end-to-end. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = T(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"),
+        col("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .map { case (id, body, nChars) =>
+        (id, graft.multimodal.Multimodal.StubCodec.encodeFake(
+          (id % 3 + 1).toByte, (nChars % 1920).toInt, 1080, nChars * 10, body))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.decodeMeta(payloads, "media_id", "payload"))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+        round(col("aspect"), 6).as("aspect"))
+      .orderBy(col("media_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -508,6 +539,8 @@ object SparkEntry {
     "q49_dup_clusters" -> (q49 _),
     "q50_percentiles" -> (q50 _),
     "q51_monthly_revenue" -> (q51 _),
+    "q52_stream_symmetry" -> (q52 _),
+    "q53_multimodal_features" -> (q53 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -882,5 +915,11 @@ object SparkEntry {
            CAST(month(o_orderdate) AS INT) AS m,
            count(*) AS n, round(sum(o_totalprice), 2) AS revenue
          FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "q52_stream_symmetry" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // q53_multimodal_features: no oracle (stub codec is engine-side
+    // logic, not SQL-expressible) → driver records a rows-only check
   )
 }
