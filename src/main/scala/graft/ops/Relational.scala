@@ -20,6 +20,22 @@ object Relational {
   /** `max_rows` client cutoff (`lwetl/jdbc.py:634-636`). */
   def limitRows(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
+  /** First row, if any (`query_single`, `lwetl/jdbc.py:722-736`). */
+  def querySingle(df: DataFrame): Option[org.apache.spark.sql.Row] =
+    df.limit(1).collect().headOption
+
+  /** First value of the first row (`query_single_value`). */
+  def querySingleValue(df: DataFrame): Option[Any] =
+    querySingle(df).flatMap(r => if (r.isNullAt(0)) None else Some(r.get(0)))
+
+  /** First value coerced to long, default when absent (`get_int`). */
+  def getInt(df: DataFrame, default: Long = 0L): Long =
+    querySingleValue(df) match {
+      case Some(n: Number) => n.longValue()
+      case Some(s: String) => s.trim.toDouble.toLong
+      case _ => default
+    }
+
   /** Cardinality profile of one column. Mirrors the SQL emitted by the
     * table-cardinality app (`lwetl/programs/table_cardinality/main.py:40-42`):
     * non-null values occurring more than once, most frequent first.

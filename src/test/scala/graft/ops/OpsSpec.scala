@@ -98,6 +98,15 @@ class RelationalSpec extends SparkSpec {
     assert(got(1) == org.apache.commons.codec.digest.DigestUtils.md5Hex("a"))
   }
 
+  test("scalar scans: querySingle / querySingleValue / getInt") {
+    val df = Seq((42L, "x")).toDF("n", "s")
+    assert(Relational.querySingle(df).get.getLong(0) == 42L)
+    assert(Relational.querySingleValue(df).contains(42L))
+    assert(Relational.getInt(df) == 42L)
+    assert(Relational.getInt(df.filter("n < 0"), default = -1L) == -1L)
+    assert(Relational.getInt(Seq(("7.9", 1)).toDF("s", "i")) == 7L)
+  }
+
   test("asofJoinBackward equals the naive join+argmax result") {
     val left = Seq((1, 10, 100L), (1, 20, 101L), (2, 15, 102L), (3, 5, 103L))
       .toDF("k", "t", "lid")
