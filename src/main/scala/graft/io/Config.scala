@@ -96,6 +96,7 @@ object Config {
     case "sqlserver" => "com.microsoft.sqlserver.jdbc.SQLServerDriver"
     case "postgresql" => "org.postgresql.Driver"
     case "sqlite" => "org.sqlite.JDBC"
+    case "derby" => "org.apache.derby.jdbc.EmbeddedDriver"
     case _ => ""
   }
 
