@@ -80,6 +80,7 @@ class DotProductSpec extends SparkSpec {
     info(f"composable: $tComposed%.3fs, native: $tNative%.3fs, " +
       f"speedup ${tComposed / tNative}%.1fx")
     emb.unpersist()
-    assert(tNative <= tComposed * 1.5) // generous guard against regression
+    // informational only: wall-clock guards flake under CI contention;
+    // PlanQualitySpec pins that the native expression is actually used
   }
 }

@@ -45,6 +45,13 @@ class CsvImportSpec extends SparkSpec {
     assert(df.collect().head.getString(0) == "x;y")
   }
 
+  test("CRLF line endings parse like LF") {
+    val p = tmp("A;B\r\n1;2\r\n3;4\r\n", ".csv")
+    val df = CsvImport.read(spark, p, delimiter = ";")
+    assert(df.columns.toSeq == Seq("A", "B"))
+    assert(df.count() == 2)
+  }
+
   test("header-cell splitter honors quotes") {
     assert(CsvImport.splitCsvLine("a;\"b;c\";d", ';') == Seq("a", "b;c", "d"))
     assert(CsvImport.splitCsvLine("\"he said \"\"hi\"\"\";x", ';') ==
@@ -122,6 +129,11 @@ class SqlScriptSpec extends SparkSpec {
     val out = SqlScript.runLast(spark,
       "SELECT count(*) AS n FROM nation;").get.collect()
     assert(out.head.getLong(0) == 25L)
+  }
+
+  test("custom terminator (GO) and CRLF input") {
+    val stmts = SqlScript.split("SELECT 1 GO\r\nSELECT 2\r\nGO\r\n", "GO")
+    assert(stmts == Seq("SELECT 1", "SELECT 2"))
   }
 }
 
