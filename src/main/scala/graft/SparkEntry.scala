@@ -487,6 +487,16 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q15's semantics through the CUSTOM physical operator
+    * (plans.TopKPerGroup: bounded per-key heaps, no per-partition
+    * sort) — must hash-match the same row_number oracle. */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    graft.ops.TopK.topKPerGroup(T(s, d, "orders"), Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select(col("o_custkey"), col("rn").cast("int").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -541,6 +551,7 @@ object SparkEntry {
     "q51_monthly_revenue" -> (q51 _),
     "q52_stream_symmetry" -> (q52 _),
     "q53_multimodal_features" -> (q53 _),
+    "q54_topk_custom_operator" -> (q54 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -921,5 +932,12 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q53_multimodal_features: no oracle (stub codec is engine-side
     // logic, not SQL-expressible) → driver records a rows-only check
+    "q54_topk_custom_operator" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
   )
 }
