@@ -51,7 +51,8 @@ object SparkEntry {
       .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         round(col("l_extendedprice") * col("l_discount"), 4).as("saving"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("saving"))
       .limit(100)
 
   /** TPC-H Q3 shape: 3-way join; customer side is filtered then joined —
@@ -609,7 +610,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey,
            round(l_extendedprice*l_discount,4) AS saving
          FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
-         ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 100""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey, saving LIMIT 100""",
     "q03_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
            round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
