@@ -15,6 +15,25 @@ class NamingSpec extends SparkSpec {
   }
 }
 
+class NamingPropertySpec extends SparkSpec {
+  test("property: normalized headers are always unique and uppercase (500 random)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val raw = Seq.fill(10)(rnd.nextInt(4) match {
+        case 0 => null
+        case 1 => ""
+        case 2 => "col" + rnd.nextInt(3) // forced collisions
+        case _ => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+      })
+      val names = Naming.uniqueColumnNames(raw)
+      assert(names.length == raw.length)
+      assert(names.distinct.length == names.length, s"dups in $names")
+      assert(names.forall(n => n == n.toUpperCase))
+      assert(names.forall(_.nonEmpty))
+    }
+  }
+}
+
 class CsvImportSpec extends SparkSpec {
   private def tmp(content: String, suffix: String = ".csv"): String = {
     val f = Files.createTempFile("graft", suffix)

@@ -72,6 +72,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.n_events == 2L)
   }
 
+  test("chunked replay of REAL events equals the batch aggregation (q18 shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.Tables.load(spark, sf(), "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, Timestamp, String, Double)]
+      .collect()
+
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventsStream.hourlyCounts(
+        input.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("replay")
+      .outputMode("complete").start()
+    // arrive in 5 incremental chunks — the aggregation must fold
+    // incrementally to the same totals the batch plan computes at once
+    events.grouped(math.max(1, events.length / 5)).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("replay")
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("tv"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = graft.Tables.load(spark, sf(), "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("dedupStream drops same-key events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
