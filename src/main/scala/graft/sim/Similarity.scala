@@ -72,16 +72,14 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Per-block centroids as arrays (block → mean vector). The element-wise
-    * mean is a hash-agg on (block, pos) followed by a re-assembly into
-    * array order; centroid cardinality = #blocks, tiny by construction. */
+  /** Per-block centroids as arrays (block → mean vector), via the
+    * [[VectorAgg.vectorMean]] typed Aggregator: vectors fold into one
+    * running double[] per group MAP-SIDE, so the shuffle carries one
+    * partial per (block × partition) instead of the dim× row blowup a
+    * posexplode plan pays. */
   def centroids(emb: DataFrame, blockCol: String, vecCol: String): DataFrame =
-    emb.select(col(blockCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col(blockCol), col("pos"))
-      .agg(avg(col("v").cast("double")).as("av"))
-      .groupBy(col(blockCol))
-      .agg(sort_array(collect_list(struct(col("pos"), col("av")))).as("pa"))
-      .select(col(blockCol), transform(col("pa"), x => x.getField("av")).as("centroid"))
+    emb.groupBy(col(blockCol))
+      .agg(VectorAgg.vectorMeanCol(col(vecCol)).as("centroid"))
 
   /** IVF-style ANN top-k: rank cells (blocks) by centroid similarity to
     * the probe, then brute-force ONLY the top `nprobe` cells. At scale the
