@@ -498,6 +498,21 @@ object SparkEntry {
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
 
+  /** Salted hot-key join through the gate: the salt spreads l_suppkey
+    * buckets, but the RESULT must equal a plain join — verified against
+    * the unsalted oracle. */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        T(s, d, "lineitem").select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_discount")),
+        T(s, d, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name")),
+        "suppkey", buckets = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("s_name"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -553,6 +568,7 @@ object SparkEntry {
     "q52_stream_symmetry" -> (q52 _),
     "q53_multimodal_features" -> (q53 _),
     "q54_topk_custom_operator" -> (q54 _),
+    "q55_salted_join" -> (q55 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -940,5 +956,10 @@ object SparkEntry {
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3
          ORDER BY o_custkey, rn""",
+    "q55_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
   )
 }

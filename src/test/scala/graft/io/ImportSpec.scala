@@ -71,6 +71,25 @@ class CsvImportSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("sink → source round trip: writeCsv output re-imports identically") {
+    val nation = graft.Tables.load(spark, sf(), "nation")
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString + "/n"
+    Sinks.writeCsv(nation, dir)
+    // Spark writes part files; feed one merged file to the importer
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    val merged = java.nio.file.Files.createTempFile("graft", ".csv")
+    val lines = part.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    // header appears once per part file; keep the first, drop repeats
+    val (hdr, data) = (lines.head, lines.filterNot(_ == lines.head))
+    java.nio.file.Files.write(merged, (hdr +: data).mkString("\n").getBytes)
+    val back = CsvImport.read(spark, merged.toString, delimiter = ";")
+    assert(back.count() == 25)
+    assert(back.columns.toSeq == Seq("N_NATIONKEY", "N_NAME", "N_REGIONKEY"))
+    val names = back.select("N_NAME").collect().map(_.getString(0)).toSet
+    assert(names == nation.select("n_name").collect().map(_.getString(0)).toSet)
+  }
+
   test("header-cell splitter honors quotes") {
     assert(CsvImport.splitCsvLine("a;\"b;c\";d", ';') == Seq("a", "b;c", "d"))
     assert(CsvImport.splitCsvLine("\"he said \"\"hi\"\"\";x", ';') ==
