@@ -513,6 +513,20 @@ object SparkEntry {
           .as("revenue"))
       .orderBy(col("s_name"))
 
+  /** CUBE grouping sets (completes rollup/cube family with q42). */
+  private def q56(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("long").as("g1"),
+        grouping(col("o_orderpriority")).cast("long").as("g2"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("g1"), col("g2"), col("n"))
+      .orderBy(col("g1"), col("g2"), col("st"), col("pri"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -569,6 +583,7 @@ object SparkEntry {
     "q53_multimodal_features" -> (q53 _),
     "q54_topk_custom_operator" -> (q54 _),
     "q55_salted_join" -> (q55 _),
+    "q56_cube" -> (q56 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -961,5 +976,13 @@ object SparkEntry {
            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY s_name""",
+    "q56_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st,
+           coalesce(o_orderpriority,'ALL') AS pri,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g1,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g2,
+           count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY g1, g2, st, pri""",
   )
 }
