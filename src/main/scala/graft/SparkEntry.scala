@@ -508,9 +508,11 @@ object SparkEntry {
         T(s, d, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name")),
         "suppkey", buckets = 8)
       .groupBy(col("s_name"))
+      // decimal sum: order-independent (float sums can differ from the
+      // oracle by an ulp and round across a 2dp boundary at scale)
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")), 2).cast("double").as("revenue"))
       .orderBy(col("s_name"))
 
   /** CUBE grouping sets (completes rollup/cube family with q42). */
@@ -973,7 +975,8 @@ object SparkEntry {
          ORDER BY o_custkey, rn""",
     "q55_salted_join" ->
       """SELECT s_name, count(*) AS n_items,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY s_name""",
     "q56_cube" ->
