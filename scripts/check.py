@@ -62,6 +62,17 @@ def main():
             print(f"FAIL {name}: columns oracle={sorted(o_cols)} spark={sorted(s_cols)}")
             n_fail += 1
             continue
+        # The driver's hasher is type-strict (e.g. DuckDB sum(BIGINT) yields
+        # HUGEINT, which hash-mismatches Spark's BIGINT even when every value
+        # is identical) — so compare result column TYPES, not just names.
+        o_types = {d[0]: str(d[1]) for d in o.description}
+        s_types = {d[0]: str(d[1]) for d in s.description}
+        type_diff = {c: (o_types[c], s_types[c]) for c in o_types
+                     if o_types[c] != s_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: column types differ (oracle, spark): {type_diff}")
+            n_fail += 1
+            continue
         if len(o_rows) != len(s_rows):
             print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
             n_fail += 1

@@ -466,9 +466,10 @@ object SparkEntry {
         round(col("total_value"), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
-  /** Multimodal pipeline through the gate (rows-only check): fake
-    * payloads built deterministically from documents → decode →
-    * features. Exercises the partition-wise codec path end-to-end. */
+  /** Multimodal pipeline through the gate: fake payloads built
+    * deterministically from documents → decode → features. Exercises the
+    * partition-wise codec path end-to-end; the oracle re-derives the
+    * header fields in SQL from the same deterministic layout. */
   private def q53(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = T(s, d, "documents")
@@ -853,7 +854,7 @@ object SparkEntry {
                  sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
                FROM h, range(0,32) r(bit) GROUP BY doc_id, bit)
          SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS BIGINT) AS simhash
          FROM b GROUP BY doc_id ORDER BY doc_id""",
     "q36_rolling_hash" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
@@ -964,8 +965,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
            count(*) AS n, round(sum(value),2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
-    // q53_multimodal_features: no oracle (stub codec is engine-side
-    // logic, not SQL-expressible) → driver records a rows-only check
+    // q53: the stub codec's header fields ARE re-derivable in SQL from
+    // the deterministic payload layout (kind = doc_id%3+1, header = 17
+    // bytes + UTF-8 body, width = n_chars%1920, height = 1080), so the
+    // multimodal pipeline gets a full hash-matched oracle.
+    "q53_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 + 1 AS INT)
+             WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(17 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 1920 AS INT) AS width,
+           round(CAST(n_chars % 1920 AS DOUBLE) / 1080.0, 6) AS aspect
+         FROM documents ORDER BY media_id""",
     "q54_topk_custom_operator" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

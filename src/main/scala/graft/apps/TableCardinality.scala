@@ -17,17 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object TableCardinality {
 
-  /** Summary row per column: non-null count, distinct count, dup count. */
+  /** Summary row per column: non-null count, distinct count.
+    *
+    * ONE pass over the table: all `count(c)` + distinct-count pairs go
+    * into a single `agg(...)` (one scan, one reduction), then the 1-row
+    * result is unpivoted to a row per column. The previous shape — one
+    * full-table agg job per column, unioned — scanned the table N times. */
   def summary(df: DataFrame, exact: Boolean = false): DataFrame = {
-    val per = df.columns.map { c =>
+    val aggs = df.columns.flatMap { c =>
       val distinctAgg =
         if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-      df.agg(
-        count(col(c)).as("n_nonnull"),
-        distinctAgg.as("n_distinct"))
-        .select(lit(c).as("column"), col("n_nonnull"), col("n_distinct"))
+      Seq(count(col(c)).as(s"__nn_$c"), distinctAgg.as(s"__nd_$c"))
     }
-    per.reduce(_ unionByName _)
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val rows = df.columns.map { c =>
+      struct(lit(c).as("column"), col(s"__nn_$c").as("n_nonnull"),
+        col(s"__nd_$c").as("n_distinct"))
+    }
+    one.select(explode(array(rows.toIndexedSeq: _*)).as("r")).select("r.*")
   }
 
   /** The per-column profile sheets (column value, count desc) — the

@@ -79,13 +79,22 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
+    val verified = pairs
       .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
+    if (!cacheSignatures) verified
+    else {
+      // materialize the (small) pair list eagerly, then RELEASE the
+      // signature cache — otherwise repeated calls in a long-lived
+      // session leak MEMORY_AND_DISK blocks the size of the corpus
+      val out = verified.localCheckpoint()
+      sig.unpersist()
+      out
+    }
   }
 
   /** Duplicate CLUSTERS from a pair list: connected components by
@@ -113,13 +122,15 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // carry the OLD label through the propagation join so convergence
+      // is read off the checkpointed blocks — one heavy (join+agg) job
+      // per round, not a second full join just to diff labels
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next.select(col("id"), col("label"))
     }
     labels.select(col("id"), col("label").as("cluster")).orderBy(col("id"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, FloatType, NumericType}
 
 /** Native dot product over two numeric arrays — the hot instruction of
   * embedding similarity (SURVEY §7 ext.llm; brief: "a native Catalyst
@@ -53,21 +53,20 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot: length mismatch ($n vs ${ys.numElements()})")
     val lt = elemType(left)
     val rt = elemType(right)
+    // Spark's Decimal is not a java.lang.Number — needs its own branch
+    // (mirrors genGet) or the interpreted path (constant folding,
+    // codegen fallback) would ClassCastException on decimal arrays.
+    def get(arr: ArrayData, dt: DataType, i: Int): Double = dt match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+      case _ => arr.get(i, dt).asInstanceOf[Number].doubleValue()
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
-        val x = lt match {
-          case FloatType => xs.getFloat(i).toDouble
-          case DoubleType => xs.getDouble(i)
-          case _ => xs.get(i, lt).asInstanceOf[Number].doubleValue()
-        }
-        val y = rt match {
-          case FloatType => ys.getFloat(i).toDouble
-          case DoubleType => ys.getDouble(i)
-          case _ => ys.get(i, rt).asInstanceOf[Number].doubleValue()
-        }
-        acc += x * y
+        acc += get(xs, lt, i) * get(ys, rt, i)
       }
       i += 1
     }

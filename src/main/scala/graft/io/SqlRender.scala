@@ -59,9 +59,13 @@ object SqlRender {
          _: DecimalType =>
       c.cast("string")
     case _: DoubleType | _: FloatType =>
-      // integral normalization: 10000.0 renders as "10000"
-      when(c.cast("double") === c.cast("long").cast("double"),
-        c.cast("long").cast("string"))
+      // integral normalization: 10000.0 renders as "10000". try_cast, not
+      // cast: under Spark 4's ANSI mode a plain cast THROWS at render time
+      // for NaN/Infinity/out-of-long-range doubles — those fall through to
+      // the plain string form instead of failing the whole render.
+      val asLong = c.cast("double").try_cast("long")
+      when(asLong.isNotNull && asLong.cast("double") === c.cast("double"),
+        asLong.cast("string"))
         .otherwise(c.cast("string"))
     case _: TimestampType | _: TimestampNTZType | _: DateType =>
       val ts = date_format(c.cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")
@@ -134,13 +138,37 @@ object SqlRender {
   val Operators: Set[String] = Set("=", "<", ">", "<=", ">=", "<>", "IS", "LIKE", "IN")
 
   /** Parse the string form: first token an operator ⇒ (op, rest);
-    * otherwise the whole string is an equality value. */
+    * otherwise the whole string is an equality value. The value text is
+    * parsed into a TYPED value (quoted string → String with '' undoubled,
+    * numeric → number, NULL → null) so downstream rendering never
+    * double-quotes an already-quoted literal. */
   def parseWhereString(s: String): OpVal = {
     val parts = s.trim.split("\\s+", 2)
-    if (parts.length == 2 && Operators.contains(parts(0).toUpperCase))
-      OpVal(parts(0).toUpperCase, parts(1))
-    else OpVal("=", s)
+    if (parts.length == 2 && Operators.contains(parts(0).toUpperCase)) {
+      val op = parts(0).toUpperCase
+      // IS keeps its keyword argument verbatim (NULL / NOT NULL) — it is
+      // never a literal value
+      if (op == "IS") OpVal(op, parts(1).trim.toUpperCase)
+      else OpVal(op, parseWhereValue(parts(1)))
+    } else OpVal("=", parseWhereValue(s.trim))
   }
+
+  /** The textual value of a string-form where entry → typed value. */
+  def parseWhereValue(raw: String): Any = {
+    val t = raw.trim
+    if (t.equalsIgnoreCase("NULL")) null
+    else if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else
+      scala.util.Try(BigDecimal(t)).toOption match {
+        case Some(bd) if bd.isValidLong => bd.longValue
+        case Some(bd) => bd.doubleValue
+        case None => t
+      }
+  }
+
+  private def isNotNullArg(v: Any): Boolean =
+    v != null && v.toString.trim.equalsIgnoreCase("NOT NULL")
 
   private def sqlLit(v: Any): String = v match {
     case null => "NULL"
@@ -157,6 +185,9 @@ object SqlRender {
         case Raw(null) => s"$c IS NULL"
         case Raw("") => s"$c IS NULL"
         case Raw(v) => s"$c = ${sqlLit(v)}"
+        // IS takes the keyword NULL / NOT NULL, never a quoted literal
+        case OpVal("IS", v) =>
+          if (isNotNullArg(v)) s"$c IS NOT NULL" else s"$c IS NULL"
         case OpVal(op, v) => s"$c $op ${sqlLit(v)}"
       }
     }
@@ -170,7 +201,8 @@ object SqlRender {
       wv match {
         case Raw(null) | Raw("") => col(c).isNull
         case Raw(v) => col(c) === lit(v)
-        case OpVal("IS", _) => col(c).isNull
+        case OpVal("IS", v) =>
+          if (isNotNullArg(v)) col(c).isNotNull else col(c).isNull
         case OpVal("LIKE", v) => col(c).like(v.toString)
         case OpVal("IN", v: Seq[_]) => col(c).isin(v.map(x => x): _*)
         case OpVal("=", v) => col(c) === lit(v)

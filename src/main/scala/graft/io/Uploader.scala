@@ -1,7 +1,6 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Upload facade over the DML renderers — the reference's uploader
@@ -68,14 +67,28 @@ object Uploader {
 
   /** PK-counter replacement (`lwetl/uploader.py:31-61` PK_COUNTERS):
     * the reference probes max(pk) once and increments client-side; the
-    * distributed equivalent assigns base + row_number over an explicit
-    * order. Unlike the reference there is NO cross-job monotonicity —
-    * two concurrent writers can collide, same as two lwetl processes
-    * (SURVEY §7.4.4 documents the semantic difference). */
+    * distributed equivalent assigns base + rank over an explicit order.
+    * Unlike the reference there is NO cross-job monotonicity — two
+    * concurrent writers can collide, same as two lwetl processes
+    * (SURVEY §7.4.4 documents the semantic difference).
+    *
+    * Scale shape: a `Window.orderBy` with no partitionBy would pull
+    * EVERY row through one task. Instead: range-partitioned total sort
+    * (parallel — only the partition boundaries are sampled centrally),
+    * then zipWithIndex assigns contiguous ids from per-partition counts
+    * (one lightweight count pass, no data movement). */
   def assignPk(df: DataFrame, pkCol: String, base: Long,
                orderBy: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderBy.map(col): _*)
-    df.withColumn(pkCol, lit(base) + row_number().over(w).cast("long"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val body = if (df.columns.contains(pkCol)) df.drop(pkCol) else df
+    val sorted = body.orderBy(orderBy.map(col): _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(pkCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (base + i + 1L))
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
   }
 
   /** Probe the current max of a PK column (0 when empty/all-null),

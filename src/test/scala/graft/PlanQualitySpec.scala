@@ -41,4 +41,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("graft_dot"), "similarity must use the native expression")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("keyHistogram: share total is a broadcast scalar, not a global window") {
+    val df = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val p = explainOf(graft.ops.Skew.keyHistogram(df, "l_suppkey"))
+    // an empty-frame Window would funnel every distinct key through one task
+    assert(!p.contains("Window"), "no single-partition window allowed:\n" + p)
+    assert(p.contains("BroadcastExchange"), "total must broadcast")
+  }
+
+  test("table-cardinality summary reads the table ONCE (no per-column scans)") {
+    val df = spark.read.parquet(sf("sf0.01") + "/nation.parquet")
+    val p = explainOf(graft.apps.TableCardinality.summary(df))
+    // count node-detail entries "(n) Scan parquet" — one per scan node
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+    assert(scans == 1, s"expected a single scan, plan has $scans:\n" + p)
+    assert(!p.contains("Union"), "summary must not union per-column jobs")
+    assert(!p.contains("Window"))
+  }
 }

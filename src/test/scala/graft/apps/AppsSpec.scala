@@ -132,6 +132,26 @@ class UploaderSpec extends SparkSpec {
   test("pkBase of an empty frame is 0") {
     assert(Uploader.pkBase(Seq.empty[Long].toDF("pk"), "pk") == 0L)
   }
+
+  test("assignPk stays distributed: contiguous ids over a parallel sort") {
+    // the old shape (Window.orderBy with no partitionBy) pulled every row
+    // through ONE task; the range-sort + zipWithIndex shape must keep
+    // multiple partitions while producing the same contiguous sequence
+    val n = 1000
+    val incoming = spark.range(n).select(
+      (col("id") * 37 % n).as("sortkey")).repartition(8)
+    // AQE coalesces the tiny test shuffle to 1 partition — disable it here
+    // so the assertion sees the shape a real-size input would have
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = Uploader.assignPk(incoming, "pk", 100L, Seq("sortkey"))
+      assert(got.rdd.getNumPartitions > 1, "pk assignment must not serialize to one task")
+      val rows = got.orderBy("pk").collect()
+      assert(rows.map(_.getLong(1)).toSeq == (101L to 100L + n))
+      // ids must follow the sort order
+      assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
 
 class RuntimeStatsSpec extends SparkSpec {

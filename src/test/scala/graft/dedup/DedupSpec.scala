@@ -59,5 +59,17 @@ class DedupSpec extends SparkSpec {
     val df = (Seq.fill(50)("hot") ++ Seq("a", "b")).toDF("k")
     val top = Skew.keyHistogram(df, "k", 1).collect().head
     assert(top.getString(0) == "hot" && top.getLong(1) == 50L)
+    assert(top.getDouble(2) == math.round(50.0 / 52.0 * 1e6) / 1e6)
+  }
+
+  test("saltedJoin rejects salt-unsafe join types") {
+    val big = Seq(("k", 1)).toDF("k", "v")
+    val dim = Seq(("k", "A")).toDF("k", "label")
+    // right/full outer would emit each unmatched small-side row once per salt
+    intercept[IllegalArgumentException] { Skew.saltedJoin(big, dim, "k", 4, "right") }
+    intercept[IllegalArgumentException] { Skew.saltedJoin(big, dim, "k", 4, "full_outer") }
+    // the safe set still works, including underscore spellings
+    assert(Skew.saltedJoin(big, dim, "k", 4, "left_semi").count() == 1)
+    assert(Skew.saltedJoin(big, dim, "k", 4, "left").count() == 1)
   }
 }

@@ -39,6 +39,22 @@ class DotProductSpec extends SparkSpec {
       e.getCause.getMessage.contains("length mismatch"))
   }
 
+  test("decimal arrays work on the INTERPRETED path (Decimal is not a Number)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    // direct eval = the interpreted path (constant folding, codegen fallback)
+    val arr = Literal.create(Seq(BigDecimal("1.50"), BigDecimal("2.00")),
+      ArrayType(DecimalType(10, 2)))
+    val got = DotProduct(arr, arr).eval(InternalRow.empty).asInstanceOf[Double]
+    assert(math.abs(got - 6.25) < 1e-12)
+    // and through the optimizer: foldable input triggers interpreted eval
+    val d = typedLit(Seq(BigDecimal("1.50"), BigDecimal("2.00")))
+    val folded = spark.range(1).select(GraftExtensions.dot(d, d).as("v"))
+      .as[Double].collect().head
+    assert(math.abs(folded - 6.25) < 1e-12)
+  }
+
   test("registered SQL function: SELECT graft_dot(...)") {
     GraftExtensions.registerAll(spark)
     graft.Tables.registerAll(spark, sf())

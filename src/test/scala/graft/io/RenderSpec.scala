@@ -42,10 +42,40 @@ class SqlRenderSpec extends SparkSpec {
   }
 
   test("where-DSL string parse (uploader._split_where_value)") {
-    assert(parseWhereString("LIKE 'ABC%'") == OpVal("LIKE", "'ABC%'"))
-    assert(parseWhereString(">= 5") == OpVal(">=", "5"))
+    // values are parsed TYPED: quoted → unquoted String, numeric → number
+    // (so whereToSql never double-quotes an already-quoted literal)
+    assert(parseWhereString("LIKE 'ABC%'") == OpVal("LIKE", "ABC%"))
+    assert(parseWhereString(">= 5") == OpVal(">=", 5L))
     assert(parseWhereString("plain value") == OpVal("=", "plain value"))
     assert(parseWhereString("solo") == OpVal("=", "solo"))
+    assert(parseWhereString("IS NULL") == OpVal("IS", "NULL"))
+    assert(parseWhereString("IS NOT NULL") == OpVal("IS", "NOT NULL"))
+  }
+
+  test("string-form where-DSL composes with whereToSql/whereToColumn") {
+    // the full round trip the advisor flagged: parse → render
+    assert(whereToSql(Seq("C" -> parseWhereString("IS NULL"))) == "WHERE C IS NULL")
+    assert(whereToSql(Seq("C" -> parseWhereString("IS NOT NULL"))) == "WHERE C IS NOT NULL")
+    assert(whereToSql(Seq("C" -> parseWhereString("LIKE 'ABC%'"))) == "WHERE C LIKE 'ABC%'")
+    assert(whereToSql(Seq("C" -> parseWhereString("= 'o''k'"))) == "WHERE C = 'o''k'")
+    assert(whereToSql(Seq("C" -> parseWhereString("> 7"))) == "WHERE C > 7")
+    import spark.implicits._
+    val df = Seq((1, Some("x")), (2, None)).toDF("ID", "S")
+    assert(df.filter(whereToColumn(Seq("S" -> parseWhereString("IS NULL"))))
+      .select("ID").as[Int].collect().toSeq == Seq(2))
+    assert(df.filter(whereToColumn(Seq("S" -> parseWhereString("IS NOT NULL"))))
+      .select("ID").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("NaN/Infinity/huge doubles render without throwing (ANSI-safe)") {
+    import spark.implicits._
+    val df = Seq(Double.NaN, Double.PositiveInfinity, 1.0e300, 2.5, 3.0)
+      .toDF("V")
+    // a plain cast("long") would THROW under ANSI mode on the first three
+    val stmts = insertStatements(df, "T", Ansi).as[String].collect()
+    assert(stmts.exists(_.contains("(2.5)")))
+    assert(stmts.exists(_.contains("(3)")), "integral double still normalizes")
+    assert(stmts.length == 5)
   }
 
   test("where-DSL → SQL text: empty ⇒ IS NULL, AND-combined") {
