@@ -29,6 +29,20 @@ object Introspect {
       .toDF("column_name", "data_type", "nullable")
   }
 
+  /** The whole catalog as one frame (table_name, column_name,
+    * data_type, nullable) — what sql-query's `table_info` keyword dumps
+    * (`sql_query/main.py:283-288` routes it to the dialect content
+    * query; the Spark-catalog equivalent of [[CatalogQueries]]). */
+  def tableColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      spark.catalog.listColumns(t.name).collect().toSeq
+        .map(c => (t.name, c.name, c.dataType, c.nullable))
+    }
+    rows.toDF("table_name", "column_name", "data_type", "nullable")
+      .orderBy("table_name", "column_name")
+  }
+
   /** Per-table row counts (`table_count_queries`,
     * `lwetl/queries.py:206-215`): COUNT(*) + exact distinct of a key. */
   def tableCounts(spark: SparkSession, names: Seq[String]): DataFrame = {

@@ -22,20 +22,19 @@ object Mains {
   }
 }
 
-/** `sql-query <sfDir> <sql-or-file> [format] [out]` — run a script over
-  * the registered tables, write through a formatter sink
-  * (`lwetl/programs/sql_query/main.py` routing, file-or-literal). */
+/** `sql-query <sfDir> <sql-or-file-or-table-or-keyword> [format] [out]
+  * [uploadFile]` — the reference CLI's full dispatch
+  * (`lwetl/programs/sql_query/main.py:280-313`): inline SQL, a script
+  * file, a bare table name (probed), `jdbc_info` / `table_info`
+  * keywords, empty ⇒ stdin, and table+file ⇒ upload. */
 object SqlQueryMain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, src, rest @ _*) = args.toSeq.toArray: @unchecked
     val format = rest.headOption.getOrElse("csv")
     val out = rest.lift(1).getOrElse("/tmp/graft_sql_query.out")
+    val uploadFile = rest.lift(2)
     val spark = Mains.session("graft-sql-query")
     Tables.registerAll(spark, sfDir)
-    val script =
-      if (new java.io.File(src).isFile)
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src)))
-      else src
     val fmt = format match {
       case "text" => SqlQuery.Text
       case "xml" => SqlQuery.XmlExcel
@@ -44,8 +43,33 @@ object SqlQueryMain {
       case s if s.startsWith("sql:") => SqlQuery.SqlInsert(s.drop(4))
       case _ => SqlQuery.Csv
     }
-    val stmts = SqlQuery.run(spark, script, fmt, out)
-    println(s"[sql-query] ${stmts.length} statement(s) -> $out")
+    def runScript(script: String): Unit = {
+      val stmts = SqlQuery.run(spark, script, fmt, out)
+      println(s"[sql-query] ${stmts.length} statement(s) -> $out")
+    }
+    SqlQuery.route(spark, src, uploadFile) match {
+      case SqlQuery.StdInScript =>
+        println("Command or SQL not specified: using the stdin")
+        runScript(SqlQuery.readStdIn())
+      case SqlQuery.JdbcInfo =>
+        Introspect.info(spark).foreach { case (k, v) => println(s"$k: $v") }
+      case SqlQuery.TableInfo =>
+        Introspect.tableColumns(spark).createOrReplaceTempView("graft_table_info")
+        runScript("SELECT * FROM graft_table_info")
+      case SqlQuery.ScriptFile(path) =>
+        runScript(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"))
+      case SqlQuery.TableSelect(t) =>
+        runScript(s"SELECT * FROM $t")
+      case SqlQuery.TableUpload(t, f, fileFmt) =>
+        // parquet-target upload: append the imported rows next to `out`
+        // (the JDBC-target path is Config.writeJdbc with the same frame)
+        val df = SqlQuery.importFile(spark, f, fileFmt)
+        df.write.mode("append").parquet(out)
+        println(s"Done: ${df.count()} rows uploaded to $out (table $t, $fileFmt)")
+      case SqlQuery.SqlText(sql) =>
+        runScript(sql)
+    }
     spark.stop()
   }
 }

@@ -21,6 +21,85 @@ object SqlQuery {
   case class SqlInsert(table: String, dialect: SqlRender.Dialect = SqlRender.Ansi)
     extends Format
 
+  // ------------------------------------------------- CLI input routing
+
+  /** Where a `command_or_sql` argument dispatches
+    * (`sql_query/main.py:280-313`). */
+  sealed trait Route
+  case object StdInScript extends Route                  // empty → read stdin
+  case object JdbcInfo extends Route                     // 'jdbc_info'
+  case object TableInfo extends Route                    // 'table_info'
+  case class ScriptFile(path: String) extends Route      // existing file
+  case class TableSelect(table: String) extends Route    // bare table name
+  case class TableUpload(table: String, file: String,
+                         format: String) extends Route   // table + input file
+  case class SqlText(sql: String) extends Route          // inline SQL
+
+  /** The reference's dispatch table (`sql_query/main.py:280-313`):
+    * empty → stdin; the two info keywords; an existing file; a bare
+    * token probed as a table via `SELECT * WHERE 0=1`; else inline SQL.
+    * A bare TABLE plus an input file routes to upload. */
+  def route(spark: SparkSession, commandOrSql: String,
+            fileName: Option[String] = None): Route = {
+    val arg = Option(commandOrSql).getOrElse("").trim
+    if (arg.isEmpty) StdInScript
+    else if (arg.equalsIgnoreCase("jdbc_info")) JdbcInfo
+    else if (arg.equalsIgnoreCase("table_info")) TableInfo
+    else if (new java.io.File(arg).isFile) ScriptFile(arg)
+    else if (!arg.contains(' ')) {
+      // bare-table probe (`main.py:292-307`): cheap analysis-only check
+      val isTable =
+        scala.util.Try(spark.sql(s"SELECT * FROM $arg WHERE 0=1").schema).isSuccess
+      if (!isTable) SqlText(arg)
+      else fileName match {
+        case None => TableSelect(arg)
+        case Some(f) if new java.io.File(f).isFile =>
+          TableUpload(arg, f, sniffFormat(f))
+        case Some(f) =>
+          throw new IllegalArgumentException(s"specified input file not found: $f")
+      }
+    } else SqlText(arg)
+  }
+
+  /** Input-format sniffing (`sql_query/main.py:62-80`): extension
+    * first (xlsx / csv|dat|txt), then the binary-content heuristic —
+    * any byte outside the text set {7,8,9,10,12,13,27} ∪
+    * [0x20,0xFF]∖{0x7F} in the first 1 KiB marks the file binary
+    * (⇒ xlsx), else text (⇒ csv). */
+  def sniffFormat(fileName: String): String = {
+    val lc = fileName.toLowerCase
+    val ext = if (lc.contains('.')) lc.split('.').last else ""
+    ext match {
+      case "xlsx" => "xlsx"
+      case "csv" | "dat" | "txt" => "csv"
+      case _ =>
+        val in = new java.io.FileInputStream(fileName)
+        try {
+          val buf = new Array[Byte](1024)
+          val n = math.max(0, in.read(buf))
+          val textChars = Set(7, 8, 9, 10, 12, 13, 27) ++
+            (0x20 until 0x100).toSet - 0x7f
+          val isBinary = buf.take(n).exists(b => !textChars.contains(b & 0xff))
+          if (isBinary) "xlsx" else "csv"
+        } finally in.close()
+    }
+  }
+
+  /** Import the upload file in its sniffed format — the front half of
+    * `upload_table` (`main.py:59-100`); the caller appends the frame
+    * to its target (JDBC or parquet). */
+  def importFile(spark: SparkSession, file: String, format: String,
+                 separator: String = "\t"): DataFrame = format match {
+    case "xlsx" => Xlsx.read(spark, file)
+    case "csv" => graft.io.CsvImport.read(spark, file, separator)
+    case other => throw new IllegalArgumentException(
+      s"formatter $other is not supported for file upload. Valid choices: csv, xlsx")
+  }
+
+  /** Read an entire stdin stream as the SQL script (`main.py:312`). */
+  def readStdIn(in: java.io.InputStream = System.in): String =
+    scala.io.Source.fromInputStream(in, "UTF-8").mkString
+
   /** Run a script; write every row-bearing result to `outPath` (multi-
     * result scripts go to numbered files / sheets like the reference's
     * next_sheet handling). Returns the statements executed. */
