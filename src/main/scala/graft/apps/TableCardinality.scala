@@ -43,10 +43,12 @@ object TableCardinality {
     df.columns.toSeq.map(c => c -> Relational.profileCardinality(df, c))
 
   /** Full report to one xlsx workbook: Summary sheet + one sheet per
-    * column with duplicated values (reference writes the same shape). */
+    * column with duplicated values. The reference writes this workbook
+    * with `pretty=True` (`table_cardinality/main.py:44`) — header
+    * styling + column widths. */
   def report(df: DataFrame, path: String, exact: Boolean = false): Unit = {
     val sheets = ("Summary" -> summary(df, exact)) +:
       profiles(df).map { case (c, p) => c.take(31) -> p } // xlsx name cap
-    graft.io.Xlsx.write(sheets, path)
+    graft.io.Xlsx.write(sheets, path, pretty = true)
   }
 }

@@ -194,4 +194,70 @@ object Config {
     if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
       s.substring(1, s.length - 1)
     else s
+
+  // --------------------------------------------- file layering + TNS
+
+  /** The reference's config search order (`config_parser.py:55-60`):
+    * workdir, module dir, /etc/lwetl, ~/lwetl — LATER files override
+    * earlier ones (`:190-199` merges each file over the accumulated
+    * config, so the home layer has the last word). */
+  def configFiles(workDir: String = ".",
+                  moduleDir: Option[String] = None,
+                  etcDir: String = "/etc/lwetl",
+                  homeDir: String = System.getProperty("user.home")): Seq[String] = {
+    val dirs = moduleDir.toSeq ++ Seq(etcDir, s"$homeDir/lwetl")
+    (workDir +: dirs).map(d => s"$d/config.yml")
+  }
+
+  /** Load-and-merge every existing config file, lowest precedence
+    * first (`config_parser.py:190-199`). Unreadable files are skipped
+    * the way the reference skips PermissionError. */
+  def loadLayered(files: Seq[String]): Conf =
+    files.foldLeft(Conf()) { (acc, f) =>
+      val p = java.nio.file.Paths.get(f)
+      if (!java.nio.file.Files.isReadable(p)) acc
+      else scala.util.Try(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .toOption.map(t => acc.merged(parseYaml(t))).getOrElse(acc)
+    }
+
+  /** Parse Oracle `tnsnames.ora` text into server entries
+    * (`config_parser.py:298-337`): comment/blank lines dropped, each
+    * `LABEL = (DESCRIPTION=...)` balanced-paren group becomes an oracle
+    * service named by the lowercased label. The reference needs a
+    * recursive regex for the nesting; a depth counter does the same. */
+  def parseTnsNames(text: String): Map[String, Server] = {
+    val body = text.linesIterator
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .mkString("\n")
+    val entries = scala.collection.mutable.LinkedHashMap.empty[String, Server]
+    var from = 0
+    var open = body.indexOf('(', from)
+    while (open >= 0) {
+      var depth = 0
+      var i = open
+      var end = -1
+      while (i < body.length && end < 0) {
+        body.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) { open = -1 } // unbalanced tail: stop, like the regex would
+      else {
+        val label = body.substring(from, open).split("=")(0).trim.toLowerCase
+        if (label.nonEmpty && !entries.contains(label))
+          entries(label) = Server("oracle", body.substring(open, end))
+        from = end
+        open = body.indexOf('(', from)
+      }
+    }
+    entries.toMap
+  }
+
+  /** Merge TNS entries under an existing config — config-defined
+    * servers win, TNS fills the gaps (`config_parser.py:330-333`). */
+  def withTns(cfg: Conf, tnsText: String): Conf =
+    cfg.copy(servers = parseTnsNames(tnsText) ++ cfg.servers)
 }

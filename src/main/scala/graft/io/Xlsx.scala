@@ -30,8 +30,16 @@ object Xlsx {
   /** Write sheets of (name, DataFrame) as one workbook. Numbers/bools
     * are native cells; timestamps render as text (the reference's
     * date-coercion renders display strings too); everything else is an
-    * inline string. */
-  def write(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    * inline string.
+    *
+    * `pretty` is the reference's `prettify_excel` post-pass
+    * (`lwetl/formatter.py:44-94`) folded into the write: bold, filled,
+    * double-bordered header cells (a styles.xml part) + per-column
+    * widths from the longest rendered value (header weighted 1.25, min
+    * 5, cap 50, +2). Widths come from ONE distributed max-length agg
+    * per sheet instead of the reference's full client-side re-read. */
+  def write(sheets: Seq[(String, DataFrame)], path: String,
+            pretty: Boolean = false): Unit = {
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
@@ -46,6 +54,9 @@ object Xlsx {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (if (pretty)
+            """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
+          else "") +
           (1 to n).map(i =>
             s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
           "</Types>")
@@ -65,15 +76,27 @@ object Xlsx {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           (1 to n).map(i =>
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
+          (if (pretty)
+            s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
+          else "") +
           "</Relationships>")
+      if (pretty) entry("xl/styles.xml", stylesXml)
 
       sheets.zipWithIndex.foreach { case ((_, df), si) =>
         zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
         val w = new java.io.OutputStreamWriter(zos, StandardCharsets.UTF_8)
         w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+        if (pretty) {
+          val cols = columnWidths(df).zipWithIndex.map { case (wd, i) =>
+            s"""<col min="${i + 1}" max="${i + 1}" width="$wd" customWidth="1"/>"""
+          }
+          w.write("<cols>" + cols.mkString + "</cols>")
+        }
+        w.write("<sheetData>")
+        val hs = if (pretty) """ s="1"""" else ""
         w.write("<row>" + df.columns.map(c =>
-          s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""").mkString + "</row>")
+          s"""<c t="inlineStr"$hs><is><t>${esc(c)}</t></is></c>""").mkString + "</row>")
         val fields = df.schema.fields
         val it = df.toLocalIterator()
         while (it.hasNext) {
@@ -100,6 +123,52 @@ object Xlsx {
       }
     } finally zos.close()
   }
+
+  /** Column widths per the reference's rule (`formatter.py:84-93`):
+    * longest rendered cell, header length weighted 1.25, floor 5,
+    * cap 50, +2 padding. One distributed agg — no client re-read. */
+  private[io] def columnWidths(df: DataFrame): Seq[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, length, lit, max, col}
+    val maxRow: Seq[Int] =
+      if (df.isEmpty) df.columns.toSeq.map(_ => 0)
+      else df.agg(
+        coalesce(max(length(col(df.columns.head).cast("string"))), lit(0)).as("w0"),
+        df.columns.tail.zipWithIndex.map { case (c, i) =>
+          coalesce(max(length(col(c).cast("string"))), lit(0)).as(s"w${i + 1}")
+        }.toIndexedSeq: _*
+      ).head().toSeq.map(_.asInstanceOf[Number].intValue())
+    df.columns.toSeq.zip(maxRow).map { case (name, dataW) =>
+      val w = math.max(5, math.max(dataW, (1.25 * name.length).toInt))
+      math.min(w, 50) + 2
+    }
+  }
+
+  /** Minimal styles part carrying the reference's header style
+    * (`formatter.py:55-63`): bold font, solid CCCCCC fill, centered,
+    * thin sides + double red top/bottom. Style index 1 = header. */
+  private val stylesXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<fonts count="2"><font/><font><b/></font></fonts>""" +
+      """<fills count="3">""" +
+      """<fill><patternFill patternType="none"/></fill>""" +
+      """<fill><patternFill patternType="gray125"/></fill>""" +
+      """<fill><patternFill patternType="solid"><fgColor rgb="00CCCCCC"/><bgColor indexed="64"/></patternFill></fill>""" +
+      """</fills>""" +
+      """<borders count="2">""" +
+      """<border><left/><right/><top/><bottom/><diagonal/></border>""" +
+      """<border>""" +
+      """<left style="thin"><color rgb="FF000000"/></left>""" +
+      """<right style="thin"><color rgb="FF000000"/></right>""" +
+      """<top style="double"><color rgb="FFFF0000"/></top>""" +
+      """<bottom style="double"><color rgb="FFFF0000"/></bottom>""" +
+      """<diagonal/></border>""" +
+      """</borders>""" +
+      """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+      """<cellXfs count="2">""" +
+      """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +
+      """<xf numFmtId="0" fontId="1" fillId="2" borderId="1" xfId="0" applyFont="1" applyFill="1" applyBorder="1" applyAlignment="1"><alignment horizontal="center"/></xf>""" +
+      """</cellXfs></styleSheet>"""
 
   // ------------------------------------------------------------- read
 

@@ -198,6 +198,40 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.read(spark, p).columns.toSeq == Seq("A"))
   }
 
+  test("pretty pass: styles part, bold header, column widths (formatter.py:44-94)") {
+    import spark.implicits._
+    val df = Seq((1L, "BIKE", "a-rather-long-product-description-cell"),
+      (2L, "CAR", "x")).toDF("ID", "NAME", "DESCRIPTION_HEADER")
+    val p = Files.createTempFile("graft", ".xlsx").toString
+    Xlsx.write(Seq("Sheet1" -> df), p, pretty = true)
+
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      def part(n: String): String = {
+        val e = zf.getEntry(n)
+        assert(e != null, s"workbook must carry $n")
+        new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+      }
+      val styles = part("xl/styles.xml")
+      assert(styles.contains("<b/>"), "header font must be bold")
+      assert(styles.contains("00CCCCCC"), "header fill color")
+      assert(styles.contains("double"), "double header border")
+      val sheet = part("xl/worksheets/sheet1.xml")
+      assert(sheet.contains("<cols>") && sheet.contains("customWidth=\"1\""))
+      assert(sheet.contains("""s="1""""), "header cells must use the style")
+      // widths follow the rule: max(5, data, 1.25*header) cap 50, +2
+      val widths = Xlsx.columnWidths(df)
+      assert(widths == Seq(5 + 2, 5 + 2, (38 max (1.25 * 18).toInt) + 2))
+      assert(part("[Content_Types].xml").contains("/xl/styles.xml"))
+      assert(part("xl/_rels/workbook.xml.rels").contains("styles.xml"))
+    } finally zf.close()
+
+    // the reader still round-trips a pretty workbook
+    val back = Xlsx.read(spark, p)
+    assert(back.columns.toSeq == Seq("ID", "NAME", "DESCRIPTION_HEADER"))
+    assert(back.count() == 2)
+  }
+
   test("colIndex decodes A1 refs") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
