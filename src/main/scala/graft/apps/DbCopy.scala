@@ -1,5 +1,6 @@
 package graft.apps
 
+import graft.io.{Config, SqlRender, Uploader}
 import graft.ops.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,4 +86,92 @@ object DbCopy {
     * one job per side per table, metadata-only on parquet. */
   def countBoth(src: DataFrame, trg: DataFrame): (Long, Long) =
     (src.count(), trg.count())
+
+  /** Outcome of one applied copy step — the reference's per-table
+    * `new/upd/ign` + sync-delete counters (`db_copy/main.py:333-345,362`). */
+  case class ApplyResult(inserted: Long, updated: Long, deleted: Long)
+
+  /** Apply one copy step to a PARQUET target directory, making the mode
+    * do what it says (`db_copy/main.py:296-316` upsert loop, `:362-391`
+    * sync delete) without parquet having an in-place UPDATE:
+    *
+    *   - insert: append the anti-joined new rows
+    *   - update: REBUILD — keep target rows whose PK is absent from the
+    *     source, take every source row (covers both updated and new),
+    *     write to a temp path, swap directories
+    *   - sync:   the converged state IS the source — write it, swap;
+    *     updated/deleted counts come from one PK-overlap count taken
+    *     BEFORE the swap (the lazy target frame reads the old files)
+    *
+    * Each change-set join executes exactly ONCE (inside the write);
+    * counts derive from parquet metadata row counts (footer-only jobs)
+    * plus at most that one PK-projection overlap count — never by
+    * re-running the join that produced the data. */
+  def applyParquet(spark: SparkSession, src: DataFrame, trgPath: String,
+                   pk: String, mode: Mode): ApplyResult = {
+    def metaCount(path: String): Long = spark.read.parquet(path).count()
+    if (!new java.io.File(trgPath).exists()) {
+      src.write.parquet(trgPath)
+      return ApplyResult(metaCount(trgPath), 0L, 0L)
+    }
+    val trg = spark.read.parquet(trgPath)
+    val nBefore = metaCount(trgPath)
+    val tmp = trgPath + ".rebuild"
+    mode match {
+      case Insert =>
+        Relational.newRows(src, trg, pk).write.mode("append").parquet(trgPath)
+        ApplyResult(metaCount(trgPath) - nBefore, 0L, 0L)
+      case Update =>
+        trg.join(src.select(pk), Seq(pk), "left_anti")
+          .unionByName(src)
+          .write.mode("overwrite").parquet(tmp)
+        val nAfter = metaCount(tmp)
+        val nSrc = src.count()
+        swapDirs(tmp, trgPath)
+        val nNew = nAfter - nBefore
+        ApplyResult(nNew, nSrc - nNew, 0L)
+      case Sync =>
+        val overlap = Relational.existingRows(src.select(pk), trg, pk).count()
+        src.write.mode("overwrite").parquet(tmp)
+        val nSrc = metaCount(tmp)
+        swapDirs(tmp, trgPath)
+        ApplyResult(nSrc - overlap, overlap, nBefore - overlap)
+    }
+  }
+
+  /** Replace `dst` with `tmp` (delete-then-rename; the brief non-atomic
+    * window is the same one any non-transactional file sink has — a
+    * transactional swap belongs to Delta/Iceberg table formats). */
+  private def swapDirs(tmp: String, dst: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dst))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(dst)))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Apply one copy step to a LIVE JDBC target: inserts go through the
+    * batched JDBC writer, updates/deletes through the pipe-mode DML
+    * renderers executed per-partition against the target — the
+    * distributed form of the reference's uploader.update / IN-chunked
+    * DELETE loop (`db_copy/main.py:296-316,362-391`). */
+  def applyJdbc(spark: SparkSession, src: DataFrame, r: Config.Resolved,
+                table: String, pk: String, mode: Mode,
+                dialect: SqlRender.Dialect = SqlRender.Ansi): ApplyResult = {
+    def trg = Config.readJdbc(spark, r, table)
+    val plan0 = plan(src, trg, pk, mode)
+    val updated = plan0.toUpdate.map { u =>
+      Uploader.executeJdbc(
+        SqlRender.updateStatements(u, table, Seq(pk), dialect), r)
+    }.getOrElse(0L)
+    val deleted = plan0.toDelete.map { d =>
+      Uploader.executeJdbc(
+        SqlRender.deleteStatements(d.select(pk), table, Seq(pk), dialect), r)
+    }.getOrElse(0L)
+    // updates/deletes ran above; count, append, count again → inserted
+    val nBefore = trg.count()
+    Config.writeJdbc(plan0.toInsert, r, table)
+    ApplyResult(trg.count() - nBefore, updated, deleted)
+  }
 }

@@ -105,21 +105,9 @@ object DbCopyMain {
     val order = DbCopy.topoOrder(References).filter(Pks.contains)
     order.foreach { t =>
       val src = Tables.load(spark, srcDir, t)
-      val trgPath = s"$trgDir/$t.parquet"
-      val trgExists = new java.io.File(trgPath).exists()
-      if (!trgExists) {
-        src.write.parquet(trgPath)
-        println(s"[db-copy] $t: full copy (${src.count()} rows)")
-      } else {
-        val trg = spark.read.parquet(trgPath)
-        val plan = DbCopy.plan(src, trg, Pks(t), mode)
-        val nNew = plan.toInsert.count()
-        // parquet is append-only here: new rows append; upsert/sync
-        // rewrite — the transactional-table path is documented in
-        // Uploader (MERGE belongs to Delta/Iceberg sinks)
-        if (nNew > 0) plan.toInsert.write.mode("append").parquet(trgPath)
-        println(s"[db-copy] $t: +$nNew new rows (mode=$mode)")
-      }
+      val res = DbCopy.applyParquet(spark, src, s"$trgDir/$t.parquet", Pks(t), mode)
+      println(s"[db-copy] $t: new: ${res.inserted}, upd: ${res.updated}, " +
+        s"del: ${res.deleted} (mode=$mode)")
     }
     spark.stop()
   }

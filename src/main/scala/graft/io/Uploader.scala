@@ -97,4 +97,41 @@ object Uploader {
     val r = df.agg(max(col(pkCol).cast("long"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
+
+  /** Execute a one-column "stmt" frame against a live JDBC target: one
+    * connection per partition, statements batched `batchSize` at a time —
+    * the distributed execution of the pipe-mode DML stream (the
+    * reference's per-row `uploader.update`/chunked DELETE loop,
+    * `lwetl/uploader.py:412-435`, `db_copy/main.py:362-380`). Returns the
+    * number of statements executed (counted via accumulator — the frame
+    * is evaluated exactly once). */
+  def executeJdbc(stmts: DataFrame, r: Config.Resolved,
+                  batchSize: Int = 500): Long = {
+    val acc = stmts.sparkSession.sparkContext.longAccumulator("graft.dml")
+    val (url, user, pass) = (r.url, r.user, r.password)
+    stmts.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val props = new java.util.Properties()
+        user.foreach(props.setProperty("user", _))
+        pass.foreach(props.setProperty("password", _))
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          var inBatch = 0
+          rows.foreach { row =>
+            st.addBatch(row.getString(0))
+            inBatch += 1
+            if (inBatch >= batchSize) {
+              acc.add(st.executeBatch().length.toLong); inBatch = 0
+            }
+          }
+          if (inBatch > 0) acc.add(st.executeBatch().length.toLong)
+          conn.commit()
+          st.close()
+        } finally conn.close()
+      }
+    }
+    acc.value
+  }
 }

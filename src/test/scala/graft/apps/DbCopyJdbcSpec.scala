@@ -43,4 +43,42 @@ class DbCopyJdbcSpec extends SparkSpec {
       .select(col("n_nationkey")), "n_nationkey", DbCopy.Sync)
     assert(plan3.toDelete.get.count() == 2)
   }
+
+  test("update/sync modes APPLIED against live Derby (mutation + orphan)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graftdb3")
+    val cfg = Config.Conf(
+      drivers = Map("derby" -> Config.Driver("jdbc:derby:")),
+      servers = Map("trg" -> Config.Server("derby", s"$dbDir/db;create=true")))
+    val r = Config.parseLogin(cfg, "trg")
+
+    // uppercase column policy (the reference's default — jdbc.py:105-107):
+    // Spark's JDBC writer quotes identifiers at CREATE, so uppercase
+    // frames make them match the unquoted names in rendered DML
+    val trg0 = graft.ops.Relational.upperCaseColumns(
+      Seq((1, "alpha", 10), (2, "beta", 20), (4, "orphan", 40))
+        .toDF("pk", "name", "qty"))
+    Config.writeJdbc(trg0, r, "COPYT")
+
+    // source: pk 2 mutated, pk 3 new, pk 4 absent (orphan)
+    val src = graft.ops.Relational.upperCaseColumns(
+      Seq((1, "alpha", 10), (2, "beta2", 99), (3, "new", 30))
+        .toDF("pk", "name", "qty"))
+
+    // update mode: mutation lands, new row in, orphan survives
+    val res1 = DbCopy.applyJdbc(spark, src, r, "COPYT", "PK", DbCopy.Update)
+    assert(res1.inserted == 1 && res1.updated == 2 && res1.deleted == 0)
+    val afterUpd = Config.readJdbc(spark, r, "COPYT").collect()
+      .map(row => row.getInt(0) -> (row.getString(1), row.getInt(2))).toMap
+    assert(afterUpd(2) == ("beta2", 99), "UPDATE statement must be executed")
+    assert(afterUpd(3) == ("new", 30))
+    assert(afterUpd(4) == ("orphan", 40), "update mode keeps the orphan")
+    assert(afterUpd.size == 4)
+
+    // sync mode: orphan deleted, target converges to source
+    val res2 = DbCopy.applyJdbc(spark, src, r, "COPYT", "PK", DbCopy.Sync)
+    assert(res2.inserted == 0 && res2.updated == 3 && res2.deleted == 1)
+    val afterSync = Config.readJdbc(spark, r, "COPYT").collect()
+      .map(row => row.getInt(0)).toSet
+    assert(afterSync == Set(1, 2, 3), "sync must delete the orphan")
+  }
 }
