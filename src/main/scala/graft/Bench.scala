@@ -1,11 +1,20 @@
 package graft
 
 /** Benchmark main: runs every gate query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Each query runs twice and reports the MIN —
+  * prints ONE JSON line. Each query is timed twice and reports the MIN —
   * run 1 pays per-query codegen compilation (a one-time cost a resident
   * engine amortizes); min-of-2 is the steady-state number and halves
-  * run-to-run variance on a shared machine. A generic warm-up covers
-  * the common operator shapes before timing starts. */
+  * run-to-run variance on a shared machine.
+  *
+  * The two timing passes are INTERLEAVED across the whole query list
+  * (pass A: q1..qN, then pass B: q1..qN) rather than back-to-back per
+  * query, so end-of-run JVM/GC pressure or machine contention lands on
+  * different queries in each pass instead of doubling up on whichever
+  * queries happen to run last — a back-to-back tail spike mis-signaled a
+  * 5-11x "regression" on unchanged code in round 2. Per-query run1/run2
+  * go to stderr so variance is visible without breaking the one-line
+  * stdout contract. A generic warm-up covers the common operator shapes
+  * before timing starts. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,19 +31,28 @@ object Bench {
         .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
         .orderBy(col("s").desc).limit(10).count()
     }
-    def one(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def one(name: String,
+            fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a broken query must not masquerade as a fast one — say why
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t1 = one(fn)
-      val t2 = one(fn)
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    val names = SparkEntry.queries.keys.toSeq
+    val passA = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
+    val passB = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
+    val results = names.map { n =>
+      val (a, b) = (passA(n), passB(n))
+      System.err.println(f"[bench] $n%-28s run1=$a%8.3f run2=$b%8.3f")
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
