@@ -27,10 +27,15 @@ object Config {
 
   case class Conf(drivers: Map[String, Driver] = Map.empty,
                   servers: Map[String, Server] = Map.empty,
-                  aliases: Map[String, String] = Map.empty) {
+                  aliases: Map[String, String] = Map.empty,
+                  encrypt: Option[Boolean] = None) {
     /** Layer merge: `other` overrides/extends this (reference `merge`). */
     def merged(other: Conf): Conf = Conf(
-      drivers ++ other.drivers, servers ++ other.servers, aliases ++ other.aliases)
+      drivers ++ other.drivers, servers ++ other.servers, aliases ++ other.aliases,
+      other.encrypt.orElse(encrypt))
+    /** Alias passwords encrypted? Defaults TRUE like the reference
+      * (`lwetl_security/main.py:109-111`). */
+    def pwEncrypted: Boolean = encrypt.getOrElse(true)
   }
 
   /** Password decrypt hook — the reference's Fernet layer
@@ -159,7 +164,13 @@ object Config {
           case Array(a, b) => (a.trim, b.trim)
           case Array(a) => (a.trim, "")
         }
-        if (indent == 0) { section = k; entry = null }
+        if (indent == 0 && v.nonEmpty) { // top-level scalar (e.g. encrypt: false)
+          tree.getOrElseUpdate("@scalars", scala.collection.mutable.Map.empty)
+            .getOrElseUpdate("", scala.collection.mutable.Map.empty)
+            .update(k, stripQuotes(v))
+          section = k; entry = null
+        }
+        else if (indent == 0) { section = k; entry = null }
         else if (indent == 2 && v.isEmpty) {
           entry = k
           tree.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
@@ -187,7 +198,39 @@ object Config {
     }.toMap
     val aliases = tree.getOrElse("alias", scala.collection.mutable.Map.empty)
       .getOrElse("", scala.collection.mutable.Map.empty[String, String]).toMap
-    Conf(drivers, servers, aliases)
+    val encrypt = tree.getOrElse("@scalars", scala.collection.mutable.Map.empty)
+      .getOrElse("", scala.collection.mutable.Map.empty[String, String])
+      .get("encrypt").map(x => Set("true", "1", "yes").contains(x.toLowerCase))
+    Conf(drivers, servers, aliases, encrypt)
+  }
+
+  /** Render a Conf back to the flat-YAML subset (the security CLI's
+    * rewrite path, `lwetl_security/main.py:154-170`). */
+  def dumpYaml(cfg: Conf): String = {
+    val sb = new StringBuilder
+    cfg.encrypt.foreach(e => sb ++= s"encrypt: $e\n")
+    if (cfg.drivers.nonEmpty) {
+      sb ++= "drivers:\n"
+      cfg.drivers.toSeq.sortBy(_._1).foreach { case (n, d) =>
+        sb ++= s"  $n:\n    url: '${d.urlPrefix}'\n"
+        if (d.attr.nonEmpty) sb ++= s"    attr: '${d.attr}'\n"
+        if (d.escape) sb ++= "    escape: true\n"
+        if (d.jdbcClass.nonEmpty) sb ++= s"    class: ${d.jdbcClass}\n"
+      }
+    }
+    if (cfg.servers.nonEmpty) {
+      sb ++= "servers:\n"
+      cfg.servers.toSeq.sortBy(_._1).foreach { case (n, s) =>
+        sb ++= s"  $n:\n    type: ${s.dbType}\n    url: '${s.url}'\n"
+      }
+    }
+    if (cfg.aliases.nonEmpty) {
+      sb ++= "alias:\n"
+      cfg.aliases.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        sb ++= s"  $n: $v\n"
+      }
+    }
+    sb.toString
   }
 
   private def stripQuotes(s: String): String =

@@ -1,0 +1,167 @@
+package graft.io
+
+import java.security.MessageDigest
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+import javax.crypto.{Cipher, Mac}
+
+/** Password encryption (`lwetl/security.py:22-105`) — a JDK-only
+  * implementation of the public Fernet token format
+  * (github.com/fernet/spec: version 0x80 | 64-bit BE timestamp |
+  * 16-byte IV | AES-128-CBC/PKCS7 ciphertext | HMAC-SHA256 over all
+  * preceding bytes; the 32-byte key splits into signing[0:16] and
+  * encryption[16:32] halves, base64url encoded).
+  *
+  * On top of the raw token the reference adds its own framing
+  * (`security.py:70-105`):
+  *   - the key string is padded/truncated to 32 bytes, appending the
+  *     byte value of the current length until full (`init_key`)
+  *   - the plaintext is framed "%02x"%(128+len) + text, padded to 132
+  *     CHARS with random printable filler (`encrypt`)
+  *   - the Fernet token (itself base64url text) is base64url encoded a
+  *     second time (`encrypt` return)
+  * Both layers round-trip against the Python `cryptography` library in
+  * `SecuritySpec`.
+  */
+object Security {
+
+  private val B64 = java.util.Base64.getUrlEncoder
+  private val B64D = java.util.Base64.getUrlDecoder
+
+  /** `init_key` (`security.py:22-38`): pad/truncate the passphrase to
+    * exactly 32 bytes; each padding byte is the length at the time it
+    * is appended. */
+  def initKey(passphrase: String): Array[Byte] = {
+    val raw = passphrase.getBytes("UTF-8")
+    if (raw.length == 32) raw
+    else if (raw.length > 32) raw.take(32)
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer(raw.toIndexedSeq: _*)
+      while (buf.length < 32) buf += buf.length.toByte
+      buf.toArray
+    }
+  }
+
+  class DecryptionError(msg: String) extends RuntimeException(msg)
+
+  /** Raw Fernet encrypt: plaintext bytes → token text. Timestamp and IV
+    * are injectable for deterministic tests. */
+  def fernetEncrypt(plain: Array[Byte], key32: Array[Byte],
+                    timestampSec: Long = System.currentTimeMillis() / 1000,
+                    ivOpt: Option[Array[Byte]] = None): String = {
+    require(key32.length == 32, "Fernet key must be 32 bytes")
+    val iv = ivOpt.getOrElse {
+      val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b)
+      b
+    }
+    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(Cipher.ENCRYPT_MODE,
+      new SecretKeySpec(key32.drop(16), "AES"), new IvParameterSpec(iv))
+    val ct = cipher.doFinal(plain)
+    val body = java.nio.ByteBuffer.allocate(1 + 8 + 16 + ct.length)
+      .put(0x80.toByte).putLong(timestampSec).put(iv).put(ct).array()
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key32.take(16), "HmacSHA256"))
+    B64.encodeToString(body ++ mac.doFinal(body))
+  }
+
+  /** Raw Fernet decrypt + HMAC verify: token text → plaintext bytes. */
+  def fernetDecrypt(token: String, key32: Array[Byte]): Array[Byte] = {
+    require(key32.length == 32, "Fernet key must be 32 bytes")
+    val all =
+      try B64D.decode(token)
+      catch { case e: IllegalArgumentException => throw new DecryptionError(e.getMessage) }
+    if (all.length < 1 + 8 + 16 + 32 || all(0) != 0x80.toByte)
+      throw new DecryptionError("malformed Fernet token")
+    val (body, sig) = all.splitAt(all.length - 32)
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key32.take(16), "HmacSHA256"))
+    if (!MessageDigest.isEqual(mac.doFinal(body), sig))
+      throw new DecryptionError("HMAC verification failed — wrong key?")
+    val iv = body.slice(9, 25)
+    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key32.drop(16), "AES"), new IvParameterSpec(iv))
+    try cipher.doFinal(body.drop(25))
+    catch { case e: java.security.GeneralSecurityException =>
+      throw new DecryptionError(s"cannot decrypt: ${e.getMessage}") }
+  }
+
+  /** `encrypt` (`security.py:70-88`): length-framed, filler-padded,
+    * Fernet-encrypted, then base64url once more. */
+  def encrypt(s: String, passphrase: String): String = {
+    if (s.length > 127) throw new IllegalArgumentException("String too long for encryption.")
+    val rnd = new scala.util.Random()
+    val framed = new StringBuilder(f"${128 + s.length}%02x$s")
+    while (framed.length < 132) framed += (33 + rnd.nextInt(94)).toChar
+    val token = fernetEncrypt(framed.toString.getBytes("UTF-8"), initKey(passphrase))
+    B64.encodeToString(token.getBytes("UTF-8"))
+  }
+
+  /** `decrypt` (`security.py:91-105`): undo the outer base64, Fernet
+    * decrypt, then cut the frame: first two hex chars give 128+len. */
+  def decrypt(s: String, passphrase: String): String = {
+    val token =
+      try new String(B64D.decode(s), "UTF-8")
+      catch { case e: IllegalArgumentException => throw new DecryptionError(e.getMessage) }
+    val framed = new String(fernetDecrypt(token, initKey(passphrase)), "UTF-8")
+    val n = Integer.parseInt(framed.substring(0, 2), 16) - 128
+    framed.substring(2, 2 + n)
+  }
+
+  // ------------------------------------------------- key resolution
+
+  /** Keyring stub (`security.py:41-67` get_key): the OS keyring is not
+    * available in a headless container, so the fallback store is a
+    * permission-restricted properties file — same contract
+    * (service+user → password), loudly a stub. */
+  object Keyring {
+    private def file: java.nio.file.Path =
+      java.nio.file.Paths.get(sys.props("user.home"), ".graft", "keyring.properties")
+
+    private def load(): java.util.Properties = {
+      val p = new java.util.Properties()
+      if (java.nio.file.Files.isReadable(file)) {
+        val in = java.nio.file.Files.newInputStream(file)
+        try p.load(in) finally in.close()
+      }
+      p
+    }
+
+    def get(user: String): Option[String] = Option(load().getProperty(user))
+
+    def set(user: String, password: String): Unit = {
+      val p = load()
+      p.setProperty(user, password)
+      java.nio.file.Files.createDirectories(file.getParent)
+      val out = java.nio.file.Files.newOutputStream(file)
+      try p.store(out, "graft keyring stub") finally out.close()
+    }
+
+    def delete(user: String): Boolean = {
+      val p = load()
+      val had = p.remove(user) != null
+      if (had) {
+        val out = java.nio.file.Files.newOutputStream(file)
+        try p.store(out, "graft keyring stub") finally out.close()
+      }
+      had
+    }
+  }
+
+  /** Master-password resolution order (`security.py:41-67`): explicit
+    * argument → LWETL env var → keyring; no interactive prompt in a
+    * batch engine (the reference's getpass branch maps to "not found"). */
+  def resolveKey(explicit: Option[String] = None,
+                 env: Map[String, String] = sys.env): Option[String] =
+    explicit.filter(_.trim.nonEmpty)
+      .orElse(env.get("LWETL"))
+      .orElse(Keyring.get(sys.props.getOrElse("user.name", "graft")))
+
+  /** Wire decryption into [[Config.decrypt]] so `parseLogin` resolves
+    * `user/ENCRYPTED@service` credentials transparently. */
+  def install(passphrase: String): Unit =
+    Config.decrypt = s => decrypt(s, passphrase)
+
+  def uninstall(): Unit = Config.decrypt = identity
+}

@@ -1,0 +1,168 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fernet-layer parity (`lwetl/security.py`): the JDK implementation
+  * must interoperate with the Python `cryptography` library BOTH ways —
+  * tokens we mint decrypt there, tokens minted there decrypt here —
+  * and the reference's framing (init_key padding, length frame, double
+  * base64) must round-trip its own doc-test phrases. */
+class SecuritySpec extends AnyFunSuite {
+
+  private def python(script: String): String = {
+    val f = java.nio.file.Files.createTempFile("sec", ".py")
+    java.nio.file.Files.write(f, script.getBytes("UTF-8"))
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", f.toString) ! ProcessLogger(out ++= _ += '\n', out ++= _ += '\n')
+    assert(code == 0, s"python script failed:\n$out")
+    out.toString.trim
+  }
+
+  test("init_key pads with the running length and truncates at 32") {
+    val k = Security.initKey("abc")
+    assert(k.length == 32)
+    assert(k.take(3).toSeq == "abc".getBytes("UTF-8").toSeq)
+    assert(k(3) == 3.toByte && k(4) == 4.toByte && k(31) == 31.toByte)
+    assert(Security.initKey("x" * 40).toSeq == ("x" * 32).getBytes("UTF-8").toSeq)
+    // reference doc-test passphrase is multi-byte UTF-8
+    assert(Security.initKey("èç@£AB34adc").length == 32)
+  }
+
+  test("reference doc-test phrases round-trip (security.py:108-118)") {
+    for (phrase <- Seq("çur@tor€=12B", "abc")) {
+      val enc = Security.encrypt(phrase, "èç@£AB34adc")
+      assert(Security.decrypt(enc, "èç@£AB34adc") == phrase)
+      // two encryptions differ (random IV + filler) but both decrypt
+      val enc2 = Security.encrypt(phrase, "èç@£AB34adc")
+      assert(enc != enc2)
+      assert(Security.decrypt(enc2, "èç@£AB34adc") == phrase)
+    }
+  }
+
+  test("wrong key fails HMAC, not garbage output") {
+    val enc = Security.encrypt("secret", "right-password")
+    intercept[Security.DecryptionError] {
+      Security.decrypt(enc, "wrong-password")
+    }
+  }
+
+  test("python cryptography decrypts our tokens (JDK → pyca)") {
+    val key32 = Security.initKey("interop-test-key")
+    val token = Security.fernetEncrypt("hello from the JVM".getBytes("UTF-8"), key32)
+    val keyB64 = java.util.Base64.getUrlEncoder.encodeToString(key32)
+    val got = python(
+      s"""from cryptography.fernet import Fernet
+         |print(Fernet(b'$keyB64').decrypt(b'$token').decode())""".stripMargin)
+    assert(got == "hello from the JVM")
+  }
+
+  test("we decrypt python cryptography tokens (pyca → JDK)") {
+    val key32 = Security.initKey("interop-test-key")
+    val keyB64 = java.util.Base64.getUrlEncoder.encodeToString(key32)
+    val token = python(
+      s"""from cryptography.fernet import Fernet
+         |print(Fernet(b'$keyB64').encrypt('hello from python'.encode()).decode())""".stripMargin)
+    val got = new String(Security.fernetDecrypt(token, key32), "UTF-8")
+    assert(got == "hello from python")
+  }
+
+  test("full reference format interops: python-made lwetl token decrypts here") {
+    // mirror security.py's encrypt() in python on top of pyca Fernet,
+    // then decrypt with the Scala reference-format decrypt
+    val token = python(
+      """import base64, random
+        |from cryptography.fernet import Fernet
+        |k = bytearray('graft-master-pw'.encode())
+        |while len(k) < 32: k.append(len(k))
+        |key = base64.urlsafe_b64encode(bytes(k))
+        |s = 'çur@tor€=12B'
+        |s2 = '{:02x}{}'.format(128 + len(s), s)
+        |while len(s2) < 132: s2 += chr(random.randint(33, 126))
+        |print(base64.urlsafe_b64encode(Fernet(key).encrypt(s2.encode())).decode())
+        |""".stripMargin)
+    assert(Security.decrypt(token, "graft-master-pw") == "çur@tor€=12B")
+    // and the reverse: our token decrypts through the python mirror
+    val ours = Security.encrypt("çur@tor€=12B", "graft-master-pw")
+    // print base64 of the utf-8 bytes: the JVM decodes subprocess stdout
+    // with the C-locale charset, which would mangle the raw phrase
+    val back = python(
+      s"""import base64
+         |from cryptography.fernet import Fernet
+         |k = bytearray('graft-master-pw'.encode())
+         |while len(k) < 32: k.append(len(k))
+         |key = base64.urlsafe_b64encode(bytes(k))
+         |s2 = Fernet(key).decrypt(base64.urlsafe_b64decode('$ours'.encode())).decode()
+         |out = s2[2:2 + int(s2[0:2], 16) - 128]
+         |print(base64.b64encode(out.encode()).decode())""".stripMargin)
+    assert(new String(java.util.Base64.getDecoder.decode(back), "UTF-8") == "çur@tor€=12B")
+  }
+
+  test("keyring stub stores, retrieves, deletes") {
+    val u = "spec-user-" + System.nanoTime()
+    assert(Security.Keyring.get(u).isEmpty)
+    Security.Keyring.set(u, "kr-secret")
+    assert(Security.Keyring.get(u).contains("kr-secret"))
+    assert(Security.Keyring.delete(u))
+    assert(Security.Keyring.get(u).isEmpty)
+    assert(!Security.Keyring.delete(u))
+  }
+
+  test("resolveKey order: explicit > env > keyring") {
+    assert(Security.resolveKey(Some("xx"), Map("LWETL" -> "env")) == Some("xx"))
+    assert(Security.resolveKey(None, Map("LWETL" -> "env")) == Some("env"))
+    assert(Security.resolveKey(Some("  "), Map("LWETL" -> "env")) == Some("env"))
+  }
+
+  test("encrypted password resolves through parseLogin (Config.decrypt wiring)") {
+    val enc = Security.encrypt("s3cret", "master")
+    val cfg = Config.Conf(
+      drivers = Map("derby" -> Config.Driver("jdbc:derby:")),
+      servers = Map("db1" -> Config.Server("derby", "/tmp/db1")),
+      aliases = Map("prod" -> s"scott/$enc@db1"))
+    Security.install("master")
+    try {
+      val r = Config.parseLogin(cfg, "prod")
+      assert(r.user.contains("scott"))
+      assert(r.password.contains("s3cret"))
+    } finally Security.uninstall()
+  }
+
+  test("config file with encrypt flag parses and dumps") {
+    val yaml =
+      """encrypt: false
+        |servers:
+        |  db1:
+        |    type: derby
+        |    url: '/tmp/db1'
+        |alias:
+        |  prod: scott/tiger@db1
+        |""".stripMargin
+    val cfg = Config.parseYaml(yaml)
+    assert(cfg.encrypt.contains(false))
+    assert(!cfg.pwEncrypted)
+    assert(Config.parseYaml("servers:\n  a:\n    type: derby\n    url: x\n").pwEncrypted,
+      "encrypt defaults TRUE like the reference")
+    val redumped = Config.parseYaml(Config.dumpYaml(cfg))
+    assert(redumped == cfg)
+  }
+
+  test("security CLI rewrite: set encrypts aliases, remove restores plaintext") {
+    val cfg = Config.Conf(
+      servers = Map("db1" -> Config.Server("derby", "/tmp/db1")),
+      aliases = Map("prod" -> "scott/tiger@db1", "weird" -> "not-a-credential"),
+      encrypt = Some(false))
+    val enc = SecurityMainAccess.rewrite(cfg, p => Security.encrypt(p, "m"))
+    val cred = enc.aliases("prod")
+    assert(cred.startsWith("scott/") && cred.endsWith("@db1") && !cred.contains("tiger"))
+    assert(enc.aliases("weird") == "not-a-credential", "unparseable aliases pass through")
+    val dec = SecurityMainAccess.rewrite(enc, p => Security.decrypt(p, "m"))
+    assert(dec.aliases("prod") == "scott/tiger@db1")
+  }
+}
+
+/** Bridge to the apps package without importing it at top level. */
+private object SecurityMainAccess {
+  def rewrite(cfg: Config.Conf, f: String => String): Config.Conf =
+    graft.apps.SecurityMain.rewriteAliases(cfg, f)
+}
