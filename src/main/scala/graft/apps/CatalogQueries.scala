@@ -144,6 +144,11 @@ object CatalogQueries {
         |    ON kcu_fk.table_name = c.table_name
         |   AND kcu_fk.column_name = c.column_name
         |WHERE c.table_schema = 'public' AND c.table_catalog = '@SCHEMA@'
+        |  AND EXISTS (SELECT 1 FROM information_schema.tables t
+        |              WHERE t.table_name = c.table_name
+        |                AND t.table_catalog = c.table_catalog
+        |                AND t.table_schema = 'public'
+        |                AND t.table_type = 'BASE TABLE')
         |ORDER BY c.table_name, c.ordinal_position""".stripMargin,
 
     // SQLITE (`queries.py:202-203`): table list only — PK/FK need the

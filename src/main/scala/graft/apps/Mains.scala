@@ -23,13 +23,37 @@ object Mains {
 }
 
 /** `sql-query <sfDir> <sql-or-file-or-table-or-keyword> [format] [out]
-  * [uploadFile]` — the reference CLI's full dispatch
-  * (`lwetl/programs/sql_query/main.py:280-313`): inline SQL, a script
-  * file, a bare table name (probed), `jdbc_info` / `table_info`
-  * keywords, empty ⇒ stdin, and table+file ⇒ upload. */
+  * [uploadFile] [-m maxRows] [-n commitNr]` — the reference CLI's full
+  * dispatch (`lwetl/programs/sql_query/main.py:280-313`): inline SQL, a
+  * script file, a bare table name (probed), `jdbc_info` / `table_info`
+  * keywords, empty ⇒ stdin, and table+file ⇒ upload. `-m` caps output
+  * rows (<=0 ⇒ all) and `-n` sets the upload batch interval, with the
+  * reference's defaults (`sql_query/cmdline.py:74-85`: max_rows=0,
+  * commit_nr=50 — here the JDBC/parquet write batch size, since Spark
+  * has no mid-stream client commit). */
 object SqlQueryMain {
+
+  /** Split `-m N` / `-n N` flags out of the positional arguments. */
+  private[apps] def parseFlags(args: Array[String]): (Array[String], Option[Int], Int) = {
+    var maxRows: Option[Int] = None
+    var commitNr = 50
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-m" | "--max_rows" if i + 1 < args.length =>
+          maxRows = Some(args(i + 1).toInt).filter(_ > 0); i += 2
+        case "-n" | "--commit" if i + 1 < args.length =>
+          commitNr = args(i + 1).toInt; i += 2
+        case a => positional += a; i += 1
+      }
+    }
+    (positional.toArray, maxRows, commitNr)
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, src, rest @ _*) = args.toSeq.toArray: @unchecked
+    val (pos, maxRows, commitNr) = parseFlags(args)
+    val Array(sfDir, src, rest @ _*) = pos.toSeq.toArray: @unchecked
     val format = rest.headOption.getOrElse("csv")
     val out = rest.lift(1).getOrElse("/tmp/graft_sql_query.out")
     val uploadFile = rest.lift(2)
@@ -44,10 +68,10 @@ object SqlQueryMain {
       case _ => SqlQuery.Csv
     }
     def runScript(script: String): Unit = {
-      val stmts = SqlQuery.run(spark, script, fmt, out)
+      val stmts = SqlQuery.run(spark, script, fmt, out, maxRows)
       println(s"[sql-query] ${stmts.length} statement(s) -> $out")
     }
-    SqlQuery.route(spark, src, uploadFile) match {
+    SqlQuery.route(spark, src, uploadFile, Some(format)) match {
       case SqlQuery.StdInScript =>
         println("Command or SQL not specified: using the stdin")
         runScript(SqlQuery.readStdIn())
@@ -62,11 +86,14 @@ object SqlQueryMain {
       case SqlQuery.TableSelect(t) =>
         runScript(s"SELECT * FROM $t")
       case SqlQuery.TableUpload(t, f, fileFmt) =>
-        // parquet-target upload: append the imported rows next to `out`
-        // (the JDBC-target path is Config.writeJdbc with the same frame)
-        val df = SqlQuery.importFile(spark, f, fileFmt)
+        // parquet-target upload: append the imported rows next to `out`.
+        // commitNr maps to the JDBC-target path only (Config.writeJdbc
+        // batchSize); parquet has no mid-stream commit to interval.
+        val df0 = SqlQuery.importFile(spark, f, fileFmt)
+        val df = maxRows.map(df0.limit).getOrElse(df0)
         df.write.mode("append").parquet(out)
-        println(s"Done: ${df.count()} rows uploaded to $out (table $t, $fileFmt)")
+        println(s"Done: ${df.count()} rows uploaded to $out " +
+          s"(table $t, $fileFmt, batch=$commitNr)")
       case SqlQuery.SqlText(sql) =>
         runScript(sql)
     }

@@ -37,10 +37,15 @@ object SqlQuery {
 
   /** The reference's dispatch table (`sql_query/main.py:280-313`):
     * empty → stdin; the two info keywords; an existing file; a bare
-    * token probed as a table via `SELECT * WHERE 0=1`; else inline SQL.
-    * A bare TABLE plus an input file routes to upload. */
+    * token probed as a table via `SELECT * WHERE 0=1` — a failed probe
+    * leaves sql unset and falls through to stdin exactly like the
+    * reference (`main.py:292-313` never treats the bare token as SQL).
+    * A bare TABLE plus an input file routes to upload; an explicit
+    * csv/xlsx CLI format wins over content sniffing (`main.py:62-66`
+    * only sniffs when args.format is neither). */
   def route(spark: SparkSession, commandOrSql: String,
-            fileName: Option[String] = None): Route = {
+            fileName: Option[String] = None,
+            cliFormat: Option[String] = None): Route = {
     val arg = Option(commandOrSql).getOrElse("").trim
     if (arg.isEmpty) StdInScript
     else if (arg.equalsIgnoreCase("jdbc_info")) JdbcInfo
@@ -50,11 +55,13 @@ object SqlQuery {
       // bare-table probe (`main.py:292-307`): cheap analysis-only check
       val isTable =
         scala.util.Try(spark.sql(s"SELECT * FROM $arg WHERE 0=1").schema).isSuccess
-      if (!isTable) SqlText(arg)
+      if (!isTable) StdInScript
       else fileName match {
         case None => TableSelect(arg)
         case Some(f) if new java.io.File(f).isFile =>
-          TableUpload(arg, f, sniffFormat(f))
+          val fmt = cliFormat.map(_.toLowerCase).filter(Set("csv", "xlsx"))
+            .getOrElse(sniffFormat(f))
+          TableUpload(arg, f, fmt)
         case Some(f) =>
           throw new IllegalArgumentException(s"specified input file not found: $f")
       }
@@ -100,9 +107,12 @@ object SqlQuery {
   def readStdIn(in: java.io.InputStream = System.in): String =
     scala.io.Source.fromInputStream(in, "UTF-8").mkString
 
-  /** Run a script; write every row-bearing result to `outPath` (multi-
-    * result scripts go to numbered files / sheets like the reference's
-    * next_sheet handling). Returns the statements executed. */
+  /** Run a script; write every row-bearing result to `outPath`. Multi-
+    * statement scripts share ONE output like the reference
+    * (`sql_query/main.py:166-173`): xlsx and xml get a sheet/table per
+    * statement (next_sheet), text/csv/sql close and re-open the same
+    * file appending — each appended section carries its own header
+    * (`f.header()` runs per cursor). Returns the statements executed. */
   def run(spark: SparkSession, script: String, format: Format,
           outPath: String, maxRows: Option[Int] = None): Seq[String] = {
     val results = SqlScript.run(spark, script)
@@ -116,27 +126,28 @@ object SqlQuery {
         Xlsx.write(limited.zipWithIndex.map { case ((_, df), i) =>
           s"Sheet${i + 1}" -> df
         }, outPath)
+      case XmlPlain | XmlExcel =>
+        val dia = if (format == XmlPlain) "plain" else "excel"
+        if (limited.nonEmpty)
+          Sinks.writeFramedSections(outPath, Sinks.xmlDocOpen(dia),
+            limited.zipWithIndex.map { case ((_, df), i) =>
+              (Sinks.xmlTableOpen(df, dia, s"Sheet${i + 1}"),
+                Sinks.xmlRowLines(df, dia), Sinks.xmlTableClose(dia))
+            }, Sinks.xmlDocClose(dia))
       case _ =>
         limited.zipWithIndex.foreach { case ((_, df), i) =>
-          val path = if (limited.length == 1) outPath
-            else outPath + s".$i"
+          val append = i > 0
           format match {
             case Text =>
-              Sinks.writeFramed(Sinks.fixedWidthLines(df), path,
-                header = Some(Sinks.fixedWidthHeader(df)))
+              Sinks.writeFramed(Sinks.fixedWidthLines(df), outPath,
+                header = Some(Sinks.fixedWidthHeader(df)), append = append)
             case Csv =>
-              Sinks.writeFramed(Sinks.csvLine(df), path,
-                header = Some(df.columns.mkString(";")))
-            case XmlPlain =>
-              Sinks.writeFramed(Sinks.xmlRowLines(df, "plain"), path,
-                Some(Sinks.xmlHeader(df, "plain")), Some(Sinks.xmlFooter("plain")))
-            case XmlExcel =>
-              Sinks.writeFramed(Sinks.xmlRowLines(df, "excel"), path,
-                Some(Sinks.xmlHeader(df, "excel", s"Sheet${i + 1}")),
-                Some(Sinks.xmlFooter("excel")))
+              Sinks.writeFramed(Sinks.csvLine(df), outPath,
+                header = Some(df.columns.mkString(";")), append = append)
             case SqlInsert(table, d) =>
-              Sinks.writeSqlInserts(df, table, path, d)
-            case XlsxFmt => () // handled above
+              Sinks.writeFramed(SqlRender.insertStatements(df, table, d),
+                outPath, append = append)
+            case _ => () // xlsx/xml handled above
           }
         }
     }

@@ -88,10 +88,16 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
     if (!cacheSignatures) verified
     else {
-      // materialize the (small) pair list eagerly, then RELEASE the
-      // signature cache — otherwise repeated calls in a long-lived
-      // session leak MEMORY_AND_DISK blocks the size of the corpus
-      val out = verified.localCheckpoint()
+      // materialize the pair list eagerly, then RELEASE the signature
+      // cache — otherwise repeated calls in a long-lived session leak
+      // MEMORY_AND_DISK blocks the size of the corpus. persist (NOT
+      // localCheckpoint): under hot bands the pair list is not small,
+      // and a checkpoint's truncated lineage would fail the job on
+      // executor loss where a persisted plan just recomputes; the
+      // MEMORY_AND_DISK level also spills a huge pair list instead of
+      // pinning it in block storage.
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // force materialization before dropping the input cache
       sig.unpersist()
       out
     }

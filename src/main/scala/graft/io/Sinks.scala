@@ -136,47 +136,95 @@ object Sinks {
     df.select(row.as("line"))
   }
 
-  def xmlHeader(df: DataFrame, dialect: String = "excel",
-                sheetName: String = "Sheet1"): String = dialect match {
-    case "plain" =>
-      val hdr = df.columns.map(c => s"<$c>$c</$c>").mkString
-      s"<Document><Table><Row>$hdr</Row>"
-    case "value" =>
-      val hdr = df.columns.map(c => s"""<$c value="$c" />""").mkString
-      s"<Document><Table><Row>$hdr</Row>"
+  /** Document-level open tag — written once per file even when a
+    * multi-statement script adds several tables/worksheets
+    * (`formatter.py:375-385` next_sheet). */
+  def xmlDocOpen(dialect: String = "excel"): String = dialect match {
+    case "plain" | "value" => "<Document>"
     case _ =>
-      val hdr = df.columns.map(c => s"<Cell><Data>$c</Data></Cell>").mkString
       "<Workbook xmlns=\"urn:schemas-microsoft-com:office:spreadsheet\" " +
         "xmlns:o=\"urn:schemas-microsoft-com:office:office\" " +
         "xmlns:x=\"urn:schemas-microsoft-com:office:excel\" " +
         "xmlns:ss=\"urn:schemas-microsoft-com:office:spreadsheet\" " +
         "xmlns:html=\"http://www.w3.org/TR/REC-html40\">" +
-        "<DocumentProperties xmlns=\"urn:schemas-microsoft-com:office:office\" />" +
-        s"""<ss:Worksheet ss:Name="$sheetName"><Table><Row>$hdr</Row>"""
+        "<DocumentProperties xmlns=\"urn:schemas-microsoft-com:office:office\" />"
   }
 
-  def xmlFooter(dialect: String = "excel"): String = dialect match {
-    case "plain" | "value" => "</Table></Document>"
-    case _ => "</Table></ss:Worksheet></Workbook>"
+  /** Per-result table/worksheet open + header row (next_sheet parity:
+    * excel gets a named Worksheet per statement, plain/value a new
+    * Table in the same Document). */
+  def xmlTableOpen(df: DataFrame, dialect: String = "excel",
+                   sheetName: String = "Sheet1"): String = dialect match {
+    case "plain" =>
+      val hdr = df.columns.map(c => s"<$c>$c</$c>").mkString
+      s"<Table><Row>$hdr</Row>"
+    case "value" =>
+      val hdr = df.columns.map(c => s"""<$c value="$c" />""").mkString
+      s"<Table><Row>$hdr</Row>"
+    case _ =>
+      val hdr = df.columns.map(c => s"<Cell><Data>$c</Data></Cell>").mkString
+      s"""<ss:Worksheet ss:Name="$sheetName"><Table><Row>$hdr</Row>"""
   }
+
+  def xmlTableClose(dialect: String = "excel"): String = dialect match {
+    case "plain" | "value" => "</Table>"
+    case _ => "</Table></ss:Worksheet>"
+  }
+
+  def xmlDocClose(dialect: String = "excel"): String = dialect match {
+    case "plain" | "value" => "</Document>"
+    case _ => "</Workbook>"
+  }
+
+  def xmlHeader(df: DataFrame, dialect: String = "excel",
+                sheetName: String = "Sheet1"): String =
+    xmlDocOpen(dialect) + xmlTableOpen(df, dialect, sheetName)
+
+  def xmlFooter(dialect: String = "excel"): String =
+    xmlTableClose(dialect) + xmlDocClose(dialect)
 
   // -------------------------------------------------- framed writer
 
   /** Write a rendered single-column frame as ONE text file with optional
     * header/footer framing — the reference's single-stream output shape.
-    * Streams partition-by-partition via toLocalIterator; the driver
-    * never materializes the dataset. For cluster-scale multi-part
-    * output use `df.write.text` on the render instead. */
+    * `append` reopens the file in 'a' mode (`formatter.py:28-41,160`:
+    * later cursors of a multi-statement script re-open the same target
+    * appending, each with its own header). Streams partition-by-partition
+    * via toLocalIterator; the driver never materializes the dataset. For
+    * cluster-scale multi-part output use `df.write.text` on the render
+    * instead. */
   def writeFramed(lines: DataFrame, path: String,
                   header: Option[String] = None,
-                  footer: Option[String] = None): Unit = {
+                  footer: Option[String] = None,
+                  append: Boolean = false): Unit = {
     val out = new java.io.PrintWriter(
-      new java.io.BufferedWriter(new java.io.FileWriter(path), 1 << 20))
+      new java.io.BufferedWriter(new java.io.FileWriter(path, append), 1 << 20))
     try {
       header.foreach(out.println)
       val it = lines.toLocalIterator()
       while (it.hasNext) out.println(it.next().getString(0))
       footer.foreach(out.println)
+    } finally out.close()
+  }
+
+  /** Write several rendered results into ONE framed file: a document
+    * header, then per-result (open, rows, close) sections, then a
+    * document footer — the XML next_sheet shape where every statement
+    * of a script becomes a Table/Worksheet in the same document. */
+  def writeFramedSections(path: String, docOpen: String,
+                          sections: Seq[(String, DataFrame, String)],
+                          docClose: String): Unit = {
+    val out = new java.io.PrintWriter(
+      new java.io.BufferedWriter(new java.io.FileWriter(path), 1 << 20))
+    try {
+      out.println(docOpen)
+      sections.foreach { case (open, lines, close) =>
+        out.println(open)
+        val it = lines.toLocalIterator()
+        while (it.hasNext) out.println(it.next().getString(0))
+        out.println(close)
+      }
+      out.println(docClose)
     } finally out.close()
   }
 
