@@ -28,9 +28,11 @@ object Xlsx {
   // ------------------------------------------------------------ write
 
   /** Write sheets of (name, DataFrame) as one workbook. Numbers/bools
-    * are native cells; timestamps render as text (the reference's
-    * date-coercion renders display strings too); everything else is an
-    * inline string.
+    * are native cells; timestamps/dates are NATIVE date cells — an
+    * Excel serial number styled with a date numFmt, exactly what the
+    * reference gets from openpyxl after its string2date coercion
+    * (`lwetl/formatter.py:514-520`, COLUMN_TYPE_DATE); everything else
+    * is an inline string.
     *
     * `pretty` is the reference's `prettify_excel` post-pass
     * (`lwetl/formatter.py:44-94`) folded into the write: bold, filled,
@@ -54,9 +56,7 @@ object Xlsx {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-          (if (pretty)
-            """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
-          else "") +
+          """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
           (1 to n).map(i =>
             s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
           "</Types>")
@@ -76,11 +76,9 @@ object Xlsx {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           (1 to n).map(i =>
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
-          (if (pretty)
-            s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
-          else "") +
+          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
           "</Relationships>")
-      if (pretty) entry("xl/styles.xml", stylesXml)
+      entry("xl/styles.xml", stylesXml)
 
       sheets.zipWithIndex.foreach { case ((_, df), si) =>
         zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
@@ -107,6 +105,10 @@ object Xlsx {
               case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
                    _: DoubleType | _: FloatType | _: DecimalType =>
                 s"<c><v>${row.get(i)}</v></c>"
+              case _: TimestampType | _: TimestampNTZType =>
+                s"""<c s="2"><v>${serialString(dateSerial(row.get(i)))}</v></c>"""
+              case _: DateType =>
+                s"""<c s="3"><v>${dateSerial(row.get(i)).toLong}</v></c>"""
               case _: BooleanType =>
                 s"""<c t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>"""
               case _: BinaryType =>
@@ -143,12 +145,54 @@ object Xlsx {
     }
   }
 
+  // Excel serial date: days since 1899-12-30; 1970-01-01 = 25569.
+  private val ExcelEpochDay = 25569L
+
+  /** Any temporal value → Excel serial (UTC wall-clock — the session
+    * timezone everywhere in this engine). */
+  private[io] def dateSerial(v: Any): Double = v match {
+    case t: java.sql.Timestamp => ExcelEpochDay + t.getTime / 86400000.0
+    case d: java.sql.Date => ExcelEpochDay + d.toLocalDate.toEpochDay
+    case ldt: java.time.LocalDateTime =>
+      ExcelEpochDay + ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 86400000.0
+    case ld: java.time.LocalDate => ExcelEpochDay + ld.toEpochDay
+    case i: java.time.Instant => ExcelEpochDay + i.toEpochMilli / 86400000.0
+    case other => throw new IllegalArgumentException(
+      s"not a temporal value: ${other.getClass.getName}")
+  }
+
+  /** Serial → text without scientific notation (whole days drop the
+    * fraction, like openpyxl writes pure dates). */
+  private[io] def serialString(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString
+    else java.math.BigDecimal.valueOf(d).toPlainString
+
+  /** Excel serial → display string: date-only for whole days, else
+    * timestamp rounded to millis ("yyyy-MM-dd HH:mm:ss[.SSS]"). */
+  private[io] def serialToString(serial: Double): String = {
+    val ms = math.round((serial - ExcelEpochDay) * 86400000.0)
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+    if (ms % 86400000L == 0) ldt.toLocalDate.toString
+    else if (ms % 1000L == 0)
+      ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    else
+      ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+  }
+
   /** Minimal styles part carrying the reference's header style
     * (`formatter.py:55-63`): bold font, solid CCCCCC fill, centered,
-    * thin sides + double red top/bottom. Style index 1 = header. */
+    * thin sides + double red top/bottom — plus the two date number
+    * formats native date cells point at (`formatter.py:489-496` via
+    * openpyxl's default datetime/date formats). Style index 1 =
+    * header, 2 = datetime, 3 = date. */
   private val stylesXml: String =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<numFmts count="2">""" +
+      """<numFmt numFmtId="164" formatCode="yyyy\-mm\-dd\ hh:mm:ss"/>""" +
+      """<numFmt numFmtId="165" formatCode="yyyy\-mm\-dd"/>""" +
+      """</numFmts>""" +
       """<fonts count="2"><font/><font><b/></font></fonts>""" +
       """<fills count="3">""" +
       """<fill><patternFill patternType="none"/></fill>""" +
@@ -165,9 +209,11 @@ object Xlsx {
       """<diagonal/></border>""" +
       """</borders>""" +
       """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
-      """<cellXfs count="2">""" +
+      """<cellXfs count="4">""" +
       """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +
       """<xf numFmtId="0" fontId="1" fillId="2" borderId="1" xfId="0" applyFont="1" applyFill="1" applyBorder="1" applyAlignment="1"><alignment horizontal="center"/></xf>""" +
+      """<xf numFmtId="164" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>""" +
+      """<xf numFmtId="165" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>""" +
       """</cellXfs></styleSheet>"""
 
   // ------------------------------------------------------------- read
@@ -181,7 +227,7 @@ object Xlsx {
     try {
       val sheetPath = resolveSheet(zf, sheet)
       val shared = readSharedStrings(zf)
-      val rows = readSheetRows(zf, sheetPath, shared)
+      val rows = readSheetRows(zf, sheetPath, shared, readDateStyles(zf))
       if (rows.isEmpty)
         throw new IllegalArgumentException(s"No data found for: '$path'")
       val names = Naming.uniqueColumnNames(rows.head.map(_.orNull))
@@ -270,8 +316,59 @@ object Xlsx {
   private[io] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
+  /** Indices of cellXfs whose number format is a date/time — built-in
+    * ids 14-22 and 45-47, or a custom formatCode containing date
+    * letters (the openpyxl is_date_format heuristic). Numeric cells
+    * styled with one of these read back as date strings. */
+  private def readDateStyles(zf: ZipFile): Set[Int] = {
+    val e = zf.getEntry("xl/styles.xml")
+    if (e == null) return Set.empty
+    val xif = XMLInputFactory.newInstance()
+    val r = xif.createXMLStreamReader(zf.getInputStream(e))
+    val customDateFmts = scala.collection.mutable.Set.empty[Int]
+    val dateXfs = scala.collection.mutable.Set.empty[Int]
+    var inCellXfs = false
+    var xfIdx = -1
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            var id = -1; var code = ""
+            (0 until r.getAttributeCount).foreach { i =>
+              r.getAttributeLocalName(i) match {
+                case "numFmtId" => id = r.getAttributeValue(i).toInt
+                case "formatCode" => code = r.getAttributeValue(i)
+                case _ =>
+              }
+            }
+            // strip escapes/quoted sections, then look for y/m/d/h/s
+            val bare = code.replaceAll("\\\\.", "").replaceAll("\"[^\"]*\"", "")
+            if (id >= 0 && bare.toLowerCase.exists("ymdhs".contains(_)))
+              customDateFmts += id
+          case "cellXfs" => inCellXfs = true; xfIdx = -1
+          case "xf" if inCellXfs =>
+            xfIdx += 1
+            var fmt = 0
+            (0 until r.getAttributeCount).foreach { i =>
+              if (r.getAttributeLocalName(i) == "numFmtId")
+                fmt = r.getAttributeValue(i).toInt
+            }
+            if ((fmt >= 14 && fmt <= 22) || (fmt >= 45 && fmt <= 47) ||
+              customDateFmts.contains(fmt)) dateXfs += xfIdx
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    dateXfs.toSet
+  }
+
   private def readSheetRows(zf: ZipFile, sheetPath: String,
-                            shared: IndexedSeq[String]): Seq[IndexedSeq[Option[String]]] = {
+                            shared: IndexedSeq[String],
+                            dateStyles: Set[Int] = Set.empty): Seq[IndexedSeq[Option[String]]] = {
     val xif = XMLInputFactory.newInstance()
     val r = xif.createXMLStreamReader(
       new BufferedInputStream(zf.getInputStream(zf.getEntry(sheetPath))))
@@ -279,6 +376,7 @@ object Xlsx {
     var row: scala.collection.mutable.ArrayBuffer[Option[String]] = null
     var cellIdx = -1
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     var inT = false
     var text = new StringBuilder
@@ -288,11 +386,13 @@ object Xlsx {
           case "row" => row = scala.collection.mutable.ArrayBuffer.empty
           case "c" =>
             cellType = ""
+            cellStyle = -1
             cellIdx = row.length
             (0 until r.getAttributeCount).foreach { i =>
               r.getAttributeLocalName(i) match {
                 case "r" => cellIdx = colIndex(r.getAttributeValue(i))
                 case "t" => cellType = r.getAttributeValue(i)
+                case "s" => cellStyle = r.getAttributeValue(i).toInt
                 case _ =>
               }
             }
@@ -312,6 +412,10 @@ object Xlsx {
             val v = cellType match {
               case "s" => shared.lift(raw.trim.toInt).getOrElse("")
               case "b" => if (raw.trim == "1") "true" else "false"
+              case "" | "n" if dateStyles.contains(cellStyle) =>
+                // date-styled numeric cell → the datetime the serial
+                // encodes, like openpyxl hands the reference a datetime
+                scala.util.Try(serialToString(raw.trim.toDouble)).getOrElse(raw)
               case _ => raw
             }
             if (cellIdx >= 0 && cellIdx < row.length) row(cellIdx) = Some(v)

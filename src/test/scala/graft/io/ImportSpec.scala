@@ -237,4 +237,51 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colIndex("Z9") == 25)
     assert(Xlsx.colIndex("AA12") == 26)
   }
+
+  test("native date cells: serial + date numFmt, read back as datetimes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-02 03:04:05"),
+        java.sql.Date.valueOf("2021-06-15")),
+      (2L, java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
+        java.sql.Date.valueOf("1899-12-31")))
+      .toDF("ID", "TS", "D")
+    val p = Files.createTempFile("graft", ".xlsx").toString
+    Xlsx.write(Seq("Sheet1" -> df), p)
+
+    // the sheet must carry NUMERIC serials styled with a date numFmt —
+    // not inline strings (`formatter.py:489-496` native date cells)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val sheet = new String(zf.getInputStream(
+        zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      assert(sheet.contains("""<c s="2"><v>"""), "timestamp cells must be styled serials")
+      assert(sheet.contains("""<c s="3"><v>"""), "date cells must be styled serials")
+      assert(!sheet.contains("2020-01-02"), "no inline-string timestamps")
+      // independently computed serials: 2020-01-02 03:04:05 UTC and
+      // 1970-01-01 (epoch = serial 25569); 1899-12-31 = serial 1
+      val expected = 25569.0 + (java.sql.Timestamp.valueOf("2020-01-02 03:04:05")
+        .getTime / 86400000.0)
+      assert(sheet.contains(java.math.BigDecimal.valueOf(expected).toPlainString))
+      assert(sheet.contains("<c s=\"2\"><v>25569</v></c>"))
+      assert(sheet.contains("<c s=\"3\"><v>1</v></c>"))
+      val styles = new String(zf.getInputStream(
+        zf.getEntry("xl/styles.xml")).readAllBytes(), "UTF-8")
+      assert(styles.contains("numFmtId=\"164\"") && styles.contains("hh:mm:ss"))
+    } finally zf.close()
+
+    // read-back converts the serials to datetime/date strings
+    val back = Xlsx.read(spark, p).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(back("1") == ("2020-01-02 03:04:05", "2021-06-15"))
+    assert(back("2") == ("1970-01-01", "1899-12-31"))
+  }
+
+  test("serial helpers: round-trip through ms precision") {
+    val ts = java.sql.Timestamp.valueOf("2024-02-29 23:59:59.123")
+    val s = Xlsx.dateSerial(ts)
+    assert(Xlsx.serialToString(s) == "2024-02-29 23:59:59.123")
+    assert(Xlsx.serialToString(Xlsx.dateSerial(java.sql.Date.valueOf("2000-01-01")))
+      == "2000-01-01")
+  }
 }
