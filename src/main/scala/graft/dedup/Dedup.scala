@@ -58,6 +58,31 @@ object Dedup {
                       nGram: Int = 3, bands: Int = 4,
                       minJaccard: Double = 0.0,
                       cacheSignatures: Boolean = true): DataFrame = {
+    val (sig, verified) = lshPlan(df, idCol, textCol, nGram, bands,
+      minJaccard, cacheSignatures)
+    if (!cacheSignatures) verified
+    else {
+      // materialize the pair list eagerly, then RELEASE the signature
+      // cache — otherwise repeated calls in a long-lived session leak
+      // MEMORY_AND_DISK blocks the size of the corpus. persist (NOT
+      // localCheckpoint): under hot bands the pair list is not small,
+      // and a checkpoint's truncated lineage would fail the job on
+      // executor loss where a persisted plan just recomputes; the
+      // MEMORY_AND_DISK level also spills a huge pair list instead of
+      // pinning it in block storage.
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // force materialization before dropping the input cache
+      sig.unpersist()
+      out
+    }
+  }
+
+  /** The un-materialized LSH plan — exposed so PlanQualitySpec can pin
+    * the join shape (one band-key exchange, cached signature reuse)
+    * before persist()/count() hide it behind an InMemoryTableScan. */
+  private[graft] def lshPlan(df: DataFrame, idCol: String, textCol: String,
+                             nGram: Int, bands: Int, minJaccard: Double,
+                             cacheSignatures: Boolean): (DataFrame, DataFrame) = {
     // signature pass: shingles + banded minhashes computed ONCE per doc.
     // The self-join and the two late sh-fetches would otherwise
     // re-evaluate the (interpreted, higher-order) shingle expressions
@@ -86,21 +111,7 @@ object Dedup {
         round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
-    if (!cacheSignatures) verified
-    else {
-      // materialize the pair list eagerly, then RELEASE the signature
-      // cache — otherwise repeated calls in a long-lived session leak
-      // MEMORY_AND_DISK blocks the size of the corpus. persist (NOT
-      // localCheckpoint): under hot bands the pair list is not small,
-      // and a checkpoint's truncated lineage would fail the job on
-      // executor loss where a persisted plan just recomputes; the
-      // MEMORY_AND_DISK level also spills a huge pair list instead of
-      // pinning it in block storage.
-      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // force materialization before dropping the input cache
-      sig.unpersist()
-      out
-    }
+    (sig, verified)
   }
 
   /** Duplicate CLUSTERS from a pair list: connected components by

@@ -54,6 +54,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "total must broadcast")
   }
 
+  test("q30 LSH: band exchanges carry (band,id) only off ONE cached signature pass") {
+    // broadcast off → the 100 TB shuffle shape (at test scale the small
+    // side would broadcast and hide the exchanges under AQE)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      val (sig, verified) = graft.dedup.Dedup.lshPlan(
+        docs, "doc_id", "text", 3, 4, 0.0, cacheSignatures = true)
+      val p = explainOf(verified)
+      // one band-key exchange per self-join side, nothing more — the
+      // round-1 2.7x win came from shuffling (band,id) instead of
+      // shingle arrays; a third band exchange or a wide payload means
+      // the signature cache stopped being reused
+      val bandEx = p.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
+      assert(bandEx.length == 2, s"expected 2 band exchanges, got:\n${bandEx.mkString("\n")}")
+      // every read comes from the cached signature table: ONE parquet
+      // scan node (shared by all four InMemoryRelation prints), four
+      // cache scans
+      val parquetScans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+      assert(parquetScans == 1, s"signatures must come from ONE scan, plan has $parquetScans")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+        "self-join sides and both sh-fetches must reuse the cache")
+      // the shingle transform is evaluated exactly once (inside the
+      // cached relation) — not re-derived per join side
+      assert(p.linesIterator.count(_.contains("lambdafunction(concat_ws")) == 1,
+        "shingle expressions must not be re-evaluated outside the cache")
+      sig.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q49 clusters: returned frame reads the final checkpoint, not the loop lineage") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = graft.dedup.Dedup.dupClusters(pairs)
+    val p = explainOf(clusters)
+    // convergence materializes each round via localCheckpoint; the
+    // result must scan those blocks — if the full iterative lineage
+    // (joins over the original pair pipeline) reappears here, every
+    // downstream action re-runs the whole propagation
+    assert(p.contains("Scan ExistingRDD"), "result must read the checkpointed labels")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no propagation joins may survive into the result plan:\n" + p)
+    assert(!p.contains("Scan parquet"))
+    // and it is still correct
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("table-cardinality summary reads the table ONCE (no per-column scans)") {
     val df = spark.read.parquet(sf("sf0.01") + "/nation.parquet")
     val p = explainOf(graft.apps.TableCardinality.summary(df))

@@ -44,6 +44,48 @@ class DbCopyJdbcSpec extends SparkSpec {
     assert(plan3.toDelete.get.count() == 2)
   }
 
+  test("partitioned-range JDBC read driven by live PK metadata (parallel scan)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graftdb4")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val cfg = Config.Conf(
+      drivers = Map("derby" -> Config.Driver("jdbc:derby:")),
+      servers = Map("src" -> Config.Server("derby", s"$dbDir/db;create=true")))
+    val r = Config.parseLogin(cfg, "src")
+
+    // seed a real-size table (orders, ~1.5k rows at sf0.001)
+    val orders = graft.Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Config.writeJdbc(graft.ops.Relational.upperCaseColumns(orders), r, "ORDERS_SRC")
+
+    // PK discovered from LIVE driver metadata, not hardcoded — the
+    // reference's single ordered cursor becomes N parallel range scans
+    val cat = CatalogQueries.fromJdbcMetadata(url)
+    // Spark's JDBC writer creates the table without a PK constraint, so
+    // metadata yields no PK → fall back the way db-copy would: first
+    // column of the table. Both paths exercise fromJdbcMetadata.
+    val pk = cat.pk.getOrElse("ORDERS_SRC", "O_ORDERKEY")
+
+    val bounds = Config.readJdbc(spark, r,
+      s"SELECT MIN($pk) AS LO, MAX($pk) AS HI FROM ORDERS_SRC").head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    assert(hi > lo)
+
+    val partitioned = Config.readJdbc(spark, r, "ORDERS_SRC",
+      partitionOn = Some((pk, lo, hi, 4)))
+    assert(partitioned.rdd.getNumPartitions == 4,
+      "range read must split into parallel JDBC partitions")
+    assert(partitioned.count() == orders.count())
+    // identical contents: checksum both sides
+    val srcSum = orders.agg(sum(col("o_orderkey"))).head().getLong(0)
+    assert(partitioned.agg(sum(col("O_ORDERKEY"))).head().getLong(0) == srcSum)
+
+    // and db-copy converges off the partitioned read
+    val plan = DbCopy.plan(
+      graft.ops.Relational.upperCaseColumns(orders), partitioned,
+      "O_ORDERKEY", DbCopy.Insert)
+    assert(plan.toInsert.count() == 0)
+  }
+
   test("update/sync modes APPLIED against live Derby (mutation + orphan)") {
     val dbDir = java.nio.file.Files.createTempDirectory("graftdb3")
     val cfg = Config.Conf(
