@@ -29,9 +29,20 @@ object Dedup {
   /** id + one minhash column per band seed. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    nGram: Int, bands: Int): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), nGram)
-    val mh = (0 until bands).map(b => TextOps.minhash(sh, b).as(s"mh$b"))
-    df.select((col(idCol) +: mh): _*)
+    if (bands <= 4) {
+      // staged words → ONE shingle pass → ONE md5 digest pass feeds
+      // every band, instead of re-splitting and re-hashing per band
+      val staged = TextOps.withMinhashBands(
+        TextOps.withShingles(
+          df.select(col(idCol), col(textCol)), textCol, "_sh", nGram),
+        "_sh", "_bands", bands)
+      staged.select((col(idCol) +: (0 until bands).map(b =>
+        element_at(col("_bands"), b + 1).as(s"mh$b"))): _*)
+    } else {
+      val sh = TextOps.shingles(col(textCol), nGram)
+      val mh = (0 until bands).map(b => TextOps.minhash(sh, b).as(s"mh$b"))
+      df.select((col(idCol) +: mh): _*)
+    }
   }
 
   /** Jaccard similarity of two shingle arrays (dedups its inputs). */
@@ -88,11 +99,19 @@ object Dedup {
     // re-evaluate the (interpreted, higher-order) shingle expressions
     // 4x — caching the signature table is the same call Spark ML's LSH
     // makes; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOM.
-    val sig0 = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
-      .withColumn("bands",
-        array((0 until bands).map(b => TextOps.minhash(col("sh"), b)): _*))
+    val sig0 =
+      if (bands <= 4)
+        // staged words → one shingle pass → one md5 digest pass per doc
+        TextOps.withMinhashBands(
+          TextOps.withShingles(
+            df.select(col(idCol).as("id"), col(textCol)),
+            textCol, "sh", nGram).drop(textCol),
+          "sh", "bands", bands)
+      else df.select(
+        col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
+        .withColumn("bands",
+          array((0 until bands).map(b => TextOps.minhash(col("sh"), b)): _*))
     val sig = if (cacheSignatures)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -28,7 +28,12 @@ object TextOps {
   def fingerprint(c: Column): Column = md5(normText(c))
 
   /** Word n-gram shingles of the normalized token stream; empty array
-    * when the document has fewer than n tokens. */
+    * when the document has fewer than n tokens.
+    *
+    * NOTE: when `c` is a raw text column, the tokenization expression is
+    * embedded in the slice lambda and — interpreted, no codegen CSE —
+    * re-splits the text once PER SHINGLE POSITION: O(words²) per doc.
+    * Hot paths must stage the word array first ([[withShingles]]). */
   def shingles(c: Column, n: Int): Column = {
     val w = words(lower(c))
     when(size(w) >= n,
@@ -36,6 +41,20 @@ object TextOps {
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Shingles with the tokenization staged as a real column, so the
+    * per-position slice lambda reads a materialized array instead of
+    * re-splitting the document text each time — linear, not quadratic,
+    * in document length. Adds `out` (the distinct shingle array). */
+  def withShingles(df: DataFrame, textCol: String, out: String,
+                   n: Int): DataFrame =
+    df.withColumn("_words", words(lower(col(textCol))))
+      .withColumn(out, array_distinct(
+        when(size(col("_words")) >= n,
+          transform(sequence(lit(1), size(col("_words")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_words"), i, lit(n)))))
+          .otherwise(array().cast(ArrayType(StringType)))))
+      .drop("_words")
 
   /** One minhash value over a shingle array: lexicographic min of a
     * per-seed hash. Seeds 0-3 slice disjoint 8-hex-char windows out of
@@ -49,6 +68,22 @@ object TextOps {
       array_min(transform(shingleCol, s => substring(md5(s), 1 + 8 * seed, 8)))
     else
       array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** All `n` (≤4) minhash bands with the md5 digest computed ONCE per
+    * shingle. [[minhash]] per band would re-run the digest transform n
+    * times: higher-order functions are interpreted (CodegenFallback),
+    * so codegen subexpression elimination never sees them. Staging the
+    * digest array as its own projection step makes it a real column —
+    * CollapseProject keeps a non-cheap alias referenced n times staged,
+    * so each row pays one md5 pass and n cheap substring scans. */
+  def withMinhashBands(df: DataFrame, shCol: String, bandsCol: String,
+                       n: Int): DataFrame = {
+    require(n <= 4, "seeds beyond 4 need a second digest family (minhash)")
+    df.withColumn("_digests", transform(col(shCol), s => md5(s)))
+      .withColumn(bandsCol, array((0 until n).map(b =>
+        array_min(transform(col("_digests"), h => substring(h, 1 + 8 * b, 8)))): _*))
+      .drop("_digests")
+  }
 
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
