@@ -601,9 +601,12 @@ object SparkEntry {
   /** q30 oracle body, reused by q49's recursive-CTE clustering. */
   private def q30Sql: String =
     s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
-         s AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS sh FROM t),
-         b AS (SELECT doc_id, sh, unnest([${minhashExpr("sh", 0)}, ${minhashExpr("sh", 1)},
-               ${minhashExpr("sh", 2)}, ${minhashExpr("sh", 3)}]) AS band FROM s),
+         s0 AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS shs FROM t),
+         s AS (SELECT doc_id, shs,
+               list_distinct([try_cast('0x'||substring(md5(x),1,8) AS BIGINT)
+                              for x in shs]) AS sh FROM s0),
+         b AS (SELECT doc_id, sh, unnest([${minhashExpr("shs", 0)}, ${minhashExpr("shs", 1)},
+               ${minhashExpr("shs", 2)}, ${minhashExpr("shs", 3)}]) AS band FROM s),
          bb AS (SELECT * FROM b WHERE band IS NOT NULL),
          p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              round(CASE WHEN len(a.sh) + len(c.sh)

@@ -100,14 +100,26 @@ object Dedup {
     // 4x — caching the signature table is the same call Spark ML's LSH
     // makes; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOM.
     val sig0 =
-      if (bands <= 4)
-        // staged words → one shingle pass → one md5 digest pass per doc
-        TextOps.withMinhashBands(
-          TextOps.withShingles(
-            df.select(col(idCol).as("id"), col(textCol)),
-            textCol, "sh", nGram).drop(textCol),
-          "sh", "bands", bands)
-      else df.select(
+      if (bands <= 4) {
+        // staged words → one shingle pass → ONE md5 digest pass per doc
+        // feeds BOTH the bands and the verification set. The cached /
+        // shuffled shingle set is the 32-bit hash of each shingle (the
+        // first digest window, numerically — same family the rolling
+        // hash and the DuckDB oracle use), NOT the shingle strings:
+        // ~10x smaller signature cache and long-vs-long set intersection
+        // in the Jaccard verify. Verification Jaccard over hashed
+        // shingles equals string Jaccard except on 32-bit collisions —
+        // and the oracle hashes identically, so values stay engine-exact.
+        val staged = TextOps.withShingles(
+          df.select(col(idCol).as("id"), col(textCol)), textCol, "_shs", nGram)
+          .withColumn("_digests", transform(col("_shs"), s => md5(s)))
+        staged.select(col("id"),
+          array_distinct(transform(col("_digests"),
+            h => conv(substring(h, 1, 8), 16, 10).cast("long"))).as("sh"),
+          array((0 until bands).map(b =>
+            array_min(transform(col("_digests"),
+              h => substring(h, 1 + 8 * b, 8)))): _*).as("bands"))
+      } else df.select(
         col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
         .withColumn("bands",
