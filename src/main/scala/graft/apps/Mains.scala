@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * driven against parquet directories instead of JDBC urls. */
 object Mains {
 
+  /** Specs drive the CLI mains in-process against the shared test
+    * session (getOrCreate returns it); they set this so a main's final
+    * stop() doesn't kill the suite's session. */
+  private[apps] var keepSessionForTests = false
+
+  private[apps] def stop(spark: SparkSession): Unit =
+    if (!keepSessionForTests) spark.stop()
+
   private[apps] def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
@@ -97,7 +105,7 @@ object SqlQueryMain {
       case SqlQuery.SqlText(sql) =>
         runScript(sql)
     }
-    spark.stop()
+    Mains.stop(spark)
   }
 }
 
@@ -136,7 +144,7 @@ object DbCopyMain {
       println(s"[db-copy] $t: new: ${res.inserted}, upd: ${res.updated}, " +
         s"del: ${res.deleted} (mode=$mode)")
     }
-    spark.stop()
+    Mains.stop(spark)
   }
 }
 
@@ -148,6 +156,6 @@ object TableCardinalityMain {
     val spark = Mains.session("graft-table-cardinality")
     TableCardinality.report(Tables.load(spark, sfDir, table), out)
     println(s"[table-cardinality] $table -> $out")
-    spark.stop()
+    Mains.stop(spark)
   }
 }

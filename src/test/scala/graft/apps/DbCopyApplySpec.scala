@@ -70,6 +70,36 @@ class DbCopyApplySpec extends SparkSpec {
     assert(res2 == DbCopy.ApplyResult(0, 4, 0))
   }
 
+  test("DbCopyMain end-to-end: update mode mutates the target through the CLI") {
+    Mains.keepSessionForTests = true
+    val trgDir = java.nio.file.Files.createTempDirectory("graftmain").toString
+    // seed the target with a full copy, then mutate the target's nation
+    // table so only an applied update/sync can converge it back
+    DbCopyMain.main(Array(sf(), trgDir, "insert"))
+    val p = s"$trgDir/nation.parquet"
+    val mutated = spark.read.parquet(p)
+      .withColumn("n_name",
+        org.apache.spark.sql.functions.when(col("n_nationkey") === 0,
+          org.apache.spark.sql.functions.lit("MUTATED"))
+          .otherwise(col("n_name")))
+    val tmp = p + ".mut"
+    mutated.write.parquet(tmp)
+    DbCopy.applyParquet(spark, spark.read.parquet(tmp), p, "n_nationkey", DbCopy.Sync)
+
+    // insert mode must NOT repair the mutation...
+    DbCopyMain.main(Array(sf(), trgDir, "insert"))
+    val afterInsert = spark.read.parquet(p)
+      .filter(col("n_nationkey") === 0).head().getAs[String]("n_name")
+    assert(afterInsert == "MUTATED", "insert mode leaves existing rows alone")
+
+    // ...update mode must
+    DbCopyMain.main(Array(sf(), trgDir, "update"))
+    val afterUpdate = spark.read.parquet(p)
+      .filter(col("n_nationkey") === 0).head().getAs[String]("n_name")
+    assert(afterUpdate != "MUTATED", "update mode must apply source values")
+    assert(spark.read.parquet(p).count() == 25)
+  }
+
   test("missing target: full copy regardless of mode") {
     val dir = java.nio.file.Files.createTempDirectory("graftcopy").toString
     val p = s"$dir/t.parquet"
