@@ -147,6 +147,51 @@ class SecuritySpec extends AnyFunSuite {
     assert(redumped == cfg)
   }
 
+  test("security CLI end-to-end: set → encrypted file → remove → plaintext") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsec")
+    val cfgFile = dir.resolve("config.yml")
+    java.nio.file.Files.write(cfgFile,
+      """encrypt: false
+        |drivers:
+        |  derby:
+        |    url: 'jdbc:derby:'
+        |servers:
+        |  db1:
+        |    type: derby
+        |    url: '/tmp/db1'
+        |alias:
+        |  prod: scott/tiger@db1
+        |""".stripMargin.getBytes("UTF-8"))
+    val encFile = dir.resolve("enc.yml").toString
+    val plainFile = dir.resolve("plain.yml").toString
+
+    // `set` rewrites with encrypted passwords (LWETL env resolves via
+    // resolveKey; SecurityMain reads sys.env, so stage through keyring)
+    val user = sys.props.getOrElse("user.name", "graft")
+    Security.Keyring.set(user, "master-pw")
+    try {
+      graft.apps.SecurityMain.main(
+        Array("set", cfgFile.toString, "-o", encFile))
+      val enc = Config.loadLayered(Seq(encFile))
+      assert(enc.encrypt.contains(true))
+      val cred = enc.aliases("prod")
+      assert(cred.startsWith("scott/") && cred.endsWith("@db1") && !cred.contains("tiger"))
+
+      // the encrypted file resolves through parseLogin once installed
+      Security.install("master-pw")
+      try {
+        val r = Config.parseLogin(enc, "prod")
+        assert(r.password.contains("tiger"))
+      } finally Security.uninstall()
+
+      // `remove` restores plaintext
+      graft.apps.SecurityMain.main(Array("remove", encFile, "-o", plainFile))
+      val plain = Config.loadLayered(Seq(plainFile))
+      assert(plain.encrypt.contains(false))
+      assert(plain.aliases("prod") == "scott/tiger@db1")
+    } finally Security.Keyring.delete(user)
+  }
+
   test("security CLI rewrite: set encrypts aliases, remove restores plaintext") {
     val cfg = Config.Conf(
       servers = Map("db1" -> Config.Server("derby", "/tmp/db1")),
