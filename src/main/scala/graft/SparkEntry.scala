@@ -324,10 +324,11 @@ object SparkEntry {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
 
-  /** SimHash document signatures (Dedup.simhash32). */
+  /** SimHash document signatures (Dedup.withSimhash32 — staged word
+    * hashes: one tokenize+md5 pass feeds all 32 bit votes). */
   private def q35(s: SparkSession, d: String): DataFrame =
-    T(s, d, "documents")
-      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+    Dedup.withSimhash32(T(s, d, "documents"), "text", "simhash")
+      .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
   /** Order-sensitive rolling word hash (TextOps.rollingWordHash). */

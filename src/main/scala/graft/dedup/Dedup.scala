@@ -189,6 +189,15 @@ object Dedup {
     * so the whole signature is computed in one codegen'd map stage. */
   def simhash32(textCol: Column): Column = {
     val hashes = transform(TextOps.words(lower(textCol)), w => TextOps.md5_32(w))
+    simhashFromHashes(hashes)
+  }
+
+  /** The 32 majority-vote bit sums over an ALREADY-computed word-hash
+    * array. Split out so [[withSimhash32]] can stage the hashes: each
+    * bit's aggregate embeds the hash expression, and interpreted
+    * higher-order functions re-evaluate it per use — inline, the
+    * tokenize+md5 pass would run 32 times per document. */
+  private def simhashFromHashes(hashes: Column): Column = {
     val bitSums = (0 until 32).map { bit =>
       val mask = lit(1L << bit)
       when(aggregate(hashes, lit(0L),
@@ -197,4 +206,13 @@ object Dedup {
     }
     bitSums.reduce(_ + _)
   }
+
+  /** [[simhash32]] with the word-hash array staged as a real column:
+    * ONE tokenize+md5 pass per document feeds all 32 bit votes (the 32
+    * per-bit scans then run over cached longs). */
+  def withSimhash32(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn("_whashes",
+      transform(TextOps.words(lower(col(textCol))), w => TextOps.md5_32(w)))
+      .withColumn(out, simhashFromHashes(col("_whashes")))
+      .drop("_whashes")
 }
