@@ -274,7 +274,8 @@ object SparkEntry {
   /** Quality scoring (stopword + punctuation heuristics). */
   private def q26(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents")
-      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .transform(TextOps.withQualityScore(_, "text", "quality"))
+      .select(col("doc_id"), col("quality"))
       .orderBy(col("doc_id"))
 
   /** Per-language corpus profile. */
@@ -287,7 +288,8 @@ object SparkEntry {
   /** Language-ID heuristic (stopword-marker argmax). */
   private def q28(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents")
-      .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("pred_lang"))
+      .transform(TextOps.withLangId(_, "text", "pred_lang"))
+      .select(col("doc_id"), col("pred_lang"))
       .orderBy(col("doc_id"))
 
   /** MinHash band signatures (shingle → minhash). */

@@ -108,6 +108,26 @@ object TextOps {
     round(least(lit(1.0), stopRatio * 2 + (lit(1.0) - punctRatio) * 0.5), 4)
   }
 
+  /** [[qualityScore]] with token/stopword counts staged as columns —
+    * one split + one stopword filter per doc instead of re-tokenizing
+    * for the count, the guard, and the ratio separately. */
+  def withQualityScore(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("_qw", words(lower(c)))
+      .withColumn("_qtoks",
+        when(length(trim(c)) === 0, lit(0L)).otherwise(size(col("_qw")).cast("long")))
+      .withColumn("_qstop",
+        size(filter(col("_qw"), w => w.isInCollection(Stopwords))).cast("long"))
+      .withColumn(out, {
+        val stopRatio = when(col("_qtoks") > 0,
+          col("_qstop").cast("double") / col("_qtoks")).otherwise(lit(0.0))
+        val punctRatio = when(length(c) > 0,
+          punctCount(c).cast("double") / length(c)).otherwise(lit(0.0))
+        round(least(lit(1.0), stopRatio * 2 + (lit(1.0) - punctRatio) * 0.5), 4)
+      })
+      .drop("_qw", "_qtoks", "_qstop")
+  }
+
   /** Tiny per-language stopword tables for the language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
@@ -118,17 +138,43 @@ object TextOps {
 
   /** N-gram/stopword language-ID heuristic: count marker hits per
     * language, argmax with a fixed tie-break order (the declaration
-    * order above); zero hits everywhere → "und". */
+    * order above); zero hits everywhere → "und".
+    *
+    * NOTE: the argmax embeds every hit count (and the tokenization
+    * under it) many times; interpreted HOFs re-evaluate per use —
+    * ~30 split+filter passes per doc inline. Hot paths use
+    * [[withLangId]], which stages tokens and hit counts as columns. */
   def langIdHeuristic(c: Column): Column = {
     val w = words(lower(c))
     val hits = LangMarkers.map { case (lang, ms) =>
       lang -> size(filter(w, x => x.isInCollection(ms))).cast("long")
     }
+    langArgmax(hits)
+  }
+
+  private def langArgmax(hits: Seq[(String, Column)]): Column = {
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     val firstMatch = hits.foldLeft(when(best === 0, "und")) {
       case (acc, (lang, h)) => acc.when(h === best, lang)
     }
     firstMatch.otherwise("und")
+  }
+
+  /** [[langIdHeuristic]] with tokens and per-language hit counts staged
+    * as real columns: ONE split + one marker filter per language per
+    * document; the argmax then compares cheap attributes. */
+  def withLangId(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val hitCols = LangMarkers.map { case (lang, _) => s"_hit_$lang" }
+    val staged = df.withColumn("_lw", words(lower(col(textCol))))
+    val withHits = LangMarkers.foldLeft(staged) { case (d, (lang, ms)) =>
+      d.withColumn(s"_hit_$lang",
+        size(filter(col("_lw"), x => x.isInCollection(ms))).cast("long"))
+    }
+    withHits
+      .withColumn(out, langArgmax(
+        LangMarkers.map { case (lang, _) => lang -> col(s"_hit_$lang") }))
+      .drop("_lw")
+      .drop(hitCols: _*)
   }
 
   /** 32-bit hash derived from the first 8 hex chars of md5 — chosen over
