@@ -533,6 +533,17 @@ object SparkEntry {
         col("g1"), col("g2"), col("n"))
       .orderBy(col("g1"), col("g2"), col("st"), col("pri"))
 
+  /** Stream-static enrichment through the gate: events joined to the
+    * customer dimension (broadcast static side), hourly rollup per
+    * nation — EventsStream.nationHourly, batch/stream symmetric like
+    * q52 (the watermark is a no-op on batch). */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventsStream.nationHourly(
+        T(s, d, "events"), T(s, d, "customer"))
+      .select(col("hour"), col("c_nationkey"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour"), col("c_nationkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topn" -> (q02 _),
@@ -590,6 +601,7 @@ object SparkEntry {
     "q54_topk_custom_operator" -> (q54 _),
     "q55_salted_join" -> (q55 _),
     "q56_cube" -> (q56 _),
+    "q57_stream_static_enrich" -> (q57 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1004,5 +1016,10 @@ object SparkEntry {
            count(*) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY g1, g2, st, pri""",
+    "q57_stream_static_enrich" ->
+      """SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS hour,
+           c.c_nationkey, count(*) AS n, round(sum(e.value),2) AS total_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY hour, c_nationkey""",
   )
 }

@@ -88,4 +88,27 @@ object EventsStream {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream-static enrichment: join the event stream against a slowly-
+    * changing dimension snapshot. Stateless in Structured Streaming
+    * (the static side is re-planned per micro-batch), and the broadcast
+    * hint keeps it shuffle-free on the stream side — the standard shape
+    * for decorating a 100 TB/day event firehose with dimension
+    * attributes. Works identically on a batch frame (gate q57). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey))
+
+  /** Enriched windowed rollup: hourly event counts per customer nation
+    * — stream-static join feeding a watermarked tumbling-window agg.
+    * Batch/stream symmetric like [[hourlyCounts]]. */
+  def nationHourly(events: DataFrame, customer: DataFrame,
+                   watermark: String = "1 hour"): DataFrame =
+    enrichWithDim(events, customer.select(col("c_custkey"), col("c_nationkey")),
+      "user_id", "c_custkey")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("c_nationkey"),
+        col("n"), col("total_value"))
 }

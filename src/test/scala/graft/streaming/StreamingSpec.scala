@@ -47,6 +47,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
   }
 
+  test("stream-static enrichment: dim join + windowed agg over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val customer = Seq((7L, 3L), (8L, 4L))
+      .toDF("c_custkey", "c_nationkey")
+
+    input.addData(
+      (1L, ts("2024-01-01 10:05:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 10:15:00"), 8L, 2.0),
+      (3L, ts("2024-01-01 10:25:00"), 7L, 4.0),
+      (4L, ts("2024-01-01 11:05:00"), 9L, 8.0)) // user 9: no dim row → dropped
+    val q = EventsStream.nationHourly(events, customer)
+      .writeStream.format("memory").queryName("nation_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("nation_hourly")
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), 3L, 2L, 5.0),
+      (ts("2024-01-01 10:00:00"), 4L, 1L, 2.0)))
+
+    // batch/stream symmetry: same code over a batch frame agrees
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 10:15:00"), 8L, 2.0),
+      (3L, ts("2024-01-01 10:25:00"), 7L, 4.0),
+      (4L, ts("2024-01-01 11:05:00"), 9L, 8.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val batchGot = EventsStream.nationHourly(batch, customer)
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    assert(batchGot == got)
+  }
+
   test("sessionize emits closed sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
