@@ -98,6 +98,28 @@ class SecuritySpec extends AnyFunSuite {
     assert(new String(java.util.Base64.getDecoder.decode(back), "UTF-8") == "çur@tor€=12B")
   }
 
+  test("property: encrypt/decrypt round-trips arbitrary phrases and keys (300 random)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val phraseGen = for {
+      n <- Gen.choose(0, 127)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('ç', '€', '@', '/', ' ', '\'', '"', '平', 'Ж')))
+    } yield cs.mkString
+    val keyGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString))
+    var seed = Seed(42L)
+    (1 to 300).foreach { i =>
+      val phrase = phraseGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val key = keyGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val enc = Security.encrypt(phrase, key)
+      assert(Security.decrypt(enc, key) == phrase, s"iteration $i key=$key phrase=$phrase")
+    }
+  }
+
   test("keyring stub stores, retrieves, deletes") {
     val u = "spec-user-" + System.nanoTime()
     assert(Security.Keyring.get(u).isEmpty)
