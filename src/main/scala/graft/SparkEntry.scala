@@ -533,6 +533,18 @@ object SparkEntry {
         col("g1"), col("g2"), col("n"))
       .orderBy(col("g1"), col("g2"), col("st"), col("pri"))
 
+  /** PK-counter replacement through the gate (Uploader.assignPk —
+    * range-sorted zipWithIndex, the distributed form of the reference's
+    * client-side counter): ids continue from the probed base in n_name
+    * order, deterministic because n_name is unique. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val nation = T(s, d, "nation")
+    graft.io.Uploader.assignPk(
+        nation.select(col("n_nationkey"), col("n_name")), "pk", 100L, Seq("n_name"))
+      .select(col("n_nationkey"), col("n_name"), col("pk"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -602,6 +614,7 @@ object SparkEntry {
     "q55_salted_join" -> (q55 _),
     "q56_cube" -> (q56 _),
     "q57_stream_static_enrich" -> (q57 _),
+    "q58_assign_pk" -> (q58 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1021,5 +1034,9 @@ object SparkEntry {
            c.c_nationkey, count(*) AS n, round(sum(e.value),2) AS total_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY hour, c_nationkey""",
+    "q58_assign_pk" ->
+      """SELECT n_nationkey, n_name,
+           100 + row_number() OVER (ORDER BY n_name) AS pk
+         FROM nation ORDER BY n_nationkey""",
   )
 }

@@ -214,6 +214,39 @@ class SecuritySpec extends AnyFunSuite {
     } finally Security.Keyring.delete(user)
   }
 
+  test("security CLI test command: probes live connections per alias") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graftsectest")
+    // create the database up front so the probe connects without ;create
+    java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/db;create=true").close()
+    val dir = java.nio.file.Files.createTempDirectory("graftseccfg")
+    val cfgFile = dir.resolve("config.yml")
+    java.nio.file.Files.write(cfgFile,
+      s"""encrypt: false
+         |drivers:
+         |  derby:
+         |    url: 'jdbc:derby:'
+         |servers:
+         |  live:
+         |    type: derby
+         |    url: '$dbDir/db'
+         |  dead:
+         |    type: derby
+         |    url: '/no/such/dir/db'
+         |alias:
+         |  good: app/pw@live
+         |  bad: app/pw@dead
+         |""".stripMargin.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.apps.SecurityMain.main(Array("test", cfgFile.toString))
+    }
+    val lines = out.toString("UTF-8")
+    assert(lines.linesIterator.exists(l => l.contains("good") && l.contains("OK")),
+      s"live alias must probe OK:\n$lines")
+    assert(lines.linesIterator.exists(l => l.contains("bad") && l.contains("Failed")),
+      s"dead alias must report failure:\n$lines")
+  }
+
   test("security CLI rewrite: set encrypts aliases, remove restores plaintext") {
     val cfg = Config.Conf(
       servers = Map("db1" -> Config.Server("derby", "/tmp/db1")),
