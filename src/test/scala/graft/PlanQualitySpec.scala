@@ -85,6 +85,13 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q57: static dimension side broadcasts under the enrichment join") {
+    val p = plan("q57_stream_static_enrich")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the stream-static enrichment must not shuffle the event side")
+  }
+
   test("q49 clusters: returned frame reads the final checkpoint, not the loop lineage") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
