@@ -155,23 +155,53 @@ object DbCopy {
     * batched JDBC writer, updates/deletes through the pipe-mode DML
     * renderers executed per-partition against the target — the
     * distributed form of the reference's uploader.update / IN-chunked
-    * DELETE loop (`db_copy/main.py:296-316,362-391`). */
+    * DELETE loop (`db_copy/main.py:296-316,362-391`).
+    *
+    * The target is scanned exactly TWICE: one PK-projection snapshot
+    * (cached — every change-set join reuses it) and one final count
+    * after the insert. Like the reference, update mode rewrites EVERY
+    * source row whose PK exists (`main.py:305-310` — no content
+    * comparison); `skipUnchanged = true` goes beyond the reference and
+    * narrows the UPDATE set to rows whose full-row md5 differs from the
+    * target's, at the cost of one extra full-row target scan — the
+    * right trade at scale when few rows actually change. */
   def applyJdbc(spark: SparkSession, src: DataFrame, r: Config.Resolved,
                 table: String, pk: String, mode: Mode,
-                dialect: SqlRender.Dialect = SqlRender.Ansi): ApplyResult = {
-    def trg = Config.readJdbc(spark, r, table)
-    val plan0 = plan(src, trg, pk, mode)
-    val updated = plan0.toUpdate.map { u =>
-      Uploader.executeJdbc(
-        SqlRender.updateStatements(u, table, Seq(pk), dialect), r)
-    }.getOrElse(0L)
-    val deleted = plan0.toDelete.map { d =>
-      Uploader.executeJdbc(
-        SqlRender.deleteStatements(d.select(pk), table, Seq(pk), dialect), r)
-    }.getOrElse(0L)
-    // updates/deletes ran above; count, append, count again → inserted
-    val nBefore = trg.count()
-    Config.writeJdbc(plan0.toInsert, r, table)
-    ApplyResult(trg.count() - nBefore, updated, deleted)
+                dialect: SqlRender.Dialect = SqlRender.Ansi,
+                skipUnchanged: Boolean = false): ApplyResult = {
+    val trgPk = Config.readJdbc(spark, r, table).select(col(pk))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBefore = trgPk.count() // materializes the snapshot
+      val wantUpdate = mode != Insert
+      val updated =
+        if (!wantUpdate) 0L
+        else {
+          val existing = src.join(trgPk, Seq(pk), "left_semi")
+          val toUpdate =
+            if (!skipUnchanged) existing
+            else {
+              val cols = src.columns.toSeq
+              val trgCk = Relational.rowChecksum(
+                  Config.readJdbc(spark, r, table).select(cols.map(col): _*),
+                  cols, "_trg_ck")
+                .select(col(pk), col("_trg_ck"))
+              Relational.rowChecksum(existing, cols, "_src_ck")
+                .join(trgCk, Seq(pk))
+                .filter(col("_src_ck") =!= col("_trg_ck"))
+                .drop("_src_ck", "_trg_ck")
+            }
+          Uploader.executeJdbc(
+            SqlRender.updateStatements(toUpdate, table, Seq(pk), dialect), r)
+        }
+      val deleted =
+        if (mode != Sync) 0L
+        else Uploader.executeJdbc(
+          SqlRender.deleteStatements(
+            trgPk.join(src.select(pk), Seq(pk), "left_anti"), table, Seq(pk), dialect), r)
+      Config.writeJdbc(src.join(trgPk, Seq(pk), "left_anti"), r, table)
+      val nFinal = Config.readJdbc(spark, r, table).count()
+      ApplyResult(nFinal - nBefore + deleted, updated, deleted)
+    } finally { trgPk.unpersist(); () }
   }
 }

@@ -63,19 +63,26 @@ object SecurityMain {
 
       case "test" =>
         // connection probe per alias (`main.py:113-127`): resolve the
-        // login, then open a live JDBC connection where a driver exists
-        cfg.aliases.keys.toSeq.sorted.zipWithIndex.foreach { case (a, i) =>
-          val r = scala.util.Try {
-            val resolved = Config.parseLogin(withDecryption(cfg), a)
-            val props = new java.util.Properties()
-            resolved.user.foreach(props.setProperty("user", _))
-            resolved.password.foreach(props.setProperty("password", _))
-            val conn = java.sql.DriverManager.getConnection(resolved.url, props)
-            conn.close()
-            "OK"
-          }.recover { case e => s"Failed: ${e.getMessage}" }.get
-          println(f"${i + 1}%3d/${cfg.aliases.size}. $a%-30s $r")
-        }
+        // login, then open a live JDBC connection where a driver
+        // exists. The decrypt hook is global state — restore it after
+        // the loop so an in-process caller's later plaintext logins
+        // don't get routed through decryption.
+        val priorDecrypt = Config.decrypt
+        try {
+          installDecryption(cfg)
+          cfg.aliases.keys.toSeq.sorted.zipWithIndex.foreach { case (a, i) =>
+            val r = scala.util.Try {
+              val resolved = Config.parseLogin(cfg, a)
+              val props = new java.util.Properties()
+              resolved.user.foreach(props.setProperty("user", _))
+              resolved.password.foreach(props.setProperty("password", _))
+              val conn = java.sql.DriverManager.getConnection(resolved.url, props)
+              conn.close()
+              "OK"
+            }.recover { case e => s"Failed: ${e.getMessage}" }.get
+            println(f"${i + 1}%3d/${cfg.aliases.size}. $a%-30s $r")
+          }
+        } finally Config.decrypt = priorDecrypt
 
       case "set" | "remove" =>
         val key = Security.resolveKey().getOrElse {
@@ -110,13 +117,11 @@ object SecurityMain {
     }
   }
 
-  /** A copy of the config whose passwords resolve through the master
-    * key at parseLogin time. */
-  private def withDecryption(cfg: Config.Conf): Config.Conf = {
+  /** Point the global decrypt hook at the master key when the config
+    * says its passwords are encrypted (caller restores the prior hook). */
+  private def installDecryption(cfg: Config.Conf): Unit =
     Security.resolveKey() match {
       case Some(k) if cfg.pwEncrypted => Security.install(k)
       case _ => Security.uninstall()
     }
-    cfg
-  }
 }

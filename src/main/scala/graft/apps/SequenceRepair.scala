@@ -69,13 +69,17 @@ object SequenceRepair {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  /** Build the repair plan: match sequences, compare against max(pk). */
+  /** Build the repair plan: match sequences, compare against max(pk).
+    * Table-name lookups are case-normalized once — matchSequences keys
+    * by uppercased name, so a lowercase `tables` key must still find
+    * its frame and its max. */
   def plan(tables: Map[String, (DataFrame, String)],
            sequences: Seq[(String, Long)]): Seq[Repair] = {
-    val matched = matchSequences(tables.keys.toSeq.sorted, sequences)
-    val maxes = maxPks(tables.filter { case (t, _) => matched.contains(t.toUpperCase) })
+    val byUpper = tables.map { case (t, v) => t.toUpperCase -> v }
+    val matched = matchSequences(byUpper.keys.toSeq.sorted, sequences)
+    val maxes = maxPks(byUpper.filter { case (t, _) => matched.contains(t) })
     matched.toSeq.sortBy(_._1).map { case (t, s) =>
-      Repair(t, tables(t)._2, s.name, s.value, maxes.getOrElse(t, 0L))
+      Repair(t, byUpper(t)._2, s.name, s.value, maxes.getOrElse(t, 0L))
     }
   }
 

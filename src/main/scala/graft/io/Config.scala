@@ -155,8 +155,27 @@ object Config {
       .empty[String, scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]]
     var section: String = null
     var entry: String = null
+    // comment strip must be quote-aware: a '#' inside a quoted scalar
+    // (passwords!) is data, and YAML only treats '#' as a comment when
+    // preceded by whitespace or at line start
+    def stripComment(l: String): String = {
+      var inS = false; var inD = false
+      var i = 0
+      while (i < l.length) {
+        l.charAt(i) match {
+          case '\'' if !inD => inS = !inS
+          case '"' if !inS => inD = !inD
+          case '#' if !inS && !inD &&
+            (i == 0 || Character.isWhitespace(l.charAt(i - 1))) =>
+            return l.substring(0, i)
+          case _ =>
+        }
+        i += 1
+      }
+      l
+    }
     text.split("\r?\n").foreach { raw =>
-      val line = raw.replaceAll("#.*$", "").replaceAll("\\s+$", "")
+      val line = stripComment(raw).replaceAll("\\s+$", "")
       if (line.trim.nonEmpty) {
         val indent = line.takeWhile(_ == ' ').length
         val body = line.trim
@@ -227,7 +246,11 @@ object Config {
     if (cfg.aliases.nonEmpty) {
       sb ++= "alias:\n"
       cfg.aliases.toSeq.sortBy(_._1).foreach { case (n, v) =>
-        sb ++= s"  $n: $v\n"
+        // quote credentials that could be mis-lexed (comments, quotes,
+        // edge whitespace) so the round trip is lossless
+        val needsQuote = v.exists(c => c == '#' || c == '\'' || c == '"') ||
+          v != v.trim
+        sb ++= (if (needsQuote) s"""  $n: "$v"\n""" else s"  $n: $v\n")
       }
     }
     sb.toString

@@ -133,18 +133,28 @@ object Security {
     def set(user: String, password: String): Unit = {
       val p = load()
       p.setProperty(user, password)
+      store(p)
+    }
+
+    /** Write owner-only (0700 dir, 0600 file) — the key store must not
+      * hand every local user the password that defeats the alias
+      * encryption. Non-POSIX filesystems skip the chmod. */
+    private def store(p: java.util.Properties): Unit = {
+      import java.nio.file.attribute.PosixFilePermissions
       java.nio.file.Files.createDirectories(file.getParent)
+      scala.util.Try(java.nio.file.Files.setPosixFilePermissions(
+        file.getParent, PosixFilePermissions.fromString("rwx------")))
       val out = java.nio.file.Files.newOutputStream(file)
       try p.store(out, "graft keyring stub") finally out.close()
+      scala.util.Try(java.nio.file.Files.setPosixFilePermissions(
+        file, PosixFilePermissions.fromString("rw-------")))
+      ()
     }
 
     def delete(user: String): Boolean = {
       val p = load()
       val had = p.remove(user) != null
-      if (had) {
-        val out = java.nio.file.Files.newOutputStream(file)
-        try p.store(out, "graft keyring stub") finally out.close()
-      }
+      if (had) store(p)
       had
     }
   }

@@ -341,8 +341,12 @@ object Xlsx {
                 case _ =>
               }
             }
-            // strip escapes/quoted sections, then look for y/m/d/h/s
-            val bare = code.replaceAll("\\\\.", "").replaceAll("\"[^\"]*\"", "")
+            // strip bracketed sections ([Red], [$-409]), escapes, and
+            // quoted literals before looking for y/m/d/h/s — openpyxl's
+            // is_date_format does the same, and without the bracket
+            // strip '#,##0;[Red]-#,##0' would read as a date format
+            val bare = code.replaceAll("\\[[^\\]]*\\]", "")
+              .replaceAll("\\\\.", "").replaceAll("\"[^\"]*\"", "")
             if (id >= 0 && bare.toLowerCase.exists("ymdhs".contains(_)))
               customDateFmts += id
           case "cellXfs" => inCellXfs = true; xfIdx = -1

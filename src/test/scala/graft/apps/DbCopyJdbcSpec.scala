@@ -122,5 +122,22 @@ class DbCopyJdbcSpec extends SparkSpec {
     val afterSync = Config.readJdbc(spark, r, "COPYT").collect()
       .map(row => row.getInt(0)).toSet
     assert(afterSync == Set(1, 2, 3), "sync must delete the orphan")
+
+    // skipUnchanged: the target now equals the source, so a content-
+    // diffed update executes ZERO statements (the reference would
+    // rewrite all three rows; this is the at-scale narrowing)
+    val res3 = DbCopy.applyJdbc(spark, src, r, "COPYT", "PK", DbCopy.Update,
+      skipUnchanged = true)
+    assert(res3 == DbCopy.ApplyResult(0, 0, 0), s"converged: $res3")
+    // mutate one row at the source → exactly one UPDATE executes
+    val src2 = graft.ops.Relational.upperCaseColumns(
+      Seq((1, "alpha", 10), (2, "beta3", 77), (3, "new", 30))
+        .toDF("pk", "name", "qty"))
+    val res4 = DbCopy.applyJdbc(spark, src2, r, "COPYT", "PK", DbCopy.Update,
+      skipUnchanged = true)
+    assert(res4 == DbCopy.ApplyResult(0, 1, 0), s"one changed row: $res4")
+    val after = Config.readJdbc(spark, r, "COPYT").collect()
+      .map(row => row.getInt(0) -> row.getString(1)).toMap
+    assert(after(2) == "beta3")
   }
 }

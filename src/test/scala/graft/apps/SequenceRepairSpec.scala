@@ -36,6 +36,15 @@ class SequenceRepairSpec extends SparkSpec {
     assert(!byTable("ITEMS").needed, "max 4 <= last_number 99")
   }
 
+  test("plan handles lowercase table names (case-normalized lookups)") {
+    val orders = Seq(1L, 2L, 50L).toDF("id")
+    val repairs = plan(
+      Map("orders" -> (orders, "id")),
+      Seq(("ORDERS_SEQ", 10L)))
+    assert(repairs.head.needed && repairs.head.maxPk == 50L)
+    assert(repairs.head.table == "ORDERS")
+  }
+
   test("repair statements match the reference dance (:85-95)") {
     val stmts = repairStatements(Repair("ORDERS", "ID", "ORDERS_SEQ", 10L, 50L))
     assert(stmts == Seq(

@@ -277,6 +277,34 @@ class XlsxSpec extends SparkSpec {
     assert(back("2") == ("1970-01-01", "1899-12-31"))
   }
 
+  test("red-negative custom numFmt is NOT a date style (bracket sections stripped)") {
+    // build a workbook whose styles carry '#,##0;[Red]-#,##0' (the 'd'
+    // in [Red] must not classify it as a date) at cellXf index 1 and a
+    // real date format at index 2; numeric cells styled 1 stay numbers
+    val p = Files.createTempFile("graft", ".xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+    def entry(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><numFmts count="2"><numFmt numFmtId="164" formatCode="#,##0;[Red]\-#,##0"/><numFmt numFmtId="165" formatCode="yyyy\-mm\-dd"/></numFmts><cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>N</t></is></c><c t="inlineStr"><is><t>D</t></is></c></row><row><c s="1"><v>1234</v></c><c s="2"><v>25569</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val row = Xlsx.read(spark, p).collect().head
+    assert(row.getString(0) == "1234", "red-negative styled number must stay a number")
+    assert(row.getString(1) == "1970-01-01", "the real date style still converts")
+  }
+
   test("serial helpers: round-trip through ms precision") {
     val ts = java.sql.Timestamp.valueOf("2024-02-29 23:59:59.123")
     val s = Xlsx.dateSerial(ts)

@@ -150,6 +150,34 @@ class SecuritySpec extends AnyFunSuite {
     } finally Security.uninstall()
   }
 
+  test("passwords containing '#' and quotes survive the dump/parse round trip") {
+    val cfg = Config.Conf(
+      servers = Map("db1" -> Config.Server("derby", "/tmp/db1")),
+      aliases = Map(
+        "hash" -> "scott/p#55@db1",          // '#' is data, not a comment
+        "quoted" -> "scott/it's#2@db1"),
+      encrypt = Some(false))
+    val redumped = Config.parseYaml(Config.dumpYaml(cfg))
+    assert(redumped.aliases("hash") == "scott/p#55@db1")
+    assert(redumped.aliases("quoted") == "scott/it's#2@db1")
+    // a REAL comment (whitespace before '#') still strips
+    val parsed = Config.parseYaml("alias:\n  a: scott/pw@db1  # prod creds\n")
+    assert(parsed.aliases("a") == "scott/pw@db1")
+  }
+
+  test("keyring file is written owner-only") {
+    val u = "perm-user-" + System.nanoTime()
+    Security.Keyring.set(u, "secret")
+    try {
+      val f = java.nio.file.Paths.get(
+        sys.props("user.home"), ".graft", "keyring.properties")
+      val perms = java.nio.file.Files.getPosixFilePermissions(f)
+      import java.nio.file.attribute.PosixFilePermission._
+      assert(!perms.contains(GROUP_READ) && !perms.contains(OTHERS_READ),
+        s"keyring must not be group/world readable: $perms")
+    } finally Security.Keyring.delete(u)
+  }
+
   test("config file with encrypt flag parses and dumps") {
     val yaml =
       """encrypt: false
