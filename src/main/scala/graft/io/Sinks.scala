@@ -108,7 +108,8 @@ object Sinks {
 
   /** XmlFormatter row renders for the three dialects
     * (`lwetl/formatter.py:294-438`). Framing (Document/Workbook open +
-    * close tags, header row) comes from [[xmlHeader]]/[[xmlFooter]]. */
+    * close tags, header row) comes from [[xmlDocOpen]]/[[xmlTableOpen]]
+    * and their close counterparts. */
   def xmlRowLines(df: DataFrame, dialect: String = "excel"): DataFrame = {
     val fields = df.schema.fields
     val row: Column = dialect match {
@@ -176,13 +177,6 @@ object Sinks {
     case _ => "</Workbook>"
   }
 
-  def xmlHeader(df: DataFrame, dialect: String = "excel",
-                sheetName: String = "Sheet1"): String =
-    xmlDocOpen(dialect) + xmlTableOpen(df, dialect, sheetName)
-
-  def xmlFooter(dialect: String = "excel"): String =
-    xmlTableClose(dialect) + xmlDocClose(dialect)
-
   // -------------------------------------------------- framed writer
 
   /** Write a rendered single-column frame as ONE text file with optional
@@ -247,9 +241,4 @@ object Sinks {
       }
   }
 
-  /** SqlFormatter one-shot (`lwetl/formatter.py:529-594`): the result
-    * set rendered as INSERT statements. */
-  def writeSqlInserts(df: DataFrame, table: String, path: String,
-                      d: SqlRender.Dialect = SqlRender.Ansi): Unit =
-    writeFramed(SqlRender.insertStatements(df, table, d), path)
 }
