@@ -165,10 +165,27 @@ object DbCopy {
     * narrows the UPDATE set to rows whose full-row md5 differs from the
     * target's, at the cost of one extra full-row target scan — the
     * right trade at scale when few rows actually change. */
+  /** Does `table` exist on the target (live driver metadata)? */
+  def jdbcTableExists(r: Config.Resolved, table: String): Boolean = {
+    val props = new java.util.Properties()
+    r.user.foreach(props.setProperty("user", _))
+    r.password.foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(r.url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
   def applyJdbc(spark: SparkSession, src: DataFrame, r: Config.Resolved,
                 table: String, pk: String, mode: Mode,
                 dialect: SqlRender.Dialect = SqlRender.Ansi,
                 skipUnchanged: Boolean = false): ApplyResult = {
+    if (!jdbcTableExists(r, table)) {
+      // first run: full copy — the Spark JDBC writer creates the table
+      Config.writeJdbc(src, r, table)
+      return ApplyResult(Config.readJdbc(spark, r, table).count(), 0L, 0L)
+    }
     val trgPk = Config.readJdbc(spark, r, table).select(col(pk))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -191,14 +208,19 @@ object DbCopy {
                 .filter(col("_src_ck") =!= col("_trg_ck"))
                 .drop("_src_ck", "_trg_ck")
             }
+          // range-partition by PK so concurrent DML transactions touch
+          // disjoint key (→ page) ranges — interleaved partitions
+          // deadlock row-store engines under load
           Uploader.executeJdbc(
-            SqlRender.updateStatements(toUpdate, table, Seq(pk), dialect), r)
+            SqlRender.updateStatements(
+              toUpdate.repartitionByRange(col(pk)), table, Seq(pk), dialect), r)
         }
       val deleted =
         if (mode != Sync) 0L
         else Uploader.executeJdbc(
           SqlRender.deleteStatements(
-            trgPk.join(src.select(pk), Seq(pk), "left_anti"), table, Seq(pk), dialect), r)
+            trgPk.join(src.select(pk), Seq(pk), "left_anti")
+              .repartitionByRange(col(pk)), table, Seq(pk), dialect), r)
       Config.writeJdbc(src.join(trgPk, Seq(pk), "left_anti"), r, table)
       val nFinal = Config.readJdbc(spark, r, table).count()
       ApplyResult(nFinal - nBefore + deleted, updated, deleted)

@@ -109,9 +109,11 @@ object SqlQueryMain {
   }
 }
 
-/** `db-copy <srcDir> <trgDir> [mode]` — copy all test tables in FK
-  * topological order, insert/update/sync per mode, parquet target
-  * (`lwetl/programs/db_copy/main.py` shape; counts reported per table). */
+/** `db-copy <srcDir> <trgDir-or-jdbc-url> [mode]` — copy all test
+  * tables in FK topological order, insert/update/sync per mode, to a
+  * parquet directory or (with a `jdbc:` target) a live database via
+  * executed DML (`lwetl/programs/db_copy/main.py` shape; new/upd/del
+  * counts reported per table). */
 object DbCopyMain {
 
   /** FK references of the TPC-H-ish test schema (target tables load
@@ -136,11 +138,24 @@ object DbCopyMain {
       case _ => DbCopy.Insert
     }
     val spark = Mains.session("graft-db-copy")
-    new java.io.File(trgDir).mkdirs()
     val order = DbCopy.topoOrder(References).filter(Pks.contains)
+    // a `jdbc:` target routes through the live-DML applier (the
+    // reference's native JDBC→JDBC loop); anything else is a parquet
+    // directory rebuild
+    val jdbcTarget: Option[graft.io.Config.Resolved] =
+      if (trgDir.startsWith("jdbc:"))
+        Some(graft.io.Config.Resolved(None, None,
+          trgDir.split(":")(1), None, trgDir, escape = false))
+      else { new java.io.File(trgDir).mkdirs(); None }
     order.foreach { t =>
       val src = Tables.load(spark, srcDir, t)
-      val res = DbCopy.applyParquet(spark, src, s"$trgDir/$t.parquet", Pks(t), mode)
+      val res = jdbcTarget match {
+        case Some(r) =>
+          val up = graft.ops.Relational.upperCaseColumns(src)
+          DbCopy.applyJdbc(spark, up, r, t.toUpperCase, Pks(t).toUpperCase, mode)
+        case None =>
+          DbCopy.applyParquet(spark, src, s"$trgDir/$t.parquet", Pks(t), mode)
+      }
       println(s"[db-copy] $t: new: ${res.inserted}, upd: ${res.updated}, " +
         s"del: ${res.deleted} (mode=$mode)")
     }

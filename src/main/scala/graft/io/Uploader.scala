@@ -102,11 +102,18 @@ object Uploader {
     * connection per partition, statements batched `batchSize` at a time —
     * the distributed execution of the pipe-mode DML stream (the
     * reference's per-row `uploader.update`/chunked DELETE loop,
-    * `lwetl/uploader.py:412-435`, `db_copy/main.py:362-380`). Returns the
-    * number of statements executed (counted via accumulator — the frame
+    * `lwetl/uploader.py:412-435`, `db_copy/main.py:362-380`).
+    *
+    * Each batch is its own transaction, and a batch that dies with a
+    * transient serialization/deadlock state (SQLState 40xxx — two
+    * partitions updating rows on the same page in opposite orders WILL
+    * deadlock eventually) rolls back and retries with backoff; callers
+    * should also range-partition the statements by key so concurrent
+    * transactions touch disjoint page ranges (see DbCopy.applyJdbc).
+    * Returns the number of statements executed (accumulator — the frame
     * is evaluated exactly once). */
   def executeJdbc(stmts: DataFrame, r: Config.Resolved,
-                  batchSize: Int = 500): Long = {
+                  batchSize: Int = 500, maxRetries: Int = 5): Long = {
     val acc = stmts.sparkSession.sparkContext.longAccumulator("graft.dml")
     val (url, user, pass) = (r.url, r.user, r.password)
     stmts.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -118,16 +125,36 @@ object Uploader {
         try {
           conn.setAutoCommit(false)
           val st = conn.createStatement()
-          var inBatch = 0
-          rows.foreach { row =>
-            st.addBatch(row.getString(0))
-            inBatch += 1
-            if (inBatch >= batchSize) {
-              acc.add(st.executeBatch().length.toLong); inBatch = 0
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          def transient(e: java.sql.SQLException): Boolean =
+            Iterator.iterate(e)(_.getNextException).takeWhile(_ != null).take(5)
+              .exists(x => Option(x.getSQLState).exists(_.startsWith("40")))
+          def flush(): Unit = if (buf.nonEmpty) {
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try {
+                buf.foreach(st.addBatch)
+                val n = st.executeBatch().length.toLong
+                conn.commit()
+                acc.add(n)
+                done = true
+              } catch {
+                case e: java.sql.SQLException if attempt < maxRetries && transient(e) =>
+                  conn.rollback(); st.clearBatch()
+                  attempt += 1
+                  Thread.sleep(25L << attempt)
+                case e: Throwable =>
+                  conn.rollback(); throw e
+              }
             }
+            buf.clear()
           }
-          if (inBatch > 0) acc.add(st.executeBatch().length.toLong)
-          conn.commit()
+          rows.foreach { row =>
+            buf += row.getString(0)
+            if (buf.size >= batchSize) flush()
+          }
+          flush()
           st.close()
         } finally conn.close()
       }

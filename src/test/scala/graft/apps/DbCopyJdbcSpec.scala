@@ -44,6 +44,31 @@ class DbCopyJdbcSpec extends SparkSpec {
     assert(plan3.toDelete.get.count() == 2)
   }
 
+  test("DbCopyMain with a jdbc: target runs the full FK-ordered live copy") {
+    graft.apps.Mains.keepSessionForTests = true
+    val dbDir = java.nio.file.Files.createTempDirectory("graftdbmain")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    // first run: creates + full-copies every table
+    DbCopyMain.main(Array(sf(), url, "insert"))
+    val cfg = Config.Conf(
+      drivers = Map("derby" -> Config.Driver("jdbc:derby:")),
+      servers = Map("t" -> Config.Server("derby", s"$dbDir/db")))
+    val r = Config.parseLogin(cfg, "t")
+    assert(Config.readJdbc(spark, r, "NATION").count() == 25)
+    assert(Config.readJdbc(spark, r, "REGION").count() == 5)
+    // second run converges: no new rows anywhere
+    DbCopyMain.main(Array(sf(), url, "insert"))
+    assert(Config.readJdbc(spark, r, "NATION").count() == 25)
+    // sync applies a live UPDATE when the target drifts
+    val st = java.sql.DriverManager.getConnection(url).createStatement()
+    st.execute("UPDATE NATION SET N_NAME = 'DRIFTED' WHERE N_NATIONKEY = 0")
+    st.close()
+    DbCopyMain.main(Array(sf(), url, "sync"))
+    val n0 = Config.readJdbc(spark, r,
+      "SELECT N_NAME FROM NATION WHERE N_NATIONKEY = 0").head().getString(0)
+    assert(n0 != "DRIFTED", "sync must repair the drifted row")
+  }
+
   test("partitioned-range JDBC read driven by live PK metadata (parallel scan)") {
     val dbDir = java.nio.file.Files.createTempDirectory("graftdb4")
     val url = s"jdbc:derby:$dbDir/db;create=true"
