@@ -59,19 +59,25 @@ object DbCopy {
   case class TablePlan(toInsert: DataFrame, toUpdate: Option[DataFrame],
                        toDelete: Option[DataFrame])
 
-  /** Build the per-table plan (`db_copy/main.py:260-316,362-391`). */
-  def plan(src: DataFrame, trg: DataFrame, pk: String, mode: Mode): TablePlan =
+  /** Build the per-table plan (`db_copy/main.py:260-316,362-391`).
+    * `pks` supports composite keys — lineitem's identity is
+    * (l_orderkey, l_linenumber); keying on a prefix would make the
+    * per-row DML paths overwrite sibling rows. */
+  def plan(src: DataFrame, trg: DataFrame, pks: Seq[String], mode: Mode): TablePlan =
     mode match {
       case Insert =>
-        TablePlan(Relational.newRows(src, trg, pk), None, None)
+        TablePlan(Relational.newRows(src, trg, pks), None, None)
       case Update =>
-        TablePlan(Relational.newRows(src, trg, pk),
-          Some(Relational.existingRows(src, trg, pk)), None)
+        TablePlan(Relational.newRows(src, trg, pks),
+          Some(Relational.existingRows(src, trg, pks)), None)
       case Sync =>
-        TablePlan(Relational.newRows(src, trg, pk),
-          Some(Relational.existingRows(src, trg, pk)),
-          Some(Relational.orphans(src, trg, pk)))
+        TablePlan(Relational.newRows(src, trg, pks),
+          Some(Relational.existingRows(src, trg, pks)),
+          Some(Relational.orphans(src, trg, pks)))
     }
+
+  def plan(src: DataFrame, trg: DataFrame, pk: String, mode: Mode): TablePlan =
+    plan(src, trg, Seq(pk), mode)
 
   /** `--fast` heuristic (`db_copy/main.py:271-276,300-303`): only rows
     * beyond the target's max PK. Degenerates to a pushed-down range
@@ -108,7 +114,7 @@ object DbCopy {
     * plus at most that one PK-projection overlap count — never by
     * re-running the join that produced the data. */
   def applyParquet(spark: SparkSession, src: DataFrame, trgPath: String,
-                   pk: String, mode: Mode): ApplyResult = {
+                   pks: Seq[String], mode: Mode): ApplyResult = {
     def metaCount(path: String): Long = spark.read.parquet(path).count()
     if (!new java.io.File(trgPath).exists()) {
       src.write.parquet(trgPath)
@@ -119,10 +125,10 @@ object DbCopy {
     val tmp = trgPath + ".rebuild"
     mode match {
       case Insert =>
-        Relational.newRows(src, trg, pk).write.mode("append").parquet(trgPath)
+        Relational.newRows(src, trg, pks).write.mode("append").parquet(trgPath)
         ApplyResult(metaCount(trgPath) - nBefore, 0L, 0L)
       case Update =>
-        trg.join(src.select(pk), Seq(pk), "left_anti")
+        trg.join(src.select(pks.map(col): _*), pks, "left_anti")
           .unionByName(src)
           .write.mode("overwrite").parquet(tmp)
         val nAfter = metaCount(tmp)
@@ -131,13 +137,18 @@ object DbCopy {
         val nNew = nAfter - nBefore
         ApplyResult(nNew, nSrc - nNew, 0L)
       case Sync =>
-        val overlap = Relational.existingRows(src.select(pk), trg, pk).count()
+        val overlap = Relational.existingRows(
+          src.select(pks.map(col): _*), trg, pks).count()
         src.write.mode("overwrite").parquet(tmp)
         val nSrc = metaCount(tmp)
         swapDirs(tmp, trgPath)
         ApplyResult(nSrc - overlap, overlap, nBefore - overlap)
     }
   }
+
+  def applyParquet(spark: SparkSession, src: DataFrame, trgPath: String,
+                   pk: String, mode: Mode): ApplyResult =
+    applyParquet(spark, src, trgPath, Seq(pk), mode)
 
   /** Replace `dst` with `tmp` (delete-then-rename; the brief non-atomic
     * window is the same one any non-transactional file sink has — a
@@ -172,58 +183,85 @@ object DbCopy {
     r.password.foreach(props.setProperty("password", _))
     val conn = java.sql.DriverManager.getConnection(r.url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
+      val md = conn.getMetaData
+      // getTables takes a LIKE pattern: escape _/% so MY_TABLE does not
+      // match MYXTABLE
+      val esc = md.getSearchStringEscape
+      val pattern = table.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getTables(null, null, pattern, Array("TABLE"))
       try rs.next() finally rs.close()
     } finally conn.close()
   }
 
+  /** Null-safe, delimiter-safe full-row digest for change detection:
+    * md5 over the JSON encoding with nulls kept. `rowChecksum`'s
+    * concat_ws drops NULLs (faithful to the reference's md5 example),
+    * which would collide (NULL,'x') with ('x',NULL) — unacceptable as
+    * an equality predicate. */
+  private def nullSafeChecksum(df: DataFrame, cols: Seq[String],
+                               out: String): DataFrame =
+    df.withColumn(out, md5(to_json(
+      struct(cols.map(col): _*), Map("ignoreNullFields" -> "false"))))
+
   def applyJdbc(spark: SparkSession, src: DataFrame, r: Config.Resolved,
-                table: String, pk: String, mode: Mode,
-                dialect: SqlRender.Dialect = SqlRender.Ansi,
-                skipUnchanged: Boolean = false): ApplyResult = {
+                table: String, pks: Seq[String], mode: Mode,
+                dialect: SqlRender.Dialect,
+                skipUnchanged: Boolean): ApplyResult = {
     if (!jdbcTableExists(r, table)) {
       // first run: full copy — the Spark JDBC writer creates the table
       Config.writeJdbc(src, r, table)
       return ApplyResult(Config.readJdbc(spark, r, table).count(), 0L, 0L)
     }
-    val trgPk = Config.readJdbc(spark, r, table).select(col(pk))
+    val pkCols = pks.map(col)
+    val trgPk = Config.readJdbc(spark, r, table).select(pkCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nBefore = trgPk.count() // materializes the snapshot
-      val wantUpdate = mode != Insert
       val updated =
-        if (!wantUpdate) 0L
+        if (mode == Insert) 0L
         else {
-          val existing = src.join(trgPk, Seq(pk), "left_semi")
-          val toUpdate =
+          val existing = src.join(trgPk, pks, "left_semi")
+          val toUpdate0 =
             if (!skipUnchanged) existing
             else {
               val cols = src.columns.toSeq
-              val trgCk = Relational.rowChecksum(
+              val trgCk = nullSafeChecksum(
                   Config.readJdbc(spark, r, table).select(cols.map(col): _*),
                   cols, "_trg_ck")
-                .select(col(pk), col("_trg_ck"))
-              Relational.rowChecksum(existing, cols, "_src_ck")
-                .join(trgCk, Seq(pk))
+                .select(pkCols :+ col("_trg_ck"): _*)
+              nullSafeChecksum(existing, cols, "_src_ck")
+                .join(trgCk, pks)
                 .filter(col("_src_ck") =!= col("_trg_ck"))
                 .drop("_src_ck", "_trg_ck")
             }
-          // range-partition by PK so concurrent DML transactions touch
-          // disjoint key (→ page) ranges — interleaved partitions
-          // deadlock row-store engines under load
-          Uploader.executeJdbc(
+          // persist BEFORE range partitioning: the RangePartitioner's
+          // sampling job would otherwise evaluate the (target-scanning)
+          // lineage a second time. Range partitioning by key keeps
+          // concurrent DML transactions on disjoint key (→ page) ranges
+          // — interleaved partitions deadlock row-store engines.
+          val toUpdate = toUpdate0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try Uploader.executeJdbc(
             SqlRender.updateStatements(
-              toUpdate.repartitionByRange(col(pk)), table, Seq(pk), dialect), r)
+              toUpdate.repartitionByRange(pkCols: _*), table, pks, dialect), r)
+          finally { toUpdate.unpersist(); () }
         }
       val deleted =
         if (mode != Sync) 0L
         else Uploader.executeJdbc(
           SqlRender.deleteStatements(
-            trgPk.join(src.select(pk), Seq(pk), "left_anti")
-              .repartitionByRange(col(pk)), table, Seq(pk), dialect), r)
-      Config.writeJdbc(src.join(trgPk, Seq(pk), "left_anti"), r, table)
+            trgPk.join(src.select(pkCols: _*), pks, "left_anti")
+              .repartitionByRange(pkCols: _*), table, pks, dialect), r)
+      Config.writeJdbc(src.join(trgPk, pks, "left_anti"), r, table)
       val nFinal = Config.readJdbc(spark, r, table).count()
       ApplyResult(nFinal - nBefore + deleted, updated, deleted)
     } finally { trgPk.unpersist(); () }
   }
+
+  def applyJdbc(spark: SparkSession, src: DataFrame, r: Config.Resolved,
+                table: String, pk: String, mode: Mode,
+                dialect: SqlRender.Dialect = SqlRender.Ansi,
+                skipUnchanged: Boolean = false): ApplyResult =
+    applyJdbc(spark, src, r, table, Seq(pk), mode, dialect, skipUnchanged)
 }

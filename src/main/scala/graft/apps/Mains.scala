@@ -124,11 +124,14 @@ object DbCopyMain {
     "lineitem" -> Set("orders", "part", "supplier"),
     "region" -> Set.empty, "part" -> Set.empty)
 
-  val Pks: Map[String, String] = Map(
-    "region" -> "r_regionkey", "nation" -> "n_nationkey",
-    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
-    "part" -> "p_partkey", "orders" -> "o_orderkey",
-    "lineitem" -> "l_orderkey")
+  /** Row identity per table. lineitem's is COMPOSITE — keying the
+    * per-row DML on l_orderkey alone would make every UPDATE overwrite
+    * all sibling line items of the order. */
+  val Pks: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, trgDir, rest @ _*) = args.toSeq.toArray: @unchecked
@@ -143,16 +146,23 @@ object DbCopyMain {
     // reference's native JDBC→JDBC loop); anything else is a parquet
     // directory rebuild
     val jdbcTarget: Option[graft.io.Config.Resolved] =
-      if (trgDir.startsWith("jdbc:"))
-        Some(graft.io.Config.Resolved(None, None,
-          trgDir.split(":")(1), None, trgDir, escape = false))
-      else { new java.io.File(trgDir).mkdirs(); None }
+      if (trgDir.startsWith("jdbc:")) {
+        val dbType = trgDir.stripPrefix("jdbc:").takeWhile(_ != ':')
+        if (dbType.isEmpty) {
+          System.err.println(s"ERROR: malformed JDBC url: $trgDir")
+          sys.exit(1)
+        }
+        Some(graft.io.Config.Resolved(None, None, dbType, None, trgDir,
+          escape = false))
+      } else { new java.io.File(trgDir).mkdirs(); None }
     order.foreach { t =>
       val src = Tables.load(spark, srcDir, t)
       val res = jdbcTarget match {
         case Some(r) =>
           val up = graft.ops.Relational.upperCaseColumns(src)
-          DbCopy.applyJdbc(spark, up, r, t.toUpperCase, Pks(t).toUpperCase, mode)
+          DbCopy.applyJdbc(spark, up, r, t.toUpperCase,
+            Pks(t).map(_.toUpperCase), mode, graft.io.SqlRender.Ansi,
+            skipUnchanged = false)
         case None =>
           DbCopy.applyParquet(spark, src, s"$trgDir/$t.parquet", Pks(t), mode)
       }

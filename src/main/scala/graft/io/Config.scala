@@ -157,16 +157,25 @@ object Config {
     var entry: String = null
     // comment strip must be quote-aware: a '#' inside a quoted scalar
     // (passwords!) is data, and YAML only treats '#' as a comment when
-    // preceded by whitespace or at line start
+    // preceded by whitespace or at line start. A quote only OPENS a
+    // quoted region at the start of a token (YAML: a mid-scalar
+    // apostrophe like it's-pw is plain data).
     def stripComment(l: String): String = {
-      var inS = false; var inD = false
+      var quote: Char = 0
       var i = 0
       while (i < l.length) {
-        l.charAt(i) match {
-          case '\'' if !inD => inS = !inS
-          case '"' if !inS => inD = !inD
-          case '#' if !inS && !inD &&
-            (i == 0 || Character.isWhitespace(l.charAt(i - 1))) =>
+        val c = l.charAt(i)
+        if (quote != 0) {
+          if (c == quote) {
+            // a doubled '' inside single quotes is an escaped quote,
+            // not a close — consume both and stay quoted
+            if (quote == '\'' && i + 1 < l.length && l.charAt(i + 1) == '\'') i += 1
+            else quote = 0
+          }
+        } else c match {
+          case '\'' | '"' if i == 0 || l.charAt(i - 1) == ':' ||
+            Character.isWhitespace(l.charAt(i - 1)) => quote = c
+          case '#' if i == 0 || Character.isWhitespace(l.charAt(i - 1)) =>
             return l.substring(0, i)
           case _ =>
         }
@@ -247,17 +256,22 @@ object Config {
       sb ++= "alias:\n"
       cfg.aliases.toSeq.sortBy(_._1).foreach { case (n, v) =>
         // quote credentials that could be mis-lexed (comments, quotes,
-        // edge whitespace) so the round trip is lossless
+        // edge whitespace) so the round trip is lossless — YAML single
+        // quotes with '' doubling, which stripQuotes undoes exactly
         val needsQuote = v.exists(c => c == '#' || c == '\'' || c == '"') ||
           v != v.trim
-        sb ++= (if (needsQuote) s"""  $n: "$v"\n""" else s"  $n: $v\n")
+        sb ++= (if (needsQuote) s"  $n: '${v.replace("'", "''")}'\n"
+                else s"  $n: $v\n")
       }
     }
     sb.toString
   }
 
   private def stripQuotes(s: String): String =
-    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      // YAML single-quote escaping doubles the quote
+      s.substring(1, s.length - 1).replace("''", "'")
+    else if (s.length >= 2 && s.head == '"' && s.last == '"')
       s.substring(1, s.length - 1)
     else s
 

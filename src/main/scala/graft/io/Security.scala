@@ -138,16 +138,23 @@ object Security {
 
     /** Write owner-only (0700 dir, 0600 file) — the key store must not
       * hand every local user the password that defeats the alias
-      * encryption. Non-POSIX filesystems skip the chmod. */
+      * encryption. The file is CREATED with owner-only permissions
+      * before any secret byte is written (a chmod after the write
+      * would leave a world-readable window under umask 022); non-POSIX
+      * filesystems fall back to a plain create. */
     private def store(p: java.util.Properties): Unit = {
       import java.nio.file.attribute.PosixFilePermissions
       java.nio.file.Files.createDirectories(file.getParent)
       scala.util.Try(java.nio.file.Files.setPosixFilePermissions(
         file.getParent, PosixFilePermissions.fromString("rwx------")))
-      val out = java.nio.file.Files.newOutputStream(file)
-      try p.store(out, "graft keyring stub") finally out.close()
+      if (!java.nio.file.Files.exists(file))
+        scala.util.Try(java.nio.file.Files.createFile(file,
+          PosixFilePermissions.asFileAttribute(
+            PosixFilePermissions.fromString("rw-------"))))
       scala.util.Try(java.nio.file.Files.setPosixFilePermissions(
         file, PosixFilePermissions.fromString("rw-------")))
+      val out = java.nio.file.Files.newOutputStream(file)
+      try p.store(out, "graft keyring stub") finally out.close()
       ()
     }
 

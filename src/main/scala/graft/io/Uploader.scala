@@ -145,7 +145,10 @@ object Uploader {
                   attempt += 1
                   Thread.sleep(25L << attempt)
                 case e: Throwable =>
-                  conn.rollback(); throw e
+                  // a dead connection makes rollback itself throw —
+                  // never let that mask the root cause
+                  scala.util.Try(conn.rollback())
+                  throw e
               }
             }
             buf.clear()

@@ -54,23 +54,33 @@ object Relational {
   def rowChecksum(df: DataFrame, cols: Seq[String], out: String = "row_md5"): DataFrame =
     df.withColumn(out, md5(concat_ws(";", cols.map(c => col(c).cast("string")): _*)))
 
-  /** New-rows detection: source rows whose PK is absent from the target —
+  /** New-rows detection: source rows whose key is absent from the target —
     * the db-copy insert path (`lwetl/programs/db_copy/main.py:260-268,296-316`).
     * The reference loads the full target PK set into client memory; here the
-    * PK projection broadcasts when small, else a shuffled anti-join. */
+    * key projection broadcasts when small, else a shuffled anti-join.
+    * Composite keys (lineitem!) pass every column. */
+  def newRows(src: DataFrame, trg: DataFrame, pks: Seq[String]): DataFrame =
+    src.join(trg.select(pks.map(col): _*), pks, "left_anti")
+
   def newRows(src: DataFrame, trg: DataFrame, pk: String): DataFrame =
-    src.join(trg.select(pk), Seq(pk), "left_anti")
+    newRows(src, trg, Seq(pk))
 
   /** Rows already present in the target — the db-copy update path
     * (`lwetl/programs/db_copy/main.py:296-316`). */
+  def existingRows(src: DataFrame, trg: DataFrame, pks: Seq[String]): DataFrame =
+    src.join(trg.select(pks.map(col): _*), pks, "left_semi")
+
   def existingRows(src: DataFrame, trg: DataFrame, pk: String): DataFrame =
-    src.join(trg.select(pk), Seq(pk), "left_semi")
+    existingRows(src, trg, Seq(pk))
 
   /** Set-difference delete (db-copy `sync` mode,
-    * `lwetl/programs/db_copy/main.py:362-391`): target PKs absent from
+    * `lwetl/programs/db_copy/main.py:362-391`): target keys absent from
     * the source. */
+  def orphans(src: DataFrame, trg: DataFrame, pks: Seq[String]): DataFrame =
+    trg.join(src.select(pks.map(col): _*), pks, "left_anti")
+
   def orphans(src: DataFrame, trg: DataFrame, pk: String): DataFrame =
-    trg.join(src.select(pk), Seq(pk), "left_anti")
+    orphans(src, trg, Seq(pk))
 
   /** Full upsert plan (db-copy mode=update): (toInsert, toUpdate). */
   def upsertPlan(src: DataFrame, trg: DataFrame, pk: String): (DataFrame, DataFrame) =

@@ -69,6 +69,28 @@ class DbCopyJdbcSpec extends SparkSpec {
     assert(n0 != "DRIFTED", "sync must repair the drifted row")
   }
 
+  test("composite-key update keeps sibling rows distinct (lineitem shape)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graftdbck")
+    val cfg = Config.Conf(
+      drivers = Map("derby" -> Config.Driver("jdbc:derby:")),
+      servers = Map("t" -> Config.Server("derby", s"$dbDir/db;create=true")))
+    val r = Config.parseLogin(cfg, "t")
+    // two line items of the same order: keying on OK alone would make
+    // each UPDATE hit BOTH rows and the last statement win
+    val trg0 = graft.ops.Relational.upperCaseColumns(Seq(
+      (1, 1, 10.0), (1, 2, 20.0), (2, 1, 30.0)).toDF("ok", "ln", "qty"))
+    Config.writeJdbc(trg0, r, "LITEMS")
+    val src = graft.ops.Relational.upperCaseColumns(Seq(
+      (1, 1, 11.0), (1, 2, 22.0), (2, 1, 30.0)).toDF("ok", "ln", "qty"))
+    val res = DbCopy.applyJdbc(spark, src, r, "LITEMS", Seq("OK", "LN"),
+      DbCopy.Update, graft.io.SqlRender.Ansi, skipUnchanged = false)
+    assert(res.inserted == 0 && res.updated == 3)
+    val got = Config.readJdbc(spark, r, "LITEMS").collect()
+      .map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2)).toMap
+    assert(got == Map((1, 1) -> 11.0, (1, 2) -> 22.0, (2, 1) -> 30.0),
+      s"sibling rows must keep their own values: $got")
+  }
+
   test("partitioned-range JDBC read driven by live PK metadata (parallel scan)") {
     val dbDir = java.nio.file.Files.createTempDirectory("graftdb4")
     val url = s"jdbc:derby:$dbDir/db;create=true"

@@ -163,6 +163,13 @@ class SecuritySpec extends AnyFunSuite {
     // a REAL comment (whitespace before '#') still strips
     val parsed = Config.parseYaml("alias:\n  a: scott/pw@db1  # prod creds\n")
     assert(parsed.aliases("a") == "scott/pw@db1")
+    // a mid-scalar apostrophe is plain data — the later comment strips
+    val apostrophe = Config.parseYaml("alias:\n  a: scott/it's-pw@db1  # prod\n")
+    assert(apostrophe.aliases("a") == "scott/it's-pw@db1")
+    // password containing a quote AND ' #' survives via '' escaping
+    val nasty = Config.Conf(aliases = Map("n" -> "u/p' #x@db1"),
+      encrypt = Some(false))
+    assert(Config.parseYaml(Config.dumpYaml(nasty)).aliases("n") == "u/p' #x@db1")
   }
 
   test("keyring file is written owner-only") {
