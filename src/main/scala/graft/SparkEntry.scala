@@ -545,6 +545,33 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  /** `--fast` heuristic through the gate (DbCopy.fastNewRows): only
+    * rows beyond the target's max PK — the pushed-down range filter the
+    * reference's fast update degenerates to. Target = the orders with
+    * o_orderkey <= 10000, so the source rows beyond that bound are the
+    * deterministic answer. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    graft.apps.DbCopy.fastNewRows(orders, orders.filter(col("o_orderkey") <= 10000),
+        "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CSV sink → source round trip through the gate: nation written by
+    * the distributed csv sink (`;`, header, empty≡NULL) and re-imported
+    * by CsvImport must value-match the table (as strings — csv carries
+    * no types; the cast-DSL is q22's subject). */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_q60_csv_${d.replaceAll("[^a-z0-9.]", "_")}.csv"
+    val nation = T(s, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    graft.io.Sinks.writeFramed(graft.io.Sinks.csvLine(nation, ";"), out,
+      header = Some(nation.columns.mkString(";")))
+    graft.io.CsvImport.read(s, out, delimiter = ";")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey").cast("int"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -615,6 +642,8 @@ object SparkEntry {
     "q56_cube" -> (q56 _),
     "q57_stream_static_enrich" -> (q57 _),
     "q58_assign_pk" -> (q58 _),
+    "q59_fast_new_rows" -> (q59 _),
+    "q60_csv_round_trip" -> (q60 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1038,5 +1067,15 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            100 + row_number() OVER (ORDER BY n_name) AS pk
          FROM nation ORDER BY n_nationkey""",
+    "q59_fast_new_rows" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders
+                             WHERE o_orderkey <= 10000)
+         ORDER BY o_orderkey""",
+    // csv carries no types: the round trip compares the string forms
+    "q60_csv_round_trip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+           CAST(n_regionkey AS VARCHAR) AS n_regionkey
+         FROM nation ORDER BY CAST(n_nationkey AS INT)""",
   )
 }
