@@ -562,7 +562,9 @@ object SparkEntry {
     * by CsvImport must value-match the table (as strings — csv carries
     * no types; the cast-DSL is q22's subject). */
   private def q60(s: SparkSession, d: String): DataFrame = {
-    val out = s"/tmp/graft_q60_csv_${d.replaceAll("[^a-z0-9.]", "_")}.csv"
+    // pid-scoped path: two concurrent gate processes on the same
+    // dataset must not truncate each other's file mid-read
+    val out = s"/tmp/graft_q60_csv_${d.replaceAll("[^a-z0-9.]", "_")}_${ProcessHandle.current.pid}.csv"
     val nation = T(s, d, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     graft.io.Sinks.writeFramed(graft.io.Sinks.csvLine(nation, ";"), out,
@@ -1069,8 +1071,8 @@ object SparkEntry {
          FROM nation ORDER BY n_nationkey""",
     "q59_fast_new_rows" ->
       """SELECT o_orderkey, o_custkey FROM orders
-         WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders
-                             WHERE o_orderkey <= 10000)
+         WHERE o_orderkey > COALESCE((SELECT max(o_orderkey) FROM orders
+                                      WHERE o_orderkey <= 10000), -1)
          ORDER BY o_orderkey""",
     // csv carries no types: the round trip compares the string forms
     "q60_csv_round_trip" ->

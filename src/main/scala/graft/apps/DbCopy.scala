@@ -176,20 +176,33 @@ object DbCopy {
     * narrows the UPDATE set to rows whose full-row md5 differs from the
     * target's, at the cost of one extra full-row target scan — the
     * right trade at scale when few rows actually change. */
-  /** Does `table` exist on the target (live driver metadata)? */
+  /** Does `table` exist on the target (live driver metadata)? The name
+    * is folded to the engine's stored-identifier case first (metadata
+    * lookups are exact-case where SQL resolution is not — a lowercase
+    * caller name must still find the uppercase-stored table, or the
+    * create-on-first-run branch would duplicate every row), wildcards
+    * are escaped, and the resolved schema restricts the search when
+    * known. */
   def jdbcTableExists(r: Config.Resolved, table: String): Boolean = {
-    val props = new java.util.Properties()
-    r.user.foreach(props.setProperty("user", _))
-    r.password.foreach(props.setProperty("password", _))
-    val conn = java.sql.DriverManager.getConnection(r.url, props)
+    val conn = java.sql.DriverManager.getConnection(r.url, Config.connectionProps(r))
     try {
       val md = conn.getMetaData
+      val folded =
+        if (md.storesUpperCaseIdentifiers) table.toUpperCase
+        else if (md.storesLowerCaseIdentifiers) table.toLowerCase
+        else table
       // getTables takes a LIKE pattern: escape _/% so MY_TABLE does not
       // match MYXTABLE
       val esc = md.getSearchStringEscape
-      val pattern = table.replace(esc, esc + esc)
+      def pat(s: String) = s.replace(esc, esc + esc)
         .replace("_", esc + "_").replace("%", esc + "%")
-      val rs = md.getTables(null, null, pattern, Array("TABLE"))
+      // only oracle's Resolved.schema is an actual schema (the user);
+      // elsewhere it is the URL-derived database name — filtering on it
+      // would find nothing and re-trigger the first-run copy
+      val schemaPat =
+        if (r.dbType == "oracle") r.schema.map(x => pat(x.toUpperCase)).orNull
+        else null
+      val rs = md.getTables(null, schemaPat, pat(folded), Array("TABLE"))
       try rs.next() finally rs.close()
     } finally conn.close()
   }
@@ -249,10 +262,17 @@ object DbCopy {
         }
       val deleted =
         if (mode != Sync) 0L
-        else Uploader.executeJdbc(
-          SqlRender.deleteStatements(
-            trgPk.join(src.select(pkCols: _*), pks, "left_anti")
-              .repartitionByRange(pkCols: _*), table, pks, dialect), r)
+        else {
+          // persist before range partitioning for the same reason as
+          // the update path: the boundary-sampling job would otherwise
+          // run the anti-join lineage twice
+          val orphanKeys = trgPk.join(src.select(pkCols: _*), pks, "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try Uploader.executeJdbc(
+            SqlRender.deleteStatements(
+              orphanKeys.repartitionByRange(pkCols: _*), table, pks, dialect), r)
+          finally { orphanKeys.unpersist(); () }
+        }
       Config.writeJdbc(src.join(trgPk, pks, "left_anti"), r, table)
       val nFinal = Config.readJdbc(spark, r, table).count()
       ApplyResult(nFinal - nBefore + deleted, updated, deleted)

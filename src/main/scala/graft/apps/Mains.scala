@@ -148,10 +148,9 @@ object DbCopyMain {
     val jdbcTarget: Option[graft.io.Config.Resolved] =
       if (trgDir.startsWith("jdbc:")) {
         val dbType = trgDir.stripPrefix("jdbc:").takeWhile(_ != ':')
-        if (dbType.isEmpty) {
-          System.err.println(s"ERROR: malformed JDBC url: $trgDir")
-          sys.exit(1)
-        }
+        if (dbType.isEmpty)
+          // throw, not sys.exit: these mains also run in-process
+          throw new IllegalArgumentException(s"malformed JDBC url: $trgDir")
         Some(graft.io.Config.Resolved(None, None, dbType, None, trgDir,
           escape = false))
       } else { new java.io.File(trgDir).mkdirs(); None }

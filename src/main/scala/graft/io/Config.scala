@@ -129,17 +129,24 @@ object Config {
     }
   }
 
+  /** Connection Properties (user/password/driver class) for a resolved
+    * login — the one place this trio is assembled. */
+  def connectionProps(r: Resolved): java.util.Properties = {
+    val props = new java.util.Properties()
+    r.user.foreach(props.setProperty("user", _))
+    r.password.foreach(props.setProperty("password", _))
+    val cls = cfgDriverClass(r.dbType)
+    if (cls.nonEmpty) props.setProperty("driver", cls)
+    props
+  }
+
   /** Batched JDBC append — the MultiParameterUploader/executemany path
     * (`lwetl/uploader.py:644-698`): Spark's JDBC writer batches
     * `batchsize` rows per executeBatch, per partition (the reference's
     * commit-every-N becomes per-partition transactions). */
   def writeJdbc(df: DataFrame, r: Resolved, table: String,
                 batchSize: Int = 1000): Unit = {
-    val props = new java.util.Properties()
-    r.user.foreach(props.setProperty("user", _))
-    r.password.foreach(props.setProperty("password", _))
-    val cls = cfgDriverClass(r.dbType)
-    if (cls.nonEmpty) props.setProperty("driver", cls)
+    val props = connectionProps(r)
     props.setProperty("batchsize", batchSize.toString)
     df.write.mode("append").jdbc(r.url, table, props)
   }

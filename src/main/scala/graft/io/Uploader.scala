@@ -115,20 +115,27 @@ object Uploader {
   def executeJdbc(stmts: DataFrame, r: Config.Resolved,
                   batchSize: Int = 500, maxRetries: Int = 5): Long = {
     val acc = stmts.sparkSession.sparkContext.longAccumulator("graft.dml")
-    val (url, user, pass) = (r.url, r.user, r.password)
+    val resolved = r
     stmts.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
-        val props = new java.util.Properties()
-        user.foreach(props.setProperty("user", _))
-        pass.foreach(props.setProperty("password", _))
-        val conn = java.sql.DriverManager.getConnection(url, props)
+        val conn = java.sql.DriverManager.getConnection(
+          resolved.url, Config.connectionProps(resolved))
         try {
           conn.setAutoCommit(false)
           val st = conn.createStatement()
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          def transient(e: java.sql.SQLException): Boolean =
-            Iterator.iterate(e)(_.getNextException).takeWhile(_ != null).take(5)
-              .exists(x => Option(x.getSQLState).exists(_.startsWith("40")))
+          def transient(e: java.sql.SQLException): Boolean = {
+            // batch failures chain one exception PER STATEMENT on some
+            // drivers — walk the whole next-exception chain (bounded
+            // well past any batch size) and the cause chain too
+            val nexts = Iterator.iterate(e)(_.getNextException)
+              .takeWhile(_ != null).take(2 * 500 + 10)
+            val causes = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(20)
+              .collect { case sq: java.sql.SQLException => sq }
+            (nexts ++ causes).exists(x =>
+              Option(x.getSQLState).exists(_.startsWith("40")))
+          }
           def flush(): Unit = if (buf.nonEmpty) {
             var attempt = 0
             var done = false
