@@ -305,6 +305,25 @@ class XlsxSpec extends SparkSpec {
     assert(row.getString(1) == "1970-01-01", "the real date style still converts")
   }
 
+  test("property: excel serials round-trip random timestamps to the ms (500)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      // 1900..2100, millisecond precision
+      val ms = -2208988800000L + math.abs(rnd.nextLong() % (200L * 365 * 86400000L))
+      val ts = new java.sql.Timestamp(ms - ms % 1L)
+      val back = Xlsx.serialToString(Xlsx.dateSerial(ts))
+      val ldt = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ts.getTime), java.time.ZoneOffset.UTC)
+      val expect =
+        if (ts.getTime % 86400000L == 0) ldt.toLocalDate.toString
+        else if (ts.getTime % 1000L == 0)
+          ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        else
+          ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(back == expect, s"ms=$ms")
+    }
+  }
+
   test("serial helpers: round-trip through ms precision") {
     val ts = java.sql.Timestamp.valueOf("2024-02-29 23:59:59.123")
     val s = Xlsx.dateSerial(ts)

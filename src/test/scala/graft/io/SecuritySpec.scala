@@ -120,6 +120,32 @@ class SecuritySpec extends AnyFunSuite {
     }
   }
 
+  test("property: alias dump/parse round-trips arbitrary credentials (500 random)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // credentials drawn from a hostile alphabet: quotes, hashes, spaces
+    // (inner), colons, unicode — anything the YAML subset must not eat
+    val credGen = for {
+      n <- Gen.choose(1, 30)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        3 -> Gen.oneOf('#', '\'', '"', '@', '/', ':', '.', '-', '_', ' ', 'é', '€')))
+    } yield cs.mkString.trim
+    var seed = Seed(7L)
+    var checked = 0
+    (1 to 500).foreach { _ =>
+      val v = credGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      if (v.nonEmpty) {
+        checked += 1
+        val cfg = Config.Conf(aliases = Map("a" -> v), encrypt = Some(false))
+        val back = Config.parseYaml(Config.dumpYaml(cfg)).aliases.get("a")
+        assert(back.contains(v), s"round trip lost [${v}] -> $back")
+      }
+    }
+    assert(checked > 400)
+  }
+
   test("keyring stub stores, retrieves, deletes") {
     val u = "spec-user-" + System.nanoTime()
     assert(Security.Keyring.get(u).isEmpty)
