@@ -574,6 +574,12 @@ object SparkEntry {
       .orderBy(col("n_nationkey").cast("int"))
   }
 
+  /** Banded SimHash near-dup pairs (Dedup.simhashNearDupPairs): byte-
+    * band candidates verified by exact bit_count Hamming — threshold 3
+    * is the 4-band pigeonhole-exact setting. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", 3)
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -646,6 +652,7 @@ object SparkEntry {
     "q58_assign_pk" -> (q58 _),
     "q59_fast_new_rows" -> (q59 _),
     "q60_csv_round_trip" -> (q60 _),
+    "q61_simhash_near_dup" -> (q61 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1079,5 +1086,25 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
            CAST(n_regionkey AS VARCHAR) AS n_regionkey
          FROM nation ORDER BY CAST(n_nationkey AS INT)""",
+    "q61_simhash_near_dup" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS w
+                    FROM documents),
+         h AS (SELECT doc_id, try_cast('0x'||substring(md5(w),1,8) AS BIGINT) AS hv FROM t),
+         b AS (SELECT doc_id, bit,
+                 sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h, range(0,32) r(bit) GROUP BY doc_id, bit),
+         sg AS (SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS BIGINT) AS simhash
+           FROM b GROUP BY doc_id),
+         bands AS (SELECT doc_id, simhash, bi,
+                     (simhash >> CAST(8*bi AS INT)) & 255 AS bv
+                   FROM sg, range(0,4) r(bi)),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                 a.simhash AS sa, c.simhash AS sb
+               FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
+                 AND a.doc_id < c.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         ORDER BY id_a, id_b""",
   )
 }

@@ -215,4 +215,44 @@ object Dedup {
       transform(TextOps.words(lower(col(textCol))), w => TextOps.md5_32(w)))
       .withColumn(out, simhashFromHashes(col("_whashes")))
       .drop("_whashes")
+
+  /** SimHash near-dup PAIRS — banded, not all-pairs: the 32-bit
+    * signature splits into 4 byte-bands; candidates share (band index,
+    * byte value), then exact Hamming distance (bit_count of xor — one
+    * codegen'd instruction pair) verifies. Pigeonhole guarantee: any
+    * pair within Hamming distance 3 has at least one intact band, so
+    * recall is exact up to 3 and band-approximate beyond (standard
+    * SimHash-LSH semantics; the gate oracle banding is identical, so
+    * results stay engine-exact at any threshold).
+    *
+    * Scale shape mirrors [[lshNearDupPairs]]: the self-join shuffles
+    * (band, id) only — 3 small ints per doc-band — and the one-long
+    * signature is fetched per candidate after pair-dedup. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sig = withSimhash32(
+        df.select(col(idCol).as("id"), col(textCol)), textCol, "sig")
+      .select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
+        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val pairs = banded.select(col("bi"), col("bv"), col("id").as("id_a"))
+      .join(banded.select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val verified = pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the signature cache
+    sig.unpersist()
+    out
+  }
 }

@@ -73,3 +73,50 @@ class DedupSpec extends SparkSpec {
     assert(Skew.saltedJoin(big, dim, "k", 4, "left").count() == 1)
   }
 }
+
+/** Staged text-op paths must stay value-identical to the unstaged
+  * Column forms, and the banded simhash pair operator must honor its
+  * pigeonhole recall bound. */
+class StagedEquivalenceSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.load(spark, sf("sf0.01"), "documents")
+    .select(col("doc_id"), col("text")).limit(200)
+
+  test("withSimhash32 equals the unstaged simhash32 on real docs") {
+    val staged = Dedup.withSimhash32(docs, "text", "s")
+      .select("doc_id", "s").as[(Long, Long)].collect().toMap
+    val unstaged = docs.select(col("doc_id"),
+        Dedup.simhash32(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(staged == unstaged)
+  }
+
+  test("withMinhashBands equals per-band minhash on real docs") {
+    val sh = graft.text.TextOps.shingles(col("text"), 3)
+    val unstaged = docs.select(col("doc_id"),
+        (0 until 4).map(b => graft.text.TextOps.minhash(sh, b)).reduce(concat_ws("|", _, _)).as("m"))
+      .as[(Long, String)].collect().toMap
+    val staged = Dedup.minhashBands(docs, "doc_id", "text", 3, 4)
+      .select(col("doc_id"),
+        concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(staged == unstaged)
+  }
+
+  test("simhashNearDupPairs: hamming bound holds and near-identical docs pair") {
+    // identical texts → hamming 0, deterministically within any bound
+    // (simhash distance on SHORT texts is noisy for single-word edits —
+    // the operator's domain is long documents)
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about database engines and parquet files"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"identical docs must pair at 0: $pairs")
+    assert(pairs.values.forall(_ <= 3))
+  }
+}
