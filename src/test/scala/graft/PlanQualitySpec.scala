@@ -92,6 +92,36 @@ class PlanQualitySpec extends SparkSpec {
       "the stream-static enrichment must not shuffle the event side")
   }
 
+  test("q61 simhash pairs: band join carries small ints; signature fetched post-dedup") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      // rebuild the un-materialized pair plan (the public operator
+      // persists+counts, which would hide the join under a cache scan)
+      val sig = graft.dedup.Dedup.withSimhash32(docs, "text", "sig")
+        .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+          org.apache.spark.sql.functions.col("sig"))
+      import org.apache.spark.sql.functions._
+      val banded = sig.select(col("id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
+        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val pairs = banded.select(col("bi"), col("bv"), col("id").as("id_a"))
+        .join(banded.select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
+        .filter(col("id_a") < col("id_b"))
+      val p = explainOf(pairs)
+      val bandEx = p.linesIterator.filter(_.contains("hashpartitioning(bi")).toSeq
+      assert(bandEx.length == 2, s"band self-join must shuffle on (bi,bv):\n${bandEx.mkString("\n")}")
+      // the shuffled payload is 3 small columns, never the text
+      assert(!p.contains("text#") ||
+        p.linesIterator.filter(_.contains("Exchange hashpartitioning(bi"))
+          .forall(!_.contains("text")),
+        "band exchange must not carry document text")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q49 clusters: returned frame reads the final checkpoint, not the loop lineage") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
