@@ -229,11 +229,35 @@ object Dedup {
     * (band, id) only — 3 small ints per doc-band — and the one-long
     * signature is fetched per candidate after pair-dedup. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val sig = withSimhash32(
-        df.select(col(idCol).as("id"), col(textCol)), textCol, "sig")
+                          maxHamming: Int = 3,
+                          cacheSignatures: Boolean = true): DataFrame = {
+    val (sig, verified) = simhashPairPlan(df, idCol, textCol, maxHamming,
+      cacheSignatures)
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize, then release the signature cache
+      sig.unpersist()
+      out
+    }
+  }
+
+  /** The un-materialized simhash pair plan — exposed like [[lshPlan]]
+    * so PlanQualitySpec pins the SHIPPED join shape rather than a
+    * copy. Contentless (NULL-text) documents are dropped up front:
+    * they would all collapse to signature 0 and emit a quadratic
+    * hot-bucket of meaningless "hamming 0" pairs — and the SQL oracle
+    * never sees them at all (unnest of a NULL split yields no rows). */
+  private[graft] def simhashPairPlan(df: DataFrame, idCol: String,
+                                     textCol: String, maxHamming: Int,
+                                     cacheSignatures: Boolean): (DataFrame, DataFrame) = {
+    val sig0 = withSimhash32(
+        df.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), col(textCol)), textCol, "sig")
       .select(col("id"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = if (cacheSignatures)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
     val banded = sig.select(col("id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
         shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
@@ -250,9 +274,6 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
-    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then release the signature cache
-    sig.unpersist()
-    out
+    (sig, verified)
   }
 }

@@ -96,29 +96,32 @@ class PlanQualitySpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
-        .select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("text"))
-      // rebuild the un-materialized pair plan (the public operator
-      // persists+counts, which would hide the join under a cache scan)
-      val sig = graft.dedup.Dedup.withSimhash32(docs, "text", "sig")
-        .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
-          org.apache.spark.sql.functions.col("sig"))
-      import org.apache.spark.sql.functions._
-      val banded = sig.select(col("id"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
-          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
-        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-      val pairs = banded.select(col("bi"), col("bv"), col("id").as("id_a"))
-        .join(banded.select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
-        .filter(col("id_a") < col("id_b"))
-      val p = explainOf(pairs)
-      val bandEx = p.linesIterator.filter(_.contains("hashpartitioning(bi")).toSeq
-      assert(bandEx.length == 2, s"band self-join must shuffle on (bi,bv):\n${bandEx.mkString("\n")}")
-      // the shuffled payload is 3 small columns, never the text
-      assert(!p.contains("text#") ||
-        p.linesIterator.filter(_.contains("Exchange hashpartitioning(bi"))
-          .forall(!_.contains("text")),
-        "band exchange must not carry document text")
+      // the SHIPPED un-materialized plan (the public operator persists
+      // +counts, which would hide the join under a cache scan)
+      val (sig, verified) = graft.dedup.Dedup.simhashPairPlan(
+        docs, "doc_id", "text", 3, cacheSignatures = false)
+      val p = explainOf(verified)
+      val lines = p.linesIterator.toVector
+      // exactly two band-key shuffles (the self-join sides)
+      val bandExIds = lines.filter(_.contains("hashpartitioning(bi")).toSeq
+      assert(bandExIds.length == 2,
+        s"band self-join must shuffle on (bi,bv):\n${bandExIds.mkString("\n")}")
+      // the band exchanges' INPUT (the actually-shuffled payload) must
+      // be the three small columns — never the document text. In
+      // formatted mode the Exchange detail block is
+      //   (n) Exchange \n Input [..]: [...] \n Arguments: hashpartitioning(bi...
+      val exchangeInputs = lines.sliding(3).collect {
+        case Vector(hdr, input, args)
+          if hdr.trim.matches("""\(\d+\) Exchange.*""") &&
+            input.trim.startsWith("Input") &&
+            args.contains("hashpartitioning(bi") => input
+      }.toSeq
+      assert(exchangeInputs.nonEmpty, "expected Exchange detail blocks:\n" + p)
+      exchangeInputs.foreach { in =>
+        assert(!in.contains("text#") && !in.contains("sig#"),
+          s"band exchange must carry (bi, bv, id) only, got: $in")
+      }
+      assert(sig != null)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
