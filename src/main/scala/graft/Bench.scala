@@ -33,8 +33,19 @@ object Bench {
     }
     def one(name: String,
             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // queries that persist internally (q30/q61 pair lists) must not let
+      // pass B time an InMemoryTableScan of pass A's blocks — the cache
+      // manager matches identical plans across separate calls
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // Timed action is a noop-SINK WRITE, not count(): under
+      // Dataset.count() Catalyst prunes every deterministic projection
+      // and final sort (the optimized plan of a map-shaped query is a
+      // bare scan-count), so ~14 text/render queries were under-measured
+      // 2-7x (q35 real ~1.5s vs 0.27 reported). The noop sink consumes
+      // every output row, so the full expression work is evaluated and
+      // timed while still writing nothing.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           // a broken query must not masquerade as a fast one — say why
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -50,13 +61,19 @@ object Bench {
       System.err.println(f"[bench] $n%-28s run1=$a%8.3f run2=$b%8.3f")
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding roughly halves the line (61 queries of
+    // full-precision doubles overflowed the driver's tail capture in r3
+    // → parsed:null); "value" stays FIRST so truncation can only eat
+    // per-query detail, never the headline total
+    def r3dec(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dec(v) }
       .mkString("{", ",", "}")
     // a failed query's -1 sentinel must not SHRINK the total (a broken
     // query would read as a speedup); sum successes, surface failures
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3dec(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

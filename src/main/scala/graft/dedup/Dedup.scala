@@ -12,11 +12,66 @@ import org.apache.spark.sql.functions._
   * generation is an equi-join on band values, so the only shuffle is on
   * band keys and the quadratic Jaccard verification runs ONLY inside
   * buckets — never across the full corpus. At 100 TB the band join is
-  * skew-sensitive (a degenerate common shingle ⇒ hot bucket): cap bucket
-  * sizes upstream or salt the band key; AQE skew-join handles moderate
-  * cases.
+  * skew-sensitive (a degenerate common shingle ⇒ hot bucket): both pair
+  * finders bound that via [[defaultMaxBucket]] ([[dropHotBuckets]] —
+  * oversized buckets are dropped from candidate generation, loudly);
+  * AQE skew-join handles the moderate cases below the cap.
   */
 object Dedup {
+
+  /** Default hot-bucket cap for the banded pair finders. A band bucket
+    * of n members generates n(n-1)/2 candidate pairs, so one degenerate
+    * bucket (boilerplate text, a common shingle, signature 0) turns the
+    * bucketed design quadratic: at 10k members that is ~5e7 pairs from a
+    * SINGLE bucket — survivable; at 1M it is ~5e11 — not. 10k never
+    * fires at gate scale (sf0.1 buckets are O(100)) and bounds the
+    * worst single-bucket cost at 100 TB. Pass `Int.MaxValue` to
+    * disable. */
+  val defaultMaxBucket: Int = 10000
+
+  /** Log sink for dropped hot buckets — a hook so specs can assert the
+    * cap is NEVER silent; production default is stderr. */
+  @volatile private[graft] var hotBucketLog: String => Unit =
+    m => System.err.println(m)
+
+  /** The documented escape hatch for degenerate hot bands: buckets with
+    * more than `maxBucket` members are DROPPED from candidate
+    * generation, loudly. Rationale: a bucket that large is almost never
+    * near-duplicate signal — it is boilerplate/empty text that exact
+    * dedup (one cheap groupBy) removes up front — and keeping it costs
+    * O(n^2) pairs. Dropping trades that quadratic blow-up for bounded
+    * recall loss ONLY among pairs whose every other band also overflows.
+    *
+    * Scale shape: one count-agg over the (key, id) band rows (map-side
+    * partial combine, one shuffle on the band key), then the hot keys —
+    * at most totalBandRows / maxBucket of them, so driver-bounded by
+    * construction — broadcast into a LEFT ANTI join. No second shuffle
+    * of the band rows and nothing at all when no bucket overflows. */
+  private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
+                             maxBucket: Int, opName: String): DataFrame = {
+    if (maxBucket >= Int.MaxValue) return banded
+    val keys = keyCols.map(col)
+    val hotRows = banded.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucket)
+      .collect()
+    if (hotRows.isEmpty) banded
+    else {
+      val droppedBandRows = hotRows.map(_.getAs[Long]("_n")).sum
+      val worst = hotRows.sortBy(-_.getAs[Long]("_n")).take(3)
+        .map(r => keyCols.map(k => String.valueOf(r.get(r.fieldIndex(k))))
+          .mkString(":") + "(n=" + r.getAs[Long]("_n") + ")")
+      hotBucketLog(s"[graft.dedup] $opName: dropped ${hotRows.length} hot " +
+        s"bucket(s) exceeding maxBucket=$maxBucket ($droppedBandRows band rows); " +
+        s"largest: ${worst.mkString(", ")}. Pairs matched ONLY inside these " +
+        "buckets are not emitted — run exact dedup first or raise maxBucket.")
+      val spark = banded.sparkSession
+      val hotKeys = spark.createDataFrame(
+        java.util.Arrays.asList(hotRows.map(r => org.apache.spark.sql.Row
+          .fromSeq(keyCols.map(k => r.get(r.fieldIndex(k))))): _*),
+        banded.selectExpr(keyCols: _*).schema)
+      banded.join(broadcast(hotKeys), keyCols, "left_anti")
+    }
+  }
 
   /** Exact duplicate groups by normalized-text fingerprint. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -68,9 +123,10 @@ object Dedup {
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                       nGram: Int = 3, bands: Int = 4,
                       minJaccard: Double = 0.0,
-                      cacheSignatures: Boolean = true): DataFrame = {
+                      cacheSignatures: Boolean = true,
+                      maxBucket: Int = defaultMaxBucket): DataFrame = {
     val (sig, verified) = lshPlan(df, idCol, textCol, nGram, bands,
-      minJaccard, cacheSignatures)
+      minJaccard, cacheSignatures, maxBucket)
     if (!cacheSignatures) verified
     else {
       // materialize the pair list eagerly, then RELEASE the signature
@@ -93,7 +149,8 @@ object Dedup {
     * before persist()/count() hide it behind an InMemoryTableScan. */
   private[graft] def lshPlan(df: DataFrame, idCol: String, textCol: String,
                              nGram: Int, bands: Int, minJaccard: Double,
-                             cacheSignatures: Boolean): (DataFrame, DataFrame) = {
+                             cacheSignatures: Boolean,
+                             maxBucket: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
     // signature pass: shingles + banded minhashes computed ONCE per doc.
     // The self-join and the two late sh-fetches would otherwise
     // re-evaluate the (interpreted, higher-order) shingle expressions
@@ -128,8 +185,9 @@ object Dedup {
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
 
-    val banded = sig.select(col("id"), explode(col("bands")).as("band"))
+    val banded0 = sig.select(col("id"), explode(col("bands")).as("band"))
       .filter(col("band").isNotNull)
+    val banded = dropHotBuckets(banded0, Seq("band"), maxBucket, "lshNearDupPairs")
     val pairs = banded.select(col("band"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -230,9 +288,10 @@ object Dedup {
     * signature is fetched per candidate after pair-dedup. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3,
-                          cacheSignatures: Boolean = true): DataFrame = {
+                          cacheSignatures: Boolean = true,
+                          maxBucket: Int = defaultMaxBucket): DataFrame = {
     val (sig, verified) = simhashPairPlan(df, idCol, textCol, maxHamming,
-      cacheSignatures)
+      cacheSignatures, maxBucket)
     if (!cacheSignatures) verified
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -250,7 +309,8 @@ object Dedup {
     * never sees them at all (unnest of a NULL split yields no rows). */
   private[graft] def simhashPairPlan(df: DataFrame, idCol: String,
                                      textCol: String, maxHamming: Int,
-                                     cacheSignatures: Boolean): (DataFrame, DataFrame) = {
+                                     cacheSignatures: Boolean,
+                                     maxBucket: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
     val sig0 = withSimhash32(
         df.filter(col(textCol).isNotNull)
           .select(col(idCol).as("id"), col(textCol)), textCol, "sig")
@@ -258,10 +318,12 @@ object Dedup {
     val sig = if (cacheSignatures)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
-    val banded = sig.select(col("id"),
+    val banded0 = sig.select(col("id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
         shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
       .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val banded = dropHotBuckets(banded0, Seq("bi", "bv"), maxBucket,
+      "simhashNearDupPairs")
     val pairs = banded.select(col("bi"), col("bv"), col("id").as("id_a"))
       .join(banded.select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))

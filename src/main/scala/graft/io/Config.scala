@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here the layers are plain key-value maps merged the same way
   * (`config_parser.py:66-83` merge semantics: later layers override,
   * nested maps merge). A minimal flat-YAML subset parser is included so
-  * existing config files keep working without a YAML dependency —
-  * Fernet password encryption is intentionally out of scope (stub
-  * hook on [[Config.decrypt]]).
+  * existing config files keep working without a YAML dependency.
+  * Alias passwords encrypted with Fernet are decrypted through
+  * [[Security.decrypt]] (JDK-crypto implementation of the public Fernet
+  * spec, cross-validated against Python `cryptography`) — wired via
+  * [[Config.decrypt]] when the layered config sets `encrypt: true`.
   */
 object Config {
 

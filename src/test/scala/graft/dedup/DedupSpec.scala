@@ -120,3 +120,83 @@ class StagedEquivalenceSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 3))
   }
 }
+
+/** The hot-bucket escape hatch: a degenerate band bucket (here: 1k
+  * identical boilerplate docs — every band collides) must not go
+  * quadratic; oversized buckets are dropped LOUDLY and pairs outside
+  * them survive untouched. */
+class HotBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n boilerplate clones + one genuinely distinct near-dup pair. */
+  private def adversarial(n: Int) = {
+    val hot = (1 to n).map(i =>
+      (i.toLong, "spam spam boilerplate navigation text repeated on every mirrored page of the crawl"))
+    val pair = Seq(
+      (900001L, "a genuinely unique document describing catalyst expression codegen internals"),
+      (900002L, "a genuinely unique document describing catalyst expression codegen internals"))
+    (hot ++ pair).toDF("doc_id", "text")
+  }
+
+  private def withLogCapture[A](body: => A): (A, Seq[String]) = {
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val old = Dedup.hotBucketLog
+    Dedup.hotBucketLog = m => logs.synchronized { logs += m }
+    try (body, logs.toSeq) finally Dedup.hotBucketLog = old
+  }
+
+  test("lsh: hot bucket dropped loudly; disjoint pair survives; output bounded") {
+    val (got, logs) = withLogCapture {
+      Dedup.lshNearDupPairs(adversarial(1000), "doc_id", "text", 3, 4, 0.0,
+        cacheSignatures = true, maxBucket = 100).collect()
+    }
+    // without the cap this corpus emits C(1000,2)+1 = 499501 pairs; the
+    // capped run keeps ONLY the pair outside the hot bucket
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((900001L, 900002L)), s"got ${got.length} pairs")
+    assert(logs.exists(m => m.contains("lshNearDupPairs") &&
+      m.contains("maxBucket=100")), s"cap must not be silent: $logs")
+  }
+
+  test("simhash: capped vs uncapped pair counts; cap is loud; bound is real") {
+    val docs = adversarial(1000)
+    val (capped, logs) = withLogCapture {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3,
+        cacheSignatures = true, maxBucket = 100).collect()
+    }
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((900001L, 900002L)))
+    assert(logs.exists(m => m.contains("simhashNearDupPairs") &&
+      m.contains("maxBucket=100")), s"cap must not be silent: $logs")
+    // the uncapped run REALLY is quadratic on this corpus — the cap is
+    // load-bearing, not decorative
+    val (uncapped, noLogs) = withLogCapture {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3,
+        cacheSignatures = true, maxBucket = Int.MaxValue).count()
+    }
+    assert(uncapped == 1000L * 999 / 2 + 1, s"uncapped = $uncapped")
+    assert(noLogs.isEmpty, "disabled cap must log nothing")
+  }
+
+  test("capped plan culls candidates via a broadcast left-anti join") {
+    val (sig, verified) = Dedup.simhashPairPlan(adversarial(300), "doc_id",
+      "text", 3, cacheSignatures = false, maxBucket = 100)
+    val p = verified.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"expected anti-join cull in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "hot-key list must broadcast, never shuffle the band rows again")
+    assert(sig != null)
+  }
+
+  test("default cap does not fire at gate scale (sf0.01 documents)") {
+    val docs = graft.Tables.load(spark, sf("sf0.01"), "documents")
+    val (_, lshLogs) = withLogCapture {
+      Dedup.lshNearDupPairs(docs, "doc_id", "text", 3, 4, 0.1).count()
+    }
+    val (_, shLogs) = withLogCapture {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3).count()
+    }
+    assert(lshLogs.isEmpty && shLogs.isEmpty,
+      s"gate-scale corpora must not trip the default cap: $lshLogs $shLogs")
+  }
+}
