@@ -111,11 +111,91 @@ object Security {
 
   // ------------------------------------------------- key resolution
 
-  /** Keyring stub (`security.py:41-67` get_key): the OS keyring is not
-    * available in a headless container, so the fallback store is a
-    * permission-restricted properties file — same contract
-    * (service+user → password), loudly a stub. */
+  /** Keyring (`security.py:41-67` get_key; the reference delegates to
+    * the python `keyring` library, whose Linux chain is SecretService →
+    * encrypted file): a FALLBACK CHAIN of backends tried in order —
+    * the OS keyring first (via the libsecret `secret-tool` CLI, when one
+    * is on PATH — the JDK has no SecretService binding), then a
+    * permission-restricted (0600) properties file, which is what a
+    * headless container without a keyring daemon ends up using. Reads
+    * fall through the chain; writes/deletes go to the FIRST available
+    * backend so a secret never silently lands in a weaker store while a
+    * stronger one is present. */
   object Keyring {
+
+    /** One password store in the chain — same service+user→password
+      * contract as the reference's keyring calls. */
+    private[graft] trait Backend {
+      def name: String
+      def available: Boolean
+      def get(user: String): Option[String]
+      def set(user: String, password: String): Unit
+      def delete(user: String): Boolean
+    }
+
+    /** libsecret's CLI (`secret-tool lookup/store/clear`) — the same
+      * SecretService daemon python-keyring talks to, reached through
+      * ProcessBuilder because no JVM binding ships offline. Absent
+      * binary or failed daemon ⇒ not available / None, never an error:
+      * the chain's next backend picks it up. */
+    private[graft] object SecretToolBackend extends Backend {
+      val name = "secret-tool"
+      private def exe: Option[String] =
+        sys.env.getOrElse("PATH", "").split(':').filter(_.nonEmpty)
+          .map(d => new java.io.File(d, "secret-tool"))
+          .find(f => f.isFile && f.canExecute).map(_.getAbsolutePath)
+      def available: Boolean = exe.isDefined
+
+      /** Run secret-tool; UTF-8 through raw streams (ProcessLogger
+        * would mangle non-ASCII under this JVM's ASCII default
+        * charset). Returns stdout on exit 0. */
+      private def run(args: Seq[String], stdin: Option[String]): Option[String] =
+        exe.flatMap { e =>
+          try {
+            val pb = new ProcessBuilder((e +: args): _*)
+            pb.redirectErrorStream(false)
+            val proc = pb.start()
+            stdin.foreach(s => proc.getOutputStream.write(s.getBytes("UTF-8")))
+            proc.getOutputStream.close()
+            val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+            if (proc.waitFor() == 0) Some(out) else None
+          } catch { case _: Exception => None }
+        }
+
+      def get(user: String): Option[String] =
+        run(Seq("lookup", "service", "lwetl", "username", user), None)
+          .map(_.stripLineEnd).filter(_.nonEmpty)
+      def set(user: String, password: String): Unit =
+        run(Seq("store", "--label=lwetl credentials", "service", "lwetl",
+          "username", user), Some(password))
+      def delete(user: String): Boolean =
+        run(Seq("clear", "service", "lwetl", "username", user), None).isDefined
+    }
+
+    /** Owner-only properties file — always available, last in the
+      * chain. */
+    private[graft] object FileBackend extends Backend {
+      val name = "file"
+      def available: Boolean = true
+      def get(user: String): Option[String] = Option(load().getProperty(user))
+      def set(user: String, password: String): Unit = {
+        val p = load()
+        p.setProperty(user, password)
+        store(p)
+      }
+      def delete(user: String): Boolean = {
+        val p = load()
+        val had = p.remove(user) != null
+        if (had) store(p)
+        had
+      }
+    }
+
+    /** The chain, strongest first. Mutable so specs can exercise the
+      * fallback ORDER with scripted backends. */
+    @volatile private[graft] var backends: Seq[Backend] =
+      Seq(SecretToolBackend, FileBackend)
+
     private def file: java.nio.file.Path =
       java.nio.file.Paths.get(sys.props("user.home"), ".graft", "keyring.properties")
 
@@ -128,13 +208,16 @@ object Security {
       p
     }
 
-    def get(user: String): Option[String] = Option(load().getProperty(user))
+    /** Read falls THROUGH the chain: first backend that has the entry
+      * wins (reference chain semantics — a file-stored secret is still
+      * found when a keyring daemon appears later). */
+    def get(user: String): Option[String] =
+      backends.iterator.filter(_.available)
+        .map(_.get(user)).collectFirst { case Some(p) => p }
 
-    def set(user: String, password: String): Unit = {
-      val p = load()
-      p.setProperty(user, password)
-      store(p)
-    }
+    /** Write goes to the FIRST available backend only. */
+    def set(user: String, password: String): Unit =
+      backends.find(_.available).foreach(_.set(user, password))
 
     /** Write owner-only (0700 dir, 0600 file) — the key store must not
       * hand every local user the password that defeats the alias
@@ -154,16 +237,15 @@ object Security {
       scala.util.Try(java.nio.file.Files.setPosixFilePermissions(
         file, PosixFilePermissions.fromString("rw-------")))
       val out = java.nio.file.Files.newOutputStream(file)
-      try p.store(out, "graft keyring stub") finally out.close()
+      try p.store(out, "graft keyring file backend") finally out.close()
       ()
     }
 
-    def delete(user: String): Boolean = {
-      val p = load()
-      val had = p.remove(user) != null
-      if (had) store(p)
-      had
-    }
+    /** Delete from EVERY available backend (a stale copy left in the
+      * file store after the daemon copy dies would resurrect the old
+      * password on the next fallback read). */
+    def delete(user: String): Boolean =
+      backends.filter(_.available).map(_.delete(user)).exists(identity)
   }
 
   /** Master-password resolution order (`security.py:41-67`): explicit

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * exists in this container, and parser-check the rest:
   *
   *   - ANSI      → executed on embedded Derby (live JDBC)
+  *   - sqlite    → executed on a REAL sqlite engine (the python3 stdlib
+  *                 sqlite3 module — present in every container; no JDBC
+  *                 jar for it exists in this zero-egress sandbox, so the
+  *                 subprocess route is how a second dialect gets a live
+  *                 engine at all)
   *   - postgres  → executed in DuckDB, whose SQL surface is
   *                 postgres-flavored (via the container's python3)
   *   - oracle    → the TO_TIMESTAMP text is parsed back with the
@@ -68,6 +73,32 @@ class DialectDmlSpec extends SparkSpec {
     assert(rs.getTimestamp(4) == java.sql.Timestamp.valueOf("2020-01-02 03:04:05.678"))
     assert(!rs.next(), "row 2 must be deleted")
     rs.close(); st.close(); conn.close()
+  }
+
+  test("sqlite DML executes end-to-end on the real sqlite engine") {
+    val ins = stmts(Sqlite)
+    val upd = updateStatements(
+      Seq((1L, "TRIKE")).toDF("ID", "NAME"), "LWETL_PRODUCT", Seq("ID"), Sqlite)
+      .as[String].collect().toSeq
+    val del = deleteStatements(
+      Seq(Tuple1(2L)).toDF("ID"), "LWETL_PRODUCT", Seq("ID"), Sqlite)
+      .as[String].collect().toSeq
+    val script =
+      s"""import sqlite3
+         |con = sqlite3.connect(':memory:')
+         |con.execute('CREATE TABLE LWETL_PRODUCT '
+         |            '(ID INTEGER, NAME TEXT, PRICE REAL, TS TEXT)')
+         |${(ins ++ upd ++ del).map(s => s"con.execute(${pyStr(s)})").mkString("\n")}
+         |for r in con.execute('SELECT ID, NAME, PRICE, TS FROM LWETL_PRODUCT ORDER BY ID'):
+         |    print(r)
+         |""".stripMargin
+    val out = duckdb(script)
+    // sqlite has no native timestamp type: the renderer's quoted
+    // 'yyyy-MM-dd HH:mm:ss.SSS000' text is the stored value, update and
+    // delete really applied, '' doubling parsed by a second real engine
+    assert(out.contains("(1, 'TRIKE', 99.95, '2020-01-02 03:04:05.678000')"), out)
+    assert(!out.contains("o'kane") && !out.contains("10000"),
+      s"row 2 must be deleted: $out")
   }
 
   test("postgresql DML executes in DuckDB (postgres-flavored engine)") {

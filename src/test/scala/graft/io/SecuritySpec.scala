@@ -156,6 +156,50 @@ class SecuritySpec extends AnyFunSuite {
     assert(!Security.Keyring.delete(u))
   }
 
+  test("keyring chain: writes hit the first AVAILABLE backend, reads fall through") {
+    /** Scripted backend: availability fixed, calls recorded. */
+    class Fake(val name: String, val available: Boolean,
+               seed: Map[String, String] = Map.empty)
+      extends Security.Keyring.Backend {
+      val store = scala.collection.mutable.Map[String, String](seed.toSeq: _*)
+      var sets, gets, deletes = 0
+      def get(user: String): Option[String] = { gets += 1; store.get(user) }
+      def set(user: String, password: String): Unit = { sets += 1; store(user) = password }
+      def delete(user: String): Boolean = { deletes += 1; store.remove(user).isDefined }
+    }
+    val daemon = new Fake("daemon", available = true)
+    val off = new Fake("off", available = false, seed = Map("u" -> "NEVER"))
+    val file = new Fake("file", available = true, seed = Map("old" -> "filed"))
+    val orig = Security.Keyring.backends
+    Security.Keyring.backends = Seq(off, daemon, file)
+    try {
+      // write: lands on the first AVAILABLE backend; the unavailable one
+      // and the weaker one are untouched
+      Security.Keyring.set("u", "pw")
+      assert(daemon.store.get("u").contains("pw") && daemon.sets == 1)
+      assert(file.sets == 0 && off.sets == 0)
+      // read: preference order — the daemon copy shadows any file copy
+      file.store("u") = "stale"
+      assert(Security.Keyring.get("u").contains("pw"))
+      // read falls THROUGH to the file store when earlier backends miss
+      assert(Security.Keyring.get("old").contains("filed"))
+      assert(off.gets == 0, "unavailable backends must never be consulted")
+      // delete: clears EVERY available backend (no resurrection from the
+      // weaker store on the next fallback read)
+      assert(Security.Keyring.delete("u"))
+      assert(daemon.store.get("u").isEmpty && file.store.get("u").isEmpty)
+      assert(Security.Keyring.get("u").isEmpty)
+    } finally Security.Keyring.backends = orig
+  }
+
+  test("keyring chain in THIS container resolves to the file backend") {
+    // no keyring daemon in the sandbox: secret-tool must report itself
+    // unavailable (not error) and real traffic lands in the 0600 file
+    assert(!Security.Keyring.SecretToolBackend.available ||
+      Security.Keyring.SecretToolBackend.get("graft-absent-user").isEmpty)
+    assert(Security.Keyring.FileBackend.available)
+  }
+
   test("resolveKey order: explicit > env > keyring") {
     assert(Security.resolveKey(Some("xx"), Map("LWETL" -> "env")) == Some("xx"))
     assert(Security.resolveKey(None, Map("LWETL" -> "env")) == Some("env"))
