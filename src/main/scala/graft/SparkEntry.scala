@@ -580,6 +580,21 @@ object SparkEntry {
   private def q61(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", 3)
 
+  /** Approximate distinct counts (ops.Approx.approxCardinalityCheck):
+    * q41's HLL++ sibling, gated through the exact values + bound flags
+    * (the oracle emits exact + TRUE — hash matches iff the documented
+    * 3·rsd contract held; HLL++ is deterministic, so this is a stable
+    * check, not a flaky one). */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    graft.ops.Approx.approxCardinalityCheck(T(s, d, "orders"),
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus"), rsd = 0.05, tol = 0.15)
+
+  /** Approximate percentiles (ops.Approx.approxPercentilesCheck): q50's
+    * Greenwald-Khanna sibling, same exact-value + bound-flag gating. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    graft.ops.Approx.approxPercentilesCheck(T(s, d, "orders"),
+      "o_totalprice", Seq(0.5, 0.9), accuracy = 10000, tol = 0.01)
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -653,6 +668,8 @@ object SparkEntry {
     "q59_fast_new_rows" -> (q59 _),
     "q60_csv_round_trip" -> (q60 _),
     "q61_simhash_near_dup" -> (q61 _),
+    "q62_approx_distinct" -> (q62 _),
+    "q63_approx_percentiles" -> (q63 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1106,5 +1123,21 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          FROM p WHERE bit_count(xor(sa, sb)) <= 3
          ORDER BY id_a, id_b""",
+    // the approx gates hash EXACT values plus the bound flags: the
+    // oracle's literal TRUEs only match when Spark's sketches met their
+    // documented error contract on this data
+    "q62_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS o_custkey,
+           count(DISTINCT o_orderpriority) AS o_orderpriority,
+           count(DISTINCT o_orderstatus) AS o_orderstatus,
+           TRUE AS o_custkey_ok, TRUE AS o_orderpriority_ok,
+           TRUE AS o_orderstatus_ok
+         FROM orders""",
+    "q63_approx_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           TRUE AS p50_ok,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           TRUE AS p90_ok
+         FROM orders""",
   )
 }
