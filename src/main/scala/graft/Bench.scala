@@ -66,7 +66,10 @@ object Bench {
     // → parsed:null); "value" stays FIRST so truncation can only eat
     // per-query detail, never the headline total
     def r3dec(v: Double): String =
-      if (v < 0) "-1" else f"$v%.3f"
+      if (v < 0) "-1"
+      // Locale.ROOT: a comma-decimal default locale would render "1,234"
+      // and break the JSON line this formatting exists to protect
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dec(v) }
       .mkString("{", ",", "}")
     // a failed query's -1 sentinel must not SHRINK the total (a broken

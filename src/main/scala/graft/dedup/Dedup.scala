@@ -46,7 +46,14 @@ object Dedup {
     * partial combine, one shuffle on the band key), then the hot keys —
     * at most totalBandRows / maxBucket of them, so driver-bounded by
     * construction — broadcast into a LEFT ANTI join. No second shuffle
-    * of the band rows and nothing at all when no bucket overflows. */
+    * of the band rows and nothing at all when no bucket overflows.
+    *
+    * The overflow scan is an EAGER job at operator-build time (the drop
+    * must be loggable before any result materializes). With the default
+    * `cacheSignatures=true` it reads the signature cache, costing one
+    * cheap agg; with `cacheSignatures=false` it re-evaluates the
+    * signature pipeline once — callers managing their own caching
+    * should persist upstream or pass maxBucket=Int.MaxValue. */
   private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
                              maxBucket: Int, opName: String): DataFrame = {
     if (maxBucket >= Int.MaxValue) return banded

@@ -129,7 +129,10 @@ object Security {
       def name: String
       def available: Boolean
       def get(user: String): Option[String]
-      def set(user: String, password: String): Unit
+      /** true iff the secret was actually stored — a backend whose
+        * binary exists but whose daemon is absent must answer false so
+        * the chain can fall through instead of losing the secret. */
+      def set(user: String, password: String): Boolean
       def delete(user: String): Boolean
     }
 
@@ -148,28 +151,41 @@ object Security {
 
       /** Run secret-tool; UTF-8 through raw streams (ProcessLogger
         * would mangle non-ASCII under this JVM's ASCII default
-        * charset). Returns stdout on exit 0. */
+        * charset). Returns stdout on exit 0. Bounded: stderr is
+        * DISCARDED (an undrained pipe wedges the child past 64 KB) and
+        * a 10 s waitFor + destroy keeps a locked-keyring unlock PROMPT
+        * from hanging the whole credential-resolution path — a timed-out
+        * or failed call is simply "not stored here" and the chain falls
+        * through. Secret payloads are one short line, so the child
+        * never blocks on an unread stdout buffer while we wait. */
       private def run(args: Seq[String], stdin: Option[String]): Option[String] =
         exe.flatMap { e =>
           try {
             val pb = new ProcessBuilder((e +: args): _*)
-            pb.redirectErrorStream(false)
+            pb.redirectError(ProcessBuilder.Redirect.DISCARD)
             val proc = pb.start()
             stdin.foreach(s => proc.getOutputStream.write(s.getBytes("UTF-8")))
             proc.getOutputStream.close()
-            val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-            if (proc.waitFor() == 0) Some(out) else None
+            if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+              proc.destroyForcibly()
+              None
+            } else if (proc.exitValue() == 0)
+              Some(new String(proc.getInputStream.readAllBytes(), "UTF-8"))
+            else None
           } catch { case _: Exception => None }
         }
 
       def get(user: String): Option[String] =
         run(Seq("lookup", "service", "lwetl", "username", user), None)
           .map(_.stripLineEnd).filter(_.nonEmpty)
-      def set(user: String, password: String): Unit =
+      def set(user: String, password: String): Boolean =
         run(Seq("store", "--label=lwetl credentials", "service", "lwetl",
-          "username", user), Some(password))
+          "username", user), Some(password)).isDefined
+      /** `secret-tool clear` exits 0 whether or not anything matched —
+        * probe first so the had-an-entry contract holds. */
       def delete(user: String): Boolean =
-        run(Seq("clear", "service", "lwetl", "username", user), None).isDefined
+        get(user).isDefined &&
+          run(Seq("clear", "service", "lwetl", "username", user), None).isDefined
     }
 
     /** Owner-only properties file — always available, last in the
@@ -178,11 +194,13 @@ object Security {
       val name = "file"
       def available: Boolean = true
       def get(user: String): Option[String] = Option(load().getProperty(user))
-      def set(user: String, password: String): Unit = {
-        val p = load()
-        p.setProperty(user, password)
-        store(p)
-      }
+      def set(user: String, password: String): Boolean =
+        try {
+          val p = load()
+          p.setProperty(user, password)
+          store(p)
+          true
+        } catch { case _: java.io.IOException => false }
       def delete(user: String): Boolean = {
         val p = load()
         val had = p.remove(user) != null
@@ -215,9 +233,11 @@ object Security {
       backends.iterator.filter(_.available)
         .map(_.get(user)).collectFirst { case Some(p) => p }
 
-    /** Write goes to the FIRST available backend only. */
+    /** Write goes to the first available backend that ACCEPTS it — a
+      * present-but-daemonless secret-tool reports failure and the
+      * secret falls through to the file store instead of vanishing. */
     def set(user: String, password: String): Unit =
-      backends.find(_.available).foreach(_.set(user, password))
+      backends.filter(_.available).exists(_.set(user, password))
 
     /** Write owner-only (0700 dir, 0600 file) — the key store must not
       * hand every local user the password that defeats the alias

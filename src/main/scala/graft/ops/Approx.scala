@@ -49,7 +49,12 @@ object Approx {
         approx_count_distinct(col(c), rsd).as(s"_a_$c"))
     }
     val flags = cols.map { c =>
-      (abs(col(s"_a_$c") - col(c)).cast("double") / col(c) <= tol).as(s"${c}_ok")
+      // zero-distinct column (empty/all-NULL input): 0/0 is NaN, which
+      // would fail the <= and flag a PERFECT approximation as broken —
+      // equality is the bound when the denominator vanishes
+      when(col(c) === 0, col(s"_a_$c") === 0)
+        .otherwise(abs(col(s"_a_$c") - col(c)).cast("double") / col(c) <= tol)
+        .as(s"${c}_ok")
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(cols.map(col) ++ flags: _*)
@@ -79,13 +84,23 @@ object Approx {
     }
     val out = probs.flatMap { p =>
       val (e, a) = (s"p${pct(p)}", s"p${pct(p)}_a")
-      Seq(round(col(e), 4).as(e),
-        (abs(col(a) - col(e)) / abs(col(e)) <= tol).as(s"p${pct(p)}_ok"))
+      // empty input → both NULL (a met contract); exact 0 → relative
+      // error is undefined, fall back to an absolute-tolerance check
+      val ok =
+        when(col(e).isNull, col(a).isNull)
+          .when(col(e) === 0, abs(col(a)) <= tol)
+          .otherwise(abs(col(a) - col(e)) / abs(col(e)) <= tol)
+      Seq(round(col(e), 4).as(e), ok.as(s"p${pct(p)}_ok"))
     }
     df.agg(aggs.head, aggs.tail: _*).select(out: _*)
   }
 
-  private def pct(p: Double): String = math.round(p * 100).toString
+  /** Column-name-safe percent label: integral probs render bare
+    * ("p50"); fractional percents keep their digits with '_' for '.'
+    * ("p99_9") so 0.999 and 1.0 cannot collide on a rounded "p100". */
+  private def pct(p: Double): String =
+    new java.math.BigDecimal(p.toString).multiply(new java.math.BigDecimal(100))
+      .stripTrailingZeros.toPlainString.replace(".", "_")
   private def pName(p: Double, suffix: String)(c: org.apache.spark.sql.Column) =
     c.as(s"p${pct(p)}$suffix")
 }

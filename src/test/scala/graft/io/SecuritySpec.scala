@@ -157,14 +157,19 @@ class SecuritySpec extends AnyFunSuite {
   }
 
   test("keyring chain: writes hit the first AVAILABLE backend, reads fall through") {
-    /** Scripted backend: availability fixed, calls recorded. */
+    /** Scripted backend: availability/write-acceptance fixed, calls
+      * recorded. */
     class Fake(val name: String, val available: Boolean,
-               seed: Map[String, String] = Map.empty)
+               seed: Map[String, String] = Map.empty,
+               acceptsWrites: Boolean = true)
       extends Security.Keyring.Backend {
       val store = scala.collection.mutable.Map[String, String](seed.toSeq: _*)
       var sets, gets, deletes = 0
       def get(user: String): Option[String] = { gets += 1; store.get(user) }
-      def set(user: String, password: String): Unit = { sets += 1; store(user) = password }
+      def set(user: String, password: String): Boolean = {
+        sets += 1
+        if (acceptsWrites) { store(user) = password; true } else false
+      }
       def delete(user: String): Boolean = { deletes += 1; store.remove(user).isDefined }
     }
     val daemon = new Fake("daemon", available = true)
@@ -189,6 +194,31 @@ class SecuritySpec extends AnyFunSuite {
       assert(Security.Keyring.delete("u"))
       assert(daemon.store.get("u").isEmpty && file.store.get("u").isEmpty)
       assert(Security.Keyring.get("u").isEmpty)
+    } finally Security.Keyring.backends = orig
+  }
+
+  test("keyring chain: a write REFUSED upstream falls through, never vanishes") {
+    // the real-world shape: secret-tool binary on PATH but no
+    // SecretService daemon — store exits nonzero; the secret must land
+    // in the next backend instead of being dropped on the floor
+    class Fake2(n: String, ok: Boolean) extends Security.Keyring.Backend {
+      val store = scala.collection.mutable.Map[String, String]()
+      val name = n; val available = true
+      def get(user: String): Option[String] = store.get(user)
+      def set(user: String, password: String): Boolean = {
+        if (ok) store(user) = password; ok
+      }
+      def delete(user: String): Boolean = store.remove(user).isDefined
+    }
+    val daemonless = new Fake2("daemonless", ok = false)
+    val file = new Fake2("file", ok = true)
+    val orig = Security.Keyring.backends
+    Security.Keyring.backends = Seq(daemonless, file)
+    try {
+      Security.Keyring.set("u", "pw")
+      assert(file.store.get("u").contains("pw"),
+        "refused write must fall through to the file backend")
+      assert(Security.Keyring.get("u").contains("pw"))
     } finally Security.Keyring.backends = orig
   }
 

@@ -45,6 +45,21 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("flags survive degenerate inputs: all-NULL column, sub-percent probs") {
+    import spark.implicits._
+    // all-NULL column: exact distinct = 0 — a perfect approx (also 0)
+    // must flag TRUE, not NaN-false
+    val nulls = Seq.fill(10)(Tuple1(null: java.lang.Long)).toDF("v")
+    val r = Approx.approxCardinalityCheck(nulls, Seq("v")).head()
+    assert(r.getLong(0) == 0L && r.getBoolean(1), s"all-NULL must flag ok: $r")
+    // 0.999 vs 1.0 must not collapse onto one "p100" column
+    val d = Approx.approxPercentilesCheck(
+      (1 to 1000).map(_.toDouble).toDF("x"), "x", Seq(0.999, 1.0))
+    assert(d.columns.toSeq == Seq("p99_9", "p99_9_ok", "p100", "p100_ok"))
+    val row = d.head()
+    assert(row.getBoolean(1) && row.getBoolean(3))
+  }
+
   test("check frames expose exact values + flags only (gate contract)") {
     val d = Approx.approxPercentilesCheck(orders, "o_totalprice", Seq(0.5, 0.9))
     assert(d.columns.toSeq == Seq("p50", "p50_ok", "p90", "p90_ok"))
