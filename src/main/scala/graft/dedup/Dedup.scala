@@ -165,24 +165,22 @@ object Dedup {
     // makes; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOM.
     val sig0 =
       if (bands <= 4) {
-        // staged words → one shingle pass → ONE md5 digest pass per doc
-        // feeds BOTH the bands and the verification set. The cached /
-        // shuffled shingle set is the 32-bit hash of each shingle (the
-        // first digest window, numerically — same family the rolling
-        // hash and the DuckDB oracle use), NOT the shingle strings:
-        // ~10x smaller signature cache and long-vs-long set intersection
-        // in the Jaccard verify. Verification Jaccard over hashed
-        // shingles equals string Jaccard except on 32-bit collisions —
-        // and the oracle hashes identically, so values stay engine-exact.
-        val staged = TextOps.withShingles(
-          df.select(col(idCol).as("id"), col(textCol)), textCol, "_shs", nGram)
-          .withColumn("_digests", transform(col("_shs"), s => md5(s)))
-        staged.select(col("id"),
-          array_distinct(transform(col("_digests"),
-            h => conv(substring(h, 1, 8), 16, 10).cast("long"))).as("sh"),
-          array((0 until bands).map(b =>
-            array_min(transform(col("_digests"),
-              h => substring(h, 1 + 8 * b, 8)))): _*).as("bands"))
+        // ONE native codegen'd pass per doc (functions.LshSignature)
+        // computes BOTH the 32-bit hashed shingle set (verification) and
+        // the numeric band minima (candidates) — value-identical to the
+        // staged transform/md5/conv/substring Column chain it replaces
+        // (see TextHashImpl's value contract), but whole-stage-compiled
+        // where interpreted higher-order lambdas never are, and it
+        // shuffles/caches longs instead of hex strings. Jaccard over the
+        // hashed shingles equals string Jaccard except on 32-bit
+        // collisions — the oracle hashes identically, so values stay
+        // engine-exact.
+        import org.apache.spark.sql.graft.bridge
+        df.select(col(idCol).as("id"), col(textCol))
+          .withColumn("_lsig", bridge.column(graft.functions.LshSignature(
+            bridge.expression(col(textCol)), nGram, bands)))
+          .select(col("id"), col("_lsig.sh").as("sh"),
+            col("_lsig.bands").as("bands"))
       } else df.select(
         col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
@@ -262,7 +260,7 @@ object Dedup {
     * bit's aggregate embeds the hash expression, and interpreted
     * higher-order functions re-evaluate it per use — inline, the
     * tokenize+md5 pass would run 32 times per document. */
-  private def simhashFromHashes(hashes: Column): Column = {
+  private[graft] def simhashFromHashes(hashes: Column): Column = {
     val bitSums = (0 until 32).map { bit =>
       val mask = lit(1L << bit)
       when(aggregate(hashes, lit(0L),
@@ -272,14 +270,20 @@ object Dedup {
     bitSums.reduce(_ + _)
   }
 
-  /** [[simhash32]] with the word-hash array staged as a real column:
-    * ONE tokenize+md5 pass per document feeds all 32 bit votes (the 32
-    * per-bit scans then run over cached longs). */
-  def withSimhash32(df: DataFrame, textCol: String, out: String): DataFrame =
-    df.withColumn("_whashes",
-      transform(TextOps.words(lower(col(textCol))), w => TextOps.md5_32(w)))
-      .withColumn(out, simhashFromHashes(col("_whashes")))
-      .drop("_whashes")
+  /** [[simhash32]] as ONE native codegen'd pass per document
+    * (functions.SimHash32): tokenize + per-word md5-32 + all 32 bit
+    * votes in a single JVM loop — value-identical to the staged
+    * word-hash Column form (StagedEquivalenceSpec cross-validates the
+    * two), with no interpreted per-bit aggregates. One DELIBERATE
+    * divergence: null text now yields a null signature (null-intolerant
+    * expression), where the staged form's `aggregate` seed leaked a
+    * meaningless 0 — callers that pair on signatures must drop nulls
+    * (simhashNearDupPairs already does). */
+  def withSimhash32(df: DataFrame, textCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    df.withColumn(out, bridge.column(
+      graft.functions.SimHash32(bridge.expression(col(textCol)))))
+  }
 
   /** SimHash near-dup PAIRS — banded, not all-pairs: the 32-bit
     * signature splits into 4 byte-bands; candidates share (band index,

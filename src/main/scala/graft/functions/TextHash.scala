@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM implementations of the text-hash hot path, shared by
+  * the interpreted `eval` and the generated code of the expressions
+  * below (a top-level Scala object emits static forwarders, so
+  * generated Java calls `graft.functions.TextHashImpl.lshSig(...)`
+  * directly).
+  *
+  * VALUE CONTRACT — these must stay bit-identical to the composed
+  * Column forms they replace (the DuckDB oracle reproduces that
+  * family):
+  *   - tokens  == `split(trim(lower(text)), "\\s+")` (UTF8String
+  *     toLowerCase + space-only trim + Java regex split with limit -1,
+  *     exactly Spark's Lower/StringTrim/StringSplit chain — including
+  *     the ""-token edges on leading non-space whitespace and empty
+  *     input)
+  *   - shingle hash == `conv(substring(md5(shingle),1,8),16,10)` =
+  *     unsigned int of the first 4 digest bytes
+  *   - band b value == unsigned int of digest bytes [4b, 4b+4) — the
+  *     numeric image of the hex window `substring(md5hex, 1+8b, 8)`;
+  *     min over shingles of the 8-hex-char string IS the min of the
+  *     unsigned value (fixed-width lowercase hex is order-isomorphic)
+  *   - simhash    == per-word md5-32 majority bit votes
+  *     ([[graft.dedup.Dedup.simhash32]] semantics)
+  */
+object TextHashImpl {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `split(trim(lower(text)), "\\s+")` — see value contract above. */
+  def tokens(text: UTF8String): Array[String] = {
+    val lowered = text.toLowerCase.toString
+    // Spark's trim() strips ASCII space (0x20) ONLY — other whitespace
+    // survives into split, producing the same ""-token edge cases
+    var st = 0
+    var en = lowered.length
+    while (st < en && lowered.charAt(st) == ' ') st += 1
+    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+    lowered.substring(st, en).split("\\s+", -1)
+  }
+
+  private def first4(d: Array[Byte], off: Int): Long =
+    (((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL))
+
+  /** LSH signature in ONE pass over the document: distinct word
+    * n-gram shingles → one md5 per shingle → (distinct 32-bit shingle
+    * hashes, per-band minima). Equals the staged Column pipeline in
+    * [[graft.dedup.Dedup.lshPlan]] value-for-value; bands are the
+    * numeric form of the hex-window minima (null when no shingle). */
+  def lshSig(text: UTF8String, n: Int, bands: Int): InternalRow = {
+    val toks = tokens(text)
+    val digest = md.get()
+    // distinct shingles, first-occurrence order (== array_distinct)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val shSet = new java.util.LinkedHashSet[java.lang.Long]()
+    val bandMin = new Array[Long](bands)
+    java.util.Arrays.fill(bandMin, -1L) // -1 = unset (values are >= 0)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      digest.reset()
+      val d = digest.digest(it.next().getBytes("UTF-8"))
+      shSet.add(first4(d, 0))
+      var b = 0
+      while (b < bands) {
+        val v = first4(d, 4 * b)
+        if (bandMin(b) < 0 || v < bandMin(b)) bandMin(b) = v
+        b += 1
+      }
+    }
+    val sh = new Array[Any](shSet.size)
+    val sit = shSet.iterator()
+    var k = 0
+    while (sit.hasNext) { sh(k) = sit.next().longValue(); k += 1 }
+    val bs = new Array[Any](bands)
+    var b = 0
+    while (b < bands) { bs(b) = if (bandMin(b) < 0) null else bandMin(b); b += 1 }
+    InternalRow(new GenericArrayData(sh), new GenericArrayData(bs))
+  }
+
+  /** 32-bit SimHash in one pass: per-word md5-32 majority bit votes. */
+  def simhash32(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val digest = md.get()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      digest.reset()
+      val h = first4(digest.digest(toks(i).getBytes("UTF-8")), 0)
+      var bit = 0
+      while (bit < 32) {
+        if ((h & (1L << bit)) != 0) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 32) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+}
+
+/** `struct(sh: array<long>, bands: array<long>)` LSH signature of a
+  * text column (see [[TextHashImpl.lshSig]]). Replaces a chain of
+  * interpreted higher-order transforms (shingle build, per-shingle
+  * md5-hex, conv, per-band substring minima) with one codegen'd call —
+  * the chain was the dominant cost of LSH candidate generation, and
+  * interpreted lambdas can never be whole-stage-compiled. */
+case class LshSignature(child: Expression, n: Int, bands: Int)
+  extends UnaryExpression {
+
+  require(n >= 1 && bands >= 1 && bands <= 4,
+    "graft_lsh_sig: 1 <= n, 1 <= bands <= 4 (one md5 digest feeds 4 windows)")
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_sig expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = true), nullable = false)))
+
+  override def prettyName: String = "graft_lsh_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.lshSig(input.asInstanceOf[UTF8String], n, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.lshSig($c, $n, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash of a text column (see [[TextHashImpl.simhash32]]) —
+  * one codegen'd pass instead of a staged word-hash array plus 32
+  * interpreted per-bit aggregates. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash32 expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}

@@ -77,10 +77,13 @@ class PlanQualitySpec extends SparkSpec {
       assert(parquetScans == 1, s"signatures must come from ONE scan, plan has $parquetScans")
       assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
         "self-join sides and both sh-fetches must reuse the cache")
-      // the shingle transform is evaluated exactly once (inside the
-      // cached relation) — not re-derived per join side
-      assert(p.linesIterator.count(_.contains("lambdafunction(concat_ws")) == 1,
-        "shingle expressions must not be re-evaluated outside the cache")
+      // the signature expression is evaluated exactly once (inside the
+      // cached relation) — not re-derived per join side — and it is the
+      // native codegen'd form, not the interpreted lambda chain
+      assert(p.linesIterator.count(_.contains("graft_lsh_sig")) == 1,
+        "the native signature expression must run once, inside the cache")
+      assert(!p.contains("lambdafunction(concat_ws"),
+        "interpreted shingle lambdas must not appear (native graft_lsh_sig replaces them)")
       sig.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }

@@ -1,0 +1,139 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** The native text-hash expressions must be value-identical to the
+  * interpreted Column chains they replaced (TextHashImpl's documented
+  * value contract), INCLUDING the hostile edges the contract calls out:
+  * empty input, space-only input, non-space whitespace surviving trim,
+  * unicode case folding, and documents shorter than the n-gram. Codegen
+  * fallback is disabled for the native side so a generated-code compile
+  * error fails the suite instead of silently degrading to eval. */
+class TextHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edge = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, ""),                       // split("", -1) == [""] edge
+    (3L, "   "),                    // trim eats all ASCII spaces -> ""
+    (4L, "\tTabbed Words\n"),  // non-space whitespace survives trim
+    (5L, "ΣΊΣΥΦΟΣ İstanbul STRASSE"), // unicode lowercase mappings
+    (6L, "two words"),              // fewer tokens than the 3-gram
+    (7L, "repeat repeat repeat repeat repeat"), // duplicate shingles
+    (8L, null.asInstanceOf[String]),
+  ).toDF("doc_id", "text")
+
+  /** Run f with whole-stage codegen required (no interpreted fallback). */
+  private def codegenOnly[A](f: => A): A = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try f finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  /** The pre-native staged Column chain for the LSH signature — the
+    * reference semantics (Dedup.lshPlan's old sig0), with the band hex
+    * windows mapped to their numeric image so both sides compare as
+    * longs (fixed-width lowercase hex min == unsigned numeric min). */
+  private def stagedLshSig(df: DataFrame, n: Int, bands: Int): DataFrame = {
+    val staged = graft.text.TextOps.withShingles(
+      df.select(col("doc_id"), col("text")), "text", "_shs", n)
+      .withColumn("_digests", transform(col("_shs"), s => md5(s)))
+    staged.select(col("doc_id"),
+      array_distinct(transform(col("_digests"),
+        h => conv(substring(h, 1, 8), 16, 10).cast("long"))).as("sh"),
+      array((0 until bands).map(b =>
+        array_min(transform(col("_digests"),
+          h => conv(substring(h, 1 + 8 * b, 8), 16, 10).cast("long")))): _*).as("bands"))
+  }
+
+  private def nativeLshSig(df: DataFrame, n: Int, bands: Int): DataFrame =
+    df.select(col("doc_id"), bridge.column(
+        LshSignature(bridge.expression(col("text")), n, bands)).as("_s"))
+      .select(col("doc_id"), col("_s.sh").as("sh"), col("_s.bands").as("bands"))
+
+  private def collectSigs(df: DataFrame): Map[Long, (Seq[Long], Seq[Option[Long]])] =
+    df.collect().map { r =>
+      r.getLong(0) -> (
+        if (r.isNullAt(1)) null
+        else (r.getSeq[Long](1),
+          r.getSeq[Any](2).map(v => Option(v).map(_.asInstanceOf[Long]))))
+    }.toMap
+
+  test("LshSignature equals the staged Column chain on every non-null edge doc") {
+    val nonNull = edge.filter(col("text").isNotNull)
+    for (n <- Seq(1, 3); bands <- Seq(1, 4)) {
+      val native = codegenOnly(collectSigs(nativeLshSig(nonNull, n, bands)))
+      val staged = collectSigs(stagedLshSig(nonNull, n, bands))
+      assert(native == staged, s"mismatch at n=$n bands=$bands")
+    }
+  }
+
+  test("LshSignature: null text -> null struct; short doc -> empty sh + null bands") {
+    // DOCUMENTED divergence: the staged `when` chain maps null text to
+    // (sh=[], bands=[null..]) while the null-intolerant native form
+    // yields a null struct — downstream both explode to zero non-null
+    // band rows and the doc can never appear in a pair, so lshPlan's
+    // results are identical; the null form is the more honest one.
+    val m = codegenOnly(collectSigs(nativeLshSig(edge, 3, 4)))
+    assert(m(8L) == null)
+    assert(collectSigs(stagedLshSig(edge, 3, 4))(8L) ==
+      ((Seq.empty[Long], Seq.fill(4)(None))))
+    assert(m(6L) == ((Seq.empty[Long], Seq.fill(4)(None))))
+    // empty string tokenizes to [""], so 1-grams DO produce one shingle
+    val one = codegenOnly(collectSigs(nativeLshSig(edge, 1, 2)))
+    assert(one(2L)._1.length == 1 && one(2L) == one(3L),
+      "\"\" and \"   \" must share the single empty-token shingle")
+  }
+
+  test("SimHash32 equals the staged word-hash Column form on every edge doc") {
+    val stagedCol = {
+      val whashes = transform(graft.text.TextOps.words(lower(col("text"))),
+        w => graft.text.TextOps.md5_32(w))
+      graft.dedup.Dedup.simhashFromHashes(whashes)
+    }
+    val staged = edge.select(col("doc_id"), stagedCol.as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = codegenOnly(
+      edge.select(col("doc_id"),
+          bridge.column(SimHash32(bridge.expression(col("text")))).as("s"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap)
+    // DELIBERATE divergence on null text: the staged aggregate's 0L seed
+    // leaked through as a signature of 0; the native form returns null
+    // (see Dedup.withSimhash32 scaladoc). Everything else must be equal.
+    assert(staged(8L) == 0L && native(8L) == null)
+    assert((native - 8L) == (staged - 8L))
+  }
+
+  test("analysis rejects non-string input and out-of-range band counts") {
+    intercept[Exception] {
+      edge.select(bridge.column(
+        LshSignature(bridge.expression(col("doc_id")), 3, 4))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      LshSignature(bridge.expression(lit("x")), 3, 5)
+    }
+    intercept[IllegalArgumentException] {
+      LshSignature(bridge.expression(lit("x")), 0, 4)
+    }
+  }
+
+  test("expressions sit inside a WholeStageCodegen span over the parquet scan") {
+    // real files, not a local Seq — ConvertToLocalRelation would fold a
+    // LocalRelation projection at optimization time and leave nothing
+    // to inspect in the physical plan
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      bridge.column(LshSignature(bridge.expression(col("text")), 3, 4)).as("sig"),
+      bridge.column(SimHash32(bridge.expression(col("text")))).as("sh32"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_sig") && plan.contains("graft_simhash32"))
+    // the "*(n)" star is toString's WholeStageCodegen-stage marker
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project") && l.contains("graft_lsh_sig")),
+      s"projection must be inside a codegen stage:\n$plan")
+    codegenOnly(assert(df.count() > 0))
+  }
+}
