@@ -333,10 +333,11 @@ object SparkEntry {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Order-sensitive rolling word hash (TextOps.rollingWordHash). */
+  /** Order-sensitive rolling word hash — the native codegen'd
+    * expression (value-identical to TextOps.rollingWordHash). */
   private def q36(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents")
-      .select(col("doc_id"), TextOps.rollingWordHash(col("text")).as("rh"))
+      .select(col("doc_id"), TextOps.rollingWordHashNative(col("text")).as("rh"))
       .orderBy(col("doc_id"))
 
   /** IVF-style ANN: search only the 2 cells nearest the probe. */

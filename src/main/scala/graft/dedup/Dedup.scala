@@ -44,7 +44,7 @@ object Dedup {
     *
     * Scale shape: one count-agg over the (key, id) band rows (map-side
     * partial combine, one shuffle on the band key), then the hot keys —
-    * at most totalBandRows / maxBucket of them, so driver-bounded by
+    * at most totalBandRows / maxBucket of them, bounded by
     * construction — broadcast into a LEFT ANTI join. No second shuffle
     * of the band rows and nothing at all when no bucket overflows.
     *
@@ -58,25 +58,25 @@ object Dedup {
                              maxBucket: Int, opName: String): DataFrame = {
     if (maxBucket >= Int.MaxValue) return banded
     val keys = keyCols.map(col)
-    val hotRows = banded.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
+    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxBucket)
-      .collect()
-    if (hotRows.isEmpty) banded
+    // the hot KEYS never land on the driver: one bounded stats row
+    // decides whether any bucket overflows, the log reads a top-3
+    // TakeOrdered, and the cull is an anti-join against the hot-keys
+    // FRAME. The broadcast hint is safe by the same bound as before
+    // (≤ bandRows/maxBucket keys, each a few small columns) — but now
+    // the worst case costs executor memory, not driver heap.
+    val stats = hot.agg(count(lit(1)).as("_k"), sum(col("_n")).as("_d")).head()
+    if (stats.getLong(0) == 0L) banded
     else {
-      val droppedBandRows = hotRows.map(_.getAs[Long]("_n")).sum
-      val worst = hotRows.sortBy(-_.getAs[Long]("_n")).take(3)
+      val worst = hot.orderBy(col("_n").desc).take(3)
         .map(r => keyCols.map(k => String.valueOf(r.get(r.fieldIndex(k))))
           .mkString(":") + "(n=" + r.getAs[Long]("_n") + ")")
-      hotBucketLog(s"[graft.dedup] $opName: dropped ${hotRows.length} hot " +
-        s"bucket(s) exceeding maxBucket=$maxBucket ($droppedBandRows band rows); " +
+      hotBucketLog(s"[graft.dedup] $opName: dropped ${stats.getLong(0)} hot " +
+        s"bucket(s) exceeding maxBucket=$maxBucket (${stats.getLong(1)} band rows); " +
         s"largest: ${worst.mkString(", ")}. Pairs matched ONLY inside these " +
         "buckets are not emitted — run exact dedup first or raise maxBucket.")
-      val spark = banded.sparkSession
-      val hotKeys = spark.createDataFrame(
-        java.util.Arrays.asList(hotRows.map(r => org.apache.spark.sql.Row
-          .fromSeq(keyCols.map(k => r.get(r.fieldIndex(k))))): _*),
-        banded.selectExpr(keyCols: _*).schema)
-      banded.join(broadcast(hotKeys), keyCols, "left_anti")
+      banded.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
     }
   }
 
@@ -88,19 +88,30 @@ object Dedup {
       .filter(col("cnt") > 1)
       .orderBy(col("fp"))
 
-  /** id + one minhash column per band seed. */
+  /** id + one minhash column per band seed (the 8-hex-char md5 window
+    * minima of the shingle set — the engine-portable minhash family).
+    *
+    * bands ≤ 4 rides the SAME native codegen'd expression that powers
+    * [[lshNearDupPairs]] (`graft_lsh_sig`, one JVM pass per document) —
+    * a single implementation of the value contract in
+    * `functions/TextHash.scala:16-31`. The hex presentation is recovered
+    * from the numeric band minima: fixed-width lowercase hex is
+    * order-isomorphic with the unsigned value, so hex(min) == min(hex)
+    * character-for-character. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    nGram: Int, bands: Int): DataFrame = {
     if (bands <= 4) {
-      // staged words → ONE shingle pass → ONE md5 digest pass feeds
-      // every band, instead of re-splitting and re-hashing per band
-      val staged = TextOps.withMinhashBands(
-        TextOps.withShingles(
-          df.select(col(idCol), col(textCol)), textCol, "_sh", nGram),
-        "_sh", "_bands", bands)
-      staged.select((col(idCol) +: (0 until bands).map(b =>
-        element_at(col("_bands"), b + 1).as(s"mh$b"))): _*)
+      import org.apache.spark.sql.graft.bridge
+      df.select(col(idCol), col(textCol))
+        .withColumn("_lsig", bridge.column(graft.functions.LshSignature(
+          bridge.expression(col(textCol)), nGram, bands)))
+        .select((col(idCol) +: (0 until bands).map(b =>
+          lower(lpad(hex(element_at(col("_lsig.bands"), b + 1)), 8, "0"))
+            .as(s"mh$b"))): _*)
     } else {
+      // general path ONLY for bands > 4: those seeds need the second
+      // digest family (md5("<seed>|" + shingle)) that the 4-window
+      // native expression cannot produce — see TextOps.minhash.
       val sh = TextOps.shingles(col(textCol), nGram)
       val mh = (0 until bands).map(b => TextOps.minhash(sh, b).as(s"mh$b"))
       df.select((col(idCol) +: mh): _*)
@@ -208,22 +219,41 @@ object Dedup {
     (sig, verified)
   }
 
+  /** Materialization point for the clustering loop: a RELIABLE
+    * `checkpoint()` when the session has a checkpoint directory
+    * configured, else `localCheckpoint()`.
+    *
+    * Cluster guidance: `localCheckpoint` writes executor-LOCAL,
+    * non-replicated blocks with truncated lineage — on a real cluster
+    * one lost executor mid-iteration fails the whole clustering job
+    * with no recompute path. Set
+    * `spark.sparkContext.setCheckpointDir("hdfs://...")` before calling
+    * [[dupClusters]] and every round's labels (and the edge list) are
+    * written to reliable storage instead: executor loss costs one
+    * re-read, not the job. On local[*] the default localCheckpoint is
+    * both safe and faster (no filesystem round-trip per round). */
+  private def materializeRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Duplicate CLUSTERS from a pair list: connected components by
     * iterative min-label propagation (each node's label becomes the min
     * label among itself and its neighbors, to fixpoint). No GraphX —
-    * each round is one join + hash-agg, labels localCheckpoint'ed so
-    * lineage stays flat; rounds needed = graph diameter, which for
-    * near-dup clusters is tiny. Returns (id, cluster) where cluster =
-    * min doc id of the component. */
+    * each round is one join + hash-agg, labels materialized per round
+    * ([[materializeRound]] — reliable `checkpoint()` when a checkpoint
+    * dir is set, `localCheckpoint()` otherwise) so lineage stays flat;
+    * rounds needed = graph diameter, which for near-dup clusters is
+    * tiny. Returns (id, cluster) where cluster = min doc id of the
+    * component. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b"): DataFrame = {
     // materialize the edge list ONCE — every propagation round joins
     // against it, and without this each round would re-evaluate the
     // upstream pair pipeline (for LSH input: the full shingle+band run)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val edges = materializeRound(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var changed = true
@@ -236,10 +266,10 @@ object Dedup {
       // carry the OLD label through the propagation join so convergence
       // is read off the checkpointed blocks — one heavy (join+agg) job
       // per round, not a second full join just to diff labels
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+      val next = materializeRound(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
       labels = next.select(col("id"), col("label"))
     }

@@ -96,6 +96,25 @@ object TextHashImpl {
     InternalRow(new GenericArrayData(sh), new GenericArrayData(bs))
   }
 
+  /** Order-sensitive rolling polynomial word hash in one pass: base 31,
+    * mod 1e9+7, md5-32 per word ([[graft.text.TextOps.rollingWordHash]]
+    * semantics — `aggregate(transform(words, w => md5_32(w) % M), 0,
+    * (acc, h) => (acc*31 + h) % M)` value-for-value; acc stays < M so
+    * acc*31 + h < 3.3e10 never overflows a long). */
+  def rollingHash(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val digest = md.get()
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      digest.reset()
+      val h = first4(digest.digest(toks(i).getBytes("UTF-8")), 0) % 1000000007L
+      acc = (acc * 31 + h) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
   /** 32-bit SimHash in one pass: per-word md5-32 majority bit votes. */
   def simhash32(text: UTF8String): Long = {
     val toks = tokens(text)
@@ -183,5 +202,35 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Order-sensitive rolling word hash of a text column (see
+  * [[TextHashImpl.rollingHash]]) — one codegen'd pass instead of an
+  * interpreted transform + aggregate fold over the token array (the
+  * same interpreted-HOF cost the LSH/SimHash expressions removed).
+  * Null text yields null, exactly like the staged form (`aggregate`
+  * over a null token array is null). */
+case class RollingWordHash(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_hash expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWordHash =
     copy(child = newChild)
 }

@@ -69,22 +69,6 @@ object TextOps {
     else
       array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
 
-  /** All `n` (≤4) minhash bands with the md5 digest computed ONCE per
-    * shingle. [[minhash]] per band would re-run the digest transform n
-    * times: higher-order functions are interpreted (CodegenFallback),
-    * so codegen subexpression elimination never sees them. Staging the
-    * digest array as its own projection step makes it a real column —
-    * CollapseProject keeps a non-cheap alias referenced n times staged,
-    * so each row pays one md5 pass and n cheap substring scans. */
-  def withMinhashBands(df: DataFrame, shCol: String, bandsCol: String,
-                       n: Int): DataFrame = {
-    require(n <= 4, "seeds beyond 4 need a second digest family (minhash)")
-    df.withColumn("_digests", transform(col(shCol), s => md5(s)))
-      .withColumn(bandsCol, array((0 until n).map(b =>
-        array_min(transform(col("_digests"), h => substring(h, 1 + 8 * b, 8)))): _*))
-      .drop("_digests")
-  }
-
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
@@ -187,7 +171,12 @@ object TextOps {
     * md5-32 per word) — a cheap order-sensitive document signature,
     * complementing the order-insensitive minhash. Modular at every step
     * so the fold never overflows (and never wraps differently across
-    * engines). */
+    * engines).
+    *
+    * This composed Column form is the REFERENCE semantics (an
+    * interpreted transform + aggregate fold — any SQL oracle can
+    * reproduce it); hot paths use [[rollingWordHashNative]], the
+    * value-identical one-pass codegen'd expression. */
   val RollingMod = 1000000007L
 
   def rollingWordHash(c: Column): Column =
@@ -195,4 +184,14 @@ object TextOps {
       transform(words(lower(c)), w => md5_32(w) % RollingMod),
       lit(0L),
       (acc, h) => (acc * 31 + h) % RollingMod)
+
+  /** [[rollingWordHash]] as ONE native codegen'd pass per document
+    * (functions.RollingWordHash): tokenize + per-word md5-32 + modular
+    * fold in a single JVM loop — interpreted higher-order functions are
+    * CodegenFallback and can never be whole-stage-compiled
+    * (TextHashSpec cross-validates the two forms on the edge corpus). */
+  def rollingWordHashNative(c: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.RollingWordHash(bridge.expression(c)))
+  }
 }

@@ -88,6 +88,23 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q29: band columns come from the native graft_lsh_sig expression") {
+    val p = plan("q29_minhash_bands")
+    // one implementation of the LSH value contract: q29 rides the same
+    // codegen'd expression as q30 — the interpreted staged chain it
+    // replaced must not reappear (it survives only as the bands>4 path)
+    assert(p.contains("graft_lsh_sig"), "q29 must use the native signature expression")
+    assert(!p.contains("lambdafunction"),
+      "no interpreted higher-order lambdas in the q29 plan:\n" + p)
+  }
+
+  test("q36: rolling hash is the native codegen'd expression") {
+    val p = plan("q36_rolling_hash")
+    assert(p.contains("graft_rolling_hash"), "q36 must use the native expression")
+    assert(!p.contains("lambdafunction"),
+      "no interpreted transform/aggregate fold in the q36 plan:\n" + p)
+  }
+
   test("q57: static dimension side broadcasts under the enrichment join") {
     val p = plan("q57_stream_static_enrich")
     assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")

@@ -23,4 +23,34 @@ class ClusterSpec extends SparkSpec {
     assert(got.values.toSet == Set(5L))
     assert(got.keySet == Set(5L, 6L, 7L, 8L, 9L))
   }
+
+  test("dupClusters: reliable-checkpoint mode (checkpoint dir set) matches the local path") {
+    // the fault-tolerance knob for real clusters: with a checkpoint dir
+    // configured the loop uses replicated, recompute-free checkpoint()
+    // instead of executor-local localCheckpoint(); results must be
+    // IDENTICAL — only the materialization medium changes
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no global checkpoint dir")
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val reliable = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the mode really engaged: checkpoint files landed under the dir
+      val wrote = java.nio.file.Files.walk(dir.toPath)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+    } finally {
+      // restore the no-checkpoint-dir default for the rest of the JVM
+      // (checkpointDir is private[spark] — public in bytecode)
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
 }

@@ -93,7 +93,7 @@ class StagedEquivalenceSpec extends SparkSpec {
     assert(staged == unstaged)
   }
 
-  test("withMinhashBands equals per-band minhash on real docs") {
+  test("minhashBands (native graft_lsh_sig) equals per-band interpreted minhash on real docs") {
     val sh = graft.text.TextOps.shingles(col("text"), 3)
     val unstaged = docs.select(col("doc_id"),
         (0 until 4).map(b => graft.text.TextOps.minhash(sh, b)).reduce(concat_ws("|", _, _)).as("m"))

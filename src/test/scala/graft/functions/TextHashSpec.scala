@@ -120,6 +120,21 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("RollingWordHash equals the staged transform+aggregate fold on every edge doc") {
+    val staged = edge.select(col("doc_id"),
+        graft.text.TextOps.rollingWordHash(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = codegenOnly(
+      edge.select(col("doc_id"),
+          graft.text.TextOps.rollingWordHashNative(col("text")).as("rh"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap)
+    // null text is null under BOTH forms here (aggregate over a null
+    // token array is null; the native expression is null-intolerant) —
+    // unlike SimHash32 there is no seed to leak, so full equality holds
+    assert(staged(8L) == null && native(8L) == null)
+    assert(native == staged)
+  }
+
   test("expressions sit inside a WholeStageCodegen span over the parquet scan") {
     // real files, not a local Seq — ConvertToLocalRelation would fold a
     // LocalRelation projection at optimization time and leave nothing
