@@ -29,8 +29,10 @@ object Multimodal {
 
   /** STUB codec — NOT a real decoder. Parses the deterministic fake
     * header laid out by [[encodeFake]]: [kind:1][width:4][height:4]
-    * [duration:8] big-endian, then payload bytes. A real implementation
-    * replaces ONLY this object; everything downstream keeps its shape. */
+    * [duration:8] big-endian, then payload bytes. Real IMAGE payloads
+    * never reach it ([[decodeMeta]] dispatches those to [[ImageIoCodec]]
+    * on magic bytes); it remains the audio/video stand-in — those codec
+    * families genuinely are not in this container. */
   object StubCodec {
     def encodeFake(kind: Byte, width: Int, height: Int, durationMs: Long,
                    body: Array[Byte]): Array[Byte] = {
@@ -49,16 +51,67 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over the JDK's own `javax.imageio` registry
+    * (PNG/JPEG/GIF/BMP ship with every JDK — no external library).
+    * Header-only decode: the `ImageReader` is asked for width/height,
+    * which reads the image header, never the pixel planes — so cost per
+    * row is O(header), not O(pixels), exactly what metadata extraction
+    * over 100 TB of image blobs wants. */
+  object ImageIoCodec {
+
+    /** Magic-byte sniff. Returns the format name iff the payload starts
+      * like one of the JDK-decodable image containers. The fake-header
+      * layout ([[StubCodec.encodeFake]]) starts with kind byte 1/2/3 and
+      * can never collide with these signatures. */
+    def sniff(payload: Array[Byte]): Option[String] =
+      if (payload == null || payload.length < 4) None
+      else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+               payload(2) == 'N' && payload(3) == 'G') Some("png")
+      else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+               (payload(2) & 0xff) == 0xff) Some("jpeg")
+      else if (payload(0) == 'G' && payload(1) == 'I' &&
+               payload(2) == 'F' && payload(3) == '8') Some("gif")
+      else if (payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+      else None
+
+    def decode(payload: Array[Byte], fmt: String): MediaMeta = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) MediaMeta("unknown", 0, 0, 0L, fmt)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in, true, true) // seekForward + ignoreMetadata
+            MediaMeta("image", r.getWidth(0), r.getHeight(0), 0L, fmt)
+          } finally r.dispose()
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Per-payload dispatch: real image bytes (by magic) decode through
+    * [[ImageIoCodec]]; everything else — including every fake-header
+    * payload the specs and gate q53 generate — routes to [[StubCodec]]
+    * unchanged. */
+  private[multimodal] def dispatchDecode(payload: Array[Byte]): MediaMeta =
+    ImageIoCodec.sniff(payload) match {
+      case Some(fmt) => ImageIoCodec.decode(payload, fmt)
+      case None      => StubCodec.decode(payload)
+    }
+
   /** Decode payloads partition-wise: one codec instance per partition,
-    * rows streamed through it (the mapInPandas batch shape in Scala). */
+    * rows streamed through it (the mapInPandas batch shape in Scala).
+    * ImageIO's plugin registry scan is a once-per-JVM static, so the
+    * per-partition init point stays O(1). */
   def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init point: a real decoder allocates here
-        val codec = StubCodec
-        it.map { case (id, payload) => MediaRow(id, payload, codec.decode(payload)) }
+        // per-partition init point: a stateful decoder allocates here
+        it.map { case (id, payload) => MediaRow(id, payload, dispatchDecode(payload)) }
       }
   }
 

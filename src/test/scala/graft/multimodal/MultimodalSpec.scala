@@ -31,6 +31,55 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(2L).width == 0) // audio untouched
   }
 
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040) // deterministic non-zero pixel
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes REAL image bytes for all four JDK formats") {
+    // real encoded images, produced by the JDK itself — the decode side
+    // must recover dimensions header-only through the same decodeMeta
+    // entry point the pipeline uses
+    val media = Seq(
+      10L -> imageBytes("png", 321, 17),
+      11L -> imageBytes("jpeg", 64, 48),
+      12L -> imageBytes("gif", 33, 9),
+      13L -> imageBytes("bmp", 5, 80))
+    val metas = decodeMeta(media.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(r => r.media_id -> r.meta).toMap
+    assert(metas(10L) == MediaMeta("image", 321, 17, 0L, "png"))
+    assert(metas(11L) == MediaMeta("image", 64, 48, 0L, "jpeg"))
+    assert(metas(12L) == MediaMeta("image", 33, 9, 0L, "gif"))
+    assert(metas(13L) == MediaMeta("image", 5, 80, 0L, "bmp"))
+  }
+
+  test("magic-byte dispatch: real and fake payloads coexist in one partition") {
+    val mixed = (fakeMedia ++ Seq(20L -> imageBytes("png", 200, 100)))
+      .toDF("media_id", "payload").repartition(1)
+    val metas = decodeMeta(mixed, "media_id", "payload")
+      .collect().map(r => r.media_id -> r.meta).toMap
+    // fake-header rows keep StubCodec semantics bit-for-bit (q53's gate)
+    assert(metas(1L) == MediaMeta("image", 1920, 1080, 0L, "fake"))
+    assert(metas(2L) == MediaMeta("audio", 0, 0, 180000L, "fake"))
+    // the real PNG in the same partition decodes through ImageIO
+    assert(metas(20L) == MediaMeta("image", 200, 100, 0L, "png"))
+  }
+
+  test("real images flow through the downstream feature/resize steps") {
+    val rows = decodeMeta(
+      Seq(30L -> imageBytes("png", 1920, 1080)).toDF("media_id", "payload"),
+      "media_id", "payload")
+    val f = extractFeatures(rows).collect().head
+    assert(f.kind == "image" && f.width == 1920 && f.height == 1080)
+    assert(math.abs(f.aspect - 16.0 / 9) < 1e-9)
+    val resized = resize(rows, 960).collect().head.meta
+    assert(resized.width == 960 && resized.height == 540)
+  }
+
   test("sampleFrames explodes video timeline only") {
     val rows = decodeMeta(fakeMedia.toDF("media_id", "payload"), "media_id", "payload")
     val frames = sampleFrames(rows, 1000L).collect()
