@@ -54,8 +54,8 @@ object Dedup {
     * cheap agg; with `cacheSignatures=false` it re-evaluates the
     * signature pipeline once — callers managing their own caching
     * should persist upstream or pass maxBucket=Int.MaxValue. */
-  private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
-                             maxBucket: Int, opName: String): DataFrame = {
+  private[graft] def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
+                                    maxBucket: Int, opName: String): DataFrame = {
     if (maxBucket >= Int.MaxValue) return banded
     val keys = keyCols.map(col)
     val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
