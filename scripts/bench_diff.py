@@ -9,9 +9,10 @@ line is embedded in its "tail" field) — so it can diff any two round
 artifacts directly.
 
 A query is flagged when it moved by more than --ratio in either
-direction AND both sides are above --floor seconds (sub-300ms queries
-are dominated by job-scheduling noise on local[32]; a 2x move there is
-not signal). Exit code 1 iff any REGRESSION is flagged, so the script
+direction, unless both sides are below --floor seconds (sub-300ms
+queries are dominated by job-scheduling noise on local[32]; a 2x move
+inside the noise floor is not signal, but a move that ESCAPES the
+floor is). Exit code 1 iff any REGRESSION is flagged, so the script
 can gate CI.
 """
 import argparse

@@ -52,22 +52,28 @@ object Dedup {
     * must be loggable before any result materializes). With the default
     * `cacheSignatures=true` it reads the signature cache, costing one
     * cheap agg; with `cacheSignatures=false` it re-evaluates the
-    * signature pipeline once — callers managing their own caching
-    * should persist upstream or pass maxBucket=Int.MaxValue. */
+    * signature pipeline once to build the hot-keys cache — callers
+    * managing their own caching should persist upstream or pass
+    * maxBucket=Int.MaxValue. */
   private[graft] def dropHotBuckets(banded: DataFrame, keyCols: Seq[String],
                                     maxBucket: Int, opName: String): DataFrame = {
     if (maxBucket >= Int.MaxValue) return banded
     val keys = keyCols.map(col)
+    // the hot-keys frame is persisted BEFORE its three consumers (the
+    // stats row, the top-3 log probe, the anti-join's broadcast build)
+    // so the banded aggregation — and, when signatures are uncached,
+    // the whole upstream signature pipeline under it — runs exactly
+    // once. The cache is ≤ bandRows/maxBucket tiny rows and intentional:
+    // the returned plan's broadcast references it for the lifetime of
+    // the result. No per-key Array lives on the driver and nothing
+    // driver-side is sorted — the broadcast side does pass through the
+    // driver (that is how BroadcastExchange works), but it is the
+    // bounded aggregated frame, never the band rows.
     val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxBucket)
-    // the hot KEYS never land on the driver: one bounded stats row
-    // decides whether any bucket overflows, the log reads a top-3
-    // TakeOrdered, and the cull is an anti-join against the hot-keys
-    // FRAME. The broadcast hint is safe by the same bound as before
-    // (≤ bandRows/maxBucket keys, each a few small columns) — but now
-    // the worst case costs executor memory, not driver heap.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = hot.agg(count(lit(1)).as("_k"), sum(col("_n")).as("_d")).head()
-    if (stats.getLong(0) == 0L) banded
+    if (stats.getLong(0) == 0L) { hot.unpersist(); banded }
     else {
       val worst = hot.orderBy(col("_n").desc).take(3)
         .map(r => keyCols.map(k => String.valueOf(r.get(r.fieldIndex(k))))
@@ -219,43 +225,61 @@ object Dedup {
     (sig, verified)
   }
 
-  /** Materialization point for the clustering loop: a RELIABLE
-    * `checkpoint()` when the session has a checkpoint directory
-    * configured, else `localCheckpoint()`.
-    *
-    * Cluster guidance: `localCheckpoint` writes executor-LOCAL,
-    * non-replicated blocks with truncated lineage — on a real cluster
-    * one lost executor mid-iteration fails the whole clustering job
-    * with no recompute path. Set
-    * `spark.sparkContext.setCheckpointDir("hdfs://...")` before calling
-    * [[dupClusters]] and every round's labels (and the edge list) are
-    * written to reliable storage instead: executor loss costs one
-    * re-read, not the job. On local[*] the default localCheckpoint is
-    * both safe and faster (no filesystem round-trip per round). */
-  private def materializeRound(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
-
   /** Duplicate CLUSTERS from a pair list: connected components by
     * iterative min-label propagation (each node's label becomes the min
     * label among itself and its neighbors, to fixpoint). No GraphX —
-    * each round is one join + hash-agg, labels materialized per round
-    * ([[materializeRound]] — reliable `checkpoint()` when a checkpoint
-    * dir is set, `localCheckpoint()` otherwise) so lineage stays flat;
-    * rounds needed = graph diameter, which for near-dup clusters is
-    * tiny. Returns (id, cluster) where cluster = min doc id of the
-    * component. */
+    * each round is one join + hash-agg, with every round's labels (and
+    * the edge list, materialized ONCE) snapshotted so lineage stays
+    * flat; rounds needed = graph diameter, which for near-dup clusters
+    * is tiny. Returns (id, cluster) where cluster = min doc id of the
+    * component.
+    *
+    * Fault tolerance at cluster scale: by default rounds are
+    * `localCheckpoint()`ed — executor-LOCAL, non-replicated blocks, so
+    * on a real cluster one lost executor mid-iteration fails the job
+    * with no recompute path. Set
+    * `spark.sparkContext.setCheckpointDir("hdfs://...")` before calling
+    * and each round is instead written as parquet under the checkpoint
+    * dir and read back: replicated storage, executor loss costs one
+    * re-read. Unlike `Dataset.checkpoint()` — whose files nothing
+    * deletes without GC-driven cleanup — SUPERSEDED rounds are deleted
+    * as soon as the next round lands, so a diameter-D run keeps at most
+    * the edge list + 2 round snapshots on disk, not D+1. The final
+    * round's files back the returned DataFrame and remain until the
+    * caller clears the checkpoint dir. On local[*] leave the dir unset:
+    * localCheckpoint is both safe and faster there. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliableBase = spark.sparkContext.getCheckpointDir.map(d =>
+      s"$d/graft-dup-clusters-${java.util.UUID.randomUUID().toString}")
+    var roundNo = 0
+    def materialize(df: DataFrame): (DataFrame, Option[String]) =
+      reliableBase match {
+        case Some(base) =>
+          val path = s"$base/round-$roundNo"
+          roundNo += 1
+          df.write.parquet(path)
+          (spark.read.parquet(path), Some(path))
+        case None => (df.localCheckpoint(), None)
+      }
+    def deleteSnapshot(path: String): Unit = // best-effort cleanup
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+
     // materialize the edge list ONCE — every propagation round joins
     // against it, and without this each round would re-evaluate the
     // upstream pair pipeline (for LSH input: the full shingle+band run)
-    val edges = materializeRound(
+    val (edges, edgesPath) = materialize(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    var labelsPath: Option[String] = None
     var changed = true
     while (changed) {
       val neighborMin = edges
@@ -264,15 +288,21 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
       // carry the OLD label through the propagation join so convergence
-      // is read off the checkpointed blocks — one heavy (join+agg) job
+      // is read off the snapshotted round — one heavy (join+agg) job
       // per round, not a second full join just to diff labels
-      val next = materializeRound(
+      val (next, nextPath) = materialize(
         labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("label").as("old"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
+      // `next` is safely on disk (and its convergence read): the
+      // previous round's snapshot is superseded — drop it now
+      labelsPath.foreach(deleteSnapshot)
+      labelsPath = nextPath
       labels = next.select(col("id"), col("label"))
     }
+    // the fixpoint depends only on the final round's snapshot
+    edgesPath.foreach(deleteSnapshot)
     labels.select(col("id"), col("label").as("cluster")).orderBy(col("id"))
   }
 

@@ -73,13 +73,19 @@ object SimilarJoin {
     }
 
   /** [[similarJoin]] piped into connected-components clustering:
-    * returns `(id, cluster)` where cluster = min member id. */
+    * returns `(id, cluster)` where cluster = min member id. The pair
+    * list's cache is RELEASED before returning — [[Dedup.dupClusters]]
+    * materializes its own edge list up front, after which the persisted
+    * pairs would be dead weight pinned for the whole session. */
   def similarClusters(df: DataFrame, idCol: String, contentCol: String,
                       method: SimilarityMethod,
                       cacheSignatures: Boolean = true,
-                      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame =
-    Dedup.dupClusters(
-      similarJoin(df, idCol, contentCol, method, cacheSignatures, maxBucket))
+                      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+    val pairs = similarJoin(df, idCol, contentCol, method,
+      cacheSignatures, maxBucket)
+    try Dedup.dupClusters(pairs)
+    finally { if (cacheSignatures) pairs.unpersist() }
+  }
 
   /** Embedding path with the SAME cap/caching treatment the text
     * finders get (which [[Similarity.nearDupPairsBlocked]], the bare

@@ -74,8 +74,14 @@ object Multimodal {
       else if (payload(0) == 'B' && payload(1) == 'M') Some("bmp")
       else None
 
+    /** Corrupt bytes behind a valid magic (certain at crawl scale) must
+      * not fail the task: every decode error degrades to the same
+      * `unknown` meta the no-reader case returns, and the job keeps
+      * going. The stream is memory-backed — the ImageIO default would
+      * spool the (already in-memory) bytes through a disk temp file per
+      * row, per-row syscalls the header-only path must not pay. */
     def decode(payload: Array[Byte], fmt: String): MediaMeta = {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -87,6 +93,8 @@ object Multimodal {
             MediaMeta("image", r.getWidth(0), r.getHeight(0), 0L, fmt)
           } finally r.dispose()
         }
+      } catch {
+        case scala.util.control.NonFatal(_) => MediaMeta("unknown", 0, 0, 0L, fmt)
       } finally in.close()
     }
   }

@@ -41,10 +41,20 @@ class ClusterSpec extends SparkSpec {
       val reliable = Dedup.dupClusters(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(reliable == local)
-      // the mode really engaged: checkpoint files landed under the dir
-      val wrote = java.nio.file.Files.walk(dir.toPath)
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, "reliable mode must write checkpoint files")
+      // the mode really engaged AND superseded rounds were cleaned up:
+      // only the final round's snapshot may remain on disk
+      val walk = java.nio.file.Files.walk(dir.toPath)
+      val (files, rounds) =
+        try {
+          val paths = scala.jdk.CollectionConverters
+            .IteratorHasAsScala(walk.iterator()).asScala.toVector
+          (paths.count(java.nio.file.Files.isRegularFile(_)),
+            paths.count(p => java.nio.file.Files.isDirectory(p)
+              && p.getFileName.toString.startsWith("round-")))
+        } finally walk.close()
+      assert(files > 0, "reliable mode must write snapshot files")
+      assert(rounds == 1,
+        s"superseded round snapshots must be deleted, found $rounds")
     } finally {
       // restore the no-checkpoint-dir default for the rest of the JVM
       // (checkpointDir is private[spark] — public in bytecode)

@@ -125,7 +125,7 @@ class StagedEquivalenceSpec extends SparkSpec {
   * identical boilerplate docs — every band collides) must not go
   * quadratic; oversized buckets are dropped LOUDLY and pairs outside
   * them survive untouched. */
-class HotBucketSpec extends SparkSpec {
+class HotBucketSpec extends SparkSpec with HotBucketLogCapture {
   import spark.implicits._
 
   /** n boilerplate clones + one genuinely distinct near-dup pair. */
@@ -136,13 +136,6 @@ class HotBucketSpec extends SparkSpec {
       (900001L, "a genuinely unique document describing catalyst expression codegen internals"),
       (900002L, "a genuinely unique document describing catalyst expression codegen internals"))
     (hot ++ pair).toDF("doc_id", "text")
-  }
-
-  private def withLogCapture[A](body: => A): (A, Seq[String]) = {
-    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
-    val old = Dedup.hotBucketLog
-    Dedup.hotBucketLog = m => logs.synchronized { logs += m }
-    try (body, logs.toSeq) finally Dedup.hotBucketLog = old
   }
 
   test("lsh: hot bucket dropped loudly; disjoint pair survives; output bounded") {

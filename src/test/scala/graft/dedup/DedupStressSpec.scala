@@ -30,7 +30,7 @@ object SlowStress extends Tag("graft.SlowStress")
   * for the three stress tests together (the LSH run is shared between
   * the pair-finder and clustering tests; the SimHash pass over 70k
   * docs with ~38M banded candidates dominates). */
-class DedupStressSpec extends SparkSpec {
+class DedupStressSpec extends SparkSpec with HotBucketLogCapture {
 
   /** 70k docs: 5000 families x 10 salted copies + 20k boilerplate. */
   private lazy val corpus: DataFrame = {
@@ -55,16 +55,10 @@ class DedupStressSpec extends SparkSpec {
     * clustering test read it. maxBucket 2000: far above any family
     * bucket (10 members) and any healthy natural bucket, far below the
     * 20k boilerplate bucket. */
-  private lazy val lshRun: (DataFrame, Vector[String]) = {
-    var logged = Vector.empty[String]
-    val prev = Dedup.hotBucketLog
-    Dedup.hotBucketLog = m => logged = logged :+ m
-    try {
-      val pairs = Dedup.lshNearDupPairs(corpus, "doc_id", "text",
-        nGram = 3, bands = 4, minJaccard = 0.5, cacheSignatures = true,
-        maxBucket = 2000)
-      (pairs, logged)
-    } finally Dedup.hotBucketLog = prev
+  private lazy val lshRun: (DataFrame, Seq[String]) = withLogCapture {
+    Dedup.lshNearDupPairs(corpus, "doc_id", "text",
+      nGram = 3, bands = 4, minJaccard = 0.5, cacheSignatures = true,
+      maxBucket = 2000)
   }
 
   test("LSH pair finder survives the 70k-doc skewed corpus; cap culls the boilerplate", SlowStress) {
@@ -89,30 +83,28 @@ class DedupStressSpec extends SparkSpec {
   }
 
   test("SimHash pair finder survives the same corpus; identical tail is culled not paired", SlowStress) {
-    var logged = Vector.empty[String]
-    val prev = Dedup.hotBucketLog
-    Dedup.hotBucketLog = m => logged = logged :+ m
-    try {
-      // 20k identical signatures would emit ~2e8 hamming-0 pairs; the
-      // cap must cull those buckets. maxBucket 5000 leaves the healthy
-      // (bi, bv) buckets (~70k/256 per band) untouched.
+    // 20k identical signatures would emit ~2e8 hamming-0 pairs; the
+    // cap must cull those buckets. maxBucket 5000 leaves the healthy
+    // (bi, bv) buckets (~70k/256 per band) untouched.
+    val ((total, boilerPairs), logged) = withLogCapture {
       val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
         maxHamming = 3, cacheSignatures = true, maxBucket = 5000)
-      val total = pairs.count()
-      val boilerPairs = pairs.filter(
+      val t = pairs.count()
+      val b = pairs.filter(
         isBoiler(col("id_a")) || isBoiler(col("id_b"))).count()
       pairs.unpersist()
-      // the synthetic vocabulary is small, so signatures cluster and
-      // hamming<=3 genuinely holds for ~6.5M cross-family pairs — the
-      // bound is about QUADRATIC failure, not the data's true density:
-      // all-pairs would be C(70k,2) ~ 2.4e9; a surviving cull keeps the
-      // verified list under 1% of that
-      assert(total < 24000000L, s"unbounded pair list: $total")
-      assert(boilerPairs == 0L,
-        s"boilerplate pairs leaked through the cap: $boilerPairs")
-      assert(logged.exists(m => m.contains("simhashNearDupPairs")),
-        s"cap never logged: $logged")
-    } finally Dedup.hotBucketLog = prev
+      (t, b)
+    }
+    // the synthetic vocabulary is small, so signatures cluster and
+    // hamming<=3 genuinely holds for ~6.5M cross-family pairs — the
+    // bound is about QUADRATIC failure, not the data's true density:
+    // all-pairs would be C(70k,2) ~ 2.4e9; a surviving cull keeps the
+    // verified list under 1% of that
+    assert(total < 24000000L, s"unbounded pair list: $total")
+    assert(boilerPairs == 0L,
+      s"boilerplate pairs leaked through the cap: $boilerPairs")
+    assert(logged.exists(m => m.contains("simhashNearDupPairs")),
+      s"cap never logged: $logged")
   }
 
   test("clustering the stressed pair list converges to family components", SlowStress) {

@@ -4,7 +4,7 @@ import graft.{SparkSpec, Tables}
 import graft.dedup.SimilarityMethod._
 import org.apache.spark.sql.functions._
 
-class SimilarJoinSpec extends SparkSpec {
+class SimilarJoinSpec extends SparkSpec with HotBucketLogCapture {
   import spark.implicits._
 
   lazy val docs = Tables.load(spark, sf(), "documents")
@@ -43,17 +43,14 @@ class SimilarJoinSpec extends SparkSpec {
     // every vector in ONE block: with maxBucket below the block size the
     // whole block is culled — loudly — and no pair survives
     val one = emb.limit(50).withColumn("label", lit(0))
-    var logged: Seq[String] = Nil
-    val prev = Dedup.hotBucketLog
-    Dedup.hotBucketLog = m => logged = logged :+ m
-    try {
-      val pairs = SimilarJoin.similarJoin(
+    val (pairCount, logged) = withLogCapture {
+      SimilarJoin.similarJoin(
         one, "vec_id", "embedding", EmbeddingCosine("label", -1.0),
-        maxBucket = 10)
-      assert(pairs.count() == 0)
-      assert(logged.exists(_.contains("similarJoin(EmbeddingCosine)")),
-        "the cull must log through the shared hook")
-    } finally Dedup.hotBucketLog = prev
+        maxBucket = 10).count()
+    }
+    assert(pairCount == 0)
+    assert(logged.exists(_.contains("similarJoin(EmbeddingCosine)")),
+      "the cull must log through the shared hook")
   }
 
   test("similarClusters pipes pairs into connected components") {

@@ -69,6 +69,22 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(20L) == MediaMeta("image", 200, 100, 0L, "png"))
   }
 
+  test("corrupt bytes behind a valid image magic degrade to unknown, not a task failure") {
+    // PNG magic + garbage where the IHDR should be — the crawl-scale
+    // poison payload; decode must degrade per-row, never kill the job
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      0x42, 0x42, 0x42, 0x42)
+    val truncated = imageBytes("png", 64, 64).take(16)
+    val metas = decodeMeta(
+      Seq(40L -> corrupt, 41L -> truncated, 42L -> imageBytes("png", 8, 8))
+        .toDF("media_id", "payload").repartition(1),
+      "media_id", "payload")
+      .collect().map(r => r.media_id -> r.meta).toMap
+    assert(metas(40L).kind == "unknown" && metas(40L).codec == "png")
+    assert(metas(41L).kind == "unknown")
+    assert(metas(42L) == MediaMeta("image", 8, 8, 0L, "png")) // healthy row unaffected
+  }
+
   test("real images flow through the downstream feature/resize steps") {
     val rows = decodeMeta(
       Seq(30L -> imageBytes("png", 1920, 1080)).toDF("media_id", "payload"),
