@@ -596,6 +596,16 @@ object SparkEntry {
     graft.ops.Approx.approxPercentilesCheck(T(s, d, "orders"),
       "o_totalprice", Seq(0.5, 0.9), accuracy = 10000, tol = 0.01)
 
+  /** Auto-blocked embedding similarity join (SimilarJoin with
+    * EmbeddingCosine and NO caller-supplied block column): trained
+    * angular centroids + triangle-inequality cell-pair pruning. The
+    * blocking is EXACT — the oracle is plain brute force over all
+    * pairs, so any structurally missed cross-cell pair fails the
+    * hash gate. */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SimilarJoin.similarJoin(T(s, d, "embeddings"),
+      "vec_id", "embedding", graft.dedup.SimilarityMethod.EmbeddingCosine(0.4))
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -671,6 +681,7 @@ object SparkEntry {
     "q61_simhash_near_dup" -> (q61 _),
     "q62_approx_distinct" -> (q62 _),
     "q63_approx_percentiles" -> (q63 _),
+    "q64_auto_embed_join" -> (q64 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1140,5 +1151,19 @@ object SparkEntry {
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
            TRUE AS p90_ok
          FROM orders""",
+    // brute force on purpose: the Spark side prunes with the
+    // triangle-inequality cell-pair bound, and the oracle checking ALL
+    // pairs is exactly what proves no cross-cell pair is missed
+    "q64_auto_embed_join" ->
+      """SELECT * FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))), 6) AS score
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE score >= 0.4 ORDER BY id_a, id_b""",
   )
 }

@@ -23,11 +23,28 @@ object SimilarityMethod {
     * up to Hamming 3, band-approximate beyond. */
   case class SimHash(maxHamming: Int = 3) extends SimilarityMethod
 
-  /** Embedding cosine verified only inside coarse `blockCol` cells
-    * (IVF-style); score = cosine similarity in [-1,1], kept when
-    * >= `minCos`. The content column must be an array vector. */
-  case class EmbeddingCosine(blockCol: String,
-                             minCos: Double) extends SimilarityMethod
+  /** Embedding cosine; score = cosine similarity in [-1,1], kept when
+    * >= `minCos`. The content column must be an array vector.
+    *
+    * With `blockCol = Some(c)` the caller supplies the coarse cells and
+    * pairs straddling cell boundaries are NOT found (the pre-round-6
+    * behavior, kept for corpora that are already quantized). With the
+    * default `blockCol = None` the operator trains its own
+    * `numCells` angular centroids ([[graft.sim.AutoBlock]], k-means
+    * with `refineIters` refinement step(s)) and verifies every cell
+    * PAIR the triangle-inequality bound cannot exclude — an EXACT
+    * join: the result equals brute force at any centroid quality,
+    * which only steers how much work the bound prunes. */
+  case class EmbeddingCosine(minCos: Double,
+                             blockCol: Option[String] = None,
+                             numCells: Int = 16,
+                             refineIters: Int = 1) extends SimilarityMethod
+
+  object EmbeddingCosine {
+    /** Caller-supplied blocking — the original two-arg form. */
+    def apply(blockCol: String, minCos: Double): EmbeddingCosine =
+      EmbeddingCosine(minCos, Some(blockCol))
+  }
 }
 
 /** The one similarity-join operator a 100 TB pipeline calls.
@@ -67,8 +84,11 @@ object SimilarJoin {
             cacheSignatures, maxBucket)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))
-      case SimilarityMethod.EmbeddingCosine(blockCol, minCos) =>
+      case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _) =>
         embeddingPairs(df, idCol, contentCol, blockCol, minCos,
+          cacheSignatures, maxBucket)
+      case SimilarityMethod.EmbeddingCosine(minCos, None, cells, iters) =>
+        autoEmbeddingPairs(df, idCol, contentCol, minCos, cells, iters,
           cacheSignatures, maxBucket)
     }
 
@@ -121,6 +141,90 @@ object SimilarJoin {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count() // materialize before releasing the vector cache
       normed.unpersist()
+      out
+    }
+  }
+
+  /** The auto-blocked embedding path: no caller-supplied cells.
+    *
+    * Shape: train `numCells` angular centroids ([[AutoBlock.fitCells]]
+    * — a K-row deterministic sample + k-means refinement whose means
+    * fold map-side), assign every vector to its single nearest cell
+    * with a codegen'd centroid-literal expression (zero shuffle), read
+    * the K cell radii off one tiny agg, then verify exactly the cell
+    * PAIRS the triangle-inequality bound `angle(c_i,c_j) <= r_i + r_j
+    * + acos(minCos)` cannot exclude. The result is EXACT — identical
+    * to the brute-force join at any centroid quality (q64's oracle is
+    * plain brute force) — because the bound over-approximates, never
+    * under-approximates, and in-bound candidates are cosine-verified.
+    *
+    * The candidate join carries (cell, id) only; vectors and norms are
+    * fetched per-side AFTER pair enumeration, so the cell-pair shuffle
+    * stays bytes-per-row small — the same late-fetch shape as the text
+    * finders. Hot CELLS are culled under `maxBucket` through the
+    * shared loud hook; a fired cap trades exactness for boundedness,
+    * exactly like the text paths (run exact dedup first or raise the
+    * cap). Driver-side state is K centroids + K radii + the qualifying
+    * cell-pair list (≤ K², tiny) — model parameters, never data rows. */
+  private def autoEmbeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                                 minCos: Double, numCells: Int,
+                                 refineIters: Int,
+                                 cacheSignatures: Boolean,
+                                 maxBucket: Int): DataFrame = {
+    import graft.sim.AutoBlock
+    val spark = df.sparkSession
+    // zero-norm vectors have no cosine to anything — dropped up front,
+    // exactly as the brute-force oracle's NULL-division comparison does
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+    val base = if (cacheSignatures)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    val cents = AutoBlock.fitCells(base, numCells, refineIters)
+    if (cents.isEmpty) { // empty corpus: nothing to pair
+      if (cacheSignatures) base.unpersist()
+      return base0.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("score")).limit(0)
+    }
+    val assigned0 = base
+      .withColumn("_nc", AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")))
+      .select(col("id"), col("v"), col("nrm"),
+        col("_nc.cell").as("cell"), col("_nc.ang").as("ang"))
+    val assigned = if (cacheSignatures)
+      assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else assigned0
+    val radii = assigned.groupBy(col("cell")).agg(max(col("ang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCos)))
+    val cellPairs = {
+      import spark.implicits._
+      AutoBlock.qualifyingCellPairs(cents, radii, theta).toDF("ci", "cj")
+    }
+    val capped = Dedup.dropHotBuckets(assigned.select(col("cell"), col("id")),
+      Seq("cell"), maxBucket, "similarJoin(EmbeddingCosine)")
+    val cand = capped.select(col("cell").as("ci"), col("id").as("id_a"))
+      .join(broadcast(cellPairs), Seq("ci"))
+      .select(col("cj").as("cell"), col("id_a"))
+      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val verified = cand
+      .join(assigned.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(assigned.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b"))
+          / (col("n_a") * col("n_b")), 6).as("score"))
+      .filter(col("score") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before releasing the vector caches
+      assigned.unpersist()
+      base.unpersist()
       out
     }
   }

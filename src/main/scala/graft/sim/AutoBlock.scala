@@ -1,0 +1,116 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Coarse angular quantization for the auto-blocked embedding
+  * similarity join (`SimilarityMethod.EmbeddingCosine` without a
+  * caller-supplied block column).
+  *
+  * The blocking is EXACT, not probabilistic: every vector is assigned
+  * to its single nearest centroid (a cell), each cell tracks its
+  * angular radius r = max angle(member, centroid), and a pair of cells
+  * (i, j) can contain a vector pair within angular distance θ only if
+  * `angle(c_i, c_j) <= r_i + r_j + θ` (triangle inequality on the unit
+  * sphere, where angle is a metric). Candidate generation enumerates
+  * exactly the qualifying cell pairs, so — unlike multi-probe LSH-style
+  * schemes — NO pair above the cosine threshold can be structurally
+  * missed, at ANY centroid quality. Centroid quality affects cost
+  * only: tight clusters ⇒ small radii ⇒ most of the K² cell pairs are
+  * pruned; adversarially uniform data degrades gracefully toward the
+  * all-cell-pairs join (which the hot-bucket cap still bounds).
+  *
+  * Scale shape: fitting is a K-row deterministic sample plus
+  * `refineIters` k-means step(s) whose per-cell means fold map-side
+  * ([[VectorAgg.vectorMean]]); the only driver-side state is the K
+  * centroid vectors and K radii (model parameters, O(K·dim) — never
+  * data rows). Assignment is a codegen'd expression over centroid
+  * literals: zero shuffle, no crossJoin row blow-up.
+  */
+object AutoBlock {
+
+  /** Clamped angle between two unit vectors. */
+  private[sim] def angle(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    math.acos(math.min(1.0, math.max(-1.0, acc)))
+  }
+
+  /** Train K unit centroids over `(id, v, nrm)` rows (null/zero-norm
+    * vectors already filtered by the caller).
+    *
+    * Seeds: the K rows smallest by `xxhash64(id)` — a deterministic
+    * order-free sample (first-K by file order would be a biased sample
+    * at 100 TB where early files correlate). Each refinement iteration
+    * re-assigns every vector to its nearest centroid and replaces the
+    * centroid with the (re-normalized) member mean; cells that go
+    * empty keep their previous centroid. The collects here are the
+    * model-fit contract: K vectors of `dim` doubles, never data. */
+  private[graft] def fitCells(base: DataFrame, k: Int,
+                              refineIters: Int): Array[Array[Double]] = {
+    val seeds = base
+      .orderBy(xxhash64(col("id")))
+      .limit(k)
+      .select(col("v").cast("array<double>").as("vd"), col("nrm"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = r.getDouble(1)
+        v.map(_ / n)
+      }
+    var cents = seeds
+    var iter = 0
+    while (iter < refineIters && cents.nonEmpty) {
+      val means = base
+        .withColumn("cell",
+          nearestCellStruct(cents, col("v"), col("nrm")).getField("cell"))
+        .groupBy(col("cell"))
+        .agg(VectorAgg.vectorMeanCol(col("v").cast("array<float>")).as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i) match {
+          case Some(m) if m.nonEmpty =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n > 0) m.map(_ / n) else old
+          case _ => old
+        }
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** `struct(cell, ang)`: the nearest centroid's index and the angle to
+    * it, as ONE codegen'd expression over centroid literals — a
+    * `greatest` over K `(cosine, -cell)` structs (struct ordering is
+    * lexicographic, so ties break toward the SMALLER cell id — a
+    * deterministic assignment even for duplicate seed vectors). */
+  private[graft] def nearestCellStruct(cents: Array[Array[Double]],
+                                       v: Column, nrm: Column): Column = {
+    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((graft.functions.GraftExtensions.dot(v, typedLit(c.toSeq)) / nrm)
+        .as("c"), lit(-i).as("nc"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    struct((-best.getField("nc")).as("cell"),
+      acos(least(greatest(best.getField("c"), lit(-1.0)), lit(1.0))).as("ang"))
+  }
+
+  /** The qualifying cell-pair list (BOTH directions + diagonal): the
+    * pair join emits each unordered vector pair exactly once via its
+    * own `(cell_a, cell_b)` direction under the `id_a < id_b` filter.
+    * The 1e-9 margin absorbs driver-vs-codegen double rounding in the
+    * angle computation — a false-positive cell pair only costs
+    * verification work; a false negative would cost exactness. */
+  private[graft] def qualifyingCellPairs(cents: Array[Array[Double]],
+                                         radii: Map[Int, Double],
+                                         theta: Double): Seq[(Int, Int)] =
+    for {
+      (ci, ri) <- radii.toSeq
+      (cj, rj) <- radii.toSeq
+      if angle(cents(ci), cents(cj)) <= ri + rj + theta + 1e-9
+    } yield (ci, cj)
+}

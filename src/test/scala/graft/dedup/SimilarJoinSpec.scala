@@ -53,6 +53,70 @@ class SimilarJoinSpec extends SparkSpec with HotBucketLogCapture {
       "the cull must log through the shared hook")
   }
 
+  // ---------------------------------------------- auto-blocked embeddings
+
+  private def bruteForcePairs(df: org.apache.spark.sql.DataFrame,
+                              minCos: Double): Seq[(Long, Long, Double)] =
+    graft.sim.Similarity.nearDupPairsBlocked(
+        df.withColumn("_all", lit(0)), "vec_id", "embedding", "_all", minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("auto-blocked EmbeddingCosine equals brute force on real embeddings") {
+    val auto = SimilarJoin.similarJoin(
+        emb, "vec_id", "embedding", EmbeddingCosine(0.25))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = bruteForcePairs(emb, 0.25)
+    assert(auto == brute, "triangle-inequality pruning must be exact")
+    assert(auto.nonEmpty)
+  }
+
+  test("auto-blocked exactness survives deliberate boundary straddlers") {
+    // two tight clusters plus near-dup pairs sitting midway BETWEEN the
+    // clusters: a multi-probe or nearest-cell-only scheme can assign the
+    // two members of a midway pair to different cells and miss the pair
+    // structurally; the cell-pair bound must still find every one.
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val a = unit(Array.fill(dim)(rnd.nextFloat() + 0.5f))
+    val b = unit(a.zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 0) -x else x }) // far from a
+    val mid = unit(a.zip(b).map { case (x, y) => x + y })
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      unit(v.map(x => x + (rnd.nextFloat() - 0.5f) * eps))
+    val rows = (
+      (0 until 40).map(i => (i.toLong, jitter(a, 0.2f))) ++
+      (40 until 80).map(i => (i.toLong, jitter(b, 0.2f))) ++
+      // 10 straddling near-dup pairs: ids 80..99, pair (80,81), (82,83)…
+      (0 until 10).flatMap { p =>
+        val base = jitter(mid, 0.1f)
+        Seq((80L + 2 * p, base), (81L + 2 * p, jitter(base, 0.01f)))
+      }).toDF("vec_id", "embedding")
+    val auto = SimilarJoin.similarJoin(
+        rows, "vec_id", "embedding", EmbeddingCosine(0.9, None, numCells = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = bruteForcePairs(rows, 0.9)
+    assert(auto == brute, "boundary-straddling pairs must not be missed")
+    val straddlers = (0 until 10).map(p => (80L + 2 * p, 81L + 2 * p)).toSet
+    assert(straddlers.subsetOf(auto.map(t => (t._1, t._2)).toSet),
+      "every deliberately planted straddling pair must be found")
+  }
+
+  test("the hot-bucket cap fires on auto-blocked cells too") {
+    val one = emb.limit(50)
+    val (pairCount, logged) = withLogCapture {
+      SimilarJoin.similarJoin(
+        one, "vec_id", "embedding", EmbeddingCosine(-1.0, None, numCells = 1),
+        maxBucket = 10).count()
+    }
+    assert(pairCount == 0)
+    assert(logged.exists(_.contains("similarJoin(EmbeddingCosine)")),
+      "the cull must log through the shared hook")
+  }
+
   test("similarClusters pipes pairs into connected components") {
     // two exact-duplicate families ⇒ two clusters labeled by min id
     val corpus = Seq(
