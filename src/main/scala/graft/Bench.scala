@@ -11,10 +11,14 @@ package graft
   * query, so end-of-run JVM/GC pressure or machine contention lands on
   * different queries in each pass instead of doubling up on whichever
   * queries happen to run last — a back-to-back tail spike mis-signaled a
-  * 5-11x "regression" on unchanged code in round 2. Per-query run1/run2
-  * go to stderr so variance is visible without breaking the one-line
-  * stdout contract. A generic warm-up covers the common operator shapes
-  * before timing starts. */
+  * 5-11x "regression" on unchanged code in round 2. When the two passes
+  * STILL disagree by >1.5x, a tie-break third timing runs and the query
+  * reports min-of-3 with a "noisy" stderr marker — interleaving cannot
+  * absorb a spike that hits the same query in both passes (round 5's
+  * phantom q05 1.94x). Per-query run1/run2[/run3] go to stderr so
+  * variance is visible without breaking the one-line stdout contract. A
+  * generic warm-up covers the common operator shapes before timing
+  * starts. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,8 +62,23 @@ object Bench {
     val passB = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
     val results = names.map { n =>
       val (a, b) = (passA(n), passB(n))
-      System.err.println(f"[bench] $n%-28s run1=$a%8.3f run2=$b%8.3f")
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // noise self-adjudication: round 5 published a 1.94x phantom
+      // regression (q05) that a judge re-measure disproved. When the
+      // LATER pass is >1.5x slower than the earlier one, contention hit
+      // pass B and the min may still be contaminated — a tie-break third
+      // timing runs and the query reports min-of-3, marked "noisy" on
+      // stderr. The trigger is deliberately one-sided: run1 > run2 by
+      // any factor is the EXPECTED cold-codegen pattern (pass A compiles
+      // every plan), where run2 already is the steady-state min — a
+      // symmetric trigger would re-run nearly every query for nothing.
+      if (a >= 0 && b >= 0 && b > 1.5 * a) {
+        val c = one(n, SparkEntry.queries(n))
+        System.err.println(f"[bench] $n%-28s run1=$a%8.3f run2=$b%8.3f run3=$c%8.3f noisy")
+        n -> (if (c < 0) math.min(a, b) else math.min(math.min(a, b), c))
+      } else {
+        System.err.println(f"[bench] $n%-28s run1=$a%8.3f run2=$b%8.3f")
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     }
     // 3-decimal rounding roughly halves the line (61 queries of
     // full-precision doubles overflowed the driver's tail capture in r3

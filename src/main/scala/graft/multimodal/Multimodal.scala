@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is the real deliverable here: schema, batch
   * iteration (one decoder init per PARTITION, not per row — the same
-  * economics as a Pandas UDF over mapInPandas), and deterministic
-  * stubbed codecs (this container has no image/audio libraries; the
-  * decode internals are clearly-marked fakes that parse our own header
-  * format, so the pipeline is testable end-to-end and a real codec
-  * drops in behind the same signature).
+  * economics as a Pandas UDF over mapInPandas). Image metadata decodes
+  * REAL bytes via the JDK's `javax.imageio` ([[ImageIoCodec]]) and
+  * audio metadata REAL WAV/AIFF/AU headers via `javax.sound.sampled`
+  * ([[AudioCodec]]); only video still routes to a clearly-marked
+  * deterministic stand-in ([[StubCodec]] — no JDK video codec
+  * exists), behind the same dispatch so a real codec drops in.
   */
 object Multimodal {
 
@@ -31,8 +32,9 @@ object Multimodal {
     * header laid out by [[encodeFake]]: [kind:1][width:4][height:4]
     * [duration:8] big-endian, then payload bytes. Real IMAGE payloads
     * never reach it ([[decodeMeta]] dispatches those to [[ImageIoCodec]]
-    * on magic bytes); it remains the audio/video stand-in — those codec
-    * families genuinely are not in this container. */
+    * on magic bytes) and neither do real WAV/AIFF/AU audio payloads
+    * ([[AudioCodec]]); it remains the VIDEO stand-in — the one family
+    * with genuinely no JDK codec. */
   object StubCodec {
     def encodeFake(kind: Byte, width: Int, height: Int, durationMs: Long,
                    body: Array[Byte]): Array[Byte] = {
@@ -99,14 +101,63 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over the JDK's own `javax.sound.sampled`
+    * (WAV/AIFF/AU file readers ship with every JDK — no external
+    * library). `AudioSystem.getAudioFileFormat` parses the HEADER only
+    * — sample rate, channels, frame count — never the sample data, so
+    * per-row cost is O(header), the same economics as
+    * [[ImageIoCodec]]. durationMs is derived as frames / frameRate;
+    * sample rate and channel count ride the codec string
+    * (`"wav/8000Hz/1ch"`) since [[MediaMeta]]'s width/height are
+    * image-plane semantics and stay 0 for audio. */
+  object AudioCodec {
+
+    /** Magic-byte sniff for the three JDK-decodable audio containers:
+      * RIFF....WAVE, FORM....AIFF/AIFC, and .snd (AU). The fake-header
+      * layout starts with kind byte 1/2/3 and can never collide. */
+    def sniff(payload: Array[Byte]): Option[String] =
+      if (payload == null || payload.length < 12) None
+      else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+               payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+               payload(10) == 'V' && payload(11) == 'E') Some("wav")
+      else if (payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' &&
+               payload(3) == 'M' && payload(8) == 'A' && payload(9) == 'I' &&
+               payload(10) == 'F') Some("aiff")
+      else if (payload(0) == '.' && payload(1) == 's' && payload(2) == 'n' &&
+               payload(3) == 'd') Some("au")
+      else None
+
+    /** Corrupt bytes behind a valid magic degrade to `unknown` instead
+      * of failing the task — the same resilience contract as the image
+      * path. The stream is a ByteArrayInputStream (mark/reset capable,
+      * no disk spooling). */
+    def decode(payload: Array[Byte], fmt: String): MediaMeta =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val f = aff.getFormat
+        val durationMs =
+          if (aff.getFrameLength > 0 && f.getFrameRate > 0)
+            (aff.getFrameLength * 1000L / f.getFrameRate).toLong
+          else 0L
+        MediaMeta("audio", 0, 0, durationMs,
+          s"$fmt/${f.getSampleRate.toInt}Hz/${f.getChannels}ch")
+      } catch {
+        case scala.util.control.NonFatal(_) => MediaMeta("unknown", 0, 0, 0L, fmt)
+      }
+  }
+
   /** Per-payload dispatch: real image bytes (by magic) decode through
-    * [[ImageIoCodec]]; everything else — including every fake-header
-    * payload the specs and gate q53 generate — routes to [[StubCodec]]
-    * unchanged. */
+    * [[ImageIoCodec]], real WAV/AIFF/AU audio through [[AudioCodec]];
+    * everything else — including every fake-header payload the specs
+    * and gate q53 generate — routes to [[StubCodec]] unchanged. */
   private[multimodal] def dispatchDecode(payload: Array[Byte]): MediaMeta =
     ImageIoCodec.sniff(payload) match {
       case Some(fmt) => ImageIoCodec.decode(payload, fmt)
-      case None      => StubCodec.decode(payload)
+      case None => AudioCodec.sniff(payload) match {
+        case Some(fmt) => AudioCodec.decode(payload, fmt)
+        case None      => StubCodec.decode(payload)
+      }
     }
 
   /** Decode payloads partition-wise: one codec instance per partition,
