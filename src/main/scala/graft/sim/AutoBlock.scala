@@ -40,17 +40,25 @@ object AutoBlock {
   /** Train K unit centroids over `(id, v, nrm)` rows (null/zero-norm
     * vectors already filtered by the caller).
     *
-    * Seeds: the K rows smallest by `xxhash64(id)` — a deterministic
-    * order-free sample (first-K by file order would be a biased sample
-    * at 100 TB where early files correlate). Each refinement iteration
-    * re-assigns every vector to its nearest centroid and replaces the
-    * centroid with the (re-normalized) member mean; cells that go
-    * empty keep their previous centroid. The collects here are the
-    * model-fit contract: K vectors of `dim` doubles, never data. */
+    * Seeds: the K DISTINCT vectors smallest by `xxhash64(vector)` — a
+    * deterministic order-free sample over distinct VALUES, not rows.
+    * Row-sampling would be a trap on exactly the corpora dedup exists
+    * for: a 20k-copy boilerplate vector would win nearly every seed
+    * slot and collapse all K centroids onto one point (one cell owns
+    * the whole corpus; a fired hot-cell cap would then cull
+    * everything). The groupBy collapses duplicates map-side, so the
+    * seed scan's shuffle carries one row per distinct vector per
+    * partition. Each refinement iteration re-assigns every vector to
+    * its nearest centroid and replaces the centroid with the
+    * (re-normalized) member mean; cells that go empty keep their
+    * previous centroid. The collects here are the model-fit contract:
+    * K vectors of `dim` doubles, never data. */
   private[graft] def fitCells(base: DataFrame, k: Int,
                               refineIters: Int): Array[Array[Double]] = {
     val seeds = base
-      .orderBy(xxhash64(col("id")))
+      .groupBy(xxhash64(col("v")).as("h"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .orderBy(col("h"))
       .limit(k)
       .select(col("v").cast("array<double>").as("vd"), col("nrm"))
       .collect()

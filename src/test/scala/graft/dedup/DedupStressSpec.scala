@@ -107,6 +107,60 @@ class DedupStressSpec extends SparkSpec with HotBucketLogCapture {
       s"cap never logged: $logged")
   }
 
+  private val HotVecBase = 20000000L
+
+  /** 23k vectors: 300 families x 10 near-identical copies (clustered
+    * into 20 superclusters so the corpus has real structure for the
+    * cell-pair bound to prune) + a 20,000-copy IDENTICAL vector — the
+    * embedding twin of the boilerplate tail: one cell owns it, C(20k,2)
+    * ~ 2e8 cosine-1 pairs unless the cap culls the cell. */
+  private lazy val embCorpus: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def gauss(scale: Float): Array[Float] =
+      Array.fill(dim)((rnd.nextGaussian() * scale).toFloat)
+    val superC = Array.fill(20)(unit(gauss(1.0f)))
+    val fams = (0 until 300).flatMap { f =>
+      val base = unit(superC(f % 20).zip(gauss(0.5f)).map { case (x, e) => x + e })
+      (0 until 10).map { c =>
+        ((f * 10 + c).toLong,
+          unit(base.zip(gauss(0.01f)).map { case (x, e) => x + e }))
+      }
+    }
+    val hotVec = unit(Array.fill(dim)(1.0f))
+    val hot = (0 until 20000).map(i => (HotVecBase + i, hotVec))
+    (fams ++ hot).toDF("vec_id", "embedding")
+  }
+
+  test("auto-blocked embedding join survives a 20k identical-vector hot block", SlowStress) {
+    val (pairs, logged) = withLogCapture {
+      SimilarJoin.similarJoin(embCorpus, "vec_id", "embedding",
+        SimilarityMethod.EmbeddingCosine(0.95, None, numCells = 16),
+        maxBucket = 2000)
+    }
+    val total = pairs.count()
+    val hotPairs = pairs.filter(
+      col("id_a") >= HotVecBase || col("id_b") >= HotVecBase).count()
+    val familyPairs = pairs.filter(
+      floor(col("id_a") / 10) === floor(col("id_b") / 10)).count()
+    pairs.unpersist()
+    // bounded: families contribute C(10,2) * 300 = 13500 pairs, plus
+    // whatever same-supercluster cross-family cosines clear 0.95
+    assert(total > 0 && total < 100000L, s"unbounded pair list: $total")
+    assert(hotPairs == 0L,
+      s"identical-vector hot-block pairs leaked through the cap: $hotPairs")
+    // the method is EXACT outside culled cells, so within-family recall
+    // only dips where a family member strayed into the culled hot cell
+    assert(familyPairs > 12000L, s"family recall collapsed: $familyPairs")
+    assert(logged.exists(m => m.contains("similarJoin(EmbeddingCosine)")
+      && m.contains("maxBucket=2000")), s"cap never logged: $logged")
+  }
+
   test("clustering the stressed pair list converges to family components", SlowStress) {
     val (pairs, _) = lshRun
     val clusters = Dedup.dupClusters(pairs)
