@@ -246,8 +246,10 @@ object Dedup {
     * as soon as the next round lands, so a diameter-D run keeps at most
     * the edge list + 2 round snapshots on disk, not D+1. The final
     * round's files back the returned DataFrame and remain until the
-    * caller clears the checkpoint dir. On local[*] leave the dir unset:
-    * localCheckpoint is both safe and faster there. */
+    * caller clears the checkpoint dir — wrap repeated calls in
+    * [[withReliableClusters]] to get that cleanup scoped and automatic.
+    * On local[*] leave the dir unset: localCheckpoint is both safe and
+    * faster there. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b"): DataFrame = {
     val spark = pairs.sparkSession
@@ -304,6 +306,47 @@ object Dedup {
     // the fixpoint depends only on the final round's snapshot
     edgesPath.foreach(deleteSnapshot)
     labels.select(col("id"), col("label").as("cluster")).orderBy(col("id"))
+  }
+
+  /** Scoped reliable-checkpoint clustering: sets `dir` as the
+    * checkpoint dir for the duration of `body` (every [[dupClusters]]
+    * call inside runs in the fault-tolerant parquet-snapshot mode) and
+    * on exit deletes the per-run `graft-dup-clusters-*` directories the
+    * calls left behind, then restores the previous checkpoint
+    * configuration.
+    *
+    * This closes [[dupClusters]]' one lifecycle gap: each reliable-mode
+    * call necessarily leaves its FINAL round's snapshot on disk (the
+    * returned DataFrame reads from it), so a long-lived session
+    * clustering many corpora accumulates one directory per call.
+    * Materialize results INSIDE the body (collect, write, or count on a
+    * persisted frame) — after the scope exits, the returned frames'
+    * disk backing is gone and re-evaluating them will fail loudly, not
+    * silently. */
+  def withReliableClusters[T](spark: org.apache.spark.sql.SparkSession,
+                              dir: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    // setCheckpointDir resolves to a fresh UUID subdir — capture the
+    // resolved path; the run dirs land directly under it
+    val resolved = sc.getCheckpointDir
+    try body
+    finally {
+      // the setter is private[spark] but public in bytecode; None
+      // restores the no-checkpoint-dir default
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, prev)
+      try resolved.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory &&
+              st.getPath.getName.startsWith("graft-dup-clusters-"))
+            fs.delete(st.getPath, true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
   }
 
   /** SimHash-style 32-bit signature: per bit, majority vote over the

@@ -89,6 +89,36 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming NEAR-dup dedup: the in-flight composition of
+    * [[graft.dedup.Dedup.withSimhash32]] (one native codegen'd pass per
+    * event) with watermark-bounded `dropDuplicatesWithinWatermark` on
+    * the 32-bit signature. Events whose token MULTISETS match — exact
+    * copies, but also reordered/retokenized boilerplate that an
+    * exact-key dedup would let through — collapse to the first
+    * arrival while still in flight; the batch near-dup path
+    * ([[graft.dedup.Dedup.simhashNearDupPairs]] at hamming 0) groups
+    * the same corpus into the same signature classes, which is the
+    * batch/stream symmetry the spec pins.
+    *
+    * Hamming 0 is deliberately the streaming threshold: banded
+    * hamming>0 matching needs a candidate JOIN (any-band collision),
+    * which has no bounded-state single-key streaming form — an event's
+    * four bands would need cross-key coordination. Signature-exact
+    * dedup is the part that streams with O(watermark) state; pairs at
+    * hamming 1-3 remain the batch path's job.
+    *
+    * Null-text events are dropped, mirroring the batch pair finder:
+    * a contentless event has no near-dup meaning, and its null
+    * signature would otherwise collapse ALL null-text events into one
+    * surviving row. */
+  def nearDupDedupStream(events: DataFrame, textCol: String,
+                         watermark: String = "1 hour"): DataFrame =
+    graft.dedup.Dedup.withSimhash32(events, textCol, "_simhash")
+      .filter(col("_simhash").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_simhash")
+      .drop("_simhash")
+
   /** Stream-static enrichment: join the event stream against a slowly-
     * changing dimension snapshot. Stateless in Structured Streaming
     * (the static side is re-planned per micro-batch), and the broadcast

@@ -63,4 +63,34 @@ class ClusterSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
+
+  test("withReliableClusters: repeated calls leave NO snapshots behind, config restored") {
+    val pairs1 = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val pairs2 = Seq((7L, 8L), (8L, 9L), (30L, 31L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-scope").toFile
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no global checkpoint dir")
+    try {
+      val (got1, got2) = Dedup.withReliableClusters(spark, dir.getAbsolutePath) {
+        // materialize INSIDE the scope — the snapshots backing these
+        // frames are deleted at scope exit
+        val a = Dedup.dupClusters(pairs1).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val b = Dedup.dupClusters(pairs2).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(sc.getCheckpointDir.isDefined, "scope must set the dir")
+        (a, b)
+      }
+      assert(got1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      assert(got2 == Map(7L -> 7L, 8L -> 7L, 9L -> 7L, 30L -> 30L, 31L -> 30L))
+      assert(sc.getCheckpointDir.isEmpty, "scope must restore the previous config")
+      // no graft-dup-clusters run dirs may survive the scope
+      val walk = java.nio.file.Files.walk(dir.toPath)
+      val leftover =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+          .asScala.count(_.getFileName.toString.startsWith("graft-dup-clusters-"))
+        finally walk.close()
+      assert(leftover == 0, s"snapshot dirs accumulated: $leftover")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

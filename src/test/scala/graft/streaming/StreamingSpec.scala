@@ -141,6 +141,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("nearDupDedupStream: reordered near-identical texts dedup in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "breaking news alpha beta gamma delta"),
+      // same word MULTISET, reordered — an exact-key dedup keeps it,
+      // the simhash signature drops it
+      (2L, ts("2024-01-01 10:01:00"), "delta gamma beta alpha breaking news"),
+      (3L, ts("2024-01-01 10:02:00"), "breaking news alpha beta gamma delta"),
+      (4L, ts("2024-01-01 10:03:00"), "an entirely different story about spark plans"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "text")
+    val q = EventsStream.nearDupDedupStream(events, "text")
+      .writeStream.format("memory").queryName("near_deduped")
+      .outputMode("append").start()
+    // one micro-batch per event so "first arrival survives" is pinned
+    corpus.foreach { e => input.addData(e); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("near_deduped")
+      .select("event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 4L),
+      "first arrival per signature class must survive, all others drop")
+
+    // batch/stream symmetry: the batch simhash path partitions the same
+    // corpus into the same signature classes with the same survivors
+    val batchKeep = graft.dedup.Dedup
+      .withSimhash32(corpus.toDF("event_id", "ts", "text"), "text", "sig")
+      .groupBy(col("sig")).agg(min(col("event_id")).as("keep"))
+      .select("keep").as[Long].collect().toSeq.sorted
+    assert(batchKeep == got)
+  }
+
   test("dedupStream drops same-key events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
