@@ -192,11 +192,15 @@ object Dedup {
         // hashed shingles equals string Jaccard except on 32-bit
         // collisions — the oracle hashes identically, so values stay
         // engine-exact.
+        // sh is SORTED here — once per document, inside the cached
+        // frame — so the verify step's graft_jaccard can merge-count
+        // per pair instead of building a boxed hash set per pair
+        // (set identity, and therefore Jaccard, is order-independent)
         import org.apache.spark.sql.graft.bridge
         df.select(col(idCol).as("id"), col(textCol))
           .withColumn("_lsig", bridge.column(graft.functions.LshSignature(
             bridge.expression(col(textCol)), nGram, bands)))
-          .select(col("id"), col("_lsig.sh").as("sh"),
+          .select(col("id"), sort_array(col("_lsig.sh")).as("sh"),
             col("_lsig.bands").as("bands"))
       } else df.select(
         col(idCol).as("id"),
@@ -215,11 +219,21 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // bands <= 4: the sig frame carries sorted long hashes — verify
+    // with the allocation-free native merge (value-identical: Jaccard
+    // over the same distinct sets). bands > 4: string shingles, the
+    // composable set-intersection form remains.
+    val jac =
+      if (bands <= 4) {
+        import org.apache.spark.sql.graft.bridge
+        bridge.column(graft.functions.JaccardSorted(
+          bridge.expression(col("sh_a")), bridge.expression(col("sh_b"))))
+      } else jaccardDistinct(col("sh_a"), col("sh_b"))
     val verified = pairs
       .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
     (sig, verified)

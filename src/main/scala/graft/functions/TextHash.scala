@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -94,6 +94,30 @@ object TextHashImpl {
     var b = 0
     while (b < bands) { bs(b) = if (bandMin(b) < 0) null else bandMin(b); b += 1 }
     InternalRow(new GenericArrayData(sh), new GenericArrayData(bs))
+  }
+
+  /** Exact Jaccard similarity of two SORTED distinct long arrays by
+    * linear merge — zero allocation, no per-element boxing. The staged
+    * form (`size(array_intersect(a,b))` etc.) builds a boxed hash set
+    * per PAIR; at LSH-verification scale (millions of candidate pairs
+    * x ~100-element shingle sets) that interpreted constant dominates
+    * the whole pipeline. Identical math: |A∩B| / |A∪B|, 0.0 when both
+    * sides are empty. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = (n + m - inter).toDouble
+    if (union > 0) inter / union else 0.0
   }
 
   /** Order-sensitive rolling polynomial word hash in one pass: base 31,
@@ -233,4 +257,47 @@ case class RollingWordHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RollingWordHash =
     copy(child = newChild)
+}
+
+/** Exact Jaccard over two SORTED distinct `array<long>` columns (see
+  * [[TextHashImpl.jaccardSorted]]) — the LSH verification hot
+  * instruction. The staged `array_intersect`/`size` chain it replaces
+  * allocates a boxed hash set per candidate pair and cannot be
+  * whole-stage-compiled past its interpreted set build; this is one
+  * allocation-free merge per pair. Callers sort each document's shingle
+  * set ONCE (`sort_array` inside the cached signature frame), not per
+  * pair. Inputs MUST be sorted — the merge silently undercounts
+  * otherwise (the staged-vs-native spec cross-validates on the real
+  * pipeline). NULL if either side is NULL, matching the banded join
+  * that can never produce one. */
+case class JaccardSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard expects two array<bigint> columns, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashImpl.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
 }

@@ -84,6 +84,13 @@ class PlanQualitySpec extends SparkSpec {
         "the native signature expression must run once, inside the cache")
       assert(!p.contains("lambdafunction(concat_ws"),
         "interpreted shingle lambdas must not appear (native graft_lsh_sig replaces them)")
+      // verification is the allocation-free native merge over the
+      // cache's pre-sorted shingle sets — the per-pair boxed hash set
+      // (array_intersect) must be gone from the verify projection
+      assert(p.contains("graft_jaccard"),
+        "the verify step must use the native merge expression")
+      assert(!p.contains("array_intersect"),
+        "per-pair interpreted set intersection must not appear:\n" + p)
       sig.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }

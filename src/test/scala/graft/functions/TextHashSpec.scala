@@ -135,6 +135,66 @@ class TextHashSpec extends SparkSpec {
     assert(native == staged)
   }
 
+  test("JaccardSorted equals the staged array_intersect form, hostile edges included") {
+    // sorted distinct long arrays, the shape lshPlan's sig frame carries:
+    // identical, disjoint, partial overlap, empty-vs-empty, empty-vs-
+    // nonempty, single element, null side
+    val rows = Seq(
+      (1L, Seq(1L, 5L, 9L), Seq(1L, 5L, 9L)),
+      (2L, Seq(1L, 2L, 3L), Seq(7L, 8L, 9L)),
+      (3L, Seq(1L, 3L, 5L, 7L), Seq(3L, 7L, 11L)),
+      (4L, Seq.empty[Long], Seq.empty[Long]),
+      (5L, Seq.empty[Long], Seq(2L, 4L)),
+      (6L, Seq(42L), Seq(42L)),
+      (7L, null.asInstanceOf[Seq[Long]], Seq(1L, 2L)),
+    ).toDF("id", "a", "b")
+    val native = codegenOnly {
+      rows.select(col("id"), round(bridge.column(JaccardSorted(
+          bridge.expression(col("a")), bridge.expression(col("b")))), 4).as("j"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    }
+    val inter = size(array_intersect(col("a"), col("b"))).cast("double")
+    val union = (size(col("a")) + size(col("b"))).cast("double") - inter
+    val staged = rows.select(col("id"),
+        round(when(union > 0, inter / union).otherwise(lit(0.0)), 4).as("j"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // rows 1-6 agree value-for-value; row 7 is the DOCUMENTED divergence
+    // (null-intolerant native vs the staged form's null-swallowing 0.0)
+    // — unreachable from lshPlan, whose pair ids come from banded rows
+    assert((1L to 6L).forall(i => native(i) == staged(i)),
+      s"native=$native staged=$staged")
+    assert(native(7L).isEmpty && staged(7L).contains(0.0))
+  }
+
+  test("JaccardSorted through the REAL pipeline: q30 values unchanged") {
+    // cross-validation on the real corpus: the native-verify pair list
+    // equals the bands>4-style staged-verify pair list recomputed here
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val nativeVer = graft.dedup.Dedup.lshNearDupPairs(
+        docs, "doc_id", "text", 3, 4, 0.1, cacheSignatures = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sig = stagedLshSig(docs, 3, 4)
+      .select(col("doc_id").as("id"), col("sh"), col("bands"))
+    val banded = sig.select(col("id"), explode(col("bands")).as("band"))
+      .filter(col("band").isNotNull)
+    val pairs = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    val stagedVer = pairs
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(union > 0, inter / union).otherwise(lit(0.0)), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(nativeVer == stagedVer)
+    assert(nativeVer.nonEmpty)
+  }
+
   test("expressions sit inside a WholeStageCodegen span over the parquet scan") {
     // real files, not a local Seq — ConvertToLocalRelation would fold a
     // LocalRelation projection at optimization time and leave nothing
