@@ -171,6 +171,29 @@ object SimilarJoin {
                                  refineIters: Int,
                                  cacheSignatures: Boolean,
                                  maxBucket: Int): DataFrame = {
+    val (base, assigned, verified) = autoEmbeddingPlan(df, idCol, vecCol,
+      minCos, numCells, refineIters, cacheSignatures, maxBucket)
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before releasing the vector caches
+      assigned.foreach(_.unpersist())
+      base.unpersist()
+      out
+    }
+  }
+
+  /** The un-materialized auto-block plan — exposed like
+    * [[Dedup.lshPlan]] so PlanQualitySpec pins the SHIPPED join shape
+    * (one scan into the caches, broadcast cell-pair list, (cell,id)
+    * exchanges, late vector fetch) before persist()/count() hide it
+    * behind an InMemoryTableScan. Returns (base cache, assigned cache
+    * if one was created, verified). */
+  private[graft] def autoEmbeddingPlan(df: DataFrame, idCol: String,
+                                       vecCol: String, minCos: Double,
+                                       numCells: Int, refineIters: Int,
+                                       cacheSignatures: Boolean,
+                                       maxBucket: Int): (DataFrame, Option[DataFrame], DataFrame) = {
     import graft.sim.AutoBlock
     val spark = df.sparkSession
     // zero-norm vectors have no cosine to anything — dropped up front,
@@ -183,9 +206,8 @@ object SimilarJoin {
     else base0
     val cents = AutoBlock.fitCells(base, numCells, refineIters)
     if (cents.isEmpty) { // empty corpus: nothing to pair
-      if (cacheSignatures) base.unpersist()
-      return base0.select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("score")).limit(0)
+      return (base, None, base0.select(col("id").as("id_a"),
+        col("id").as("id_b"), lit(0.0).as("score")).limit(0))
     }
     val assigned0 = base
       .withColumn("_nc", AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")))
@@ -194,15 +216,40 @@ object SimilarJoin {
     val assigned = if (cacheSignatures)
       assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else assigned0
-    val radii = assigned.groupBy(col("cell")).agg(max(col("ang")).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // ONE K-row aggregate serves both the radii and the hot-cell cap:
+    // unlike the text paths (whose band-key space is unbounded, so
+    // dropHotBuckets must keep the hot keys distributed), the cell
+    // space here IS the model — K rows of (radius, count) are driver-
+    // side model parameters, and the cull becomes a literal NOT-IN
+    // filter instead of a second count-agg plus a broadcast anti-join.
+    val stats = assigned.groupBy(col("cell"))
+      .agg(max(col("ang")).as("r"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val hot = if (maxBucket >= Int.MaxValue) Array.empty[(Int, Double, Long)]
+              else stats.filter(_._3 > maxBucket)
+    if (hot.nonEmpty) {
+      val worst = hot.sortBy(-_._3).take(3)
+        .map(s => s"${s._1}(n=${s._3})")
+      Dedup.hotBucketLog(s"[graft.dedup] similarJoin(EmbeddingCosine): " +
+        s"dropped ${hot.length} hot bucket(s) exceeding maxBucket=$maxBucket " +
+        s"(${hot.map(_._3).sum} band rows); largest: ${worst.mkString(", ")}. " +
+        "Pairs matched ONLY inside these buckets are not emitted — run " +
+        "exact dedup first or raise maxBucket.")
+    }
+    val hotSet = hot.map(_._1).toSet
+    // radii over SURVIVING cells only — a culled cell generates no
+    // pairs, so it must not enter the qualifying-pair enumeration
+    val radii = stats.collect {
+      case (c, r, _) if !hotSet.contains(c) => c -> r
+    }.toMap
     val theta = math.acos(math.min(1.0, math.max(-1.0, minCos)))
     val cellPairs = {
       import spark.implicits._
       AutoBlock.qualifyingCellPairs(cents, radii, theta).toDF("ci", "cj")
     }
-    val capped = Dedup.dropHotBuckets(assigned.select(col("cell"), col("id")),
-      Seq("cell"), maxBucket, "similarJoin(EmbeddingCosine)")
+    val capped0 = assigned.select(col("cell"), col("id"))
+    val capped = if (hotSet.isEmpty) capped0
+      else capped0.filter(!col("cell").isin(hotSet.toSeq: _*))
     val cand = capped.select(col("cell").as("ci"), col("id").as("id_a"))
       .join(broadcast(cellPairs), Seq("ci"))
       .select(col("cj").as("cell"), col("id_a"))
@@ -219,13 +266,6 @@ object SimilarJoin {
           / (col("n_a") * col("n_b")), 6).as("score"))
       .filter(col("score") >= minCos)
       .orderBy(col("id_a"), col("id_b"))
-    if (!cacheSignatures) verified
-    else {
-      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize before releasing the vector caches
-      assigned.unpersist()
-      base.unpersist()
-      out
-    }
+    (base, if (cacheSignatures) Some(assigned) else None, verified)
   }
 }

@@ -12,28 +12,52 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * which `SELECT graft_dot(a, b)` works from plain SQL, and the typed
   * [[dot]] helper from the DataFrame API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[functions] val dotFunction
-    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+  private type FunctionEntry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def entry(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): FunctionEntry = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getCanonicalName, name),
     (children: Seq[Expression]) => {
-      require(children.length == 2, "graft_dot takes exactly 2 arguments")
-      DotProduct(children.head, children(1))
+      require(children.length == arity,
+        s"$name takes exactly $arity argument(s)")
+      build(children)
     })
 
-  /** Register on an already-built session (tests, REPL). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = dotFunction
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
+  /** Literal int argument of a SQL call (`graft_lsh_sig(text, 3, 4)`). */
+  private def intArg(name: String, e: Expression): Int = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+      s"$name expects a literal int, got $e")
+    e.eval().asInstanceOf[Int]
   }
+
+  private[functions] val dotFunction: FunctionEntry =
+    entry("graft_dot", classOf[DotProduct], 2)(c => DotProduct(c.head, c(1)))
+
+  private[functions] val all: Seq[FunctionEntry] = Seq(
+    dotFunction,
+    entry("graft_jaccard", classOf[JaccardSorted], 2)(c =>
+      JaccardSorted(c.head, c(1))),
+    entry("graft_simhash32", classOf[SimHash32], 1)(c => SimHash32(c.head)),
+    entry("graft_rolling_hash", classOf[RollingWordHash], 1)(c =>
+      RollingWordHash(c.head)),
+    entry("graft_lsh_sig", classOf[LshSignature], 3)(c =>
+      LshSignature(c.head, intArg("graft_lsh_sig.n", c(1)),
+        intArg("graft_lsh_sig.bands", c(2)))))
+
+  /** Register on an already-built session (tests, REPL). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 
   /** Typed Column helper over the native expression — no registry
     * needed; builds the expression node directly. */

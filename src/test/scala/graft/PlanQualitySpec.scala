@@ -95,6 +95,39 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q64 auto-block: one scan, codegen'd assignment in cache, (cell,id) joins") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      val (base, assigned, verified) = graft.dedup.SimilarJoin.autoEmbeddingPlan(
+        emb, "vec_id", "embedding", minCos = 0.4, numCells = 16,
+        refineIters = 1, cacheSignatures = true, maxBucket = 10000)
+      val p = explainOf(verified)
+      // the corpus is scanned ONCE (inside the base cache) — assignment,
+      // candidates and both vector fetches all read the caches
+      val parquetScans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+      assert(parquetScans == 1, s"expected ONE embeddings scan, got $parquetScans")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        "candidate side and both vector fetches must reuse the cache")
+      // nearest-cell assignment is the centroid-literal codegen
+      // expression (graft_dot under greatest), never an interpreted
+      // lambda or a crossJoin row blow-up
+      assert(p.contains("graft_dot"), "assignment/verify must use the native dot")
+      assert(!p.contains("lambdafunction"), "no interpreted HOFs in the plan")
+      // the qualifying cell-pair list rides a broadcast (explicit hint —
+      // survives the disabled threshold); candidates shuffle on cell
+      // then id, never on vectors
+      assert(p.contains("BroadcastHashJoin"), "cell-pair list must broadcast")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(cell")),
+        "candidate join must partition by cell")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(id_a")),
+        "vector fetch must partition by pair id")
+      assigned.foreach(_.unpersist())
+      base.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q29: band columns come from the native graft_lsh_sig expression") {
     val p = plan("q29_minhash_bands")
     // one implementation of the LSH value contract: q29 rides the same

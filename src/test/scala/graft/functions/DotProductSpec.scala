@@ -64,6 +64,27 @@ class DotProductSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(_ > 0.0))
   }
 
+  test("the FULL native-expression registry is SQL-callable") {
+    GraftExtensions.registerAll(spark)
+    graft.Tables.registerAll(spark, sf())
+    // every graft_* expression callable from plain SQL, one statement
+    val r = spark.sql(
+      """SELECT graft_simhash32(text) AS sh,
+                graft_rolling_hash(text) AS rh,
+                graft_lsh_sig(text, 3, 4).bands[0] AS b0,
+                graft_jaccard(sort_array(graft_lsh_sig(text, 3, 4).sh),
+                              sort_array(graft_lsh_sig(text, 3, 4).sh)) AS self_j
+         FROM documents WHERE text IS NOT NULL LIMIT 5""").collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getDouble(3) == 1.0), "self-Jaccard must be 1.0")
+    // literal-arg validation: a non-literal band count is rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_sig(text, 3, CAST(doc_id AS INT)) FROM documents")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal int"))
+  }
+
   test("non-numeric arrays rejected at analysis") {
     val df = Seq((Seq("x"), Seq("y"))).toDF("a", "b")
     val e = intercept[Exception] {
