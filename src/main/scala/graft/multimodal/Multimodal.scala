@@ -99,6 +99,45 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => MediaMeta("unknown", 0, 0, 0L, fmt)
       } finally in.close()
     }
+
+    /** Decode + bilinear-scale + re-encode, same container. None when
+      * the image already fits maxDim (caller keeps the original bytes
+      * — no lossy re-encode for a no-op), when the bytes don't decode,
+      * or when the writer rejects the frame; the caller treats every
+      * None as "pass through unchanged". */
+    private[multimodal] def resizeImage(payload: Array[Byte], fmt: String,
+                                        maxDim: Int): Option[(Array[Byte], Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(1, math.max(w, h)))
+          if (scale >= 1.0) None
+          else {
+            val nw = math.max(1, (w * scale).toInt)
+            val nh = math.max(1, (h * scale).toInt)
+            // JPEG/BMP writers reject alpha; keep ARGB only where the
+            // source had it AND the container can carry it
+            val kind =
+              if (img.getColorModel.hasAlpha && fmt != "jpeg" && fmt != "bmp")
+                java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB
+            val dst = new java.awt.image.BufferedImage(nw, nh, kind)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            if (!javax.imageio.ImageIO.write(dst, fmt, out)) None
+            else Some((out.toByteArray, nw, nh))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL audio codec over the JDK's own `javax.sound.sampled`
@@ -193,19 +232,36 @@ object Multimodal {
     }
   }
 
-  /** Resize step (STUB: rescales metadata + truncates payload
-    * proportionally — a real impl re-encodes pixels). Signature and
-    * partition economics are what a real resize would use. */
+  /** REAL pixel resize for image payloads behind a valid magic: JDK
+    * `ImageIO` decode → bilinear `Graphics2D` scale → re-encode in the
+    * SAME container. Unlike metadata extraction this is inherently
+    * O(pixels) per row — the cost a real resize pays anywhere — and
+    * stays partition-local with one codec path per partition. Corrupt
+    * or unwritable image bytes pass through UNCHANGED (resilience
+    * contract: a poison row must not fail the task, and for a resize
+    * "unchanged" is the safe degradation, where metadata decode
+    * degrades to `unknown`). Non-image rows (audio/video/fake headers)
+    * keep the labeled metadata-rescale stand-in: there is no JDK video
+    * scaler, and rescaling audio is resampling, not resizing. */
   def resize(rows: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val scale = math.min(1.0,
-          maxDim.toDouble / math.max(1, math.max(r.meta.width, r.meta.height)))
-        if (scale >= 1.0) r
-        else r.copy(meta = r.meta.copy(
-          width = (r.meta.width * scale).toInt,
-          height = (r.meta.height * scale).toInt))
+        ImageIoCodec.sniff(r.payload) match {
+          case Some(fmt) =>
+            ImageIoCodec.resizeImage(r.payload, fmt, maxDim) match {
+              case Some((bytes, w, h)) =>
+                MediaRow(r.media_id, bytes, MediaMeta("image", w, h, 0L, fmt))
+              case None => r // already small enough, or poison bytes
+            }
+          case None =>
+            val scale = math.min(1.0, maxDim.toDouble /
+              math.max(1, math.max(r.meta.width, r.meta.height)))
+            if (scale >= 1.0) r
+            else r.copy(meta = r.meta.copy(
+              width = (r.meta.width * scale).toInt,
+              height = (r.meta.height * scale).toInt))
+        }
       }
     }
   }

@@ -104,6 +104,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN over SELF-TRAINED cells: [[ivfTopK]] without a
+    * caller-supplied block column — the top-k sibling of the
+    * auto-blocked similarity join. [[AutoBlock.fitCells]] trains
+    * `numCells` angular centroids (deterministic distinct-vector
+    * sample + k-means refinement), every vector is assigned by the
+    * codegen'd centroid-literal expression (zero shuffle), and only
+    * the `nprobe` cells whose centroids are nearest the probe are
+    * brute-forced. Cell ranking happens on the DRIVER over the K
+    * centroid vectors already held as model parameters — no
+    * centroid-table job at query time; the probe row's collect is one
+    * vector, the ANN query's input. `nprobe >= numCells` degrades to
+    * exactly [[cosineTopK]] (the spec pins that identity), which is
+    * the standard IVF recall dial: cells searched vs work done. */
+  def ivfTopKAuto(emb: DataFrame, idCol: String, vecCol: String,
+                  probeId: Long, nprobe: Int, k: Int,
+                  numCells: Int = 16, refineIters: Int = 1): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+    val cents = AutoBlock.fitCells(base, numCells, refineIters)
+    val probeRow = base.filter(col("id") === probeId)
+      .select(col("v").cast("array<double>"), col("nrm")).head()
+    val probeVec = {
+      val v = probeRow.getSeq[Double](0).toArray
+      val n = probeRow.getDouble(1)
+      v.map(_ / n)
+    }
+    val topCells = cents.zipWithIndex
+      .map { case (c, i) => i -> -AutoBlock.angle(c, probeVec) }
+      .sortBy { case (i, negAng) => (-negAng, i) } // nearest first, stable
+      .take(nprobe).map(_._1)
+    val assigned = base.withColumn("cell",
+      AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")).getField("cell"))
+    assigned
+      .filter(col("cell").isin(topCells.toSeq: _*) && col("id") =!= probeId)
+      .crossJoin(broadcast(
+        base.filter(col("id") === probeId)
+          .select(col("v").as("probe_vec"), col("nrm").as("probe_norm"))))
+      .select(col("id").as(idCol),
+        round(dot(col("v"), col("probe_vec"))
+          / (col("nrm") * col("probe_norm")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-block centroids in long format (block, pos, avg component) —
     * the k-means/IVF training step's inner aggregate. Long format keeps
     * the aggregation a plain hash-agg on (block, pos). */
