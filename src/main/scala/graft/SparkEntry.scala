@@ -606,6 +606,19 @@ object SparkEntry {
     graft.dedup.SimilarJoin.similarJoin(T(s, d, "embeddings"),
       "vec_id", "embedding", graft.dedup.SimilarityMethod.EmbeddingCosine(0.4))
 
+  /** The WHOLE curation pipeline as one gate: apps.Curate end-to-end
+    * (quality >= 0.6 → exact dedup keep-min → MinHash-LSH near-dup
+    * clustering at 0.6 keep-representative), hash-checked against a
+    * DuckDB oracle composed from the q26/q40/q30/q49 fragments. The
+    * one gate whose oracle is a PIPELINE, not an operator. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val (curated, _) = graft.apps.Curate.run(T(s, d, "documents"),
+      "doc_id", "text", minQuality = 0.6,
+      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+      log = _ => ())
+    curated.select(col("doc_id"), col("quality")).orderBy(col("doc_id"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -682,6 +695,7 @@ object SparkEntry {
     "q62_approx_distinct" -> (q62 _),
     "q63_approx_percentiles" -> (q63 _),
     "q64_auto_embed_join" -> (q64 _),
+    "q65_curate_pipeline" -> (q65 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -693,9 +707,13 @@ object SparkEntry {
   private def minhashExpr(sh: String, seed: Int): String =
     s"list_min([substring(md5(x), ${1 + 8 * seed}, 8) for x in $sh])"
 
-  /** q30 oracle body, reused by q49's recursive-CTE clustering. */
-  private def q30Sql: String =
-    s"""WITH t AS (SELECT doc_id, $ShW AS w FROM documents),
+  /** The LSH pair CTE chain over a source relation `$src(doc_id, text)`
+    * ending in `prs(id_a, id_b, jaccard >= $minJaccard)` — the q30
+    * oracle body, parameterized so q49 (clustering) and q65 (the
+    * curation pipeline) reuse it over filtered corpora and other
+    * thresholds. */
+  private def lshPairsSql(src: String, minJaccard: Double): String =
+    s"""t AS (SELECT doc_id, $ShW AS w FROM $src),
          s0 AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS shs FROM t),
          s AS (SELECT doc_id, shs,
                list_distinct([try_cast('0x'||substring(md5(x),1,8) AS BIGINT)
@@ -710,20 +728,61 @@ object SparkEntry {
                   / (len(a.sh) + len(c.sh)
                      - len(list_filter(a.sh, x -> list_contains(c.sh, x))))
                ELSE 0.0 END, 4) AS jaccard
-           FROM bb a JOIN bb c ON a.band = c.band AND a.doc_id < c.doc_id)
-         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.1
-         ORDER BY id_a, id_b"""
+           FROM bb a JOIN bb c ON a.band = c.band AND a.doc_id < c.doc_id),
+         prs AS (SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $minJaccard)"""
 
-  private def q49Sql: String =
-    s"""WITH RECURSIVE prs AS ($q30Sql),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+  /** The min-label connected-components CTE chain over `prs`, ending in
+    * `clus(id, cluster)` — q49's recursive oracle body, shared with
+    * q65. */
+  private def clusterSql: String =
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM prs
                    UNION SELECT id_b, id_a FROM prs),
          nodes AS (SELECT DISTINCT src AS id FROM edges),
          reach(id, label) AS (
            SELECT id, id FROM nodes
            UNION
-           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
-         SELECT id, min(label) AS cluster FROM reach GROUP BY id ORDER BY id"""
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         clus AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)"""
+
+  private def q30Sql: String =
+    s"""WITH ${lshPairsSql("documents", 0.1)}
+         SELECT id_a, id_b, jaccard FROM prs ORDER BY id_a, id_b"""
+
+  private def q49Sql: String =
+    s"""WITH RECURSIVE ${lshPairsSql("documents", 0.1)},
+         $clusterSql
+         SELECT id, cluster FROM clus ORDER BY id"""
+
+  /** q65 oracle: the WHOLE curation pipeline composed from the proven
+    * fragments — q26's quality formula as the filter, q40's
+    * fingerprint-min-join exact dedup, the LSH pair chain at 0.6 over
+    * the surviving corpus, the recursive clustering, and the
+    * keep-cluster-representative anti filter. */
+  private def q65Sql: String =
+    s"""WITH RECURSIVE
+         qual AS (
+           SELECT doc_id, text, quality FROM (
+             SELECT doc_id, text,
+               round(least(1.0,
+                 (CAST(len(list_filter(w, x -> list_contains(
+                    ['the','a','an','of','and','to','in','is','on','for'], x))) AS DOUBLE)
+                  / len(w)) * 2
+                 + (1.0 - CAST(length(text)
+                     - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                   / length(text)) * 0.5), 4) AS quality
+             FROM (SELECT doc_id, text, $ShW AS w FROM documents))
+           WHERE quality >= 0.6),
+         fps AS (SELECT doc_id, text, quality,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                 FROM qual),
+         keepmin AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY f),
+         ek AS (SELECT fps.doc_id, fps.text, fps.quality
+                FROM fps JOIN keepmin USING(doc_id)),
+         ${lshPairsSql("ek", 0.6)},
+         $clusterSql
+         SELECT doc_id, quality FROM ek
+         WHERE doc_id NOT IN (SELECT id FROM clus WHERE cluster <> id)
+         ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -1165,5 +1224,6 @@ object SparkEntry {
                                           CAST(b.embedding AS DOUBLE[])))), 6) AS score
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          WHERE score >= 0.4 ORDER BY id_a, id_b""",
+    "q65_curate_pipeline" -> q65Sql,
   )
 }

@@ -124,11 +124,15 @@ object Similarity {
         norm(col(vecCol)).as("nrm"))
       .filter(col("v").isNotNull && col("nrm") > 0)
     val cents = AutoBlock.fitCells(base, numCells, refineIters)
-    val probeRow = base.filter(col("id") === probeId)
-      .select(col("v").cast("array<double>"), col("nrm")).head()
+    // a missing probe id returns an EMPTY result, matching cosineTopK
+    // (whose probe-frame join just matches nothing) instead of throwing
+    val probeRows = base.filter(col("id") === probeId)
+      .select(col("v").cast("array<double>"), col("nrm")).limit(1).collect()
+    if (probeRows.isEmpty || cents.isEmpty)
+      return emb.select(col(idCol), lit(0.0).as("cos_sim")).limit(0)
     val probeVec = {
-      val v = probeRow.getSeq[Double](0).toArray
-      val n = probeRow.getDouble(1)
+      val v = probeRows.head.getSeq[Double](0).toArray
+      val n = probeRows.head.getDouble(1)
       v.map(_ / n)
     }
     val topCells = cents.zipWithIndex
