@@ -55,6 +55,8 @@ object AutoBlock {
     * K vectors of `dim` doubles, never data. */
   private[graft] def fitCells(base: DataFrame, k: Int,
                               refineIters: Int): Array[Array[Double]] = {
+    require(k >= 1, s"numCells must be >= 1, got $k")
+    require(refineIters >= 0, s"refineIters must be >= 0, got $refineIters")
     val seeds = base
       .groupBy(xxhash64(col("v")).as("h"))
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"))

@@ -26,10 +26,13 @@ object SlowStress extends Tag("graft.SlowStress")
   * falsification of the 100 TB scale story: every claim the scaladocs
   * make about skew survival is exercised here at 14x the gate corpus.
   *
-  * Measured runtime (local[4], 4 shuffle partitions, 8g heap): ~2m50s
-  * for the three stress tests together (the LSH run is shared between
-  * the pair-finder and clustering tests; the SimHash pass over 70k
-  * docs with ~38M banded candidates dominates). */
+  * Measured runtime (local[4], 4 shuffle partitions, 8g heap): ~2m05s
+  * for the four stress tests together, suite overhead included (the
+  * LSH run is shared between the pair-finder and clustering tests and
+  * got ~40% cheaper when graft_jaccard replaced the per-pair
+  * array_intersect verify in round 6; the SimHash pass over 70k docs
+  * with ~38M banded candidates now dominates, and the embedding
+  * hot-block test adds ~15s). */
 class DedupStressSpec extends SparkSpec with HotBucketLogCapture {
 
   /** 70k docs: 5000 families x 10 salted copies + 20k boilerplate. */

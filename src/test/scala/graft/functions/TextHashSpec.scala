@@ -166,6 +166,33 @@ class TextHashSpec extends SparkSpec {
     assert(native(7L).isEmpty && staged(7L).contains(0.0))
   }
 
+  test("JaccardSorted: 500 random sorted-set pairs equal the JVM set-math reference") {
+    // randomized falsification: merge-count vs an independent
+    // Set-intersection computation (not the Column chain — a DIFFERENT
+    // implementation), on skewed sizes incl. empties and heavy overlap
+    val rnd = new scala.util.Random(1234)
+    val cases = (0 until 500).map { i =>
+      val n = rnd.nextInt(40)
+      val m = rnd.nextInt(40)
+      val universe = 1 + rnd.nextInt(60) // small universe ⇒ real overlap
+      val a = Seq.fill(n)(rnd.nextInt(universe).toLong).distinct.sorted
+      val b = Seq.fill(m)(rnd.nextInt(universe).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val got = codegenOnly {
+      cases.toDF("id", "a", "b")
+        .select(col("id"), bridge.column(JaccardSorted(
+          bridge.expression(col("a")), bridge.expression(col("b")))).as("j"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    cases.foreach { case (id, a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.size + b.size - inter
+      val expect = if (union > 0) inter.toDouble / union else 0.0
+      assert(got(id) == expect, s"case $id: a=$a b=$b")
+    }
+  }
+
   test("JaccardSorted through the REAL pipeline: q30 values unchanged") {
     // cross-validation on the real corpus: the native-verify pair list
     // equals the bands>4-style staged-verify pair list recomputed here
