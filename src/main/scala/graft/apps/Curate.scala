@@ -86,22 +86,46 @@ object Curate {
   }
 }
 
-/** `curate <sfDir> <outDir> [minQuality] [minJaccard]` — read the
-  * `documents` table, run the full curation pipeline, write the
-  * surviving rows as parquet, stage counts on stderr. */
+/** `curate <sfDir> <outDir> [minQuality] [method] [checkpointDir]` —
+  * read the `documents` table, run the full curation pipeline, write
+  * the surviving rows as parquet, stage counts on stderr.
+  *
+  * `method`: a bare number or `minhash:<minJaccard>` selects
+  * MinHash-LSH; `simhash:<maxHamming>` selects SimHash banding. With a
+  * `checkpointDir` the near-dup clustering runs inside
+  * [[graft.dedup.Dedup.withReliableClusters]] — fault-tolerant
+  * parquet-snapshot rounds on a real cluster, every snapshot cleaned
+  * up once the curated output is written. */
 object CurateMain {
+
+  private[apps] def parseMethod(s: String): SimilarityMethod = s match {
+    case m if m.startsWith("simhash:") =>
+      SimilarityMethod.SimHash(maxHamming = m.stripPrefix("simhash:").toInt)
+    case m if m.startsWith("minhash:") =>
+      SimilarityMethod.MinHashLsh(minJaccard = m.stripPrefix("minhash:").toDouble)
+    case m => SimilarityMethod.MinHashLsh(minJaccard = m.toDouble)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args.toSeq.toArray: @unchecked
     val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.5)
-    val minJaccard = rest.lift(1).map(_.toDouble).getOrElse(0.8)
+    val method = rest.lift(1).map(parseMethod)
+      .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
     val spark = Mains.session("graft-curate")
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val (curated, report) = Curate.run(docs, "doc_id", "text", minQuality,
-      SimilarityMethod.MinHashLsh(minJaccard = minJaccard))
-    curated.write.mode("overwrite").parquet(outDir)
-    curated.unpersist()
-    println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
-      s"($outDir)")
+    def pipeline(): Unit = {
+      val (curated, report) = Curate.run(docs, "doc_id", "text", minQuality,
+        method)
+      curated.write.mode("overwrite").parquet(outDir)
+      curated.unpersist()
+      println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
+        s"($outDir)")
+    }
+    rest.lift(2) match {
+      case Some(ckpt) =>
+        graft.dedup.Dedup.withReliableClusters(spark, ckpt) { pipeline() }
+      case None => pipeline()
+    }
     Mains.stop(spark)
   }
 }

@@ -66,6 +66,45 @@ class CurateSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("CurateMain method parsing covers both finders and the bare-number form") {
+    assert(CurateMain.parseMethod("0.7") ==
+      SimilarityMethod.MinHashLsh(minJaccard = 0.7))
+    assert(CurateMain.parseMethod("minhash:0.65") ==
+      SimilarityMethod.MinHashLsh(minJaccard = 0.65))
+    assert(CurateMain.parseMethod("simhash:2") ==
+      SimilarityMethod.SimHash(maxHamming = 2))
+  }
+
+  test("CurateMain with a checkpoint dir: reliable clustering, snapshots cleaned") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-r").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curate-ckpt").toFile
+    Mains.keepSessionForTests = true
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+      CurateMain.main(Array(sf(), out.getAbsolutePath, minQ.toString, "0.6",
+        ckpt.getAbsolutePath))
+      // same survivors as the plain run, via the reliable path
+      val written = spark.read.parquet(out.getAbsolutePath)
+      val (expect, report) = Curate.run(
+        Tables.load(spark, sf(), "documents"), "doc_id", "text", minQ, method,
+        _ => ())
+      assert(written.count() == report.afterNear)
+      expect.unpersist()
+      // config restored, no snapshot dirs survive the scope
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+      val walk = java.nio.file.Files.walk(ckpt.toPath)
+      val leftover =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+          .asScala.count(_.getFileName.toString.startsWith("graft-dup-clusters-"))
+        finally walk.close()
+      assert(leftover == 0, s"snapshot dirs accumulated: $leftover")
+    } finally {
+      Mains.keepSessionForTests = false
+      org.apache.commons.io.FileUtils.deleteQuietly(out)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    }
+  }
+
   test("CurateMain writes the curated parquet end-to-end") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate").toFile
     Mains.keepSessionForTests = true
