@@ -36,12 +36,19 @@ object Similarity {
 
   /** Brute-force cosine top-k against one probe vector (by id).
     * Baseline for ANN; exact answer. The probe's norm is folded in
-    * before the broadcast so per-row work is one dot + one own-norm. */
+    * before the broadcast so per-row work is one dot + one own-norm.
+    *
+    * Zero-norm vectors are dropped on BOTH sides (here and in the
+    * blocked/IVF variants): their cosine is 0/0 = NaN, and Spark
+    * orders NaN above every number — one all-zeros embedding in a
+    * 100 TB corpus would otherwise head every top-k list and pass
+    * every similarity threshold. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  probeId: Long, k: Int): DataFrame = {
     val probe = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
-    emb.filter(col(idCol) =!= probeId)
+      .filter(col("probe_norm") > 0)
+    emb.filter(col(idCol) =!= probeId && norm(col(vecCol)) > 0)
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         round(dot(col(vecCol), col("probe_vec"))
@@ -58,7 +65,8 @@ object Similarity {
   def nearDupPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
                           blockCol: String, minCos: Double): DataFrame = {
     val normed = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0) // NaN-cosine guard, see cosineTopK
     val l = normed.select(col("blk"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val r = normed.select(col("blk"), col("id").as("id_b"),
@@ -90,13 +98,14 @@ object Similarity {
               probeId: Long, nprobe: Int, k: Int): DataFrame = {
     val probe = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).as("probe_vec"))
+      .filter(norm(col("probe_vec")) > 0)
     val topCells = centroids(emb, blockCol, vecCol)
       .crossJoin(broadcast(probe))
       .orderBy(cosine(col("centroid"), col("probe_vec")).desc)
       .limit(nprobe)
       .select(col(blockCol))
     emb.join(broadcast(topCells), Seq(blockCol), "left_semi")
-      .filter(col(idCol) =!= probeId)
+      .filter(col(idCol) =!= probeId && norm(col(vecCol)) > 0)
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))

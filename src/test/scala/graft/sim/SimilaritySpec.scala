@@ -2,6 +2,7 @@ package graft.sim
 
 import graft.SparkSpec
 import graft.Tables
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
 
@@ -61,6 +62,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(narrow.filter(t => brute.contains(t._1))
       .forall(t => brute(t._1) == t._2))
+  }
+
+  test("zero-norm vectors can never top a similarity list (NaN guard)") {
+    import spark.implicits._
+    // an all-zeros embedding: cosine = 0/0 = NaN, which Spark orders
+    // ABOVE every real number — without the guard it would head the
+    // top-k and pass any pair threshold
+    val poisoned = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(Seq((99999L, Array.fill(64)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val top = Similarity.cosineTopK(poisoned, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0))
+    assert(!top.contains(99999L))
+    assert(top.length == 10)
+    val pairs = Similarity.nearDupPairsBlocked(
+        poisoned, "vec_id", "embedding", "label", -1.0)
+      .filter(col("id_a") === 99999L || col("id_b") === 99999L).count()
+    assert(pairs == 0L)
+    val ivf = Similarity.ivfTopK(poisoned, "vec_id", "embedding", "label",
+        0L, 10, 10).collect().map(_.getLong(0))
+    assert(!ivf.contains(99999L))
   }
 
   test("centroids assemble per-label mean vectors in order") {
