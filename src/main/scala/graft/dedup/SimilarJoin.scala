@@ -118,7 +118,8 @@ object SimilarJoin {
                              cacheSignatures: Boolean,
                              maxBucket: Int): DataFrame = {
     val normed0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
+        col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0) // NaN-cosine guard, see Similarity.cosineTopK
     val normed = if (cacheSignatures)
       normed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else normed0
