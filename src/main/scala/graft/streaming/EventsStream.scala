@@ -129,6 +129,38 @@ object EventsStream {
                     eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), events(eventKey) === dim(dimKey))
 
+  /** STREAM-STREAM interval join: each purchase attributed to the same
+    * user's clicks in the `lookbackMinutes` before it. Both sides are
+    * watermarked and the join carries an event-time range constraint —
+    * the two conditions Structured Streaming needs to BOUND the join
+    * state (clicks older than purchase-watermark − lookback are evicted;
+    * without the range constraint the click buffer would grow forever).
+    * Inner join ⇒ results emit as soon as both rows arrive; the shape a
+    * 100 TB/day clickstream runs continuously.
+    *
+    * Batch/stream symmetric like everything here: on batch frames the
+    * watermarks are no-ops and this is a plain range join (the
+    * event-time cousin of q39's as-of join, which keeps only the LAST
+    * preceding click where this keeps ALL in the window). */
+  def purchaseAttribution(events: DataFrame, lookbackMinutes: Int = 30,
+                          watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Enriched windowed rollup: hourly event counts per customer nation
     * — stream-static join feeding a watermarked tumbling-window agg.
     * Batch/stream symmetric like [[hourlyCounts]]. */

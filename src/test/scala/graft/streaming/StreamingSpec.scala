@@ -141,6 +141,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("purchaseAttribution: stream-stream interval join, batch symmetric") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 10:20:00"), 7L, "click", 0.0),
+      (3L, ts("2024-01-01 10:25:00"), 7L, "purchase", 9.0), // joins 1 + 2
+      (4L, ts("2024-01-01 09:40:00"), 8L, "click", 0.0),
+      (5L, ts("2024-01-01 10:30:00"), 8L, "purchase", 5.0), // 4 outside 30m
+      (6L, ts("2024-01-01 10:29:00"), 9L, "click", 0.0),    // other user
+      (7L, ts("2024-01-01 11:00:00"), 7L, "purchase", 1.0)) // 1,2 outside
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStream.purchaseAttribution(events, lookbackMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == Set((3L, 1L), (3L, 2L)),
+      "only in-window same-user clicks attribute")
+    // batch/stream symmetry: identical rows from the same code on a
+    // batch frame (watermarks no-op, plain range join)
+    val batch = EventsStream.purchaseAttribution(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"), 30)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("nearDupDedupStream: reordered near-identical texts dedup in-flight") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
