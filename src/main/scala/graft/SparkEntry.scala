@@ -616,6 +616,12 @@ object SparkEntry {
       "doc_id", "text", minQuality = 0.6,
       method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
       log = _ => ())
+    // honor Curate's cache contract: release the curated frame now.
+    // The consumer's recompute walks only the light map stages + the
+    // anti-join — the expensive clustering is behind dupClusters'
+    // checkpoint, so nothing heavy runs twice, and repeated bench
+    // invocations don't accumulate corpus-sized cache blocks.
+    curated.unpersist()
     curated.select(col("doc_id"), col("quality")).orderBy(col("doc_id"))
   }
 

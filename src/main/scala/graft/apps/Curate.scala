@@ -107,6 +107,9 @@ object CurateMain {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2)
+      throw new IllegalArgumentException(
+        "usage: curate <sfDir> <outDir> [minQuality] [method] [checkpointDir]")
     val Array(sfDir, outDir, rest @ _*) = args.toSeq.toArray: @unchecked
     val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.5)
     val method = rest.lift(1).map(parseMethod)

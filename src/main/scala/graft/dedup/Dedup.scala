@@ -348,9 +348,16 @@ object Dedup {
     try body
     finally {
       // the setter is private[spark] but public in bytecode; None
-      // restores the no-checkpoint-dir default
-      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+      // restores the no-checkpoint-dir default. Guarded: a reflection
+      // failure on a future Spark must degrade to a warning, not throw
+      // from finally and mask the body's own result or exception.
+      try sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
         .invoke(sc, prev)
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[graft.dedup] withReliableClusters: could not restore the " +
+            s"checkpoint dir (${e.getClass.getSimpleName}); it remains set")
+      }
       try resolved.foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         val fs = p.getFileSystem(sc.hadoopConfiguration)

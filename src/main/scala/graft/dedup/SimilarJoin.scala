@@ -243,7 +243,12 @@ object SimilarJoin {
     val radii = stats.collect {
       case (c, r, _) if !hotSet.contains(c) => c -> r
     }.toMap
-    val theta = math.acos(math.min(1.0, math.max(-1.0, minCos)))
+    // the verify filter keeps round(score, 6) >= minCos, which admits
+    // true cosines down to minCos - 5e-7 (the round-half-up band); the
+    // angular bound must cover THAT threshold, not minCos itself, or a
+    // pair in the rounding band could be structurally pruned while the
+    // identically-rounding brute-force oracle keeps it
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCos - 5e-7)))
     val cellPairs = {
       import spark.implicits._
       AutoBlock.qualifyingCellPairs(cents, radii, theta).toDF("ci", "cj")

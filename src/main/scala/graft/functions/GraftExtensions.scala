@@ -35,7 +35,11 @@ object GraftExtensions {
   private def intArg(name: String, e: Expression): Int = {
     require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
       s"$name expects a literal int, got $e")
-    e.eval().asInstanceOf[Int]
+    val v = e.eval()
+    // null.asInstanceOf[Int] would silently unbox to 0 — a NULL literal
+    // must be rejected like a non-literal, not build a 0-gram signature
+    require(v != null, s"$name expects a literal int, got NULL")
+    v.asInstanceOf[Int]
   }
 
   private[functions] val dotFunction: FunctionEntry =

@@ -248,11 +248,17 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.map { r =>
         ImageIoCodec.sniff(r.payload) match {
+          // the header-only metadata from decodeMeta already proves
+          // most rows are no-ops (or poison, kind="unknown") — skip
+          // the O(pixels) decode for those; only genuinely-oversized
+          // healthy images pay it
+          case Some(_) if r.meta.kind != "image" ||
+              math.max(r.meta.width, r.meta.height) <= maxDim => r
           case Some(fmt) =>
             ImageIoCodec.resizeImage(r.payload, fmt, maxDim) match {
               case Some((bytes, w, h)) =>
                 MediaRow(r.media_id, bytes, MediaMeta("image", w, h, 0L, fmt))
-              case None => r // already small enough, or poison bytes
+              case None => r // decode/write refused: pass through
             }
           case None =>
             val scale = math.min(1.0, maxDim.toDouble /

@@ -72,11 +72,18 @@ object AutoBlock {
     var cents = seeds
     var iter = 0
     while (iter < refineIters && cents.nonEmpty) {
+      // SPHERICAL k-means: average the UNIT vectors (v / nrm), not the
+      // raw ones — assignment is angular, and a few large-norm outliers
+      // averaged raw would drag the centroid off the cell's angular
+      // mass, inflating radii and gutting the triangle-inequality
+      // pruning. The per-element divide is an interpreted HOF but runs
+      // only in this training pass, never per pair.
       val means = base
         .withColumn("cell",
           nearestCellStruct(cents, col("v"), col("nrm")).getField("cell"))
         .groupBy(col("cell"))
-        .agg(VectorAgg.vectorMeanCol(col("v").cast("array<float>")).as("m"))
+        .agg(VectorAgg.vectorMeanCol(
+          transform(col("v"), x => x / col("nrm")).cast("array<float>")).as("m"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap

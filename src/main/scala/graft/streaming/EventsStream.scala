@@ -110,14 +110,27 @@ object EventsStream {
     * Null-text events are dropped, mirroring the batch pair finder:
     * a contentless event has no near-dup meaning, and its null
     * signature would otherwise collapse ALL null-text events into one
-    * surviving row. */
+    * surviving row.
+    *
+    * COLLISION CAVEAT — this is signature dedup, so a drop is
+    * irreversible and a random 32-bit collision between UNRELATED
+    * texts inside one watermark silently loses a distinct event. The
+    * dedup key is therefore (signature, token count): near-identical
+    * multisets share both, while random collisions must now also match
+    * on length — cutting the birthday rate by the token-count
+    * cardinality. The residual risk is inherent to in-flight signature
+    * dedup; size the watermark so in-window distinct volume stays far
+    * below the ~2^32 × counts keyspace, or use the batch pair finder
+    * (which emits inspectable pairs instead of deleting) when loss is
+    * unacceptable. */
   def nearDupDedupStream(events: DataFrame, textCol: String,
                          watermark: String = "1 hour"): DataFrame =
     graft.dedup.Dedup.withSimhash32(events, textCol, "_simhash")
       .filter(col("_simhash").isNotNull)
+      .withColumn("_ntok", graft.text.TextOps.tokenCount(col(textCol)))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("_simhash")
-      .drop("_simhash")
+      .dropDuplicatesWithinWatermark("_simhash", "_ntok")
+      .drop("_simhash", "_ntok")
 
   /** Stream-static enrichment: join the event stream against a slowly-
     * changing dimension snapshot. Stateless in Structured Streaming

@@ -197,10 +197,12 @@ class StreamingSpec extends SparkSpec {
       "first arrival per signature class must survive, all others drop")
 
     // batch/stream symmetry: the batch simhash path partitions the same
-    // corpus into the same signature classes with the same survivors
+    // corpus into the same (signature, token count) classes with the
+    // same survivors
     val batchKeep = graft.dedup.Dedup
       .withSimhash32(corpus.toDF("event_id", "ts", "text"), "text", "sig")
-      .groupBy(col("sig")).agg(min(col("event_id")).as("keep"))
+      .groupBy(col("sig"), graft.text.TextOps.tokenCount(col("text")))
+      .agg(min(col("event_id")).as("keep"))
       .select("keep").as[Long].collect().toSeq.sorted
     assert(batchKeep == got)
   }
