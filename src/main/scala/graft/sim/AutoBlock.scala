@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
 object AutoBlock {
 
   /** Clamped angle between two unit vectors. */
-  private[sim] def angle(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def angle(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }

@@ -105,6 +105,25 @@ class SimilarJoinSpec extends SparkSpec with HotBucketLogCapture {
       "every deliberately planted straddling pair must be found")
   }
 
+  test("cell-pair bound covers the verify filter's round-to-6 band") {
+    // verify keeps round(score, 6) >= minCos, admitting true cosines
+    // down to minCos - 5e-7 — two zero-radius cells separated by an
+    // angle INSIDE that band must still qualify, though the naive
+    // acos(minCos) bound would prune them (the exactness regression
+    // a review caught in round 6)
+    val minCos = 0.5
+    val phi = math.acos(minCos - 2e-7)
+    val cents = Array(Array(1.0, 0.0), Array(math.cos(phi), math.sin(phi)))
+    val radii = Map(0 -> 0.0, 1 -> 0.0)
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCos - 5e-7)))
+    val pairs = graft.sim.AutoBlock.qualifyingCellPairs(cents, radii, theta)
+    assert(pairs.contains((0, 1)) && pairs.contains((1, 0)),
+      "a pair whose true cosine rounds UP to minCos must stay verifiable")
+    // ...and the un-widened bound really would have pruned it
+    assert(graft.sim.AutoBlock.angle(cents(0), cents(1)) >
+      math.acos(minCos) + 1e-9)
+  }
+
   test("the hot-bucket cap fires on auto-blocked cells too") {
     val one = emb.limit(50)
     val (pairCount, logged) = withLogCapture {
