@@ -616,13 +616,17 @@ object SparkEntry {
       "doc_id", "text", minQuality = 0.6,
       method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
       log = _ => ())
-    // honor Curate's cache contract: release the curated frame now.
-    // The consumer's recompute walks only the light map stages + the
-    // anti-join — the expensive clustering is behind dupClusters'
-    // checkpoint, so nothing heavy runs twice, and repeated bench
-    // invocations don't accumulate corpus-sized cache blocks.
+    // honor Curate's cache contract without recomputing the pipeline:
+    // materialize the TINY (doc_id, quality) projection off the still-
+    // cached curated frame, then release the corpus-sized cache. The
+    // consumer reads the two-column cache; only that stays resident
+    // (bench's per-query clearCache drops even it).
+    val out = curated.select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     curated.unpersist()
-    curated.select(col("doc_id"), col("quality")).orderBy(col("doc_id"))
+    out
   }
 
   /** Stream-static enrichment through the gate: events joined to the

@@ -154,7 +154,9 @@ object SimilarJoin {
     * with a codegen'd centroid-literal expression (zero shuffle), read
     * the K cell radii off one tiny agg, then verify exactly the cell
     * PAIRS the triangle-inequality bound `angle(c_i,c_j) <= r_i + r_j
-    * + acos(minCos)` cannot exclude. The result is EXACT — identical
+    * + acos(minCos - 5e-7)` cannot exclude (the 5e-7 widens the
+    * angular threshold to the verify filter's round-to-6 band — see
+    * the theta comment below). The result is EXACT — identical
     * to the brute-force join at any centroid quality (q64's oracle is
     * plain brute force) — because the bound over-approximates, never
     * under-approximates, and in-bound candidates are cosine-verified.

@@ -50,6 +50,7 @@ object GraftExtensions {
     entry("graft_jaccard", classOf[JaccardSorted], 2)(c =>
       JaccardSorted(c.head, c(1))),
     entry("graft_simhash32", classOf[SimHash32], 1)(c => SimHash32(c.head)),
+    entry("graft_simhash_tok", classOf[SimHashTok], 1)(c => SimHashTok(c.head)),
     entry("graft_rolling_hash", classOf[RollingWordHash], 1)(c =>
       RollingWordHash(c.head)),
     entry("graft_lsh_sig", classOf[LshSignature], 3)(c =>

@@ -140,8 +140,9 @@ object TextHashImpl {
   }
 
   /** 32-bit SimHash in one pass: per-word md5-32 majority bit votes. */
-  def simhash32(text: UTF8String): Long = {
-    val toks = tokens(text)
+  def simhash32(text: UTF8String): Long = simhashOf(tokens(text))
+
+  private def simhashOf(toks: Array[String]): Long = {
     val digest = md.get()
     val votes = new Array[Int](32)
     var i = 0
@@ -162,6 +163,18 @@ object TextHashImpl {
       bit += 1
     }
     sig
+  }
+
+  /** `struct(sig, ntok)` in ONE pass — the streaming near-dup dedup
+    * key. sig is bit-identical to [[simhash32]] (same token array,
+    * same vote loop); ntok matches `TextOps.tokenCount` (0 when the
+    * space-trimmed text is empty, else the split length). Fused so the
+    * streaming hot path tokenizes each event once, not once for the
+    * signature and again for the count. */
+  def simhashTok(text: UTF8String): InternalRow = {
+    val toks = tokens(text)
+    val ntok = if (toks.length == 1 && toks(0).isEmpty) 0L else toks.length.toLong
+    InternalRow(simhashOf(toks), ntok)
   }
 }
 
@@ -226,6 +239,35 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `struct(sig: long, ntok: long)` — [[SimHash32]]'s signature fused
+  * with the token count in one tokenize pass (see
+  * [[TextHashImpl.simhashTok]]); the streaming near-dup dedup key. */
+case class SimHashTok(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_tok expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", LongType, nullable = false),
+    StructField("ntok", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_simhash_tok"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhashTok(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhashTok($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashTok =
     copy(child = newChild)
 }
 

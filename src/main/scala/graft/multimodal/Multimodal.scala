@@ -248,11 +248,14 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.map { r =>
         ImageIoCodec.sniff(r.payload) match {
-          // the header-only metadata from decodeMeta already proves
-          // most rows are no-ops (or poison, kind="unknown") — skip
-          // the O(pixels) decode for those; only genuinely-oversized
-          // healthy images pay it
-          case Some(_) if r.meta.kind != "image" ||
+          // when the row's metadata POSITIVELY identifies an image that
+          // already fits, the header-only decodeMeta evidence proves the
+          // resize is a no-op — skip the O(pixels) decode (the dominant
+          // crawl case). Any other meta (kind="unknown", or meta that
+          // didn't come from this payload) falls through to resizeImage,
+          // which decides from the actual decoded pixels and passes
+          // undecodable rows through unchanged.
+          case Some(_) if r.meta.kind == "image" &&
               math.max(r.meta.width, r.meta.height) <= maxDim => r
           case Some(fmt) =>
             ImageIoCodec.resizeImage(r.payload, fmt, maxDim) match {

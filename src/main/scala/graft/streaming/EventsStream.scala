@@ -89,16 +89,21 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
-  /** Streaming NEAR-dup dedup: the in-flight composition of
-    * [[graft.dedup.Dedup.withSimhash32]] (one native codegen'd pass per
-    * event) with watermark-bounded `dropDuplicatesWithinWatermark` on
-    * the 32-bit signature. Events whose token MULTISETS match — exact
-    * copies, but also reordered/retokenized boilerplate that an
-    * exact-key dedup would let through — collapse to the first
-    * arrival while still in flight; the batch near-dup path
-    * ([[graft.dedup.Dedup.simhashNearDupPairs]] at hamming 0) groups
-    * the same corpus into the same signature classes, which is the
-    * batch/stream symmetry the spec pins.
+  /** Streaming NEAR-dup dedup: one native codegen'd pass per event
+    * (`graft_simhash_tok` — signature AND token count from a single
+    * tokenize) feeding watermark-bounded
+    * `dropDuplicatesWithinWatermark` on (signature, token count).
+    * Events whose token MULTISETS match — exact copies, but also
+    * reordered/retokenized boilerplate that an exact-key dedup would
+    * let through — collapse to the first arrival while still in
+    * flight (same multiset ⇒ same signature AND same count).
+    *
+    * Relation to the batch path: the stream key partitions strictly
+    * FINER than [[graft.dedup.Dedup.simhashNearDupPairs]]' hamming-0
+    * classes — a batch hamming-0 pair of DIFFERENT-length texts (a
+    * random signature collision, not a near-dup) stays two events
+    * here. The spec pins first-arrival-survives plus exact agreement
+    * with a batch groupBy over the same shipped key expression.
     *
     * Hamming 0 is deliberately the streaming threshold: banded
     * hamming>0 matching needs a candidate JOIN (any-band collision),
@@ -124,13 +129,19 @@ object EventsStream {
     * (which emits inspectable pairs instead of deleting) when loss is
     * unacceptable. */
   def nearDupDedupStream(events: DataFrame, textCol: String,
-                         watermark: String = "1 hour"): DataFrame =
-    graft.dedup.Dedup.withSimhash32(events, textCol, "_simhash")
-      .filter(col("_simhash").isNotNull)
-      .withColumn("_ntok", graft.text.TextOps.tokenCount(col(textCol)))
+                         watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    events
+      .withColumn("_st", bridge.column(
+        graft.functions.SimHashTok(bridge.expression(col(textCol)))))
+      .filter(col("_st").isNotNull)
+      .withColumn("_sig", col("_st.sig"))
+      .withColumn("_ntok", col("_st.ntok"))
+      .drop("_st")
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("_simhash", "_ntok")
-      .drop("_simhash", "_ntok")
+      .dropDuplicatesWithinWatermark("_sig", "_ntok")
+      .drop("_sig", "_ntok")
+  }
 
   /** Stream-static enrichment: join the event stream against a slowly-
     * changing dimension snapshot. Stateless in Structured Streaming

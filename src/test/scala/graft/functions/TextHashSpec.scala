@@ -107,6 +107,25 @@ class TextHashSpec extends SparkSpec {
     assert((native - 8L) == (staged - 8L))
   }
 
+  test("SimHashTok: sig bit-equals SimHash32, ntok equals tokenCount, every edge doc") {
+    val got = codegenOnly {
+      edge.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          bridge.column(SimHashTok(bridge.expression(col("text")))).as("st"),
+          bridge.column(SimHash32(bridge.expression(col("text")))).as("sig32"),
+          graft.text.TextOps.tokenCount(col("text")).as("ntok"))
+        .collect()
+    }
+    got.foreach { r =>
+      val st = r.getStruct(1)
+      assert(st.getLong(0) == r.getLong(2),
+        s"doc ${r.getLong(0)}: fused sig must bit-equal SimHash32")
+      assert(st.getLong(1) == r.getLong(3),
+        s"doc ${r.getLong(0)}: fused ntok must equal TextOps.tokenCount")
+    }
+    assert(got.length == 7)
+  }
+
   test("analysis rejects non-string input and out-of-range band counts") {
     intercept[Exception] {
       edge.select(bridge.column(

@@ -196,12 +196,14 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 4L),
       "first arrival per signature class must survive, all others drop")
 
-    // batch/stream symmetry: the batch simhash path partitions the same
-    // corpus into the same (signature, token count) classes with the
-    // same survivors
-    val batchKeep = graft.dedup.Dedup
-      .withSimhash32(corpus.toDF("event_id", "ts", "text"), "text", "sig")
-      .groupBy(col("sig"), graft.text.TextOps.tokenCount(col("text")))
+    // batch/stream symmetry over the SHIPPED key expression: a batch
+    // groupBy on graft_simhash_tok partitions the same corpus into the
+    // same (signature, token count) classes with the same survivors
+    val st = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.SimHashTok(
+        org.apache.spark.sql.graft.bridge.expression(col("text"))))
+    val batchKeep = corpus.toDF("event_id", "ts", "text")
+      .groupBy(st.getField("sig"), st.getField("ntok"))
       .agg(min(col("event_id")).as("keep"))
       .select("keep").as[Long].collect().toSeq.sorted
     assert(batchKeep == got)
