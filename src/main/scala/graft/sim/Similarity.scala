@@ -162,6 +162,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH IVF ANN: top-k neighbors for EVERY probe row — the shape a
+    * retrieval pipeline actually runs (one probe id is a debugging
+    * convenience; production joins a whole query table against the
+    * index). Corpus vectors are assigned to self-trained cells once
+    * ([[AutoBlock]], codegen'd centroid literals, zero shuffle); each
+    * probe is routed to its `nprobe` nearest cells by ONE codegen'd
+    * sort of the K (cosine, cell) structs (no per-probe centroid job,
+    * no crossJoin row blow-up); candidates join probe×corpus by cell —
+    * the only shuffles, both on the cell key — and each probe's top k
+    * comes from the bounded-heap [[graft.ops.TopK.topKPerGroup]]
+    * operator, O(n log k) per partition with NO full sort anywhere.
+    *
+    * Returns (pid, id, cos_sim, rn) with rn = 1..k per probe, ordered.
+    * Probes are not excluded from their own results: probe and corpus
+    * ids are independent spaces in general — when probing the corpus
+    * with itself, drop `pid === id` rows at the call site. Zero-norm
+    * rows on either side are dropped (NaN-cosine guard). nprobe >=
+    * numCells searches every cell ⇒ exact per-probe brute force (the
+    * spec-pinned identity, the standard IVF recall dial). */
+  def ivfTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                   probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                   nprobe: Int, k: Int,
+                   numCells: Int = 16, refineIters: Int = 1): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+    val p0 = probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv"),
+        norm(col(probeVecCol)).as("pnrm"))
+      .filter(col("pv").isNotNull && col("pnrm") > 0)
+    val cents = AutoBlock.fitCells(base, numCells, refineIters)
+    if (cents.isEmpty)
+      return p0.select(col("pid"), col("pid").as("id"),
+        lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
+    val assigned = base.withColumn("cell",
+      AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")).getField("cell"))
+    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((graft.functions.GraftExtensions.dot(col("pv"), typedLit(c.toSeq))
+        / col("pnrm")).as("c"), lit(-i).as("nc"))
+    }
+    val routed = p0
+      .withColumn("_cells", slice(sort_array(array(scored: _*), asc = false),
+        1, math.min(nprobe, cents.length)))
+      .select(col("pid"), col("pv"), col("pnrm"),
+        explode(col("_cells")).as("_c"))
+      .select(col("pid"), col("pv"), col("pnrm"), (-col("_c.nc")).as("cell"))
+    val cand = routed.join(assigned, Seq("cell"))
+      .select(col("pid"), col("id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    graft.ops.TopK.topKPerGroup(cand, Seq("pid"),
+        Seq(("cos_sim", false), ("id", true)), k)
+      .orderBy(col("pid"), col("rn"))
+  }
+
   /** Per-block centroids in long format (block, pos, avg component) —
     * the k-means/IVF training step's inner aggregate. Long format keeps
     * the aggregation a plain hash-agg on (block, pos). */

@@ -2,7 +2,7 @@ package graft.sim
 
 import graft.SparkSpec
 import graft.Tables
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -62,6 +62,49 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(narrow.filter(t => brute.contains(t._1))
       .forall(t => brute(t._1) == t._2))
+  }
+
+  test("ivfTopKBatch with nprobe = numCells IS per-probe brute force") {
+    import spark.implicits._
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        probes, "q_id", "q_vec", nprobe = 8, k = 4, numCells = 8)
+      .select("pid", "id", "cos_sim", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // brute-force oracle: all probe×corpus cosines, top 4 per probe
+    // with the same (cos desc, id asc) tie-break
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    val brute = probes.crossJoin(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")))
+      .select(col("q_id").as("pid"), col("id"),
+        round(Similarity.dot(col("q_vec"), col("v"))
+          / (Similarity.norm(col("q_vec")) * Similarity.norm(col("v"))), 6)
+          .as("cos_sim"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(w).cast("long"))
+      .filter(col("rn") <= 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == brute)
+    // every probe's rank-1 hit is itself at cos 1.0 (probing the corpus)
+    assert(got.filter(_._4 == 1L).forall(t => t._1 == t._2 && t._3 == 1.0))
+  }
+
+  test("ivfTopKBatch narrow probe: k rows per probe, scores consistent") {
+    import spark.implicits._
+    val probes = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val narrow = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        probes, "q_id", "q_vec", nprobe = 2, k = 4, numCells = 8)
+      .select("pid", "id", "cos_sim", "rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(narrow.groupBy(_._1).forall { case (_, rs) =>
+      rs.length == 4 && rs.sortBy(_._4).map(_._3).sliding(2)
+        .forall(p => p.head >= p.last)
+    }, "4 rows per probe with descending scores")
+    // the probe's own cell is always its nearest ⇒ self at rank 1 survives
+    assert(narrow.filter(_._4 == 1L).forall(t => t._1 == t._2))
   }
 
   test("zero-norm vectors can never top a similarity list (NaN guard)") {
