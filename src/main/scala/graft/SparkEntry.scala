@@ -629,6 +629,23 @@ object SparkEntry {
     out
   }
 
+  /** Batch IVF ANN at the exact end of its recall dial: the 5 smallest
+    * vec_ids as a probe TABLE against the self-trained index with
+    * nprobe = numCells (every cell searched ⇒ per-probe brute force by
+    * construction), top-5 per probe through the custom bounded-heap
+    * TopKPerGroup operator. The oracle is a plain windowed brute force
+    * — hash-matching it pins cell routing, the cell joins, and the
+    * custom physical operator's ranking in one gate. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        probes, "q_id", "q_vec", nprobe = 16, k = 5, numCells = 16)
+      .select(col("pid"), col("id"), col("cos_sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -706,6 +723,7 @@ object SparkEntry {
     "q63_approx_percentiles" -> (q63 _),
     "q64_auto_embed_join" -> (q64 _),
     "q65_curate_pipeline" -> (q65 _),
+    "q66_batch_ann" -> (q66 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1235,5 +1253,22 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          WHERE score >= 0.4 ORDER BY id_a, id_b""",
     "q65_curate_pipeline" -> q65Sql,
+    // brute force on purpose (like q64): nprobe = numCells makes the
+    // batch ANN exact, so the windowed all-pairs oracle must hash-match
+    "q66_batch_ann" ->
+      """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                         FROM embeddings ORDER BY vec_id LIMIT 5),
+         scored AS (SELECT p.pid, e.vec_id AS id,
+             round(list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6) AS cos_sim
+           FROM probes p, embeddings e),
+         ranked AS (SELECT pid, id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY pid
+                    ORDER BY cos_sim DESC, id) AS BIGINT) AS rn
+           FROM scored)
+         SELECT pid, id, cos_sim, rn FROM ranked WHERE rn <= 5
+         ORDER BY pid, rn""",
   )
 }
