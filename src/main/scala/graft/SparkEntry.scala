@@ -603,8 +603,12 @@ object SparkEntry {
     * pairs, so any structurally missed cross-cell pair fails the
     * hash gate. */
   private def q64(s: SparkSession, d: String): DataFrame =
+    // numCells pinned: auto-K (the round-7 default) would derive K from
+    // the SF's corpus count, changing the plan per SF — exactness holds
+    // at any K, but the gate pins one shape
     graft.dedup.SimilarJoin.similarJoin(T(s, d, "embeddings"),
-      "vec_id", "embedding", graft.dedup.SimilarityMethod.EmbeddingCosine(0.4))
+      "vec_id", "embedding",
+      graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16))
 
   /** The WHOLE curation pipeline as one gate: apps.Curate end-to-end
     * (quality >= 0.6 → exact dedup keep-min → MinHash-LSH near-dup
@@ -644,6 +648,72 @@ object SparkEntry {
         probes, "q_id", "q_vec", nprobe = 16, k = 5, numCells = 16)
       .select(col("pid"), col("id"), col("cos_sim"), col("rn"))
       .orderBy(col("pid"), col("rn"))
+  }
+
+  /** Two-sided (A vs B) auto-blocked embedding similarity join
+    * (SimilarJoin.similarJoinAgainst): the INCREMENTAL-curation shape —
+    * a "new batch" (vec_id % 5 = 0) probed into the "standing corpus"
+    * (the rest), cells trained on the corpus side only. The A-vs-B
+    * blocking is exact by the directed triangle-inequality bound, so
+    * the oracle is plain cross-filtered brute force — any structurally
+    * missed cross-side pair fails the hash gate. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.dedup.SimilarJoin.similarJoinAgainst(
+      emb.filter(col("vec_id") % 5 === 0),
+      emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding",
+      graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16))
+  }
+
+  /** The ANN RECALL CONTRACT under the gate (q62/q63's error-contract
+    * pattern applied to the recall dial): ivfTopKBatch at nprobe = 4 of
+    * 16 — the APPROXIMATE regime q37/q66 never gate — joined against
+    * the exact top-k (nprobe = numCells, the spec-pinned brute-force
+    * identity), emitting each probe's exact top-1 cosine (which the
+    * brute-force oracle recomputes) plus a recall@10 >= 0.4 flag (which
+    * the oracle asserts TRUE). Training is deterministic, so recall is
+    * a fixed number per SF — measured per-probe 0.5-0.9 at sf0.001,
+    * sf0.01 AND sf0.1 (near-uniform embeddings, see memory: recall 1
+    * is unreachable at nprobe 4/16 there); the 0.4 floor sits one
+    * whole recall step under the observed minimum so the contract
+    * never rides a boundary. Both the approx and exact passes query
+    * ONE pre-trained CellIndex (round 7's train-once/query-many shape)
+    * — also pinning that an indexed query equals an inline-trained
+    * one. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val index = graft.sim.CellIndex.train(emb, "vec_id", "embedding",
+      numCells = 16)
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def run(nprobe: Int) = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+      probes, "q_id", "q_vec", nprobe = nprobe, k = 10, index = Some(index))
+    val exact = run(16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = run(4)
+    val recall = exact.join(approx.select(col("pid"), col("id")),
+        Seq("pid", "id"), "left_semi")
+      .groupBy(col("pid")).agg((count(lit(1)) / 10.0).as("recall"))
+    exact.filter(col("rn") === 1)
+      .select(col("pid"), col("cos_sim").as("top1_sim"))
+      .join(recall, Seq("pid"), "left")
+      .select(col("pid"), col("top1_sim"),
+        (coalesce(col("recall"), lit(0.0)) >= 0.4).as("recall_ok"))
+      .orderBy(col("pid"))
+  }
+
+  /** Two-sided (A vs B) LSH near-dup join
+    * (Dedup.lshNearDupPairsAgainst): odd doc_ids as the new batch
+    * probed into the even-id corpus band index. The oracle builds the
+    * SAME banded signatures (q30's chain) and cross-filters the pair
+    * join, so candidate banding, the A-vs-B bucket join, and the
+    * Jaccard verify are all engine-exact under the hash. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Dedup.lshNearDupPairsAgainst(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", minJaccard = 0.1)
   }
 
   /** Stream-static enrichment through the gate: events joined to the
@@ -724,6 +794,9 @@ object SparkEntry {
     "q64_auto_embed_join" -> (q64 _),
     "q65_curate_pipeline" -> (q65 _),
     "q66_batch_ann" -> (q66 _),
+    "q67_incremental_embed_join" -> (q67 _),
+    "q68_ann_recall" -> (q68 _),
+    "q69_incremental_lsh_join" -> (q69 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -739,8 +812,11 @@ object SparkEntry {
     * ending in `prs(id_a, id_b, jaccard >= $minJaccard)` — the q30
     * oracle body, parameterized so q49 (clustering) and q65 (the
     * curation pipeline) reuse it over filtered corpora and other
-    * thresholds. */
-  private def lshPairsSql(src: String, minJaccard: Double): String =
+    * thresholds, and so q69 (the A-vs-B incremental join) swaps the
+    * self-join's `id_a < id_b` canonicalization for its cross-side
+    * filter. */
+  private def lshPairsSql(src: String, minJaccard: Double,
+                          pairCond: String = "a.doc_id < c.doc_id"): String =
     s"""t AS (SELECT doc_id, $ShW AS w FROM $src),
          s0 AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS shs FROM t),
          s AS (SELECT doc_id, shs,
@@ -756,7 +832,7 @@ object SparkEntry {
                   / (len(a.sh) + len(c.sh)
                      - len(list_filter(a.sh, x -> list_contains(c.sh, x))))
                ELSE 0.0 END, 4) AS jaccard
-           FROM bb a JOIN bb c ON a.band = c.band AND a.doc_id < c.doc_id),
+           FROM bb a JOIN bb c ON a.band = c.band AND $pairCond),
          prs AS (SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $minJaccard)"""
 
   /** The min-label connected-components CTE chain over `prs`, ending in
@@ -1270,5 +1346,42 @@ object SparkEntry {
            FROM scored)
          SELECT pid, id, cos_sim, rn FROM ranked WHERE rn <= 5
          ORDER BY pid, rn""",
+    // cross-filtered brute force on purpose: the A-vs-B blocking is
+    // exact by the directed triangle-inequality bound, so EVERY
+    // qualifying new×corpus pair must surface
+    "q67_incremental_embed_join" ->
+      """SELECT * FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))), 6) AS score
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0)
+         WHERE score >= 0.4 ORDER BY id_a, id_b""",
+    // the oracle recomputes the exact top-1 cosine by brute force and
+    // asserts TRUE for the recall flag — the q62/q63 error-contract
+    // pattern: hash matches iff the Spark-side recall@10 >= target held
+    "q68_ann_recall" ->
+      """WITH probes AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                         FROM embeddings ORDER BY vec_id LIMIT 5),
+         scored AS (SELECT p.pid, e.vec_id AS id,
+             round(list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6) AS cos_sim
+           FROM probes p, embeddings e),
+         ranked AS (SELECT pid, cos_sim,
+             row_number() OVER (PARTITION BY pid
+                    ORDER BY cos_sim DESC, id) AS rn
+           FROM scored)
+         SELECT pid, cos_sim AS top1_sim, TRUE AS recall_ok
+         FROM ranked WHERE rn = 1 ORDER BY pid""",
+    "q69_incremental_lsh_join" ->
+      s"""WITH ${lshPairsSql("documents", 0.1,
+             "a.doc_id % 2 = 1 AND c.doc_id % 2 = 0")}
+         SELECT id_a, id_b, jaccard FROM prs ORDER BY id_a, id_b""",
   )
 }

@@ -180,33 +180,7 @@ object Dedup {
     // re-evaluate the (interpreted, higher-order) shingle expressions
     // 4x — caching the signature table is the same call Spark ML's LSH
     // makes; MEMORY_AND_DISK so a 100 TB corpus spills instead of OOM.
-    val sig0 =
-      if (bands <= 4) {
-        // ONE native codegen'd pass per doc (functions.LshSignature)
-        // computes BOTH the 32-bit hashed shingle set (verification) and
-        // the numeric band minima (candidates) — value-identical to the
-        // staged transform/md5/conv/substring Column chain it replaces
-        // (see TextHashImpl's value contract), but whole-stage-compiled
-        // where interpreted higher-order lambdas never are, and it
-        // shuffles/caches longs instead of hex strings. Jaccard over the
-        // hashed shingles equals string Jaccard except on 32-bit
-        // collisions — the oracle hashes identically, so values stay
-        // engine-exact.
-        // sh is SORTED here — once per document, inside the cached
-        // frame — so the verify step's graft_jaccard can merge-count
-        // per pair instead of building a boxed hash set per pair
-        // (set identity, and therefore Jaccard, is order-independent)
-        import org.apache.spark.sql.graft.bridge
-        df.select(col(idCol).as("id"), col(textCol))
-          .withColumn("_lsig", bridge.column(graft.functions.LshSignature(
-            bridge.expression(col(textCol)), nGram, bands)))
-          .select(col("id"), sort_array(col("_lsig.sh")).as("sh"),
-            col("_lsig.bands").as("bands"))
-      } else df.select(
-        col(idCol).as("id"),
-        array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
-        .withColumn("bands",
-          array((0 until bands).map(b => TextOps.minhash(col("sh"), b)): _*))
+    val sig0 = lshSigFrame(df, idCol, textCol, nGram, bands)
     val sig = if (cacheSignatures)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
@@ -237,6 +211,158 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
     (sig, verified)
+  }
+
+  /** The per-document LSH signature frame `(id, sh, bands)` — shared by
+    * the self-join and A-vs-B plans.
+    *
+    * bands <= 4: ONE native codegen'd pass per doc
+    * (functions.LshSignature) computes BOTH the 32-bit hashed shingle
+    * set (verification) and the numeric band minima (candidates) —
+    * value-identical to the staged transform/md5/conv/substring Column
+    * chain it replaces (see TextHashImpl's value contract), but
+    * whole-stage-compiled where interpreted higher-order lambdas never
+    * are, and it shuffles/caches longs instead of hex strings. Jaccard
+    * over the hashed shingles equals string Jaccard except on 32-bit
+    * collisions — the oracle hashes identically, so values stay
+    * engine-exact. `sh` is SORTED here — once per document, inside the
+    * (to-be-)cached frame — so the verify step's graft_jaccard can
+    * merge-count per pair instead of building a boxed hash set per pair
+    * (set identity, and therefore Jaccard, is order-independent).
+    *
+    * bands > 4: those seeds need the second digest family the native
+    * expression cannot produce — the composable string-shingle form. */
+  private def lshSigFrame(df: DataFrame, idCol: String, textCol: String,
+                          nGram: Int, bands: Int): DataFrame =
+    if (bands <= 4) {
+      import org.apache.spark.sql.graft.bridge
+      df.select(col(idCol).as("id"), col(textCol))
+        .withColumn("_lsig", bridge.column(graft.functions.LshSignature(
+          bridge.expression(col(textCol)), nGram, bands)))
+        .select(col("id"), sort_array(col("_lsig.sh")).as("sh"),
+          col("_lsig.bands").as("bands"))
+    } else df.select(
+      col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), nGram)).as("sh"))
+      .withColumn("bands",
+        array((0 until bands).map(b => TextOps.minhash(col("sh"), b)): _*))
+
+  /** Two-sided (A vs B) LSH near-dup pairs: new-side band signatures
+    * probed into the corpus-side band index — the incremental-curation
+    * shape ([[SimilarJoin.similarJoinAgainst]] documents the contract).
+    * Candidates share ANY minhash band ACROSS the sides; the quadratic
+    * work per band key is |A_bucket| × |B_bucket|, so the hot-bucket
+    * cap applies to EACH side (bounding any band's pair count at
+    * maxBucket²). Returns (id_a, id_b, jaccard) with id_a from `newDf`
+    * and id_b from `corpusDf` — independent id spaces, no `<`
+    * canonicalization. Signatures are computed once per side, cached,
+    * and released after the pair list materializes, exactly like the
+    * self-join form. */
+  def lshNearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                             idCol: String, textCol: String,
+                             nGram: Int = 3, bands: Int = 4,
+                             minJaccard: Double = 0.0,
+                             cacheSignatures: Boolean = true,
+                             maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val (caches, verified) = lshPlanAgainst(newDf, corpusDf, idCol, textCol,
+      nGram, bands, minJaccard, cacheSignatures, maxBucket)
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      caches.foreach(_.unpersist())
+      out
+    }
+  }
+
+  /** The un-materialized A-vs-B LSH plan — exposed like [[lshPlan]] for
+    * PlanQualitySpec pinning. Returns (side caches, verified). */
+  private[graft] def lshPlanAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                                    idCol: String, textCol: String,
+                                    nGram: Int, bands: Int,
+                                    minJaccard: Double,
+                                    cacheSignatures: Boolean,
+                                    maxBucket: Int = defaultMaxBucket): (Seq[DataFrame], DataFrame) = {
+    def sigOf(df: DataFrame) = {
+      val s0 = lshSigFrame(df, idCol, textCol, nGram, bands)
+      if (cacheSignatures)
+        s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s0
+    }
+    val sigA = sigOf(newDf)
+    val sigB = sigOf(corpusDf)
+    def bandedOf(sig: DataFrame, tag: String) = dropHotBuckets(
+      sig.select(col("id"), explode(col("bands")).as("band"))
+        .filter(col("band").isNotNull),
+      Seq("band"), maxBucket, s"lshNearDupPairsAgainst($tag)")
+    // candidates = new-side bands probed into the corpus-side band
+    // index: ONE equi-join on the band key, (band, id) bytes only
+    val pairs = bandedOf(sigA, "new").select(col("band"), col("id").as("id_a"))
+      .join(bandedOf(sigB, "corpus").select(col("band"), col("id").as("id_b")),
+        Seq("band"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val jac =
+      if (bands <= 4) {
+        import org.apache.spark.sql.graft.bridge
+        bridge.column(graft.functions.JaccardSorted(
+          bridge.expression(col("sh_a")), bridge.expression(col("sh_b"))))
+      } else jaccardDistinct(col("sh_a"), col("sh_b"))
+    val verified = pairs
+      .join(sigA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("id_a"), col("id_b"))
+    (if (cacheSignatures) Seq(sigA, sigB) else Seq.empty, verified)
+  }
+
+  /** Two-sided (A vs B) SimHash near-dup pairs: same probe-into-index
+    * shape as [[lshNearDupPairsAgainst]] over the (band index, byte
+    * value) keys, verified with exact bit_count Hamming. Returns
+    * (id_a, id_b, hamming) with id_a from `newDf`. */
+  def simhashNearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxHamming: Int = 3,
+                                 cacheSignatures: Boolean = true,
+                                 maxBucket: Int = defaultMaxBucket): DataFrame = {
+    def sigOf(df: DataFrame) = {
+      val s0 = withSimhash32(
+          df.filter(col(textCol).isNotNull)
+            .select(col(idCol).as("id"), col(textCol)), textCol, "sig")
+        .select(col("id"), col("sig"))
+      if (cacheSignatures)
+        s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s0
+    }
+    val sigA = sigOf(newDf)
+    val sigB = sigOf(corpusDf)
+    def bandedOf(sig: DataFrame, tag: String) = dropHotBuckets(
+      sig.select(col("id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
+        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv")),
+      Seq("bi", "bv"), maxBucket, s"simhashNearDupPairsAgainst($tag)")
+    val pairs = bandedOf(sigA, "new")
+      .select(col("bi"), col("bv"), col("id").as("id_a"))
+      .join(bandedOf(sigB, "corpus")
+        .select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val verified = pairs
+      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sigA.unpersist(); sigB.unpersist()
+      out
+    }
   }
 
   /** Duplicate CLUSTERS from a pair list: connected components by
@@ -356,7 +482,9 @@ object Dedup {
       catch {
         case scala.util.control.NonFatal(e) => System.err.println(
           s"[graft.dedup] withReliableClusters: could not restore the " +
-            s"checkpoint dir (${e.getClass.getSimpleName}); it remains set")
+            s"checkpoint dir (${e.getClass.getSimpleName}); it remains set " +
+            s"to '$dir' — subsequent dupClusters calls in this session " +
+            "will run in RELIABLE mode and leave snapshots under it")
       }
       try resolved.foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)

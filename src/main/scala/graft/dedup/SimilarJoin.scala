@@ -34,11 +34,21 @@ object SimilarityMethod {
     * with `refineIters` refinement step(s)) and verifies every cell
     * PAIR the triangle-inequality bound cannot exclude — an EXACT
     * join: the result equals brute force at any centroid quality,
-    * which only steers how much work the bound prunes. */
+    * which only steers how much work the bound prunes.
+    *
+    * `numCells = 0` (the default) derives K from the corpus count
+    * ([[graft.sim.AutoBlock.resolveCells]]) so cell populations stay
+    * bounded as the corpus grows; a positive value pins K (what the
+    * gate queries do). A pre-trained `index`
+    * ([[graft.sim.CellIndex]]) skips training entirely — exactness is
+    * unaffected either way (radii are always recomputed over the frame
+    * actually joined; centroid quality only steers pruning cost). */
   case class EmbeddingCosine(minCos: Double,
                              blockCol: Option[String] = None,
-                             numCells: Int = 16,
-                             refineIters: Int = 1) extends SimilarityMethod
+                             numCells: Int = 0,
+                             refineIters: Int = 1,
+                             index: Option[graft.sim.CellIndex] = None)
+    extends SimilarityMethod
 
   object EmbeddingCosine {
     /** Caller-supplied blocking — the original two-arg form. */
@@ -84,12 +94,55 @@ object SimilarJoin {
             cacheSignatures, maxBucket)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))
-      case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _) =>
+      case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _, _) =>
         embeddingPairs(df, idCol, contentCol, blockCol, minCos,
           cacheSignatures, maxBucket)
-      case SimilarityMethod.EmbeddingCosine(minCos, None, cells, iters) =>
+      case SimilarityMethod.EmbeddingCosine(minCos, None, cells, iters, idx) =>
         autoEmbeddingPairs(df, idCol, contentCol, minCos, cells, iters,
-          cacheSignatures, maxBucket)
+          cacheSignatures, maxBucket, idx)
+    }
+
+  /** Two-sided (A vs B) similarity join — the INCREMENTAL-curation
+    * shape: today's batch of new documents paired against the existing
+    * curated corpus, never corpus × corpus. Candidates are the
+    * new-side signatures probed into the corpus-side bucket index
+    * (band keys for the text methods, trained cells for embeddings),
+    * so a daily 1% batch costs ~1% of the self-join's candidate work
+    * plus one pass over the corpus for its signatures — instead of
+    * re-pairing 100% of the corpus ([[similarJoin]]'s only shape
+    * before round 7).
+    *
+    * Output is `(id_a, id_b, score)` with `id_a` from `newDf` and
+    * `id_b` from `corpusDf` — the two id spaces are independent (no
+    * `id_a < id_b` canonicalization; a row present on BOTH sides under
+    * the same id will pair with itself). Scoring, thresholds and the
+    * `maxBucket` hot-bucket cap match [[similarJoin]] per method; for
+    * embeddings the A-vs-B blocking is EXACT by the same
+    * triangle-inequality argument ([[graft.sim.AutoBlock
+    * .qualifyingCellPairsAB]]), with cells trained on the CORPUS side
+    * (the index side — or supplied via a pre-trained
+    * [[graft.sim.CellIndex]], the train-once production shape). */
+  def similarJoinAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                         idCol: String, contentCol: String,
+                         method: SimilarityMethod,
+                         cacheSignatures: Boolean = true,
+                         maxBucket: Int = Dedup.defaultMaxBucket): DataFrame =
+    method match {
+      case SimilarityMethod.MinHashLsh(n, b, mj) =>
+        Dedup.lshNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
+            n, b, mj, cacheSignatures, maxBucket)
+          .withColumnRenamed("jaccard", "score")
+      case SimilarityMethod.SimHash(mh) =>
+        Dedup.simhashNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
+            mh, cacheSignatures, maxBucket)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("double").as("score"))
+      case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _, _) =>
+        embeddingPairsAgainst(newDf, corpusDf, idCol, contentCol, blockCol,
+          minCos, cacheSignatures, maxBucket)
+      case SimilarityMethod.EmbeddingCosine(minCos, None, cells, iters, idx) =>
+        autoEmbeddingPairsAgainst(newDf, corpusDf, idCol, contentCol, minCos,
+          cells, iters, cacheSignatures, maxBucket, idx)
     }
 
   /** [[similarJoin]] piped into connected-components clustering:
@@ -173,9 +226,10 @@ object SimilarJoin {
                                  minCos: Double, numCells: Int,
                                  refineIters: Int,
                                  cacheSignatures: Boolean,
-                                 maxBucket: Int): DataFrame = {
+                                 maxBucket: Int,
+                                 index: Option[graft.sim.CellIndex]): DataFrame = {
     val (base, assigned, verified) = autoEmbeddingPlan(df, idCol, vecCol,
-      minCos, numCells, refineIters, cacheSignatures, maxBucket)
+      minCos, numCells, refineIters, cacheSignatures, maxBucket, index)
     if (!cacheSignatures) verified
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -196,7 +250,8 @@ object SimilarJoin {
                                        vecCol: String, minCos: Double,
                                        numCells: Int, refineIters: Int,
                                        cacheSignatures: Boolean,
-                                       maxBucket: Int): (DataFrame, Option[DataFrame], DataFrame) = {
+                                       maxBucket: Int,
+                                       index: Option[graft.sim.CellIndex] = None): (DataFrame, Option[DataFrame], DataFrame) = {
     import graft.sim.AutoBlock
     val spark = df.sparkSession
     // zero-norm vectors have no cosine to anything — dropped up front,
@@ -207,7 +262,8 @@ object SimilarJoin {
     val base = if (cacheSignatures)
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base0
-    val cents = AutoBlock.fitCells(base, numCells, refineIters)
+    val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
+      AutoBlock.resolveCells(numCells, base.count()), refineIters))
     if (cents.isEmpty) { // empty corpus: nothing to pair
       return (base, None, base0.select(col("id").as("id_a"),
         col("id").as("id_b"), lit(0.0).as("score")).limit(0))
@@ -275,5 +331,178 @@ object SimilarJoin {
       .filter(col("score") >= minCos)
       .orderBy(col("id_a"), col("id_b"))
     (base, if (cacheSignatures) Some(assigned) else None, verified)
+  }
+
+  /** Caller-blocked embedding A-vs-B: candidates share the caller's
+    * block key across the two sides (cross-block pairs are NOT found —
+    * same contract as the self-join form). */
+  private def embeddingPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    blockCol: String, minCos: Double,
+                                    cacheSignatures: Boolean,
+                                    maxBucket: Int): DataFrame = {
+    def side(df: DataFrame, tag: String) = {
+      val normed0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+          col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
+        .filter(col("nrm") > 0)
+      val normed = if (cacheSignatures)
+        normed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else normed0
+      // A-vs-B bucket cost is |A_blk| × |B_blk|: capping EACH side at
+      // maxBucket bounds any one block's pair count at maxBucket²
+      (normed, Dedup.dropHotBuckets(normed, Seq("blk"), maxBucket,
+        s"similarJoinAgainst(EmbeddingCosine/$tag)"))
+    }
+    val (normedA, cappedA) = side(newDf, "new")
+    val (normedB, cappedB) = side(corpusDf, "corpus")
+    val verified = cappedA.select(col("blk"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("n_a"))
+      .join(cappedB.select(col("blk"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("n_b")), Seq("blk"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b"))
+          / (col("n_a") * col("n_b")), 6).as("score"))
+      .filter(col("score") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      normedA.unpersist(); normedB.unpersist()
+      out
+    }
+  }
+
+  /** Auto-blocked embedding A-vs-B: cells are trained on the CORPUS
+    * side (or supplied pre-trained) — the index side of the probe —
+    * and BOTH sides are assigned against that one centroid set. Each
+    * side contributes its own per-cell radii, and the directed
+    * triangle-inequality bound ([[graft.sim.AutoBlock
+    * .qualifyingCellPairsAB]]) enumerates exactly the (A-cell, B-cell)
+    * pairs that can hold a qualifying vector pair — EXACT at any
+    * centroid quality, like the self-join form. Candidate exchanges
+    * carry (cell, id) only; vectors are late-fetched per side. Hot
+    * cells are culled per SIDE from the two K-row stats aggs (an
+    * A-vs-B bucket costs |A_cell| × |B_cell|, so each side is capped
+    * at `maxBucket`), loudly. */
+  private def autoEmbeddingPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                                        idCol: String, vecCol: String,
+                                        minCos: Double, numCells: Int,
+                                        refineIters: Int,
+                                        cacheSignatures: Boolean,
+                                        maxBucket: Int,
+                                        index: Option[graft.sim.CellIndex]): DataFrame = {
+    val (caches, verified) = autoEmbeddingPlanAgainst(newDf, corpusDf, idCol,
+      vecCol, minCos, numCells, refineIters, cacheSignatures, maxBucket, index)
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before releasing the per-side caches
+      caches.foreach(_.unpersist())
+      out
+    }
+  }
+
+  /** The un-materialized A-vs-B auto-block plan — exposed like
+    * [[autoEmbeddingPlan]] so PlanQualitySpec pins the shipped shape.
+    * Returns (caches to release, verified). */
+  private[graft] def autoEmbeddingPlanAgainst(newDf: DataFrame,
+                                              corpusDf: DataFrame,
+                                              idCol: String, vecCol: String,
+                                              minCos: Double, numCells: Int,
+                                              refineIters: Int,
+                                              cacheSignatures: Boolean,
+                                              maxBucket: Int,
+                                              index: Option[graft.sim.CellIndex] = None): (Seq[DataFrame], DataFrame) = {
+    import graft.sim.AutoBlock
+    val spark = newDf.sparkSession
+    def baseOf(df: DataFrame) = {
+      val b0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          Similarity.norm(col(vecCol)).as("nrm"))
+        .filter(col("v").isNotNull && col("nrm") > 0)
+      if (cacheSignatures)
+        b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else b0
+    }
+    val baseA = baseOf(newDf)
+    val baseB = baseOf(corpusDf)
+    // the CORPUS is the index side: a pre-trained CellIndex (or inline
+    // training over corpus rows) — never the new batch, whose daily
+    // composition must not move the standing index's cells
+    val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(baseB,
+      AutoBlock.resolveCells(numCells, baseB.count()), refineIters))
+    def empty() = baseA.select(col("id").as("id_a"), col("id").as("id_b"),
+      lit(0.0).as("score")).limit(0)
+    if (cents.isEmpty) return (Seq(baseA, baseB).filter(_ => cacheSignatures), empty())
+    def assignOf(base: DataFrame) = {
+      val a0 = base
+        .withColumn("_nc", AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")))
+        .select(col("id"), col("v"), col("nrm"),
+          col("_nc.cell").as("cell"), col("_nc.ang").as("ang"))
+      if (cacheSignatures)
+        a0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else a0
+    }
+    val assignedA = assignOf(baseA)
+    val assignedB = assignOf(baseB)
+    // one K-row stats agg PER SIDE: radii + hot-cell cull, driver-side
+    // model parameters exactly as in the self-join form
+    def statsOf(assigned: DataFrame, tag: String) = {
+      val stats = assigned.groupBy(col("cell"))
+        .agg(max(col("ang")).as("r"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      val hot = if (maxBucket >= Int.MaxValue) Array.empty[(Int, Double, Long)]
+                else stats.filter(_._3 > maxBucket)
+      if (hot.nonEmpty) {
+        val worst = hot.sortBy(-_._3).take(3).map(s => s"${s._1}(n=${s._3})")
+        Dedup.hotBucketLog(s"[graft.dedup] similarJoinAgainst(EmbeddingCosine/" +
+          s"$tag): dropped ${hot.length} hot cell(s) exceeding " +
+          s"maxBucket=$maxBucket (${hot.map(_._3).sum} rows); largest: " +
+          s"${worst.mkString(", ")}. Pairs touching these cells on this " +
+          "side are not emitted — run exact dedup first or raise maxBucket.")
+      }
+      val hotSet = hot.map(_._1).toSet
+      val radii = stats.collect {
+        case (c, r, _) if !hotSet.contains(c) => c -> r
+      }.toMap
+      (radii, hotSet)
+    }
+    val (radiiA, hotA) = statsOf(assignedA, "new")
+    val (radiiB, hotB) = statsOf(assignedB, "corpus")
+    // same round-to-6 band widening as the self-join (see
+    // autoEmbeddingPlan's theta comment)
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCos - 5e-7)))
+    val cellPairs = {
+      import spark.implicits._
+      AutoBlock.qualifyingCellPairsAB(cents, radiiA, radiiB, theta)
+        .toDF("ci", "cj")
+    }
+    def capped(assigned: DataFrame, hotSet: Set[Int]) = {
+      val c0 = assigned.select(col("cell"), col("id"))
+      if (hotSet.isEmpty) c0
+      else c0.filter(!col("cell").isin(hotSet.toSeq: _*))
+    }
+    // (a, b) is generated at most once: a lives in exactly one A-cell,
+    // b in one B-cell, and (ci, cj) appears once — no distinct needed
+    val cand = capped(assignedA, hotA)
+      .select(col("cell").as("ci"), col("id").as("id_a"))
+      .join(broadcast(cellPairs), Seq("ci"))
+      .select(col("cj").as("cell"), col("id_a"))
+      .join(capped(assignedB, hotB).select(col("cell"), col("id").as("id_b")),
+        Seq("cell"))
+      .select(col("id_a"), col("id_b"))
+    val verified = cand
+      .join(assignedA.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(assignedB.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b"))
+          / (col("n_a") * col("n_b")), 6).as("score"))
+      .filter(col("score") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
+    val caches = if (cacheSignatures)
+      Seq(assignedA, assignedB, baseA, baseB) else Seq.empty
+    (caches, verified)
   }
 }

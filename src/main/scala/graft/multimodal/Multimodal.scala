@@ -248,15 +248,16 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.map { r =>
         ImageIoCodec.sniff(r.payload) match {
-          // when the row's metadata POSITIVELY identifies an image that
-          // already fits, the header-only decodeMeta evidence proves the
-          // resize is a no-op — skip the O(pixels) decode (the dominant
-          // crawl case). Any other meta (kind="unknown", or meta that
-          // didn't come from this payload) falls through to resizeImage,
-          // which decides from the actual decoded pixels and passes
-          // undecodable rows through unchanged.
-          case Some(_) if r.meta.kind == "image" &&
-              math.max(r.meta.width, r.meta.height) <= maxDim => r
+          // header-only no-op check read from the PAYLOAD, not the row's
+          // meta: a header decode proves the fit at O(header) cost, so a
+          // stale or foreign MediaMeta (rows assembled elsewhere) can
+          // never leave an oversized image unresized. The dominant crawl
+          // case (already fits) still skips the O(pixels) decode.
+          case Some(fmt) if {
+              val hdr = ImageIoCodec.decode(r.payload, fmt)
+              hdr.kind == "image" &&
+                math.max(hdr.width, hdr.height) <= maxDim
+            } => r
           case Some(fmt) =>
             ImageIoCodec.resizeImage(r.payload, fmt, maxDim) match {
               case Some((bytes, w, h)) =>

@@ -29,6 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object AutoBlock {
 
+  /** Target mean cell population for auto-K ([[resolveCells]]). The
+    * verify stage inside one cell is quadratic (~size²/2 dot products),
+    * so the mean cell must stay bounded as the corpus grows — a FIXED
+    * K at 100× corpus scale means 100× cell populations and the
+    * quadratic blow-up the blocking exists to avoid. ~1k members ⇒
+    * ~0.5M dots per mean cell, comfortably partition-local. */
+  val targetCellSize: Long = 1024L
+
+  /** Upper bound for auto-K. The qualifying-cell-pair enumeration is an
+    * O(K²·dim) DRIVER loop and the batch-ANN router sorts K structs per
+    * probe row, so K must stay model-sized: 4096 cells ⇒ ≤16.7M driver
+    * pair checks (sub-second) and caps auto-K corpora at ~4M vectors of
+    * mean-sized cells — beyond that, raise [[targetCellSize]] via an
+    * explicit `numCells`, don't widen K. */
+  val maxAutoCells: Int = 4096
+
+  /** Resolve the cell count: an explicit positive `numCells` wins
+    * (the pre-round-7 knob, and what the gate queries pin); `0` derives
+    * K ≈ n / [[targetCellSize]], clamped to [1, [[maxAutoCells]]]. The
+    * count is by-name — only evaluated on the auto path. */
+  private[graft] def resolveCells(numCells: Int, n: => Long): Int = {
+    require(numCells >= 0, s"numCells must be >= 0 (0 = auto), got $numCells")
+    if (numCells > 0) numCells
+    else math.max(1L, math.min(maxAutoCells.toLong,
+      (n + targetCellSize - 1) / targetCellSize)).toInt
+  }
+
   /** Clamped angle between two unit vectors. */
   private[graft] def angle(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
@@ -119,15 +146,41 @@ object AutoBlock {
   /** The qualifying cell-pair list (BOTH directions + diagonal): the
     * pair join emits each unordered vector pair exactly once via its
     * own `(cell_a, cell_b)` direction under the `id_a < id_b` filter.
-    * The 1e-9 margin absorbs driver-vs-codegen double rounding in the
-    * angle computation — a false-positive cell pair only costs
-    * verification work; a false negative would cost exactness. */
+    * The 1e-6 RADIAN margin absorbs driver-vs-codegen double rounding
+    * in the angle computation INCLUDING acos's error amplification: a
+    * ~1e-15 cosine discrepancy near cosine ±1 maps to ~1e-8 of angle
+    * (d/dx acos → ∞ as |x| → 1), so a bare-ulp margin could prune a
+    * cell pair holding a rounding-band vector pair and break the
+    * exactness guarantee. A false-positive cell pair only costs
+    * verification work; a false negative would cost exactness — so the
+    * margin is sized for the worst amplification, not the common
+    * case. */
   private[graft] def qualifyingCellPairs(cents: Array[Array[Double]],
                                          radii: Map[Int, Double],
                                          theta: Double): Seq[(Int, Int)] =
     for {
       (ci, ri) <- radii.toSeq
       (cj, rj) <- radii.toSeq
-      if angle(cents(ci), cents(cj)) <= ri + rj + theta + 1e-9
+      if angle(cents(ci), cents(cj)) <= ri + rj + theta + 1e-6
+    } yield (ci, cj)
+
+  /** DIRECTED qualifying cell pairs for the two-sided (A vs B) join:
+    * `ci` ranges over the A side's occupied cells with A-side radii,
+    * `cj` over the B side's with B-side radii. Triangle inequality as
+    * in [[qualifyingCellPairs]]: for a ∈ cell(ci), b ∈ cell(cj) with
+    * angle(a,b) <= θ, angle(c_i,c_j) <= rA_i + θ + rB_j — so
+    * enumerating pairs within that bound (plus the same 1e-6 rounding
+    * margin) can never structurally miss a qualifying (a, b). Both
+    * sides are assigned against the SAME centroid set; the radii are
+    * per-side because each side's members spread differently around
+    * the shared centroids. */
+  private[graft] def qualifyingCellPairsAB(cents: Array[Array[Double]],
+                                           radiiA: Map[Int, Double],
+                                           radiiB: Map[Int, Double],
+                                           theta: Double): Seq[(Int, Int)] =
+    for {
+      (ci, ra) <- radiiA.toSeq
+      (cj, rb) <- radiiB.toSeq
+      if angle(cents(ci), cents(cj)) <= ra + rb + theta + 1e-6
     } yield (ci, cj)
 }

@@ -125,14 +125,21 @@ object Similarity {
     * centroid-table job at query time; the probe row's collect is one
     * vector, the ANN query's input. `nprobe >= numCells` degrades to
     * exactly [[cosineTopK]] (the spec pins that identity), which is
-    * the standard IVF recall dial: cells searched vs work done. */
+    * the standard IVF recall dial: cells searched vs work done.
+    *
+    * `numCells = 0` (the default) derives K from the corpus count
+    * ([[AutoBlock.resolveCells]]); a pre-trained [[CellIndex]] skips
+    * training entirely (numCells/refineIters are then ignored) — the
+    * train-once/query-many production shape. */
   def ivfTopKAuto(emb: DataFrame, idCol: String, vecCol: String,
                   probeId: Long, nprobe: Int, k: Int,
-                  numCells: Int = 16, refineIters: Int = 1): DataFrame = {
+                  numCells: Int = 0, refineIters: Int = 1,
+                  index: Option[CellIndex] = None): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .filter(col("v").isNotNull && col("nrm") > 0)
-    val cents = AutoBlock.fitCells(base, numCells, refineIters)
+    val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
+      AutoBlock.resolveCells(numCells, base.count()), refineIters))
     // a missing probe id returns an EMPTY result, matching cosineTopK
     // (whose probe-frame join just matches nothing) instead of throwing
     val probeRows = base.filter(col("id") === probeId)
@@ -152,9 +159,13 @@ object Similarity {
       AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")).getField("cell"))
     assigned
       .filter(col("cell").isin(topCells.toSeq: _*) && col("id") =!= probeId)
+      // limit(1) matches the probeRows collect above: if the id column
+      // ever carried duplicates, both uses agree on ONE probe row
+      // instead of the crossJoin fanning out per duplicate
       .crossJoin(broadcast(
         base.filter(col("id") === probeId)
-          .select(col("v").as("probe_vec"), col("nrm").as("probe_norm"))))
+          .select(col("v").as("probe_vec"), col("nrm").as("probe_norm"))
+          .limit(1)))
       .select(col("id").as(idCol),
         round(dot(col("v"), col("probe_vec"))
           / (col("nrm") * col("probe_norm")), 6).as("cos_sim"))
@@ -180,18 +191,26 @@ object Similarity {
     * with itself, drop `pid === id` rows at the call site. Zero-norm
     * rows on either side are dropped (NaN-cosine guard). nprobe >=
     * numCells searches every cell ⇒ exact per-probe brute force (the
-    * spec-pinned identity, the standard IVF recall dial). */
+    * spec-pinned identity, the standard IVF recall dial).
+    *
+    * `numCells = 0` (the default) derives K from the corpus count
+    * ([[AutoBlock.resolveCells]]); a pre-trained [[CellIndex]] skips
+    * training entirely (numCells/refineIters are then ignored) — the
+    * train-once/query-many production shape, bit-identical to inline
+    * training on the same corpus (CellIndexSpec pins it). */
   def ivfTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
                    probes: DataFrame, probeIdCol: String, probeVecCol: String,
                    nprobe: Int, k: Int,
-                   numCells: Int = 16, refineIters: Int = 1): DataFrame = {
+                   numCells: Int = 0, refineIters: Int = 1,
+                   index: Option[CellIndex] = None): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .filter(col("v").isNotNull && col("nrm") > 0)
     val p0 = probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv"),
         norm(col(probeVecCol)).as("pnrm"))
       .filter(col("pv").isNotNull && col("pnrm") > 0)
-    val cents = AutoBlock.fitCells(base, numCells, refineIters)
+    val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
+      AutoBlock.resolveCells(numCells, base.count()), refineIters))
     if (cents.isEmpty)
       return p0.select(col("pid"), col("pid").as("id"),
         lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
