@@ -58,6 +58,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq
+    // RUN-LEVEL contention canary (rounds 5-7 each published a phantom
+    // per-query "regression" that judge re-measurement traced to
+    // whole-run machine load — uniform contention the per-query
+    // tie-break cannot see). One fixed sentinel query is timed at run
+    // START (after its own untimed codegen warm-up, so both canary
+    // timings are steady-state) and again at run END; end/start > 1.5
+    // stamps "contended": true on the JSON so a slow-looking run
+    // self-identifies instead of burning a judge re-adjudication.
+    val sentinel = "q01_pricing_summary"
+    one(sentinel, SparkEntry.queries(sentinel)) // untimed: compile the plan
+    val canaryStart = one(sentinel, SparkEntry.queries(sentinel))
     val passA = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
     val passB = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
     val results = names.map { n =>
@@ -91,11 +102,15 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dec(v) }
       .mkString("{", ",", "}")
+    val canaryEnd = one(sentinel, SparkEntry.queries(sentinel))
+    val contended = canaryStart > 0 && canaryEnd > 1.5 * canaryStart
+    System.err.println(f"[bench] canary $sentinel start=$canaryStart%.3f " +
+      f"end=$canaryEnd%.3f contended=$contended")
     // a failed query's -1 sentinel must not SHRINK the total (a broken
     // query would read as a speedup); sum successes, surface failures
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3dec(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3dec(total)},"unit":"sec","failed":$failed,"contended":$contended,"canary_start":${r3dec(canaryStart)},"canary_end":${r3dec(canaryEnd)},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -691,15 +691,28 @@ object SparkEntry {
       probes, "q_id", "q_vec", nprobe = nprobe, k = 10, index = Some(index))
     val exact = run(16).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val approx = run(4)
+    // recall denominator = the per-probe EXACT row count, not a literal
+    // k: on a corpus with < k usable vectors the contract would
+    // otherwise understate recall and spuriously fail (round-7 advice)
     val recall = exact.join(approx.select(col("pid"), col("id")),
         Seq("pid", "id"), "left_semi")
-      .groupBy(col("pid")).agg((count(lit(1)) / 10.0).as("recall"))
-    exact.filter(col("rn") === 1)
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_hit"))
+      .join(exact.groupBy(col("pid")).agg(count(lit(1)).as("n_exact")),
+        Seq("pid"))
+      .select(col("pid"), (col("n_hit") / col("n_exact")).as("recall"))
+    val out = exact.filter(col("rn") === 1)
       .select(col("pid"), col("cos_sim").as("top1_sim"))
       .join(recall, Seq("pid"), "left")
       .select(col("pid"), col("top1_sim"),
         (coalesce(col("recall"), lit(0.0)) >= 0.4).as("recall_ok"))
       .orderBy(col("pid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the 5-row result, then release the exact frame — the
+    // one persist site round 7 left unpaired (bench loops accumulated a
+    // cache entry per q68 run)
+    out.count()
+    exact.unpersist()
+    out
   }
 
   /** Two-sided (A vs B) LSH near-dup join
@@ -714,6 +727,36 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 1),
       docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", minJaccard = 0.1)
+  }
+
+  /** INCREMENTAL curation through the gate: the odd-id half of
+    * `documents` as today's batch, curated against the standing corpus
+    * = Curate.run over the even-id half — quality filter, exact dedup
+    * within the batch AND against corpus fingerprints, then ONE
+    * component pass over within-batch + batch×corpus near-dup pairs
+    * (the round-7 `similarJoinAgainst` operator wired into the pipeline
+    * it was built for). The oracle recomposes the whole two-pipeline
+    * chain in DuckDB from the q65/q69 fragments, so corpus curation,
+    * the cross-side candidate banding, the component decision rule, and
+    * corpus-survivor invariance are all under one hash. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+    val (corpus, _) = graft.apps.Curate.run(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      minQuality = 0.6, method = method, log = _ => ())
+    val (accepted, _) = graft.apps.Curate.runIncremental(
+      docs.filter(col("doc_id") % 2 === 1), corpus, "doc_id", "text",
+      minQuality = 0.6, method = method, log = _ => ())
+    // q65's cache discipline: materialize the tiny two-column result,
+    // release the corpus-sized pipeline caches
+    val out = accepted.select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    accepted.unpersist()
+    corpus.unpersist()
+    out
   }
 
   /** Stream-static enrichment through the gate: events joined to the
@@ -797,6 +840,7 @@ object SparkEntry {
     "q67_incremental_embed_join" -> (q67 _),
     "q68_ann_recall" -> (q68 _),
     "q69_incremental_lsh_join" -> (q69 _),
+    "q70_incremental_curate" -> (q70 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -816,37 +860,38 @@ object SparkEntry {
     * self-join's `id_a < id_b` canonicalization for its cross-side
     * filter. */
   private def lshPairsSql(src: String, minJaccard: Double,
-                          pairCond: String = "a.doc_id < c.doc_id"): String =
-    s"""t AS (SELECT doc_id, $ShW AS w FROM $src),
-         s0 AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS shs FROM t),
-         s AS (SELECT doc_id, shs,
+                          pairCond: String = "a.doc_id < c.doc_id",
+                          sfx: String = ""): String =
+    s"""t$sfx AS (SELECT doc_id, $ShW AS w FROM $src),
+         s0$sfx AS (SELECT doc_id, list_distinct(${shingleExpr("w")}) AS shs FROM t$sfx),
+         s$sfx AS (SELECT doc_id, shs,
                list_distinct([try_cast('0x'||substring(md5(x),1,8) AS BIGINT)
-                              for x in shs]) AS sh FROM s0),
-         b AS (SELECT doc_id, sh, unnest([${minhashExpr("shs", 0)}, ${minhashExpr("shs", 1)},
-               ${minhashExpr("shs", 2)}, ${minhashExpr("shs", 3)}]) AS band FROM s),
-         bb AS (SELECT * FROM b WHERE band IS NOT NULL),
-         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                              for x in shs]) AS sh FROM s0$sfx),
+         b$sfx AS (SELECT doc_id, sh, unnest([${minhashExpr("shs", 0)}, ${minhashExpr("shs", 1)},
+               ${minhashExpr("shs", 2)}, ${minhashExpr("shs", 3)}]) AS band FROM s$sfx),
+         bb$sfx AS (SELECT * FROM b$sfx WHERE band IS NOT NULL),
+         p$sfx AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              round(CASE WHEN len(a.sh) + len(c.sh)
                   - len(list_filter(a.sh, x -> list_contains(c.sh, x))) > 0
                THEN CAST(len(list_filter(a.sh, x -> list_contains(c.sh, x))) AS DOUBLE)
                   / (len(a.sh) + len(c.sh)
                      - len(list_filter(a.sh, x -> list_contains(c.sh, x))))
                ELSE 0.0 END, 4) AS jaccard
-           FROM bb a JOIN bb c ON a.band = c.band AND $pairCond),
-         prs AS (SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $minJaccard)"""
+           FROM bb$sfx a JOIN bb$sfx c ON a.band = c.band AND $pairCond),
+         prs$sfx AS (SELECT id_a, id_b, jaccard FROM p$sfx WHERE jaccard >= $minJaccard)"""
 
-  /** The min-label connected-components CTE chain over `prs`, ending in
-    * `clus(id, cluster)` — q49's recursive oracle body, shared with
-    * q65. */
-  private def clusterSql: String =
-    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-                   UNION SELECT id_b, id_a FROM prs),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach(id, label) AS (
-           SELECT id, id FROM nodes
+  /** The min-label connected-components CTE chain over `prs$sfx`,
+    * ending in `clus$sfx(id, cluster)` — q49's recursive oracle body,
+    * shared with q65 and (suffixed, twice) q70. */
+  private def clusterSql(sfx: String = ""): String =
+    s"""edges$sfx AS (SELECT id_a AS src, id_b AS dst FROM prs$sfx
+                   UNION SELECT id_b, id_a FROM prs$sfx),
+         nodes$sfx AS (SELECT DISTINCT src AS id FROM edges$sfx),
+         reach$sfx(id, label) AS (
+           SELECT id, id FROM nodes$sfx
            UNION
-           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-         clus AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)"""
+           SELECT e.dst, r.label FROM reach$sfx r JOIN edges$sfx e ON e.src = r.id),
+         clus$sfx AS (SELECT id, min(label) AS cluster FROM reach$sfx GROUP BY id)"""
 
   private def q30Sql: String =
     s"""WITH ${lshPairsSql("documents", 0.1)}
@@ -854,17 +899,14 @@ object SparkEntry {
 
   private def q49Sql: String =
     s"""WITH RECURSIVE ${lshPairsSql("documents", 0.1)},
-         $clusterSql
+         ${clusterSql()}
          SELECT id, cluster FROM clus ORDER BY id"""
 
-  /** q65 oracle: the WHOLE curation pipeline composed from the proven
-    * fragments — q26's quality formula as the filter, q40's
-    * fingerprint-min-join exact dedup, the LSH pair chain at 0.6 over
-    * the surviving corpus, the recursive clustering, and the
-    * keep-cluster-representative anti filter. */
-  private def q65Sql: String =
-    s"""WITH RECURSIVE
-         qual AS (
+  /** The q26 quality formula + >= 0.6 filter over `documents$where`,
+    * as CTE `qual$sfx(doc_id, text, quality)` — shared by the q65 and
+    * q70 pipeline oracles. */
+  private def qualSql(sfx: String, where: String): String =
+    s"""qual$sfx AS (
            SELECT doc_id, text, quality FROM (
              SELECT doc_id, text,
                round(least(1.0,
@@ -874,18 +916,70 @@ object SparkEntry {
                  + (1.0 - CAST(length(text)
                      - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
                    / length(text)) * 0.5), 4) AS quality
-             FROM (SELECT doc_id, text, $ShW AS w FROM documents))
-           WHERE quality >= 0.6),
-         fps AS (SELECT doc_id, text, quality,
+             FROM (SELECT doc_id, text, $ShW AS w FROM documents$where))
+           WHERE quality >= 0.6)"""
+
+  /** q40's fingerprint-min-join exact dedup over `qual$sfx`, ending in
+    * `ek$sfx(doc_id, text, quality)`. */
+  private def exactSql(sfx: String): String =
+    s"""fps$sfx AS (SELECT doc_id, text, quality,
                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-                 FROM qual),
-         keepmin AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY f),
-         ek AS (SELECT fps.doc_id, fps.text, fps.quality
-                FROM fps JOIN keepmin USING(doc_id)),
+                 FROM qual$sfx),
+         keepmin$sfx AS (SELECT min(doc_id) AS doc_id FROM fps$sfx GROUP BY f),
+         ek$sfx AS (SELECT fps$sfx.doc_id, fps$sfx.text, fps$sfx.quality
+                FROM fps$sfx JOIN keepmin$sfx USING(doc_id))"""
+
+  /** q65 oracle: the WHOLE curation pipeline composed from the proven
+    * fragments — q26's quality formula as the filter, q40's
+    * fingerprint-min-join exact dedup, the LSH pair chain at 0.6 over
+    * the surviving corpus, the recursive clustering, and the
+    * keep-cluster-representative anti filter. */
+  private def q65Sql: String =
+    s"""WITH RECURSIVE
+         ${qualSql("", "")},
+         ${exactSql("")},
          ${lshPairsSql("ek", 0.6)},
-         $clusterSql
+         ${clusterSql()}
          SELECT doc_id, quality FROM ek
          WHERE doc_id NOT IN (SELECT id FROM clus WHERE cluster <> id)
+         ORDER BY doc_id"""
+
+  /** q70 oracle: INCREMENTAL curation composed end-to-end — the corpus
+    * side is the full q65 chain over the EVEN doc_ids (suffix `c`), the
+    * batch side is the odd ids through quality + within-batch exact
+    * dedup + a corpus-fingerprint anti filter, and the near stage runs
+    * the LSH pair chain over batch ∪ corpus restricted to pairs
+    * touching the batch (suffix `i`), clusters them, and drops every
+    * batch doc whose component contains a corpus doc — plus non-min-id
+    * members of batch-only components. Mirrors
+    * `Curate.runIncremental(odd, Curate.run(even))` exactly. */
+  private def q70Sql: String =
+    s"""WITH RECURSIVE
+         ${qualSql("c", " WHERE doc_id % 2 = 0")},
+         ${exactSql("c")},
+         ${lshPairsSql("ekc", 0.6, sfx = "c")},
+         ${clusterSql("c")},
+         ck AS (SELECT doc_id, text, quality FROM ekc
+                WHERE doc_id NOT IN (SELECT id FROM clusc WHERE cluster <> id)),
+         ${qualSql("b", " WHERE doc_id % 2 = 1")},
+         ${exactSql("b")},
+         cfps AS (SELECT DISTINCT
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                  FROM ck),
+         bex AS (SELECT ekb.doc_id, ekb.text, ekb.quality FROM ekb
+                 WHERE md5(trim(regexp_replace(lower(ekb.text), '\\s+', ' ', 'g')))
+                       NOT IN (SELECT f FROM cfps)),
+         bu AS (SELECT doc_id, text FROM bex
+                UNION ALL SELECT doc_id, text FROM ck),
+         ${lshPairsSql("bu", 0.6,
+             "a.doc_id < c.doc_id AND (a.doc_id % 2 = 1 OR c.doc_id % 2 = 1)",
+             sfx = "i")},
+         ${clusterSql("i")},
+         touched AS (SELECT DISTINCT cluster FROM clusi WHERE id % 2 = 0)
+         SELECT doc_id, quality FROM bex
+         WHERE doc_id NOT IN (
+           SELECT id FROM clusi WHERE id % 2 = 1
+             AND (id <> cluster OR cluster IN (SELECT cluster FROM touched)))
          ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
@@ -1383,5 +1477,6 @@ object SparkEntry {
       s"""WITH ${lshPairsSql("documents", 0.1,
              "a.doc_id % 2 = 1 AND c.doc_id % 2 = 0")}
          SELECT id_a, id_b, jaccard FROM prs ORDER BY id_a, id_b""",
+    "q70_incremental_curate" -> q70Sql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.dedup.{SimilarJoin, SimilarityMethod}
+import graft.dedup.{Dedup, SimilarJoin, SimilarityMethod}
 import graft.text.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -36,14 +36,18 @@ object Curate {
           minQuality: Double = 0.5,
           method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
-    val input = docs.count()
-
-    // stage 1: quality — pure map, the filter rides the scan
+    // stage 1: quality — pure map, the filter rides the scan. The input
+    // count is an observe() metric on that same scan: at 100 TB a
+    // dedicated docs.count() pass costs a full corpus read just to fill
+    // one report field (round-6 finding; fixed round 8).
+    val inputObs = new org.apache.spark.sql.Observation()
     val quality = docs
+      .observe(inputObs, count(lit(1)).as("n"))
       .transform(TextOps.withQualityScore(_, textCol, "quality"))
       .filter(col("quality") >= minQuality)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterQuality = quality.count()
+    val input = inputObs.get("n").asInstanceOf[Long]
     log(s"[curate] quality >= $minQuality: $input -> $afterQuality")
 
     // stage 2: exact dedup, keep min id per normalized-text fingerprint.
@@ -79,6 +83,112 @@ object Curate {
     val langProfile = profile.map(r => r.getString(0) -> r.getLong(1)).toMap
     val totalTokens = profile.map(r => r.getLong(2)).sum
     log(s"[curate] kept $afterNear docs, $totalTokens tokens; languages: " +
+      langProfile.toSeq.sortBy(_._1).map { case (l, n) => s"$l=$n" }.mkString(", "))
+
+    (curated, Report(input, afterQuality, afterExact, afterNear,
+      langProfile, totalTokens))
+  }
+
+  /** INCREMENTAL curation — today's batch of new documents curated
+    * against an existing curated corpus, without re-pairing the corpus
+    * with itself (the round-7 `similarJoinAgainst` operator wired into
+    * the pipeline it was built for). Corpus survivors are INVARIANT:
+    * only batch documents are ever dropped.
+    *
+    * Stages: (1) quality-filter the batch (same score/threshold as
+    * [[run]]); (2) exact dedup — keep min id per fingerprint WITHIN the
+    * batch, then drop batch fingerprints already present in the corpus
+    * (one distinct-fp anti-join; the corpus text is never re-shuffled);
+    * (3) near-dup — within-batch pairs ([[SimilarJoin.similarJoin]])
+    * plus batch×corpus pairs ([[SimilarJoin.similarJoinAgainst]] — the
+    * incremental scale shape: candidate work ∝ |batch|, corpus costs
+    * one signature pass) feed ONE connected-components run; a batch
+    * document is dropped if its component touches the corpus (it
+    * near-duplicates standing content, directly or transitively through
+    * other batch docs) or if it is a non-representative (non-min-id)
+    * member of a batch-only component; (4) the survivor profile.
+    *
+    * Equivalence contract (spec-pinned): when batch ids sort AFTER all
+    * corpus ids and no batch document bridges two distinct corpus
+    * survivors, `runIncremental(b2, curate(b1))` keeps exactly the
+    * b2-side survivors of `curate(b1 ∪ b2)`. Outside those
+    * preconditions the full run may relabel a cluster onto a batch id
+    * (or merge two corpus survivors through a batch bridge) — the
+    * incremental form then still drops every batch near-dup but keeps
+    * the corpus fixed, which is the contract an append-only corpus
+    * wants. Batch and corpus ids must come from one id space with no
+    * value collisions (component membership mixes them). */
+  def runIncremental(newDocs: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     minQuality: Double = 0.5,
+                     method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+                     log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
+    // stage 1: quality on the BATCH only (the corpus already passed it)
+    val inputObs = new org.apache.spark.sql.Observation()
+    val quality = newDocs
+      .observe(inputObs, count(lit(1)).as("n"))
+      .transform(TextOps.withQualityScore(_, textCol, "quality"))
+      .filter(col("quality") >= minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = quality.count()
+    val input = inputObs.get("n").asInstanceOf[Long]
+    log(s"[curate+] quality >= $minQuality: $input -> $afterQuality")
+
+    // stage 2: exact dedup within the batch, then against the corpus.
+    // Corpus side shrinks to DISTINCT fingerprints before the anti-join
+    // — (fp) only, never corpus text, through the exchange.
+    val withFp = quality.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    val keepIds = withFp.select(col("_fp"), col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+      .join(corpusFps, Seq("_fp"), "left_anti")
+      .drop("_fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count()
+    quality.unpersist()
+    log(s"[curate+] exact dedup (batch + corpus fps): $afterQuality -> $afterExact")
+
+    // stage 3: ONE component pass over within-batch + cross-side edges.
+    // Both pair finders persist their lists internally; dupClusters
+    // materializes its edge snapshot up front, after which the lists
+    // are released.
+    val batchPairs = SimilarJoin.similarJoin(exact, idCol, textCol, method)
+    val crossPairs = SimilarJoin.similarJoinAgainst(exact, corpus,
+      idCol, textCol, method)
+    val edges = batchPairs.select(col("id_a"), col("id_b"))
+      .unionByName(crossPairs.select(col("id_a"), col("id_b")))
+    val clusters = Dedup.dupClusters(edges)
+    batchPairs.unpersist(); crossPairs.unpersist()
+    val corpusIds = corpus.select(col(idCol).as("id"))
+    // components containing ANY corpus member: every batch doc inside
+    // near-duplicates standing content — drop them all (the component
+    // label itself may be a batch id, so label math alone is not enough)
+    val touched = clusters.join(corpusIds, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val batchMembers = clusters.join(corpusIds, Seq("id"), "left_anti")
+    val dropIds = batchMembers
+      .join(touched.withColumn("_t", lit(true)), Seq("cluster"), "left")
+      .filter(col("id") =!= col("cluster") || col("_t").isNotNull)
+      .select(col("id").as(idCol))
+    val curated = exact.join(dropIds, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterNear = curated.count()
+    exact.unpersist()
+    log(s"[curate+] near dedup vs corpus (${method.getClass.getSimpleName}): " +
+      s"$afterExact -> $afterNear")
+
+    // stage 4: profile of the ACCEPTED batch (the corpus is unchanged
+    // by construction — profiling it again would be a wasted pass)
+    val profile = curated
+      .transform(TextOps.withLangId(_, textCol, "_lang"))
+      .groupBy(col("_lang"))
+      .agg(count(lit(1)).as("n"), sum(TextOps.tokenCount(col(textCol))).as("toks"))
+      .collect()
+    val langProfile = profile.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = profile.map(r => r.getLong(2)).sum
+    log(s"[curate+] accepted $afterNear new docs, $totalTokens tokens; languages: " +
       langProfile.toSeq.sortBy(_._1).map { case (l, n) => s"$l=$n" }.mkString(", "))
 
     (curated, Report(input, afterQuality, afterExact, afterNear,

@@ -128,6 +128,68 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q69 A-vs-B LSH: one scan per side, (band,id) probe join, native verify") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      val (caches, verified) = graft.dedup.Dedup.lshPlanAgainst(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        "doc_id", "text", 3, 4, 0.1, cacheSignatures = true)
+      val p = explainOf(verified)
+      // each SIDE is scanned once into its signature cache — the whole
+      // incremental join costs two corpus passes, never four
+      val parquetScans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+      assert(parquetScans == 2, s"expected ONE scan per side, got $parquetScans")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+        "both band probes and both sh-fetches must reuse the side caches")
+      // the probe join is ONE band-key equi-join: an exchange per side,
+      // carrying (band, id) only
+      val bandEx = p.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
+      assert(bandEx.length == 2, s"expected 2 band exchanges:\n${bandEx.mkString("\n")}")
+      // native signature + verify expressions, once per side / per pair
+      assert(p.linesIterator.count(_.contains("graft_lsh_sig")) == 2,
+        "each side computes its signatures exactly once, inside its cache")
+      assert(p.contains("graft_jaccard"), "verify must be the native merge")
+      assert(!p.contains("array_intersect") && !p.contains("lambdafunction"),
+        "no interpreted per-pair set ops in the A-vs-B plan:\n" + p)
+      caches.foreach(_.unpersist())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q67 A-vs-B auto-block: per-side scans/caches, broadcast cell pairs, late fetch") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      val (caches, verified) = graft.dedup.SimilarJoin.autoEmbeddingPlanAgainst(
+        emb.filter("vec_id % 5 = 0"), emb.filter("vec_id % 5 <> 0"),
+        "vec_id", "embedding", minCos = 0.4, numCells = 16,
+        refineIters = 1, cacheSignatures = true, maxBucket = 10000)
+      val p = explainOf(verified)
+      // one scan per side; candidates and both vector fetches read caches
+      val parquetScans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+      assert(parquetScans == 2, s"expected ONE scan per side, got $parquetScans")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+        "candidate sides and both vector fetches must reuse the caches")
+      // assignment and verify ride the native codegen'd dot product;
+      // no interpreted lambdas anywhere in the shipped plan
+      assert(p.contains("graft_dot"), "assignment/verify must use the native dot")
+      assert(!p.contains("lambdafunction"), "no interpreted HOFs in the plan")
+      // the DIRECTED cell-pair list rides a broadcast; candidate
+      // exchanges carry (cell, id); vectors are fetched per side AFTER
+      // pair enumeration (exchanges on the pair ids)
+      assert(p.contains("BroadcastHashJoin"), "cell-pair list must broadcast")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(cell")),
+        "candidate join must partition by cell")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(id_a")),
+        "A-side vector fetch must partition by pair id")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(id_b")),
+        "B-side vector fetch must partition by pair id")
+      caches.foreach(_.unpersist())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q29: band columns come from the native graft_lsh_sig expression") {
     val p = plan("q29_minhash_bands")
     // one implementation of the LSH value contract: q29 rides the same

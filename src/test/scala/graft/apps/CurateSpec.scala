@@ -66,6 +66,73 @@ class CurateSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("runIncremental(b2, curate(b1)) equals the b2-side of curate(b1 ∪ b2)") {
+    import spark.implicits._
+    // synthetic corpus honoring the documented preconditions (batch ids
+    // after corpus ids, no batch doc bridging two corpus survivors) so
+    // the equivalence is EXACT, with every drop-path exercised:
+    //   corpus:   1≈2 (near family), 3≈4 (near family), 5, 6 singletons
+    //   batch:  101 ≈ 1       -> dropped (cross near-dup)
+    //           102 = text(5) -> dropped (exact-vs-corpus fingerprint)
+    //           103 ≈ 104     -> within-batch family, keep 103
+    //           106 = text(103) -> dropped (within-batch exact)
+    //           105           -> unique, kept
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "an entirely different document all about spark shuffle partitions here"
+    val tC = "a lone corpus singleton document that matches nothing else at all"
+    val tD = "yet another standalone corpus text on partitioned parquet scan pruning"
+    val tE = "a brand new batch family document describing minhash banded candidates"
+    val tF = "one genuinely novel batch document with no relatives anywhere at all"
+    val b1 = Seq(1L -> tA, 2L -> (tA + " ok"), 3L -> tB, 4L -> (tB + " ok"),
+      5L -> tC, 6L -> tD).toDF("doc_id", "text")
+    val b2 = Seq(101L -> (tA + " yes"), 102L -> tC, 103L -> tE,
+      104L -> (tE + " ok"), 105L -> tF, 106L -> tE).toDF("doc_id", "text")
+    val method = SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+
+    val (corpus, corpusReport) = Curate.run(b1, "doc_id", "text", 0.0, method, _ => ())
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 6L))
+    val (inc, report) = Curate.runIncremental(b2, corpus, "doc_id", "text",
+      0.0, method, _ => ())
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (full, _) = Curate.run(b1.unionByName(b2), "doc_id", "text",
+      0.0, method, _ => ())
+    val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the incremental result IS the full run's batch-side subset...
+    assert(incIds == fullIds.filter(_ > 100L),
+      s"incremental $incIds vs full batch-side ${fullIds.filter(_ > 100L)}")
+    assert(incIds == Set(103L, 105L))
+    // ...and the full run's corpus side is exactly the standing corpus
+    // (invariance: nothing the batch contains can evict a survivor)
+    assert(fullIds.filter(_ <= 100L) == Set(1L, 3L, 5L, 6L))
+    // the report walks the documented stages
+    assert(report.input == 6 && report.afterQuality == 6)
+    assert(report.afterExact == 4, // 102 (corpus fp) and 106 (batch fp) gone
+      s"exact stage expected 4, got ${report.afterExact}")
+    assert(report.afterNear == 2)
+    assert(corpusReport.afterNear == 4)
+    inc.unpersist(); full.unpersist(); corpus.unpersist()
+  }
+
+  test("runIncremental on the real corpus: batch-only output, sane stage counts") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val (corpus, _) = Curate.run(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", minQ, method, _ => ())
+    val (inc, report) = Curate.runIncremental(docs.filter(col("doc_id") % 2 === 1),
+      corpus, "doc_id", "text", minQ, method, _ => ())
+    val ids = inc.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ % 2 == 1), "only batch documents may be accepted")
+    assert(ids.length == report.afterNear && report.afterNear > 0)
+    assert(report.input >= report.afterQuality &&
+      report.afterQuality >= report.afterExact &&
+      report.afterExact >= report.afterNear)
+    assert(report.afterNear < report.afterExact,
+      "odd docs near-duplicate even docs at sf0.001; some must drop")
+    assert(inc.columns.contains("quality"))
+    inc.unpersist(); corpus.unpersist()
+  }
+
   test("CurateMain method parsing covers both finders and the bare-number form") {
     assert(CurateMain.parseMethod("0.7") ==
       SimilarityMethod.MinHashLsh(minJaccard = 0.7))

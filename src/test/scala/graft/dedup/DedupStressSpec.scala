@@ -164,6 +164,87 @@ class DedupStressSpec extends SparkSpec with HotBucketLogCapture {
       && m.contains("maxBucket=2000")), s"cap never logged: $logged")
   }
 
+  test("A-vs-B LSH join survives the boilerplate tail on BOTH sides", SlowStress) {
+    // the incremental shape under the same adversary: the 20k-copy
+    // boilerplate split across new batch AND standing corpus. An A-vs-B
+    // band bucket costs |A| × |B| pairs — 10k × 10k = 1e8 from ONE band
+    // unless BOTH per-side caps fire. Sides split by id parity so every
+    // family also straddles the sides and keeps contributing signal.
+    val newSide = corpus.filter(col("doc_id") % 2 === 1)
+    val corpusSide = corpus.filter(col("doc_id") % 2 === 0)
+    val ((total, boilerPairs, familyPairs), logged) = withLogCapture {
+      val pairs = Dedup.lshNearDupPairsAgainst(newSide, corpusSide,
+        "doc_id", "text", nGram = 3, bands = 4, minJaccard = 0.5,
+        cacheSignatures = true, maxBucket = 2000)
+      val t = pairs.count()
+      val b = pairs.filter(
+        isBoiler(col("id_a")) || isBoiler(col("id_b"))).count()
+      val f = pairs.filter(
+        floor(col("id_a") / 100) === floor(col("id_b") / 100)).count()
+      pairs.unpersist()
+      (t, b, f)
+    }
+    // cross-side family pairs: each 10-copy family splits ~5 odd / ~5
+    // even ⇒ ~25 cross pairs × 5000 families = ~125k at full recall
+    assert(total > 0 && total < 500000L, s"unbounded pair list: $total")
+    assert(boilerPairs == 0L,
+      s"boilerplate pairs leaked through the per-side caps: $boilerPairs")
+    assert(familyPairs > 80000L, s"cross-side family recall collapsed: $familyPairs")
+    assert(logged.exists(_.contains("lshNearDupPairsAgainst(new)")),
+      s"new-side cap never logged: $logged")
+    assert(logged.exists(_.contains("lshNearDupPairsAgainst(corpus)")),
+      s"corpus-side cap never logged: $logged")
+  }
+
+  test("auto-K (numCells = 0) embedding join survives stress scale, stays exact", SlowStress) {
+    // round 7 made auto-K the DEFAULT for every embedding API but every
+    // gate and spec pinned K (tiny corpora resolve to K = 1) — this is
+    // the first run of the K > 1 auto regime: 23k vectors ⇒ K = 23
+    // trained cells. Two halves, because the hot-cell CULL is
+    // K-dependent (which family strays into the culled cell differs
+    // between K = 23 and K = 16, so full-corpus pair sets may
+    // legitimately differ at the margin):
+    // (a) the full 23k corpus with the hot block — auto-K must survive
+    //     exactly like pinned-16 does: bounded output, hot cell culled
+    //     loudly, zero leaks, family recall held;
+    assert(graft.sim.AutoBlock.resolveCells(0, 23000L) == 23)
+    val (autoPairs, logged) = withLogCapture {
+      SimilarJoin.similarJoin(embCorpus, "vec_id", "embedding",
+        SimilarityMethod.EmbeddingCosine(0.95, None, numCells = 0),
+        maxBucket = 2000)
+    }
+    val total = autoPairs.count()
+    val hotLeaks = autoPairs.filter(
+      col("id_a") >= HotVecBase || col("id_b") >= HotVecBase).count()
+    val familyPairs = autoPairs.filter(
+      floor(col("id_a") / 10) === floor(col("id_b") / 10)).count()
+    autoPairs.unpersist()
+    assert(logged.exists(m => m.contains("similarJoin(EmbeddingCosine)")
+      && m.contains("maxBucket=2000")),
+      s"the hot cell must be culled under auto-K too: $logged")
+    assert(total > 0 && total < 100000L, s"unbounded pair list: $total")
+    assert(hotLeaks == 0L, s"hot-block pairs leaked under auto-K: $hotLeaks")
+    assert(familyPairs > 12000L, s"family recall collapsed under auto-K: $familyPairs")
+    // (b) the 3k family corpus with NO cull in play (default cap) —
+    //     here exactness is unconditional, so auto-K (→ 3 cells) and a
+    //     pinned K must produce the IDENTICAL pair set: K steers cost,
+    //     never results
+    val fams = embCorpus.filter(col("vec_id") < HotVecBase)
+    val auto = SimilarJoin.similarJoin(fams, "vec_id", "embedding",
+      SimilarityMethod.EmbeddingCosine(0.95, None, numCells = 0))
+    val autoSet = auto.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    auto.unpersist()
+    val pinned = SimilarJoin.similarJoin(fams, "vec_id", "embedding",
+      SimilarityMethod.EmbeddingCosine(0.95, None, numCells = 16))
+    val pinnedSet = pinned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pinned.unpersist()
+    assert(autoSet == pinnedSet,
+      "K must steer cost only — auto-K and pinned-K pair sets diverged")
+    assert(autoSet.nonEmpty)
+  }
+
   test("clustering the stressed pair list converges to family components", SlowStress) {
     val (pairs, _) = lshRun
     val clusters = Dedup.dupClusters(pairs)

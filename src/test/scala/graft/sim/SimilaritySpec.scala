@@ -128,6 +128,46 @@ class SimilaritySpec extends SparkSpec {
     assert(!ivf.contains(99999L))
   }
 
+  test("ivfTopKBatch recall is monotone in nprobe, exact at nprobe = numCells") {
+    // the round-7 recall contract (gate q68) pinned ONE dial setting;
+    // this is the promised 1→16 sweep. Monotonicity is structural, not
+    // statistical: the routed cells at nprobe n are a PREFIX of those
+    // at m > n (one deterministic sort of the K centroid structs), so
+    // candidates grow with nprobe — and an exact-top-k member beaten by
+    // fewer than k corpus vectors globally is beaten by fewer than k in
+    // any candidate subset, hence never drops back out.
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val index = CellIndex.train(emb, "vec_id", "embedding", numCells = 16)
+    def hits(nprobe: Int): Map[Long, Set[Long]] =
+      Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+          probes, "q_id", "q_vec", nprobe = nprobe, k = 10,
+          index = Some(index))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val exact = hits(16)
+    assert(exact.size == 5 && exact.values.forall(_.size == 10))
+    val sweep = Seq(1, 2, 4, 8, 16).map(n => n -> hits(n))
+    val recalls = sweep.map { case (n, h) =>
+      n -> exact.map { case (p, ex) =>
+        p -> h.getOrElse(p, Set.empty).count(ex).toDouble / ex.size }
+    }
+    // per-probe recall never decreases as nprobe grows...
+    recalls.sliding(2).foreach {
+      case Seq((nLo, lo), (nHi, hi)) =>
+        lo.keys.foreach { p =>
+          assert(lo(p) <= hi(p) + 1e-12,
+            s"recall regressed for probe $p between nprobe=$nLo and $nHi")
+        }
+      case _ => ()
+    }
+    // ...and the full-probe end of the dial is exact by construction
+    assert(recalls.last._2.values.forall(_ == 1.0))
+    // the sweep is a real dial on this corpus: narrow probes miss some
+    assert(recalls.head._2.values.exists(_ < 1.0),
+      "nprobe=1 should not already be exact on the near-uniform corpus")
+  }
+
   test("centroids assemble per-label mean vectors in order") {
     val c = Similarity.centroids(emb, "label", "embedding")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
