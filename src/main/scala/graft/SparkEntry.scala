@@ -759,6 +759,27 @@ object SparkEntry {
     out
   }
 
+  /** EMBEDDING curation through the gate: Curate.runEmbedding over the
+    * embeddings table end-to-end — vector validity, exact-vector dedup,
+    * auto-blocked EXACT cosine clustering at 0.4, keep each cluster's
+    * min id. The oracle composes q64's brute-force pair chain with
+    * q49's recursive clustering and the keep-representative filter, so
+    * the whole multimodal pipeline sits under one hash the same way
+    * q65 gates the text pipeline. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val (curated, _) = graft.apps.Curate.runEmbedding(T(s, d, "embeddings"),
+      "vec_id", "embedding",
+      graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16),
+      log = _ => ())
+    // q65's cache discipline: materialize the one-column result, then
+    // release the pipeline cache
+    val out = curated.select(col("vec_id")).orderBy(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    curated.unpersist()
+    out
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -841,6 +862,7 @@ object SparkEntry {
     "q68_ann_recall" -> (q68 _),
     "q69_incremental_lsh_join" -> (q69 _),
     "q70_incremental_curate" -> (q70 _),
+    "q71_curate_embeddings" -> (q71 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -981,6 +1003,31 @@ object SparkEntry {
            SELECT id FROM clusi WHERE id % 2 = 1
              AND (id <> cluster OR cluster IN (SELECT cluster FROM touched)))
          ORDER BY doc_id"""
+
+  /** q71 oracle: the EMBEDDING curation pipeline — validity filter,
+    * min-id-per-identical-vector exact dedup, q64's brute-force cosine
+    * pair chain at round-to-6 >= 0.4 (exactly the Spark-side verify
+    * semantics), recursive clustering, keep-representative. */
+  private def q71Sql: String =
+    s"""WITH RECURSIVE
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) > 0
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+         keepmin AS (SELECT min(vec_id) AS vec_id FROM v GROUP BY e),
+         ek AS (SELECT v.vec_id, v.e FROM v JOIN keepmin USING (vec_id)),
+         prs AS (SELECT * FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+             FROM ek a JOIN ek b ON a.vec_id < b.vec_id)
+           WHERE score >= 0.4),
+         ${clusterSql()}
+         SELECT vec_id FROM ek
+         WHERE vec_id NOT IN (SELECT id FROM clus WHERE cluster <> id)
+         ORDER BY vec_id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -1478,5 +1525,6 @@ object SparkEntry {
              "a.doc_id % 2 = 1 AND c.doc_id % 2 = 0")}
          SELECT id_a, id_b, jaccard FROM prs ORDER BY id_a, id_b""",
     "q70_incremental_curate" -> q70Sql,
+    "q71_curate_embeddings" -> q71Sql,
   )
 }

@@ -32,6 +32,11 @@ object Curate {
                     afterNear: Long, langProfile: Map[String, Long],
                     totalTokens: Long)
 
+  /** [[runEmbedding]]'s stage counts: the text profile is replaced by a
+    * dimension histogram (a multimodal corpus has no language/tokens). */
+  case class EmbReport(input: Long, afterValid: Long, afterExact: Long,
+                       afterNear: Long, dimProfile: Map[Int, Long])
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           minQuality: Double = 0.5,
           method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
@@ -87,6 +92,77 @@ object Curate {
 
     (curated, Report(input, afterQuality, afterExact, afterNear,
       langProfile, totalTokens))
+  }
+
+  /** Curation over an EMBEDDING column — the multimodal-corpus shape:
+    * image/audio/video rows carry no text, only a vector, so the text
+    * stages of [[run]] are replaced by their vector analogues while the
+    * pipeline keeps the same contract (stage counts read off persisted
+    * frames, every intermediate cache released, only the curated frame
+    * returned persisted).
+    *
+    * Stages: (1) validity — non-null, non-empty, finite, non-zero-norm
+    * vectors (a zero or NaN vector has no cosine; `dot(v,v) > 0` is
+    * false for both); (2) exact dedup — keep min id per BIT-identical
+    * vector; the fingerprint is an md5 over the vector's JSON rendering
+    * computed map-side, so only (fp, id) rides the dedup shuffle, never
+    * the dim×8-byte vector (the [[run]] discipline); (3) near-dup —
+    * [[SimilarJoin.similarClusters]] with the given
+    * [[SimilarityMethod.EmbeddingCosine]] (auto-blocked exact cosine
+    * join by default — see the method's scale knobs for K/index/
+    * maxBucket), keep each cluster's min id; (4) a dimension histogram
+    * of the survivors (the lang/token profile has no meaning here). */
+  def runEmbedding(docs: DataFrame, idCol: String, embCol: String,
+                   method: SimilarityMethod.EmbeddingCosine,
+                   log: String => Unit = m => System.err.println(m)): (DataFrame, EmbReport) = {
+    import graft.sim.Similarity
+    // stage 1: validity — pure codegen'd filter riding the scan, input
+    // count as an observe() metric on the same pass
+    val inputObs = new org.apache.spark.sql.Observation()
+    val valid = docs
+      .observe(inputObs, count(lit(1)).as("n"))
+      .filter(col(embCol).isNotNull && size(col(embCol)) > 0 &&
+        Similarity.dot(col(embCol), col(embCol)) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterValid = valid.count()
+    val input = inputObs.get("n").asInstanceOf[Long]
+    log(s"[curate-emb] valid vectors: $input -> $afterValid")
+
+    // stage 2: exact dedup, keep min id per bit-identical vector.
+    // (fp, id) only through the agg; winners fetched by semi join.
+    val withFp = valid.withColumn("_fp",
+      md5(to_json(struct(col(embCol).as("e")))))
+    val keepIds = withFp.select(col("_fp"), col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+      .drop("_fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count()
+    valid.unpersist()
+    log(s"[curate-emb] exact vector dedup: $afterValid -> $afterExact")
+
+    // stage 3: near-dup clusters at cosine >= minCos; every
+    // non-representative member (cluster != id) is dropped
+    val clusters = SimilarJoin.similarClusters(exact, idCol, embCol, method)
+    val dropIds = clusters.filter(col("cluster") =!= col("id"))
+      .select(col("id").as(idCol))
+    val curated = exact.join(dropIds, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterNear = curated.count()
+    exact.unpersist()
+    log(s"[curate-emb] near dedup (cos >= ${method.minCos}): " +
+      s"$afterExact -> $afterNear")
+
+    // stage 4: dimension histogram of the survivors — one tiny agg
+    val profile = curated
+      .groupBy(size(col(embCol)).as("_dim"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val dimProfile = profile.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    log(s"[curate-emb] kept $afterNear vectors; dims: " +
+      dimProfile.toSeq.sortBy(_._1).map { case (d, n) => s"$d=$n" }.mkString(", "))
+
+    (curated, EmbReport(input, afterValid, afterExact, afterNear, dimProfile))
   }
 
   /** INCREMENTAL curation — today's batch of new documents curated
@@ -201,7 +277,10 @@ object Curate {
   * the surviving rows as parquet, stage counts on stderr.
   *
   * `method`: a bare number or `minhash:<minJaccard>` selects
-  * MinHash-LSH; `simhash:<maxHamming>` selects SimHash banding. With a
+  * MinHash-LSH; `simhash:<maxHamming>` selects SimHash banding;
+  * `cosine:<minCos>` switches to the EMBEDDING pipeline
+  * ([[Curate.runEmbedding]] over the `embeddings` table — minQuality is
+  * ignored; validity replaces the quality stage). With a
   * `checkpointDir` the near-dup clustering runs inside
   * [[graft.dedup.Dedup.withReliableClusters]] — fault-tolerant
   * parquet-snapshot rounds on a real cluster, every snapshot cleaned
@@ -213,6 +292,8 @@ object CurateMain {
       SimilarityMethod.SimHash(maxHamming = m.stripPrefix("simhash:").toInt)
     case m if m.startsWith("minhash:") =>
       SimilarityMethod.MinHashLsh(minJaccard = m.stripPrefix("minhash:").toDouble)
+    case m if m.startsWith("cosine:") =>
+      SimilarityMethod.EmbeddingCosine(minCos = m.stripPrefix("cosine:").toDouble)
     case m => SimilarityMethod.MinHashLsh(minJaccard = m.toDouble)
   }
 
@@ -225,14 +306,23 @@ object CurateMain {
     val method = rest.lift(1).map(parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
     val spark = Mains.session("graft-curate")
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    def pipeline(): Unit = {
-      val (curated, report) = Curate.run(docs, "doc_id", "text", minQuality,
-        method)
-      curated.write.mode("overwrite").parquet(outDir)
-      curated.unpersist()
-      println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
-        s"($outDir)")
+    def pipeline(): Unit = method match {
+      case emb: SimilarityMethod.EmbeddingCosine =>
+        val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+        val (curated, report) = Curate.runEmbedding(vecs, "vec_id",
+          "embedding", emb)
+        curated.write.mode("overwrite").parquet(outDir)
+        curated.unpersist()
+        println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
+          s"($outDir)")
+      case _ =>
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        val (curated, report) = Curate.run(docs, "doc_id", "text", minQuality,
+          method)
+        curated.write.mode("overwrite").parquet(outDir)
+        curated.unpersist()
+        println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
+          s"($outDir)")
     }
     rest.lift(2) match {
       case Some(ckpt) =>

@@ -115,6 +115,56 @@ class CurateSpec extends SparkSpec {
     inc.unpersist(); full.unpersist(); corpus.unpersist()
   }
 
+  test("runEmbedding walks validity -> exact vector dedup -> cosine clustering") {
+    import spark.implicits._
+    // a corpus exercising every stage the q71 gate's real table cannot:
+    //   10 -> null vector          } dropped by validity
+    //   11 -> empty vector         }
+    //   12 -> all-zero vector      }
+    //   1, 2 -> BIT-identical vectors (exact dup; keep 1)
+    //   3    -> near-dup of 1 (cos ~ 0.9996; clusters with 1, dropped)
+    //   4    -> orthogonal singleton, kept
+    val v1 = Seq(1.0, 0.0, 2.0)
+    val v3 = Seq(1.0, 0.02, 2.0)
+    val v4 = Seq(0.0, 5.0, 0.0)
+    val docs = Seq(
+      (1L, Some(v1)), (2L, Some(v1)), (3L, Some(v3)), (4L, Some(v4)),
+      (10L, None), (11L, Some(Seq.empty[Double])),
+      (12L, Some(Seq(0.0, 0.0, 0.0)))
+    ).toDF("vec_id", "embedding")
+    val (curated, report) = Curate.runEmbedding(docs, "vec_id", "embedding",
+      SimilarityMethod.EmbeddingCosine(0.95), _ => ())
+    val ids = curated.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L))
+    assert(report.input == 7 && report.afterValid == 4)
+    assert(report.afterExact == 3, "bit-identical vectors must dedup to min id")
+    assert(report.afterNear == 2)
+    assert(report.dimProfile == Map(3 -> 2L))
+    curated.unpersist()
+  }
+
+  test("runEmbedding matches the hand-composed chain on the real embeddings") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val m = SimilarityMethod.EmbeddingCosine(0.4, numCells = 8)
+    val (curated, report) = Curate.runEmbedding(emb, "vec_id", "embedding",
+      m, _ => ())
+    // hand chain: the real table has no invalid/duplicate vectors, so
+    // the pipeline reduces to keep-cluster-representative
+    val clusters = SimilarJoin.similarClusters(emb, "vec_id", "embedding", m)
+    val handIds = emb.join(
+        clusters.filter(col("cluster") =!= col("id"))
+          .select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids = curated.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == handIds)
+    assert(report.input == report.afterValid &&
+      report.afterValid == report.afterExact,
+      "the generated corpus should pass validity and exact dedup untouched")
+    assert(report.afterNear == ids.size && ids.nonEmpty)
+    curated.unpersist()
+  }
+
   test("runIncremental on the real corpus: batch-only output, sane stage counts") {
     val docs = Tables.load(spark, sf(), "documents")
     val (corpus, _) = Curate.run(docs.filter(col("doc_id") % 2 === 0),
