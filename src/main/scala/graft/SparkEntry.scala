@@ -780,6 +780,29 @@ object SparkEntry {
     out
   }
 
+  /** INCREMENTAL embedding curation through the gate: q70's
+    * even/odd two-pipeline composition with q71's vector stages — the
+    * odd-id half of `embeddings` as today's multimodal batch, curated
+    * against the runEmbedding-curated even half. Cells for the A-vs-B
+    * cosine join train on the corpus side; the oracle recomposes both
+    * pipelines brute-force in DuckDB. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    val method = graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16)
+    val (corpus, _) = graft.apps.Curate.runEmbedding(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      method, log = _ => ())
+    val (accepted, _) = graft.apps.Curate.runIncrementalEmbedding(
+      emb.filter(col("vec_id") % 2 === 1), corpus, "vec_id", "embedding",
+      method, log = _ => ())
+    val out = accepted.select(col("vec_id")).orderBy(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    accepted.unpersist()
+    corpus.unpersist()
+    out
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -863,6 +886,7 @@ object SparkEntry {
     "q69_incremental_lsh_join" -> (q69 _),
     "q70_incremental_curate" -> (q70 _),
     "q71_curate_embeddings" -> (q71 _),
+    "q72_incremental_curate_emb" -> (q72 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1004,29 +1028,74 @@ object SparkEntry {
              AND (id <> cluster OR cluster IN (SELECT cluster FROM touched)))
          ORDER BY doc_id"""
 
+  /** The q71 validity + exact-vector-dedup fragment over `embeddings`
+    * rows satisfying `cond`, ending in `ek$sfx(vec_id, e)` — shared by
+    * the q71 and (suffixed, twice) q72 pipeline oracles. */
+  private def embValidSql(sfx: String, cond: String = "TRUE"): String =
+    s"""v$sfx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings
+               WHERE ($cond) AND embedding IS NOT NULL
+                 AND len(embedding) > 0
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+         keepmin$sfx AS (SELECT min(vec_id) AS vec_id FROM v$sfx GROUP BY e),
+         ek$sfx AS (SELECT v$sfx.vec_id, v$sfx.e
+                FROM v$sfx JOIN keepmin$sfx USING (vec_id))"""
+
+  /** q64's brute-force cosine pair chain over `$src(vec_id, e)` at the
+    * round-to-6 >= 0.4 verify semantics, ending in
+    * `prs$sfx(id_a, id_b, score)`. */
+  private def embPairsSql(src: String, sfx: String,
+                          pairCond: String = "TRUE"): String =
+    s"""prs$sfx AS (SELECT * FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+             FROM $src a JOIN $src b
+               ON a.vec_id < b.vec_id AND ($pairCond))
+           WHERE score >= 0.4)"""
+
   /** q71 oracle: the EMBEDDING curation pipeline — validity filter,
     * min-id-per-identical-vector exact dedup, q64's brute-force cosine
     * pair chain at round-to-6 >= 0.4 (exactly the Spark-side verify
     * semantics), recursive clustering, keep-representative. */
   private def q71Sql: String =
     s"""WITH RECURSIVE
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-               FROM embeddings
-               WHERE embedding IS NOT NULL AND len(embedding) > 0
-                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])) > 0),
-         keepmin AS (SELECT min(vec_id) AS vec_id FROM v GROUP BY e),
-         ek AS (SELECT v.vec_id, v.e FROM v JOIN keepmin USING (vec_id)),
-         prs AS (SELECT * FROM (
-             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b.e, b.e))), 6) AS score
-             FROM ek a JOIN ek b ON a.vec_id < b.vec_id)
-           WHERE score >= 0.4),
+         ${embValidSql("")},
+         ${embPairsSql("ek", "")},
          ${clusterSql()}
          SELECT vec_id FROM ek
          WHERE vec_id NOT IN (SELECT id FROM clus WHERE cluster <> id)
+         ORDER BY vec_id"""
+
+  /** q72 oracle: INCREMENTAL embedding curation — q70's two-pipeline
+    * composition with q71's vector fragments: the corpus side is the
+    * full q71 chain over EVEN vec_ids, the batch side is the odd ids
+    * through validity + within-batch exact dedup + a corpus
+    * vector-equality anti filter, and the near stage brute-forces
+    * cosine pairs over batch ∪ corpus restricted to pairs touching the
+    * batch, clusters them, and applies the q70 drop rule. Mirrors
+    * `Curate.runIncrementalEmbedding(odd, runEmbedding(even))`. */
+  private def q72Sql: String =
+    s"""WITH RECURSIVE
+         ${embValidSql("c", "vec_id % 2 = 0")},
+         ${embPairsSql("ekc", "c")},
+         ${clusterSql("c")},
+         ck AS (SELECT vec_id, e FROM ekc
+                WHERE vec_id NOT IN (SELECT id FROM clusc WHERE cluster <> id)),
+         ${embValidSql("b", "vec_id % 2 = 1")},
+         bex AS (SELECT ekb.vec_id, ekb.e FROM ekb
+                 WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.e = ekb.e)),
+         bu AS (SELECT vec_id, e FROM bex
+                UNION ALL SELECT vec_id, e FROM ck),
+         ${embPairsSql("bu", "i", "a.vec_id % 2 = 1 OR b.vec_id % 2 = 1")},
+         ${clusterSql("i")},
+         touched AS (SELECT DISTINCT cluster FROM clusi WHERE id % 2 = 0)
+         SELECT vec_id FROM bex
+         WHERE vec_id NOT IN (
+           SELECT id FROM clusi WHERE id % 2 = 1
+             AND (id <> cluster OR cluster IN (SELECT cluster FROM touched)))
          ORDER BY vec_id"""
 
   def oracleSql: Map[String, String] = ListMap(
@@ -1526,5 +1595,6 @@ object SparkEntry {
          SELECT id_a, id_b, jaccard FROM prs ORDER BY id_a, id_b""",
     "q70_incremental_curate" -> q70Sql,
     "q71_curate_embeddings" -> q71Sql,
+    "q72_incremental_curate_emb" -> q72Sql,
   )
 }

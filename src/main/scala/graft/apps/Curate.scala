@@ -165,6 +165,106 @@ object Curate {
     (curated, EmbReport(input, afterValid, afterExact, afterNear, dimProfile))
   }
 
+  /** INCREMENTAL embedding curation — [[runIncremental]]'s contract
+    * (corpus survivors INVARIANT, one component pass over within-batch
+    * + batch×corpus near-dup edges, same drop rule) with
+    * [[runEmbedding]]'s stages (validity instead of quality, exact
+    * vector dedup via the map-side JSON-md5 fingerprint — batch
+    * fingerprints already present in the corpus drop in one
+    * distinct-fp anti-join, corpus vectors never re-shuffle). The
+    * embedding A-vs-B pair finder trains its cells on the CORPUS side
+    * (or takes `method.index`), so a daily batch cannot move the
+    * standing index. The equivalence preconditions and id-space
+    * caveats documented on [[runIncremental]] apply unchanged. */
+  def runIncrementalEmbedding(newVecs: DataFrame, corpus: DataFrame,
+                              idCol: String, embCol: String,
+                              method: SimilarityMethod.EmbeddingCosine,
+                              log: String => Unit = m => System.err.println(m)): (DataFrame, EmbReport) = {
+    import graft.sim.Similarity
+    // stage 1: validity on the BATCH only (the corpus already passed)
+    val inputObs = new org.apache.spark.sql.Observation()
+    val valid = newVecs
+      .observe(inputObs, count(lit(1)).as("n"))
+      .filter(col(embCol).isNotNull && size(col(embCol)) > 0 &&
+        Similarity.dot(col(embCol), col(embCol)) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterValid = valid.count()
+    val input = inputObs.get("n").asInstanceOf[Long]
+    log(s"[curate-emb+] valid vectors: $input -> $afterValid")
+
+    // stage 2: exact vector dedup within the batch, then against the
+    // corpus — (fp, id) only through both exchanges
+    val fp = md5(to_json(struct(col(embCol).as("e"))))
+    val withFp = valid.withColumn("_fp", fp)
+    val keepIds = withFp.select(col("_fp"), col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val corpusFps = corpus
+      .select(md5(to_json(struct(col(embCol).as("e")))).as("_fp")).distinct()
+    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+      .join(corpusFps, Seq("_fp"), "left_anti")
+      .drop("_fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count()
+    valid.unpersist()
+    log(s"[curate-emb+] exact vector dedup (batch + corpus fps): " +
+      s"$afterValid -> $afterExact")
+
+    // stage 3: the shared incremental component pass
+    val curated = dropBatchNearDups(exact, corpus, idCol, embCol, method)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterNear = curated.count()
+    exact.unpersist()
+    log(s"[curate-emb+] near dedup vs corpus (cos >= ${method.minCos}): " +
+      s"$afterExact -> $afterNear")
+
+    // stage 4: dimension histogram of the ACCEPTED batch
+    val profile = curated
+      .groupBy(size(col(embCol)).as("_dim"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val dimProfile = profile.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    log(s"[curate-emb+] accepted $afterNear new vectors; dims: " +
+      dimProfile.toSeq.sortBy(_._1).map { case (d, n) => s"$d=$n" }.mkString(", "))
+
+    (curated, EmbReport(input, afterValid, afterExact, afterNear, dimProfile))
+  }
+
+  /** The shared near-dup stage of the incremental pipelines: one
+    * connected-components pass over within-batch pairs
+    * ([[SimilarJoin.similarJoin]]) plus batch×corpus pairs
+    * ([[SimilarJoin.similarJoinAgainst]] — candidate work ∝ |batch|,
+    * the corpus costs one signature pass). A batch row is dropped if
+    * its component touches the corpus (it near-duplicates standing
+    * content, directly or transitively through other batch rows) or if
+    * it is a non-representative (non-min-id) member of a batch-only
+    * component. Both pair finders persist their lists internally;
+    * dupClusters materializes its edge snapshot up front, after which
+    * the lists are released. Returns the surviving batch frame
+    * UN-persisted (callers persist + count). */
+  private def dropBatchNearDups(exact: DataFrame, corpus: DataFrame,
+                                idCol: String, contentCol: String,
+                                method: SimilarityMethod): DataFrame = {
+    val batchPairs = SimilarJoin.similarJoin(exact, idCol, contentCol, method)
+    val crossPairs = SimilarJoin.similarJoinAgainst(exact, corpus,
+      idCol, contentCol, method)
+    val edges = batchPairs.select(col("id_a"), col("id_b"))
+      .unionByName(crossPairs.select(col("id_a"), col("id_b")))
+    val clusters = Dedup.dupClusters(edges)
+    batchPairs.unpersist(); crossPairs.unpersist()
+    val corpusIds = corpus.select(col(idCol).as("id"))
+    // components containing ANY corpus member: every batch doc inside
+    // near-duplicates standing content — drop them all (the component
+    // label itself may be a batch id, so label math alone is not enough)
+    val touched = clusters.join(corpusIds, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val batchMembers = clusters.join(corpusIds, Seq("id"), "left_anti")
+    val dropIds = batchMembers
+      .join(touched.withColumn("_t", lit(true)), Seq("cluster"), "left")
+      .filter(col("id") =!= col("cluster") || col("_t").isNotNull)
+      .select(col("id").as(idCol))
+    exact.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** INCREMENTAL curation — today's batch of new documents curated
     * against an existing curated corpus, without re-pairing the corpus
     * with itself (the round-7 `similarJoinAgainst` operator wired into
@@ -226,29 +326,8 @@ object Curate {
     quality.unpersist()
     log(s"[curate+] exact dedup (batch + corpus fps): $afterQuality -> $afterExact")
 
-    // stage 3: ONE component pass over within-batch + cross-side edges.
-    // Both pair finders persist their lists internally; dupClusters
-    // materializes its edge snapshot up front, after which the lists
-    // are released.
-    val batchPairs = SimilarJoin.similarJoin(exact, idCol, textCol, method)
-    val crossPairs = SimilarJoin.similarJoinAgainst(exact, corpus,
-      idCol, textCol, method)
-    val edges = batchPairs.select(col("id_a"), col("id_b"))
-      .unionByName(crossPairs.select(col("id_a"), col("id_b")))
-    val clusters = Dedup.dupClusters(edges)
-    batchPairs.unpersist(); crossPairs.unpersist()
-    val corpusIds = corpus.select(col(idCol).as("id"))
-    // components containing ANY corpus member: every batch doc inside
-    // near-duplicates standing content — drop them all (the component
-    // label itself may be a batch id, so label math alone is not enough)
-    val touched = clusters.join(corpusIds, Seq("id"), "left_semi")
-      .select(col("cluster")).distinct()
-    val batchMembers = clusters.join(corpusIds, Seq("id"), "left_anti")
-    val dropIds = batchMembers
-      .join(touched.withColumn("_t", lit(true)), Seq("cluster"), "left")
-      .filter(col("id") =!= col("cluster") || col("_t").isNotNull)
-      .select(col("id").as(idCol))
-    val curated = exact.join(dropIds, Seq(idCol), "left_anti")
+    // stage 3: ONE component pass over within-batch + cross-side edges
+    val curated = dropBatchNearDups(exact, corpus, idCol, textCol, method)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = curated.count()
     exact.unpersist()

@@ -165,6 +165,52 @@ class CurateSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("runIncrementalEmbedding(b2, runEmbedding(b1)) equals the b2-side of the full run") {
+    import spark.implicits._
+    // the vector mirror of the text equivalence spec, every drop path:
+    //   corpus: 1≈2 (cos .995 family, keep 1), 3, 4 singletons
+    //   batch:  101 ≈ 1            -> dropped (cross near-dup)
+    //           102 = vector(3)    -> dropped (exact-vs-corpus)
+    //           103 ≈ 104          -> within-batch family, keep 103
+    //           106 = vector(103)  -> dropped (within-batch exact)
+    //           105                -> unique, kept
+    val v1 = Seq(1.0, 0.0, 0.0);  val v2 = Seq(1.0, 0.1, 0.0)
+    val v3 = Seq(0.0, 1.0, 0.0);  val v4 = Seq(0.0, 0.0, 1.0)
+    val v101 = Seq(1.0, -0.1, 0.0)
+    val v103 = Seq(1.0, 1.0, 1.0); val v104 = Seq(1.0, 1.0, 0.9)
+    val v105 = Seq(0.0, 1.0, -1.0)
+    val b1 = Seq(1L -> v1, 2L -> v2, 3L -> v3, 4L -> v4)
+      .toDF("vec_id", "embedding")
+    val b2 = Seq(101L -> v101, 102L -> v3, 103L -> v103,
+      104L -> v104, 105L -> v105, 106L -> v103)
+      .toDF("vec_id", "embedding")
+    val m = SimilarityMethod.EmbeddingCosine(0.95)
+
+    val (corpus, corpusReport) = Curate.runEmbedding(b1, "vec_id",
+      "embedding", m, _ => ())
+    assert(corpus.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L))
+    val (inc, report) = Curate.runIncrementalEmbedding(b2, corpus,
+      "vec_id", "embedding", m, _ => ())
+    val incIds = inc.select("vec_id").collect().map(_.getLong(0)).toSet
+    val (full, _) = Curate.runEmbedding(b1.unionByName(b2), "vec_id",
+      "embedding", m, _ => ())
+    val fullIds = full.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    assert(incIds == Set(103L, 105L))
+    assert(incIds == fullIds.filter(_ > 100L),
+      s"incremental $incIds vs full batch-side ${fullIds.filter(_ > 100L)}")
+    assert(fullIds.filter(_ <= 100L) == Set(1L, 3L, 4L),
+      "corpus survivors must be invariant under the batch")
+    assert(report.input == 6 && report.afterValid == 6)
+    assert(report.afterExact == 4, // 102 (corpus vec) and 106 (batch vec) gone
+      s"exact stage expected 4, got ${report.afterExact}")
+    assert(report.afterNear == 2)
+    assert(report.dimProfile == Map(3 -> 2L))
+    assert(corpusReport.afterNear == 3)
+    inc.unpersist(); full.unpersist(); corpus.unpersist()
+  }
+
   test("runIncremental on the real corpus: batch-only output, sane stage counts") {
     val docs = Tables.load(spark, sf(), "documents")
     val (corpus, _) = Curate.run(docs.filter(col("doc_id") % 2 === 0),
