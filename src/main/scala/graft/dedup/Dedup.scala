@@ -247,6 +247,44 @@ object Dedup {
       .withColumn("bands",
         array((0 until bands).map(b => TextOps.minhash(col("sh"), b)): _*))
 
+  /** The persistable LSH signature table of a standing corpus —
+    * `(id, sh, bands)` with `sh` the SORTED 32-bit-hashed shingle set
+    * (verification input) and `bands` the minhash band minima
+    * (candidate keys). This is the train-once artifact of the
+    * incremental text pipeline: build it once over the corpus, store
+    * it (`sigs.write.parquet(path)` / `spark.read.parquet(path)`), and
+    * feed it to [[lshNearDupPairsAgainst]]'s `corpusSigs` so each daily
+    * batch skips the corpus's shingle pass entirely — at 100 TB that
+    * pass, not the band join, dominates the incremental run's cost.
+    *
+    * UNLIKE [[graft.sim.CellIndex]] (where a stale index only degrades
+    * pruning), LSH signatures ARE the corpus: a stale table means
+    * missing/phantom pairs. Rebuild (or append signatures for accepted
+    * rows — the frame is row-wise, so `union` of the accepted batch's
+    * own signatures is the standing maintenance move) whenever the
+    * corpus changes. `nGram` cannot be re-derived from the table and is
+    * NOT validated at use — keep it with the stored path; `bands` IS
+    * validated. */
+  def lshSignatures(df: DataFrame, idCol: String, textCol: String,
+                    nGram: Int = 3, bands: Int = 4): DataFrame =
+    lshSigFrame(df, idCol, textCol, nGram, bands)
+
+  /** Structural validation of a caller-supplied signature table:
+    * required columns present, band count matching the call. */
+  private def validateSigs(sigs: DataFrame, bands: Int): DataFrame = {
+    val cols = sigs.columns.toSet
+    require(Set("id", "sh", "bands").subsetOf(cols),
+      s"corpus signature frame needs columns (id, sh, bands), got " +
+        s"(${sigs.columns.mkString(", ")}) — build it with Dedup.lshSignatures")
+    val probe = sigs.select(size(col("bands"))).limit(1).collect()
+    probe.headOption.foreach { r =>
+      require(r.getInt(0) == bands,
+        s"corpus signature frame carries ${r.getInt(0)} bands but the call " +
+          s"expects $bands — rebuild with Dedup.lshSignatures(..., bands = $bands)")
+    }
+    sigs.select(col("id"), col("sh"), col("bands"))
+  }
+
   /** Two-sided (A vs B) LSH near-dup pairs: new-side band signatures
     * probed into the corpus-side band index — the incremental-curation
     * shape ([[SimilarJoin.similarJoinAgainst]] documents the contract).
@@ -257,15 +295,23 @@ object Dedup {
     * and id_b from `corpusDf` — independent id spaces, no `<`
     * canonicalization. Signatures are computed once per side, cached,
     * and released after the pair list materializes, exactly like the
-    * self-join form. */
+    * self-join form.
+    *
+    * `corpusSigs`: a [[lshSignatures]] table for the corpus side —
+    * `corpusDf` is then never read (pass it anyway for the signature;
+    * it is ignored), the corpus shingle pass is skipped, and the
+    * caller keeps ownership of the frame's cache lifecycle (this call
+    * neither persists nor unpersists it). Must have been built with
+    * the SAME nGram and bands. */
   def lshNearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
                              idCol: String, textCol: String,
                              nGram: Int = 3, bands: Int = 4,
                              minJaccard: Double = 0.0,
                              cacheSignatures: Boolean = true,
-                             maxBucket: Int = defaultMaxBucket): DataFrame = {
+                             maxBucket: Int = defaultMaxBucket,
+                             corpusSigs: Option[DataFrame] = None): DataFrame = {
     val (caches, verified) = lshPlanAgainst(newDf, corpusDf, idCol, textCol,
-      nGram, bands, minJaccard, cacheSignatures, maxBucket)
+      nGram, bands, minJaccard, cacheSignatures, maxBucket, corpusSigs)
     if (!cacheSignatures) verified
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -282,7 +328,8 @@ object Dedup {
                                     nGram: Int, bands: Int,
                                     minJaccard: Double,
                                     cacheSignatures: Boolean,
-                                    maxBucket: Int = defaultMaxBucket): (Seq[DataFrame], DataFrame) = {
+                                    maxBucket: Int = defaultMaxBucket,
+                                    corpusSigs: Option[DataFrame] = None): (Seq[DataFrame], DataFrame) = {
     def sigOf(df: DataFrame) = {
       val s0 = lshSigFrame(df, idCol, textCol, nGram, bands)
       if (cacheSignatures)
@@ -290,7 +337,10 @@ object Dedup {
       else s0
     }
     val sigA = sigOf(newDf)
-    val sigB = sigOf(corpusDf)
+    // a caller-supplied signature table is used as-is: its cache (or
+    // parquet scan) lifecycle belongs to the caller, so it joins the
+    // release list only when built here
+    val sigB = corpusSigs.map(validateSigs(_, bands)).getOrElse(sigOf(corpusDf))
     def bandedOf(sig: DataFrame, tag: String) = dropHotBuckets(
       sig.select(col("id"), explode(col("bands")).as("band"))
         .filter(col("band").isNotNull),
@@ -314,7 +364,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
-    (if (cacheSignatures) Seq(sigA, sigB) else Seq.empty, verified)
+    val own = if (corpusSigs.isEmpty) Seq(sigA, sigB) else Seq(sigA)
+    (if (cacheSignatures) own else Seq.empty, verified)
   }
 
   /** Two-sided (A vs B) SimHash near-dup pairs: same probe-into-index

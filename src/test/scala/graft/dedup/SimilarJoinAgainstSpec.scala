@@ -130,6 +130,45 @@ class SimilarJoinAgainstSpec extends SparkSpec with HotBucketLogCapture {
       EmbeddingCosine(0.25)).count() == 0)
   }
 
+  test("precomputed corpus signatures (parquet round trip) equal the inline path") {
+    val (a, b) = partsOf(docs, "doc_id")
+    val inline = pairSet(Dedup.lshNearDupPairsAgainst(
+      a, b, "doc_id", "text", nGram = 3, bands = 4, minJaccard = 0.1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshsigs").toFile
+    try {
+      // the train-once shape: build the corpus signature table, store
+      // it as parquet, hand the LOADED frame to the incremental join —
+      // the corpus text is never re-shingled
+      val path = new java.io.File(dir, "sigs").getAbsolutePath
+      Dedup.lshSignatures(b, "doc_id", "text", nGram = 3, bands = 4)
+        .write.mode("overwrite").parquet(path)
+      val loaded = spark.read.parquet(path)
+      val viaSigs = pairSet(Dedup.lshNearDupPairsAgainst(
+        a, b.limit(0) /* corpus frame ignored when sigs are supplied */,
+        "doc_id", "text", nGram = 3, bands = 4, minJaccard = 0.1,
+        corpusSigs = Some(loaded)))
+      assert(viaSigs == inline)
+      assert(viaSigs.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("a mismatched or malformed corpus signature table is rejected loudly") {
+    val (a, b) = partsOf(docs, "doc_id")
+    // band-count mismatch: built with 2, call expects 4
+    val twoBands = Dedup.lshSignatures(b, "doc_id", "text", nGram = 3, bands = 2)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
+        corpusSigs = Some(twoBands))
+    }
+    assert(e1.getMessage.contains("carries 2 bands"))
+    // wrong schema entirely
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text",
+        corpusSigs = Some(b))
+    }
+    assert(e2.getMessage.contains("lshSignatures"))
+  }
+
   test("per-SIDE hot-bucket caps fire independently and loudly") {
     // one shared label block, corpus side bigger than the cap: the
     // corpus-side cull fires, the new side's doesn't — pairs touching
