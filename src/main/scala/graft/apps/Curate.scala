@@ -209,8 +209,19 @@ object Curate {
     log(s"[curate-emb+] exact vector dedup (batch + corpus fps): " +
       s"$afterValid -> $afterExact")
 
-    // stage 3: the shared incremental component pass
-    val curated = dropBatchNearDups(exact, corpus, idCol, embCol, method)
+    // stage 3: the shared incremental component pass. For the
+    // auto-blocked method, ONE cell index trained on the CORPUS serves
+    // both pair finders (the within-batch join stays exact under any
+    // index — radii recompute over the frame actually joined; the
+    // stale-index CellIndexSpec pin is exactly this property), so the
+    // daily run trains zero new models instead of two.
+    val m3 = method match {
+      case e @ SimilarityMethod.EmbeddingCosine(_, None, cells, iters, None) =>
+        e.copy(index = Some(graft.sim.CellIndex.train(corpus, idCol, embCol,
+          cells, iters)))
+      case other => other
+    }
+    val curated = dropBatchNearDups(exact, corpus, idCol, embCol, m3)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = curated.count()
     exact.unpersist()
@@ -243,10 +254,11 @@ object Curate {
     * UN-persisted (callers persist + count). */
   private def dropBatchNearDups(exact: DataFrame, corpus: DataFrame,
                                 idCol: String, contentCol: String,
-                                method: SimilarityMethod): DataFrame = {
+                                method: SimilarityMethod,
+                                corpusSigs: Option[DataFrame] = None): DataFrame = {
     val batchPairs = SimilarJoin.similarJoin(exact, idCol, contentCol, method)
     val crossPairs = SimilarJoin.similarJoinAgainst(exact, corpus,
-      idCol, contentCol, method)
+      idCol, contentCol, method, corpusSigs = corpusSigs)
     val edges = batchPairs.select(col("id_a"), col("id_b"))
       .unionByName(crossPairs.select(col("id_a"), col("id_b")))
     val clusters = Dedup.dupClusters(edges)
@@ -293,11 +305,17 @@ object Curate {
     * incremental form then still drops every batch near-dup but keeps
     * the corpus fixed, which is the contract an append-only corpus
     * wants. Batch and corpus ids must come from one id space with no
-    * value collisions (component membership mixes them). */
+    * value collisions (component membership mixes them).
+    *
+    * `corpusSigs` (MinHashLsh only): the corpus's stored
+    * [[graft.dedup.Dedup.lshSignatures]] table — the train-once shape:
+    * the standing corpus is then never re-shingled by the daily run
+    * (its text still feeds the exact-dedup fingerprint pass). */
   def runIncremental(newDocs: DataFrame, corpus: DataFrame,
                      idCol: String, textCol: String,
                      minQuality: Double = 0.5,
                      method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+                     corpusSigs: Option[DataFrame] = None,
                      log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
     // stage 1: quality on the BATCH only (the corpus already passed it)
     val inputObs = new org.apache.spark.sql.Observation()
@@ -327,7 +345,8 @@ object Curate {
     log(s"[curate+] exact dedup (batch + corpus fps): $afterQuality -> $afterExact")
 
     // stage 3: ONE component pass over within-batch + cross-side edges
-    val curated = dropBatchNearDups(exact, corpus, idCol, textCol, method)
+    val curated = dropBatchNearDups(exact, corpus, idCol, textCol, method,
+        corpusSigs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = curated.count()
     exact.unpersist()

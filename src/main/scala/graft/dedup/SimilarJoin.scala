@@ -121,16 +121,25 @@ object SimilarJoin {
     * triangle-inequality argument ([[graft.sim.AutoBlock
     * .qualifyingCellPairsAB]]), with cells trained on the CORPUS side
     * (the index side — or supplied via a pre-trained
-    * [[graft.sim.CellIndex]], the train-once production shape). */
+    * [[graft.sim.CellIndex]], the train-once production shape). For
+    * MinHashLsh the train-once artifact is `corpusSigs`
+    * ([[Dedup.lshSignatures]] — the corpus is then never re-shingled;
+    * MinHashLsh only, loud error otherwise). */
   def similarJoinAgainst(newDf: DataFrame, corpusDf: DataFrame,
                          idCol: String, contentCol: String,
                          method: SimilarityMethod,
                          cacheSignatures: Boolean = true,
-                         maxBucket: Int = Dedup.defaultMaxBucket): DataFrame =
+                         maxBucket: Int = Dedup.defaultMaxBucket,
+                         corpusSigs: Option[DataFrame] = None): DataFrame = {
+    require(corpusSigs.isEmpty ||
+        method.isInstanceOf[SimilarityMethod.MinHashLsh],
+      "corpusSigs is the MinHashLsh train-once artifact " +
+        "(Dedup.lshSignatures); for embeddings pass a CellIndex via " +
+        "EmbeddingCosine(index = ...) instead")
     method match {
       case SimilarityMethod.MinHashLsh(n, b, mj) =>
         Dedup.lshNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
-            n, b, mj, cacheSignatures, maxBucket)
+            n, b, mj, cacheSignatures, maxBucket, corpusSigs)
           .withColumnRenamed("jaccard", "score")
       case SimilarityMethod.SimHash(mh) =>
         Dedup.simhashNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
@@ -144,6 +153,7 @@ object SimilarJoin {
         autoEmbeddingPairsAgainst(newDf, corpusDf, idCol, contentCol, minCos,
           cells, iters, cacheSignatures, maxBucket, idx)
     }
+  }
 
   /** [[similarJoin]] piped into connected-components clustering:
     * returns `(id, cluster)` where cluster = min member id. The pair

@@ -1,7 +1,7 @@
 package graft.apps
 
 import graft.{SparkSpec, Tables}
-import graft.dedup.{SimilarJoin, SimilarityMethod}
+import graft.dedup.{Dedup, SimilarJoin, SimilarityMethod}
 import graft.text.TextOps
 import org.apache.spark.sql.functions._
 
@@ -93,8 +93,16 @@ class CurateSpec extends SparkSpec {
     assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 5L, 6L))
     val (inc, report) = Curate.runIncremental(b2, corpus, "doc_id", "text",
-      0.0, method, _ => ())
+      0.0, method, log = _ => ())
     val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the train-once shape: a precomputed corpus signature table must
+    // not change the outcome (the corpus is simply never re-shingled)
+    val sigs = Dedup.lshSignatures(corpus, "doc_id", "text",
+      nGram = 3, bands = 4)
+    val (incS, _) = Curate.runIncremental(b2, corpus, "doc_id", "text",
+      0.0, method, corpusSigs = Some(sigs), log = _ => ())
+    assert(incS.select("doc_id").collect().map(_.getLong(0)).toSet == incIds)
+    incS.unpersist()
     val (full, _) = Curate.run(b1.unionByName(b2), "doc_id", "text",
       0.0, method, _ => ())
     val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -216,7 +224,7 @@ class CurateSpec extends SparkSpec {
     val (corpus, _) = Curate.run(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", minQ, method, _ => ())
     val (inc, report) = Curate.runIncremental(docs.filter(col("doc_id") % 2 === 1),
-      corpus, "doc_id", "text", minQ, method, _ => ())
+      corpus, "doc_id", "text", minQ, method, log = _ => ())
     val ids = inc.select("doc_id").collect().map(_.getLong(0))
     assert(ids.forall(_ % 2 == 1), "only batch documents may be accepted")
     assert(ids.length == report.afterNear && report.afterNear > 0)
