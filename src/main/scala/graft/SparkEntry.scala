@@ -1036,6 +1036,8 @@ object SparkEntry {
                FROM embeddings
                WHERE ($cond) AND embedding IS NOT NULL
                  AND len(embedding) > 0
+                 AND isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
                  AND list_dot_product(CAST(embedding AS DOUBLE[]),
                                       CAST(embedding AS DOUBLE[])) > 0),
          keepmin$sfx AS (SELECT min(vec_id) AS vec_id FROM v$sfx GROUP BY e),

@@ -2,7 +2,7 @@ package graft.apps
 
 import graft.dedup.{Dedup, SimilarJoin, SimilarityMethod}
 import graft.text.TextOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -37,30 +37,80 @@ object Curate {
   case class EmbReport(input: Long, afterValid: Long, afterExact: Long,
                        afterNear: Long, dimProfile: Map[Int, Long])
 
+  /** Stage-1 shape shared by every pipeline: run `stage` over the input
+    * with the raw row count observed on the SAME scan (at 100 TB a
+    * dedicated `count()` pass costs a full corpus read just to fill one
+    * report field), persist, materialize. Returns (frame, input count,
+    * surviving count). */
+  private def observedStage(docs: DataFrame,
+                            stage: DataFrame => DataFrame): (DataFrame, Long, Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val out = stage(docs.observe(obs, count(lit(1)).as("n")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val after = out.count()
+    (out, obs.get("n").asInstanceOf[Long], after)
+  }
+
+  /** The vector validity predicate: non-null, non-empty, FINITE, with a
+    * positive norm. `dot(v,v)` folds the numeric cases — 0 for the zero
+    * vector, NaN if any component is NaN, Infinity on overflow — but
+    * NaN needs its own check: Spark orders NaN GREATER than every
+    * number, so `NaN > 0` is true and an unguarded norm filter would
+    * pass a NaN vector whose NaN cosine then out-compares every real
+    * score downstream. Same reason Infinity must be excluded: Inf/Inf
+    * cosines are NaN. */
+  private def validVector(embCol: String): Column = {
+    val d = graft.sim.Similarity.dot(col(embCol), col(embCol))
+    col(embCol).isNotNull && size(col(embCol)) > 0 &&
+      !isnan(d) && d > 0 && d < Double.PositiveInfinity
+  }
+
+  /** The exact-dedup vector fingerprint: md5 over the JSON rendering,
+    * computed map-side so only (fp, id) rides the dedup shuffle — never
+    * the dim×8-byte vector. `+ 0.0` normalizes IEEE signed zero
+    * (-0.0 + 0.0 = +0.0) so the fingerprint agrees with value-equality
+    * dedup on signed-zero components (JSON would otherwise render
+    * "-0.0" and "0.0" as distinct strings); NaN payload variants are
+    * excluded upstream by [[validVector]]. */
+  private def vecFp(embCol: String): Column =
+    md5(to_json(struct(transform(col(embCol), x => x + lit(0.0)).as("e"))))
+
+  /** Stage-2 exact dedup: keep min id per `_fp`, winners fetched by a
+    * semi join — (fp, id) only through the agg exchange. */
+  private def keepMinPerFp(withFp: DataFrame, idCol: String): DataFrame = {
+    val keepIds = withFp.select(col("_fp"), col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+  }
+
+  /** The persistable corpus fingerprint tables for the incremental
+    * runs' exact stage — build once over the standing corpus, store as
+    * parquet, pass back via `corpusFps` so a daily batch never re-reads
+    * the corpus CONTENT at all (with `corpusSigs` / a trained
+    * `CellIndex` also supplied, the corpus contributes zero scans to
+    * the daily run). Same staleness rule as
+    * [[graft.dedup.Dedup.lshSignatures]]: the table IS the corpus —
+    * append the accepted batch's fingerprints after each run. */
+  def textFingerprints(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+
+  /** See [[textFingerprints]]. */
+  def embeddingFingerprints(corpus: DataFrame, embCol: String): DataFrame =
+    corpus.select(vecFp(embCol).as("_fp")).distinct()
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           minQuality: Double = 0.5,
           method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
-    // stage 1: quality — pure map, the filter rides the scan. The input
-    // count is an observe() metric on that same scan: at 100 TB a
-    // dedicated docs.count() pass costs a full corpus read just to fill
-    // one report field (round-6 finding; fixed round 8).
-    val inputObs = new org.apache.spark.sql.Observation()
-    val quality = docs
-      .observe(inputObs, count(lit(1)).as("n"))
-      .transform(TextOps.withQualityScore(_, textCol, "quality"))
-      .filter(col("quality") >= minQuality)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterQuality = quality.count()
-    val input = inputObs.get("n").asInstanceOf[Long]
+    // stage 1: quality — pure map, the filter rides the scan
+    val (quality, input, afterQuality) = observedStage(docs,
+      _.transform(TextOps.withQualityScore(_, textCol, "quality"))
+        .filter(col("quality") >= minQuality))
     log(s"[curate] quality >= $minQuality: $input -> $afterQuality")
 
-    // stage 2: exact dedup, keep min id per normalized-text fingerprint.
-    // (fp, id) only through the agg; winners fetched by semi join.
-    val withFp = quality.withColumn("_fp", TextOps.fingerprint(col(textCol)))
-    val keepIds = withFp.select(col("_fp"), col(idCol))
-      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+    // stage 2: exact dedup, keep min id per normalized-text fingerprint
+    val exact = keepMinPerFp(
+        quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
       .drop("_fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
@@ -115,26 +165,13 @@ object Curate {
   def runEmbedding(docs: DataFrame, idCol: String, embCol: String,
                    method: SimilarityMethod.EmbeddingCosine,
                    log: String => Unit = m => System.err.println(m)): (DataFrame, EmbReport) = {
-    import graft.sim.Similarity
-    // stage 1: validity — pure codegen'd filter riding the scan, input
-    // count as an observe() metric on the same pass
-    val inputObs = new org.apache.spark.sql.Observation()
-    val valid = docs
-      .observe(inputObs, count(lit(1)).as("n"))
-      .filter(col(embCol).isNotNull && size(col(embCol)) > 0 &&
-        Similarity.dot(col(embCol), col(embCol)) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterValid = valid.count()
-    val input = inputObs.get("n").asInstanceOf[Long]
+    // stage 1: validity — pure codegen'd filter riding the scan
+    val (valid, input, afterValid) = observedStage(docs,
+      _.filter(validVector(embCol)))
     log(s"[curate-emb] valid vectors: $input -> $afterValid")
 
-    // stage 2: exact dedup, keep min id per bit-identical vector.
-    // (fp, id) only through the agg; winners fetched by semi join.
-    val withFp = valid.withColumn("_fp",
-      md5(to_json(struct(col(embCol).as("e")))))
-    val keepIds = withFp.select(col("_fp"), col(idCol))
-      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+    // stage 2: exact dedup, keep min id per identical vector
+    val exact = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
       .drop("_fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
@@ -175,33 +212,26 @@ object Curate {
     * embedding A-vs-B pair finder trains its cells on the CORPUS side
     * (or takes `method.index`), so a daily batch cannot move the
     * standing index. The equivalence preconditions and id-space
-    * caveats documented on [[runIncremental]] apply unchanged. */
+    * caveats documented on [[runIncremental]] apply unchanged.
+    *
+    * `corpusFps`: the stored [[embeddingFingerprints]] table — with it
+    * AND a pre-trained `method.index`, the daily run reads the corpus
+    * vectors only for the A-vs-B candidate/verify joins. */
   def runIncrementalEmbedding(newVecs: DataFrame, corpus: DataFrame,
                               idCol: String, embCol: String,
                               method: SimilarityMethod.EmbeddingCosine,
+                              corpusFps: Option[DataFrame] = None,
                               log: String => Unit = m => System.err.println(m)): (DataFrame, EmbReport) = {
-    import graft.sim.Similarity
     // stage 1: validity on the BATCH only (the corpus already passed)
-    val inputObs = new org.apache.spark.sql.Observation()
-    val valid = newVecs
-      .observe(inputObs, count(lit(1)).as("n"))
-      .filter(col(embCol).isNotNull && size(col(embCol)) > 0 &&
-        Similarity.dot(col(embCol), col(embCol)) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterValid = valid.count()
-    val input = inputObs.get("n").asInstanceOf[Long]
+    val (valid, input, afterValid) = observedStage(newVecs,
+      _.filter(validVector(embCol)))
     log(s"[curate-emb+] valid vectors: $input -> $afterValid")
 
     // stage 2: exact vector dedup within the batch, then against the
     // corpus — (fp, id) only through both exchanges
-    val fp = md5(to_json(struct(col(embCol).as("e"))))
-    val withFp = valid.withColumn("_fp", fp)
-    val keepIds = withFp.select(col("_fp"), col(idCol))
-      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    val corpusFps = corpus
-      .select(md5(to_json(struct(col(embCol).as("e")))).as("_fp")).distinct()
-    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
-      .join(corpusFps, Seq("_fp"), "left_anti")
+    val cfps = corpusFps.getOrElse(embeddingFingerprints(corpus, embCol))
+    val exact = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
+      .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
@@ -217,8 +247,13 @@ object Curate {
     // daily run trains zero new models instead of two.
     val m3 = method match {
       case e @ SimilarityMethod.EmbeddingCosine(_, None, cells, iters, None) =>
-        e.copy(index = Some(graft.sim.CellIndex.train(corpus, idCol, embCol,
-          cells, iters)))
+        val idx = graft.sim.CellIndex.train(corpus, idCol, embCol, cells, iters)
+        // BOOTSTRAP guard: an empty (or all-invalid) corpus trains zero
+        // centroids, and injecting that empty index would short-circuit
+        // the WITHIN-BATCH join too — day-one batch near-dups would all
+        // be accepted. Leave the method untouched so the batch self-join
+        // trains on the batch itself.
+        if (idx.centroids.nonEmpty) e.copy(index = Some(idx)) else e
       case other => other
     }
     val curated = dropBatchNearDups(exact, corpus, idCol, embCol, m3)
@@ -309,35 +344,29 @@ object Curate {
     *
     * `corpusSigs` (MinHashLsh only): the corpus's stored
     * [[graft.dedup.Dedup.lshSignatures]] table — the train-once shape:
-    * the standing corpus is then never re-shingled by the daily run
-    * (its text still feeds the exact-dedup fingerprint pass). */
+    * the standing corpus is then never re-shingled by the daily run.
+    * `corpusFps`: the stored [[textFingerprints]] table — with both
+    * supplied, the daily run reads the corpus content zero times. */
   def runIncremental(newDocs: DataFrame, corpus: DataFrame,
                      idCol: String, textCol: String,
                      minQuality: Double = 0.5,
                      method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
                      corpusSigs: Option[DataFrame] = None,
+                     corpusFps: Option[DataFrame] = None,
                      log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
     // stage 1: quality on the BATCH only (the corpus already passed it)
-    val inputObs = new org.apache.spark.sql.Observation()
-    val quality = newDocs
-      .observe(inputObs, count(lit(1)).as("n"))
-      .transform(TextOps.withQualityScore(_, textCol, "quality"))
-      .filter(col("quality") >= minQuality)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterQuality = quality.count()
-    val input = inputObs.get("n").asInstanceOf[Long]
+    val (quality, input, afterQuality) = observedStage(newDocs,
+      _.transform(TextOps.withQualityScore(_, textCol, "quality"))
+        .filter(col("quality") >= minQuality))
     log(s"[curate+] quality >= $minQuality: $input -> $afterQuality")
 
     // stage 2: exact dedup within the batch, then against the corpus.
     // Corpus side shrinks to DISTINCT fingerprints before the anti-join
     // — (fp) only, never corpus text, through the exchange.
-    val withFp = quality.withColumn("_fp", TextOps.fingerprint(col(textCol)))
-    val keepIds = withFp.select(col("_fp"), col(idCol))
-      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    val corpusFps = corpus
-      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
-    val exact = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
-      .join(corpusFps, Seq("_fp"), "left_anti")
+    val cfps = corpusFps.getOrElse(textFingerprints(corpus, textCol))
+    val exact = keepMinPerFp(
+        quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
+      .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()

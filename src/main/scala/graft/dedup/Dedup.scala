@@ -270,16 +270,24 @@ object Dedup {
     lshSigFrame(df, idCol, textCol, nGram, bands)
 
   /** Structural validation of a caller-supplied signature table:
-    * required columns present, band count matching the call. */
+    * required columns present, band count matching the call on EVERY
+    * row (a min/max aggregate, not a one-row probe — the documented
+    * maintenance move is union-appending batches, and a single append
+    * built with the wrong band count must fail here, not silently miss
+    * its pairs). One columnar pass over array lengths only — trivial
+    * next to the shingle pass the table exists to avoid. */
   private def validateSigs(sigs: DataFrame, bands: Int): DataFrame = {
     val cols = sigs.columns.toSet
     require(Set("id", "sh", "bands").subsetOf(cols),
       s"corpus signature frame needs columns (id, sh, bands), got " +
         s"(${sigs.columns.mkString(", ")}) — build it with Dedup.lshSignatures")
-    val probe = sigs.select(size(col("bands"))).limit(1).collect()
-    probe.headOption.foreach { r =>
-      require(r.getInt(0) == bands,
-        s"corpus signature frame carries ${r.getInt(0)} bands but the call " +
+    val range = sigs
+      .agg(min(size(col("bands"))).as("lo"), max(size(col("bands"))).as("hi"))
+      .collect().head
+    if (!range.isNullAt(0)) {
+      val (lo, hi) = (range.getInt(0), range.getInt(1))
+      require(lo == bands && hi == bands,
+        s"corpus signature frame carries $lo..$hi bands but the call " +
           s"expects $bands — rebuild with Dedup.lshSignatures(..., bands = $bands)")
     }
     sigs.select(col("id"), col("sh"), col("bands"))

@@ -95,12 +95,15 @@ class CurateSpec extends SparkSpec {
     val (inc, report) = Curate.runIncremental(b2, corpus, "doc_id", "text",
       0.0, method, log = _ => ())
     val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
-    // the train-once shape: a precomputed corpus signature table must
-    // not change the outcome (the corpus is simply never re-shingled)
+    // the train-once shape: precomputed corpus signature AND
+    // fingerprint tables must not change the outcome (the corpus
+    // content is then read zero times by the daily run)
     val sigs = Dedup.lshSignatures(corpus, "doc_id", "text",
       nGram = 3, bands = 4)
+    val fps = Curate.textFingerprints(corpus, "text")
     val (incS, _) = Curate.runIncremental(b2, corpus, "doc_id", "text",
-      0.0, method, corpusSigs = Some(sigs), log = _ => ())
+      0.0, method, corpusSigs = Some(sigs), corpusFps = Some(fps),
+      log = _ => ())
     assert(incS.select("doc_id").collect().map(_.getLong(0)).toSet == incIds)
     incS.unpersist()
     val (full, _) = Curate.run(b1.unionByName(b2), "doc_id", "text",
@@ -129,7 +132,13 @@ class CurateSpec extends SparkSpec {
     //   10 -> null vector          } dropped by validity
     //   11 -> empty vector         }
     //   12 -> all-zero vector      }
+    //   13 -> NaN component        } (NaN > 0 is TRUE under Spark's
+    //   14 -> overflowing (Inf norm)} NaN-is-greatest ordering, and an
+    //                                Inf norm makes NaN cosines — both
+    //                                must fall to the explicit guards)
     //   1, 2 -> BIT-identical vectors (exact dup; keep 1)
+    //   5, 6 -> value-identical up to IEEE signed zero (exact dup too:
+    //           the fingerprint normalizes -0.0 to +0.0; keep 5)
     //   3    -> near-dup of 1 (cos ~ 0.9996; clusters with 1, dropped)
     //   4    -> orthogonal singleton, kept
     val v1 = Seq(1.0, 0.0, 2.0)
@@ -137,18 +146,49 @@ class CurateSpec extends SparkSpec {
     val v4 = Seq(0.0, 5.0, 0.0)
     val docs = Seq(
       (1L, Some(v1)), (2L, Some(v1)), (3L, Some(v3)), (4L, Some(v4)),
+      (5L, Some(Seq(0.0, -7.0, 0.0))), (6L, Some(Seq(-0.0, -7.0, 0.0))),
       (10L, None), (11L, Some(Seq.empty[Double])),
-      (12L, Some(Seq(0.0, 0.0, 0.0)))
+      (12L, Some(Seq(0.0, 0.0, 0.0))),
+      (13L, Some(Seq(1.0, Double.NaN, 0.0))),
+      (14L, Some(Seq(1e200, 1e200, 0.0)))
     ).toDF("vec_id", "embedding")
     val (curated, report) = Curate.runEmbedding(docs, "vec_id", "embedding",
       SimilarityMethod.EmbeddingCosine(0.95), _ => ())
     val ids = curated.select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(ids == Set(1L, 4L))
-    assert(report.input == 7 && report.afterValid == 4)
-    assert(report.afterExact == 3, "bit-identical vectors must dedup to min id")
-    assert(report.afterNear == 2)
-    assert(report.dimProfile == Map(3 -> 2L))
+    assert(ids == Set(1L, 4L, 5L))
+    assert(report.input == 11 && report.afterValid == 6)
+    assert(report.afterExact == 4,
+      "bit-identical AND signed-zero-equal vectors must dedup to min id")
+    assert(report.afterNear == 3)
+    assert(report.dimProfile == Map(3 -> 3L))
     curated.unpersist()
+  }
+
+  test("runIncrementalEmbedding bootstraps correctly on an EMPTY corpus") {
+    import spark.implicits._
+    // day one of an incremental pipeline: no standing corpus yet. The
+    // within-batch join must still find near-dups — a zero-centroid
+    // corpus index must NOT be injected into the batch self-join
+    // (which would short-circuit it and accept every near-dup).
+    val vE = Seq(1.0, 0.0, 2.0)
+    val batch = Seq(
+      101L -> vE, 102L -> Seq(1.0, 0.02, 2.0), // near-dups: keep 101
+      103L -> vE,                              // exact dup of 101: drop
+      104L -> Seq(0.0, 5.0, 0.0)               // singleton: keep
+    ).toDF("vec_id", "embedding")
+    val empty = batch.limit(0)
+    val (inc, report) = Curate.runIncrementalEmbedding(batch, empty,
+      "vec_id", "embedding", SimilarityMethod.EmbeddingCosine(0.95),
+      log = _ => ())
+    assert(inc.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(101L, 104L))
+    assert(report.afterExact == 3 && report.afterNear == 2)
+    // ...and the result equals a from-scratch runEmbedding of the batch
+    val (fresh, _) = Curate.runEmbedding(batch, "vec_id", "embedding",
+      SimilarityMethod.EmbeddingCosine(0.95), _ => ())
+    assert(fresh.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(101L, 104L))
+    inc.unpersist(); fresh.unpersist()
   }
 
   test("runEmbedding matches the hand-composed chain on the real embeddings") {
@@ -199,7 +239,7 @@ class CurateSpec extends SparkSpec {
     assert(corpus.select("vec_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 4L))
     val (inc, report) = Curate.runIncrementalEmbedding(b2, corpus,
-      "vec_id", "embedding", m, _ => ())
+      "vec_id", "embedding", m, log = _ => ())
     val incIds = inc.select("vec_id").collect().map(_.getLong(0)).toSet
     val (full, _) = Curate.runEmbedding(b1.unionByName(b2), "vec_id",
       "embedding", m, _ => ())
@@ -210,6 +250,15 @@ class CurateSpec extends SparkSpec {
       s"incremental $incIds vs full batch-side ${fullIds.filter(_ > 100L)}")
     assert(fullIds.filter(_ <= 100L) == Set(1L, 3L, 4L),
       "corpus survivors must be invariant under the batch")
+    // the fully-train-once shape: stored fingerprints + a pre-trained
+    // corpus index must not change the outcome
+    val fps = Curate.embeddingFingerprints(corpus, "embedding")
+    val idx = graft.sim.CellIndex.train(corpus, "vec_id", "embedding")
+    val (incF, _) = Curate.runIncrementalEmbedding(b2, corpus, "vec_id",
+      "embedding", m.copy(index = Some(idx)), corpusFps = Some(fps),
+      log = _ => ())
+    assert(incF.select("vec_id").collect().map(_.getLong(0)).toSet == incIds)
+    incF.unpersist()
     assert(report.input == 6 && report.afterValid == 6)
     assert(report.afterExact == 4, // 102 (corpus vec) and 106 (batch vec) gone
       s"exact stage expected 4, got ${report.afterExact}")

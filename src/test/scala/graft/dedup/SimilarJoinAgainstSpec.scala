@@ -160,7 +160,17 @@ class SimilarJoinAgainstSpec extends SparkSpec with HotBucketLogCapture {
       Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
         corpusSigs = Some(twoBands))
     }
-    assert(e1.getMessage.contains("carries 2 bands"))
+    assert(e1.getMessage.contains("carries 2..2 bands"))
+    // a UNION of builds with different band counts (the append
+    // maintenance move gone wrong) must also fail — the validation
+    // checks every row's band count, not one arbitrary probe row
+    val mixed = Dedup.lshSignatures(b, "doc_id", "text", bands = 4)
+      .unionByName(twoBands)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
+        corpusSigs = Some(mixed))
+    }
+    assert(e3.getMessage.contains("carries 2..4 bands"))
     // wrong schema entirely
     val e2 = intercept[IllegalArgumentException] {
       Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text",
