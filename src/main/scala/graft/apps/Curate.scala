@@ -459,3 +459,62 @@ object CurateMain {
     Mains.stop(spark)
   }
 }
+
+/** `curate-incremental <sfDir> <corpusParquet> <outDir> [minQuality]
+  * [method] [sigsParquet]` — the DAILY run as one CLI: read the batch
+  * from the sf dir (`documents`, or `embeddings` for a `cosine:`
+  * method), the standing corpus from a previous curate/accept output,
+  * run [[Curate.runIncremental]] / [[Curate.runIncrementalEmbedding]],
+  * and write TWO outputs under `<outDir>`: `accepted/` (the surviving
+  * batch rows — union them into the standing corpus) and, for the text
+  * path, `sigs/` (the [[graft.dedup.Dedup.lshSignatures]] table of the
+  * ACCEPTED rows — union into the stored signature table, which is the
+  * documented append-on-accept maintenance move). `sigsParquet`, when
+  * given, is the standing corpus's stored signature table — the corpus
+  * is then never re-shingled. */
+object CurateIncrementalMain {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3)
+      throw new IllegalArgumentException(
+        "usage: curate-incremental <sfDir> <corpusParquet> <outDir> " +
+          "[minQuality] [method] [sigsParquet]")
+    val Array(sfDir, corpusDir, outDir, rest @ _*) =
+      args.toSeq.toArray: @unchecked
+    val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.5)
+    val method = rest.lift(1).map(CurateMain.parseMethod)
+      .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
+    val spark = Mains.session("graft-curate-incremental")
+    val corpus = spark.read.parquet(corpusDir)
+    method match {
+      case emb: SimilarityMethod.EmbeddingCosine =>
+        val batch = graft.Tables.load(spark, sfDir, "embeddings")
+        val (accepted, report) = Curate.runIncrementalEmbedding(
+          batch, corpus, "vec_id", "embedding", emb)
+        accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
+        accepted.unpersist()
+        println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
+          s"accepted ($outDir/accepted)")
+      case m =>
+        val batch = graft.Tables.load(spark, sfDir, "documents")
+        val sigs = rest.lift(2).map(p => spark.read.parquet(p))
+        val (accepted, report) = Curate.runIncremental(
+          batch, corpus, "doc_id", "text", minQuality, m,
+          corpusSigs = sigs)
+        accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
+        // the append-on-accept maintenance artifact: signatures of the
+        // ACCEPTED rows, ready to union into the standing table
+        m match {
+          case SimilarityMethod.MinHashLsh(n, b, _) =>
+            graft.dedup.Dedup.lshSignatures(
+                spark.read.parquet(s"$outDir/accepted"), "doc_id", "text", n, b)
+              .write.mode("overwrite").parquet(s"$outDir/sigs")
+          case _ => ()
+        }
+        accepted.unpersist()
+        println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
+          s"accepted ($outDir/accepted)")
+    }
+    Mains.stop(spark)
+  }
+}

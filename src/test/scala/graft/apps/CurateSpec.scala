@@ -346,4 +346,42 @@ class CurateSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(out)
     }
   }
+
+  test("CurateIncrementalMain: daily CLI run with stored signatures, end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-inc").toFile
+    Mains.keepSessionForTests = true
+    try {
+      val corpusDir = new java.io.File(dir, "corpus").getAbsolutePath
+      val sigsDir = new java.io.File(dir, "sigs").getAbsolutePath
+      val outDir = new java.io.File(dir, "day1").getAbsolutePath
+      // standing state from a prior batch run: curated corpus + its
+      // signature table, both parquet
+      val docs = Tables.load(spark, sf(), "documents")
+      val (corpus, _) = Curate.run(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", minQ, method, _ => ())
+      corpus.write.mode("overwrite").parquet(corpusDir)
+      Dedup.lshSignatures(spark.read.parquet(corpusDir), "doc_id", "text",
+          nGram = 3, bands = 4)
+        .write.mode("overwrite").parquet(sigsDir)
+      // the daily run, stored signatures supplied
+      CurateIncrementalMain.main(Array(sf(), corpusDir, outDir,
+        minQ.toString, "0.6", sigsDir))
+      val accepted = spark.read.parquet(s"$outDir/accepted")
+      val (expect, report) = Curate.runIncremental(
+        docs.filter(col("doc_id") % 2 === 1), spark.read.parquet(corpusDir),
+        "doc_id", "text", minQ, method, log = _ => ())
+      assert(accepted.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        expect.select("doc_id").collect().map(_.getLong(0)).toSet)
+      assert(accepted.count() == report.afterNear && report.afterNear > 0)
+      // the maintenance artifact: signatures of exactly the accepted
+      // rows, same schema as the standing table — union-ready
+      val newSigs = spark.read.parquet(s"$outDir/sigs")
+      assert(newSigs.columns.toSet == Set("id", "sh", "bands"))
+      assert(newSigs.count() == report.afterNear)
+      expect.unpersist(); corpus.unpersist()
+    } finally {
+      Mains.keepSessionForTests = false
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
 }
