@@ -803,6 +803,18 @@ object SparkEntry {
     out
   }
 
+  /** Two-sided SimHash join through the gate — the one A-vs-B method
+    * that had spec coverage but no oracle (round-7 finding): odd-id
+    * docs probed into the even-id corpus (band, byte) index, exact
+    * bit_count Hamming verify at <= 3. Oracle = q61's simhash chain
+    * with the self-join's `<` canonicalization swapped for the
+    * cross-side filter, exactly like q69 does for LSH. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    Dedup.simhashNearDupPairsAgainst(docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", maxHamming = 3)
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -887,6 +899,7 @@ object SparkEntry {
     "q70_incremental_curate" -> (q70 _),
     "q71_curate_embeddings" -> (q71 _),
     "q72_incremental_curate_emb" -> (q72 _),
+    "q73_incremental_simhash_join" -> (q73 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -938,6 +951,31 @@ object SparkEntry {
            UNION
            SELECT e.dst, r.label FROM reach$sfx r JOIN edges$sfx e ON e.src = r.id),
          clus$sfx AS (SELECT id, min(label) AS cluster FROM reach$sfx GROUP BY id)"""
+
+  /** The banded-SimHash pair chain over `documents` — q61's oracle
+    * body, parameterized on the pair condition so q73 (the A-vs-B
+    * incremental join) swaps the self-join's `<` canonicalization for
+    * its cross-side filter, mirroring [[lshPairsSql]]. */
+  private def simhashPairsSql(pairCond: String): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS w
+                    FROM documents),
+         h AS (SELECT doc_id, try_cast('0x'||substring(md5(w),1,8) AS BIGINT) AS hv FROM t),
+         b AS (SELECT doc_id, bit,
+                 sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h, range(0,32) r(bit) GROUP BY doc_id, bit),
+         sg AS (SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS BIGINT) AS simhash
+           FROM b GROUP BY doc_id),
+         bands AS (SELECT doc_id, simhash, bi,
+                     (simhash >> CAST(8*bi AS INT)) & 255 AS bv
+                   FROM sg, range(0,4) r(bi)),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                 a.simhash AS sa, c.simhash AS sb
+               FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
+                 AND $pairCond)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         ORDER BY id_a, id_b"""
 
   private def q30Sql: String =
     s"""WITH ${lshPairsSql("documents", 0.1)}
@@ -1490,26 +1528,7 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
            CAST(n_regionkey AS VARCHAR) AS n_regionkey
          FROM nation ORDER BY CAST(n_nationkey AS INT)""",
-    "q61_simhash_near_dup" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS w
-                    FROM documents),
-         h AS (SELECT doc_id, try_cast('0x'||substring(md5(w),1,8) AS BIGINT) AS hv FROM t),
-         b AS (SELECT doc_id, bit,
-                 sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-               FROM h, range(0,32) r(bit) GROUP BY doc_id, bit),
-         sg AS (SELECT doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS BIGINT) AS simhash
-           FROM b GROUP BY doc_id),
-         bands AS (SELECT doc_id, simhash, bi,
-                     (simhash >> CAST(8*bi AS INT)) & 255 AS bv
-                   FROM sg, range(0,4) r(bi)),
-         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-                 a.simhash AS sa, c.simhash AS sb
-               FROM bands a JOIN bands c ON a.bi = c.bi AND a.bv = c.bv
-                 AND a.doc_id < c.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         FROM p WHERE bit_count(xor(sa, sb)) <= 3
-         ORDER BY id_a, id_b""",
+    "q61_simhash_near_dup" -> simhashPairsSql("a.doc_id < c.doc_id"),
     // the approx gates hash EXACT values plus the bound flags: the
     // oracle's literal TRUEs only match when Spark's sketches met their
     // documented error contract on this data
@@ -1598,5 +1617,7 @@ object SparkEntry {
     "q70_incremental_curate" -> q70Sql,
     "q71_curate_embeddings" -> q71Sql,
     "q72_incremental_curate_emb" -> q72Sql,
+    "q73_incremental_simhash_join" ->
+      simhashPairsSql("a.doc_id % 2 = 1 AND c.doc_id % 2 = 0"),
   )
 }
