@@ -460,60 +460,100 @@ object CurateMain {
   }
 }
 
-/** `curate-incremental <sfDir> <corpusParquet> <outDir> [minQuality]
-  * [method] [sigsParquet]` — the DAILY run as one CLI: read the batch
-  * from the sf dir (`documents`, or `embeddings` for a `cosine:`
-  * method), the standing corpus from a previous curate/accept output,
-  * run [[Curate.runIncremental]] / [[Curate.runIncrementalEmbedding]],
-  * and write TWO outputs under `<outDir>`: `accepted/` (the surviving
-  * batch rows — union them into the standing corpus) and, for the text
-  * path, `sigs/` (the [[graft.dedup.Dedup.lshSignatures]] table of the
-  * ACCEPTED rows — union into the stored signature table, which is the
-  * documented append-on-accept maintenance move). `sigsParquet`, when
-  * given, is the standing corpus's stored signature table — the corpus
-  * is then never re-shingled. */
+/** `curate-incremental <batchDir> <corpusParquet> <outDir> [key=value...]`
+  * — the DAILY run as one CLI: read the batch from `batchDir`
+  * (`documents.parquet`, or `embeddings.parquet` for a `cosine:`
+  * method), the standing corpus from a previous run's parquet, run
+  * [[Curate.runIncremental]] / [[Curate.runIncrementalEmbedding]], and
+  * write the full train-once artifact set under `<outDir>`:
+  * `accepted/` (the surviving batch rows — union into the standing
+  * corpus), `fps/` (fingerprints of the accepted rows) and, for the
+  * text path, `sigs/` (their [[graft.dedup.Dedup.lshSignatures]]
+  * table) — each union-ready for the append-on-accept maintenance
+  * move, so the NEXT daily run never reads the corpus content.
+  *
+  * Options: `minQuality=0.5` (text), `method=minhash:0.8 |
+  * simhash:<h> | cosine:<c>`, `sigs=<parquet>` (stored corpus
+  * signature table, text only — loud error with cosine),
+  * `fps=<parquet>` (stored corpus fingerprint table), `index=<dir>`
+  * (stored [[graft.sim.CellIndex]], cosine only),
+  * `checkpoint=<dir>` (reliable clustering, as in `curate`). */
 object CurateIncrementalMain {
 
+  private val usage =
+    "usage: curate-incremental <batchDir> <corpusParquet> <outDir> " +
+      "[minQuality=0.5] [method=minhash:0.8] [sigs=parquet] " +
+      "[fps=parquet] [index=dir] [checkpoint=dir]"
+  private val knownKeys =
+    Set("minQuality", "method", "sigs", "fps", "index", "checkpoint")
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 3)
-      throw new IllegalArgumentException(
-        "usage: curate-incremental <sfDir> <corpusParquet> <outDir> " +
-          "[minQuality] [method] [sigsParquet]")
-    val Array(sfDir, corpusDir, outDir, rest @ _*) =
+    if (args.length < 3) throw new IllegalArgumentException(usage)
+    val Array(batchDir, corpusDir, outDir, rest @ _*) =
       args.toSeq.toArray: @unchecked
-    val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.5)
-    val method = rest.lift(1).map(CurateMain.parseMethod)
+    val opts = rest.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if knownKeys(k) => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"unrecognized option '$kv'\n$usage")
+      }
+    }.toMap
+    val minQuality = opts.get("minQuality").map(_.toDouble).getOrElse(0.5)
+    val method = opts.get("method").map(CurateMain.parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
+    // cross-wired artifacts fail BEFORE any I/O
+    method match {
+      case _: SimilarityMethod.EmbeddingCosine =>
+        require(!opts.contains("sigs"),
+          "sigs= is the MinHashLsh train-once artifact; with a cosine: " +
+            "method pass index=<dir> (a stored CellIndex) instead")
+      case _ =>
+        require(!opts.contains("index"),
+          "index= is the embedding train-once artifact; with a text " +
+            "method pass sigs=<parquet> (Dedup.lshSignatures) instead")
+    }
     val spark = Mains.session("graft-curate-incremental")
     val corpus = spark.read.parquet(corpusDir)
-    method match {
+    val corpusFps = opts.get("fps").map(p => spark.read.parquet(p))
+    def run(): Unit = method match {
       case emb: SimilarityMethod.EmbeddingCosine =>
-        val batch = graft.Tables.load(spark, sfDir, "embeddings")
+        val m = opts.get("index")
+          .map(p => emb.copy(index = Some(graft.sim.CellIndex.load(spark, p))))
+          .getOrElse(emb)
+        val batch = graft.Tables.load(spark, batchDir, "embeddings")
         val (accepted, report) = Curate.runIncrementalEmbedding(
-          batch, corpus, "vec_id", "embedding", emb)
+          batch, corpus, "vec_id", "embedding", m, corpusFps = corpusFps)
         accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
+        // maintenance artifact off the still-cached accepted frame
+        Curate.embeddingFingerprints(accepted, "embedding")
+          .write.mode("overwrite").parquet(s"$outDir/fps")
         accepted.unpersist()
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")
       case m =>
-        val batch = graft.Tables.load(spark, sfDir, "documents")
-        val sigs = rest.lift(2).map(p => spark.read.parquet(p))
+        val sigs = opts.get("sigs").map(p => spark.read.parquet(p))
+        val batch = graft.Tables.load(spark, batchDir, "documents")
         val (accepted, report) = Curate.runIncremental(
           batch, corpus, "doc_id", "text", minQuality, m,
-          corpusSigs = sigs)
+          corpusSigs = sigs, corpusFps = corpusFps)
         accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
-        // the append-on-accept maintenance artifact: signatures of the
-        // ACCEPTED rows, ready to union into the standing table
+        // maintenance artifacts off the still-cached accepted frame
+        Curate.textFingerprints(accepted, "text")
+          .write.mode("overwrite").parquet(s"$outDir/fps")
         m match {
           case SimilarityMethod.MinHashLsh(n, b, _) =>
-            graft.dedup.Dedup.lshSignatures(
-                spark.read.parquet(s"$outDir/accepted"), "doc_id", "text", n, b)
+            graft.dedup.Dedup.lshSignatures(accepted, "doc_id", "text", n, b)
               .write.mode("overwrite").parquet(s"$outDir/sigs")
           case _ => ()
         }
         accepted.unpersist()
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")
+    }
+    opts.get("checkpoint") match {
+      case Some(ckpt) =>
+        graft.dedup.Dedup.withReliableClusters(spark, ckpt) { run() }
+      case None => run()
     }
     Mains.stop(spark)
   }

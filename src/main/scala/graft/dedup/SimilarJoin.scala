@@ -182,7 +182,7 @@ object SimilarJoin {
                              maxBucket: Int): DataFrame = {
     val normed0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
-      .filter(col("nrm") > 0) // NaN-cosine guard, see Similarity.cosineTopK
+      .filter(Similarity.finiteNorm(col("nrm"))) // NaN/Inf-cosine guard
     val normed = if (cacheSignatures)
       normed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else normed0
@@ -268,7 +268,7 @@ object SimilarJoin {
     // exactly as the brute-force oracle's NULL-division comparison does
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("nrm"))
-      .filter(col("v").isNotNull && col("nrm") > 0)
+      .filter(col("v").isNotNull && Similarity.finiteNorm(col("nrm")))
     val base = if (cacheSignatures)
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base0
@@ -354,7 +354,7 @@ object SimilarJoin {
     def side(df: DataFrame, tag: String) = {
       val normed0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
           col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
-        .filter(col("nrm") > 0)
+        .filter(Similarity.finiteNorm(col("nrm")))
       val normed = if (cacheSignatures)
         normed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else normed0
@@ -429,7 +429,7 @@ object SimilarJoin {
     def baseOf(df: DataFrame) = {
       val b0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
           Similarity.norm(col(vecCol)).as("nrm"))
-        .filter(col("v").isNotNull && col("nrm") > 0)
+        .filter(col("v").isNotNull && Similarity.finiteNorm(col("nrm")))
       if (cacheSignatures)
         b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else b0

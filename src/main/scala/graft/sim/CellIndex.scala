@@ -60,7 +60,7 @@ object CellIndex {
             numCells: Int = 0, refineIters: Int = 1): CellIndex = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("nrm"))
-      .filter(col("v").isNotNull && col("nrm") > 0)
+      .filter(col("v").isNotNull && Similarity.finiteNorm(col("nrm")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val k = AutoBlock.resolveCells(numCells, base.count())

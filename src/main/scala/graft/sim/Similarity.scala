@@ -32,6 +32,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** The base-frame vector guard: `n > 0` alone is NOT a NaN guard —
+    * Spark orders NaN GREATER than every number, so a NaN norm passes
+    * it, and one NaN (or Inf-overflowed) vector then poisons trained
+    * centroids/radii and produces NaN cosines that out-compare every
+    * real score. Every norm filter in the similarity layer routes
+    * through this predicate. */
+  def finiteNorm(n: Column): Column =
+    !isnan(n) && n > 0 && n < lit(Double.PositiveInfinity)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one probe vector (by id).
@@ -47,8 +56,8 @@ object Similarity {
                  probeId: Long, k: Int): DataFrame = {
     val probe = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
-      .filter(col("probe_norm") > 0)
-    emb.filter(col(idCol) =!= probeId && norm(col(vecCol)) > 0)
+      .filter(finiteNorm(col("probe_norm")))
+    emb.filter(col(idCol) =!= probeId && finiteNorm(norm(col(vecCol))))
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         round(dot(col(vecCol), col("probe_vec"))
@@ -66,7 +75,7 @@ object Similarity {
                           blockCol: String, minCos: Double): DataFrame = {
     val normed = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .filter(col("nrm") > 0) // NaN-cosine guard, see cosineTopK
+      .filter(finiteNorm(col("nrm"))) // NaN/Inf-cosine guard
     val l = normed.select(col("blk"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val r = normed.select(col("blk"), col("id").as("id_b"),
@@ -98,14 +107,14 @@ object Similarity {
               probeId: Long, nprobe: Int, k: Int): DataFrame = {
     val probe = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).as("probe_vec"))
-      .filter(norm(col("probe_vec")) > 0)
+      .filter(finiteNorm(norm(col("probe_vec"))))
     val topCells = centroids(emb, blockCol, vecCol)
       .crossJoin(broadcast(probe))
       .orderBy(cosine(col("centroid"), col("probe_vec")).desc)
       .limit(nprobe)
       .select(col(blockCol))
     emb.join(broadcast(topCells), Seq(blockCol), "left_semi")
-      .filter(col(idCol) =!= probeId && norm(col(vecCol)) > 0)
+      .filter(col(idCol) =!= probeId && finiteNorm(norm(col(vecCol))))
       .crossJoin(broadcast(probe))
       .select(col(idCol),
         round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
@@ -137,7 +146,7 @@ object Similarity {
                   index: Option[CellIndex] = None): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-      .filter(col("v").isNotNull && col("nrm") > 0)
+      .filter(col("v").isNotNull && finiteNorm(col("nrm")))
     val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
       AutoBlock.resolveCells(numCells, base.count()), refineIters))
     // a missing probe id returns an EMPTY result, matching cosineTopK
@@ -237,10 +246,10 @@ object Similarity {
                    index: Option[CellIndex], lateFetch: Boolean): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-      .filter(col("v").isNotNull && col("nrm") > 0)
+      .filter(col("v").isNotNull && finiteNorm(col("nrm")))
     val p0 = probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv"),
         norm(col(probeVecCol)).as("pnrm"))
-      .filter(col("pv").isNotNull && col("pnrm") > 0)
+      .filter(col("pv").isNotNull && finiteNorm(col("pnrm")))
     val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
       AutoBlock.resolveCells(numCells, base.count()), refineIters))
     if (cents.isEmpty)

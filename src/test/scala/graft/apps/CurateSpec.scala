@@ -347,15 +347,19 @@ class CurateSpec extends SparkSpec {
     }
   }
 
-  test("CurateIncrementalMain: daily CLI run with stored signatures, end-to-end") {
+  test("CurateIncrementalMain: daily CLI run with stored artifacts, end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-curate-inc").toFile
     Mains.keepSessionForTests = true
     try {
       val corpusDir = new java.io.File(dir, "corpus").getAbsolutePath
       val sigsDir = new java.io.File(dir, "sigs").getAbsolutePath
+      val fpsDir = new java.io.File(dir, "fps").getAbsolutePath
+      val batchDir = new java.io.File(dir, "batch").getAbsolutePath
       val outDir = new java.io.File(dir, "day1").getAbsolutePath
       // standing state from a prior batch run: curated corpus + its
-      // signature table, both parquet
+      // signature and fingerprint tables, all parquet — and the daily
+      // batch in its own dir, so the CLI input IS the modeled batch
+      // (ids disjoint from the corpus's)
       val docs = Tables.load(spark, sf(), "documents")
       val (corpus, _) = Curate.run(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", minQ, method, _ => ())
@@ -363,9 +367,13 @@ class CurateSpec extends SparkSpec {
       Dedup.lshSignatures(spark.read.parquet(corpusDir), "doc_id", "text",
           nGram = 3, bands = 4)
         .write.mode("overwrite").parquet(sigsDir)
-      // the daily run, stored signatures supplied
-      CurateIncrementalMain.main(Array(sf(), corpusDir, outDir,
-        minQ.toString, "0.6", sigsDir))
+      Curate.textFingerprints(spark.read.parquet(corpusDir), "text")
+        .write.mode("overwrite").parquet(fpsDir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+      // the daily run, stored signatures + fingerprints supplied
+      CurateIncrementalMain.main(Array(batchDir, corpusDir, outDir,
+        s"minQuality=$minQ", "method=0.6", s"sigs=$sigsDir", s"fps=$fpsDir"))
       val accepted = spark.read.parquet(s"$outDir/accepted")
       val (expect, report) = Curate.runIncremental(
         docs.filter(col("doc_id") % 2 === 1), spark.read.parquet(corpusDir),
@@ -373,15 +381,61 @@ class CurateSpec extends SparkSpec {
       assert(accepted.select("doc_id").collect().map(_.getLong(0)).toSet ==
         expect.select("doc_id").collect().map(_.getLong(0)).toSet)
       assert(accepted.count() == report.afterNear && report.afterNear > 0)
-      // the maintenance artifact: signatures of exactly the accepted
-      // rows, same schema as the standing table — union-ready
+      // the maintenance artifacts: signatures + fingerprints of exactly
+      // the accepted rows, same schemas as the standing tables
       val newSigs = spark.read.parquet(s"$outDir/sigs")
       assert(newSigs.columns.toSet == Set("id", "sh", "bands"))
       assert(newSigs.count() == report.afterNear)
+      val newFps = spark.read.parquet(s"$outDir/fps")
+      assert(newFps.columns.toSeq == Seq("_fp"))
+      assert(newFps.count() == report.afterNear,
+        "accepted rows are exact-deduped, so fingerprints are distinct")
       expect.unpersist(); corpus.unpersist()
     } finally {
       Mains.keepSessionForTests = false
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
+  }
+
+  test("CurateIncrementalMain rejects cross-wired artifacts and unknown options") {
+    Mains.keepSessionForTests = true
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        CurateIncrementalMain.main(Array("a", "b", "c",
+          "method=cosine:0.4", "sigs=/nowhere"))
+      }
+      assert(e1.getMessage.contains("index=<dir>"))
+      val e2 = intercept[IllegalArgumentException] {
+        CurateIncrementalMain.main(Array("a", "b", "c",
+          "method=0.6", "index=/nowhere"))
+      }
+      assert(e2.getMessage.contains("sigs=<parquet>"))
+      val e3 = intercept[IllegalArgumentException] {
+        CurateIncrementalMain.main(Array("a", "b", "c", "bogus=1"))
+      }
+      assert(e3.getMessage.contains("unrecognized option"))
+    } finally Mains.keepSessionForTests = false
+  }
+
+  test("a NaN vector in the CORPUS cannot poison the incremental cell index") {
+    import spark.implicits._
+    // a corpus curated by an OLDER tool may carry a NaN vector (the
+    // validity hole this round fixed batch-side). Training the shared
+    // corpus-side index must ignore it: a NaN centroid/radius would
+    // make every triangle-inequality comparison false and silently
+    // disable near-dup detection in BOTH joins.
+    val corpus = Seq(1L -> Seq(0.0, 1.0, 0.0),
+      2L -> Seq(Double.NaN, 1.0, 0.0)).toDF("vec_id", "embedding")
+    val vE = Seq(1.0, 0.0, 2.0)
+    val batch = Seq(101L -> vE, 102L -> Seq(1.0, 0.02, 2.0),
+      103L -> Seq(5.0, 0.0, -1.0)).toDF("vec_id", "embedding")
+    val (inc, report) = Curate.runIncrementalEmbedding(batch, corpus,
+      "vec_id", "embedding", SimilarityMethod.EmbeddingCosine(0.95),
+      log = _ => ())
+    assert(inc.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(101L, 103L),
+      "the within-batch near-dup (102 ~ 101) must still be found")
+    assert(report.afterNear == 2)
+    inc.unpersist()
   }
 }
