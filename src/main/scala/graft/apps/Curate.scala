@@ -342,11 +342,13 @@ object Curate {
     * wants. Batch and corpus ids must come from one id space with no
     * value collisions (component membership mixes them).
     *
-    * `corpusSigs` (MinHashLsh only): the corpus's stored
-    * [[graft.dedup.Dedup.lshSignatures]] table — the train-once shape:
-    * the standing corpus is then never re-shingled by the daily run.
-    * `corpusFps`: the stored [[textFingerprints]] table — with both
-    * supplied, the daily run reads the corpus content zero times. */
+    * `corpusSigs` (text methods): the corpus's stored
+    * [[graft.dedup.Dedup.lshSignatures]] (MinHashLsh) or
+    * [[graft.dedup.Dedup.simhashSignatures]] (SimHash) table — the
+    * train-once shape: the standing corpus text is then never re-read
+    * by the near stage. `corpusFps`: the stored [[textFingerprints]]
+    * table — with both supplied, the daily run reads the corpus
+    * content zero times. */
   def runIncremental(newDocs: DataFrame, corpus: DataFrame,
                      idCol: String, textCol: String,
                      minQuality: Double = 0.5,
@@ -474,10 +476,12 @@ object CurateMain {
   *
   * Options: `minQuality=0.5` (text), `method=minhash:0.8 |
   * simhash:<h> | cosine:<c>`, `sigs=<parquet>` (stored corpus
-  * signature table, text only — loud error with cosine),
-  * `fps=<parquet>` (stored corpus fingerprint table), `index=<dir>`
-  * (stored [[graft.sim.CellIndex]], cosine only),
-  * `checkpoint=<dir>` (reliable clustering, as in `curate`). */
+  * signature table — [[graft.dedup.Dedup.lshSignatures]] or
+  * [[graft.dedup.Dedup.simhashSignatures]] matching the method; text
+  * only, loud error with cosine), `fps=<parquet>` (stored corpus
+  * fingerprint table), `index=<dir>` (stored [[graft.sim.CellIndex]],
+  * cosine only), `checkpoint=<dir>` (reliable clustering, as in
+  * `curate`). */
 object CurateIncrementalMain {
 
   private val usage =
@@ -543,6 +547,9 @@ object CurateIncrementalMain {
         m match {
           case SimilarityMethod.MinHashLsh(n, b, _) =>
             graft.dedup.Dedup.lshSignatures(accepted, "doc_id", "text", n, b)
+              .write.mode("overwrite").parquet(s"$outDir/sigs")
+          case _: SimilarityMethod.SimHash =>
+            graft.dedup.Dedup.simhashSignatures(accepted, "doc_id", "text")
               .write.mode("overwrite").parquet(s"$outDir/sigs")
           case _ => ()
         }

@@ -376,26 +376,46 @@ object Dedup {
     (if (cacheSignatures) own else Seq.empty, verified)
   }
 
+  /** The persistable SimHash signature table — `(id, sig)` — the
+    * [[lshSignatures]] analog for the SimHash method (same staleness
+    * rule: the table IS the corpus; append-on-accept). One 64-bit long
+    * per document, so even a very large corpus's table is tiny. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withSimhash32(
+        df.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), col(textCol)), textCol, "sig")
+      .select(col("id"), col("sig"))
+
+  private def validateSimhashSigs(sigs: DataFrame): DataFrame = {
+    val cols = sigs.columns.toSet
+    require(cols.contains("id") && cols.contains("sig") && !cols.contains("bands"),
+      s"corpus SimHash signature frame needs columns (id, sig), got " +
+        s"(${sigs.columns.mkString(", ")}) — build it with " +
+        "Dedup.simhashSignatures (an lshSignatures table is the LSH artifact)")
+    sigs.select(col("id"), col("sig"))
+  }
+
   /** Two-sided (A vs B) SimHash near-dup pairs: same probe-into-index
     * shape as [[lshNearDupPairsAgainst]] over the (band index, byte
     * value) keys, verified with exact bit_count Hamming. Returns
-    * (id_a, id_b, hamming) with id_a from `newDf`. */
+    * (id_a, id_b, hamming) with id_a from `newDf`. `corpusSigs` takes a
+    * stored [[simhashSignatures]] table for the corpus side (corpusDf
+    * is then ignored; cache lifecycle stays with the caller). */
   def simhashNearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
                                  idCol: String, textCol: String,
                                  maxHamming: Int = 3,
                                  cacheSignatures: Boolean = true,
-                                 maxBucket: Int = defaultMaxBucket): DataFrame = {
+                                 maxBucket: Int = defaultMaxBucket,
+                                 corpusSigs: Option[DataFrame] = None): DataFrame = {
     def sigOf(df: DataFrame) = {
-      val s0 = withSimhash32(
-          df.filter(col(textCol).isNotNull)
-            .select(col(idCol).as("id"), col(textCol)), textCol, "sig")
-        .select(col("id"), col("sig"))
+      val s0 = simhashSignatures(df, idCol, textCol)
       if (cacheSignatures)
         s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else s0
     }
     val sigA = sigOf(newDf)
-    val sigB = sigOf(corpusDf)
+    val sigB = corpusSigs.map(validateSimhashSigs).getOrElse(sigOf(corpusDf))
+    val ownB = corpusSigs.isEmpty
     def bandedOf(sig: DataFrame, tag: String) = dropHotBuckets(
       sig.select(col("id"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
@@ -419,7 +439,8 @@ object Dedup {
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
-      sigA.unpersist(); sigB.unpersist()
+      sigA.unpersist()
+      if (ownB) sigB.unpersist()
       out
     }
   }

@@ -122,9 +122,11 @@ object SimilarJoin {
     * .qualifyingCellPairsAB]]), with cells trained on the CORPUS side
     * (the index side — or supplied via a pre-trained
     * [[graft.sim.CellIndex]], the train-once production shape). For
-    * MinHashLsh the train-once artifact is `corpusSigs`
-    * ([[Dedup.lshSignatures]] — the corpus is then never re-shingled;
-    * MinHashLsh only, loud error otherwise). */
+    * the text methods the train-once artifact is `corpusSigs`
+    * ([[Dedup.lshSignatures]] for MinHashLsh,
+    * [[Dedup.simhashSignatures]] for SimHash — the corpus text is then
+    * never re-read; loud error with an embedding method, whose
+    * artifact is the index). */
   def similarJoinAgainst(newDf: DataFrame, corpusDf: DataFrame,
                          idCol: String, contentCol: String,
                          method: SimilarityMethod,
@@ -132,10 +134,10 @@ object SimilarJoin {
                          maxBucket: Int = Dedup.defaultMaxBucket,
                          corpusSigs: Option[DataFrame] = None): DataFrame = {
     require(corpusSigs.isEmpty ||
-        method.isInstanceOf[SimilarityMethod.MinHashLsh],
-      "corpusSigs is the MinHashLsh train-once artifact " +
-        "(Dedup.lshSignatures); for embeddings pass a CellIndex via " +
-        "EmbeddingCosine(index = ...) instead")
+        !method.isInstanceOf[SimilarityMethod.EmbeddingCosine],
+      "corpusSigs is the text-method train-once artifact " +
+        "(Dedup.lshSignatures / Dedup.simhashSignatures); for embeddings " +
+        "pass a CellIndex via EmbeddingCosine(index = ...) instead")
     method match {
       case SimilarityMethod.MinHashLsh(n, b, mj) =>
         Dedup.lshNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
@@ -143,7 +145,7 @@ object SimilarJoin {
           .withColumnRenamed("jaccard", "score")
       case SimilarityMethod.SimHash(mh) =>
         Dedup.simhashNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
-            mh, cacheSignatures, maxBucket)
+            mh, cacheSignatures, maxBucket, corpusSigs)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))
       case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _, _) =>

@@ -152,6 +152,25 @@ class SimilarJoinAgainstSpec extends SparkSpec with HotBucketLogCapture {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("precomputed SimHash corpus signatures equal the inline path") {
+    val (a, b) = partsOf(docs, "doc_id")
+    val inline = pairSet(SimilarJoin.similarJoinAgainst(
+      a, b, "doc_id", "text", SimHash(maxHamming = 3)))
+    val sigs = Dedup.simhashSignatures(b, "doc_id", "text")
+    val viaSigs = pairSet(SimilarJoin.similarJoinAgainst(
+      a, b.limit(0), "doc_id", "text", SimHash(maxHamming = 3),
+      corpusSigs = Some(sigs)))
+    assert(viaSigs == inline)
+    assert(viaSigs.nonEmpty)
+    // cross-wiring the LSH table into the SimHash path fails loudly
+    val lshTable = Dedup.lshSignatures(b, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SimilarJoin.similarJoinAgainst(a, b, "doc_id", "text",
+        SimHash(maxHamming = 3), corpusSigs = Some(lshTable))
+    }
+    assert(e.getMessage.contains("simhashSignatures"))
+  }
+
   test("a mismatched or malformed corpus signature table is rejected loudly") {
     val (a, b) = partsOf(docs, "doc_id")
     // band-count mismatch: built with 2, call expects 4
