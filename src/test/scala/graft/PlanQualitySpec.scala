@@ -157,6 +157,31 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q73 A-vs-B SimHash: keys-only band probe, native signature, long verify") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      val verified = graft.dedup.Dedup.simhashNearDupPairsAgainst(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        "doc_id", "text", maxHamming = 3, cacheSignatures = false)
+      val p = explainOf(verified)
+      // each side is one scan feeding its signature; the probe join
+      // exchanges carry (bi, bv, id) — a long and two ints per row,
+      // never text
+      val parquetScans = p.linesIterator
+        .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
+      assert(parquetScans <= 4, s"at most two passes per side, got $parquetScans")
+      val bandEx = p.linesIterator
+        .count(l => l.contains("hashpartitioning(bi") && l.contains("bv"))
+      assert(bandEx == 2, s"expected 2 (bi, bv) band exchanges, got $bandEx:\n$p")
+      // signatures are the native one-pass expression; the verify is a
+      // codegen'd xor + bit_count on longs — no interpreted HOFs
+      assert(p.contains("graft_simhash32"), "signature must be the native pass")
+      assert(p.contains("bit_count"), "verify must be the long Hamming")
+      assert(!p.contains("lambdafunction"), "no interpreted HOFs in the plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q67 A-vs-B auto-block: per-side scans/caches, broadcast cell pairs, late fetch") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
