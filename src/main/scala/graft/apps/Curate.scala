@@ -90,13 +90,37 @@ object Curate {
     * `CellIndex` also supplied, the corpus contributes zero scans to
     * the daily run). Same staleness rule as
     * [[graft.dedup.Dedup.lshSignatures]]: the table IS the corpus —
-    * append the accepted batch's fingerprints after each run. */
+    * append the accepted batch's fingerprints after each run.
+    *
+    * The fingerprint column NAME carries the method family
+    * (`_fp_text` vs `_fp_emb`) so a cross-wired artifact — a text
+    * table handed to an embedding run or vice versa — fails loudly at
+    * the consuming join instead of being silently inert (both are md5
+    * strings, so a value-level mix-up would simply never match and
+    * corpus-exact batch rows would survive to the near stage). The
+    * family check is schema-only: zero scan cost. */
   def textFingerprints(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+    corpus.select(TextOps.fingerprint(col(textCol)).as("_fp_text")).distinct()
 
   /** See [[textFingerprints]]. */
   def embeddingFingerprints(corpus: DataFrame, embCol: String): DataFrame =
-    corpus.select(vecFp(embCol).as("_fp")).distinct()
+    corpus.select(vecFp(embCol).as("_fp_emb")).distinct()
+
+  /** Family-checks a caller-supplied fingerprint table and normalizes
+    * it to the internal `_fp` name. Schema-only — no data read. */
+  private def requireFps(fps: DataFrame, wantCol: String,
+                         builder: String): DataFrame = {
+    val cols = fps.columns.toSet
+    require(cols.contains(wantCol),
+      s"corpus fingerprint frame needs column $wantCol, got " +
+        s"(${fps.columns.mkString(", ")}) — build it with Curate.$builder" +
+        (if (cols.contains("_fp_text") || cols.contains("_fp_emb"))
+          " (this table belongs to the OTHER method family)"
+        else if (cols.contains("_fp"))
+          " (tables stored before the family stamp must be rebuilt)"
+        else ""))
+    fps.select(col(wantCol).as("_fp"))
+  }
 
   def run(docs: DataFrame, idCol: String, textCol: String,
           minQuality: Double = 0.5,
@@ -229,7 +253,9 @@ object Curate {
 
     // stage 2: exact vector dedup within the batch, then against the
     // corpus — (fp, id) only through both exchanges
-    val cfps = corpusFps.getOrElse(embeddingFingerprints(corpus, embCol))
+    val cfps = corpusFps.map(requireFps(_, "_fp_emb", "embeddingFingerprints"))
+      .getOrElse(embeddingFingerprints(corpus, embCol)
+        .select(col("_fp_emb").as("_fp")))
     val exact = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
       .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
@@ -365,7 +391,9 @@ object Curate {
     // stage 2: exact dedup within the batch, then against the corpus.
     // Corpus side shrinks to DISTINCT fingerprints before the anti-join
     // — (fp) only, never corpus text, through the exchange.
-    val cfps = corpusFps.getOrElse(textFingerprints(corpus, textCol))
+    val cfps = corpusFps.map(requireFps(_, "_fp_text", "textFingerprints"))
+      .getOrElse(textFingerprints(corpus, textCol)
+        .select(col("_fp_text").as("_fp")))
     val exact = keepMinPerFp(
         quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
       .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")

@@ -262,34 +262,50 @@ object Dedup {
     * missing/phantom pairs. Rebuild (or append signatures for accepted
     * rows — the frame is row-wise, so `union` of the accepted batch's
     * own signatures is the standing maintenance move) whenever the
-    * corpus changes. `nGram` cannot be re-derived from the table and is
-    * NOT validated at use — keep it with the stored path; `bands` IS
-    * validated. */
+    * corpus changes. `nGram` cannot be re-derived from the shingle
+    * hashes, so it is STAMPED as a literal `ngram` column and asserted
+    * at use alongside `bands` — a table built with a different nGram
+    * would silently produce missing/phantom pairs, the one failure mode
+    * worse than a loud one. */
   def lshSignatures(df: DataFrame, idCol: String, textCol: String,
                     nGram: Int = 3, bands: Int = 4): DataFrame =
     lshSigFrame(df, idCol, textCol, nGram, bands)
+      .withColumn("ngram", lit(nGram))
 
   /** Structural validation of a caller-supplied signature table:
-    * required columns present, band count matching the call on EVERY
-    * row (a min/max aggregate, not a one-row probe — the documented
-    * maintenance move is union-appending batches, and a single append
-    * built with the wrong band count must fail here, not silently miss
-    * its pairs). One columnar pass over array lengths only — trivial
-    * next to the shingle pass the table exists to avoid. */
-  private def validateSigs(sigs: DataFrame, bands: Int): DataFrame = {
+    * required columns present, band count AND stamped nGram matching
+    * the call on EVERY row (aggregates, not a one-row probe — the
+    * documented maintenance move is union-appending batches, and a
+    * single append built with the wrong parameters must fail here, not
+    * silently miss its pairs). A NULL `bands` row is rejected for the
+    * same reason: it would pass a min/max check yet contribute zero
+    * candidates. One columnar pass over array lengths and the literal
+    * column only — trivial next to the shingle pass the table exists
+    * to avoid. */
+  private def validateSigs(sigs: DataFrame, nGram: Int, bands: Int): DataFrame = {
     val cols = sigs.columns.toSet
-    require(Set("id", "sh", "bands").subsetOf(cols),
-      s"corpus signature frame needs columns (id, sh, bands), got " +
-        s"(${sigs.columns.mkString(", ")}) — build it with Dedup.lshSignatures")
-    val range = sigs
-      .agg(min(size(col("bands"))).as("lo"), max(size(col("bands"))).as("hi"))
+    require(Set("id", "sh", "bands", "ngram").subsetOf(cols),
+      s"corpus signature frame needs columns (id, sh, bands, ngram), got " +
+        s"(${sigs.columns.mkString(", ")}) — build it with Dedup.lshSignatures" +
+        (if (cols.contains("bands") && !cols.contains("ngram"))
+          " (tables stored before the ngram stamp must be rebuilt)" else ""))
+    val s = sigs.agg(
+      count(lit(1)).as("n"),
+      // size(NULL) is NULL ⇒ a NULL-bands row fails BOTH conditions and
+      // shows up as n - bandsOk, covering shape drift and NULLs in one
+      // count; same trick for a NULL ngram stamp
+      count(when(size(col("bands")) === bands, 1)).as("bandsOk"),
+      count(when(col("ngram") === nGram, 1)).as("ngramOk"))
       .collect().head
-    if (!range.isNullAt(0)) {
-      val (lo, hi) = (range.getInt(0), range.getInt(1))
-      require(lo == bands && hi == bands,
-        s"corpus signature frame carries $lo..$hi bands but the call " +
-          s"expects $bands — rebuild with Dedup.lshSignatures(..., bands = $bands)")
-    }
+    val (n, bandsOk, ngramOk) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    require(bandsOk == n,
+      s"corpus signature frame has ${n - bandsOk} of $n rows whose band " +
+        s"count differs from the expected $bands (or is NULL) — rebuild " +
+        s"with Dedup.lshSignatures(..., bands = $bands)")
+    require(ngramOk == n,
+      s"corpus signature frame has ${n - ngramOk} of $n rows stamped with " +
+        s"an nGram other than the expected $nGram (or NULL) — rebuild " +
+        s"with Dedup.lshSignatures(..., nGram = $nGram)")
     sigs.select(col("id"), col("sh"), col("bands"))
   }
 
@@ -348,7 +364,7 @@ object Dedup {
     // a caller-supplied signature table is used as-is: its cache (or
     // parquet scan) lifecycle belongs to the caller, so it joins the
     // release list only when built here
-    val sigB = corpusSigs.map(validateSigs(_, bands)).getOrElse(sigOf(corpusDf))
+    val sigB = corpusSigs.map(validateSigs(_, nGram, bands)).getOrElse(sigOf(corpusDf))
     def bandedOf(sig: DataFrame, tag: String) = dropHotBuckets(
       sig.select(col("id"), explode(col("bands")).as("band"))
         .filter(col("band").isNotNull),
@@ -392,6 +408,14 @@ object Dedup {
       s"corpus SimHash signature frame needs columns (id, sig), got " +
         s"(${sigs.columns.mkString(", ")}) — build it with " +
         "Dedup.simhashSignatures (an lshSignatures table is the LSH artifact)")
+    // same NULL discipline as validateSigs: an appended row with a NULL
+    // sig contributes zero candidates yet passes a schema check
+    val s = sigs.agg(count(lit(1)).as("n"), count(col("sig")).as("ok"))
+      .collect().head
+    require(s.getLong(1) == s.getLong(0),
+      s"corpus SimHash signature frame has ${s.getLong(0) - s.getLong(1)} " +
+        s"of ${s.getLong(0)} rows with a NULL sig — rebuild with " +
+        "Dedup.simhashSignatures")
     sigs.select(col("id"), col("sig"))
   }
 

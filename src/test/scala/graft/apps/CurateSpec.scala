@@ -123,6 +123,23 @@ class CurateSpec extends SparkSpec {
       s"exact stage expected 4, got ${report.afterExact}")
     assert(report.afterNear == 2)
     assert(corpusReport.afterNear == 4)
+    // cross-wired fingerprint family fails loudly at the consuming
+    // join (schema-only check): an embeddingFingerprints table handed
+    // to the TEXT run — both families are md5 strings, so without the
+    // column-name stamp this would be silently inert
+    val wrongFamily = fps.select(col("_fp_text").as("_fp_emb"))
+    val eF = intercept[IllegalArgumentException] {
+      Curate.runIncremental(b2, corpus, "doc_id", "text", 0.0, method,
+        corpusFps = Some(wrongFamily), log = _ => ())
+    }
+    assert(eF.getMessage.contains("_fp_text") &&
+      eF.getMessage.contains("OTHER method family"))
+    // ...and a pre-stamp table (bare _fp) names the rebuild path
+    val eL = intercept[IllegalArgumentException] {
+      Curate.runIncremental(b2, corpus, "doc_id", "text", 0.0, method,
+        corpusFps = Some(fps.select(col("_fp_text").as("_fp"))), log = _ => ())
+    }
+    assert(eL.getMessage.contains("must be rebuilt"))
     inc.unpersist(); full.unpersist(); corpus.unpersist()
   }
 
@@ -384,10 +401,10 @@ class CurateSpec extends SparkSpec {
       // the maintenance artifacts: signatures + fingerprints of exactly
       // the accepted rows, same schemas as the standing tables
       val newSigs = spark.read.parquet(s"$outDir/sigs")
-      assert(newSigs.columns.toSet == Set("id", "sh", "bands"))
+      assert(newSigs.columns.toSet == Set("id", "sh", "bands", "ngram"))
       assert(newSigs.count() == report.afterNear)
       val newFps = spark.read.parquet(s"$outDir/fps")
-      assert(newFps.columns.toSeq == Seq("_fp"))
+      assert(newFps.columns.toSeq == Seq("_fp_text"))
       assert(newFps.count() == report.afterNear,
         "accepted rows are exact-deduped, so fingerprints are distinct")
       expect.unpersist(); corpus.unpersist()

@@ -179,17 +179,35 @@ class SimilarJoinAgainstSpec extends SparkSpec with HotBucketLogCapture {
       Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
         corpusSigs = Some(twoBands))
     }
-    assert(e1.getMessage.contains("carries 2..2 bands"))
+    assert(e1.getMessage.contains("band count differs from the expected 4"))
     // a UNION of builds with different band counts (the append
     // maintenance move gone wrong) must also fail — the validation
     // checks every row's band count, not one arbitrary probe row
-    val mixed = Dedup.lshSignatures(b, "doc_id", "text", bands = 4)
-      .unionByName(twoBands)
+    val good = Dedup.lshSignatures(b, "doc_id", "text", bands = 4)
+    val mixed = good.unionByName(twoBands)
     val e3 = intercept[IllegalArgumentException] {
       Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
         corpusSigs = Some(mixed))
     }
-    assert(e3.getMessage.contains("carries 2..4 bands"))
+    assert(e3.getMessage.contains("band count differs from the expected 4"))
+    // nGram mismatch: hashes are indistinguishable by value, so only
+    // the stamped ngram column can catch it — built with 2, call
+    // expects the default 3
+    val twoGram = Dedup.lshSignatures(b, "doc_id", "text", nGram = 2, bands = 4)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
+        corpusSigs = Some(twoGram))
+    }
+    assert(e4.getMessage.contains("nGram other than the expected 3"))
+    // an appended row with NULL bands passes any min/max-shaped check
+    // yet contributes zero candidates — must fail, not silently miss
+    val nullRow = good.limit(1).select(col("id"), col("sh"),
+      lit(null).cast(good.schema("bands").dataType).as("bands"), col("ngram"))
+    val e5 = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text", bands = 4,
+        corpusSigs = Some(good.unionByName(nullRow)))
+    }
+    assert(e5.getMessage.contains("band count differs from the expected 4"))
     // wrong schema entirely
     val e2 = intercept[IllegalArgumentException] {
       Dedup.lshNearDupPairsAgainst(a, b, "doc_id", "text",
