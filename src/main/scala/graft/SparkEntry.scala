@@ -605,10 +605,24 @@ object SparkEntry {
   private def q64(s: SparkSession, d: String): DataFrame =
     // numCells pinned: auto-K (the round-7 default) would derive K from
     // the SF's corpus count, changing the plan per SF — exactness holds
-    // at any K, but the gate pins one shape
+    // at any K, but the gate pins one shape (q75 gates the auto-K path)
     graft.dedup.SimilarJoin.similarJoin(T(s, d, "embeddings"),
       "vec_id", "embedding",
       graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16))
+
+  /** q64 at the SHIPPED default: numCells = 0 ⇒ auto-K
+    * (K ≈ n/1024 clamped — AutoBlock.resolveCells), the path every
+    * external caller gets when they don't pin a cell count. Exactness
+    * is K-independent by construction (triangle-inequality cell-pair
+    * pruning never drops a qualifying pair), so the oracle is the SAME
+    * brute force as q64 — this gate exists because until round 9 the
+    * default path had spec coverage but no CORRECTNESS row. At sf0.1
+    * (12.8k vectors) auto-K resolves to K > 1, so the pruning is
+    * genuinely exercised, not degenerate single-cell. */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SimilarJoin.similarJoin(T(s, d, "embeddings"),
+      "vec_id", "embedding",
+      graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 0))
 
   /** The WHOLE curation pipeline as one gate: apps.Curate end-to-end
     * (quality >= 0.6 → exact dedup keep-min → MinHash-LSH near-dup
@@ -815,6 +829,31 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", maxHamming = 3)
   }
 
+  /** Perceptual image near-dup through the gate: deterministic
+    * synthetic PNGs from doc_id (Multimodal.synthGridImage — groups of
+    * 4 ids share a base pattern; variants are brightness shifts and a
+    * one-cell perturbation), decoded and dHashed by the REAL ImageIO
+    * pipeline, paired by the 8-band Hamming machinery at <= 7. The
+    * oracle cannot decode images — instead it re-derives each image's
+    * dHash ANALYTICALLY (the grid blocks are constant and PNG is
+    * lossless, so block means recover the md5-derived cell values
+    * exactly; cross-validated bit-identical in MultimodalSpec) and
+    * brute-forces all pairs: pigeonhole makes 8-band candidate
+    * generation lossless at Hamming <= 7, so banded == brute force.
+    * A wrong grayscale formula, block boundary, bit order, band
+    * split, or a decoder that isn't pixel-exact all fail the hash. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id,
+        graft.multimodal.Multimodal.synthGridImage(id / 4, (id % 4).toInt))))
+      .toDF("media_id", "payload")
+    graft.dedup.SimilarJoin.similarJoin(media, "media_id", "payload",
+        graft.dedup.SimilarityMethod.ImageDHash(maxHamming = 7))
+      .select(col("id_a"), col("id_b"), col("score").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -900,6 +939,8 @@ object SparkEntry {
     "q71_curate_embeddings" -> (q71 _),
     "q72_incremental_curate_emb" -> (q72 _),
     "q73_incremental_simhash_join" -> (q73 _),
+    "q74_image_dhash_pairs" -> (q74 _),
+    "q75_auto_k_embed_join" -> (q75 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1137,6 +1178,22 @@ object SparkEntry {
            SELECT id FROM clusi WHERE id % 2 = 1
              AND (id <> cluster OR cluster IN (SELECT cluster FROM touched)))
          ORDER BY vec_id"""
+
+  /** q64/q75 oracle: ALL-pairs brute-force cosine at the round-to-6
+    * >= 0.4 verify semantics — shared verbatim by the pinned-K gate
+    * (q64) and the auto-K default gate (q75), because the blocking is
+    * exact at any K. */
+  private def q64Sql: String =
+    """SELECT * FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 6) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       WHERE score >= 0.4 ORDER BY id_a, id_b"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -1548,17 +1605,7 @@ object SparkEntry {
     // brute force on purpose: the Spark side prunes with the
     // triangle-inequality cell-pair bound, and the oracle checking ALL
     // pairs is exactly what proves no cross-cell pair is missed
-    "q64_auto_embed_join" ->
-      """SELECT * FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])))), 6) AS score
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         WHERE score >= 0.4 ORDER BY id_a, id_b""",
+    "q64_auto_embed_join" -> q64Sql,
     "q65_curate_pipeline" -> q65Sql,
     // brute force on purpose (like q64): nprobe = numCells makes the
     // batch ANN exact, so the windowed all-pairs oracle must hash-match
@@ -1619,5 +1666,52 @@ object SparkEntry {
     "q72_incremental_curate_emb" -> q72Sql,
     "q73_incremental_simhash_join" ->
       simhashPairsSql("a.doc_id % 2 = 1 AND c.doc_id % 2 = 0"),
+    // DuckDB cannot decode images — it re-derives each synthetic
+    // image's dHash analytically (constant grid blocks + lossless PNG
+    // + exact block means ⇒ the md5 cell formula IS the decoded pixel
+    // data; Multimodal.synthGridImage documents the shared formula)
+    // and brute-forces pairs at Hamming <= 7, where pigeonhole over 8
+    // byte-bands makes the Spark side's banding lossless
+    "q74_image_dhash_pairs" ->
+      """WITH g AS (
+           SELECT d.doc_id, t1.cx, t2.cy,
+             40 + ((ascii(substr(md5(concat(d.doc_id // 4, '_', t1.cx, '_', t2.cy)), 1, 1)) * 131
+                  + ascii(substr(md5(concat(d.doc_id // 4, '_', t1.cx, '_', t2.cy)), 2, 1)) * 17
+                  + ascii(substr(md5(concat(d.doc_id // 4, '_', t1.cx, '_', t2.cy)), 3, 1))) % 151) AS g0
+           FROM documents d, range(9) t1(cx), range(8) t2(cy)
+         ),
+         cells AS (
+           SELECT doc_id, cx, cy,
+             CASE WHEN doc_id % 4 = 3 AND cx = 3 AND cy = 3 THEN
+               40 + ((ascii(substr(md5(concat(doc_id // 4, '_p')), 1, 1)) * 131
+                    + ascii(substr(md5(concat(doc_id // 4, '_p')), 2, 1)) * 17
+                    + ascii(substr(md5(concat(doc_id // 4, '_p')), 3, 1))) % 151)
+             ELSE g0 END
+             + CASE WHEN doc_id % 4 = 1 THEN 15 WHEN doc_id % 4 = 2 THEN 40 ELSE 0 END AS g
+           FROM g
+         ),
+         bits AS (
+           SELECT a.doc_id, CAST(a.cy * 8 + a.cx AS INT) AS bit
+           FROM cells a JOIN cells b
+             ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+           WHERE a.cx < 8 AND a.g < b.g
+         ),
+         sigs AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN bit < 63 THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0)
+                + coalesce(max(CASE WHEN bit = 63 THEN 1 ELSE 0 END), 0)
+                  * (-9223372036854775807 - 1) AS BIGINT) AS sig
+           FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+           GROUP BY d.doc_id
+         )
+         SELECT id_a, id_b, hamming FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 7 ORDER BY id_a, id_b""",
+    // same brute force as q64: auto-K changes only the pruning shape,
+    // never the pair set — that K-independence is what this gate proves
+    // for the shipped default
+    "q75_auto_k_embed_join" -> q64Sql,
   )
 }

@@ -37,6 +37,11 @@ object Curate {
   case class EmbReport(input: Long, afterValid: Long, afterExact: Long,
                        afterNear: Long, dimProfile: Map[Int, Long])
 
+  /** [[runMedia]]'s stage counts: the profile is a container-format
+    * histogram (png/jpeg/gif/bmp) of the surviving images. */
+  case class MediaReport(input: Long, afterValid: Long, afterExact: Long,
+                         afterNear: Long, formatProfile: Map[String, Long])
+
   /** Stage-1 shape shared by every pipeline: run `stage` over the input
     * with the raw row count observed on the SAME scan (at 100 TB a
     * dedicated `count()` pass costs a full corpus read just to fill one
@@ -224,6 +229,74 @@ object Curate {
       dimProfile.toSeq.sortBy(_._1).map { case (d, n) => s"$d=$n" }.mkString(", "))
 
     (curated, EmbReport(input, afterValid, afterExact, afterNear, dimProfile))
+  }
+
+  /** The four JDK-decodable image containers by magic prefix — the
+    * expression twin of `Multimodal.ImageIoCodec.sniff`, usable as a
+    * codegen'd scan filter (stage-1 validity must not pay a decode;
+    * the O(pixels) pass happens once, inside the near-dup hash). */
+  private def imageFormat(payloadCol: String): Column = {
+    val p = col(payloadCol)
+    when(p.isNull || length(p) < 4, lit(null))
+      .when(substring(p, 1, 4) === lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
+      .when(substring(p, 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
+      .when(substring(p, 1, 4) === lit(Array[Byte]('G'.toByte, 'I'.toByte, 'F'.toByte, '8'.toByte)), "gif")
+      .when(substring(p, 1, 2) === lit(Array[Byte]('B'.toByte, 'M'.toByte)), "bmp")
+      .otherwise(lit(null))
+  }
+
+  /** Curation over a binary IMAGE column — [[runEmbedding]]'s contract
+    * with perceptual stages: (1) validity = the payload carries a
+    * JDK-decodable image magic (pure codegen'd prefix check riding the
+    * scan — no decode); (2) exact dedup = keep min id per md5 of the
+    * raw BYTES (bit-identical files — the crawl's literal re-downloads
+    * — collapse without any decode either); (3) near-dup =
+    * [[SimilarJoin.similarClusters]] with
+    * [[SimilarityMethod.ImageDHash]] — the ONE O(pixels) decode pass,
+    * producing 64-bit dHashes banded exactly like SimHash text
+    * signatures; rows whose magic lied (undecodable behind a valid
+    * prefix) have no hash, never pair, and survive as singletons — the
+    * per-row degrade contract of the multimodal layer; (4) a
+    * container-format histogram of the survivors. */
+  def runMedia(media: DataFrame, idCol: String, payloadCol: String,
+               method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+               log: String => Unit = m => System.err.println(m)): (DataFrame, MediaReport) = {
+    // stage 1: validity — prefix check only, rides the scan
+    val (valid, input, afterValid) = observedStage(media,
+      _.filter(imageFormat(payloadCol).isNotNull))
+    log(s"[curate-img] image magic: $input -> $afterValid")
+
+    // stage 2: exact byte dedup, keep min id per payload md5 — (fp, id)
+    // only through the exchange, never the payload bytes
+    val exact = keepMinPerFp(valid.withColumn("_fp", md5(col(payloadCol))), idCol)
+      .drop("_fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count()
+    valid.unpersist()
+    log(s"[curate-img] exact byte dedup: $afterValid -> $afterExact")
+
+    // stage 3: perceptual near-dup clusters; every non-representative
+    // member (cluster != id) is dropped
+    val clusters = SimilarJoin.similarClusters(exact, idCol, payloadCol, method)
+    val dropIds = clusters.filter(col("cluster") =!= col("id"))
+      .select(col("id").as(idCol))
+    val curated = exact.join(dropIds, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterNear = curated.count()
+    exact.unpersist()
+    log(s"[curate-img] near dedup (dHash <= ${method.maxHamming}): " +
+      s"$afterExact -> $afterNear")
+
+    // stage 4: container histogram of the survivors — one tiny agg
+    val profile = curated
+      .groupBy(imageFormat(payloadCol).as("_fmt"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val formatProfile = profile.map(r => r.getString(0) -> r.getLong(1)).toMap
+    log(s"[curate-img] kept $afterNear images; formats: " +
+      formatProfile.toSeq.sortBy(_._1).map { case (f, n) => s"$f=$n" }.mkString(", "))
+
+    (curated, MediaReport(input, afterValid, afterExact, afterNear, formatProfile))
   }
 
   /** INCREMENTAL embedding curation — [[runIncremental]]'s contract

@@ -440,25 +440,8 @@ object Dedup {
     val sigA = sigOf(newDf)
     val sigB = corpusSigs.map(validateSimhashSigs).getOrElse(sigOf(corpusDf))
     val ownB = corpusSigs.isEmpty
-    def bandedOf(sig: DataFrame, tag: String) = dropHotBuckets(
-      sig.select(col("id"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
-          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
-        .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv")),
-      Seq("bi", "bv"), maxBucket, s"simhashNearDupPairsAgainst($tag)")
-    val pairs = bandedOf(sigA, "new")
-      .select(col("bi"), col("bv"), col("id").as("id_a"))
-      .join(bandedOf(sigB, "corpus")
-        .select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val verified = pairs
-      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
+    val verified = hammingAbPlan(sigA, sigB, 4, maxHamming, maxBucket,
+      "simhashNearDupPairsAgainst")
     if (!cacheSignatures) verified
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -685,24 +668,164 @@ object Dedup {
     val sig = if (cacheSignatures)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
-    val banded0 = sig.select(col("id"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
-        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
-      .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val banded = dropHotBuckets(banded0, Seq("bi", "bv"), maxBucket,
-      "simhashNearDupPairs")
+    (sig, hammingSelfPlan(sig, 4, maxHamming, maxBucket, "simhashNearDupPairs"))
+  }
+
+  // ------------------------------------------------ banded Hamming core
+  //
+  // The byte-band candidate machinery shared by every Hamming-signature
+  // method: 32-bit text SimHash (4 bands) and 64-bit image dHash
+  // (8 bands). Pigeonhole: a pair within Hamming distance nBands-1 has
+  // at least one intact byte-band, so recall is exact up to nBands-1
+  // and band-approximate beyond. `shiftright` is arithmetic but the
+  // 255-mask makes the top band of a negative 64-bit signature correct
+  // anyway.
+
+  /** Self-join form over a `(id, sig)` frame: explode into (band index,
+    * byte value), cap hot buckets, equi-join on the band key carrying
+    * (band, id) only, pair-dedup, THEN fetch the one-long signatures
+    * and verify with exact bit_count Hamming. */
+  private def hammingSelfPlan(sig: DataFrame, nBands: Int, maxHamming: Int,
+                              maxBucket: Int, tag: String): DataFrame = {
+    val banded = dropHotBuckets(bandedOf(sig, nBands), Seq("bi", "bv"),
+      maxBucket, tag)
     val pairs = banded.select(col("bi"), col("bv"), col("id").as("id_a"))
       .join(banded.select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val verified = pairs
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    hammingVerify(pairs, sig, sig, maxHamming)
+  }
+
+  /** A-vs-B form: new-side bands probed into the corpus-side band
+    * index; independent id spaces, no `<` canonicalization. */
+  private def hammingAbPlan(sigA: DataFrame, sigB: DataFrame, nBands: Int,
+                            maxHamming: Int, maxBucket: Int,
+                            tag: String): DataFrame = {
+    def capped(sig: DataFrame, side: String) = dropHotBuckets(
+      bandedOf(sig, nBands), Seq("bi", "bv"), maxBucket, s"$tag($side)")
+    val pairs = capped(sigA, "new")
+      .select(col("bi"), col("bv"), col("id").as("id_a"))
+      .join(capped(sigB, "corpus")
+        .select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    hammingVerify(pairs, sigA, sigB, maxHamming)
+  }
+
+  private def bandedOf(sig: DataFrame, nBands: Int): DataFrame =
+    sig.select(col("id"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("bi"),
+        shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+
+  private def hammingVerify(pairs: DataFrame, sigA: DataFrame,
+                            sigB: DataFrame, maxHamming: Int): DataFrame =
+    pairs
+      .join(sigA.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
-    (sig, verified)
+
+  // ------------------------------------------------ image dHash method
+
+  /** The persistable image-dHash signature table — `(id, dsig)`, the
+    * [[simhashSignatures]] analog for image payloads (same staleness
+    * rule: the table IS the corpus; append-on-accept). The column is
+    * named `dsig`, NOT `sig`, so a stored SimHash table cross-wired
+    * into the image path (or vice versa) fails the schema check loudly
+    * — both are one long per row, so a value-level mix-up would just
+    * silently pair nothing. Rows whose payload doesn't decode to a
+    * >= 9×8 image are ABSENT (no hash exists for them; mirrors
+    * NULL-text dropping in the text methods). */
+  def dhashSignatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    graft.multimodal.Multimodal.withDHash(df, idCol, payloadCol)
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig").as("dsig"))
+
+  private def validateDhashSigs(sigs: DataFrame): DataFrame = {
+    val cols = sigs.columns.toSet
+    require(cols.contains("id") && cols.contains("dsig"),
+      s"corpus image-dHash signature frame needs columns (id, dsig), got " +
+        s"(${sigs.columns.mkString(", ")}) — build it with " +
+        "Dedup.dhashSignatures" +
+        (if (cols.contains("sig") || cols.contains("bands"))
+          " (this table belongs to a TEXT method)" else ""))
+    val s = sigs.agg(count(lit(1)).as("n"), count(col("dsig")).as("ok"))
+      .collect().head
+    require(s.getLong(1) == s.getLong(0),
+      s"corpus image-dHash signature frame has ${s.getLong(0) - s.getLong(1)} " +
+        s"of ${s.getLong(0)} rows with a NULL dsig — rebuild with " +
+        "Dedup.dhashSignatures")
+    sigs.select(col("id"), col("dsig").as("sig"))
+  }
+
+  /** Perceptual image near-dup PAIRS over a binary payload column:
+    * [[graft.multimodal.Multimodal.dHash64]] per image (the one
+    * O(pixels) pass), then the same byte-band machinery as
+    * [[simhashNearDupPairs]] at 64 bits / 8 bands — candidates share
+    * (band index, byte value), exact bit_count Hamming verifies.
+    * Recall is exact up to Hamming 7 (pigeonhole over 8 bands).
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape: the decode pass runs ONCE per image into a cached
+    * one-long signature frame; everything after shuffles (band, id)
+    * ints only. At 100 TB of images the decode dominates — which is
+    * why [[dhashSignatures]] exists as the train-once artifact. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 7,
+                        cacheSignatures: Boolean = true,
+                        maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val sig0 = graft.multimodal.Multimodal.withDHash(df, idCol, payloadCol)
+      .filter(col("sig").isNotNull)
+    val sig = if (cacheSignatures)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
+    val verified = hammingSelfPlan(sig, 8, maxHamming, maxBucket,
+      "imageNearDupPairs")
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sig.unpersist()
+      out
+    }
+  }
+
+  /** Two-sided (A vs B) image near-dup pairs — [[imageNearDupPairs]]'
+    * incremental shape, mirroring [[simhashNearDupPairsAgainst]]:
+    * new-side hashes probed into the corpus-side (band, byte) index.
+    * `corpusSigs` takes a stored [[dhashSignatures]] table (corpusDf
+    * is then never decoded; cache lifecycle stays with the caller) —
+    * at 100 TB the corpus DECODE pass, not the band join, is the cost
+    * the artifact removes from the daily run. */
+  def imageNearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                               idCol: String, payloadCol: String,
+                               maxHamming: Int = 7,
+                               cacheSignatures: Boolean = true,
+                               maxBucket: Int = defaultMaxBucket,
+                               corpusSigs: Option[DataFrame] = None): DataFrame = {
+    def sigOf(df: DataFrame) = {
+      val s0 = graft.multimodal.Multimodal.withDHash(df, idCol, payloadCol)
+        .filter(col("sig").isNotNull)
+      if (cacheSignatures)
+        s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s0
+    }
+    val sigA = sigOf(newDf)
+    val sigB = corpusSigs.map(validateDhashSigs).getOrElse(sigOf(corpusDf))
+    val ownB = corpusSigs.isEmpty
+    val verified = hammingAbPlan(sigA, sigB, 8, maxHamming, maxBucket,
+      "imageNearDupPairsAgainst")
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sigA.unpersist()
+      if (ownB) sigB.unpersist()
+      out
+    }
   }
 }

@@ -23,6 +23,15 @@ object SimilarityMethod {
     * up to Hamming 3, band-approximate beyond. */
   case class SimHash(maxHamming: Int = 3) extends SimilarityMethod
 
+  /** 64-bit perceptual image dHash
+    * ([[graft.multimodal.Multimodal.dHash64]]) with byte-banding over
+    * 8 bands; the content column is a BINARY image payload
+    * (PNG/JPEG/GIF/BMP), score = Hamming distance in [0,64] (LOWER is
+    * closer), kept when <= `maxHamming`. Exact recall up to Hamming 7,
+    * band-approximate beyond. Rows whose payload doesn't decode to a
+    * >= 9×8 image have no hash and never pair. */
+  case class ImageDHash(maxHamming: Int = 7) extends SimilarityMethod
+
   /** Embedding cosine; score = cosine similarity in [-1,1], kept when
     * >= `minCos`. The content column must be an array vector.
     *
@@ -94,6 +103,11 @@ object SimilarJoin {
             cacheSignatures, maxBucket)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))
+      case SimilarityMethod.ImageDHash(mh) =>
+        Dedup.imageNearDupPairs(df, idCol, contentCol, mh,
+            cacheSignatures, maxBucket)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("double").as("score"))
       case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _, _) =>
         embeddingPairs(df, idCol, contentCol, blockCol, minCos,
           cacheSignatures, maxBucket)
@@ -135,9 +149,10 @@ object SimilarJoin {
                          corpusSigs: Option[DataFrame] = None): DataFrame = {
     require(corpusSigs.isEmpty ||
         !method.isInstanceOf[SimilarityMethod.EmbeddingCosine],
-      "corpusSigs is the text-method train-once artifact " +
-        "(Dedup.lshSignatures / Dedup.simhashSignatures); for embeddings " +
-        "pass a CellIndex via EmbeddingCosine(index = ...) instead")
+      "corpusSigs is the signature-method train-once artifact " +
+        "(Dedup.lshSignatures / Dedup.simhashSignatures / " +
+        "Dedup.dhashSignatures); for embeddings pass a CellIndex via " +
+        "EmbeddingCosine(index = ...) instead")
     method match {
       case SimilarityMethod.MinHashLsh(n, b, mj) =>
         Dedup.lshNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
@@ -145,6 +160,11 @@ object SimilarJoin {
           .withColumnRenamed("jaccard", "score")
       case SimilarityMethod.SimHash(mh) =>
         Dedup.simhashNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
+            mh, cacheSignatures, maxBucket, corpusSigs)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("double").as("score"))
+      case SimilarityMethod.ImageDHash(mh) =>
+        Dedup.imageNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
             mh, cacheSignatures, maxBucket, corpusSigs)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))

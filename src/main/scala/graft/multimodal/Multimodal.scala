@@ -276,6 +276,144 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an image payload —
+    * the standard public construction: decode, grayscale, downscale to
+    * a 9×8 grid, then one bit per horizontally-adjacent cell pair
+    * (bit y*8+x set iff mean(x,y) < mean(x+1,y)). Hamming-near hashes
+    * ⇒ visually near-duplicate images, robust to exactly the edits
+    * byte-equality is blind to: re-encoding, uniform brightness/
+    * contrast shifts (any strictly-monotone pixel transform preserves
+    * every comparison, hence the WHOLE hash), and mild resizing
+    * (block means are stable under scaling).
+    *
+    * Determinism contract (what the q74 oracle leans on): grayscale is
+    * integer luminance `(299r + 587g + 114b) / 1000` per pixel, and
+    * each grid cell is the exact arithmetic mean over the pixel
+    * rectangle `[cx*w/9, (cx+1)*w/9) × [cy*h/8, (cy+1)*h/8)` — our own
+    * block average, NOT a Graphics2D scale, so there is no
+    * interpolation kernel or rendering-hint dependence anywhere.
+    * None for undecodable payloads or images smaller than the 9×8
+    * grid (no meaningful hash exists; callers drop such rows the same
+    * way the text finders drop NULL text). */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    try {
+      if (payload == null) None
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val mean = Array.ofDim[Double](8, 9)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 9) {
+              val (x0, x1) = (cx * w / 9, (cx + 1) * w / 9)
+              val (y0, y1) = (cy * h / 8, (cy + 1) * h / 8)
+              var sum = 0L; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+                    + 114 * (rgb & 255)) / 1000
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              mean(cy)(cx) = sum.toDouble / n
+              cx += 1
+            }
+            cy += 1
+          }
+          var sig = 0L
+          cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              if (mean(cy)(cx) < mean(cy)(cx + 1)) sig |= 1L << (cy * 8 + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          Some(sig)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** dHash as a partition-wise column: `(id, sig)` with a NULL sig for
+    * rows whose payload does not decode to a >= 9×8 image — the same
+    * null-means-no-signature contract as the text signature frames
+    * ([[graft.dedup.Dedup]] drops them before banding). The id is cast
+    * to long like [[decodeMeta]]. Decode is inherently O(pixels) JVM
+    * work, so it rides `mapPartitions` (one codec registry per JVM,
+    * rows streamed), not an expression. */
+  def withDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, dHash64(p)) })
+      .toDF("id", "sig")
+  }
+
+  /** Deterministic synthetic test image: a 72×64 PNG of 8×8
+    * constant-gray blocks on a 9×8 grid, block value derived from
+    * md5("<base>_<cx>_<cy>") — the SAME formula the q74 oracle
+    * computes in SQL (`ascii` over the first three hex chars; md5 hex
+    * is lowercase in both engines). Because PNG is lossless and the
+    * blocks align exactly with [[dHash64]]'s grid, the hash of the
+    * synthesized image is analytically derivable — which is what lets
+    * an image-decode operator sit under a DuckDB oracle that cannot
+    * decode images.
+    *
+    * Variants model the near-dup edits a crawl actually sees, chosen
+    * so their effect on the hash is provable: 1 and 2 are uniform
+    * brightness shifts (+15, +40 — monotone, hash-identical to
+    * variant 0 bit for bit), 3 re-derives one interior cell (3,3)
+    * from md5("<base>_p") (flips at most the two comparisons that
+    * touch the cell ⇒ Hamming <= 2 from variant 0). Distinct bases
+    * give independent 64-bit hashes (expected Hamming ~32). Gray
+    * values stay in [40, 230] so no variant shift can clip. */
+  def synthGridImage(base: Long, variant: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val g0 =
+          if (variant == 3 && cx == 3 && cy == 3) grayOf(md5Hex(s"${base}_p"))
+          else grayOf(md5Hex(s"${base}_${cx}_${cy}"))
+        val g = g0 + (variant match { case 1 => 15; case 2 => 40; case _ => 0 })
+        val rgb = (g << 16) | (g << 8) | g
+        var py = cy * 8
+        while (py < cy * 8 + 8) {
+          var px = cx * 8
+          while (px < cx * 8 + 8) { img.setRGB(px, py, rgb); px += 1 }
+          py += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** `40 + ((ascii(h[0])*131 + ascii(h[1])*17 + ascii(h[2])) % 151)` —
+    * gray in [40, 190]; the SQL twin is spelled out in the q74
+    * oracle. */
+  private[graft] def grayOf(h: String): Int =
+    40 + ((h(0) * 131 + h(1) * 17 + h(2)) % 151)
+
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   /** Frame sampling for video rows: one virtual frame every `everyMs`,
     * exploded as (media_id, frame_idx, ts_ms) — the downstream shape a
     * vision model consumes. Pure plan-level explode, no codec needed. */

@@ -181,6 +181,47 @@ class CurateSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("runMedia walks magic validity -> byte dedup -> dHash clustering") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    //   1, 2 -> byte-identical PNGs (exact dup; keep 1)
+    //   3    -> brightness-shifted variant of 1 (different bytes, same
+    //           dHash; clusters with 1, dropped)
+    //   4    -> independent pattern, JPEG container (singleton, kept)
+    //   5    -> unrelated base (singleton, kept)
+    //   10   -> null payload          } dropped by validity
+    //   11   -> no image magic        }
+    //   12   -> PNG magic, corrupt body (passes validity, no hash,
+    //           survives as a singleton — the per-row degrade contract)
+    val png0 = Multimodal.synthGridImage(50L, 0)
+    val jpegBytes = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthGridImage(60L, 0)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    val media = Seq(
+      (1L, Option(png0)), (2L, Option(png0)),
+      (3L, Option(Multimodal.synthGridImage(50L, 1))),
+      (4L, Option(jpegBytes)),
+      (5L, Option(Multimodal.synthGridImage(70L, 0))),
+      (10L, Option.empty[Array[Byte]]),
+      (11L, Option(Array[Byte](1, 2, 3, 4, 5))),
+      (12L, Option(corrupt))
+    ).toDF("media_id", "payload")
+    val (curated, report) = Curate.runMedia(media, "media_id", "payload",
+      log = _ => ())
+    val ids = curated.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L, 5L, 12L))
+    assert(report.input == 8 && report.afterValid == 6)
+    assert(report.afterExact == 5, "byte-identical payloads dedup to min id")
+    assert(report.afterNear == 4)
+    assert(report.formatProfile == Map("png" -> 3L, "jpeg" -> 1L))
+    curated.unpersist()
+  }
+
   test("runIncrementalEmbedding bootstraps correctly on an EMPTY corpus") {
     import spark.implicits._
     // day one of an incremental pipeline: no standing corpus yet. The

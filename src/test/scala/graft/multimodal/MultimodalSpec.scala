@@ -187,4 +187,108 @@ class MultimodalSpec extends SparkSpec {
     // only media 3 (video, 2500ms) → frames at 0, 1000, 2000
     assert(frames.toSet == Set((3L, 0L, 0L), (3L, 1L, 1000L), (3L, 2L, 2000L)))
   }
+
+  // ------------------------------------------------------------ dHash
+
+  /** The analytic dHash of a synthetic grid image, computed straight
+    * from the md5 cell formula with NO image in sight — an independent
+    * reimplementation (not a call into the main-code helpers), so a
+    * drift in either the synth layout or the decode/grayscale/
+    * block-mean path breaks the equality test below. */
+  private def analyticDHash(base: Long, variant: Int): Long = {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def gray(h: String): Int = 40 + ((h(0) * 131 + h(1) * 17 + h(2)) % 151)
+    val g = Array.tabulate(8, 9) { (cy, cx) =>
+      val v =
+        if (variant == 3 && cx == 3 && cy == 3) gray(md5(s"${base}_p"))
+        else gray(md5(s"${base}_${cx}_${cy}"))
+      v + (variant match { case 1 => 15; case 2 => 40; case _ => 0 })
+    }
+    (for (cy <- 0 until 8; cx <- 0 until 8 if g(cy)(cx) < g(cy)(cx + 1))
+      yield 1L << (cy * 8 + cx)).foldLeft(0L)(_ | _)
+  }
+
+  test("dHash64 of the synthetic grid equals the analytic formula (the q74 contract)") {
+    // decode → integer luminance → exact block mean → comparisons must
+    // recover the md5 cell values bit for bit; this equality is exactly
+    // what lets q74's DuckDB oracle verify an image operator without
+    // decoding images
+    for (base <- Seq(0L, 7L, 42L, 1234L); v <- 0 to 3) {
+      val h = dHash64(synthGridImage(base, v))
+      assert(h.contains(analyticDHash(base, v)), s"base=$base variant=$v")
+    }
+    // pinned literal: catches a drift that changes BOTH sides in sync
+    // (e.g. editing the shared formula) — the gate hash would move too
+    assert(dHash64(synthGridImage(42L, 0)).contains(-9032609337118674107L))
+  }
+
+  test("dHash survives edits that break byte equality") {
+    val v0 = synthGridImage(99L, 0)
+    // uniform brightness shifts: different bytes, IDENTICAL hash (any
+    // strictly monotone pixel transform preserves every comparison)
+    val v1 = synthGridImage(99L, 1)
+    assert(!v0.sameElements(v1))
+    assert(dHash64(v0) == dHash64(v1))
+    // one perturbed interior cell: at most the two comparisons that
+    // touch cell (3,3) flip
+    val v3 = synthGridImage(99L, 3)
+    val d03 = java.lang.Long.bitCount(
+      dHash64(v0).get ^ dHash64(v3).get)
+    assert(d03 <= 2, s"perturbation moved $d03 bits")
+    // JPEG re-encode: lossy pixels, near-identical hash. High-contrast
+    // checkerboard so DCT noise (a few gray levels) cannot cross any
+    // adjacent-cell gap.
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      checkerboard()))
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", jout))
+    val dj = java.lang.Long.bitCount(
+      dHash64(checkerboard()).get ^ dHash64(jout.toByteArray).get)
+    assert(dj <= 7, s"JPEG re-encode moved $dj bits")
+    // halving resize through the REAL resize path (72×64 → 36×32,
+    // block-aligned): hash stays within the near-dup threshold
+    val resized = resize(decodeMeta(
+        Seq(1L -> checkerboard()).toDF("media_id", "payload"),
+        "media_id", "payload"), 36)
+      .collect().head.payload
+    val dr = java.lang.Long.bitCount(
+      dHash64(checkerboard()).get ^ dHash64(resized).get)
+    assert(dr <= 7, s"halving resize moved $dr bits")
+  }
+
+  private def checkerboard(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 72) {
+      val g = if (((x / 8) + (y / 8)) % 2 == 0) 60 else 190
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("dHash is None for undecodable, sub-grid, and null payloads") {
+    assert(dHash64(null) == None)
+    assert(dHash64(Array[Byte](1, 2, 3)) == None)
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      0x42, 0x42, 0x42, 0x42)
+    assert(dHash64(corrupt) == None)
+    assert(dHash64(imageBytes("png", 8, 8)) == None)  // < 9 wide
+    assert(dHash64(imageBytes("png", 9, 8)).isDefined) // minimum grid
+  }
+
+  test("withDHash: null sigs for non-images, hash column for real ones") {
+    val df = Seq(
+      1L -> synthGridImage(5L, 0),
+      2L -> Array[Byte](9, 9, 9),
+      3L -> synthGridImage(5L, 1)).toDF("media_id", "payload")
+    val got = withDHash(df, "media_id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(2L) == None)
+    assert(got(1L).isDefined && got(1L) == got(3L)) // brightness-invariant
+  }
 }
