@@ -441,6 +441,18 @@ object Curate {
     * wants. Batch and corpus ids must come from one id space with no
     * value collisions (component membership mixes them).
     *
+    * MULTI-DAY composition (spec-pinned over three chained CLI
+    * increments with artifact-union maintenance): with contiguous
+    * day slices in id order the chained standing corpus equals one
+    * full [[run]] over all slices, EXCEPT for the one documented
+    * drift — a transitive chain a–b–c spanning days with no direct
+    * a–c edge keeps c (b was rejected on its day, so it is absent
+    * from the corpus when c arrives; the full run's global clustering
+    * drops c through b). This is inherent to append-on-accept: the
+    * incremental contract is "nothing near the ACCEPTED corpus
+    * enters", not "global clustering replay". Both behaviors are
+    * asserted in CurateSpec.
+    *
     * `corpusSigs` (text methods): the corpus's stored
     * [[graft.dedup.Dedup.lshSignatures]] (MinHashLsh) or
     * [[graft.dedup.Dedup.simhashSignatures]] (SimHash) table — the

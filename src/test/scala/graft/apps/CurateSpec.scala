@@ -455,6 +455,108 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("THREE chained daily increments with artifact-union maintenance equal the full run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-chain").toFile
+    Mains.keepSessionForTests = true
+    try {
+      val docs = Tables.load(spark, sf(), "documents")
+      val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      // CONTIGUOUS day slices in id order — the production shape (ids
+      // grow monotonically as days arrive). This makes min-id cluster
+      // representatives day-consistent: any cross-day pair resolves to
+      // its earliest member on both paths. The one remaining drift —
+      // a transitive chain spanning days with no direct edge — is
+      // demonstrated in the next test.
+      def slice(k: Int) = docs.filter(
+        col("doc_id") >= k * n / 4 && col("doc_id") < (k + 1) * n / 4)
+      def path(s: String) = new java.io.File(dir, s).getAbsolutePath
+
+      // day 0: bootstrap batch run + the full artifact set
+      val (corpus0, _) = Curate.run(slice(0), "doc_id", "text", minQ, method, _ => ())
+      corpus0.write.parquet(path("corpus0"))
+      corpus0.unpersist()
+      Dedup.lshSignatures(spark.read.parquet(path("corpus0")), "doc_id", "text")
+        .write.parquet(path("sigs0"))
+      Curate.textFingerprints(spark.read.parquet(path("corpus0")), "text")
+        .write.parquet(path("fps0"))
+
+      // days 1-3 through the CLI, with the documented append-on-accept
+      // maintenance move between each: union accepted/, sigs/, fps/
+      // into the standing tables
+      for (day <- 1 to 3) {
+        val batchDir = path(s"batch$day")
+        slice(day).write.parquet(s"$batchDir/documents.parquet")
+        CurateIncrementalMain.main(Array(batchDir, path(s"corpus${day - 1}"),
+          path(s"day$day"), s"minQuality=$minQ", "method=0.6",
+          s"sigs=${path(s"sigs${day - 1}")}", s"fps=${path(s"fps${day - 1}")}"))
+        spark.read.parquet(path(s"corpus${day - 1}"))
+          .unionByName(spark.read.parquet(path(s"day$day") + "/accepted"))
+          .write.parquet(path(s"corpus$day"))
+        spark.read.parquet(path(s"sigs${day - 1}"))
+          .unionByName(spark.read.parquet(path(s"day$day") + "/sigs"))
+          .write.parquet(path(s"sigs$day"))
+        spark.read.parquet(path(s"fps${day - 1}"))
+          .unionByName(spark.read.parquet(path(s"day$day") + "/fps"))
+          .write.parquet(path(s"fps$day"))
+      }
+
+      // the chained standing corpus after day 3 == ONE full batch run
+      // over all four slices (the real documents table has no
+      // day-spanning no-direct-edge transitive chain at 0.6, so the
+      // documented drift case is empty here)
+      val chained = spark.read.parquet(path("corpus3"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val (full, _) = Curate.run(docs, "doc_id", "text", minQ, method, _ => ())
+      val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(chained == fullIds,
+        s"chain-only: ${chained -- fullIds}; full-only: ${fullIds -- chained}")
+      assert(chained.nonEmpty)
+      full.unpersist()
+    } finally {
+      Mains.keepSessionForTests = false
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("documented drift: a day-spanning transitive chain keeps its tail member") {
+    import spark.implicits._
+    // a–b near, b–c near, a–c NOT near, arriving on three different
+    // days: the full run clusters {a,b,c} and keeps only a; the chain
+    // never sees the b–c edge (b was rejected on day 2, so it is not
+    // in the corpus when c arrives) and accepts c. This is the ONE
+    // composition drift of the append-on-accept loop — the incremental
+    // contract is "nothing near the ACCEPTED corpus enters", not
+    // "global clustering replay".
+    // b = P+Q; a shares only P, c shares only Q ⇒ J(a,b)=J(b,c)=0.4,
+    // J(a,c)=0.0 — a wide margin around the 0.35 threshold
+    val blockP = "one two three four five six seven eight nine ten"
+    val blockQ = "cold warm bright dark heavy light smooth rough sweet sour"
+    val a = s"$blockP apple banana"
+    val b = s"$blockP $blockQ"
+    val c = s"pepper garlic $blockQ"
+    val m = SimilarityMethod.MinHashLsh(minJaccard = 0.35)
+    val d1 = Seq(1L -> a).toDF("doc_id", "text")
+    val d2 = Seq(2L -> b).toDF("doc_id", "text")
+    val d3 = Seq(3L -> c).toDF("doc_id", "text")
+    val all = d1.unionByName(d2).unionByName(d3)
+    // the planted similarity structure actually holds under the method
+    val pairs = Dedup.lshNearDupPairs(all, "doc_id", "text", 3, 4, 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      s"fixture drifted: pairs=$pairs (need a-b and b-c but not a-c)")
+
+    val (full, _) = Curate.run(all, "doc_id", "text", 0.0, m, _ => ())
+    assert(full.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val (c1, _) = Curate.run(d1, "doc_id", "text", 0.0, m, _ => ())
+    val (a2, _) = Curate.runIncremental(d2, c1, "doc_id", "text", 0.0, m, log = _ => ())
+    assert(a2.count() == 0, "day 2: b is near the corpus member a, rejected")
+    val day3Corpus = c1.unionByName(a2)
+    val (a3, _) = Curate.runIncremental(d3, day3Corpus, "doc_id", "text", 0.0, m, log = _ => ())
+    assert(a3.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L),
+      "day 3: nothing in the ACCEPTED corpus is near c — the chain keeps it")
+    full.unpersist(); c1.unpersist(); a2.unpersist(); a3.unpersist()
+  }
+
   test("CurateIncrementalMain rejects cross-wired artifacts and unknown options") {
     Mains.keepSessionForTests = true
     try {
