@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.apps.Curate
+import graft.dedup.SimilarityMethod
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming front end for the INCREMENTAL curation
+  * pipeline: each micro-batch is curated against the standing corpus
+  * with [[Curate.runIncremental]] and ONLY the accepted rows (plus
+  * their train-once artifacts) are appended to the state directory —
+  * the streaming form of the daily `curate-incremental` CLI loop, with
+  * the same append-on-accept maintenance move per trigger instead of
+  * per day.
+  *
+  * Why `foreachBatch` and not a stateful operator: near-dup curation
+  * needs candidate JOINS against the whole accepted corpus (band
+  * index probes, connected components) — none of which has a
+  * bounded-state keyed-stream form. What CAN stream in-flight is
+  * signature-exact dedup ([[EventsStream.nearDupDedupStream]]); the
+  * corpus-relative decision is inherently a micro-batch join, and
+  * `foreachBatch` is exactly Spark's bridge for running the proven
+  * batch pipeline per trigger.
+  *
+  * State shape (the 100 TB contract): everything lives in parquet
+  * under `stateDir` — `corpus/` (accepted rows), `fps/`
+  * (fingerprints) and, for the text methods, `sigs/` (signature
+  * tables). Growth is bounded by ACCEPTANCES, never by stream volume:
+  * a rejected row leaves zero bytes of state. Each micro-batch reads
+  * the artifact tables — never the corpus text — for its exact and
+  * near stages (the corpus frame is passed for its schema and the
+  * pair joins' id side only), so per-trigger cost is ∝ batch plus one
+  * artifact-table probe, the same economics as the daily CLI.
+  *
+  * Idempotence: `foreachBatch` replays a batch id after failure
+  * (at-least-once); every write here lands in a per-batch
+  * subdirectory (`b<batchId>`) with overwrite mode, so a replay
+  * rewrites the same files instead of double-appending acceptances.
+  */
+object CurateStream {
+
+  /** Starts the stream. `docs` must be a STREAMING DataFrame carrying
+    * `idCol` and `textCol`. Returns the running query; state
+    * accumulates under `stateDir` as described above. `onBatch` is
+    * invoked with (batchId, report) after each trigger — reporting
+    * hook, not a data path. Seed a pre-existing corpus by writing its
+    * rows/artifacts as `b-1` subdirectories before starting. */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            stateDir: String,
+            minQuality: Double = 0.5,
+            method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+            checkpointLocation: Option[String] = None,
+            onBatch: (Long, Curate.Report) => Unit = (_, _) => ()): StreamingQuery = {
+    require(!method.isInstanceOf[SimilarityMethod.EmbeddingCosine] &&
+        !method.isInstanceOf[SimilarityMethod.ImageDHash],
+      "CurateStream curates TEXT batches (runIncremental); embedding/image " +
+        "streams compose runIncrementalEmbedding/similarJoinAgainst in " +
+        "their own foreachBatch")
+    val writer = docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, stateDir, minQuality,
+          method, onBatch)
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
+  }
+
+  /** One trigger: curate `batch` against the standing state and append
+    * acceptances + artifacts. Package-private so the spec can drive it
+    * directly for the replay-idempotence case. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+                                      idCol: String, textCol: String,
+                                      stateDir: String, minQuality: Double,
+                                      method: SimilarityMethod,
+                                      onBatch: (Long, Curate.Report) => Unit): Unit = {
+    val spark = batch.sparkSession
+    // a replayed batch id must NOT see its own (possibly partial)
+    // previous write as standing corpus — its rows would then drop as
+    // corpus-exact duplicates and the replay would commit an empty
+    // acceptance set. Excluding b<batchId> from every state read makes
+    // the overwrite below a true replay.
+    val corpus = readState(spark, s"$stateDir/corpus", batchId)
+      // bootstrap: no state yet — an empty corpus with the batch's
+      // shape (runIncremental only reads id/text off it)
+      .getOrElse(batch.limit(0))
+    val sigs = method match {
+      case _: SimilarityMethod.MinHashLsh | _: SimilarityMethod.SimHash =>
+        readState(spark, s"$stateDir/sigs", batchId)
+      case _ => None
+    }
+    val fps = readState(spark, s"$stateDir/fps", batchId)
+    val (accepted, report) = Curate.runIncremental(batch, corpus, idCol,
+      textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
+      log = _ => ())
+    accepted.write.mode("overwrite").parquet(s"$stateDir/corpus/b$batchId")
+    Curate.textFingerprints(accepted, textCol)
+      .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")
+    method match {
+      case SimilarityMethod.MinHashLsh(n, b, _) =>
+        graft.dedup.Dedup.lshSignatures(accepted, idCol, textCol, n, b)
+          .write.mode("overwrite").parquet(s"$stateDir/sigs/b$batchId")
+      case _: SimilarityMethod.SimHash =>
+        graft.dedup.Dedup.simhashSignatures(accepted, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$stateDir/sigs/b$batchId")
+      case _ => ()
+    }
+    accepted.unpersist()
+    onBatch(batchId, report)
+  }
+
+  /** Union of the per-batch subdirectories under `dir` (minus the
+    * in-flight batch's own), or None before the first acceptance
+    * lands. Listing is one driver-side FS call per trigger — trivial
+    * next to the batch job it gates. */
+  private def readState(spark: SparkSession, dir: String,
+                        excludeBatchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val subs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName != s"b$excludeBatchId")
+        .map(_.toString)
+      if (subs.isEmpty) None
+      else Some(spark.read.parquet(subs.toIndexedSeq: _*))
+    }
+  }
+}

@@ -225,4 +225,70 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("deduped").select("fp").as[String].collect().toSeq
     assert(got.sorted == Seq("a", "b"))
   }
+
+  test("CurateStream: two micro-batches equal the chained batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.apps.Curate
+    import graft.dedup.SimilarityMethod
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-stream").toFile
+    try {
+      val m = SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+      // batch 1: a near-dup pair (keep 1), a singleton, an exact dup
+      val tA = "the quick brown fox jumps over the lazy dog again and again today"
+      val tB = "an entirely different document all about spark shuffle partitions here"
+      val b1 = Seq(1L -> tA, 2L -> (tA + " ok"), 3L -> tB, 4L -> tA)
+      // batch 2: near-dup of the standing corpus (drop), exact dup of
+      // corpus (drop), fresh family (keep min), fresh singleton (keep)
+      val tE = "a brand new batch family document describing minhash banded candidates"
+      val b2 = Seq(11L -> (tA + " yes"), 12L -> tB, 13L -> tE,
+        14L -> (tE + " ok"), 15L -> "one genuinely novel streaming document here today")
+      val reports = scala.collection.mutable.Map.empty[Long, Curate.Report]
+      val input = MemoryStream[(Long, String)]
+      val q = CurateStream.start(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir.getAbsolutePath, minQuality = 0.0, method = m,
+        onBatch = (id, r) => reports.synchronized { reports(id) = r })
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // the streamed standing corpus == the hand-chained batch
+      // composition runIncremental(b1, ∅) then runIncremental(b2, c1)
+      val empty = b1.toDF("doc_id", "text").limit(0)
+      val (a1, _) = Curate.runIncremental(b1.toDF("doc_id", "text"), empty,
+        "doc_id", "text", 0.0, m, log = _ => ())
+      val (a2, _) = Curate.runIncremental(b2.toDF("doc_id", "text"), a1,
+        "doc_id", "text", 0.0, m, log = _ => ())
+      val want = (a1.select("doc_id").collect() ++ a2.select("doc_id").collect())
+        .map(_.getLong(0)).toSet
+      val corpus = spark.read.parquet(
+        new java.io.File(dir, "corpus").listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+      val got = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"stream=$got batch-chain=$want")
+      assert(got == Set(1L, 3L, 13L, 15L))
+
+      // per-batch reports walked the stages
+      assert(reports(0L).input == 4 && reports(1L).input == 5)
+      // state growth is bounded by ACCEPTANCES: artifact rows == kept
+      // rows per batch, rejected rows leave zero state
+      val sigs = spark.read.parquet(
+        new java.io.File(dir, "sigs").listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+      val fps = spark.read.parquet(
+        new java.io.File(dir, "fps").listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+      assert(sigs.count() == got.size && fps.count() == got.size)
+
+      // foreachBatch replay idempotence: re-running batch 1 overwrites
+      // its own subdirectory instead of double-appending acceptances
+      CurateStream.processBatch(b1.toDF("doc_id", "text"), 0L, "doc_id",
+        "text", dir.getAbsolutePath, 0.0, m, (_, _) => ())
+      val afterReplay = spark.read.parquet(
+        new java.io.File(dir, "corpus").listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterReplay == got, "replay must be idempotent")
+      a1.unpersist(); a2.unpersist()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
