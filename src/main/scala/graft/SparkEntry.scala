@@ -854,6 +854,43 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** BPE tokenizer TRAINING through the gate: TextOps.trainBpe —
+    * distributed pair-count merge loop over the distinct-word state
+    * table — on the EVEN half of `documents`, 12 merges. The output is
+    * the learned merge table itself (step, lhs, rhs, merged,
+    * pair_count); the oracle re-derives it with the loop UNROLLED into
+    * 12 CTE triples (DuckDB has no iteration), so a wrong pair count,
+    * tie-break, or greedy-replace semantics diverges at the first
+    * differing step and fails the hash. The merge rules are the model:
+    * they are the only thing the driver ever holds. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.text.TextOps.trainBpe(
+      T(s, d, "documents").filter(col("doc_id") % 2 === 0), "text",
+      numMerges = 12)
+    s.createDataFrame(merges)
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+        col("pairCount").as("pair_count"))
+      .orderBy(col("step"))
+  }
+
+  /** BPE SEGMENTATION of a held-out split through the gate: train on
+    * even doc_ids (exactly q76), apply to the odd ones —
+    * TextOps.withBpeSegmentation folds the merge rules into one
+    * codegen'd replace chain per document. Output pins both the full
+    * segmentation string (`|`-terminated tokens) and the BPE token
+    * count per held-out document, so a single mis-merged boundary in
+    * any document fails the hash. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val merges = graft.text.TextOps.trainBpe(
+      docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 12)
+    graft.text.TextOps.withBpeSegmentation(
+        docs.filter(col("doc_id") % 2 === 1), "text", merges,
+        segCol = "seg", nTokensCol = "n_bpe_tokens")
+      .select(col("doc_id"), col("n_bpe_tokens"), col("seg"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -941,6 +978,8 @@ object SparkEntry {
     "q73_incremental_simhash_join" -> (q73 _),
     "q74_image_dhash_pairs" -> (q74 _),
     "q75_auto_k_embed_join" -> (q75 _),
+    "q76_bpe_train" -> (q76 _),
+    "q77_bpe_segment" -> (q77 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1194,6 +1233,90 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[])))), 6) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        WHERE score >= 0.4 ORDER BY id_a, id_b"""
+
+  /** The BPE training loop UNROLLED for the q76/q77 oracles: DuckDB
+    * has no iteration, so each merge step is a CTE triple —
+    * p{i} (adjacent-pair counts weighted by word freq), b{i} (the
+    * argmax pair under the (count DESC, lhs, rhs) tie-break), w{i}
+    * (the vocab re-tokenized by one sentinel-bounded literal replace,
+    * DuckDB's `replace` being the same greedy left-to-right
+    * non-overlapping pass as Spark's). Every CTE is MATERIALIZED:
+    * w{i} is read twice (by p{i+1} and w{i+1}), and inlined CTEs
+    * would re-expand the chain exponentially (~2^n scans of w0 — the
+    * un-hinted form did not finish at n = 12 during development).
+    * Sentinels are chr(1)/chr(2), matching TextOps.BpeL/BpeR.
+    * Cross-validated against an independent imperative BPE
+    * implementation during development (identical 12-step merge
+    * tables on the sf0.01 corpus). */
+  private def bpeCtes(n: Int, trainFilter: String): String = {
+    val head = s"""w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g') AS wrapped,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE $trainFilter)
+        WHERE length(w) > 0
+        GROUP BY 1)"""
+    val steps = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(tok)),
+                       j -> {'lhs': tok[j], 'rhs': tok[j+1]})) AS pr, freq
+              FROM (SELECT string_split(substr(wrapped, 2, length(wrapped)-2),
+                             chr(2)||chr(1)) AS tok, freq FROM w${i - 1}))
+        GROUP BY 1, 2),
+      b$i AS MATERIALIZED (
+        SELECT $i AS step, lhs, rhs, lhs||rhs AS merged, cnt AS pair_count
+        FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT replace(w.wrapped, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
+                       chr(1)||b.merged||chr(2)) AS wrapped, w.freq
+        FROM w${i - 1} w CROSS JOIN b$i b)"""
+    }
+    (head +: steps).mkString(",\n      ")
+  }
+
+  private val BpeSteps = 12
+  private val BpeTrainFilter = "doc_id % 2 = 0"
+
+  private def q76Sql: String = {
+    val union = (1 to BpeSteps).map(i => s"SELECT * FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(BpeSteps, BpeTrainFilter)}
+       SELECT step, lhs, rhs, merged, pair_count FROM ($union)
+       ORDER BY step"""
+  }
+
+  /** q77 oracle: train exactly as q76, then apply the learned rules to
+    * the held-out (odd doc_id) split — the whole normalized document
+    * is sentinel-wrapped per character (spaces become tokens no rule
+    * from whitespace-split training can touch, enforcing word
+    * boundaries), and the 12 rules chain as CROSS JOINs against the
+    * one-row b{i} CTEs in training order. Token count = sentinel count
+    * minus space count. */
+  private def q77Sql: String = {
+    val apply0 = """a0 AS MATERIALIZED (
+        SELECT doc_id, norm,
+          regexp_replace(norm, '(.)', chr(1)||'\1'||chr(2), 'g') AS s
+        FROM (SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+              FROM documents WHERE doc_id % 2 = 1))"""
+    val applySteps = (1 to BpeSteps).map { i =>
+      s"""a$i AS MATERIALIZED (
+        SELECT doc_id, norm,
+          replace(s, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
+                  chr(1)||b.merged||chr(2)) AS s
+        FROM a${i - 1} CROSS JOIN b$i b)"""
+    }
+    s"""WITH ${bpeCtes(BpeSteps, BpeTrainFilter)},
+      $apply0,
+      ${applySteps.mkString(",\n      ")}
+       SELECT doc_id,
+         CAST((length(s) - length(replace(s, chr(1), '')))
+            - (length(norm) - length(replace(norm, ' ', ''))) AS BIGINT)
+           AS n_bpe_tokens,
+         replace(replace(s, chr(1), ''), chr(2), '|') AS seg
+       FROM a$BpeSteps ORDER BY doc_id"""
+  }
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -1713,5 +1836,7 @@ object SparkEntry {
     // never the pair set — that K-independence is what this gate proves
     // for the shipped default
     "q75_auto_k_embed_join" -> q64Sql,
+    "q76_bpe_train" -> q76Sql,
+    "q77_bpe_segment" -> q77Sql,
   )
 }

@@ -194,4 +194,138 @@ object TextOps {
     import org.apache.spark.sql.graft.bridge
     bridge.column(graft.functions.RollingWordHash(bridge.expression(c)))
   }
+
+  // ----------------------------------------------------------- BPE
+
+  /** Sentinel markers wrapping every token during BPE training and
+    * application: a token sequence is stored as the single string
+    * `\u0001tok\u0002\u0001tok\u0002...`, so applying the merge rule
+    * (x, y) is ONE literal (codegen'd, non-regex) string replace of
+    * `\u0001x\u0002\u0001y\u0002` -> `\u0001xy\u0002` --- which is
+    * exactly BPE's greedy left-to-right non-overlapping pass, and can
+    * never false-match inside a token or across a word boundary (the
+    * sentinels bound every token; merges never contain them; control
+    * chars never appear inside whitespace-tokenized words). */
+  private val BpeL = "\u0001"
+  private val BpeR = "\u0002"
+
+  /** Each character of `c` wrapped in the BPE sentinels — the initial
+    * (all-single-character) tokenization. `.`-per-char regex: one
+    * UTF-16 unit per token, identical to the oracle's RE2 codepoint
+    * semantics on the BMP text this operates on. */
+  private def bpeWrapChars(c: Column): Column =
+    regexp_replace(c, "(.)", s"$BpeL$$1$BpeR")
+
+  /** Literal sentinel-bounded replace applying one merge rule. Uses
+    * the built-in `replace` (UTF8String, non-regex) — stays inside
+    * whole-stage codegen. */
+  private def bpeReplaceOne(c: Column, lhs: String, rhs: String): Column =
+    call_function("replace", c,
+      lit(BpeL + lhs + BpeR + BpeL + rhs + BpeR), lit(BpeL + lhs + rhs + BpeR))
+
+  /** One learned byte-pair-encoding merge: at `step` the adjacent
+    * token pair (lhs, rhs) had the highest summed corpus frequency
+    * `pairCount` (ties broken by (lhs, rhs) ascending — deterministic
+    * across engines on binary-collated strings) and fused into
+    * `merged = lhs + rhs`. */
+  final case class BpeMerge(step: Int, lhs: String, rhs: String,
+                            merged: String, pairCount: Long)
+
+  /** Lineage-cut cadence for the [[trainBpe]] merge loop. */
+  val BpeCheckpointEvery = 24
+
+  /** DISTRIBUTED BPE tokenizer training — the classic algorithm
+    * (Sennrich et al. 2016, public knowledge) re-expressed for Spark's
+    * execution model. The training state is the DISTINCT-WORD table
+    * `(wrapped-token-string, freq)` — the standard trick that makes
+    * the merge loop corpus-size-independent: one pass over the corpus
+    * builds it (map + hash-groupBy; at 100 TB it is the only
+    * corpus-sized shuffle), after which every iteration touches only
+    * |vocab| rows. Per merge step:
+    *
+    *   1. adjacent-pair counts: a narrow map explodes each word's
+    *      token pairs weighted by word freq, then ONE hash-groupBy on
+    *      (lhs, rhs) with map-side partial aggregation;
+    *   2. the argmax pair comes to the driver via `limit(1)` over
+    *      (count DESC, lhs, rhs) — the driver holds ONLY the merge
+    *      rules (O(numMerges) strings), never data rows;
+    *   3. the rule is applied as one codegen'd literal replace over
+    *      the cached vocab ([[bpeReplaceOne]]), the result cached for
+    *      the next iteration, and the parent cache released; every
+    *      [[BpeCheckpointEvery]] steps the chain is cut with an eager
+    *      `localCheckpoint` so lineage stays bounded for large
+    *      numMerges.
+    *
+    * Stops early (returns fewer than `numMerges` rules) when no
+    * adjacent pair remains — every word fused to a single token. */
+  def trainBpe(df: DataFrame, textCol: String,
+               numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val pairTy = "array<struct<lhs:string,rhs:string>>"
+    var cur = df.select(explode(words(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(bpeWrapChars(col("w")).as("wrapped"), col("freq"))
+      .persist()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var exhausted = false
+    while (acc.size < numMerges && !exhausted) {
+      val toks = split(
+        regexp_replace(col("wrapped"), s"^$BpeL|$BpeR$$", ""), s"$BpeR$BpeL")
+      // single-token words contribute no pairs; the guard keeps
+      // element_at away from the empty-sequence case under ANSI mode
+      val pairs = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("lhs"),
+                      element_at(col("t"), i + 1).as("rhs"))))
+        .otherwise(array().cast(pairTy))
+      val top = cur.select(col("freq"), toks.as("t"))
+        .select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        val (l, rr, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        acc += BpeMerge(acc.size + 1, l, rr, l + rr, c)
+        val next0 = cur.withColumn("wrapped",
+          bpeReplaceOne(col("wrapped"), l, rr))
+        val next =
+          if (acc.size % BpeCheckpointEvery == 0) next0.localCheckpoint(true)
+          else { val n = next0.persist(); n.count(); n }
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    acc.toSeq
+  }
+
+  /** Apply a learned merge table to a text column: normalized text →
+    * per-character sentinel wrap → the merge rules as a chain of
+    * literal replaces IN TRAINING ORDER (the fold is one codegen'd
+    * expression; no shuffle, no UDF). Whitespace survives as
+    * single-space tokens that no rule can touch (rules come from
+    * whitespace-split words), so word boundaries hold without a
+    * per-word explode. Adds
+    *   - `segCol`: the segmentation with each token terminated by `|`
+    *   - `nTokensCol`: BPE token count (space tokens excluded). */
+  def withBpeSegmentation(df: DataFrame, textCol: String,
+                          merges: Seq[BpeMerge],
+                          segCol: String, nTokensCol: String): DataFrame = {
+    val rep = (c: Column, find: String, to: String) =>
+      call_function("replace", c, lit(find), lit(to))
+    df.withColumn("_bnorm", normText(col(textCol)))
+      .withColumn("_bpe", merges.foldLeft(bpeWrapChars(col("_bnorm"))) {
+        (acc, m) => bpeReplaceOne(acc, m.lhs, m.rhs)
+      })
+      .withColumn(nTokensCol,
+        ((length(col("_bpe")) - length(rep(col("_bpe"), BpeL, "")))
+          - (length(col("_bnorm")) - length(rep(col("_bnorm"), " ", ""))))
+          .cast("long"))
+      .withColumn(segCol, rep(rep(col("_bpe"), BpeL, ""), BpeR, "|"))
+      .drop("_bnorm", "_bpe")
+  }
 }
