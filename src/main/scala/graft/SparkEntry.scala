@@ -891,6 +891,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE ENCODING through the gate: train on evens (exactly q76),
+    * build the alphabet+merges vocabulary (TextOps.bpeVocab), encode
+    * the held-out odd split to `(doc_id, pos, token, token_id)` rows —
+    * the shape an LLM training pipeline consumes. The vocab id
+    * resolution rides a BROADCAST join; unknown tokens encode as -1.
+    * Pins tokenization, vocabulary numbering, and UNK handling in one
+    * hash. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val merges = graft.text.TextOps.trainBpe(train, "text", numMerges = 12)
+    val vocab = graft.text.TextOps.bpeVocab(train, "text", merges)
+    graft.text.TextOps.withBpeTokenIds(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", merges, vocab)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Gopher-style repetition quality metrics through the gate: per
+    * document the top-2-gram character fraction and the
+    * duplicated-5-gram character fraction (TextOps.repetitionStats —
+    * one tagged explode, two doc-keyed shuffles, no join back), plus
+    * the paper-threshold keep flag. */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    TextOps.repetitionStats(T(s, d, "documents"), "doc_id", "text")
+      .withColumn("rep_keep",
+        col("top2_frac") <= TextOps.RepTop2Max &&
+          col("dup5_frac") <= TextOps.RepDup5Max)
+      .orderBy(col("doc_id"))
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -980,6 +1009,8 @@ object SparkEntry {
     "q75_auto_k_embed_join" -> (q75 _),
     "q76_bpe_train" -> (q76 _),
     "q77_bpe_segment" -> (q77 _),
+    "q78_bpe_token_ids" -> (q78 _),
+    "q79_repetition" -> (q79 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1293,30 +1324,130 @@ object SparkEntry {
     * boundaries), and the 12 rules chain as CROSS JOINs against the
     * one-row b{i} CTEs in training order. Token count = sentinel count
     * minus space count. */
-  private def q77Sql: String = {
-    val apply0 = """a0 AS MATERIALIZED (
+  /** The q77/q78 application chain: the whole normalized held-out
+    * document sentinel-wrapped per character (spaces become tokens no
+    * rule from whitespace-split training can touch, enforcing word
+    * boundaries), then the n rules as CROSS JOINs against the one-row
+    * b{i} CTEs in training order. */
+  private def bpeApplyCtes(n: Int, applyFilter: String): String = {
+    val apply0 = s"""a0 AS MATERIALIZED (
         SELECT doc_id, norm,
-          regexp_replace(norm, '(.)', chr(1)||'\1'||chr(2), 'g') AS s
+          regexp_replace(norm, '(.)', chr(1)||'\\1'||chr(2), 'g') AS s
         FROM (SELECT doc_id,
-                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-              FROM documents WHERE doc_id % 2 = 1))"""
-    val applySteps = (1 to BpeSteps).map { i =>
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents WHERE $applyFilter))"""
+    val applySteps = (1 to n).map { i =>
       s"""a$i AS MATERIALIZED (
         SELECT doc_id, norm,
           replace(s, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
                   chr(1)||b.merged||chr(2)) AS s
         FROM a${i - 1} CROSS JOIN b$i b)"""
     }
+    (apply0 +: applySteps).mkString(",\n      ")
+  }
+
+  /** q77 oracle: train exactly as q76, apply to the odd-id split.
+    * Token count = sentinel count minus space count. */
+  private def q77Sql: String =
     s"""WITH ${bpeCtes(BpeSteps, BpeTrainFilter)},
-      $apply0,
-      ${applySteps.mkString(",\n      ")}
+      ${bpeApplyCtes(BpeSteps, "doc_id % 2 = 1")}
        SELECT doc_id,
          CAST((length(s) - length(replace(s, chr(1), '')))
             - (length(norm) - length(replace(norm, ' ', ''))) AS BIGINT)
            AS n_bpe_tokens,
          replace(replace(s, chr(1), ''), chr(2), '|') AS seg
        FROM a$BpeSteps ORDER BY doc_id"""
+
+  /** q78 oracle: the ENCODE path — the q76 training chain, the
+    * alphabet-then-merges vocabulary (ids 0..A-1 for the sorted
+    * corpus alphabet, A+step-1 per merge, min(id) per surface string
+    * — mirroring TextOps.bpeVocab), the q77 application chain, then
+    * one row per non-space token with its contiguous 0-based position
+    * and LEFT-joined id (-1 = unknown token, the UNK sentinel). */
+  private def q78Sql: String = {
+    val bUnion = (1 to BpeSteps).map(i => s"SELECT * FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(BpeSteps, BpeTrainFilter)},
+      ${bpeApplyCtes(BpeSteps, "doc_id % 2 = 1")},
+      alpha AS MATERIALIZED (
+        SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INTEGER) AS id
+        FROM (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS ch
+              FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                    FROM documents WHERE $BpeTrainFilter)
+              WHERE length(w) > 0)),
+      vocab AS MATERIALIZED (
+        SELECT token, CAST(min(id) AS INTEGER) AS id FROM (
+          SELECT ch AS token, id FROM alpha
+          UNION ALL
+          SELECT b.merged AS token,
+                 CAST((SELECT count(*) FROM alpha) + b.step - 1 AS INTEGER) AS id
+          FROM ($bUnion) b)
+        GROUP BY token),
+      tk0 AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN length(s) >= 2 THEN list_filter(
+                 string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)),
+                 x -> x <> ' ')
+               ELSE CAST([] AS VARCHAR[]) END AS tk FROM a$BpeSteps),
+      tks AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)+1),
+                 j -> {'p': j, 't': tk[j]})) AS u FROM tk0)
+       SELECT doc_id, CAST(u.p - 1 AS INTEGER) AS pos, u.t AS token,
+         CAST(coalesce(v.id, -1) AS INTEGER) AS token_id
+       FROM tks LEFT JOIN vocab v ON u.t = v.token
+       ORDER BY doc_id, pos"""
   }
+
+  /** q79 oracle: the two repetition metrics recomputed relationally —
+    * tokenize, emit both tagged n-gram streams via
+    * `unnest(list_transform(range(...)))` (empty range for too-short
+    * docs), count per (doc, n, gram), conditional aggregates, LEFT
+    * JOIN back so gram-less docs keep their 0.0 rows. Both engines
+    * divide the same exact integers as doubles, so the IEEE quotients
+    * are bit-identical. */
+  private def q79Sql: String =
+    s"""WITH w AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> length(x) > 0) AS ws
+        FROM documents),
+      b AS (
+        SELECT doc_id, ws,
+          CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+            AS BIGINT) AS total
+        FROM w),
+      g AS (
+        SELECT doc_id, 2 AS n,
+          unnest(list_transform(range(1, len(ws)),
+            j -> ws[j] || ' ' || ws[j+1])) AS gram
+        FROM b
+        UNION ALL
+        SELECT doc_id, 5 AS n,
+          unnest(list_transform(range(1, len(ws) - 3),
+            j -> ws[j]||' '||ws[j+1]||' '||ws[j+2]||' '||ws[j+3]||' '||ws[j+4]))
+          AS gram
+        FROM b),
+      c AS (
+        SELECT doc_id, n, gram, count(*) AS cnt,
+          length(replace(gram, ' ', '')) AS chars
+        FROM g GROUP BY doc_id, n, gram),
+      a AS (
+        SELECT doc_id,
+          max(CASE WHEN n = 2 THEN cnt * chars END) AS top2,
+          sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * chars END) AS dup5
+        FROM c GROUP BY doc_id)
+       SELECT doc_id, top2_frac, dup5_frac,
+         (top2_frac <= ${TextOps.RepTop2Max}
+          AND dup5_frac <= ${TextOps.RepDup5Max}) AS rep_keep
+       FROM (
+         SELECT b.doc_id,
+           CASE WHEN b.total > 0
+             THEN CAST(coalesce(a.top2, 0) AS DOUBLE) / b.total
+             ELSE 0.0 END AS top2_frac,
+           CASE WHEN b.total > 0
+             THEN CAST(coalesce(a.dup5, 0) AS DOUBLE) / b.total
+             ELSE 0.0 END AS dup5_frac
+         FROM b LEFT JOIN a USING (doc_id))
+       ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -1838,5 +1969,7 @@ object SparkEntry {
     "q75_auto_k_embed_join" -> q64Sql,
     "q76_bpe_train" -> q76Sql,
     "q77_bpe_segment" -> q77Sql,
+    "q78_bpe_token_ids" -> q78Sql,
+    "q79_repetition" -> q79Sql,
   )
 }

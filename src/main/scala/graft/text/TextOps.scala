@@ -161,6 +161,81 @@ object TextOps {
       .drop(hitCols: _*)
   }
 
+  // -------------------------------------------- repetition metrics
+
+  /** One position-tagged word n-gram stream as an array of
+    * `struct<n:int, g:string>` over a staged word-array column —
+    * empty when the document has fewer than `n` words. NOT distinct:
+    * repetition metrics need every occurrence. */
+  private def gramStructs(wsCol: Column, n: Int): Column =
+    when(size(wsCol) >= n,
+      transform(sequence(lit(1), size(wsCol) - (n - 1)),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", slice(wsCol, i, lit(n))).as("g"))))
+      .otherwise(array().cast("array<struct<n:int,g:string>>"))
+
+  /** Gopher-style repetition quality metrics (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A quality
+    * filters — published paper, public knowledge): per document,
+    *
+    *  - `top2_frac`: fraction of non-whitespace characters covered by
+    *    the most repetition-heavy word 2-gram — max over 2-grams of
+    *    `count × chars(gram) / totalChars` (the max is taken over the
+    *    product, so equal-count ties cannot make the metric
+    *    nondeterministic);
+    *  - `dup5_frac`: fraction of non-whitespace characters inside
+    *    DUPLICATED word 5-grams — sum over 5-grams with `count > 1`
+    *    of `count × chars(gram) / totalChars` (overlapping
+    *    occurrences double-count, as in the paper's approximation;
+    *    the value may exceed 1 for pathologically repetitive text).
+    *
+    * `chars(gram)` = non-space characters (sum of word lengths);
+    * `totalChars` = sum of all word lengths in the document. Both
+    * metrics are 0.0 for documents too short to have an n-gram.
+    *
+    * Distributed shape: both n-gram streams explode in ONE pass
+    * (tagged structs) → `groupBy (doc, n, gram)` count (map-side
+    * partial aggregation applies) → `groupBy doc` conditional
+    * aggregates. Two shuffles total, both keyed by document, no join
+    * back — short documents survive via `explode_outer`'s null row.
+    * Returns one row per input row: `(idCol, top2_frac, dup5_frac)`.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val tagged = df
+      .withColumn("_rw",
+        filter(words(lower(col(textCol))), w => length(w) > 0))
+      .withColumn("_rtotal",
+        aggregate(col("_rw"), lit(0L), (acc, w) => acc + length(w)))
+      .select(col(idCol), col("_rtotal"), explode_outer(
+        concat(gramStructs(col("_rw"), 2), gramStructs(col("_rw"), 5)))
+        .as("_g"))
+    tagged
+      .groupBy(col(idCol), col("_rtotal"),
+        col("_g.n").as("_n"), col("_g.g").as("_gram"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_chars",
+        length(regexp_replace(col("_gram"), " ", "")).cast("long"))
+      .groupBy(col(idCol), col("_rtotal"))
+      .agg(
+        max(when(col("_n") === 2, col("_c") * col("_chars"))).as("_top2"),
+        sum(when(col("_n") === 5 && col("_c") > 1,
+          col("_c") * col("_chars"))).as("_dup5"))
+      .select(col(idCol),
+        when(col("_rtotal") > 0,
+          coalesce(col("_top2"), lit(0L)).cast("double") / col("_rtotal"))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        when(col("_rtotal") > 0,
+          coalesce(col("_dup5"), lit(0L)).cast("double") / col("_rtotal"))
+          .otherwise(lit(0.0)).as("dup5_frac"))
+  }
+
+  /** Gopher's published keep-thresholds for the two metrics computed
+    * here (top 2-gram char fraction ≤ 0.20, duplicated 5-gram char
+    * fraction ≤ 0.15). */
+  val RepTop2Max = 0.20
+  val RepDup5Max = 0.15
+
   /** 32-bit hash derived from the first 8 hex chars of md5 — chosen over
     * crc32/xxhash because every SQL engine with md5 can reproduce it
     * (the DuckDB oracle uses `try_cast('0x'||substring(md5(x),1,8))`). */
@@ -327,5 +402,69 @@ object TextOps {
           .cast("long"))
       .withColumn(segCol, rep(rep(col("_bpe"), BpeL, ""), BpeR, "|"))
       .drop("_bnorm", "_bpe")
+  }
+
+  /** One tokenizer-vocabulary entry: a surface token string and its
+    * integer id. */
+  final case class BpeVocabEntry(token: String, id: Int)
+
+  /** The tokenizer vocabulary induced by a training corpus and a merge
+    * table — the standard BPE layout: the corpus ALPHABET (distinct
+    * single characters of the whitespace-split words, sorted — binary
+    * collation, same order as the SQL oracle) takes ids 0..A-1, then
+    * each merge's fused token takes A+step-1 in training order. The
+    * vocabulary is the model — O(alphabet + numMerges) strings held on
+    * the driver, like the merge rules themselves; the alphabet scan is
+    * one distributed distinct over characters.
+    *
+    * A merge can in principle re-create a surface string that already
+    * exists (two different splits fusing to the same text); the
+    * smallest id wins per token so the mapping is deterministic —
+    * mirrored by the oracle's min(id) GROUP BY. */
+  def bpeVocab(df: DataFrame, textCol: String,
+               merges: Seq[BpeMerge]): Seq[BpeVocabEntry] = {
+    val alphabet = df.select(explode(words(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .distinct().orderBy(col("ch"))
+      .collect().map(_.getString(0)).toSeq
+    val raw = alphabet.zipWithIndex.map { case (c, i) => BpeVocabEntry(c, i) } ++
+      merges.zipWithIndex.map { case (m, i) =>
+        BpeVocabEntry(m.merged, alphabet.size + i) }
+    raw.groupBy(_.token).map { case (_, es) => es.minBy(_.id) }
+      .toSeq.sortBy(_.id)
+  }
+
+  /** ENCODE a text column to BPE token ids — the shape an LLM training
+    * pipeline consumes. Applies the merge rules ([[withBpeSegmentation]]
+    * semantics), then emits one row per non-space token:
+    * `(<idCol>, pos, token, token_id)` with `pos` contiguous from 0
+    * per document and `token_id` resolved against `vocab` via a
+    * BROADCAST join (never a map-literal lookup: `GetMapValue` over a
+    * literal map is a linear scan per token, quadratic-ish at real
+    * vocab sizes, while the broadcast hash join stays O(1) per token
+    * and adds no shuffle — the explode is narrow). Tokens absent from
+    * the vocabulary (held-out characters the training corpus never
+    * saw) encode as -1, the conventional UNK sentinel. */
+  def withBpeTokenIds(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[BpeMerge],
+                      vocab: Seq[BpeVocabEntry]): DataFrame = {
+    val spark = df.sparkSession
+    val vocabDf = spark.createDataFrame(vocab)
+    val toks = when(length(col("_bpe")) === 0, array().cast("array<string>"))
+      .otherwise(filter(
+        split(regexp_replace(col("_bpe"), s"^$BpeL|$BpeR$$", ""), s"$BpeR$BpeL"),
+        t => t =!= " "))
+    df.withColumn("_bnorm", normText(col(textCol)))
+      .withColumn("_bpe", merges.foldLeft(bpeWrapChars(col("_bnorm"))) {
+        (acc, m) => bpeReplaceOne(acc, m.lhs, m.rhs)
+      })
+      .withColumn("_toks", toks)
+      .select(col(idCol), posexplode(col("_toks")))
+      .toDF(idCol, "pos", "token")
+      .join(broadcast(vocabDf), Seq("token"), "left")
+      .select(col(idCol), col("pos"), col("token"),
+        coalesce(col("id"), lit(-1)).as("token_id"))
   }
 }

@@ -78,4 +78,43 @@ class BpeSpec extends SparkSpec {
     assert(out.getString(0) == "a|b| |c|")
     assert(out.getLong(1) == 3L)
   }
+
+  test("vocabulary is sorted alphabet then merges in training order") {
+    val m = TextOps.trainBpe(corpus, "text", numMerges = 8)
+    val v = TextOps.bpeVocab(corpus, "text", m)
+    // corpus chars: d,e,i,l,n,o,r,s,t,w -> ids 0..9; merges -> 10..17
+    assert(v.take(10).map(_.token) ==
+      Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w"))
+    assert(v.take(10).map(_.id) == (0 to 9))
+    assert(v.drop(10).map(e => (e.token, e.id)) == Seq(
+      ("lo", 10), ("low", 11), ("es", 12), ("est", 13),
+      ("west", 14), ("ewest", 15), ("newest", 16), ("er", 17)))
+  }
+
+  test("token-id encoding: positions, vocab ids, UNK = -1") {
+    val m = TextOps.trainBpe(corpus, "text", numMerges = 8)
+    val v = TextOps.bpeVocab(corpus, "text", m)
+    val rows = TextOps.withBpeTokenIds(
+        Seq((9L, "lowest newest low"), (10L, "low xyz"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", m, v)
+      .orderBy(col("doc_id"), col("pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(rows.toSeq == Seq(
+      (9L, 0, "low", 11), (9L, 1, "est", 13),
+      (9L, 2, "newest", 16), (9L, 3, "low", 11),
+      // x/y/z never appear in the training corpus -> UNK sentinel
+      (10L, 0, "low", 11), (10L, 1, "x", -1),
+      (10L, 2, "y", -1), (10L, 3, "z", -1)))
+  }
+
+  test("encoding an empty or whitespace-only doc yields zero rows") {
+    val m = TextOps.trainBpe(corpus, "text", numMerges = 2)
+    val v = TextOps.bpeVocab(corpus, "text", m)
+    val n = TextOps.withBpeTokenIds(
+        Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text"),
+        "doc_id", "text", m, v).count()
+    assert(n == 0L)
+  }
 }
