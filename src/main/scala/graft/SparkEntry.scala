@@ -920,6 +920,30 @@ object SparkEntry {
           col("dup5_frac") <= TextOps.RepDup5Max)
       .orderBy(col("doc_id"))
 
+  /** Domain-weighted deterministic sampling through the gate (data
+    * mixing): downsample three sources, keep the rest — membership
+    * decided by the seeded md5 uniform, so the kept set is a pure
+    * function of (seed, doc_id) reproducible by the oracle. */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.sampleByDomain(
+        T(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.8), seed = 7)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic train/val/test split through the gate. Fractions
+    * 0.75/0.125/0.125: the cumulative cuts (0.75, 0.875) are EXACT
+    * binary doubles, so both engines compare the uniform against
+    * bit-identical thresholds (0.8 + 0.1 is not the double 0.9 — a
+    * fraction choice with inexact cumulative sums would hash-split
+    * differently engine-to-engine at the boundary). */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.withSplit(
+        T(s, d, "documents"), "doc_id", "split",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 11)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -1011,6 +1035,8 @@ object SparkEntry {
     "q77_bpe_segment" -> (q77 _),
     "q78_bpe_token_ids" -> (q78 _),
     "q79_repetition" -> (q79 _),
+    "q80_domain_sample" -> (q80 _),
+    "q81_hash_split" -> (q81 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1447,6 +1473,29 @@ object SparkEntry {
              THEN CAST(coalesce(a.dup5, 0) AS DOUBLE) / b.total
              ELSE 0.0 END AS dup5_frac
          FROM b LEFT JOIN a USING (doc_id))
+       ORDER BY doc_id"""
+
+  /** q80/q81 oracles share the seeded md5 uniform:
+    * `md5_32('<seed>|' || doc_id) / 2^32` — the documented md5_32
+    * DuckDB form; BIGINT / double-literal division is the same IEEE
+    * op Spark runs, so keep/split boundaries are bit-identical. */
+  private def uniformSql(seed: Int): String =
+    s"try_cast('0x'||substring(md5('$seed|'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) / 4294967296.0"
+
+  private def q80Sql: String =
+    s"""WITH r(source, rate) AS (
+        VALUES ('src0', 0.2), ('src1', 0.5), ('src2', 0.8))
+       SELECT doc_id, source
+       FROM documents LEFT JOIN r USING (source)
+       WHERE ${uniformSql(7)} < CAST(coalesce(rate, 1.0) AS DOUBLE)
+       ORDER BY doc_id"""
+
+  private def q81Sql: String =
+    s"""SELECT doc_id,
+         CASE WHEN u < 0.75 THEN 'train'
+              WHEN u < 0.875 THEN 'val'
+              ELSE 'test' END AS split
+       FROM (SELECT doc_id, ${uniformSql(11)} AS u FROM documents)
        ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
@@ -1971,5 +2020,7 @@ object SparkEntry {
     "q77_bpe_segment" -> q77Sql,
     "q78_bpe_token_ids" -> q78Sql,
     "q79_repetition" -> q79Sql,
+    "q80_domain_sample" -> q80Sql,
+    "q81_hash_split" -> q81Sql,
   )
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampling.sampleByDomain / withSplit — determinism, rate behavior,
+  * seed independence, split totality. The q80/q81 gates pin the exact
+  * kept sets / labels against the DuckDB md5 oracle at sf0.01/sf0.1.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 400L).map { i =>
+    (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c")
+  }.toDF("id", "dom")
+
+  test("rate 0 drops a domain entirely; rate 1 keeps it entirely") {
+    val out = Sampling.sampleByDomain(docs, "id", "dom",
+      Map("a" -> 0.0, "b" -> 1.0), defaultRate = 1.0)
+    val byDom = out.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(!byDom.contains("a"))
+    assert(byDom("b") == 100L)
+    assert(byDom("c") == 200L) // default rate 1.0
+  }
+
+  test("sampling is deterministic and repartition-invariant") {
+    val a = Sampling.sampleByDomain(docs, "id", "dom",
+      Map("a" -> 0.3, "b" -> 0.6), seed = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.sampleByDomain(docs.repartition(13), "id", "dom",
+      Map("a" -> 0.3, "b" -> 0.6), seed = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.size < 400)
+  }
+
+  test("different seeds draw different subsets at the same rates") {
+    def kept(seed: Int): Seq[Long] =
+      Sampling.sampleByDomain(docs, "id", "dom", Map.empty,
+        seed = seed, defaultRate = 0.5)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(kept(1) != kept(2))
+  }
+
+  test("sample rate lands near the target on a uniform hash") {
+    val n = Sampling.sampleByDomain(docs, "id", "dom", Map.empty,
+      defaultRate = 0.5).count()
+    assert(n > 140 && n < 260) // 400 draws at p=.5, generous bounds
+  }
+
+  test("withSplit is total, deterministic, and respects fractions") {
+    val out = Sampling.withSplit(docs, "id", "split",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 5)
+    val counts = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.sum == 400L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 250L) // ~300 expected
+    // stable across recomputation
+    val again = Sampling.withSplit(docs, "id", "split",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 5)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("single-label split assigns everything to that label") {
+    val out = Sampling.withSplit(docs, "id", "s", Seq("all" -> 1.0))
+    assert(out.filter(col("s") =!= "all").isEmpty)
+  }
+
+  test("invalid rates are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByDomain(docs, "id", "dom", Map("a" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(docs, "id", "s", Seq.empty)
+    }
+  }
+}
