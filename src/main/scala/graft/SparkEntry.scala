@@ -944,6 +944,61 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination through the gate: the even-id half is
+    * the training corpus, the odd multiples of 7 are the "benchmark"
+    * (disjoint by construction), and a corpus doc is contaminated when
+    * it shares any word 3-gram with the benchmark —
+    * Decontaminate.contaminationReport: benchmark distilled to its
+    * distinct-gram set and BROADCAST, corpus (doc_id, gram) pairs
+    * semi-probed through it, one doc-keyed count; document text
+    * crosses no shuffle. Pins the exact per-doc matched-gram count
+    * and flag. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    graft.text.Decontaminate.contaminationReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction through the gate. The corpus text carries no PII,
+    * so the gate plants it deterministically — email, 3-3-4 phone and
+    * IPv4 spans derived from doc_id, identically in both engines —
+    * then pins the full redacted text plus the per-family audit
+    * counts. The patterns are restricted to the Java∩RE2 regex
+    * subset, so Spark's codegen'd regexp_replace chain and DuckDB's
+    * RE2 must agree byte-for-byte. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 5).cast("string"), lit(".com or "),
+      (col("doc_id") % 900 + 100).cast("string"), lit("-555-"),
+      (col("doc_id") % 9000 + 1000).cast("string"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 254 + 1).cast("string"))
+    graft.text.Pii.withRedaction(
+        T(s, d, "documents").select(col("doc_id"), aug.as("aug")),
+        "aug", "red")
+      .select(col("doc_id"), col("red"),
+        col("n_email"), col("n_phone"), col("n_ipv4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing through the gate: whitespace token counts,
+    * concat-then-chunk into 64-token training sequences per source
+    * (Packing.packSequences — one window shuffle on the group key,
+    * then a narrow range-explode). Pins the full manifest: which
+    * documents fill every sequence, from which internal offset, with
+    * how many tokens — one off-by-one at any boundary fails the
+    * hash. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.packSequences(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "source", "n_tok", seqLen = 64)
+      .orderBy(col("source"), col("seq"), col("doc_id"))
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -1037,6 +1092,9 @@ object SparkEntry {
     "q79_repetition" -> (q79 _),
     "q80_domain_sample" -> (q80 _),
     "q81_hash_split" -> (q81 _),
+    "q82_decontaminate" -> (q82 _),
+    "q83_pii_redact" -> (q83 _),
+    "q84_seq_packing" -> (q84 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1497,6 +1555,68 @@ object SparkEntry {
               ELSE 'test' END AS split
        FROM (SELECT doc_id, ${uniformSql(11)} AS u FROM documents)
        ORDER BY doc_id"""
+
+  /** q82: the Spark side's word-3-gram machinery re-expressed with the
+    * shared shingle comprehension (`shingleExpr`) — benchmark grams
+    * DISTINCT'd, corpus grams per-doc-distinct, joined, counted. */
+  private def q82Sql: String =
+    s"""WITH cw AS (SELECT doc_id, $ShW AS w
+                    FROM documents WHERE doc_id % 2 = 0),
+         bw AS (SELECT $ShW AS w
+                FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
+         bg AS (SELECT DISTINCT unnest(${shingleExpr("w")}) AS g FROM bw),
+         cg AS (SELECT doc_id,
+                  unnest(list_distinct(${shingleExpr("w")})) AS g FROM cw),
+         h AS (SELECT doc_id, count(*) AS n_bad
+               FROM cg JOIN bg USING (g) GROUP BY doc_id)
+       SELECT c.doc_id,
+         coalesce(h.n_bad, 0) AS n_bad_grams,
+         coalesce(h.n_bad, 0) > 0 AS contaminated
+       FROM cw c LEFT JOIN h USING (doc_id)
+       ORDER BY doc_id"""
+
+  /** q83: the same deterministic PII planting + the same three-family
+    * redaction chain in RE2 (`'g'` = replace all, Spark's default). */
+  private def q83Sql: String =
+    """WITH t AS (SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.com or '
+                || CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-'
+                || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR) AS aug
+         FROM documents)
+       SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red,
+         len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(aug,
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+         len(regexp_extract_all(aug,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+       FROM t ORDER BY doc_id"""
+
+  /** q84: window cumsum per source + generate_series range-explode —
+    * `//` floors like Spark's DIV; the default RANGE window frame
+    * equals ROWS here because doc_id is unique within each source. */
+  private def q84Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+         FROM documents),
+       c AS (SELECT doc_id, source, n,
+           sum(n) OVER (PARTITION BY source ORDER BY doc_id) - 1 AS e
+         FROM t WHERE n > 0),
+       q AS (SELECT doc_id, source, e - n + 1 AS s, e FROM c),
+       x AS (SELECT source, doc_id, s, e,
+           unnest(generate_series(s // 64, e // 64)) AS seq FROM q)
+       SELECT source, seq, doc_id,
+         greatest(s, seq * 64) - s AS doc_from,
+         least(e, (seq + 1) * 64 - 1) - greatest(s, seq * 64) + 1 AS n_in_seq
+       FROM x ORDER BY source, seq, doc_id"""
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -2022,5 +2142,8 @@ object SparkEntry {
     "q79_repetition" -> q79Sql,
     "q80_domain_sample" -> q80Sql,
     "q81_hash_split" -> q81Sql,
+    "q82_decontaminate" -> q82Sql,
+    "q83_pii_redact" -> q83Sql,
+    "q84_seq_packing" -> q84Sql,
   )
 }

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the standard LLM-pipeline defense
+  * against test-set leakage: a training document is CONTAMINATED when
+  * it shares any word n-gram with a held-out benchmark/eval set (the
+  * published recipe uses 13-grams; the n is a parameter because
+  * sensible values differ with tokenization). Scale shape:
+  *
+  *   - the benchmark side is distilled to its DISTINCT n-gram set
+  *     once and BROADCAST — eval sets are small by definition (MBs
+  *     against a 100 TB corpus), and the broadcast turns the
+  *     corpus-side probe into a narrow map stage: no corpus shuffle
+  *     at all until the per-doc hit aggregation;
+  *   - the corpus side stages its per-doc DISTINCT shingle array in
+  *     one pass ([[TextOps.withShingles]] — staged words, linear not
+  *     quadratic in doc length) and explodes (doc_id, n-gram) pairs —
+  *     never the text — through the broadcast semi-probe, then ONE
+  *     hash-groupBy on doc_id (map-side combined) counts matched
+  *     grams;
+  *   - the report join-back is (doc_id)-keyed only, so document text
+  *     crosses no shuffle anywhere in the plan.
+  *
+  * N-grams are matched as exact strings over the shared normalized
+  * tokenization ([[TextOps.words]] of lowercased text) — no hashing,
+  * so there are no false positives and any SQL oracle reproduces the
+  * decision bit-for-bit.
+  */
+object Decontaminate {
+
+  /** The benchmark's distinct n-gram set, as a 1-column frame of
+    * `_gram` — distilled once, broadcast at both call sites. */
+  private def benchGrams(bench: DataFrame, textCol: String,
+                         n: Int): DataFrame =
+    TextOps.withShingles(bench.select(col(textCol)), textCol, "_sh", n)
+      .select(explode(col("_sh")).as("_gram"))
+      .distinct()
+
+  /** (doc_id, matched-gram) pairs: corpus shingles semi-probed through
+    * the broadcast benchmark set. Per-doc shingle arrays are already
+    * distinct, so downstream counts need no count_distinct. */
+  private def corpusHits(corpus: DataFrame, grams: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    TextOps.withShingles(corpus.select(col(idCol), col(textCol)),
+        textCol, "_sh", n)
+      .select(col(idCol), explode(col("_sh")).as("_gram"))
+      .join(broadcast(grams), Seq("_gram"), "left_semi")
+
+  /** Per-document contamination report: `(idCol, n_bad_grams,
+    * contaminated)` for every corpus row — `n_bad_grams` = how many
+    * DISTINCT benchmark n-grams the document contains, `contaminated`
+    * = n_bad_grams > 0. Documents shorter than n words are trivially
+    * clean. */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val hits = corpusHits(corpus, benchGrams(bench, textCol, n),
+        idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bad_grams"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bad_grams"), lit(0L)).as("n_bad_grams"),
+        (coalesce(col("n_bad_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The clean corpus: every row whose document shares NO word n-gram
+    * with the benchmark set. Same broadcast-probe plan as
+    * [[contaminationReport]], aggregated to an anti-join — the anti
+    * side carries doc ids only, so the corpus text itself still never
+    * shuffles. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val badIds = corpusHits(corpus, benchGrams(bench, textCol, n),
+        idCol, textCol, n)
+      .select(col(idCol)).distinct()
+    corpus.join(badIds, Seq(idCol), "left_anti")
+  }
+}

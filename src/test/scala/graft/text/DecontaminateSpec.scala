@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Decontaminate.contaminationReport / decontaminate — hand-computed
+  * n-gram overlap on a tiny corpus; the q82 gate pins the full report
+  * against the DuckDB oracle at sf0.01/sf0.1. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark: "the quick brown fox" -> 3-grams {the quick brown,
+  // quick brown fox}
+  private val bench = Seq((100L, "The quick brown fox")).toDF("id", "text")
+
+  private val corpus = Seq(
+    (1L, "a very quick brown fox ran off"),   // contains "quick brown fox"
+    (2L, "the quick red fox"),                // no shared 3-gram
+    (3L, "THE  QUICK   BROWN fox jumps"),     // both bench grams (norm'd)
+    (4L, "short doc"),                        // < 3 words -> trivially clean
+    (5L, "")                                  // empty -> trivially clean
+  ).toDF("id", "text")
+
+  test("report flags exactly the docs sharing an n-gram, with counts") {
+    val rep = Decontaminate.contaminationReport(corpus, bench, "id", "text", 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rep == Seq(
+      (1L, 1L, true),   // quick brown fox
+      (2L, 0L, false),
+      (3L, 2L, true),   // the quick brown + quick brown fox
+      (4L, 0L, false),
+      (5L, 0L, false)))
+  }
+
+  test("decontaminate returns exactly the clean rows, schema intact") {
+    val clean = Decontaminate.decontaminate(corpus, bench, "id", "text", 3)
+    assert(clean.columns.toSeq == Seq("id", "text"))
+    assert(clean.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L, 5L))
+  }
+
+  test("duplicate grams in the doc count once; bench dups don't double") {
+    val c = Seq((1L, "x y z x y z")).toDF("id", "text") // "x y z" twice
+    val b = Seq((9L, "x y z"), (10L, "x y z w")).toDF("id", "text")
+    val rep = Decontaminate.contaminationReport(c, b, "id", "text", 3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // doc grams (distinct): {x y z, y z x, z x y}; bench: {x y z, y z w}
+    assert(rep == Seq((1L, 1L, true)))
+  }
+
+  test("n = 1 degenerates to word overlap") {
+    val rep = Decontaminate.contaminationReport(
+        corpus, bench, "id", "text", 1)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // bench words: the quick brown fox
+    assert(rep.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+  }
+
+  test("empty benchmark contaminates nothing") {
+    val rep = Decontaminate.contaminationReport(
+        corpus, bench.limit(0), "id", "text", 3)
+    assert(rep.filter("contaminated").count() == 0)
+  }
+
+  test("invalid n rejected") {
+    intercept[IllegalArgumentException] {
+      Decontaminate.contaminationReport(corpus, bench, "id", "text", 0)
+    }
+  }
+}
