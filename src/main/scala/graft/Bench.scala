@@ -103,7 +103,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dec(v) }
       .mkString("{", ",", "}")
     val canaryEnd = one(sentinel, SparkEntry.queries(sentinel))
-    val contended = canaryStart > 0 && canaryEnd > 1.5 * canaryStart
+    // TWO-SIDED: round 9's driver run started contended and settled —
+    // canary 6.7s → 1.1s — and the old `end > 1.5*start` one-sided test
+    // stamped contended=false while ~1.3-1.5x inflation sat on dozens of
+    // untouched queries. Contention at EITHER end of the run means the
+    // numbers in between are suspect, so flag on the ratio both ways.
+    val contended = canaryStart > 0 && canaryEnd > 0 &&
+      math.max(canaryStart, canaryEnd) > 1.5 * math.min(canaryStart, canaryEnd)
     System.err.println(f"[bench] canary $sentinel start=$canaryStart%.3f " +
       f"end=$canaryEnd%.3f contended=$contended")
     // a failed query's -1 sentinel must not SHRINK the total (a broken

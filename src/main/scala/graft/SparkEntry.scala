@@ -1608,7 +1608,7 @@ object SparkEntry {
                 ELSE len(string_split_regex(trim(text), '\s+')) END AS n
          FROM documents),
        c AS (SELECT doc_id, source, n,
-           sum(n) OVER (PARTITION BY source ORDER BY doc_id) - 1 AS e
+           CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - 1 AS e
          FROM t WHERE n > 0),
        q AS (SELECT doc_id, source, e - n + 1 AS s, e FROM c),
        x AS (SELECT source, doc_id, s, e,

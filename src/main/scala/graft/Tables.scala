@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Access to the driver-provided TPC-H-ish parquet test tables
   * (see TESTDATA.md). At cluster scale these would be catalog tables;
@@ -14,19 +15,36 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos
-      // and convert with integer division — double division would lose
-      // precision above 2^53 ns (~year 1970+104 days... i.e. any modern
-      // epoch), so `DIV` it is. Truncation matches DuckDB's ns→us cast.
+      // The driver has regenerated events.parquet with DIFFERENT physical
+      // types for `ts` across rounds: TIMESTAMP(NANOS) (rounds ≤8, which
+      // Spark's vectorized reader rejects outright without the nanosAsLong
+      // escape hatch) and TIMESTAMP_MICROS NTZ (round 9+). Hardcoding
+      // either shape broke 7 gates when the file changed under us, so
+      // branch on what the file actually contains.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
     widen(spark, df)
   }
+
+  /** Make `ts` a session-TZ TimestampType whatever the parquet carried:
+    *  - LongType: raw int64 nanos (nanosAsLong reading of TIMESTAMP(NANOS)).
+    *    Integer `DIV` — double division loses precision above 2^53 ns,
+    *    i.e. any modern epoch; truncation matches DuckDB's ns→us cast.
+    *  - TIMESTAMP_NTZ: wall-clock micros; reinterpret in the session TZ
+    *    (UTC for all graft sessions) so downstream date/window functions
+    *    behave identically to the nanos era and to the DuckDB oracle.
+    *  - TimestampType: already what we want. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   /** The test tables are single-row-group parquet files, which scan as
     * ONE task no matter the core count — every downstream map runs
