@@ -999,6 +999,96 @@ object SparkEntry {
         "doc_id", "source", "n_tok", seqLen = 64)
       .orderBy(col("source"), col("seq"), col("doc_id"))
 
+  /** q77's exact computation through the SCALE-PATH applier:
+    * broadcast-rank greedy merging per word inside `mapPartitions`
+    * (TextOps.withBpeSegmentationPartitioned) instead of the
+    * numMerges-deep codegen replace chain — the shape that survives a
+    * 30k-merge production vocabulary. Shares q77's oracle: the two
+    * appliers must be byte-identical on every held-out document. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val merges = graft.text.TextOps.trainBpeBatched(
+      docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 12)
+    graft.text.TextOps.withBpeSegmentationPartitioned(
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+        "text", merges, segCol = "seg", nTokensCol = "n_bpe_tokens")
+      .select(col("doc_id"), col("n_bpe_tokens"), col("seg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q78's exact computation through the scale-path applier
+    * (TextOps.withBpeTokenIdsPartitioned): broadcast rank map +
+    * per-word greedy merge, vocabulary ids via broadcast join. Shares
+    * q78's oracle. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val merges = graft.text.TextOps.trainBpeBatched(train, "text", numMerges = 12)
+    val vocab = graft.text.TextOps.bpeVocab(train, "text", merges)
+    graft.text.TextOps.withBpeTokenIdsPartitioned(
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text", merges, vocab)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** q84's exact manifest through the TWO-LEVEL sharded packer
+    * (Packing.packSequencesSharded): deterministic id-block shards,
+    * per-shard partial sums, tiny broadcast offset table, local
+    * windows — parallelism scales with shard count instead of
+    * saturating at the number of sources. Shares q84's oracle. */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.packSequencesSharded(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "source", "n_tok", seqLen = 64, idBlock = 64)
+      .orderBy(col("source"), col("seq"), col("doc_id"))
+
+  /** CCNet-style LM quality scoring through the gate: an add-alpha
+    * bigram model trained on the even split (LangModel.trainBigrams —
+    * the model stays a DataFrame; nothing is collected), held-out odd
+    * documents scored by bigram cross-entropy in bits
+    * (LangModel.scorePerplexity — two shuffle joins against the
+    * corpus-scale model + one doc-keyed aggregate). The score a
+    * perplexity-filtering pipeline thresholds on. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val model = graft.text.LangModel.trainBigrams(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    graft.text.LangModel.scorePerplexity(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram novelty vs the training corpus through the gate
+    * (LangModel.bigramNovelty): integer-exact count of a held-out
+    * document's bigrams already seen in training — the
+    * memorization/contamination-risk signal (one shuffle join + one
+    * doc-keyed aggregate; no floats anywhere in the output). */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val model = graft.text.LangModel.trainBigrams(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    graft.text.LangModel.bigramNovelty(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q76's exact merge table through the BATCHED trainer
+    * (TextOps.trainBpeBatched): provably-exact candidate-prefix
+    * batching applies several merges per Spark job, collapsing the
+    * 1-job-per-merge driver round-trip sequence that dominates
+    * training time at real vocabulary sizes. Shares q76's oracle —
+    * batching must not change a single (step, pair, count). */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.text.TextOps.trainBpeBatched(
+      T(s, d, "documents").filter(col("doc_id") % 2 === 0), "text",
+      numMerges = 12)
+    s.createDataFrame(merges)
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+        col("pairCount").as("pair_count"))
+      .orderBy(col("step"))
+  }
+
   /** Stream-static enrichment through the gate: events joined to the
     * customer dimension (broadcast static side), hourly rollup per
     * nation — EventsStream.nationHourly, batch/stream symmetric like
@@ -1095,6 +1185,12 @@ object SparkEntry {
     "q82_decontaminate" -> (q82 _),
     "q83_pii_redact" -> (q83 _),
     "q84_seq_packing" -> (q84 _),
+    "q85_bpe_segment_scaled" -> (q85 _),
+    "q86_bpe_token_ids_scaled" -> (q86 _),
+    "q87_seq_packing_sharded" -> (q87 _),
+    "q88_bpe_train_batched" -> (q88 _),
+    "q89_bigram_perplexity" -> (q89 _),
+    "q90_bigram_novelty" -> (q90 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2145,5 +2241,50 @@ object SparkEntry {
     "q82_decontaminate" -> q82Sql,
     "q83_pii_redact" -> q83Sql,
     "q84_seq_packing" -> q84Sql,
+    // scale-path reimplementations: identical semantics, different
+    // physical shape — each shares the original gate's oracle so any
+    // divergence between the two implementations fails the hash
+    "q85_bpe_segment_scaled" -> q77Sql,
+    "q86_bpe_token_ids_scaled" -> q78Sql,
+    "q87_seq_packing_sharded" -> q84Sql,
+    "q88_bpe_train_batched" -> q76Sql,
+    "q89_bigram_perplexity" -> q89Sql,
+    "q90_bigram_novelty" -> q90Sql,
   )
+
+  /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
+    * counts + vocabulary on even doc_ids, held-out bigrams on odds —
+    * DuckDB list comprehension mirrors the Spark adjacency explode. */
+  private def bigramCtes: String =
+    raw"""WITH tr AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents WHERE doc_id % 2 = 0),
+       tb AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM tr,
+          unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS u(p)),
+       cnt AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+       ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+       voc AS (SELECT count(DISTINCT x) AS v
+          FROM (SELECT unnest(w) AS x FROM tr) WHERE len(x) > 0),
+       ho AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 2 = 1),
+       hb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM ho,
+          unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS u(p))"""
+
+  /** q89: add-alpha (α=0.5) bigram cross-entropy per held-out doc. */
+  private def q89Sql: String =
+    bigramCtes + raw""",
+       sc AS (SELECT doc_id,
+            (coalesce(c12, 0) + 0.5) /
+              (coalesce(c1, 0) + 0.5 * (SELECT v FROM voc)) AS p
+          FROM hb LEFT JOIN cnt USING (w1, w2) LEFT JOIN ctx USING (w1))
+       SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(-log2(p)), 4) AS ppl_bits
+       FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q90: integer-exact seen-bigram counts per held-out doc. */
+  private def q90Sql: String =
+    bigramCtes + raw"""
+       SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+       FROM hb LEFT JOIN cnt USING (w1, w2)
+       GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -55,4 +55,62 @@ object Packing {
         (least(col("_e"), (col("seq") + 1) * seqLen - 1)
           - greatest(col("_s"), col("seq") * seqLen) + 1).as("n_in_seq"))
   }
+
+  /** [[packSequences]] with TWO-LEVEL sharding — same manifest, but
+    * parallelism no longer capped at the number of groups. The plain
+    * version's window is partitioned by `groupCol` alone: with 20
+    * sources and a 1000-executor cluster, 980 cores idle through the
+    * cumulative sum. This variant runs the textbook distributed
+    * prefix-sum instead:
+    *
+    *  1. shard deterministically by `idCol DIV idBlock` — integer
+    *     division is monotone in the id, so (group, shard, id) order
+    *     equals (group, id) order and the result is a pure function
+    *     of the data (no range-sampling nondeterminism, nothing to
+    *     persist);
+    *  2. per-(group, shard) token totals — a map-side-combined
+    *     aggregate of #groups × #shards rows;
+    *  3. exclusive prefix offsets over that TINY table (a window over
+    *     shards within each group — driver-scale data, trivially
+    *     cheap) joined back by BROADCAST;
+    *  4. the local cumulative sum windows on (group, shard): key
+    *     cardinality now scales with the shard count, so every core
+    *     participates; `_e = offset + local_cumsum - 1` is exactly
+    *     the plain version's global cumsum.
+    *
+    * Output is row-for-row identical to [[packSequences]] (the q87
+    * gate hashes it against the same oracle as q84). `idCol` must be
+    * integral; size `idBlock` so `#distinct(id) / idBlock` shards
+    * keep the offsets table broadcastable (e.g. 1e9 docs / 1e6 block
+    * = 1000 shards × groups). */
+  def packSequencesSharded(df: DataFrame, idCol: String, groupCol: String,
+                           nTokensCol: String, seqLen: Int,
+                           idBlock: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(idBlock >= 1, s"idBlock must be >= 1, got $idBlock")
+    val base = df.select(col(groupCol), col(idCol),
+        col(nTokensCol).cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .withColumn("_shard", expr(s"CAST(`$idCol` AS BIGINT) DIV $idBlock"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(groupCol), col("_shard"))
+      .agg(sum(col("_n")).as("_shard_sum"))
+      .withColumn("_off",
+        coalesce(sum(col("_shard_sum")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("_shard"), col("_off"))
+    val wLoc = Window.partitionBy(col(groupCol), col("_shard"))
+      .orderBy(col(idCol))
+    base.join(broadcast(offsets), Seq(groupCol, "_shard"))
+      .withColumn("_e", col("_off") + sum(col("_n")).over(wLoc) - 1)
+      .withColumn("_s", col("_e") - col("_n") + 1)
+      .select(col(groupCol), col(idCol), col("_s"), col("_e"),
+        explode(sequence(expr(s"`_s` DIV $seqLen"), expr(s"`_e` DIV $seqLen")))
+          .as("seq"))
+      .select(
+        col(groupCol), col("seq"), col(idCol),
+        (greatest(col("_s"), col("seq") * seqLen) - col("_s")).as("doc_from"),
+        (least(col("_e"), (col("seq") + 1) * seqLen - 1)
+          - greatest(col("_s"), col("seq") * seqLen) + 1).as("n_in_seq"))
+  }
 }

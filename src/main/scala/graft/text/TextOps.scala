@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -378,6 +378,115 @@ object TextOps {
     acc.toSeq
   }
 
+  /** [[trainBpe]] with PROVABLY-EXACT MERGE BATCHING — same merge
+    * table (the q88 gate hashes it against the q76 oracle), far fewer
+    * driver round trips. Plain training is one Spark job + one
+    * `limit(1)` collect PER MERGE: a 30k-merge vocabulary is 30k
+    * sequential driver round trips, and scheduling latency — not
+    * compute — dominates. Each round here collects the top
+    * `candidatePool` pairs once and accepts the longest prefix that
+    * sequential training would provably pick unchanged, applying the
+    * whole batch as one codegen'd replace chain in ONE job.
+    *
+    * A candidate prefix p₁..pₖ is exact because, inductively, when
+    * sequential training reaches pⱼ:
+    *  - pⱼ's own count is untouched — its tokens are DISJOINT from
+    *    every earlier accepted pair's tokens, and fusing (a,b)
+    *    preserves every adjacency not involving a or b;
+    *  - nothing outranks it: old pairs only lose occurrences, and any
+    *    NEW pair spawned by fusing pᵢ=(a,b) — some (x,ab) or (ab,y) —
+    *    inherits ≤ the pre-merge count of the (x,a) / (b,y) pair it
+    *    came from, i.e. ≤ the max count TOUCHING {a,b}. Acceptance
+    *    requires pⱼ.count STRICTLY above every non-accepted
+    *    candidate touching previously-accepted tokens, and above the
+    *    pool floor when the pool truncated (an unseen touching pair
+    *    can count at most poolMin). Strictness also settles the
+    *    (count, lhs, rhs) tie-break: nothing can tie from below.
+    * The first candidate failing any test ends the batch (a skipped
+    * candidate's count may change, so nothing after it is provable).
+    * Worst case every batch has size 1 = plain training; typical
+    * early rounds accept many mutually-disjoint pairs at once. */
+  def trainBpeBatched(df: DataFrame, textCol: String, numMerges: Int,
+                      maxBatch: Int = 32,
+                      candidatePool: Int = 256): Seq[BpeMerge] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    require(candidatePool >= maxBatch,
+      s"candidatePool ($candidatePool) must be >= maxBatch ($maxBatch)")
+    val pairTy = "array<struct<lhs:string,rhs:string>>"
+    var cur = df.select(explode(words(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(bpeWrapChars(col("w")).as("wrapped"), col("freq"))
+      .persist()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var exhausted = false
+    var sinceCheckpoint = 0
+    while (acc.size < numMerges && !exhausted) {
+      val toks = split(
+        regexp_replace(col("wrapped"), s"^$BpeL|$BpeR$$", ""), s"$BpeR$BpeL")
+      val pairs = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("lhs"),
+                      element_at(col("t"), i + 1).as("rhs"))))
+        .otherwise(array().cast(pairTy))
+      val cand = cur.select(col("freq"), toks.as("t"))
+        .select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(candidatePool).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val truncated = cand.length == candidatePool
+        val poolMin = cand.last.getLong(2)
+        val batchTokens = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val room = math.min(maxBatch, numMerges - acc.size)
+        var i = 0
+        var stop = false
+        while (!stop && i < cand.length && batch.size < room) {
+          val (l, r, c) = (cand(i).getString(0), cand(i).getString(1),
+            cand(i).getLong(2))
+          if (batch.isEmpty) {
+            batch += ((l, r, c)); batchTokens += l; batchTokens += r
+          } else {
+            val disjoint = !batchTokens(l) && !batchTokens(r)
+            val abovePoolFloor = !truncated || c > poolMin
+            // any LATER candidate touching already-accepted tokens can
+            // seed a new pair of up to its own count; require strict
+            // dominance over all of them
+            val dominatesTouching = cand.iterator.drop(i + 1).forall { row =>
+              val (jl, jr, jc) =
+                (row.getString(0), row.getString(1), row.getLong(2))
+              jc < c || (!batchTokens(jl) && !batchTokens(jr))
+            }
+            if (disjoint && abovePoolFloor && dominatesTouching) {
+              batch += ((l, r, c)); batchTokens += l; batchTokens += r
+            } else stop = true
+          }
+          i += 1
+        }
+        val next0 = batch.foldLeft(cur) { case (d, (l, r, _)) =>
+          d.withColumn("wrapped", bpeReplaceOne(col("wrapped"), l, r))
+        }
+        batch.foreach { case (l, r, c) =>
+          acc += BpeMerge(acc.size + 1, l, r, l + r, c)
+        }
+        sinceCheckpoint += batch.size
+        val next =
+          if (sinceCheckpoint >= BpeCheckpointEvery) {
+            sinceCheckpoint = 0; next0.localCheckpoint(true)
+          } else { val n = next0.persist(); n.count(); n }
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    acc.toSeq
+  }
+
   /** Apply a learned merge table to a text column: normalized text →
     * per-character sentinel wrap → the merge rules as a chain of
     * literal replaces IN TRAINING ORDER (the fold is one codegen'd
@@ -464,6 +573,160 @@ object TextOps {
       .select(col(idCol), posexplode(col("_toks")))
       .toDF(idCol, "pos", "token")
       .join(broadcast(vocabDf), Seq("token"), "left")
+      .select(col(idCol), col("pos"), col("token"),
+        coalesce(col("id"), lit(-1)).as("token_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Scale-path BPE APPLICATION (mapPartitions + broadcast rank table).
+  //
+  // The expression-chain appliers above fold one `replace` per merge
+  // rule into a single codegen'd expression — ideal at the 12-merge
+  // gate size, but the fold is numMerges DEEP: at a real tokenizer
+  // vocabulary (30k merges) it blows the JVM 64KB method limit /
+  // Janino codegen and, even interpreted, costs O(numMerges) full
+  // passes over every document. The partitioned applier below is the
+  // production-tokenizer algorithm instead: the merge table rides a
+  // broadcast as a rank map, and each WORD is merged greedily
+  // (lowest-rank adjacent pair first, leftmost on ties) inside
+  // mapPartitions — per-word cost depends on word length only, never
+  // on vocabulary size. This is `mapPartitions`-as-designed (brief
+  // preference (d)): a data-dependent per-row loop no fixed-depth
+  // expression can express at real vocab sizes.
+  //
+  // EQUIVALENCE to the training-order replace chain: greedy
+  // lowest-rank merging reproduces training-order replay whenever
+  // every rule's operands exist only via earlier rules or single
+  // characters — exactly the invariant `trainBpe` tables satisfy (a
+  // merge is learned over the state AFTER all earlier merges applied).
+  // The q85/q86 gates pin this: the partitioned applier is hashed
+  // against the SAME DuckDB oracle as the expression chain.
+  // ------------------------------------------------------------------
+
+  /** The broadcastable tokenizer model: merge rank by adjacent pair
+    * (training step = rank; lower fuses first). */
+  def bpeRanks(merges: Seq[BpeMerge]): Map[(String, String), Int] =
+    merges.map(m => (m.lhs, m.rhs) -> m.step).toMap
+
+  /** JVM-side mirror of [[normText]] (lower, collapse whitespace,
+    * trim) — Locale.ROOT lowercase and Java regex match Spark's
+    * codegen'd `lower`/`regexp_replace` on the BMP text this runs on. */
+  private[text] def bpeNormalize(s: String): String = {
+    val collapsed = s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    var b = 0
+    var e = collapsed.length
+    while (b < e && collapsed.charAt(b) == ' ') b += 1
+    while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+    collapsed.substring(b, e)
+  }
+
+  /** Greedy BPE merge of one word: start from single characters,
+    * repeatedly fuse the adjacent pair with the LOWEST rank (leftmost
+    * occurrence on equal rank) until no adjacent pair is in the
+    * table. O(len²) scans with a tiny constant — words are short and
+    * the cost is independent of vocabulary size. */
+  private[text] def bpeSegmentWord(word: String,
+      ranks: Map[(String, String), Int]): List[String] = {
+    if (word.isEmpty) return Nil
+    val toks = scala.collection.mutable.ArrayBuffer.tabulate(word.length)(
+      i => word.substring(i, i + 1))
+    var done = toks.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < toks.length - 1) {
+        val rk = ranks.getOrElse((toks(j), toks(j + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; best = j }
+        j += 1
+      }
+      if (best < 0) done = true
+      else {
+        toks(best) = toks(best) + toks(best + 1)
+        toks.remove(best + 1)
+        if (toks.length < 2) done = true
+      }
+    }
+    toks.toList
+  }
+
+  /** Segment one pre-normalized document: words merged per
+    * [[bpeSegmentWord]], each token (spaces included, as in the
+    * expression chain) terminated by `|`; returns (segmentation,
+    * non-space token count). */
+  private[text] def bpeSegmentDoc(norm: String,
+      ranks: Map[(String, String), Int]): (String, Long) = {
+    if (norm.isEmpty) return ("", 0L)
+    val sb = new StringBuilder
+    var n = 0L
+    var start = 0
+    var i = 0
+    val len = norm.length
+    while (i <= len) {
+      if (i == len || norm.charAt(i) == ' ') {
+        bpeSegmentWord(norm.substring(start, i), ranks).foreach { t =>
+          sb.append(t).append('|'); n += 1
+        }
+        if (i < len) sb.append(" |")
+        start = i + 1
+      }
+      i += 1
+    }
+    (sb.toString, n)
+  }
+
+  /** [[withBpeSegmentation]] semantics at production vocabulary
+    * sizes: same `segCol`/`nTokensCol` output, but the merge table is
+    * a BROADCAST rank map applied per word inside `mapPartitions`
+    * (see the scale-path note above). Narrow — adds no shuffle; null
+    * text segments as empty. */
+  def withBpeSegmentationPartitioned(df: DataFrame, textCol: String,
+      merges: Seq[BpeMerge], segCol: String,
+      nTokensCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(bpeRanks(merges))
+    val out = df.schema
+      .add(segCol, StringType)
+      .add(nTokensCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val ti = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val r = bc.value
+      it.map { row =>
+        val raw = if (row.isNullAt(ti)) "" else row.getString(ti)
+        val (seg, n) = bpeSegmentDoc(bpeNormalize(raw), r)
+        Row.fromSeq(row.toSeq :+ seg :+ n)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** [[withBpeTokenIds]] semantics at production vocabulary sizes:
+    * `(<idCol>, pos, token, token_id)` rows via the broadcast-rank
+    * `mapPartitions` applier; vocabulary ids still resolve through a
+    * BROADCAST hash join (the vocab is O(alphabet + numMerges), the
+    * token stream is corpus-sized — the big side never shuffles). */
+  def withBpeTokenIdsPartitioned(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[BpeMerge],
+      vocab: Seq[BpeVocabEntry]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(bpeRanks(merges))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(idCol),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("token", StringType,
+        nullable = false)))
+    val ii = df.schema.fieldIndex(idCol)
+    val ti = df.schema.fieldIndex(textCol)
+    val rows = df.mapPartitions { it =>
+      val r = bc.value
+      it.flatMap { row =>
+        val raw = if (row.isNullAt(ti)) "" else row.getString(ti)
+        val id = row.get(ii)
+        val toks = bpeNormalize(raw).split(" ").iterator
+          .filter(_.nonEmpty).flatMap(w => bpeSegmentWord(w, r)).toArray
+        Iterator.tabulate(toks.length)(p => Row(id, p, toks(p)))
+      }
+    }(Encoders.row(outSchema))
+    rows.join(broadcast(spark.createDataFrame(vocab)), Seq("token"), "left")
       .select(col(idCol), col("pos"), col("token"),
         coalesce(col("id"), lit(-1)).as("token_id"))
   }

@@ -328,4 +328,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Union"), "summary must not union per-column jobs")
     assert(!p.contains("Window"))
   }
+
+  test("q87 sharded packing: offsets join broadcasts, windows keyed by (group, shard)") {
+    val p = plan("q87_seq_packing_sharded")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny per-shard offset table must broadcast, never shuffle the docs")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-side shuffle join anywhere in the sharded packer")
+    // the local cumsum window must carry the shard in its partition key —
+    // that key is the whole point (parallelism beyond #groups)
+    assert(p.contains("_shard"), "shard key missing from the plan")
+  }
+
+  test("q86 scaled token ids: vocab join broadcasts off the mapPartitions stream") {
+    val p = plan("q86_bpe_token_ids_scaled")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary id resolution must be a broadcast hash join")
+    assert(p.contains("MapPartitions"),
+      "the greedy applier must ride mapPartitions")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-sized token stream must never shuffle for vocab lookup")
+  }
 }
