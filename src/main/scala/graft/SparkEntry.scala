@@ -1073,6 +1073,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document duplicated-span detection through the gate
+    * (SpanDedup.duplicatedSpans, n=4): maximal runs of positions
+    * whose 4-gram occurs in ≥2 distinct documents — the
+    * substring-level dedup signal doc-level dedup misses. Hash-keyed
+    * distinct-doc counts, distilled dup set joined back, sessionize
+    * span merge per doc; output is all integers (exact hash). */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    graft.text.SpanDedup.duplicatedSpans(
+        T(s, d, "documents"), "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"), col("start_tok"))
+
+  /** Duplicated-span REMOVAL through the gate
+    * (SpanDedup.removeDuplicatedSpans, n=4): every token covered by a
+    * cross-doc duplicated 4-gram is scrubbed and the document
+    * reassembled in position order — the transform a Lee-et-al
+    * pipeline applies after q91's detection. Fully-covered documents
+    * disappear. */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    graft.text.SpanDedup.removeDuplicatedSpans(
+        T(s, d, "documents"), "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+
   /** q76's exact merge table through the BATCHED trainer
     * (TextOps.trainBpeBatched): provably-exact candidate-prefix
     * batching applies several merges per Spark job, collapsing the
@@ -1191,6 +1213,8 @@ object SparkEntry {
     "q88_bpe_train_batched" -> (q88 _),
     "q89_bigram_perplexity" -> (q89 _),
     "q90_bigram_novelty" -> (q90 _),
+    "q91_dup_spans" -> (q91 _),
+    "q92_span_scrub" -> (q92 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2250,6 +2274,8 @@ object SparkEntry {
     "q88_bpe_train_batched" -> q76Sql,
     "q89_bigram_perplexity" -> q89Sql,
     "q90_bigram_novelty" -> q90Sql,
+    "q91_dup_spans" -> q91Sql,
+    "q92_span_scrub" -> q92Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -2287,4 +2313,50 @@ object SparkEntry {
          sum(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
        FROM hb LEFT JOIN cnt USING (w1, w2)
        GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q91: positioned 4-gram hashes (the gram list sits INSIDE the
+    * comprehension struct — array_to_string inside a comprehension
+    * struct literal trips DuckDB's struct_pack binder), distinct-doc
+    * dup filter, sessionize span merge. Mirrors SpanDedup exactly. */
+  private def q91Sql: String =
+    raw"""WITH tw AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       pg AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM tw, unnest([{'p': i - 1, 'gl': w[i:i+3]}
+                           for i in range(1, len(w) - 2)]) AS u(s)),
+       dup AS (SELECT h FROM pg GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2),
+       hit AS (SELECT doc_id, p FROM pg JOIN dup USING (h)),
+       fl AS (SELECT doc_id, p,
+          CASE WHEN max(p) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR p > max(p) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 4
+               THEN 1 ELSE 0 END AS nf
+          FROM hit),
+       sp AS (SELECT doc_id, p,
+          sum(nf) OVER (PARTITION BY doc_id ORDER BY p) AS sid FROM fl)
+       SELECT doc_id, min(p) AS start_tok, max(p) + 3 AS end_tok,
+         count(*) AS n_dup_grams
+       FROM sp GROUP BY doc_id, sid ORDER BY doc_id, start_tok"""
+
+  /** q92: covered-position expansion + anti-join + ordered rebuild. */
+  private def q92Sql: String =
+    raw"""WITH tw AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       pg AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM tw, unnest([{'p': i - 1, 'gl': w[i:i+3]}
+                           for i in range(1, len(w) - 2)]) AS u(s)),
+       dup AS (SELECT h FROM pg GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2),
+       cov AS (SELECT DISTINCT doc_id, x AS pos
+          FROM pg JOIN dup USING (h), unnest(range(p, p + 4)) AS r(x)),
+       tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tk
+          FROM tw, unnest(range(1, len(w) + 1)) AS r(i)),
+       keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL)
+       SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+       FROM keep GROUP BY doc_id ORDER BY doc_id"""
 }

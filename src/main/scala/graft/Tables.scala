@@ -23,11 +23,25 @@ object Tables {
       // branch on what the file actually contains.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else if (name == "embeddings") {
+      normalizeEmbedding(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
     widen(spark, df)
   }
+
+  /** The similarity/ANN stack contracts on `embedding: array<float>`.
+    * Parquet written as list<double> (a plausible future testdata
+    * regeneration, same class of silent break as the events `ts`
+    * flip) narrows here — cheap insurance at the one load site. */
+  private[graft] def normalizeEmbedding(raw: DataFrame): DataFrame =
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
 
   /** Make `ts` a session-TZ TimestampType whatever the parquet carried:
     *  - LongType: raw int64 nanos (nanosAsLong reading of TIMESTAMP(NANOS)).

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-SPAN detection — the substring-level
+  * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+  * Makes Language Models Better", public knowledge), approximated at
+  * n-gram granularity: a position belongs to a duplicated span when
+  * the n-gram starting there also occurs in ≥ `minDocs`-1 OTHER
+  * documents; overlapping/adjacent duplicated positions merge into
+  * maximal spans. Doc-level dedup (exact / MinHash / SimHash) misses
+  * exactly this: boilerplate paragraphs shared across otherwise
+  * distinct pages.
+  *
+  * Scale shape (suffix arrays don't distribute; this does):
+  *  1. ONE narrow explode of the corpus token stream into positioned
+  *     n-gram hashes — md5 at the explode, so every shuffle after it
+  *     carries fixed-width hashes, never n-word strings;
+  *  2. hash-keyed count(DISTINCT doc) with map-side partial
+  *     aggregation — the only corpus-sized shuffle;
+  *  3. the duplicated-hash set (usually a small fraction) joins back
+  *     against the positioned grams on the hash key;
+  *  4. span assembly is the sessionize pattern per document: running
+  *     max of preceding positions flags gap starts, a running sum
+  *     numbers spans, one doc-keyed aggregate emits
+  *     `(doc, start_tok, end_tok, n_dup_grams)`.
+  * Nothing is collected; no window is wider than one document.
+  */
+object SpanDedup {
+
+  /** Positioned n-gram hashes: `(<idCol>, p, h)` with `p` the 0-based
+    * token offset and `h` = md5 of the space-joined n-gram. */
+  private[text] def positionedGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val gramTy = "array<struct<p:int,h:string>>"
+    df.select(col(idCol), TextOps.words(lower(col(textCol))).as("_w"))
+      .select(col(idCol), explode(
+        when(size(col("_w")) >= n,
+          transform(sequence(lit(1), size(col("_w")) - (n - 1)),
+            i => struct((i - 1).as("p"),
+              md5(concat_ws(" ", slice(col("_w"), i, lit(n)))).as("h"))))
+          .otherwise(array().cast(gramTy))).as("_s"))
+      .select(col(idCol), col("_s.p").as("p"), col("_s.h").as("h"))
+  }
+
+  /** Maximal cross-document duplicated spans:
+    * `(<idCol>, start_tok, end_tok, n_dup_grams)` (token offsets
+    * inclusive), one row per maximal run of positions whose n-gram
+    * occurs in at least `minDocs` distinct documents. Adjacent or
+    * overlapping duplicated n-grams merge (gap rule: a new span
+    * starts when `p > prev_max_p + n`, i.e. coverage no longer
+    * touches). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = positionedGrams(df, idCol, textCol, n)
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h")).select(col(idCol), col("p"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    hits
+      .withColumn("_prevMax", max(col("p")).over(wPrev))
+      .withColumn("_nf",
+        when(col("_prevMax").isNull || col("p") > col("_prevMax") + n, 1)
+          .otherwise(0))
+      .withColumn("_sid", sum(col("_nf")).over(wRun))
+      .groupBy(col(idCol), col("_sid"))
+      .agg(min(col("p")).as("start_tok"),
+        (max(col("p")) + lit(n - 1)).as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("_sid")
+  }
+
+  /** The removal step: every token covered by a duplicated n-gram is
+    * cut from every document (the aggressive Lee-et-al policy; a
+    * keep-one-copy policy needs a canonical-owner choice that is
+    * deployment-specific). Returns `(<idCol>, clean_text, n_kept)` —
+    * documents whose every token is covered disappear (nothing left
+    * to keep). Shape: the duplicated-position set (doc-keyed, small)
+    * anti-joins the positioned token stream, and each document
+    * reassembles with ONE doc-keyed aggregate (sort_array over
+    * (pos, token) structs — collect_list order is not deterministic,
+    * the sort is what makes the rebuild exact). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = positionedGrams(df, idCol, textCol, n)
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    val covered = grams.join(dup, Seq("h"))
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1)))
+        .as("pos"))
+      .distinct()
+    df.select(col(idCol),
+        posexplode(TextOps.words(lower(col(textCol)))).as(Seq("pos", "tk")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tk")))),
+          s => s.getField("tk"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+}

@@ -71,6 +71,25 @@ class TablesSchemaSpec extends SparkSpec {
     assert(schema("ts").dataType === TimestampType)
   }
 
+  test("embeddings written as list<double> narrow to array<float> on load") {
+    val dir = Files.createTempDirectory("graft-emb-schema").toFile
+    dir.deleteOnExit()
+    Seq((1L, Array(0.25, 0.5), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val df = Tables.load(spark, dir.getAbsolutePath, "embeddings")
+    assert(df.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    assert(df.select(col("embedding")).as[Array[Float]].head().toSeq
+      === Seq(0.25f, 0.5f))
+  }
+
+  test("driver testdata embeddings load with the array<float> contract") {
+    val df = Tables.load(spark, sf(), "embeddings")
+    assert(df.schema("embedding").dataType.isInstanceOf[ArrayType])
+    assert(df.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType === FloatType)
+  }
+
   test("driver testdata events loads, has TimestampType ts, and is queryable") {
     val df = Tables.load(spark, sf(), "events")
     assert(df.schema("ts").dataType === TimestampType)
