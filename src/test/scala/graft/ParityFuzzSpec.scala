@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.Packing
+import graft.text.TextOps
+import org.apache.spark.sql.functions.col
+
+import scala.util.Random
+
+/** Seeded-random parity fuzzing for the three scale-path rewrites that
+  * CLAIM exact equivalence to their originals. Hand cases pin the
+  * shapes we thought of; these trials sweep inputs we didn't. Seeds
+  * are FIXED — every run tests the same inputs (no flaky CI), chosen
+  * small enough that the whole suite stays in seconds but adversarial
+  * enough to hit ties, token collisions, shard edges and empty
+  * groups. */
+class ParityFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny alphabet + short words = dense pair-count TIES and shared
+  // tokens between top candidates — the paths where batched training
+  // must refuse to batch
+  private def randomCorpus(rnd: Random, docs: Int): Seq[(Long, String)] =
+    (0 until docs).map { i =>
+      val words = (0 until 1 + rnd.nextInt(12)).map { _ =>
+        (0 until 1 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString
+      }
+      (i.toLong, words.mkString(" "))
+    }
+
+  test("fuzz: batched BPE training == sequential on tie-dense corpora") {
+    for (trial <- 0 until 6) {
+      val rnd = new Random(1000 + trial)
+      val df = randomCorpus(rnd, 4 + rnd.nextInt(4)).toDF("doc_id", "text")
+      val nm = 3 + rnd.nextInt(6)
+      val seq = TextOps.trainBpe(df, "text", nm)
+      val bat = TextOps.trainBpeBatched(df, "text", nm,
+        maxBatch = 1 + rnd.nextInt(8), candidatePool = 16)
+      assert(bat == seq, s"trial $trial (numMerges=$nm) diverged")
+    }
+  }
+
+  test("fuzz: partitioned greedy segmentation == replace chain on random tables") {
+    for (trial <- 0 until 4) {
+      val rnd = new Random(2000 + trial)
+      val train = randomCorpus(rnd, 6).toDF("doc_id", "text")
+      val apply = randomCorpus(new Random(3000 + trial), 8)
+        .toDF("doc_id", "text")
+      val merges = TextOps.trainBpe(train, "text", 3 + rnd.nextInt(5))
+      val key = (r: (Long, Long, String)) => r._1
+      val chain = TextOps.withBpeSegmentation(apply, "text", merges, "seg", "n")
+        .select("doc_id", "n", "seg")
+        .as[(Long, Long, String)].collect().sortBy(key).toSeq
+      val part = TextOps
+        .withBpeSegmentationPartitioned(apply, "text", merges, "seg", "n")
+        .select("doc_id", "n", "seg")
+        .as[(Long, Long, String)].collect().sortBy(key).toSeq
+      assert(part == chain, s"trial $trial diverged")
+    }
+  }
+
+  test("fuzz: sharded packing == plain across random groups/ids/blocks") {
+    for (trial <- 0 until 8) {
+      val rnd = new Random(4000 + trial)
+      val rows = (0 until 5 + rnd.nextInt(40)).map { _ =>
+        (s"g${rnd.nextInt(4)}",
+          rnd.nextLong().abs % 1000L,
+          rnd.nextInt(30).toLong) // includes 0-token docs (must drop)
+      }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val L = 1 + rnd.nextInt(16)
+      val block = 1L + rnd.nextInt(100)
+      val df = rows.toDF("g", "id", "n")
+      val key = (r: (String, Long, Long, Long, Long)) => (r._1, r._2, r._3)
+      val plain = Packing.packSequences(df, "id", "g", "n", L)
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(key).toSeq
+      val sharded = Packing.packSequencesSharded(df, "id", "g", "n", L, block)
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(key).toSeq
+      assert(sharded == plain, s"trial $trial (L=$L block=$block) diverged")
+    }
+  }
+
+  test("fuzz: sharded packing with negative ids (truncating DIV still monotone)") {
+    val rows = Seq(("g", -130L, 5L), ("g", -64L, 7L), ("g", -1L, 3L),
+      ("g", 0L, 4L), ("g", 63L, 9L), ("g", 64L, 2L))
+    val df = rows.toDF("g", "id", "n")
+    val key = (r: (String, Long, Long, Long, Long)) => (r._1, r._2, r._3)
+    val plain = Packing.packSequences(df, "id", "g", "n", 8)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(key).toSeq
+    val sharded = Packing.packSequencesSharded(df, "id", "g", "n", 8, 64L)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(key).toSeq
+    assert(sharded == plain)
+  }
+}
