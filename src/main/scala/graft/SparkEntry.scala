@@ -1095,6 +1095,16 @@ object SparkEntry {
         T(s, d, "documents"), "doc_id", "text", n = 4)
       .orderBy(col("doc_id"))
 
+  /** The composed Gopher-style filter POLICY through the gate
+    * (FilterPolicy): token bounds, mean-word-length bounds, stopword
+    * minimum, repetition caps — one staged signal pass + the
+    * repetition aggregate, verdict = first failing rule with its
+    * reason. Floats stay internal to threshold compares; the output
+    * is integers + boolean + reason string (exact hash). */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    graft.text.FilterPolicy(T(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** q76's exact merge table through the BATCHED trainer
     * (TextOps.trainBpeBatched): provably-exact candidate-prefix
     * batching applies several merges per Spark job, collapsing the
@@ -1215,6 +1225,7 @@ object SparkEntry {
     "q90_bigram_novelty" -> (q90 _),
     "q91_dup_spans" -> (q91 _),
     "q92_span_scrub" -> (q92 _),
+    "q93_filter_policy" -> (q93 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2276,6 +2287,7 @@ object SparkEntry {
     "q90_bigram_novelty" -> q90Sql,
     "q91_dup_spans" -> q91Sql,
     "q92_span_scrub" -> q92Sql,
+    "q93_filter_policy" -> q93Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -2359,4 +2371,71 @@ object SparkEntry {
        SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
          count(*) AS n_kept
        FROM keep GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q93: the q79 repetition chain + staged signals + first-failing
+    * rule CASE, mirroring FilterPolicy's fixed rule order. */
+  private def q93Sql: String = {
+    import graft.text.{FilterPolicy => FP}
+    s"""WITH w AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> length(x) > 0) AS ws
+        FROM documents),
+      b AS (
+        SELECT doc_id, ws,
+          CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+            AS BIGINT) AS total
+        FROM w),
+      g AS (
+        SELECT doc_id, 2 AS n,
+          unnest(list_transform(range(1, len(ws)),
+            j -> ws[j] || ' ' || ws[j+1])) AS gram
+        FROM b
+        UNION ALL
+        SELECT doc_id, 5 AS n,
+          unnest(list_transform(range(1, len(ws) - 3),
+            j -> ws[j]||' '||ws[j+1]||' '||ws[j+2]||' '||ws[j+3]||' '||ws[j+4]))
+          AS gram
+        FROM b),
+      c AS (
+        SELECT doc_id, n, gram, count(*) AS cnt,
+          length(replace(gram, ' ', '')) AS chars
+        FROM g GROUP BY doc_id, n, gram),
+      a AS (
+        SELECT doc_id,
+          max(CASE WHEN n = 2 THEN cnt * chars END) AS top2,
+          sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * chars END) AS dup5
+        FROM c GROUP BY doc_id),
+      fr AS (
+        SELECT b.doc_id,
+          CASE WHEN b.total > 0
+            THEN CAST(coalesce(a.top2, 0) AS DOUBLE) / b.total
+            ELSE 0.0 END AS top2_frac,
+          CASE WHEN b.total > 0
+            THEN CAST(coalesce(a.dup5, 0) AS DOUBLE) / b.total
+            ELSE 0.0 END AS dup5_frac
+        FROM b LEFT JOIN a USING (doc_id)),
+      sig AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+            AS DOUBLE) AS alpha,
+          CAST(len(list_filter(ws, x -> list_contains(
+            ['the','a','an','of','and','to','in','is','on','for'], x)))
+            AS BIGINT) AS n_stop
+        FROM w),
+      dec AS (
+        SELECT s.doc_id, s.n_tokens, s.n_stop,
+          CASE
+            WHEN s.n_tokens < ${FP.MinTokens}
+              OR s.n_tokens > ${FP.MaxTokens} THEN 'n_tokens'
+            WHEN s.alpha / s.n_tokens < ${FP.MinMeanWordLen}
+              OR s.alpha / s.n_tokens > ${FP.MaxMeanWordLen} THEN 'word_len'
+            WHEN s.n_stop < ${FP.MinStopwords} THEN 'stopwords'
+            WHEN f.top2_frac > ${TextOps.RepTop2Max}
+              OR f.dup5_frac > ${TextOps.RepDup5Max} THEN 'repetition'
+            ELSE 'ok' END AS reason
+        FROM sig s JOIN fr f USING (doc_id))
+       SELECT doc_id, n_tokens, n_stop, (reason = 'ok') AS keep, reason
+       FROM dec ORDER BY doc_id"""
+  }
 }

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** FilterPolicy — first-failing-rule semantics per hand-built
+  * documents, one per rule plus the pass case and the empty edge.
+  * The q93 gate pins the composition against DuckDB at sf0.01/sf0.1. */
+class FilterPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decide(docs: Seq[(Long, String)]) =
+    FilterPolicy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+      .sortBy(_._1).toSeq
+
+  private val passText =
+    ("the quick brown fox jumps over a lazy dog and " +
+      (0 until 26).map(i => f"word$i%02d").mkString(" "))
+
+  test("passing doc keeps with reason ok") {
+    val Seq((_, nt, ns, keep, reason)) = decide(Seq((1L, passText)))
+    assert(keep && reason == "ok")
+    assert(nt == 36L && ns >= 2L)
+  }
+
+  test("too-short doc fails n_tokens first even when other rules also fail") {
+    // 3 tokens, no stopwords, pure repetition — n_tokens wins the order
+    val Seq((_, _, _, keep, reason)) = decide(Seq((1L, "zz zz zz")))
+    assert(!keep && reason == "n_tokens")
+  }
+
+  test("short mean word length fails word_len before stopwords") {
+    // 30 single-char tokens: passes count, mean len 1 < 3, 0 stopwords
+    val text = Seq.fill(30)("z").mkString(" ")
+    val Seq((_, nt, ns, keep, reason)) = decide(Seq((1L, text)))
+    assert(nt == 30L && ns == 0L)
+    assert(!keep && reason == "word_len")
+  }
+
+  test("missing stopwords fails stopwords before repetition") {
+    // 30 distinct-ish 4-char words, no stopword, low repetition
+    val text = (0 until 30).map(i => f"w$i%03d").mkString(" ")
+    val Seq((_, _, ns, keep, reason)) = decide(Seq((1L, text)))
+    assert(ns == 0L)
+    assert(!keep && reason == "stopwords")
+  }
+
+  test("repetitive doc with sane shape fails repetition last") {
+    // passes count/word-len/stopwords but one dominant 2-gram
+    val text = ("the fox " * 20).trim
+    val Seq((_, _, _, keep, reason)) = decide(Seq((1L, text)))
+    assert(!keep && reason == "repetition")
+  }
+
+  test("empty doc fails n_tokens (no NaN leak from the mean)") {
+    val Seq((_, nt, _, keep, reason)) = decide(Seq((1L, "")))
+    assert(nt == 0L && !keep && reason == "n_tokens")
+  }
+}
