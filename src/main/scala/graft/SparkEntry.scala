@@ -1105,6 +1105,19 @@ object SparkEntry {
     graft.text.FilterPolicy(T(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Incremental duplicated-span detection through the gate
+    * (SpanDedup.duplicatedSpansAgainst): odd-id docs probed against
+    * the even-id standing corpus — the A-vs-B form every other dedup
+    * method here has; the corpus side distills to distinct gram
+    * hashes before the join. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    graft.text.SpanDedup.duplicatedSpansAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
   /** q76's exact merge table through the BATCHED trainer
     * (TextOps.trainBpeBatched): provably-exact candidate-prefix
     * batching applies several merges per Spark job, collapsing the
@@ -1226,6 +1239,7 @@ object SparkEntry {
     "q91_dup_spans" -> (q91 _),
     "q92_span_scrub" -> (q92 _),
     "q93_filter_policy" -> (q93 _),
+    "q94_dup_spans_incremental" -> (q94 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2288,6 +2302,7 @@ object SparkEntry {
     "q91_dup_spans" -> q91Sql,
     "q92_span_scrub" -> q92Sql,
     "q93_filter_policy" -> q93Sql,
+    "q94_dup_spans_incremental" -> q94Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -2339,6 +2354,30 @@ object SparkEntry {
        dup AS (SELECT h FROM pg GROUP BY h
           HAVING count(DISTINCT doc_id) >= 2),
        hit AS (SELECT doc_id, p FROM pg JOIN dup USING (h)),
+       fl AS (SELECT doc_id, p,
+          CASE WHEN max(p) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR p > max(p) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 4
+               THEN 1 ELSE 0 END AS nf
+          FROM hit),
+       sp AS (SELECT doc_id, p,
+          sum(nf) OVER (PARTITION BY doc_id ORDER BY p) AS sid FROM fl)
+       SELECT doc_id, min(p) AS start_tok, max(p) + 3 AS end_tok,
+         count(*) AS n_dup_grams
+       FROM sp GROUP BY doc_id, sid ORDER BY doc_id, start_tok"""
+
+  /** q94: odd-id batch grams probed against DISTINCT even-id corpus
+    * gram hashes, then the same sessionize span merge as q91. */
+  private def q94Sql: String =
+    raw"""WITH tw AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       pg AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM tw, unnest([{'p': i - 1, 'gl': w[i:i+3]}
+                           for i in range(1, len(w) - 2)]) AS u(s)),
+       ch AS (SELECT DISTINCT h FROM pg WHERE doc_id % 2 = 0),
+       hit AS (SELECT doc_id, p FROM pg JOIN ch USING (h)
+          WHERE doc_id % 2 = 1),
        fl AS (SELECT doc_id, p,
           CASE WHEN max(p) OVER (PARTITION BY doc_id ORDER BY p
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL

@@ -61,7 +61,33 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("h"))
-    val hits = grams.join(dup, Seq("h")).select(col(idCol), col("p"))
+    mergeSpans(grams.join(dup, Seq("h")).select(col(idCol), col("p")),
+      idCol, n)
+  }
+
+  /** The INCREMENTAL form every other dedup method here has: spans of
+    * a NEW batch duplicated against a STANDING corpus — a position
+    * hits when its n-gram occurs anywhere in the corpus. The corpus
+    * side distills to DISTINCT hashes before the join (positions and
+    * ids dropped — the probe carries the minimum), so the daily cost
+    * is one distinct over corpus grams + a hash join sized by the
+    * batch. Same output shape as [[duplicatedSpans]]. */
+  def duplicatedSpansAgainst(newDf: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val corpusHashes = positionedGrams(corpus, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val hits = positionedGrams(newDf, idCol, textCol, n)
+      .join(corpusHashes, Seq("h"))
+      .select(col(idCol), col("p"))
+    mergeSpans(hits, idCol, n)
+  }
+
+  /** Sessionize-pattern interval merge of duplicated positions into
+    * maximal spans (shared by the self and A-vs-B detectors). */
+  private def mergeSpans(hits: DataFrame, idCol: String,
+                         n: Int): DataFrame = {
     val wPrev = Window.partitionBy(col(idCol)).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col(idCol)).orderBy(col("p"))

@@ -76,4 +76,18 @@ class SpanDedupSpec extends SparkSpec {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "u v w x"))
     assert(scrub(docs, n = 3) == Seq((3L, "u v w x", 4L)))
   }
+
+  test("A-vs-B spans hit corpus grams only — batch-internal dups don't count") {
+    val corpus = Seq((0L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    // batch doc 1 shares "a b c d" with the corpus; docs 3 and 5 share
+    // "p q r" with each other but with NO corpus doc — must not hit
+    val batch = Seq(
+      (1L, "k a b c d m"),
+      (3L, "p q r s t u"),
+      (5L, "p q r v w x")).toDF("doc_id", "text")
+    val got = SpanDedup.duplicatedSpansAgainst(batch, corpus,
+        "doc_id", "text", n = 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 1, 4, 2L)))
+  }
 }
