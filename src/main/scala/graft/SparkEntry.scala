@@ -1118,6 +1118,45 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("start_tok"))
   }
 
+  /** The WHOLE text-curation pipeline end-to-end through one gate:
+    * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
+    * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
+    * near-dup clustering at jaccard ≥ 0.6 over the scrubbed text →
+    * representative-only survivors. Raw corpus in, training-ready
+    * doc set out — every stage is an already-gated operator; this
+    * pins their COMPOSITION (stage order, which text each stage
+    * sees). */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = T(s, d, "documents")
+    val pol = graft.text.FilterPolicy(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(pol, Seq("doc_id"), "left_semi")
+    val scr = graft.text.SpanDedup.removeDuplicatedSpans(
+        kept, "doc_id", "text", n = 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = scr.withColumn("_f", md5(col("clean_text")))
+    val winners = fp.groupBy(col("_f"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val ek = scr.join(winners, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ek.count()
+    val clusters = graft.dedup.SimilarJoin.similarClusters(
+      ek.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text",
+      graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6))
+    val drop = clusters.filter(col("cluster") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val out = ek.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_kept"))
+      .orderBy(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ek.unpersist()
+    scr.unpersist()
+    out
+  }
+
   /** q76's exact merge table through the BATCHED trainer
     * (TextOps.trainBpeBatched): provably-exact candidate-prefix
     * batching applies several merges per Spark job, collapsing the
@@ -1240,6 +1279,7 @@ object SparkEntry {
     "q92_span_scrub" -> (q92 _),
     "q93_filter_policy" -> (q93 _),
     "q94_dup_spans_incremental" -> (q94 _),
+    "q95_full_curation" -> (q95 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2303,6 +2343,7 @@ object SparkEntry {
     "q92_span_scrub" -> q92Sql,
     "q93_filter_policy" -> q93Sql,
     "q94_dup_spans_incremental" -> q94Sql,
+    "q95_full_curation" -> q95Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -2413,9 +2454,16 @@ object SparkEntry {
 
   /** q93: the q79 repetition chain + staged signals + first-failing
     * rule CASE, mirroring FilterPolicy's fixed rule order. */
-  private def q93Sql: String = {
+  private def q93Sql: String =
+    "WITH " + policyCtes + """
+       SELECT doc_id, n_tokens, n_stop, (reason = 'ok') AS keep, reason
+       FROM dec ORDER BY doc_id"""
+
+  /** The FilterPolicy CTE chain ending in `dec(doc_id, n_tokens,
+    * n_stop, reason)` — shared by q93 and the composed q95. */
+  private def policyCtes: String = {
     import graft.text.{FilterPolicy => FP}
-    s"""WITH w AS (
+    s"""w AS (
         SELECT doc_id, list_filter(
           string_split_regex(trim(lower(text)), '\\s+'),
           x -> length(x) > 0) AS ws
@@ -2473,8 +2521,42 @@ object SparkEntry {
             WHEN f.top2_frac > ${TextOps.RepTop2Max}
               OR f.dup5_frac > ${TextOps.RepDup5Max} THEN 'repetition'
             ELSE 'ok' END AS reason
-        FROM sig s JOIN fr f USING (doc_id))
-       SELECT doc_id, n_tokens, n_stop, (reason = 'ok') AS keep, reason
-       FROM dec ORDER BY doc_id"""
+        FROM sig s JOIN fr f USING (doc_id))"""
   }
+
+  /** q95: the WHOLE text-curation pipeline composed end-to-end from
+    * proven fragments — FilterPolicy (policyCtes) as the keep gate,
+    * the q92 scrub chain restricted to kept docs, fingerprint-min
+    * exact dedup over the scrubbed text, the q30 LSH pair chain at
+    * 0.6 (suffix z), recursive clustering, representative-only
+    * survivors. */
+  private def q95Sql: String =
+    "WITH RECURSIVE " + policyCtes + raw""",
+       pol AS (SELECT doc_id FROM dec WHERE reason = 'ok'),
+       wk AS (SELECT w.doc_id, ws FROM w JOIN pol USING (doc_id)),
+       pgk AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM wk, unnest([{'p': i - 1, 'gl': ws[i:i+3]}
+                           for i in range(1, len(ws) - 2)]) AS u(s)),
+       dupk AS (SELECT h FROM pgk GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2),
+       covk AS (SELECT DISTINCT doc_id, x AS pos
+          FROM pgk JOIN dupk USING (h), unnest(range(p, p + 4)) AS r(x)),
+       tokk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
+          FROM wk, unnest(range(1, len(ws) + 1)) AS r(i)),
+       keepk AS (SELECT t.doc_id, t.pos, t.tk FROM tokk t
+          LEFT JOIN covk c2 ON t.doc_id = c2.doc_id AND t.pos = c2.pos
+          WHERE c2.pos IS NULL),
+       scr AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+          count(*) AS n_kept FROM keepk GROUP BY doc_id),
+       fpsq AS (SELECT doc_id, clean_text, n_kept,
+          md5(clean_text) AS f FROM scr),
+       keepq AS (SELECT min(doc_id) AS doc_id FROM fpsq GROUP BY f),
+       ekq AS (SELECT fpsq.doc_id, fpsq.clean_text, fpsq.n_kept
+          FROM fpsq JOIN keepq USING (doc_id)),
+       srcz AS (SELECT doc_id, clean_text AS text, n_kept FROM ekq),
+       """ + lshPairsSql("srcz", 0.6, sfx = "z") + ",\n         " +
+      clusterSql("z") + raw"""
+       SELECT doc_id, n_kept FROM srcz
+       WHERE doc_id NOT IN (SELECT id FROM clusz WHERE cluster <> id)
+       ORDER BY doc_id"""
 }
