@@ -79,6 +79,45 @@ class ParityFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: duplicated spans match an in-memory brute force") {
+    def bruteSpans(docs: Seq[(Long, String)], n: Int)
+        : Seq[(Long, Int, Int, Long)] = {
+      val words = docs.map { case (id, t) =>
+        id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val grams = words.toSeq.flatMap { case (id, ws) =>
+        ws.sliding(n).zipWithIndex.collect {
+          case (g, p) if g.length == n => (id, p, g.mkString(" "))
+        }
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+        .keySet
+      grams.filter(g => dup(g._3)).groupBy(_._1).toSeq.flatMap {
+        case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          val runs = ps.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) if acc.nonEmpty && p <= acc.head.head + n =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }
+          runs.map(r => (id, r.min, r.max + n - 1, r.size.toLong))
+      }.sortBy(r => (r._1, r._2))
+    }
+    for (trial <- 0 until 5) {
+      val rnd = new Random(5000 + trial)
+      val docs = (0 until 6).map { i =>
+        val ws = (0 until 4 + rnd.nextInt(12)).map(_ =>
+          ('a' + rnd.nextInt(4)).toChar.toString)
+        (i.toLong, ws.mkString(" "))
+      }
+      val n = 2 + rnd.nextInt(2)
+      val got = graft.text.SpanDedup.duplicatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == bruteSpans(docs, n), s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("fuzz: sharded packing with negative ids (truncating DIV still monotone)") {
     val rows = Seq(("g", -130L, 5L), ("g", -64L, 7L), ("g", -1L, 3L),
       ("g", 0L, 4L), ("g", 63L, 9L), ("g", 64L, 2L))
