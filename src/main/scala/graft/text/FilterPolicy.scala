@@ -30,13 +30,25 @@ object FilterPolicy {
   val MaxMeanWordLen = 10.0
   val MinStopwords = 2
 
-  /** `(<idCol>, n_tokens, n_stop, keep, reason)` — reason ∈
-    * {'n_tokens', 'word_len', 'stopwords', 'repetition', 'ok'}, the
-    * first failing rule in that fixed order. One narrow signal pass +
-    * the repetition aggregate joined back on the id. */
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = df
-      .withColumn("_fw",
+  /** The first-failing-rule verdict over staged signal columns —
+    * shared by the batch and per-row variants so the two can never
+    * disagree on rule order or thresholds. */
+  private def reasonExpr(nt: org.apache.spark.sql.Column,
+                         alpha: org.apache.spark.sql.Column,
+                         nstop: org.apache.spark.sql.Column,
+                         top2: org.apache.spark.sql.Column,
+                         dup5: org.apache.spark.sql.Column) = {
+    val mwl = alpha.cast("double") / nt
+    when(nt < MinTokens || nt > MaxTokens, lit("n_tokens"))
+      .when(mwl < MinMeanWordLen || mwl > MaxMeanWordLen, lit("word_len"))
+      .when(nstop < MinStopwords, lit("stopwords"))
+      .when(top2 > TextOps.RepTop2Max || dup5 > TextOps.RepDup5Max,
+        lit("repetition"))
+      .otherwise(lit("ok"))
+  }
+
+  private def withSignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_fw",
         filter(TextOps.words(lower(col(textCol))), w => length(w) > 0))
       .withColumn("_nt", size(col("_fw")).cast("long"))
       .withColumn("_alpha",
@@ -44,21 +56,37 @@ object FilterPolicy {
       .withColumn("_nstop",
         size(filter(col("_fw"),
           w => w.isInCollection(TextOps.Stopwords))).cast("long"))
+
+  /** `(<idCol>, n_tokens, n_stop, keep, reason)` — reason ∈
+    * {'n_tokens', 'word_len', 'stopwords', 'repetition', 'ok'}, the
+    * first failing rule in that fixed order. One narrow signal pass +
+    * the repetition aggregate joined back on the id. */
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = withSignals(df, textCol)
       .select(col(idCol), col("_nt"), col("_alpha"), col("_nstop"))
     val rep = TextOps.repetitionStats(df, idCol, textCol)
-    val mwl = col("_alpha").cast("double") / col("_nt")
     sig.join(rep, Seq(idCol))
-      .withColumn("reason",
-        when(col("_nt") < MinTokens || col("_nt") > MaxTokens,
-          lit("n_tokens"))
-        .when(mwl < MinMeanWordLen || mwl > MaxMeanWordLen,
-          lit("word_len"))
-        .when(col("_nstop") < MinStopwords, lit("stopwords"))
-        .when(col("top2_frac") > TextOps.RepTop2Max ||
-              col("dup5_frac") > TextOps.RepDup5Max, lit("repetition"))
-        .otherwise(lit("ok")))
+      .withColumn("reason", reasonExpr(col("_nt"), col("_alpha"),
+        col("_nstop"), col("top2_frac"), col("dup5_frac")))
       .select(col(idCol), col("_nt").as("n_tokens"),
         col("_nstop").as("n_stop"),
         (col("reason") === "ok").as("keep"), col("reason"))
   }
+
+  /** [[apply]] as PURE per-row expressions — the repetition metrics
+    * come from [[TextOps.withRepetitionCols]] instead of the doc-keyed
+    * aggregate, so there is no shuffle and no state anywhere: the
+    * policy runs unchanged inside a Structured Streaming
+    * `readStream → filter → writeStream` (quality-filter documents as
+    * they are crawled, no watermark needed). Identical verdicts to
+    * the batch form — the rule expression is literally shared. */
+  def withDecision(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    TextOps.withRepetitionCols(withSignals(df, textCol), textCol,
+        "_t2f", "_d5f")
+      .withColumn("reason", reasonExpr(col("_nt"), col("_alpha"),
+        col("_nstop"), col("_t2f"), col("_d5f")))
+      .select(col(idCol), col("_nt").as("n_tokens"),
+        col("_nstop").as("n_stop"),
+        (col("reason") === "ok").as("keep"), col("reason"))
 }

@@ -236,6 +236,59 @@ object TextOps {
   val RepTop2Max = 0.20
   val RepDup5Max = 0.15
 
+  /** [[repetitionStats]] as PURE per-row column expressions — no
+    * groupBy, no shuffle, no state — so the metrics (and everything
+    * built on them, e.g. [[FilterPolicy.withDecision]]) work inside a
+    * Structured Streaming map without watermarks or output-mode
+    * constraints. Cost: the per-gram count is a quadratic HOF scan
+    * over the document's own grams (O(grams²) per row, fine at
+    * real document lengths and embarrassingly parallel); the batch
+    * aggregate version stays the cheaper shape for corpus-wide batch
+    * jobs. Values are IDENTICAL to the aggregate version: same
+    * integer cnt×chars products, same long total, same double
+    * division. Adds `top2Col` and `dup5Col`. */
+  def withRepetitionCols(df: DataFrame, textCol: String,
+                         top2Col: String, dup5Col: String): DataFrame = {
+    val statTy = "array<struct<cnt:bigint,chars:bigint>>"
+    val stats = (grams: Column) =>
+      transform(array_distinct(grams), g => struct(
+        size(filter(grams, x => x === g)).cast("long").as("cnt"),
+        length(call_function("replace", g, lit(" "), lit(""))).cast("long")
+          .as("chars")))
+    df.withColumn("_rw",
+        filter(words(lower(col(textCol))), w => length(w) > 0))
+      .withColumn("_rtotal",
+        aggregate(col("_rw"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("_g2s", {
+        val grams = when(size(col("_rw")) >= 2,
+          transform(sequence(lit(1), size(col("_rw")) - 1),
+            i => concat_ws(" ", slice(col("_rw"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+        stats(grams)
+      })
+      .withColumn("_g5s", {
+        val grams = when(size(col("_rw")) >= 5,
+          transform(sequence(lit(1), size(col("_rw")) - 4),
+            i => concat_ws(" ", slice(col("_rw"), i, lit(5)))))
+          .otherwise(array().cast("array<string>"))
+        stats(grams)
+      })
+      .withColumn("_top2", array_max(
+        transform(col("_g2s"), s => s.getField("cnt") * s.getField("chars"))))
+      .withColumn("_dup5", aggregate(
+        filter(col("_g5s"), s => s.getField("cnt") > 1), lit(0L),
+        (acc, s) => acc + s.getField("cnt") * s.getField("chars")))
+      .withColumn(top2Col,
+        when(col("_rtotal") > 0,
+          coalesce(col("_top2"), lit(0L)).cast("double") / col("_rtotal"))
+          .otherwise(lit(0.0)))
+      .withColumn(dup5Col,
+        when(col("_rtotal") > 0,
+          coalesce(col("_dup5"), lit(0L)).cast("double") / col("_rtotal"))
+          .otherwise(lit(0.0)))
+      .drop("_rw", "_rtotal", "_g2s", "_g5s", "_top2", "_dup5")
+  }
+
   /** 32-bit hash derived from the first 8 hex chars of md5 — chosen over
     * crc32/xxhash because every SQL engine with md5 can reproduce it
     * (the DuckDB oracle uses `try_cast('0x'||substring(md5(x),1,8))`). */
