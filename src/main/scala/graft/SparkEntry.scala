@@ -1118,6 +1118,18 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("start_tok"))
   }
 
+  /** Incremental span scrub through the gate
+    * (SpanDedup.removeDuplicatedSpansAgainst): odd-id batch docs with
+    * every token covered by an even-id corpus 4-gram removed —
+    * q94's detection followed by q92's removal semantics. */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    graft.text.SpanDedup.removeDuplicatedSpansAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1280,6 +1292,7 @@ object SparkEntry {
     "q93_filter_policy" -> (q93 _),
     "q94_dup_spans_incremental" -> (q94 _),
     "q95_full_curation" -> (q95 _),
+    "q96_span_scrub_incremental" -> (q96 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2344,6 +2357,7 @@ object SparkEntry {
     "q93_filter_policy" -> q93Sql,
     "q94_dup_spans_incremental" -> q94Sql,
     "q95_full_curation" -> q95Sql,
+    "q96_span_scrub_incremental" -> q96Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -2431,6 +2445,29 @@ object SparkEntry {
        SELECT doc_id, min(p) AS start_tok, max(p) + 3 AS end_tok,
          count(*) AS n_dup_grams
        FROM sp GROUP BY doc_id, sid ORDER BY doc_id, start_tok"""
+
+  /** q96: q94's corpus-hash hit set expanded to covered positions,
+    * then q92's removal tail over the odd-id batch. */
+  private def q96Sql: String =
+    raw"""WITH tw AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       pg AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM tw, unnest([{'p': i - 1, 'gl': w[i:i+3]}
+                           for i in range(1, len(w) - 2)]) AS u(s)),
+       ch AS (SELECT DISTINCT h FROM pg WHERE doc_id % 2 = 0),
+       hit AS (SELECT doc_id, p FROM pg JOIN ch USING (h)
+          WHERE doc_id % 2 = 1),
+       cov AS (SELECT DISTINCT doc_id, x AS pos
+          FROM hit, unnest(range(p, p + 4)) AS r(x)),
+       tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tk
+          FROM tw, unnest(range(1, len(w) + 1)) AS r(i)
+          WHERE doc_id % 2 = 1),
+       keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL)
+       SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+       FROM keep GROUP BY doc_id ORDER BY doc_id"""
 
   /** q92: covered-position expansion + anti-join + ordered rebuild. */
   private def q92Sql: String =

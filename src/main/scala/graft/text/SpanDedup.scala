@@ -123,7 +123,32 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("h"))
-    val covered = grams.join(dup, Seq("h"))
+    scrubByHits(df, idCol, textCol, n, grams.join(dup, Seq("h")))
+  }
+
+  /** The incremental removal: tokens of a NEW batch covered by an
+    * n-gram the standing corpus already contains are scrubbed — what
+    * an ingest pipeline applies after [[duplicatedSpansAgainst]]
+    * flags the boilerplate. Same corpus-side distillation (distinct
+    * hashes only). */
+  def removeDuplicatedSpansAgainst(newDf: DataFrame, corpus: DataFrame,
+                                   idCol: String, textCol: String,
+                                   n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val corpusHashes = positionedGrams(corpus, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val hits = positionedGrams(newDf, idCol, textCol, n)
+      .join(corpusHashes, Seq("h"))
+    scrubByHits(newDf, idCol, textCol, n, hits)
+  }
+
+  /** Shared removal tail: expand hit positions to covered token
+    * offsets, anti-join the positioned token stream, rebuild each
+    * document in position order (sort_array over (pos, token) —
+    * collect_list alone is order-nondeterministic). */
+  private def scrubByHits(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, hits: DataFrame): DataFrame = {
+    val covered = hits
       .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1)))
         .as("pos"))
       .distinct()

@@ -90,4 +90,16 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got == Seq((1L, 1, 4, 2L)))
   }
+
+  test("A-vs-B scrub removes corpus-covered tokens only") {
+    val corpus = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "k a b c d m"),   // middle covered -> "k m"
+      (3L, "a b c d"),       // fully covered -> disappears
+      (5L, "p q r s")).toDF("doc_id", "text") // untouched
+    val got = SpanDedup.removeDuplicatedSpansAgainst(batch, corpus,
+        "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "k m", 2L), (5L, "p q r s", 4L)))
+  }
 }
