@@ -1130,6 +1130,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Extended PII scrub through the gate: SSN shapes, IBAN shapes
+    * with the ISO 7064 mod-97 check, payment-card shapes gated on
+    * the Luhn checksum — both checksums computed RELATIONALLY as
+    * codegen'd HOF expressions (Pii.luhnValid / Pii.ibanValid), so
+    * the DuckDB oracle reproduces the accept/reject decision
+    * byte-for-byte via the same digit-fold arithmetic. Augments each
+    * document with a derived SSN (always redacted), an IBAN whose
+    * check digits cycle doc_id % 100 (~1% mod-97-valid), and a card
+    * number whose last group cycles doc_id % 10000 (exactly 10%
+    * Luhn-valid) — the gate pins that ONLY checksum-valid cards are
+    * replaced while shape-only runs survive, plus all five audit
+    * counts. */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" ssn "), (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" acct DE"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lit("3704004405"),
+      lpad((col("doc_id") % 100000000).cast("string"), 8, "0"),
+      lit(" card 4111-1111-1111-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    graft.text.Pii.withExtendedRedaction(
+        T(s, d, "documents").select(col("doc_id"), aug.as("aug")),
+        "aug", "red")
+      .select(col("doc_id"), col("red"), col("n_ssn"), col("n_iban"),
+        col("n_iban_valid"), col("n_cc"), col("n_cc_valid"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1293,6 +1323,7 @@ object SparkEntry {
     "q94_dup_spans_incremental" -> (q94 _),
     "q95_full_curation" -> (q95 _),
     "q96_span_scrub_incremental" -> (q96 _),
+    "q97_pii_extended" -> (q97 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1796,6 +1827,68 @@ object SparkEntry {
          len(regexp_extract_all(aug,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
        FROM t ORDER BY doc_id"""
+
+  /** q97: the extended-PII oracle re-derives BOTH checksums in
+    * DuckDB with the same relational arithmetic the Spark
+    * expressions use — Luhn via a positional list_transform +
+    * list_sum over the separator-stripped digits, IBAN mod-97 via
+    * the rearrange → A=10..Z=35 letter expansion (generated 26-deep
+    * literal replace chain, letters only ever become digits so the
+    * chain cannot cascade) → `(acc*10+d) % 97` list_reduce fold
+    * seeded by list_prepend(0, …). Redaction: Luhn-valid candidates
+    * literally replaced first (list_reduce over the verified list),
+    * then IBAN/SSN shapes by regexp_replace — same order as
+    * Pii.withExtendedRedaction. */
+  private def q97Sql: String = {
+    def letterChain(inner: String): String =
+      ('A' to 'Z').foldLeft(inner)((acc, ch) =>
+        s"replace($acc, '$ch', '${ch - 'A' + 10}')")
+    val ssn = raw"\b\d{3}-\d{2}-\d{4}\b"
+    val iban = raw"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+    val cc = raw"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+    val dd = letterChain("(substr(x, 5) || substr(x, 1, 4))")
+    val ibanValid =
+      s"""list_reduce(list_prepend(0, list_transform(
+         |        range(1, len($dd) + 1),
+         |        i -> CAST(($dd)[i] AS INT))),
+         |      (a, b) -> (a * 10 + b) % 97) = 1""".stripMargin
+    val d = "replace(replace(x, '-', ''), ' ', '')"
+    val luhn =
+      s"""list_sum(list_transform(range(1, len($d) + 1), i ->
+         |      CASE WHEN (len($d) - i) % 2 = 1 THEN
+         |        CASE WHEN CAST(($d)[i] AS INT) * 2 > 9
+         |             THEN CAST(($d)[i] AS INT) * 2 - 9
+         |             ELSE CAST(($d)[i] AS INT) * 2 END
+         |      ELSE CAST(($d)[i] AS INT) END)) % 10 = 0""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |    text || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+       |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' acct DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+       |    '3704004405' ||
+       |    lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ||
+       |    ' card 4111-1111-1111-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+       |  FROM documents),
+       |c AS (SELECT doc_id, aug,
+       |    regexp_extract_all(aug, '$cc') AS cc_all,
+       |    list_filter(regexp_extract_all(aug, '$cc'),
+       |      x -> $luhn) AS cc_ok,
+       |    regexp_extract_all(aug, '$iban') AS iban_all,
+       |    list_filter(regexp_extract_all(aug, '$iban'),
+       |      x -> $ibanValid) AS iban_ok
+       |  FROM t)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(
+       |      list_reduce(list_prepend(aug, cc_ok),
+       |        (acc, x) -> replace(acc, x, '<CC>')),
+       |      '$iban', '<IBAN>', 'g'),
+       |      '$ssn', '<SSN>', 'g') AS red,
+       |  len(regexp_extract_all(aug, '$ssn')) AS n_ssn,
+       |  len(iban_all) AS n_iban, len(iban_ok) AS n_iban_valid,
+       |  len(cc_all) AS n_cc, len(cc_ok) AS n_cc_valid
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
@@ -2358,6 +2451,7 @@ object SparkEntry {
     "q94_dup_spans_incremental" -> q94Sql,
     "q95_full_curation" -> q95Sql,
     "q96_span_scrub_incremental" -> q96Sql,
+    "q97_pii_extended" -> q97Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -60,4 +60,65 @@ class PiiSpec extends SparkSpec {
       Pii.countMatches(col("x"), "ssn")
     }
   }
+
+  // ----------------------------------------------- extended families
+
+  private def boolOf(c: org.apache.spark.sql.Column, s: String): Boolean =
+    Seq(s).toDF("t").select(c).as[Boolean].collect().head
+
+  test("luhnValid accepts the ISO test PANs, rejects off-by-one") {
+    // 4111111111111111 is the canonical Luhn-valid test number
+    assert(boolOf(Pii.luhnValid(col("t")), "4111111111111111"))
+    assert(boolOf(Pii.luhnValid(col("t")), "4111-1111-1111-1111"))
+    assert(boolOf(Pii.luhnValid(col("t")), "4111 1111 1111 1111"))
+    assert(boolOf(Pii.luhnValid(col("t")), "5500005555555559"))
+    assert(!boolOf(Pii.luhnValid(col("t")), "4111111111111112"))
+    assert(!boolOf(Pii.luhnValid(col("t")), "4111-1111-1111-1110"))
+  }
+
+  test("ibanValid accepts published example IBANs, rejects mutations") {
+    // the two standard registry examples (DE / GB with letters in BBAN)
+    assert(boolOf(Pii.ibanValid(col("t")), "DE89370400440532013000"))
+    assert(boolOf(Pii.ibanValid(col("t")), "GB82WEST12345698765432"))
+    assert(!boolOf(Pii.ibanValid(col("t")), "DE89370400440532013001"))
+    assert(!boolOf(Pii.ibanValid(col("t")), "GB83WEST12345698765432"))
+  }
+
+  test("extended redaction: only Luhn-valid cards are replaced") {
+    val df = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"),     // valid → redact
+      (2L, "order 4111-1111-1111-1112 ref")    // shape only → keep
+    ).toDF("id", "text")
+    val out = Pii.withExtendedRedaction(df, "text", "red")
+      .select("id", "red", "n_cc", "n_cc_valid")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "pay <CC> now", 1L, 1L),
+      (2L, "order 4111-1111-1111-1112 ref", 1L, 0L)))
+  }
+
+  test("extended redaction: SSN + IBAN shapes, validity audit") {
+    val df = Seq(
+      (1L, "ssn 123-45-6789 acct DE89370400440532013000 ok"),
+      (2L, "acct DE89370400440532013001 bad check"),
+      (3L, "phone 555-123-4567 is 3-3-4, not an SSN")).toDF("id", "text")
+    val out = Pii.withExtendedRedaction(df, "text", "red")
+      .select("id", "red", "n_ssn", "n_iban", "n_iban_valid")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // IBAN redaction is shape-based (low FP shape); validity is audit-only
+    assert(out == Seq(
+      (1L, "ssn <SSN> acct <IBAN> ok", 1L, 1L, 1L),
+      (2L, "acct <IBAN> bad check", 0L, 1L, 0L),
+      (3L, "phone 555-123-4567 is 3-3-4, not an SSN", 0L, 0L, 0L)))
+  }
+
+  test("extended redaction: multiple valid cards all replaced") {
+    val df = Seq((1L,
+      "a 4111111111111111 b 5500-0055-5555-5559 c 1234123412341234 d"))
+      .toDF("id", "text")
+    val out = Pii.withExtendedRedaction(df, "text", "red")
+      .select("red", "n_cc", "n_cc_valid")
+      .as[(String, Long, Long)].collect().head
+    assert(out == ("a <CC> b <CC> c 1234123412341234 d", 3L, 2L))
+  }
 }
