@@ -1160,6 +1160,68 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 line-level cleaning through the gate (Raffel et al. 2020
+    * §2.2): documents are recut into lines (deterministic aug —
+    * ` table ` occurrences become sentence breaks; a code line, a
+    * lorem-ipsum line, a short line and a clean closing line are
+    * appended on doc_id cycles), then C4Clean applies the
+    * terminal-punctuation / min-words / code-marker line rules and
+    * the min-lines / lorem-ipsum document rules. Pins kept-line
+    * content, line counts, and which documents disappear. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(
+      replace(col("text"), lit(" table "), lit(".\n")), lit("."),
+      when(col("doc_id") % 7 === 0,
+        lit("\nif (x) { alert(\"hi\"); }")).otherwise(lit("")),
+      when(col("doc_id") % 31 === 5,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      lit("\nshort line"),
+      lit("\na closing sentence with more than enough words here."))
+    graft.text.C4Clean.clean(
+        T(s, d, "documents").select(col("doc_id"), aug.as("aug")), "aug")
+      .select(col("doc_id"), col("clean_text"), col("n_lines"),
+        col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-5 terms per document (sklearn-smoothed idf), ranked
+    * through the custom bounded-heap TopKPerGroup operator — pins
+    * tokenize → (doc,term) counts → doc-frequency join → scored
+    * top-k against DuckDB's window-rank formulation. Scores are
+    * rounded to 6dp BEFORE ranking so the order is engine-exact
+    * (see TfIdf scaladoc). */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    graft.text.TfIdf.topKTerms(T(s, d, "documents"), "doc_id", "text", 5)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** SQ8 scalar quantization codes for every embedding (Quantize.
+    * withSq8Codes): per-dimension min/max from ONE corpus pass, then
+    * 1-byte codes — all deterministic arithmetic, so the full
+    * 500×64 code matrix hash-matches DuckDB's recomputation. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Quantize.withSq8Codes(emb, "embedding",
+        graft.sim.Quantize.sq8Params(emb, "embedding"))
+      .select(col("vec_id"), col("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC top-10 for probe vec_id=0 over the SQ8 codes — the
+    * compressed-index search path (exact probe vs midpoint-dequantized
+    * candidates, squared-L2, sequential dimension-order fold). */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    graft.sim.Quantize.adcTopK(T(s, d, "embeddings"), "vec_id",
+      "embedding", probeId = 0L, k = 10)
+
+  /** IVF-ADC combined: centroid-ranked top-2 label cells (q37's
+    * proven cell-selection shape), then ADC scoring over SQ8 codes
+    * inside only those cells — the compressed-index ANN search path
+    * at its full production composition (nprobe/#cells of a 4×
+    * smaller index). */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    graft.sim.Quantize.ivfAdcTopK(T(s, d, "embeddings"), "vec_id",
+      "embedding", "label", probeId = 0L, nprobe = 2, k = 10)
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1324,6 +1386,11 @@ object SparkEntry {
     "q95_full_curation" -> (q95 _),
     "q96_span_scrub_incremental" -> (q96 _),
     "q97_pii_extended" -> (q97 _),
+    "q98_c4_line_clean" -> (q98 _),
+    "q99_tfidf_topk" -> (q99 _),
+    "q100_sq8_codes" -> (q100 _),
+    "q101_adc_topk" -> (q101 _),
+    "q102_ivf_adc_topk" -> (q102 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -1890,6 +1957,132 @@ object SparkEntry {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** q98: same line split + list_filter keep rules + document
+    * filters in DuckDB — `regexp_matches`/`contains` inside the
+    * lambda mirror C4Clean.lineKeep term for term. */
+  private def q98Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+       |    replace(text, ' table ', '.' || chr(10)) || '.' ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN chr(10) || 'if (x) { alert("hi"); }' ELSE '' END ||
+       |    CASE WHEN doc_id % 31 = 5
+       |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+       |    chr(10) || 'short line' ||
+       |    chr(10) || 'a closing sentence with more than enough words here.'
+       |      AS aug
+       |  FROM documents),
+       |l AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines FROM t),
+       |k AS (SELECT doc_id, aug, len(lines) AS n_lines,
+       |    list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"'']$$')
+       |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+       |      AND NOT contains(x, '{') AND NOT contains(x, '}')
+       |      AND NOT contains(lower(x), 'javascript')) AS kept
+       |  FROM l)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(kept, x -> trim(x)), chr(10))
+       |    AS clean_text,
+       |  CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept
+       |FROM k
+       |WHERE len(kept) >= 3 AND NOT contains(lower(aug), 'lorem ipsum')
+       |ORDER BY doc_id""".stripMargin
+
+  /** q99: tf / df / smoothed-idf score recomputed relationally; the
+    * window row_number mirrors TopKPerGroup's (score DESC, term)
+    * ordering — both rank the 6dp-rounded score. */
+  private def q99Sql: String =
+    raw"""WITH w AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM w GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, term, tf, df,
+       |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+       |  FROM tf JOIN dfq USING (term), n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rank FROM s)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+       |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  /** q100/q101: SQ8 code + ADC recomputation in DuckDB — identical
+    * operation order ((x-mn)/(mx-mn)*256 floor/clamp; midpoint
+    * dequant; seeded list_reduce fold for the dimension-order sum)
+    * so codes and distances match bit-for-bit before rounding. */
+  private def q100Sql: String =
+    """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings, range(1,65) r(i) GROUP BY i),
+       |c AS (SELECT vec_id, i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE greatest(0, least(255,
+       |              CAST(floor((CAST(embedding[i] AS DOUBLE)
+       |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
+       |  FROM embeddings, range(1,65) r(i) JOIN p USING (i))
+       |SELECT vec_id, list(code ORDER BY i) AS codes
+       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  private def q101Sql: String =
+    """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings, range(1,65) r(i) GROUP BY i),
+       |c AS (SELECT vec_id, i, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE greatest(0, least(255,
+       |              CAST(floor((CAST(embedding[i] AS DOUBLE)
+       |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
+       |  FROM embeddings, range(1,65) r(i) JOIN p USING (i)),
+       |probe AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS qv
+       |  FROM embeddings, range(1,65) r(i) WHERE vec_id = 0),
+       |terms AS (SELECT c.vec_id, c.i,
+       |    (qv - (mn + (code + 0.5) * (mx - mn) / 256))
+       |      * (qv - (mn + (code + 0.5) * (mx - mn) / 256)) AS t
+       |  FROM c JOIN probe USING (i) WHERE c.vec_id <> 0),
+       |ordered AS (SELECT vec_id, list(t ORDER BY i) AS ts
+       |  FROM terms GROUP BY vec_id)
+       |SELECT vec_id,
+       |  round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+       |    AS adist
+       |FROM ordered ORDER BY adist, vec_id LIMIT 10""".stripMargin
+
+  /** q102: q37's centroid cell selection + q101's ADC fold, composed
+    * — candidates restricted to the top-2 cells before scoring. */
+  private def q102Sql: String =
+    """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings, range(1,65) r(i) GROUP BY i),
+       |pv AS (SELECT CAST(embedding AS DOUBLE[]) AS pl
+       |  FROM embeddings WHERE vec_id = 0),
+       |cent AS (SELECT label, list(av ORDER BY pos) AS c FROM (
+       |    SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS av
+       |    FROM embeddings, range(1,65) r(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |top AS (SELECT label FROM cent, pv
+       |  ORDER BY list_dot_product(c, pl)
+       |    / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(pl, pl)))
+       |    DESC
+       |  LIMIT 2),
+       |c AS (SELECT vec_id, i, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE greatest(0, least(255,
+       |              CAST(floor((CAST(embedding[i] AS DOUBLE)
+       |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
+       |  FROM embeddings JOIN top USING (label), range(1,65) r(i)
+       |  JOIN p USING (i)),
+       |probe AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS qv
+       |  FROM embeddings, range(1,65) r(i) WHERE vec_id = 0),
+       |terms AS (SELECT c.vec_id, c.i,
+       |    (qv - (mn + (code + 0.5) * (mx - mn) / 256))
+       |      * (qv - (mn + (code + 0.5) * (mx - mn) / 256)) AS t
+       |  FROM c JOIN probe USING (i) WHERE c.vec_id <> 0),
+       |ordered AS (SELECT vec_id, list(t ORDER BY i) AS ts
+       |  FROM terms GROUP BY vec_id)
+       |SELECT vec_id,
+       |  round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+       |    AS adist
+       |FROM ordered ORDER BY adist, vec_id LIMIT 10""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -2452,6 +2645,11 @@ object SparkEntry {
     "q95_full_curation" -> q95Sql,
     "q96_span_scrub_incremental" -> q96Sql,
     "q97_pii_extended" -> q97Sql,
+    "q98_c4_line_clean" -> q98Sql,
+    "q99_tfidf_topk" -> q99Sql,
+    "q100_sq8_codes" -> q100Sql,
+    "q101_adc_topk" -> q101Sql,
+    "q102_ivf_adc_topk" -> q102Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -1,0 +1,134 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (SQ8) embedding quantization + asymmetric-distance (ADC)
+  * search — the compression leg of a production ANN stack (FAISS's
+  * `SQ8` / IVF-ADC scheme): store 1 byte per dimension instead of a
+  * 4-byte float (4× smaller index; at 100 TB of embeddings that is
+  * the difference between an index that fits executor memory and one
+  * that doesn't), and score queries against DEQUANTIZED codes so
+  * only the query vector stays full-precision.
+  *
+  * Everything is deterministic arithmetic (min/max, one division,
+  * floor — no transcendentals, no data-dependent iteration like
+  * k-means), so an external engine reproduces codes and distances
+  * bit-for-bit; the q100/q101 gates pin exactly that.
+  *
+  * Distributed shape: params = ONE corpus pass (posexplode →
+  * map-side-combined per-dimension min/max → 64-row frame); coding =
+  * broadcast params + a narrow per-row `transform`; ADC top-k =
+  * narrow per-row fold + `orderBy(...).limit(k)` which Spark
+  * executes as TakeOrdered (per-partition bounded heaps + driver
+  * merge of k·partitions rows — no global sort, no full shuffle).
+  */
+object Quantize {
+
+  /** Per-dimension quantization range over the corpus, as ONE
+    * broadcastable row `(mins: array<double>, maxs: array<double>)`
+    * in dimension order. */
+  def sq8Params(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+        col("mx")))).as("pm"))
+      .select(transform(col("pm"), s => s.getField("mn")).as("mins"),
+        transform(col("pm"), s => s.getField("mx")).as("maxs"))
+
+  /** Adds `codes: array<int>` — per dimension,
+    * `floor((x - min) / (max - min) * 256)` clamped to [0, 255]
+    * (x = max lands on 256 → 255; a constant dimension codes 0; the
+    * low clamp matters when FROZEN params from [[saveParams]] code a
+    * later batch whose values undershoot the trained range).
+    * Carries `mins`/`maxs` along for the ADC consumer. */
+  def withSq8Codes(df: DataFrame, vecCol: String,
+                   params: DataFrame): DataFrame =
+    df.crossJoin(broadcast(params))
+      .withColumn("codes", transform(col(vecCol), (x, i) => {
+        val mn = element_at(col("mins"), i + 1)
+        val mx = element_at(col("maxs"), i + 1)
+        when(mx === mn, lit(0)).otherwise(
+          greatest(lit(0), least(lit(255),
+            floor((x.cast("double") - mn) / (mx - mn) * 256).cast("int"))))
+      }))
+
+  /** The ADC scoring expression: squared L2 between the exact probe
+    * array `q` and the midpoint-dequantized codes, summed in
+    * dimension order (sequential fold — cross-engine reproducible),
+    * rounded to 6dp. Expects `q`/`mins`/`maxs`/`codes` in scope. */
+  private def adcDist: org.apache.spark.sql.Column = round(
+    aggregate(sequence(lit(0), size(col("q")) - 1), lit(0.0),
+      (acc, i) => {
+        val qi = element_at(col("q"), i + 1)
+        val mn = element_at(col("mins"), i + 1)
+        val mx = element_at(col("maxs"), i + 1)
+        val de = mn +
+          (element_at(col("codes"), i + 1).cast("double") + 0.5) *
+            (mx - mn) / 256
+        acc + (qi - de) * (qi - de)
+      }), 6)
+
+  /** Asymmetric top-k: the probe vector stays exact, every other
+    * vector is reconstructed from its codes at the cell midpoint
+    * (`min + (code + 0.5) * (max - min) / 256`), scored by [[adcDist]],
+    * smallest first with id tie-break. Returns `(idCol, adist)`. */
+  def adcTopK(df: DataFrame, idCol: String, vecCol: String,
+              probeId: Long, k: Int): DataFrame = {
+    val coded = withSq8Codes(df, vecCol, sq8Params(df, vecCol))
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol).cast("array<double>").as("q"))
+    coded.filter(col(idCol) =!= probeId).crossJoin(broadcast(probe))
+      .withColumn("adist", adcDist)
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adist"))
+  }
+
+  /** The full FAISS-style IVF-ADC shape: rank cells (`blockCol`) by
+    * centroid cosine to the probe ([[Similarity.centroids]] — the
+    * same tiny broadcast table the exact IVF path uses), then
+    * ADC-score ONLY the `nprobe` nearest cells' codes. At 100 TB the
+    * scan touches nprobe/#cells of a 4×-compressed index — the two
+    * savings compose. Returns `(idCol, adist)` (k smallest). */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                 blockCol: String, probeId: Long, nprobe: Int,
+                 k: Int): DataFrame = {
+    val coded = withSq8Codes(df, vecCol, sq8Params(df, vecCol))
+    val probeVec = df.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("probe_vec"))
+    val topCells = Similarity.centroids(df, blockCol, vecCol)
+      .crossJoin(broadcast(probeVec))
+      .orderBy(Similarity.cosine(col("centroid"), col("probe_vec")).desc)
+      .limit(nprobe)
+      .select(col(blockCol))
+    val probe = probeVec.select(col("probe_vec").cast("array<double>").as("q"))
+    coded.join(broadcast(topCells), Seq(blockCol), "left_semi")
+      .filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("adist", adcDist)
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adist"))
+  }
+
+  /** Persist SQ8 params as a 1-row parquet artifact — the train-once
+    * half of the incremental matrix (like CellIndex / LSH sigs): a
+    * daily batch codes new vectors with FROZEN ranges, so codes stay
+    * comparable across batches without re-reading the corpus. */
+  def saveParams(params: DataFrame, path: String): Unit =
+    params.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveParams]] artifact; fails loudly if it does not
+    * carry exactly one row of `mins`/`maxs`. */
+  def loadParams(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    val p = spark.read.parquet(path)
+    require(p.columns.toSet == Set("mins", "maxs"),
+      s"not an SQ8 params artifact: ${p.columns.mkString(",")}")
+    require(p.count() == 1, "SQ8 params artifact must be exactly one row")
+    p
+  }
+}

@@ -349,4 +349,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the corpus-sized token stream must never shuffle for vocab lookup")
   }
+
+  test("q97 extended PII: scan-stage map — no aggregation shuffle, no window") {
+    val p = plan("q97_pii_extended")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "redaction + checksum audits must stay per-row:\n" + p)
+    assert(!p.contains("Window"), "no window in a pure scrub pass")
+  }
+
+  test("q98 C4 clean: lines stay in-row (HOF filter, no explode, no shuffle)") {
+    val p = plan("q98_c4_line_clean")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "line cleaning must not shuffle:\n" + p)
+    assert(!p.contains("Generate"),
+      "lines must ride array HOFs, never a per-line explode")
+  }
+
+  test("q99 tf-idf: custom bounded-heap TopKPerGroup, corpus N broadcast") {
+    val p = plan("q99_tfidf_topk")
+    assert(p.contains("TopKPerGroup"),
+      "ranking must use the custom operator, not a window")
+    assert(!p.contains("Window"),
+      "no full per-doc sort for top-5")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row corpus-count frame must broadcast")
+  }
+
+  test("q101 ADC top-k: params/probe broadcast, top-10 is TakeOrdered") {
+    val p = plan("q101_adc_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k smallest distances must not global-sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "SQ8 params and the probe vector must broadcast to the scan")
+  }
+
+  test("q102 IVF-ADC: cell semi-join broadcasts, scoring is TakeOrdered") {
+    val p = plan("q102_ivf_adc_topk")
+    assert(p.contains("LeftSemi"),
+      "cell restriction must be a semi-join on the broadcast cell list")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k smallest distances must not global-sort")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-sized may shuffle-join in the probe path")
+  }
 }

@@ -112,6 +112,48 @@ class PiiSpec extends SparkSpec {
       (3L, "phone 555-123-4567 is 3-3-4, not an SSN", 0L, 0L, 0L)))
   }
 
+  test("luhnValid matches an independent fold on 300 random digit runs") {
+    val rnd = new scala.util.Random(42)
+    val cands = Seq.fill(300)(13 + rnd.nextInt(7))
+      .map(n => Seq.fill(n)(rnd.nextInt(10)).mkString)
+    def ref(s: String): Boolean = {
+      val t = s.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      t % 10 == 0
+    }
+    val got = cands.toDF("t")
+      .select(col("t"), Pii.luhnValid(col("t")))
+      .as[(String, Boolean)].collect().toMap
+    cands.foreach(c => assert(got(c) == ref(c), s"PAN $c"))
+    // sanity: the sample contains both outcomes
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
+  test("ibanValid matches BigInteger mod-97 on 300 random IBANs") {
+    val rnd = new scala.util.Random(7)
+    val cands = Seq.fill(300) {
+      val cc = Seq.fill(2)(('A' + rnd.nextInt(26)).toChar).mkString
+      val chk = f"${rnd.nextInt(100)}%02d"
+      val bban = Seq.fill(12 + rnd.nextInt(8))(
+        if (rnd.nextBoolean()) ('0' + rnd.nextInt(10)).toChar
+        else ('A' + rnd.nextInt(26)).toChar).mkString
+      cc + chk + bban
+    }
+    def ref(s: String): Boolean = {
+      val r = s.drop(4) + s.take(4)
+      val num = r.flatMap(c =>
+        if (c.isDigit) c.toString else (c - 'A' + 10).toString)
+      new java.math.BigInteger(num).mod(
+        java.math.BigInteger.valueOf(97)).intValue == 1
+    }
+    val got = cands.toDF("t")
+      .select(col("t"), Pii.ibanValid(col("t")))
+      .as[(String, Boolean)].collect().toMap
+    cands.foreach(c => assert(got(c) == ref(c), s"IBAN $c"))
+  }
+
   test("extended redaction: multiple valid cards all replaced") {
     val df = Seq((1L,
       "a 4111111111111111 b 5500-0055-5555-5559 c 1234123412341234 d"))
