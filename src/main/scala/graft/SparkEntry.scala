@@ -1222,6 +1222,82 @@ object SparkEntry {
     graft.sim.Quantize.ivfAdcTopK(T(s, d, "embeddings"), "vec_id",
       "embedding", "label", probeId = 0L, nprobe = 2, k = 10)
 
+  /** Line-level exact dedup through the gate: documents recut into
+    * q98's line structure (minus the per-doc-unique code/lorem
+    * lines), then every cross-document duplicated line keeps only
+    * its (id, pos)-first occurrence — pins winner selection, the
+    * rebuilt text, and which documents vanish entirely. */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(
+      replace(col("text"), lit(" table "), lit(".\n")), lit("."),
+      lit("\nshort line"),
+      lit("\na closing sentence with more than enough words here."))
+    graft.text.LineDedup.removeDuplicatedLines(
+        T(s, d, "documents").select(col("doc_id"), aug.as("aug")),
+        "doc_id", "aug")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Epoch-replicated mixture through the gate: four weighted
+    * sources against a 100k-token budget — pins per-source epoch
+    * counts, the partial-epoch Bernoulli membership (seeded md5
+    * uniform, the q80 family), and source exclusion. */
+  private def q104(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.mixtureEpochs(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "source", "n_tok",
+        Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.2),
+        budgetTokens = 100000L, seed = 13)
+      .orderBy(col("doc_id"), col("epoch"))
+
+  /** Incremental line dedup through the gate: odd-id batch docs lose
+    * every line whose content exists anywhere in the even-id corpus
+    * (batch-internal duplicates deliberately kept — q94/q96's
+    * convention); the corpus probe is a distinct-hash anti-join. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(
+      replace(col("text"), lit(" table "), lit(".\n")), lit("."),
+      lit("\nshort line"),
+      lit("\na closing sentence with more than enough words here."))
+    val docs = T(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+    graft.text.LineDedup.removeDuplicatedLinesAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "aug")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batch IVF-ADC through the gate: probes vec_id<25 each routed to
+    * their 2 centroid-nearest label cells, ADC-scored within them,
+    * per-probe top-5 — both top-k stages through the custom
+    * TopKPerGroup operator, mirrored by DuckDB window ranks. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Quantize.ivfAdcTopKBatch(emb,
+        emb.filter(col("vec_id") < 25), "vec_id", "embedding", "label",
+        nprobe = 2, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** ADC recall audit through the gate: for each probe vec_id<25,
+    * the count of ADC top-10 results that survive in the exact
+    * squared-L2 top-10 — integer-exact, q68's recall-contract
+    * pattern applied to the quantized path. */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Quantize.adcRecallBatch(emb,
+        emb.filter(col("vec_id") < 25), "vec_id", "embedding", k = 10)
+      .orderBy(col("probe_id"))
+  }
+
+  /** Sliding-window token chunking through the gate: 32-token chunks
+    * advancing by 24 (8-token overlap) — pins chunk boundaries and
+    * text for every document, including short-tail chunks. */
+  private def q108(s: SparkSession, d: String): DataFrame =
+    graft.text.Chunker.chunkByTokens(T(s, d, "documents"), "doc_id",
+        "text", size = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1391,6 +1467,12 @@ object SparkEntry {
     "q100_sq8_codes" -> (q100 _),
     "q101_adc_topk" -> (q101 _),
     "q102_ivf_adc_topk" -> (q102 _),
+    "q103_line_dedup" -> (q103 _),
+    "q104_mixture_epochs" -> (q104 _),
+    "q105_line_dedup_incremental" -> (q105 _),
+    "q106_ivf_adc_batch" -> (q106 _),
+    "q107_adc_recall" -> (q107 _),
+    "q108_token_chunks" -> (q108 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2083,6 +2165,179 @@ object SparkEntry {
        |    AS adist
        |FROM ordered ORDER BY adist, vec_id LIMIT 10""".stripMargin
 
+  /** q103: positioned line explode + hash-keyed (count, keep-first
+    * winner) aggregate + verdict join + ordered rebuild — struct
+    * min() gives the same lexicographic (id, pos) winner both
+    * engines. */
+  private def q103Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+       |    replace(text, ' table ', '.' || chr(10)) || '.' ||
+       |    chr(10) || 'short line' ||
+       |    chr(10) || 'a closing sentence with more than enough words here.'
+       |      AS aug
+       |  FROM documents),
+       |l AS (SELECT doc_id, string_split(aug, chr(10)) AS lines FROM t),
+       |ls AS (SELECT doc_id, i - 1 AS pos, trim(lines[i]) AS ln
+       |  FROM l, unnest(range(1, len(lines) + 1)) r(i)),
+       |g AS (SELECT md5(ln) AS h, count(DISTINCT doc_id) AS nd,
+       |    min(struct_pack(d := doc_id, p := pos)) AS w
+       |  FROM ls GROUP BY md5(ln)),
+       |keep AS (SELECT ls.doc_id, ls.pos, ls.ln
+       |  FROM ls JOIN g ON md5(ls.ln) = g.h
+       |  WHERE g.nd < 2 OR (g.w.d = ls.doc_id AND g.w.p = ls.pos))
+       |SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
+       |  count(*) AS n_kept
+       |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q104: per-source totals + weighted wants (DOUBLE math mirroring
+    * Spark), integer full epochs, long-division frac, epoch
+    * generate_series + the q80-family md5 uniform for partial-epoch
+    * membership. */
+  private def q104Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CASE WHEN len(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+       |  FROM documents),
+       |w(source, wt) AS (VALUES ('src0', 0.3), ('src1', 0.3),
+       |  ('src2', 0.2), ('src3', 0.2)),
+       |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS toks
+       |  FROM d GROUP BY source),
+       |plan AS (SELECT source,
+       |    CAST(floor(100000.0 * CAST(wt AS DOUBLE)) AS BIGINT) AS wanted,
+       |    toks
+       |  FROM t JOIN w USING (source) WHERE toks > 0),
+       |p2 AS (SELECT source, wanted // toks AS fullep,
+       |    CAST(wanted % toks AS DOUBLE) / CAST(toks AS DOUBLE) AS frac
+       |  FROM plan),
+       |e AS (SELECT doc_id, source, x AS epoch, fullep, frac
+       |  FROM d JOIN p2 USING (source),
+       |  unnest(generate_series(0, fullep)) r(x))
+       |SELECT doc_id, source, epoch FROM e
+       |WHERE epoch < fullep OR ${uniformSql(13)} < frac
+       |ORDER BY doc_id, epoch""".stripMargin
+
+  /** q105: q103's line split, corpus side distilled to DISTINCT
+    * hashes, anti-join verdict, same ordered rebuild. */
+  private def q105Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+       |    replace(text, ' table ', '.' || chr(10)) || '.' ||
+       |    chr(10) || 'short line' ||
+       |    chr(10) || 'a closing sentence with more than enough words here.'
+       |      AS aug
+       |  FROM documents),
+       |l AS (SELECT doc_id, string_split(aug, chr(10)) AS lines FROM t),
+       |ls AS (SELECT doc_id, i - 1 AS pos, trim(lines[i]) AS ln
+       |  FROM l, unnest(range(1, len(lines) + 1)) r(i)),
+       |ch AS (SELECT DISTINCT md5(ln) AS h FROM ls WHERE doc_id % 2 = 0),
+       |keep AS (SELECT ls.doc_id, ls.pos, ls.ln FROM ls
+       |  LEFT JOIN ch ON md5(ls.ln) = ch.h
+       |  WHERE ls.doc_id % 2 = 1 AND ch.h IS NULL)
+       |SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
+       |  count(*) AS n_kept
+       |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q106: per-probe centroid routing (row_number over cosine DESC
+    * with label tie-break — the same deterministic cutoff as the
+    * TopKPerGroup ordering), codes carry their label, ADC terms
+    * joined on (label, i), per-probe window rank. */
+  private def q106Sql: String =
+    """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings, range(1,65) r(i) GROUP BY i),
+       |cent AS (SELECT label, list(av ORDER BY pos) AS c FROM (
+       |    SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS av
+       |    FROM embeddings, range(1,65) r(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |pr AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+       |  FROM embeddings WHERE vec_id < 25),
+       |pc AS (SELECT probe_id, label FROM (
+       |    SELECT pr.probe_id, cent.label,
+       |      row_number() OVER (PARTITION BY pr.probe_id ORDER BY
+       |        list_dot_product(c, q)
+       |          / (sqrt(list_dot_product(c, c))
+       |             * sqrt(list_dot_product(q, q))) DESC, label) AS rn
+       |    FROM pr, cent) WHERE rn <= 2),
+       |co AS (SELECT vec_id, label, i, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE greatest(0, least(255,
+       |              CAST(floor((CAST(embedding[i] AS DOUBLE)
+       |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
+       |  FROM embeddings, range(1,65) r(i) JOIN p USING (i)),
+       |pq AS (SELECT vec_id AS probe_id, i, CAST(embedding[i] AS DOUBLE) AS qv
+       |  FROM embeddings, range(1,65) r(i) WHERE vec_id < 25),
+       |terms AS (SELECT pc.probe_id, co.vec_id, co.i,
+       |    (qv - (mn + (code + 0.5) * (mx - mn) / 256))
+       |      * (qv - (mn + (code + 0.5) * (mx - mn) / 256)) AS t
+       |  FROM pc JOIN co USING (label)
+       |  JOIN pq ON pq.probe_id = pc.probe_id AND pq.i = co.i
+       |  WHERE co.vec_id <> pc.probe_id),
+       |ordered AS (SELECT probe_id, vec_id, list(t ORDER BY i) AS ts
+       |  FROM terms GROUP BY probe_id, vec_id),
+       |d AS (SELECT probe_id, vec_id,
+       |    round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+       |      AS adist
+       |  FROM ordered)
+       |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adist, vec_id) AS rn FROM d)
+       |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** q107: ADC and exact squared-L2 per (probe, candidate) in one
+    * pass, two window ranks, LEFT-join intersection count (probes
+    * with zero overlap still report). */
+  private def q107Sql: String =
+    """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings, range(1,65) r(i) GROUP BY i),
+       |co AS (SELECT vec_id, i, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE greatest(0, least(255,
+       |              CAST(floor((CAST(embedding[i] AS DOUBLE)
+       |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
+       |  FROM embeddings, range(1,65) r(i) JOIN p USING (i)),
+       |pq AS (SELECT vec_id AS probe_id, i, CAST(embedding[i] AS DOUBLE) AS qv
+       |  FROM embeddings, range(1,65) r(i) WHERE vec_id < 25),
+       |at AS (SELECT pq.probe_id, co.vec_id, co.i,
+       |    (qv - (mn + (code + 0.5) * (mx - mn) / 256))
+       |      * (qv - (mn + (code + 0.5) * (mx - mn) / 256)) AS t,
+       |    (qv - CAST(e.embedding[co.i] AS DOUBLE))
+       |      * (qv - CAST(e.embedding[co.i] AS DOUBLE)) AS xt
+       |  FROM co JOIN pq ON pq.i = co.i
+       |  JOIN embeddings e ON e.vec_id = co.vec_id
+       |  WHERE co.vec_id <> pq.probe_id),
+       |ordd AS (SELECT probe_id, vec_id, list(t ORDER BY i) AS ts,
+       |    list(xt ORDER BY i) AS xs
+       |  FROM at GROUP BY probe_id, vec_id),
+       |d AS (SELECT probe_id, vec_id,
+       |    round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+       |      AS adist,
+       |    round(list_reduce(list_prepend(0.0, xs), (a, b) -> a + b), 6)
+       |      AS xdist
+       |  FROM ordd),
+       |ar AS (SELECT probe_id, vec_id FROM (SELECT *, row_number()
+       |    OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+       |  FROM d) WHERE rn <= 10),
+       |xr AS (SELECT probe_id, vec_id FROM (SELECT *, row_number()
+       |    OVER (PARTITION BY probe_id ORDER BY xdist, vec_id) AS rn
+       |  FROM d) WHERE rn <= 10)
+       |SELECT probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap
+       |FROM ar LEFT JOIN xr USING (probe_id, vec_id)
+       |GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
+  /** q108: the same slice arithmetic over DuckDB's 1-based list
+    * slicing — chunk ids 0..(n-1)//stride, inclusive token slice. */
+  private def q108Sql: String =
+    raw"""WITH tw AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       |c AS (SELECT doc_id, w, CAST(x AS BIGINT) AS cid,
+       |    CAST(x * 24 AS BIGINT) AS s, len(w) AS n
+       |  FROM tw, unnest(generate_series(0, (len(w) - 1) // 24)) r(x))
+       |SELECT doc_id, cid AS chunk_id, s AS start_tok,
+       |  least(s + 32, n) - 1 AS end_tok,
+       |  array_to_string(w[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -2650,6 +2905,12 @@ object SparkEntry {
     "q100_sq8_codes" -> q100Sql,
     "q101_adc_topk" -> q101Sql,
     "q102_ivf_adc_topk" -> q102Sql,
+    "q103_line_dedup" -> q103Sql,
+    "q104_mixture_epochs" -> q104Sql,
+    "q105_line_dedup_incremental" -> q105Sql,
+    "q106_ivf_adc_batch" -> q106Sql,
+    "q107_adc_recall" -> q107Sql,
+    "q108_token_chunks" -> q108Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -44,6 +44,50 @@ object Sampling {
       .select(df.columns.map(col): _*) // caller's column order, join key un-fronted
   }
 
+  /** Epoch-replicated mixture construction — the "repeat source s
+    * x.y times" training recipe (the published LLaMA/Pile mixture
+    * shape): given per-source weights and a total token budget, each
+    * source contributes `floor(budget·wᵢ)` tokens as
+    * `full = wanted DIV tokensᵢ` complete epochs of every document
+    * plus a PARTIAL epoch holding each document with probability
+    * `(wanted mod tokensᵢ) / tokensᵢ` — decided by the same
+    * deterministic [[uniform01]] draw as [[sampleByDomain]], so the
+    * emitted `(id, epoch)` multiset is reproducible, engine-checkable
+    * and repartition-invariant. Sources absent from `weights` are
+    * excluded (weight 0). Partial-epoch token counts are exact in
+    * expectation (per-doc Bernoulli), matching the sampling
+    * primitive's contract.
+    *
+    * Shape at 100 TB: per-source totals are one map-side-combined
+    * aggregate; the tiny (source, epochs, frac) plan broadcasts back;
+    * the epoch explode is narrow (each row emits its own repeat
+    * count). No corpus-sized shuffle at all. */
+  def mixtureEpochs(df: DataFrame, idCol: String, srcCol: String,
+                    tokCol: String, weights: Map[String, Double],
+                    budgetTokens: Long, seed: Int = 0): DataFrame = {
+    require(weights.values.forall(_ >= 0.0),
+      s"mixture weights must be non-negative: $weights")
+    require(budgetTokens >= 0, s"budget must be non-negative: $budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF(srcCol, "_w")
+    val plan = df.groupBy(col(srcCol))
+      .agg(sum(col(tokCol)).cast("long").as("_toks"))
+      .join(broadcast(wDf), Seq(srcCol))
+      .filter(col("_toks") > 0)
+      .withColumn("_wanted",
+        floor(lit(budgetTokens.toDouble) * col("_w")).cast("long"))
+      .withColumn("_full", expr("_wanted DIV _toks"))
+      .withColumn("_frac", (col("_wanted") % col("_toks")).cast("double")
+        / col("_toks").cast("double"))
+      .select(col(srcCol), col("_full"), col("_frac"))
+    df.join(broadcast(plan), Seq(srcCol))
+      .withColumn("epoch", explode(sequence(lit(0L), col("_full"))))
+      .filter(col("epoch") < col("_full") ||
+        uniform01(col(idCol), seed) < col("_frac"))
+      .select(col(idCol), col(srcCol), col("epoch"))
+  }
+
   /** Assign every row a split label ("train"/"val"/"test"/...) by
     * cumulative ranges of the deterministic uniform: fractions
     * `[(train, 0.9), (val, 0.05), (test, 0.05)]` map u < 0.9 to train,

@@ -114,6 +114,73 @@ object Quantize {
       .select(col(idCol), col("adist"))
   }
 
+  /** Batch IVF-ADC: a whole probe TABLE against the compressed
+    * index — every probe is routed to its `nprobe` centroid-nearest
+    * cells (bounded-heap TopKPerGroup over the tiny
+    * probe × centroid frame, cell-id tie-break so the cutoff is
+    * deterministic), candidates come from ONE cell-keyed join of the
+    * coded corpus against the broadcast (probe, cell) routing table,
+    * and the final per-probe top-k is again TopKPerGroup — no full
+    * sort, no corpus-sized shuffle beyond the cell join. Returns
+    * `(probe_id, rank, idCol, adist)`. */
+  def ivfAdcTopKBatch(corpus: DataFrame, probes: DataFrame,
+                      idCol: String, vecCol: String, blockCol: String,
+                      nprobe: Int, k: Int): DataFrame = {
+    val coded = withSq8Codes(corpus, vecCol, sq8Params(corpus, vecCol))
+    val cents = Similarity.centroids(corpus, blockCol, vecCol)
+    val prep = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("q"), col(vecCol).as("_pv"))
+    val routing = graft.ops.TopK.topKPerGroup(
+        prep.crossJoin(broadcast(cents))
+          .withColumn("_csim",
+            Similarity.cosine(col("centroid"), col("_pv"))),
+        Seq("probe_id"), Seq(("_csim", false), (blockCol, true)),
+        nprobe, "_crank")
+      .select(col("probe_id"), col("q"), col(blockCol))
+    val cand = coded.join(broadcast(routing), Seq(blockCol))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("adist", adcDist)
+    graft.ops.TopK.topKPerGroup(cand, Seq("probe_id"),
+        Seq(("adist", true), (idCol, true)), k, "rank")
+      .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
+  }
+
+  /** Recall audit for the compressed index — the "did quantization
+    * hurt" gauge (q68's recall-contract pattern, applied to SQ8):
+    * per probe, how many of the ADC top-k survive in the EXACT
+    * squared-L2 top-k over the same candidates. Deliberately
+    * brute-force (it measures the index, it IS not the index);
+    * run on a sampled probe set in production. Integer output:
+    * `(probe_id, n_overlap)` — exact cross-engine. */
+  def adcRecallBatch(corpus: DataFrame, probes: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val coded = withSq8Codes(corpus, vecCol, sq8Params(corpus, vecCol))
+      .withColumn("_v", col(vecCol).cast("array<double>"))
+    val prep = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("q"))
+    val exactDist = round(
+      aggregate(sequence(lit(0), size(col("q")) - 1), lit(0.0),
+        (acc, i) => {
+          val qi = element_at(col("q"), i + 1)
+          val vi = element_at(col("_v"), i + 1)
+          acc + (qi - vi) * (qi - vi)
+        }), 6)
+    val scored = coded.crossJoin(broadcast(prep))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("xdist", exactDist)
+    val ar = graft.ops.TopK.topKPerGroup(scored, Seq("probe_id"),
+      Seq(("adist", true), (idCol, true)), k, "_ar")
+    val xr = graft.ops.TopK.topKPerGroup(scored, Seq("probe_id"),
+      Seq(("xdist", true), (idCol, true)), k, "_xr")
+    ar.select(col("probe_id"), col(idCol))
+      .join(xr.select(col("probe_id"), col(idCol))
+        .withColumn("_hit", lit(1)), Seq("probe_id", idCol), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("_hit")).as("n_overlap"))
+      .select(col("probe_id"), col("n_overlap"))
+  }
+
   /** Persist SQ8 params as a 1-row parquet artifact — the train-once
     * half of the incremental matrix (like CellIndex / LSH sigs): a
     * daily batch codes new vectors with FROZEN ranges, so codes stay

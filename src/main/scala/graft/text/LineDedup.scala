@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide line-level exact deduplication — C4's third dedup
+  * granularity (Raffel et al. 2020 keep ONE occurrence of every
+  * repeated three-sentence span; the unit here is the line, matching
+  * [[C4Clean]]'s line structure). Sits between document-level exact
+  * dedup (whole-text fingerprints) and [[SpanDedup]]'s n-gram spans:
+  * exact repeated UNITS (navigation chrome, cookie banners, footers)
+  * are removed everywhere except their first occurrence, without the
+  * span machinery's position expansion.
+  *
+  * Keep-first is deterministic: per duplicated line content, the
+  * occurrence with the smallest `(id, pos)` survives — stable under
+  * repartitioning, reproducible run to run.
+  *
+  * Distributed shape at 100 TB: ONE positioned line explode hashed
+  * AT the explode (shuffles carry fixed-width md5 + two ints, never
+  * line text... except the rebuild, which is doc-keyed); the
+  * hash-keyed aggregate computes the distinct-doc count AND the
+  * keep-first winner in the SAME pass; the per-line verdict is a
+  * join back on the hash; the rebuild is one doc-keyed aggregate
+  * with an in-row `array_sort` (collect_list alone is
+  * order-nondeterministic). Three shuffles total, all keyed on
+  * hashes or ids. Documents whose every line was someone else's
+  * duplicate disappear (same convention as [[SpanDedup]] removal).
+  */
+object LineDedup {
+
+  /** Removes every duplicated line except its keep-first winner.
+    * Lines compare TRIMMED; the rebuilt `clean_text` carries the
+    * trimmed lines joined with `\n`, plus `n_kept`. A line content
+    * must appear in at least `minDocs` DISTINCT documents to count
+    * as duplicated (within-document repeats alone are kept — the
+    * cross-document signal is what marks boilerplate). */
+  def removeDuplicatedLines(df: DataFrame, idCol: String,
+                            textCol: String,
+                            minDocs: Int = 2): DataFrame = {
+    val ls = df.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("_id"), col("pos"), trim(col("raw")).as("ln"))
+      .withColumn("h", md5(col("ln")))
+    val g = ls.groupBy(col("h")).agg(
+      countDistinct(col("_id")).as("nd"),
+      min(struct(col("_id").as("d"), col("pos").as("p"))).as("w"))
+    val kept = ls.join(g, Seq("h"))
+      .filter(col("nd") < minDocs ||
+        (col("w.d") === col("_id") && col("w.p") === col("pos")))
+    rebuild(kept, idCol)
+  }
+
+  /** The A-vs-B incremental form (same convention as
+    * [[SpanDedup.removeDuplicatedSpansAgainst]]): batch lines whose
+    * trimmed content exists ANYWHERE in the standing corpus are
+    * removed; batch-INTERNAL duplicates do not count — they are the
+    * next full run's concern, keeping daily cost ∝ batch. The corpus
+    * side distills to DISTINCT line hashes before the join (content
+    * and positions dropped — the probe carries the minimum), so the
+    * daily job never re-shuffles corpus text. Fully-covered batch
+    * documents disappear. */
+  def removeDuplicatedLinesAgainst(batch: DataFrame, corpus: DataFrame,
+                                   idCol: String,
+                                   textCol: String): DataFrame = {
+    val corpusHashes = corpus
+      .select(explode(split(col(textCol), "\n")).as("raw"))
+      .select(md5(trim(col("raw"))).as("h"))
+      .distinct()
+    val ls = batch.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("_id"), col("pos"), trim(col("raw")).as("ln"))
+      .withColumn("h", md5(col("ln")))
+    rebuild(ls.join(corpusHashes, Seq("h"), "left_anti"), idCol)
+  }
+
+  /** Shared tail: position-ordered rebuild of the kept lines. */
+  private def rebuild(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(col("_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ln")))),
+          s => s.getField("ln")), "\n").as("clean_text"),
+        count("*").as("n_kept"))
+      .select(col("_id").as(idCol), col("clean_text"), col("n_kept"))
+}

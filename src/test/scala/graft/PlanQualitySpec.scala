@@ -392,4 +392,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "nothing corpus-sized may shuffle-join in the probe path")
   }
+
+  test("q104 mixture: plan broadcasts, no corpus-sized shuffle join") {
+    val p = plan("q104_mixture_epochs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (source, epochs, frac) plan must broadcast back to the docs")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus shuffle for a per-source plan of a handful of rows")
+    assert(!p.contains("Window"), "epoch arithmetic needs no window")
+  }
+
+  test("q106 batch IVF-ADC: both top-k stages are the custom operator") {
+    val p = plan("q106_ivf_adc_batch")
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2,
+      "routing cutoff AND final per-probe rank must use TopKPerGroup")
+    assert(!p.contains("Window"),
+      "no window rank anywhere in the batch path")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (probe, cell) routing table must broadcast into the cell join")
+  }
 }

@@ -67,6 +67,30 @@ class QuantizeSpec extends SparkSpec {
       s"results must come from exactly one cell, got $out")
   }
 
+  test("ivfAdcTopKBatch at nprobe = #cells equals per-probe adcTopK") {
+    val blocked = vecs.withColumn("blk", (col("id") % 2).cast("int"))
+    val batch = Quantize.ivfAdcTopKBatch(blocked,
+        blocked.filter(col("id") <= 1), "id", "vec", "blk",
+        nprobe = 2, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    for (pid <- Seq(0L, 1L)) {
+      val brute = Quantize.adcTopK(blocked, "id", "vec", pid, 2)
+        .as[(Long, Double)].collect().toSeq
+      val got = batch.filter(_._1 == pid).sortBy(_._2)
+        .map(t => (t._3, t._4))
+      assert(got == brute, s"probe $pid")
+    }
+  }
+
+  test("adcRecallBatch counts ADC∩exact per probe (hand-checked)") {
+    // probe 0: exact top-2 {3, 2}; ADC top-2 {3, 2} → 2
+    // probe 1: exact top-2 {2, 3}; ADC top-2 {2, 3} → 2
+    val out = Quantize.adcRecallBatch(vecs,
+        vecs.filter(col("id") <= 1), "id", "vec", k = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 2L), (1L, 2L)))
+  }
+
   test("params artifact: save/load round trip codes identically") {
     val dir = java.nio.file.Files.createTempDirectory("sq8p").toString
     val params = Quantize.sq8Params(vecs, "vec")
