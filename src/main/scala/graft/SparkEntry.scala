@@ -1298,6 +1298,33 @@ object SparkEntry {
         "text", size = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** The round-10 operator chain composed end-to-end: C4 line
+    * cleaning (q98's aug + rules) → corpus-wide line dedup
+    * keep-first (q103) → sliding-window chunking 12/8 (q108) — raw
+    * crawl in, embedding-ready chunk table out. Every stage is an
+    * already-gated operator; this gate pins their COMPOSITION (stage
+    * order, which text each stage sees), q95's pattern for the new
+    * surface. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(
+      replace(col("text"), lit(" table "), lit(".\n")), lit("."),
+      when(col("doc_id") % 7 === 0,
+        lit("\nif (x) { alert(\"hi\"); }")).otherwise(lit("")),
+      when(col("doc_id") % 31 === 5,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      lit("\nshort line"),
+      lit("\na closing sentence with more than enough words here."))
+    val cleaned = graft.text.C4Clean.clean(
+        T(s, d, "documents").select(col("doc_id"), aug.as("aug")), "aug")
+      .select(col("doc_id"), col("clean_text"))
+    val deduped = graft.text.LineDedup.removeDuplicatedLines(
+        cleaned, "doc_id", "clean_text")
+      .select(col("doc_id"), col("clean_text"))
+    graft.text.Chunker.chunkByTokens(deduped, "doc_id", "clean_text",
+        size = 12, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1473,6 +1500,7 @@ object SparkEntry {
     "q106_ivf_adc_batch" -> (q106 _),
     "q107_adc_recall" -> (q107 _),
     "q108_token_chunks" -> (q108 _),
+    "q109_crawl_to_chunks" -> (q109 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2338,6 +2366,51 @@ object SparkEntry {
        |  array_to_string(w[s + 1 : least(s + 32, n)], ' ') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q109: q98's clean CTEs → q103's dedup CTEs → q108's chunk
+    * arithmetic, chained verbatim with fresh CTE names. */
+  private def q109Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+       |    replace(text, ' table ', '.' || chr(10)) || '.' ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN chr(10) || 'if (x) { alert("hi"); }' ELSE '' END ||
+       |    CASE WHEN doc_id % 31 = 5
+       |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+       |    chr(10) || 'short line' ||
+       |    chr(10) || 'a closing sentence with more than enough words here.'
+       |      AS aug
+       |  FROM documents),
+       |l AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines FROM t),
+       |k AS (SELECT doc_id, aug,
+       |    list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"'']$$')
+       |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+       |      AND NOT contains(x, '{') AND NOT contains(x, '}')
+       |      AND NOT contains(lower(x), 'javascript')) AS kept
+       |  FROM l),
+       |s1 AS (SELECT doc_id,
+       |    array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS ct
+       |  FROM k
+       |  WHERE len(kept) >= 3 AND NOT contains(lower(aug), 'lorem ipsum')),
+       |l2 AS (SELECT doc_id, string_split(ct, chr(10)) AS lines FROM s1),
+       |ls AS (SELECT doc_id, i - 1 AS pos, trim(lines[i]) AS ln
+       |  FROM l2, unnest(range(1, len(lines) + 1)) r(i)),
+       |g AS (SELECT md5(ln) AS h, count(DISTINCT doc_id) AS nd,
+       |    min(struct_pack(d := doc_id, p := pos)) AS w
+       |  FROM ls GROUP BY md5(ln)),
+       |keep AS (SELECT ls.doc_id, ls.pos, ls.ln FROM ls
+       |  JOIN g ON md5(ls.ln) = g.h
+       |  WHERE g.nd < 2 OR (g.w.d = ls.doc_id AND g.w.p = ls.pos)),
+       |s2 AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS ct
+       |  FROM keep GROUP BY doc_id),
+       |tw AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(ct)), '\s+') AS w FROM s2),
+       |c AS (SELECT doc_id, w, CAST(x AS BIGINT) AS cid,
+       |    CAST(x * 8 AS BIGINT) AS s, len(w) AS n
+       |  FROM tw, unnest(generate_series(0, (len(w) - 1) // 8)) r(x))
+       |SELECT doc_id, cid AS chunk_id, s AS start_tok,
+       |  least(s + 12, n) - 1 AS end_tok,
+       |  array_to_string(w[s + 1 : least(s + 12, n)], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -2911,6 +2984,7 @@ object SparkEntry {
     "q106_ivf_adc_batch" -> q106Sql,
     "q107_adc_recall" -> q107Sql,
     "q108_token_chunks" -> q108Sql,
+    "q109_crawl_to_chunks" -> q109Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
