@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -782,5 +782,41 @@ object TextOps {
     rows.join(broadcast(spark.createDataFrame(vocab)), Seq("token"), "left")
       .select(col(idCol), col("pos"), col("token"),
         coalesce(col("id"), lit(-1)).as("token_id"))
+  }
+
+  // ------------------------------------------------ tokenizer artifact
+
+  /** Persist a trained tokenizer (merge rules + vocabulary) as a
+    * parquet artifact — the train-once half of the production shape
+    * (like CellIndex / SQ8 params / LSH sigs): tokenizers are trained
+    * on one corpus snapshot and then applied to every later batch,
+    * so the model must survive the session. Two tiny tables:
+    * `merges/` (step, lhs, rhs, merged, pairCount) and `vocab/`
+    * (token, id). */
+  def saveTokenizer(spark: SparkSession, path: String,
+                    merges: Seq[BpeMerge],
+                    vocab: Seq[BpeVocabEntry]): Unit = {
+    import spark.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/merges")
+    vocab.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/vocab")
+  }
+
+  /** Load a [[saveTokenizer]] artifact; merge order (the semantics
+    * of rule application) is restored by `step`, vocab by `id`.
+    * Fails loudly on a malformed artifact. */
+  def loadTokenizer(spark: SparkSession,
+                    path: String): (Seq[BpeMerge], Seq[BpeVocabEntry]) = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$path/merges").as[BpeMerge]
+      .collect().sortBy(_.step).toSeq
+    val vocab = spark.read.parquet(s"$path/vocab").as[BpeVocabEntry]
+      .collect().sortBy(_.id).toSeq
+    require(merges.map(_.step) == merges.indices.map(_ + 1),
+      s"tokenizer artifact at $path has non-contiguous merge steps")
+    require(vocab.map(_.id).distinct.size == vocab.size,
+      s"tokenizer artifact at $path has duplicate vocab ids")
+    (merges, vocab)
   }
 }

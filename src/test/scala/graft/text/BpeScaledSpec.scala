@@ -37,6 +37,32 @@ class BpeScaledSpec extends SparkSpec {
     assert(expr.nonEmpty)
   }
 
+  test("tokenizer artifact: save/load restores merges + vocab, encode identical") {
+    val vocab = TextOps.bpeVocab(train, "text", merges)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    TextOps.saveTokenizer(spark, s"$dir/tok", merges, vocab)
+    val (m2, v2) = TextOps.loadTokenizer(spark, s"$dir/tok")
+    assert(m2 == merges && v2 == vocab)
+    val a = TextOps.withBpeTokenIdsPartitioned(heldOut, "doc_id", "text",
+        merges, vocab)
+      .as[(Long, Int, String, Int)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val b = TextOps.withBpeTokenIdsPartitioned(heldOut, "doc_id", "text",
+        m2, v2)
+      .as[(Long, Int, String, Int)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("tokenizer artifact: malformed artifacts rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_bad").toString
+    // non-contiguous steps
+    TextOps.saveTokenizer(spark, s"$dir/t1",
+      merges.take(3).filterNot(_.step == 2),
+      TextOps.bpeVocab(train, "text", merges.take(3)))
+    intercept[IllegalArgumentException] {
+      TextOps.loadTokenizer(spark, s"$dir/t1")
+    }
+  }
+
   test("partitioned token ids == expression-chain token ids (held-out sf0.001)") {
     val vocab = TextOps.bpeVocab(train, "text", merges)
     val key = (r: (Long, Int, String, Int)) => (r._1, r._2)
