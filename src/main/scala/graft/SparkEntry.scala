@@ -1325,6 +1325,36 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Stratified exact-5-per-source sample — n smallest seeded
+    * uniforms with id tie-break, ranked by the custom TopKPerGroup;
+    * fully transcendental-free, so the oracle matches bit-for-bit. */
+  private def q110(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+        T(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", n = 5, seed = 21)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+
+  /** Weighted sample (Efraimidis–Spirakis), 10 per source weighted
+    * by token count — ln-key rounded to 9dp before ranking. */
+  private def q111(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "source", "n_tok", n = 10, seed = 5)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+
+  /** Length-percentile trim: documents inside the [p10, p90]
+    * token-count band — exact-percentile thresholds broadcast back,
+    * kept set engine-exact on integral counts. */
+  private def q112(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.quantileTrim(
+        T(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "n_tok", pLo = 0.10, pHi = 0.90)
+      .orderBy(col("doc_id"))
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1501,6 +1531,9 @@ object SparkEntry {
     "q107_adc_recall" -> (q107 _),
     "q108_token_chunks" -> (q108 _),
     "q109_crawl_to_chunks" -> (q109 _),
+    "q110_stratified_sample" -> (q110 _),
+    "q111_weighted_sample" -> (q111 _),
+    "q112_length_trim" -> (q112 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2411,6 +2444,44 @@ object SparkEntry {
        |  array_to_string(w[s + 1 : least(s + 12, n)], ' ') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q110/q111/q112: window-rank mirrors of the TopKPerGroup
+    * orderings (same uniform, same rounded ln-key) and the
+    * exact-percentile band (quantile_cont ≡ Spark percentile, R-7
+    * interpolation; thresholds only bind ON integers, where both
+    * engines are float-error-free). */
+  private def q110Sql: String =
+    s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+       |    ORDER BY ${uniformSql(21)}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 5 ORDER BY source, rank""".stripMargin
+
+  private def q111Sql: String =
+    raw"""WITH d AS (SELECT doc_id, source,
+       |    CASE WHEN len(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+       |  FROM documents),
+       |k AS (SELECT doc_id, source, n_tok,
+       |    round(ln((try_cast('0x' || substring(
+       |        md5('5|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |        + 0.5) / 4294967296.0)
+       |      / CAST(n_tok AS DOUBLE), 9) AS ky
+       |  FROM d WHERE n_tok > 0)
+       |SELECT doc_id, source, n_tok, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY ky DESC, doc_id) AS rn FROM k)
+       |WHERE rn <= 10 ORDER BY source, rank""".stripMargin
+
+  private def q112Sql: String =
+    raw"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+       |  FROM documents),
+       |q AS (SELECT quantile_cont(n_tok, 0.10) AS lo,
+       |    quantile_cont(n_tok, 0.90) AS hi FROM d)
+       |SELECT doc_id, n_tok FROM d, q
+       |WHERE n_tok >= lo AND n_tok <= hi ORDER BY doc_id""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -2985,6 +3056,9 @@ object SparkEntry {
     "q107_adc_recall" -> q107Sql,
     "q108_token_chunks" -> q108Sql,
     "q109_crawl_to_chunks" -> q109Sql,
+    "q110_stratified_sample" -> q110Sql,
+    "q111_weighted_sample" -> q111Sql,
+    "q112_length_trim" -> q112Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -88,6 +88,64 @@ object Sampling {
       .select(col(idCol), col(srcCol), col("epoch"))
   }
 
+  /** Stratified EXACT-n sample: precisely `n` rows per group (fewer
+    * if the group is smaller), chosen as the n smallest seeded
+    * uniforms with id tie-break — deterministic, repartition-
+    * invariant, and engine-checkable (the md5 uniform is an exact
+    * dyadic rational, no transcendentals anywhere). The eval-set
+    * construction primitive `DataFrame.sample` cannot express
+    * (per-group counts are only approximate there). Ranked by the
+    * bounded-heap [[graft.plans.TopKPerGroup]] — no per-group sort.
+    * Adds `rank` (1..n within the group). */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       n: Int, seed: Int = 0): DataFrame =
+    graft.ops.TopK.topKPerGroup(
+        df.withColumn("_u", uniform01(col(idCol), seed)),
+        Seq(groupCol), Seq(("_u", true), (idCol, true)), n, "rank")
+      .drop("_u")
+
+  /** Weighted sample without replacement, n per group — the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row's
+    * key is `ln(u)/w` (u = seeded uniform shifted off zero, w > 0
+    * weight; taking the LARGEST keys ≡ largest `u^(1/w)`), so
+    * heavier rows win more often but every row can appear. The key
+    * is rounded to 9dp BEFORE ranking with id tie-break, making the
+    * cross-engine order robust to last-ulp `ln` differences (the
+    * q99 rounding-before-ranking discipline). */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weightCol: String, n: Int,
+                     seed: Int = 0): DataFrame = {
+    // +0.5 shifts the 2^-32 grid off u=0 (ln(0) = -Inf) while staying
+    // an exact dyadic rational both engines compute identically
+    val u = (TextOps.md5_32(concat(lit(s"$seed|"),
+      col(idCol).cast("string"))) + 0.5) / lit(4294967296.0)
+    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    graft.ops.TopK.topKPerGroup(
+        df.filter(col(weightCol) > 0).withColumn("_k", key),
+        Seq(groupCol), Seq(("_k", false), (idCol, true)), n, "rank")
+      .drop("_k")
+  }
+
+  /** Keep rows whose `valueCol` lies inside the corpus's
+    * [pLo, pHi] exact-percentile band — the length-outlier trim every
+    * curation pipeline runs (drop the truncated stubs and the
+    * mega-documents). Thresholds come from ONE exact-percentile
+    * aggregate (R-7 linear interpolation in both engines) broadcast
+    * back; since the filtered column is integral, a threshold only
+    * binds when it lands exactly ON an integer — where both engines
+    * hold it float-error-free — so the kept set is engine-exact. */
+  def quantileTrim(df: DataFrame, valueCol: String,
+                   pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
+    val qs = df.agg(
+      expr(s"percentile($valueCol, $pLo)").as("_lo"),
+      expr(s"percentile($valueCol, $pHi)").as("_hi"))
+    df.crossJoin(broadcast(qs))
+      .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Assign every row a split label ("train"/"val"/"test"/...) by
     * cumulative ranges of the deterministic uniform: fractions
     * `[(train, 0.9), (val, 0.05), (test, 0.05)]` map u < 0.9 to train,

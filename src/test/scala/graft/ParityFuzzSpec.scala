@@ -118,6 +118,48 @@ class ParityFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: line dedup == brute-force reference on random corpora") {
+    def bruteRemove(docs: Seq[(Long, String)],
+                    minDocs: Int): Seq[(Long, String, Long)] = {
+      val lines = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, p) =>
+          (id, p, l.trim)
+        }
+      }
+      val byContent = lines.groupBy(_._3)
+      val dup = byContent.collect {
+        case (c, occ) if occ.map(_._1).distinct.size >= minDocs => c
+      }.toSet
+      val winner = byContent.map { case (c, occ) =>
+        c -> occ.map(t => (t._1, t._2)).min
+      }
+      lines.filter { case (id, p, c) =>
+        !dup.contains(c) || winner(c) == ((id, p))
+      }.groupBy(_._1).map { case (id, ls) =>
+        (id, ls.sortBy(_._2).map(_._3).mkString("\n"), ls.size.toLong)
+      }.toSeq.sortBy(_._1)
+    }
+    for (trial <- 0 until 5) {
+      val rnd = new Random(7000 + trial)
+      // tiny line vocabulary → dense cross-doc collisions + within-doc
+      // repeats + whitespace-padded variants of the same content
+      val docs = (0 until 5 + rnd.nextInt(4)).map { i =>
+        val nl = 1 + rnd.nextInt(5)
+        val ls = (0 until nl).map { _ =>
+          val core = "line " + ('a' + rnd.nextInt(4)).toChar
+          if (rnd.nextBoolean()) s"  $core " else core
+        }
+        (i.toLong, ls.mkString("\n"))
+      }
+      val minDocs = 2 + rnd.nextInt(2)
+      val got = graft.text.LineDedup.removeDuplicatedLines(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minDocs)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == bruteRemove(docs, minDocs),
+        s"trial $trial (minDocs=$minDocs) diverged")
+    }
+  }
+
   test("fuzz: sharded packing with negative ids (truncating DIV still monotone)") {
     val rows = Seq(("g", -130L, 5L), ("g", -64L, 7L), ("g", -1L, 3L),
       ("g", 0L, 4L), ("g", 63L, 9L), ("g", 64L, 2L))

@@ -76,4 +76,41 @@ class SamplingSpec extends SparkSpec {
       Sampling.withSplit(docs, "id", "s", Seq.empty)
     }
   }
+
+  test("stratifiedSample: exactly n per group, small groups whole") {
+    val df = (1L to 20L).map(i => (i, if (i <= 17) "big" else "small"))
+      .toDF("id", "g")
+    val out = Sampling.stratifiedSample(df, "id", "g", n = 5, seed = 1)
+      .select("g", "id", "rank").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(out.count(_._1 == "big") == 5)
+    assert(out.count(_._1 == "small") == 3)
+    assert(out.filter(_._1 == "big").map(_._3).sorted == Seq(1L, 2, 3, 4, 5))
+    // deterministic: same seed, same set
+    val again = Sampling.stratifiedSample(df, "id", "g", n = 5, seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.map(_._2).toSet)
+  }
+
+  test("weightedSample: heavy rows dominate; weight<=0 excluded") {
+    // one row with overwhelming weight must essentially always rank 1
+    val df = Seq((1L, "g", 1000000L), (2L, "g", 1L), (3L, "g", 1L),
+      (4L, "g", 0L)).toDF("id", "g", "w")
+    val out = Sampling.weightedSample(df, "id", "g", "w", n = 3, seed = 9)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L)           // ln(u)/1e6 ≈ 0 beats ln(u)/1
+    assert(!out.contains(4L))       // zero weight can never be drawn
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("quantileTrim keeps the inclusive percentile band") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val out = Sampling.quantileTrim(df, "v", 0.10, 0.90)
+      .select("v").as[Long].collect().sorted.toSeq
+    // p10 of 1..100 = 10.9, p90 = 90.1 → kept 11..90
+    assert(out == (11L to 90L))
+    intercept[IllegalArgumentException] {
+      Sampling.quantileTrim(df, "v", 0.9, 0.1)
+    }
+  }
 }

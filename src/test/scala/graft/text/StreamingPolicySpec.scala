@@ -70,4 +70,44 @@ class StreamingPolicySpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("chunking and PII scrub run unchanged on a document stream") {
+    // both are stateless per-row transforms (explode/HOF work), so the
+    // crawl-time pipeline chunk-and-scrub needs no watermark or state
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1).take(30)
+      .map { case (id, t) =>
+        (id, t + s" card 4111-1111-1111-1111 ssn 123-45-6789") }.toSeq
+    input.addData(rows.take(15): _*)
+    input.addData(rows.drop(15): _*)
+
+    val scrubbed = Pii.withExtendedRedaction(stream, "text", "red")
+    val q = Chunker.chunkByTokens(
+        scrubbed.select(col("doc_id"), col("red")), "doc_id", "red",
+        size = 16, stride = 12)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("chunk_stream")
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = Chunker.chunkByTokens(
+        Pii.withExtendedRedaction(rows.toDF("doc_id", "text"), "text",
+          "red").select(col("doc_id"), col("red")),
+        "doc_id", "red", size = 16, stride = 12)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the scrub really happened before chunking
+    assert(streamed.exists(_._5.contains("<cc>")) ||
+      streamed.exists(_._5.contains("<ssn>")))
+    assert(!streamed.exists(_._5.contains("4111-1111-1111-1111")))
+  }
 }
