@@ -784,6 +784,58 @@ object TextOps {
         coalesce(col("id"), lit(-1)).as("token_id"))
   }
 
+  /** Deflate compression ratio — the cheap whole-document redundancy
+    * signal the published open-data pipelines (Dolma, RedPajama-v2)
+    * filter on: highly compressible text (ratio far below ~0.3) is
+    * boilerplate/repetition, barely compressible text (≈1.0) is
+    * noise/binary spill. Adds `n_raw` / `n_comp` (UTF-8 byte counts)
+    * and `<outCol>` = n_comp / n_raw rounded to 6dp (empty text →
+    * 0.0 by convention).
+    *
+    * DEFLATE is codec work, not expression arithmetic, so like the
+    * image decode path it rides `mapPartitions` (one `Deflater` per
+    * partition, reset per row — allocation-free inner loop); a SQL
+    * oracle cannot deflate, so this is spec-gated (known-string
+    * pins + determinism), the [[graft.io.Xlsx]]/streaming precedent.
+    * Level is FIXED at 6 so the signal is stable across runs on the
+    * same JVM family. */
+  def withCompressionRatio(df: DataFrame, textCol: String,
+                           outCol: String): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("n_raw",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_comp",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val ti = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val defl = new java.util.zip.Deflater(6, false)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { row =>
+        val raw = if (row.isNullAt(ti)) Array.emptyByteArray
+          else row.getString(ti)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var comp = 0L
+        if (raw.nonEmpty) {
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          while (!defl.finished())
+            comp += defl.deflate(buf)
+        }
+        val ratio =
+          if (raw.isEmpty) 0.0
+          else BigDecimal(comp.toDouble / raw.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // Seq[Any]: a bare Seq(long, long, double) would unify to
+        // Seq[Double] and silently widen the byte counts
+        Row.fromSeq(row.toSeq ++ Seq[Any](raw.length.toLong, comp, ratio))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ------------------------------------------------ tokenizer artifact
 
   /** Persist a trained tokenizer (merge rules + vocabulary) as a
