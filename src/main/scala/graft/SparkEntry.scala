@@ -1355,6 +1355,31 @@ object SparkEntry {
         "n_tok", pLo = 0.10, pHi = 0.90)
       .orderBy(col("doc_id"))
 
+  /** SCD Type-2 apply through the gate: the customer dimension
+    * versioned against a synthetic update feed (a third changed, a
+    * third identical, a third missing, new keys on the %5 cycle) —
+    * pins all four per-key verdicts (close+reopen / untouched /
+    * delta-missing untouched / new-open) on 1500+ keys. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val cust = T(s, d, "customer")
+    val current = cust.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), lit(0L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          ((col("c_nationkey") + 1) % 25).cast("int").as("c_nationkey"))
+      .unionByName(cust.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("new_"), col("c_custkey").cast("string"))
+            .as("c_name"),
+          col("c_nationkey")))
+    graft.ops.Scd.scd2Apply(current, updates, "c_custkey",
+        Seq("c_name", "c_nationkey"), batchTs = 100L)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1534,6 +1559,7 @@ object SparkEntry {
     "q110_stratified_sample" -> (q110 _),
     "q111_weighted_sample" -> (q111 _),
     "q112_length_trim" -> (q112 _),
+    "q113_scd2_apply" -> (q113 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2482,6 +2508,45 @@ object SparkEntry {
        |SELECT doc_id, n_tok FROM d, q
        |WHERE n_tok >= lo AND n_tok <= hi ORDER BY doc_id""".stripMargin
 
+  /** q113: the same full-outer verdict join in DuckDB — payload
+    * equality written directly (no NULLs in the gate payload, so
+    * md5-fingerprint vs column-compare are equivalent here). */
+  private def q113Sql: String =
+    """WITH cur AS (SELECT c_custkey, c_name, c_nationkey,
+       |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+       |  FROM customer),
+       |upd AS (
+       |  SELECT c_custkey, c_name,
+       |    CAST((c_nationkey + 1) % 25 AS INT) AS c_nationkey
+       |  FROM customer WHERE c_custkey % 3 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, c_name, c_nationkey
+       |  FROM customer WHERE c_custkey % 3 = 1
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000 AS c_custkey,
+       |    'new_' || CAST(c_custkey AS VARCHAR) AS c_name, c_nationkey
+       |  FROM customer WHERE c_custkey % 5 = 0),
+       |j AS (SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+       |    c.c_name AS ocn, c.c_nationkey AS onk, c.valid_from AS ovf,
+       |    u.c_name AS ncn, u.c_nationkey AS unk,
+       |    (c.c_custkey IS NOT NULL) AS has_c,
+       |    (u.c_custkey IS NOT NULL) AS has_u,
+       |    (c.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL AND
+       |     (c.c_name <> u.c_name OR c.c_nationkey <> u.c_nationkey))
+       |      AS chg
+       |  FROM cur c FULL JOIN upd u ON c.c_custkey = u.c_custkey)
+       |SELECT c_custkey, ocn AS c_name, onk AS c_nationkey,
+       |  ovf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+       |FROM j WHERE has_c AND (NOT has_u OR NOT chg)
+       |UNION ALL
+       |SELECT c_custkey, ocn, onk, ovf, CAST(100 AS BIGINT)
+       |FROM j WHERE chg
+       |UNION ALL
+       |SELECT c_custkey, ncn, unk, CAST(100 AS BIGINT),
+       |  CAST(NULL AS BIGINT)
+       |FROM j WHERE has_u AND (NOT has_c OR chg)
+       |ORDER BY c_custkey, valid_from""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3059,6 +3124,7 @@ object SparkEntry {
     "q110_stratified_sample" -> q110Sql,
     "q111_weighted_sample" -> q111Sql,
     "q112_length_trim" -> q112Sql,
+    "q113_scd2_apply" -> q113Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
