@@ -402,6 +402,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "epoch arithmetic needs no window")
   }
 
+  test("q110 stratified sample: bounded-heap TopKPerGroup, no window") {
+    val p = plan("q110_stratified_sample")
+    assert(p.contains("TopKPerGroup"),
+      "exact-n selection must use the custom operator")
+    assert(!p.contains("Window"), "no full per-group sort for n=5")
+  }
+
+  test("q113 SCD2: key-equi verdict joins only, no window, no cartesian") {
+    // the authored shape is ONE full-outer join; Catalyst specializes
+    // it per union branch (LeftOuter/Inner/RightOuter) after pushing
+    // each branch's null-side filter — strictly better, every branch
+    // joins only what it needs. Pin what must NOT appear instead.
+    val p = plan("q113_scd2_apply")
+    assert(p.contains("Join"), "the verdict must come from a key join")
+    assert(!p.contains("Window"), "versioning needs no window")
+    assert(!p.contains("CartesianProduct"), "nothing may cross-join")
+  }
+
   test("q106 batch IVF-ADC: both top-k stages are the custom operator") {
     val p = plan("q106_ivf_adc_batch")
     assert("TopKPerGroup".r.findAllIn(p).size >= 2,
