@@ -1380,6 +1380,28 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** Blocked fuzzy string join through the gate: distinct part
+    * (name + type) entities probed against a deterministically
+    * typo'd copy (last-char swap / first-char swap / identical /
+    * first-two swap on id cycles) — pins the dual-pass blocking,
+    * band straddling and the Levenshtein≤2 verify, typo families
+    * chosen so each pass has to catch some of them. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val ent = T(s, d, "part")
+      .groupBy(concat(col("p_name"), lit(" "), col("p_type")).as("s"))
+      .agg(min(col("p_partkey")).as("id_a"))
+    val aDf = ent.select(col("id_a"), col("s"))
+    val bDf = ent.select((col("id_a") + 500000).as("id_b"),
+      when(col("id_a") % 4 === 0,
+          concat(expr("substr(s, 1, length(s) - 1)"), lit("q")))
+        .when(col("id_a") % 4 === 1, concat(lit("z"), expr("substr(s, 2)")))
+        .when(col("id_a") % 4 === 2, col("s"))
+        .otherwise(concat(lit("zz"), expr("substr(s, 3)"))).as("s"))
+    graft.dedup.Fuzzy.fuzzyJoinAgainst(aDf, bDf, "id_a", "s",
+        "id_b", "s", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1560,6 +1582,7 @@ object SparkEntry {
     "q111_weighted_sample" -> (q111 _),
     "q112_length_trim" -> (q112 _),
     "q113_scd2_apply" -> (q113 _),
+    "q114_fuzzy_join" -> (q114 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2547,6 +2570,40 @@ object SparkEntry {
        |FROM j WHERE has_u AND (NOT has_c OR chg)
        |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** q114: same dual-pass keys (p/s + length band, probe side fans
+    * to adjacent bands), DISTINCT candidates, levenshtein verify. */
+  private def q114Sql: String =
+    """WITH e AS (SELECT min(p_partkey) AS id_a,
+       |    p_name || ' ' || p_type AS s
+       |  FROM part GROUP BY p_name || ' ' || p_type),
+       |a AS (SELECT id_a, lower(trim(s)) AS na FROM e),
+       |m AS (SELECT id_a + 500000 AS id_b, CASE
+       |    WHEN id_a % 4 = 0 THEN substr(s, 1, len(s) - 1) || 'q'
+       |    WHEN id_a % 4 = 1 THEN 'z' || substr(s, 2)
+       |    WHEN id_a % 4 = 2 THEN s
+       |    ELSE 'zz' || substr(s, 3) END AS nm
+       |  FROM e),
+       |b AS (SELECT id_b, lower(trim(nm)) AS nb FROM m),
+       |ak AS (
+       |  SELECT id_a, na, 'p' || substr(na, 1, 2) || '_' ||
+       |    CAST(len(na) // 3 + o AS VARCHAR) AS k
+       |  FROM a, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  SELECT id_a, na, 's' || substr(na, len(na) - 1, 2) || '_' ||
+       |    CAST(len(na) // 3 + o AS VARCHAR) AS k
+       |  FROM a, unnest([-1, 0, 1]) t(o)),
+       |bk AS (
+       |  SELECT id_b, nb, 'p' || substr(nb, 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b
+       |  UNION ALL
+       |  SELECT id_b, nb, 's' || substr(nb, len(nb) - 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b),
+       |cand AS (SELECT DISTINCT id_a, na, id_b, nb
+       |  FROM ak JOIN bk USING (k))
+       |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(na, nb) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3125,6 +3182,7 @@ object SparkEntry {
     "q111_weighted_sample" -> q111Sql,
     "q112_length_trim" -> q112Sql,
     "q113_scd2_apply" -> q113Sql,
+    "q114_fuzzy_join" -> q114Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
