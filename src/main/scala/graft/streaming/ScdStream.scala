@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.ops.Scd
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming front end for SCD Type-2 dimension
+  * maintenance — the CDC-stream shape: each micro-batch of change
+  * records is applied with [[Scd.scd2Apply]] against the standing
+  * dimension, versions stamped with the batch id (monotone — the
+  * stream's logical clock).
+  *
+  * Why `foreachBatch`: the verdict is a key join against the whole
+  * open slice — a micro-batch join over proven batch code, not a
+  * bounded-state keyed-stream operator ([[CurateStream]]'s
+  * rationale).
+  *
+  * State shape (the 100 TB contract): closed versions are IMMUTABLE,
+  * so they land append-only in per-batch subdirectories
+  * (`closed/b<id>`) and are never rewritten; only the OPEN slice —
+  * the small live minority of a mostly-closed dimension — is
+  * re-snapshotted per trigger (`open/b<id>`, latest wins). Per-batch
+  * cost is ∝ batch + open slice, never ∝ history.
+  *
+  * Idempotence: every write lands in the batch's own subdirectory
+  * with overwrite mode, and state reads EXCLUDE the in-flight batch
+  * id (closed: filtered out; open: latest id strictly below), so an
+  * at-least-once replay rewrites the same files instead of
+  * double-closing rows.
+  */
+object ScdStream {
+
+  /** Starts the stream. `updates` must be a STREAMING DataFrame
+    * carrying `pkCol` + `payloadCols`. Seed a pre-existing dimension
+    * by writing its open rows as `open/b-1` (and history as
+    * `closed/b-1`) before starting. */
+  def start(updates: DataFrame, pkCol: String, payloadCols: Seq[String],
+            stateDir: String, closeMissing: Boolean = false,
+            checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, pkCol, payloadCols, stateDir,
+          closeMissing)
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
+  }
+
+  /** One trigger: apply the batch against the latest open slice,
+    * append the newly closed versions, snapshot the new open slice.
+    * Package-private so the spec can drive replay directly. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+                                      pkCol: String,
+                                      payloadCols: Seq[String],
+                                      stateDir: String,
+                                      closeMissing: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val open = latestOpen(spark, s"$stateDir/open", batchId)
+      .getOrElse(batch.select((Seq(col(pkCol)) ++
+          payloadCols.map(col)): _*).limit(0)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long")))
+    val applied = Scd.scd2Apply(open, batch, pkCol, payloadCols,
+        batchTs = batchId, closeMissing = closeMissing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    applied.filter(col("valid_to").isNotNull)
+      .write.mode("overwrite").parquet(s"$stateDir/closed/b$batchId")
+    applied.filter(col("valid_to").isNull)
+      .write.mode("overwrite").parquet(s"$stateDir/open/b$batchId")
+    applied.unpersist()
+  }
+
+  /** The full versioned dimension as of the last completed batch:
+    * all closed history plus the latest open snapshot. */
+  def dimension(spark: SparkSession, stateDir: String): DataFrame = {
+    val closed = subdirs(spark, s"$stateDir/closed", Long.MaxValue)
+    val open = latestOpen(spark, s"$stateDir/open", Long.MaxValue)
+    val parts = closed.map(spark.read.parquet(_: _*)).toSeq ++ open.toSeq
+    require(parts.nonEmpty, s"no SCD state under $stateDir")
+    parts.reduceLeft(_ unionByName _)
+  }
+
+  /** The newest `open/b<id>` snapshot with id strictly below
+    * `beforeBatch` (excludes an in-flight replay's partial write). */
+  private def latestOpen(spark: SparkSession, dir: String,
+                         beforeBatch: Long): Option[DataFrame] =
+    subdirs(spark, dir, beforeBatch).map { paths =>
+      val latest = paths.maxBy(p =>
+        p.substring(p.lastIndexOf("/b") + 2).toLong)
+      spark.read.parquet(latest)
+    }
+
+  /** Per-batch subdirectory paths with id < `beforeBatch`, or None
+    * when no state exists yet. One driver-side FS listing. */
+  private def subdirs(spark: SparkSession, dir: String,
+                      beforeBatch: Long): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val subs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(q => q.getName.startsWith("b") &&
+          q.getName.drop(1).toLong < beforeBatch)
+        .map(_.toString).toSeq
+      if (subs.isEmpty) None else Some(subs)
+    }
+  }
+}

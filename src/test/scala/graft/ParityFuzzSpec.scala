@@ -160,6 +160,50 @@ class ParityFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: fuzzy-join blocking is COMPLETE at maxDist 1 (vs all-pairs)") {
+    // the documented guarantee: one edit cannot corrupt both disjoint
+    // key zones — so blocked results must equal brute force exactly
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (trial <- 0 until 4) {
+      val rnd = new Random(8000 + trial)
+      def word() = (0 until 5 + rnd.nextInt(6))
+        .map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      val a = (0 until 12).map(i => (i.toLong, word() + " " + word()))
+      // b: random edits of a-side strings (sub/insert/delete) + fresh
+      val b = (0 until 12).map { i =>
+        val base = a(rnd.nextInt(a.size))._2
+        val p = rnd.nextInt(base.length)
+        val s = rnd.nextInt(3) match {
+          case 0 => base.updated(p, ('a' + rnd.nextInt(5)).toChar)
+          case 1 => base.substring(0, p) + ('a' + rnd.nextInt(5)).toChar +
+            base.substring(p)
+          case _ if base.length > 4 =>
+            base.substring(0, p) + base.substring(p + 1)
+          case _ => base
+        }
+        (100L + i, s)
+      }
+      val blocked = graft.dedup.Fuzzy.fuzzyJoinAgainst(
+          a.toDF("id_a", "s"), b.toDF("id_b", "s"),
+          "id_a", "s", "id_b", "s", maxDist = 1)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val brute = (for {
+        (ia, sa) <- a; (ib, sb) <- b
+        d = lev(sa.toLowerCase.trim, sb.toLowerCase.trim) if d <= 1
+      } yield (ia, ib, d.toLong)).sortBy(r => (r._1, r._2))
+      assert(blocked == brute, s"trial $trial diverged")
+      assert(brute.nonEmpty, s"trial $trial generated no pairs")
+    }
+  }
+
   test("fuzz: sharded packing with negative ids (truncating DIV still monotone)") {
     val rows = Seq(("g", -130L, 5L), ("g", -64L, 7L), ("g", -1L, 3L),
       ("g", 0L, 4L), ("g", 63L, 9L), ("g", 64L, 2L))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Scd
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** ScdStream — streamed SCD2 dimension maintenance: micro-batch
+  * composition vs chained batch applies, replay idempotence,
+  * MemoryStream end-to-end. */
+class ScdStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim(dir: String) =
+    ScdStream.dimension(spark, dir)
+      .as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("scdstream").toString
+
+  test("two processBatch calls equal the chained batch applies") {
+    val dir = tmp()
+    val b0 = Seq((1L, "oslo"), (2L, "rome")).toDF("pk", "city")
+    val b1 = Seq((1L, "lima"), (3L, "baku")).toDF("pk", "city")
+    ScdStream.processBatch(b0, 0L, "pk", Seq("city"), dir,
+      closeMissing = false)
+    ScdStream.processBatch(b1, 1L, "pk", Seq("city"), dir,
+      closeMissing = false)
+
+    val empty = b0.limit(0)
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val afterB0 = Scd.scd2Apply(empty, b0, "pk", Seq("city"), 0L)
+    val afterB1 = Scd.scd2Apply(afterB0, b1, "pk", Seq("city"), 1L)
+    val expected = afterB1.as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(dim(dir) == expected)
+    // sanity: pk 1 has a closed v0 and an open v1
+    assert(dim(dir).contains((1L, "oslo", 0L, Some(1L))))
+    assert(dim(dir).contains((1L, "lima", 1L, None)))
+  }
+
+  test("replaying a batch id rewrites, never double-closes") {
+    val dir = tmp()
+    val b0 = Seq((1L, "oslo")).toDF("pk", "city")
+    val b1 = Seq((1L, "lima")).toDF("pk", "city")
+    ScdStream.processBatch(b0, 0L, "pk", Seq("city"), dir, false)
+    ScdStream.processBatch(b1, 1L, "pk", Seq("city"), dir, false)
+    val once = dim(dir)
+    ScdStream.processBatch(b1, 1L, "pk", Seq("city"), dir, false)
+    assert(dim(dir) == once)
+    assert(once == Seq(
+      (1L, "oslo", 0L, Some(1L)),
+      (1L, "lima", 1L, None)))
+  }
+
+  test("MemoryStream end-to-end matches the batch composition") {
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "oslo"), (2L, "rome"))
+    val q = ScdStream.start(input.toDF().toDF("pk", "city"),
+      "pk", Seq("city"), dir,
+      checkpointLocation = Some(s"$dir/ckpt"))
+    q.processAllAvailable()
+    input.addData((1L, "lima"))
+    q.processAllAvailable()
+    q.stop()
+    val out = dim(dir)
+    assert(out.contains((1L, "lima", 1L, None)))
+    assert(out.contains((1L, "oslo", 0L, Some(1L))))
+    assert(out.contains((2L, "rome", 0L, None)))
+    assert(out.size == 3)
+  }
+}
