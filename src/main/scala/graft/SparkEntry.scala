@@ -1402,6 +1402,25 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fuzzy entity CLUSTERS through the gate: the q114 blocked
+    * Levenshtein join run as a SELF-join over the part entities
+    * (natural near-dups — 'red widget economy' vs 'new widget
+    * economy'), oriented id_a < id_b, then connected components via
+    * the same min-label propagation q49 gates — the end-to-end
+    * entity-resolution shape (block → verify → cluster). */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val ent = T(s, d, "part")
+      .groupBy(lower(trim(concat(col("p_name"), lit(" "),
+        col("p_type")))).as("s"))
+      .agg(min(col("p_partkey")).as("id"))
+    val prs = graft.dedup.Fuzzy.fuzzyJoinAgainst(
+        ent.select(col("id").as("id_a"), col("s")),
+        ent.select(col("id").as("id_b"), col("s")),
+        "id_a", "s", "id_b", "s", maxDist = 2)
+      .filter(col("id_a") < col("id_b"))
+    Dedup.dupClusters(prs).orderBy(col("id"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1583,6 +1602,7 @@ object SparkEntry {
     "q112_length_trim" -> (q112 _),
     "q113_scd2_apply" -> (q113 _),
     "q114_fuzzy_join" -> (q114 _),
+    "q115_fuzzy_clusters" -> (q115 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2604,6 +2624,35 @@ object SparkEntry {
        |FROM cand WHERE levenshtein(na, nb) <= 2
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q115: q114's blocked self-join pairs feeding q49's recursive
+    * min-label clustering CTEs. */
+  private def q115Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT min(p_partkey) AS id,
+       |    lower(trim(p_name || ' ' || p_type)) AS s
+       |  FROM part GROUP BY lower(trim(p_name || ' ' || p_type))),
+       |a AS (SELECT id AS id_a, s AS na FROM e),
+       |b AS (SELECT id AS id_b, s AS nb FROM e),
+       |ak AS (
+       |  SELECT id_a, na, 'p' || substr(na, 1, 2) || '_' ||
+       |    CAST(len(na) // 3 + o AS VARCHAR) AS k
+       |  FROM a, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  SELECT id_a, na, 's' || substr(na, len(na) - 1, 2) || '_' ||
+       |    CAST(len(na) // 3 + o AS VARCHAR) AS k
+       |  FROM a, unnest([-1, 0, 1]) t(o)),
+       |bk AS (
+       |  SELECT id_b, nb, 'p' || substr(nb, 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b
+       |  UNION ALL
+       |  SELECT id_b, nb, 's' || substr(nb, len(nb) - 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b),
+       |cand AS (SELECT DISTINCT id_a, na, id_b, nb
+       |  FROM ak JOIN bk USING (k)),
+       |prs AS (SELECT id_a, id_b FROM cand
+       |  WHERE levenshtein(na, nb) <= 2 AND id_a < id_b),
+       |${clusterSql()}
+       |SELECT id, cluster FROM clus ORDER BY id""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3183,6 +3232,7 @@ object SparkEntry {
     "q112_length_trim" -> q112Sql,
     "q113_scd2_apply" -> q113Sql,
     "q114_fuzzy_join" -> q114Sql,
+    "q115_fuzzy_clusters" -> q115Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
