@@ -14,6 +14,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -30,6 +31,57 @@ def norm_cell(v):
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return [tuple(norm_cell(r[i]) for i in order) for r in rows]
+
+
+def dtype_family(dtype, sample):
+    """Classify a pandas dtype the way the driver's hasher sees it."""
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        # object column: a list/ndarray cell is unsortable/unhashable in
+        # the driver's pandas path (the q100 lesson) — flag it distinctly.
+        if sample is not None and isinstance(sample, (list, np.ndarray)):
+            return "UNSORTABLE(array)"
+        return "object"
+    return str(dtype)
+
+
+def pandas_gate(name, con, sql, out_dir):
+    """Mirror the driver's pandas conversion: both sides via .df(), then
+    fail on (a) any column whose cells are lists/ndarrays, (b) any
+    oracle-vs-spark dtype FAMILY mismatch (int vs float — the HUGEINT →
+    float64 class from q90/q84). fetchall() yields native ints and
+    structurally cannot catch either class."""
+    o_df = con.execute(sql).df()
+    s_df = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    errs = []
+    for df, side in ((o_df, "oracle"), (s_df, "spark")):
+        for c in df.columns:
+            nn = df[c].dropna()
+            sample = nn.iloc[0] if len(nn) else None
+            fam = dtype_family(df[c].dtype, sample)
+            if fam.startswith("UNSORTABLE"):
+                errs.append(f"{side}.{c} holds array cells "
+                            "(driver sort_values would die)")
+    for c in o_df.columns:
+        if c not in s_df.columns:
+            continue
+        onn = o_df[c].dropna()
+        snn = s_df[c].dropna()
+        of = dtype_family(o_df[c].dtype, onn.iloc[0] if len(onn) else None)
+        sf = dtype_family(s_df[c].dtype, snn.iloc[0] if len(snn) else None)
+        if of != sf and {of, sf} <= {"int", "float"}:
+            errs.append(f"column {c}: dtype family oracle={of} "
+                        f"({o_df[c].dtype}) vs spark={sf} ({s_df[c].dtype})"
+                        " — driver hash would mismatch")
+    return errs
 
 
 def main():
@@ -86,6 +138,14 @@ def main():
                 if a != b:
                     print(f"FAIL {name}: first diff row {i} (order_only={order_only}):\n  oracle={a}\n  spark ={b}")
                     break
+            n_fail += 1
+            continue
+        try:
+            pd_errs = pandas_gate(name, con, sql, out_dir)
+        except Exception as e:
+            pd_errs = [f"pandas conversion error: {str(e)[:200]}"]
+        if pd_errs:
+            print(f"FAIL {name}: driver-pandas gate: {'; '.join(pd_errs)}")
             n_fail += 1
             continue
         print(f"PASS {name} ({len(o_rows)} rows)")

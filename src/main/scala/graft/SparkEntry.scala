@@ -1197,13 +1197,17 @@ object SparkEntry {
   /** SQ8 scalar quantization codes for every embedding (Quantize.
     * withSq8Codes): per-dimension min/max from ONE corpus pass, then
     * 1-byte codes — all deterministic arithmetic, so the full
-    * 500×64 code matrix hash-matches DuckDB's recomputation. */
+    * 500×64 code matrix hash-matches DuckDB's recomputation. The gate
+    * posexplodes the code array to scalar (vec_id, pos, code) rows:
+    * array-typed outputs are unsortable in the driver's pandas
+    * comparison path, and the exploded shape pins exactly the same
+    * bytes (round-10 verdict adjudication). */
   private def q100(s: SparkSession, d: String): DataFrame = {
     val emb = T(s, d, "embeddings")
     graft.sim.Quantize.withSq8Codes(emb, "embedding",
         graft.sim.Quantize.sq8Params(emb, "embedding"))
-      .select(col("vec_id"), col("codes"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+      .orderBy(col("vec_id"), col("pos"))
   }
 
   /** ADC top-10 for probe vec_id=0 over the SQ8 codes — the
@@ -2232,8 +2236,8 @@ object SparkEntry {
        |              CAST(floor((CAST(embedding[i] AS DOUBLE)
        |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
        |  FROM embeddings, range(1,65) r(i) JOIN p USING (i))
-       |SELECT vec_id, list(code ORDER BY i) AS codes
-       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, CAST(i - 1 AS INT) AS pos, code
+       |FROM c ORDER BY vec_id, pos""".stripMargin
 
   private def q101Sql: String =
     """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
@@ -3263,11 +3267,16 @@ object SparkEntry {
          round(avg(-log2(p)), 4) AS ppl_bits
        FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
-  /** q90: integer-exact seen-bigram counts per held-out doc. */
+  /** q90: integer-exact seen-bigram counts per held-out doc. The
+    * outer sum is CAST to BIGINT: DuckDB's sum(int) yields HUGEINT,
+    * which the driver's pandas conversion renders as float64 and
+    * hash-mismatches Spark's int64 (round-10 verdict; same class as
+    * the round-9 q84 lesson). */
   private def q90Sql: String =
     bigramCtes + raw"""
        SELECT doc_id, count(*) AS n_bigrams,
-         sum(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+         CAST(sum(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_seen
        FROM hb LEFT JOIN cnt USING (w1, w2)
        GROUP BY doc_id ORDER BY doc_id"""
 

@@ -101,7 +101,11 @@ object Quantize {
       .select(col(vecCol).as("probe_vec"))
     val topCells = Similarity.centroids(df, blockCol, vecCol)
       .crossJoin(broadcast(probeVec))
-      .orderBy(Similarity.cosine(col("centroid"), col("probe_vec")).desc)
+      // cell-id secondary key: cosine ties would otherwise make the
+      // nprobe cutoff nondeterministic (the batch path + q106 oracle
+      // both tie-break on the cell id).
+      .orderBy(Similarity.cosine(col("centroid"), col("probe_vec")).desc,
+        col(blockCol))
       .limit(nprobe)
       .select(col(blockCol))
     val probe = probeVec.select(col("probe_vec").cast("array<double>").as("q"))

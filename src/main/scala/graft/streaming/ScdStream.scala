@@ -75,7 +75,15 @@ object ScdStream {
   /** The full versioned dimension as of the last completed batch:
     * all closed history plus the latest open snapshot. */
   def dimension(spark: SparkSession, stateDir: String): DataFrame = {
-    val closed = subdirs(spark, s"$stateDir/closed", Long.MaxValue)
+    // Cap the closed listing at latestOpenId + 1: a batch that crashed
+    // after writing closed/bN but before open/bN would otherwise show a
+    // key both closed (bN) and still open (b(N-1)) — an inconsistent
+    // read until the replay completes. A closed dir newer than the
+    // newest open snapshot is by definition such an orphan.
+    val openIds = subdirs(spark, s"$stateDir/open", Long.MaxValue)
+      .map(_.map(p => p.substring(p.lastIndexOf("/b") + 2).toLong))
+    val closedCap = openIds.map(_.max + 1).getOrElse(Long.MaxValue)
+    val closed = subdirs(spark, s"$stateDir/closed", closedCap)
     val open = latestOpen(spark, s"$stateDir/open", Long.MaxValue)
     val parts = closed.map(spark.read.parquet(_: _*)).toSeq ++ open.toSeq
     require(parts.nonEmpty, s"no SCD state under $stateDir")

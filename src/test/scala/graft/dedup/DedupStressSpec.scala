@@ -260,4 +260,31 @@ class DedupStressSpec extends SparkSpec with HotBucketLogCapture {
     assert(nClusters > 1000L && nClusters < 6000L,
       s"implausible component count: $nClusters")
   }
+
+  test("fuzzy join survives a 50k shared-prefix+band hot block", SlowStress) {
+    import spark.implicits._
+    // 50k entity names all starting "ma" with identical length (one
+    // prefix block, one band) — uncapped, that single block is
+    // 50k × 50k candidate Levenshteins (~2.5e9 DP cells × string len).
+    // With the cap the block is culled loudly and the run completes;
+    // the distinctive cold pair still matches.
+    val hot = (0L until 50000L).map(i => (i, f"ma${i}%05d-entity-rec"))
+    val a = (hot :+ (90001L -> "zq distinctive name")).toDF("id_a", "s")
+    val b = (hot.map { case (i, s) => (i + 200000L, s) } :+
+      (90002L -> "zq distinctive nam")).toDF("id_b", "s")
+    val t0 = System.nanoTime()
+    val (out, logs) = withLogCapture {
+      Fuzzy.fuzzyJoinAgainst(a, b, "id_a", "s", "id_b", "s",
+          maxDist = 1, maxBucket = 1000)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val ms = (System.nanoTime() - t0) / 1000000L
+    assert(out.contains((90001L, 90002L, 1L)),
+      "cold-block pair lost under the cap")
+    assert(logs.exists(_.contains("fuzzyJoinAgainst")),
+      "cap never fired on the 50k hot block")
+    // every emitted pair must be a genuine <=1-edit match
+    assert(out.forall(_._3 <= 1L))
+    info(s"fuzzy stress completed in ${ms}ms, ${out.size} pairs")
+  }
 }

@@ -5,7 +5,7 @@ import graft.SparkSpec
 /** Fuzzy.fuzzyJoinAgainst — dual-pass blocking recall, band
   * straddling, verify threshold, dedupe of double-matched pairs.
   * q114 pins the corpus-scale join against DuckDB. */
-class FuzzySpec extends SparkSpec {
+class FuzzySpec extends SparkSpec with HotBucketLogCapture {
   import spark.implicits._
 
   private def join(a: Seq[(Long, String)], b: Seq[(Long, String)],
@@ -46,5 +46,39 @@ class FuzzySpec extends SparkSpec {
     val out = join(Seq((1L, "  Golden Widget ")),
       Seq((9L, "golden widget")), 0)
     assert(out == Seq((1L, 9L, 0L)))
+  }
+
+  test("short strings: middle edit overlapping both zones still matches") {
+    // len-3 strings: the 2-char prefix and suffix zones overlap, so a
+    // single middle edit corrupts BOTH — only the catch-all short key
+    // can generate these pairs.
+    val out = join(Seq((1L, "cat"), (2L, "ox")),
+      Seq((9L, "cut"), (8L, "ax")), 1)
+    assert(out == Seq((1L, 9L, 1L), (2L, 8L, 1L)))
+  }
+
+  test("short-vs-longer straddle: len 3 vs len 4 at one indel") {
+    val out = join(Seq((1L, "abc")), Seq((9L, "abcd")), 1)
+    assert(out == Seq((1L, 9L, 1L)))
+  }
+
+  test("hot blocks are dropped loudly at the cap; cold pairs survive") {
+    // 30 probe names share prefix+suffix+band with 30 corpus names →
+    // 2-char-key blocks of 30 rows each side; cap at 20 culls them
+    // (loudly, on both sides), and the exact-equal pair in a COLD
+    // block still comes through.
+    val hotA = (1L to 30L).map(i => (i, f"aa${i}%03d1middlezz"))
+    val hotB = (101L to 130L).map(i => (i, f"aa${i}%03d2middlezz"))
+    val a = hotA :+ (50L -> "unique cold name")
+    val b = hotB :+ (150L -> "unique cold name")
+    val (out, logs) = withLogCapture {
+      Fuzzy.fuzzyJoinAgainst(a.toDF("id_a", "s"),
+          b.toDF("id_b", "s"), "id_a", "s", "id_b", "s",
+          maxDist = 1, maxBucket = 20)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(out == Seq((50L, 150L, 0L)))
+    assert(logs.exists(_.contains("fuzzyJoinAgainst(probe)")))
+    assert(logs.exists(_.contains("fuzzyJoinAgainst(corpus)")))
   }
 }

@@ -60,6 +60,34 @@ class ScdSpec extends SparkSpec {
       (1L, None, 7L, None)))
   }
 
+  test("column-boundary shift IS a change (separator in fingerprint)") {
+    // ("ab","c") vs ("a","bc"): an empty-separator fingerprint would
+    // concat both to "abc" and silently drop the update.
+    val cur = Seq((1L, "ab", "c", 0L, None: Option[Long]))
+      .toDF("pk", "a", "b", "valid_from", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val upd = Seq((1L, "a", "bc")).toDF("pk", "a", "b")
+    val out = Scd.scd2Apply(cur, upd, "pk", Seq("a", "b"), batchTs = 9L)
+      .as[(Long, String, String, Long, Option[Long])]
+      .collect().sortBy(_._4).toSeq
+    assert(out == Seq(
+      (1L, "ab", "c", 0L, Some(9L)),
+      (1L, "a", "bc", 9L, None)))
+  }
+
+  test("NULL vs empty string IS a change (distinct null sentinel)") {
+    val cur = Seq((1L, Some(""), 0L, None: Option[Long]))
+      .toDF("pk", "v", "valid_from", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val upd = Seq((1L, None: Option[String])).toDF("pk", "v")
+    val out = Scd.scd2Apply(cur, upd, "pk", Seq("v"), batchTs = 9L)
+      .as[(Long, Option[String], Long, Option[Long])]
+      .collect().sortBy(_._3).toSeq
+    assert(out == Seq(
+      (1L, Some(""), 0L, Some(9L)),
+      (1L, None, 9L, None)))
+  }
+
   test("empty updates leave the dimension untouched in delta mode") {
     val out = Scd.scd2Apply(current, updates.limit(0), "pk",
         Seq("name", "city"), batchTs = 100L)

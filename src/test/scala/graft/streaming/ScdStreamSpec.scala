@@ -56,6 +56,30 @@ class ScdStreamSpec extends SparkSpec {
       (1L, "lima", 1L, None)))
   }
 
+  test("dimension() ignores an orphan closed dir from a crashed batch") {
+    // Crash window: closed/b2 written, open/b2 NOT — pk 1 would appear
+    // both closed (b2) and still open (b1) until the replay completes.
+    // dimension() must read the last CONSISTENT state (through b1).
+    val dir = tmp()
+    val b0 = Seq((1L, "oslo")).toDF("pk", "city")
+    val b1 = Seq((1L, "lima")).toDF("pk", "city")
+    ScdStream.processBatch(b0, 0L, "pk", Seq("city"), dir, false)
+    ScdStream.processBatch(b1, 1L, "pk", Seq("city"), dir, false)
+    val consistent = dim(dir)
+    // simulate the crash: write ONLY the closed half of batch 2
+    Seq((1L, "lima", 1L, Some(2L)))
+      .toDF("pk", "city", "valid_from", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+      .write.parquet(s"$dir/closed/b2")
+    assert(dim(dir) == consistent,
+      "orphan closed/b2 leaked into the dimension read")
+    // completing the replay (open half written) makes b2 visible
+    ScdStream.processBatch(Seq((1L, "kiev")).toDF("pk", "city"),
+      2L, "pk", Seq("city"), dir, false)
+    assert(dim(dir).contains((1L, "kiev", 2L, None)))
+    assert(dim(dir).contains((1L, "lima", 1L, Some(2L))))
+  }
+
   test("MemoryStream end-to-end matches the batch composition") {
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext
