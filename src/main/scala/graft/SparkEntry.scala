@@ -1425,6 +1425,63 @@ object SparkEntry {
     Dedup.dupClusters(prs).orderBy(col("id"))
   }
 
+  /** EMBEDDING-SPACE decontamination report (Decontaminate
+    * .embeddingContaminationReport): the paraphrase-robust complement
+    * to q82's exact 13-gram probe — corpus vectors (vec_id % 10 ≠ 0)
+    * probed against a held-out "benchmark" slice (vec_id % 10 = 0)
+    * through the EXACT A-vs-B cosine join, cells trained on the
+    * benchmark side. Blocking exactness means the oracle is plain
+    * cross-filtered brute force: any missed cross-side pair fails the
+    * hash gate. */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.text.Decontaminate.embeddingContaminationReport(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", minCos = 0.4, numCells = 16)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The embedding-CLEAN corpus (Decontaminate.decontaminateByEmbedding)
+    * over the same split — the anti-join application of q116's report:
+    * survivors are exactly the rows q116 marks uncontaminated. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.text.Decontaminate.decontaminateByEmbedding(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", minCos = 0.4, numCells = 16)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** INCREMENTAL fuzzy entity resolution (EntityResolve.resolveBatch):
+    * even-id part entities form the master registry, odd-id entities
+    * arrive as a typo'd batch (last-char/first-char swaps on id
+    * cycles). The registry side is probed ONLY through its stored
+    * Fuzzy.entityKeys artifact (the master frame passed in is EMPTY —
+    * a broken artifact path cannot silently fall back), pinning the
+    * closest-master/min-id assignment AND the new-entity component
+    * labels against DuckDB's recomputation. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val ent = T(s, d, "part")
+      .groupBy(lower(trim(concat(col("p_name"), lit(" "),
+        col("p_type")))).as("s"))
+      .agg(min(col("p_partkey")).as("id"))
+    val masterDf = ent.filter(col("id") % 2 === 0)
+      .select(col("id").as("eid"), col("s"))
+    val batchDf = ent.filter(col("id") % 2 === 1)
+      .select(col("id").as("rid"),
+        when(col("id") % 4 === 1,
+            concat(expr("substr(s, 1, length(s) - 1)"), lit("q")))
+          .otherwise(concat(lit("z"), expr("substr(s, 2)"))).as("s"))
+    val keys = graft.dedup.Fuzzy.entityKeys(masterDf, "eid", "s", 2)
+    graft.dedup.EntityResolve.resolveBatch(
+        batchDf, masterDf.limit(0), "rid", "s", "eid", "s",
+        maxDist = 2, masterKeys = Some(keys))
+      .orderBy(col("rid"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1607,6 +1664,9 @@ object SparkEntry {
     "q113_scd2_apply" -> (q113 _),
     "q114_fuzzy_join" -> (q114 _),
     "q115_fuzzy_clusters" -> (q115 _),
+    "q116_embed_decontam_report" -> (q116 _),
+    "q117_embed_decontam" -> (q117 _),
+    "q118_entity_resolve" -> (q118 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2657,6 +2717,107 @@ object SparkEntry {
        |${clusterSql()}
        |SELECT id, cluster FROM clus ORDER BY id""".stripMargin
 
+  /** q116/q117: brute-force cross-filtered cosine between the corpus
+    * (vec_id % 10 <> 0) and benchmark (vec_id % 10 = 0) slices at the
+    * shared round-to-6 >= 0.4 verify semantics — the A-vs-B blocking
+    * is exact, so brute force IS the contract. */
+  private def embedDecontamPairsSql: String =
+    """pr AS (SELECT * FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 6)
+             AS score
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+       WHERE score >= 0.4)"""
+
+  private def q116Sql: String =
+    s"""WITH $embedDecontamPairsSql,
+       |h AS (SELECT id_a AS vec_id, count(*) AS n_close,
+       |    max(score) AS max_cos FROM pr GROUP BY id_a)
+       |SELECT c.vec_id,
+       |  coalesce(h.n_close, 0) AS n_close,
+       |  coalesce(h.max_cos, CAST(0 AS DOUBLE)) AS max_cos,
+       |  coalesce(h.n_close, 0) > 0 AS contaminated
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0) c
+       |LEFT JOIN h USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  private def q117Sql: String =
+    s"""WITH $embedDecontamPairsSql
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id % 10 <> 0
+       |  AND vec_id NOT IN (SELECT id_a FROM pr)
+       |ORDER BY vec_id""".stripMargin
+
+  /** q118: incremental fuzzy entity resolution — the q114/q115
+    * blocking recipe run batch-vs-master (closest master by (dist,
+    * eid) row_number), then the q115 recursive component CTEs over
+    * the UNMATCHED remainder only. */
+  private def q118Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT min(p_partkey) AS id,
+       |    lower(trim(p_name || ' ' || p_type)) AS s
+       |  FROM part GROUP BY lower(trim(p_name || ' ' || p_type))),
+       |m AS (SELECT id AS eid, s AS nm FROM e WHERE id % 2 = 0),
+       |bt AS (SELECT id AS rid, CASE
+       |    WHEN id % 4 = 1 THEN substr(s, 1, len(s) - 1) || 'q'
+       |    ELSE 'z' || substr(s, 2) END AS nb
+       |  FROM e WHERE id % 2 = 1),
+       |ak AS (
+       |  SELECT rid, nb, 'p' || substr(nb, 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 + o AS VARCHAR) AS k
+       |  FROM bt, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  SELECT rid, nb, 's' || substr(nb, len(nb) - 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 + o AS VARCHAR) AS k
+       |  FROM bt, unnest([-1, 0, 1]) t(o)),
+       |mk AS (
+       |  SELECT eid, nm, 'p' || substr(nm, 1, 2) || '_' ||
+       |    CAST(len(nm) // 3 AS VARCHAR) AS k FROM m
+       |  UNION ALL
+       |  SELECT eid, nm, 's' || substr(nm, len(nm) - 1, 2) || '_' ||
+       |    CAST(len(nm) // 3 AS VARCHAR) AS k FROM m),
+       |cand AS (SELECT DISTINCT rid, nb, eid, nm FROM ak JOIN mk USING (k)),
+       |pm AS (SELECT rid, eid, levenshtein(nb, nm) AS dist
+       |  FROM cand WHERE levenshtein(nb, nm) <= 2),
+       |best AS (SELECT rid, eid, dist FROM (
+       |    SELECT rid, eid, dist, row_number() OVER (
+       |      PARTITION BY rid ORDER BY dist, eid) AS rn FROM pm)
+       |  WHERE rn = 1),
+       |um AS (SELECT rid, nb FROM bt
+       |  WHERE rid NOT IN (SELECT rid FROM best)),
+       |ua AS (
+       |  SELECT rid AS sid_a, nb AS sna, 'p' || substr(nb, 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 + o AS VARCHAR) AS k
+       |  FROM um, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  SELECT rid AS sid_a, nb AS sna, 's' || substr(nb, len(nb) - 1, 2)
+       |    || '_' || CAST(len(nb) // 3 + o AS VARCHAR) AS k
+       |  FROM um, unnest([-1, 0, 1]) t(o)),
+       |ub AS (
+       |  SELECT rid AS sid_b, nb AS snb, 'p' || substr(nb, 1, 2) || '_' ||
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM um
+       |  UNION ALL
+       |  SELECT rid AS sid_b, nb AS snb, 's' || substr(nb, len(nb) - 1, 2)
+       |    || '_' || CAST(len(nb) // 3 AS VARCHAR) AS k FROM um),
+       |cand2 AS (SELECT DISTINCT sid_a, sna, sid_b, snb
+       |  FROM ua JOIN ub USING (k)),
+       |prs AS (SELECT sid_a AS id_a, sid_b AS id_b FROM cand2
+       |  WHERE levenshtein(sna, snb) <= 2 AND sid_a < sid_b),
+       |${clusterSql()}
+       |SELECT rid, entity_id, dist, matched FROM (
+       |  SELECT rid, eid AS entity_id, CAST(dist AS BIGINT) AS dist,
+       |    TRUE AS matched FROM best
+       |  UNION ALL
+       |  SELECT um.rid, coalesce(c.cluster, um.rid) AS entity_id,
+       |    CAST(0 AS BIGINT) AS dist, FALSE AS matched
+       |  FROM um LEFT JOIN clus c ON c.id = um.rid)
+       |ORDER BY rid""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3237,6 +3398,9 @@ object SparkEntry {
     "q113_scd2_apply" -> q113Sql,
     "q114_fuzzy_join" -> q114Sql,
     "q115_fuzzy_clusters" -> q115Sql,
+    "q116_embed_decontam_report" -> q116Sql,
+    "q117_embed_decontam" -> q117Sql,
+    "q118_entity_resolve" -> q118Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

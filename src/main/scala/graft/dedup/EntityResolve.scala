@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental fuzzy entity RESOLUTION — the daily-batch shape of the
+  * q115 composition (block → Levenshtein verify → cluster), run
+  * against a standing master registry instead of re-clustering the
+  * world: new records that fuzzy-match a master entity adopt its id;
+  * records matching only each other form NEW entities via the same
+  * min-label connected components. This gives entity resolution the
+  * train-once/probe-many story every other similarity method already
+  * has — the registry's blocking keys are a stored artifact
+  * ([[Fuzzy.entityKeys]]), so the master side's strings are never
+  * re-read, and candidate work is ∝ |batch|.
+  *
+  * Assignment semantics (deterministic):
+  *  - a batch record within `maxDist` of ≥1 master entity takes the
+  *    CLOSEST master's id (ties broken by min id) — `matched = true`;
+  *  - the remaining records are self-joined (same blocked fuzzy join)
+  *    and each connected component becomes one new entity labeled by
+  *    its min batch id — `matched = false`; singletons label
+  *    themselves. Matched records do NOT bridge unmatched ones to the
+  *    registry (a record adopting master id M says nothing about its
+  *    other fuzzy neighbors — transitive chaining through matched
+  *    records is the classic ER over-merge; production recipes keep
+  *    match and dedup phases separate, and so does this one).
+  *
+  * Scale shape: two blocked fuzzy joins (batch×registry-artifact,
+  * batch×batch) — both capped by the [[Dedup.dropHotBuckets]]
+  * discipline — one min-aggregate, one component pass over batch-only
+  * edges. Nothing corpus-sized shuffles; the registry contributes its
+  * key artifact only.
+  */
+object EntityResolve {
+
+  /** Returns `(<batchIdCol>, entity_id, dist, matched)` — one row per
+    * batch record. `dist` is the Levenshtein distance to the adopted
+    * master (0-maxDist) for matched rows and 0 for new entities.
+    * `masterKeys` is the registry's stored [[Fuzzy.entityKeys]]
+    * artifact; when absent the keys are built from `master` inline
+    * (the bootstrap / ad-hoc form). */
+  def resolveBatch(batch: DataFrame, master: DataFrame,
+                   batchIdCol: String, batchStrCol: String,
+                   masterIdCol: String, masterStrCol: String,
+                   maxDist: Int,
+                   masterKeys: Option[DataFrame] = None,
+                   maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+    require(batchIdCol != masterIdCol,
+      s"batch and master id columns must differ (got $batchIdCol both)")
+    val toMaster = Fuzzy.fuzzyJoinAgainst(batch, master,
+      batchIdCol, batchStrCol, masterIdCol, masterStrCol,
+      maxDist, maxBucket, masterKeys)
+    // closest master wins, ties by min id — one struct-min aggregate
+    val matched = toMaster
+      .groupBy(col(batchIdCol))
+      .agg(min(struct(col("dist"), col(masterIdCol))).as("_best"))
+      .select(col(batchIdCol), col("_best").getField(masterIdCol).as("entity_id"),
+        col("_best").getField("dist").as("dist"), lit(true).as("matched"))
+    val unmatched = batch.join(
+      matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
+    // batch-only components over the SAME blocked join, min-id labels
+    val selfPairs = Fuzzy.fuzzyJoinAgainst(
+        unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
+        unmatched.select(col(batchIdCol).as("_rb"), col(batchStrCol)),
+        "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket)
+      .filter(col("_ra") < col("_rb"))
+      .select(col("_ra").as("id_a"), col("_rb").as("id_b"))
+    val clusters = Dedup.dupClusters(selfPairs)
+    val fresh = unmatched.select(col(batchIdCol))
+      .join(clusters.withColumnRenamed("id", batchIdCol),
+        Seq(batchIdCol), "left")
+      .select(col(batchIdCol),
+        coalesce(col("cluster"), col(batchIdCol)).as("entity_id"),
+        lit(0L).as("dist"), lit(false).as("matched"))
+    matched.unionByName(fresh)
+  }
+
+  /** The rows of `batch` that became new canonical entities under a
+    * [[resolveBatch]] result — the component representatives
+    * (`!matched && entity_id = id`). Append these to the registry and
+    * their [[Fuzzy.entityKeys]] to the key artifact to accept the
+    * batch. */
+  def newEntities(batch: DataFrame, resolved: DataFrame,
+                  batchIdCol: String): DataFrame =
+    batch.join(
+      resolved.filter(!col("matched") &&
+          col("entity_id") === col(batchIdCol))
+        .select(col(batchIdCol)),
+      Seq(batchIdCol), "left_semi")
+}

@@ -72,28 +72,71 @@ object Fuzzy {
       .select(col(id), col("_k"))
   }
 
+  /** The persistable blocking-key table — `(id, _n, _k)`: one row per
+    * (record, blocking key) with the normalized string alongside — the
+    * [[Dedup.lshSignatures]] analog for the fuzzy method (same
+    * staleness rule: the table IS the registry; append-on-accept).
+    * Stored once, a daily batch probes it without ever re-reading or
+    * re-keying the master side's strings. `maxDist` is baked into the
+    * keys (band width, short-string cutoff) — a mismatched probe would
+    * silently miss pairs, so [[fuzzyJoinAgainst]] revalidates it via
+    * the `_w<bandW>` tag row convention below. */
+  def entityKeys(df: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    keyed(df, idCol, strCol, maxDist, explodeBands = false)
+      .join(normed(df, idCol, strCol, "_n"), Seq(idCol))
+      .withColumn("_w", lit(maxDist + 1))
+      .select(col(idCol).as("id"), col("_n"), col("_k"), col("_w"))
+  }
+
+  private def requireKeys(keys: DataFrame, maxDist: Int): DataFrame = {
+    require(keys.columns.toSet == Set("id", "_n", "_k", "_w"),
+      s"not a Fuzzy.entityKeys artifact: ${keys.columns.mkString(",")}")
+    keys
+  }
+
   /** Pairs `(idA, idB, dist)` with `dist <= maxDist`, `a` probed
     * against `b` (the A-vs-B shape of the other similarity joins —
     * self-join callers pass the same frame twice and drop the
     * diagonal). A pair generated by several passes is emitted once.
     * Blocks larger than `maxBucket` rows on either side are dropped
     * loudly (the [[Dedup.dropHotBuckets]] contract — pairs matched
-    * ONLY inside a dropped block are not emitted). */
+    * ONLY inside a dropped block are not emitted).
+    *
+    * `corpusKeys` is the train-once artifact ([[entityKeys]] of `b`
+    * at the SAME maxDist): when supplied, the b side's strings are
+    * never re-read — keys and normalized strings both come from the
+    * artifact (`b` may be passed as an empty frame; it is unused). */
   def fuzzyJoinAgainst(a: DataFrame, b: DataFrame, idA: String,
                        strA: String, idB: String, strB: String,
                        maxDist: Int,
-                       maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+                       maxBucket: Int = Dedup.defaultMaxBucket,
+                       corpusKeys: Option[DataFrame] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val ck = corpusKeys.map(requireKeys(_, maxDist))
+    ck.foreach { k =>
+      // fail loudly on a band-width mismatch BEFORE silently missing
+      // pairs; one row's tag suffices (the column is constant).
+      val w = k.select(col("_w")).limit(1).collect()
+      require(w.isEmpty || w.head.getInt(0) == maxDist + 1,
+        s"entityKeys artifact was built for maxDist=${w.head.getInt(0) - 1}, " +
+          s"probe uses maxDist=$maxDist")
+    }
     val ak = Dedup.dropHotBuckets(
       keyed(a, idA, strA, maxDist, explodeBands = true),
       Seq("_k"), maxBucket, "fuzzyJoinAgainst(probe)")
-    val bk = Dedup.dropHotBuckets(
-      keyed(b, idB, strB, maxDist, explodeBands = false),
-      Seq("_k"), maxBucket, "fuzzyJoinAgainst(corpus)")
+    val bkRaw = ck.map(_.select(col("id").as(idB), col("_k")))
+      .getOrElse(keyed(b, idB, strB, maxDist, explodeBands = false))
+    val bk = Dedup.dropHotBuckets(bkRaw, Seq("_k"), maxBucket,
+      "fuzzyJoinAgainst(corpus)")
+    val bNorm = ck.map(_.select(col("id").as(idB), col("_n").as("_nb"))
+        .distinct())
+      .getOrElse(normed(b, idB, strB, "_nb"))
     ak.join(bk, Seq("_k"))
       .select(col(idA), col(idB)).distinct()
       .join(normed(a, idA, strA, "_na"), Seq(idA))
-      .join(normed(b, idB, strB, "_nb"), Seq(idB))
+      .join(bNorm, Seq(idB))
       .withColumn("dist", levenshtein(col("_na"), col("_nb")))
       .filter(col("dist") <= maxDist)
       .select(col(idA), col(idB), col("dist").cast("long").as("dist"))

@@ -82,4 +82,66 @@ object Decontaminate {
       .select(col(idCol)).distinct()
     corpus.join(badIds, Seq(idCol), "left_anti")
   }
+
+  /** EMBEDDING-SPACE contamination report — the paraphrase-robust
+    * complement to the exact 13-gram probe above: a training vector is
+    * flagged when any benchmark vector sits within cosine >= `minCos`,
+    * which catches reworded test questions verbatim n-grams miss.
+    *
+    * Pair finding delegates to the A-vs-B cosine join
+    * ([[graft.dedup.SimilarJoin.similarJoinAgainst]], corpus probed
+    * into cells trained on the BENCHMARK side — the small index side,
+    * same train-once shape as incremental curation; pass a pre-trained
+    * [[graft.sim.CellIndex]] to skip training). The blocking is EXACT
+    * (directed triangle-inequality bound), so the report equals brute
+    * force; candidate work ∝ |corpus| probes against a benchmark-sized
+    * index, never corpus × corpus.
+    *
+    * Returns one row per corpus vector: `(idCol, n_close, max_cos,
+    * contaminated)` — `n_close` = how many benchmark vectors are
+    * within the threshold, `max_cos` = the closest one's cosine
+    * (rounded to 6dp, the shared verify rounding; 0.0 for clean rows —
+    * cosine >= minCos > 0 for every hit, so 0 is unambiguous). */
+  def embeddingContaminationReport(corpus: DataFrame, bench: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   minCos: Double, numCells: Int = 0,
+                                   index: Option[graft.sim.CellIndex] = None,
+                                   maxBucket: Int = graft.dedup.Dedup.defaultMaxBucket): DataFrame = {
+    require(minCos > 0.0, s"minCos must be positive, got $minCos")
+    val hits = graft.dedup.SimilarJoin.similarJoinAgainst(
+        corpus.select(col(idCol), col(vecCol)),
+        bench.select(col(idCol), col(vecCol)),
+        idCol, vecCol,
+        graft.dedup.SimilarityMethod.EmbeddingCosine(minCos,
+          numCells = numCells, index = index),
+        maxBucket = maxBucket)
+      .groupBy(col("id_a").as(idCol))
+      .agg(count(lit(1)).as("n_close"), max(col("score")).as("max_cos"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        coalesce(col("n_close"), lit(0L)).>(0).as("contaminated"))
+  }
+
+  /** The embedding-clean corpus: rows whose vector is NOT within
+    * cosine `minCos` of any benchmark vector. Anti side carries ids
+    * only — corpus payloads never shuffle. */
+  def decontaminateByEmbedding(corpus: DataFrame, bench: DataFrame,
+                               idCol: String, vecCol: String,
+                               minCos: Double, numCells: Int = 0,
+                               index: Option[graft.sim.CellIndex] = None,
+                               maxBucket: Int = graft.dedup.Dedup.defaultMaxBucket): DataFrame = {
+    require(minCos > 0.0, s"minCos must be positive, got $minCos")
+    val badIds = graft.dedup.SimilarJoin.similarJoinAgainst(
+        corpus.select(col(idCol), col(vecCol)),
+        bench.select(col(idCol), col(vecCol)),
+        idCol, vecCol,
+        graft.dedup.SimilarityMethod.EmbeddingCosine(minCos,
+          numCells = numCells, index = index),
+        maxBucket = maxBucket)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(badIds, Seq(idCol), "left_anti")
+  }
 }

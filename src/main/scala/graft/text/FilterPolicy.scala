@@ -1,7 +1,29 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Tunable thresholds for [[FilterPolicy]] — a policy someone tuned
+  * for one corpus must ship WITH that corpus, so the config is a
+  * first-class artifact ([[FilterPolicy.savePolicy]] /
+  * [[FilterPolicy.loadPolicy]], the `saveTokenizer`/`saveParams`
+  * idiom): a one-row parquet that travels next to the curated data
+  * and reproduces the exact keep/drop decisions later or elsewhere. */
+case class PolicyConfig(minTokens: Long, maxTokens: Long,
+                        minMeanWordLen: Double, maxMeanWordLen: Double,
+                        minStopwords: Long,
+                        maxTop2Frac: Double, maxDup5Frac: Double)
+
+object PolicyConfig {
+  /** Gopher's published bounds (Rae et al. 2021 appendix A; scaled
+    * token minimum — the reference corpus documents are 10-100
+    * tokens, so the 50-token paper floor is taken at 30). */
+  val Gopher: PolicyConfig = PolicyConfig(
+    minTokens = 30, maxTokens = 100000,
+    minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+    minStopwords = 2,
+    maxTop2Frac = TextOps.RepTop2Max, maxDup5Frac = TextOps.RepDup5Max)
+}
 
 /** The composed document-filter POLICY — the decision endpoint a
   * Gopher-style curation pipeline runs after computing its signals
@@ -21,9 +43,8 @@ import org.apache.spark.sql.functions._
   * string leave the operator. */
 object FilterPolicy {
 
-  /** Gopher's published bounds (scaled token minimum: the reference
-    * corpus documents are 10-100 tokens, so the 50-token paper floor
-    * is taken at 30). */
+  /** The default bounds (kept as fields for source compatibility —
+    * [[PolicyConfig.Gopher]] is the structured form). */
   val MinTokens = 30
   val MaxTokens = 100000
   val MinMeanWordLen = 3.0
@@ -33,16 +54,18 @@ object FilterPolicy {
   /** The first-failing-rule verdict over staged signal columns —
     * shared by the batch and per-row variants so the two can never
     * disagree on rule order or thresholds. */
-  private def reasonExpr(nt: org.apache.spark.sql.Column,
+  private def reasonExpr(cfg: PolicyConfig)(
+                         nt: org.apache.spark.sql.Column,
                          alpha: org.apache.spark.sql.Column,
                          nstop: org.apache.spark.sql.Column,
                          top2: org.apache.spark.sql.Column,
                          dup5: org.apache.spark.sql.Column) = {
     val mwl = alpha.cast("double") / nt
-    when(nt < MinTokens || nt > MaxTokens, lit("n_tokens"))
-      .when(mwl < MinMeanWordLen || mwl > MaxMeanWordLen, lit("word_len"))
-      .when(nstop < MinStopwords, lit("stopwords"))
-      .when(top2 > TextOps.RepTop2Max || dup5 > TextOps.RepDup5Max,
+    when(nt < cfg.minTokens || nt > cfg.maxTokens, lit("n_tokens"))
+      .when(mwl < cfg.minMeanWordLen || mwl > cfg.maxMeanWordLen,
+        lit("word_len"))
+      .when(nstop < cfg.minStopwords, lit("stopwords"))
+      .when(top2 > cfg.maxTop2Frac || dup5 > cfg.maxDup5Frac,
         lit("repetition"))
       .otherwise(lit("ok"))
   }
@@ -61,12 +84,13 @@ object FilterPolicy {
     * {'n_tokens', 'word_len', 'stopwords', 'repetition', 'ok'}, the
     * first failing rule in that fixed order. One narrow signal pass +
     * the repetition aggregate joined back on the id. */
-  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def apply(df: DataFrame, idCol: String, textCol: String,
+            config: PolicyConfig = PolicyConfig.Gopher): DataFrame = {
     val sig = withSignals(df, textCol)
       .select(col(idCol), col("_nt"), col("_alpha"), col("_nstop"))
     val rep = TextOps.repetitionStats(df, idCol, textCol)
     sig.join(rep, Seq(idCol))
-      .withColumn("reason", reasonExpr(col("_nt"), col("_alpha"),
+      .withColumn("reason", reasonExpr(config)(col("_nt"), col("_alpha"),
         col("_nstop"), col("top2_frac"), col("dup5_frac")))
       .select(col(idCol), col("_nt").as("n_tokens"),
         col("_nstop").as("n_stop"),
@@ -80,13 +104,36 @@ object FilterPolicy {
     * `readStream → filter → writeStream` (quality-filter documents as
     * they are crawled, no watermark needed). Identical verdicts to
     * the batch form — the rule expression is literally shared. */
-  def withDecision(df: DataFrame, idCol: String,
-                   textCol: String): DataFrame =
+  def withDecision(df: DataFrame, idCol: String, textCol: String,
+                   config: PolicyConfig = PolicyConfig.Gopher): DataFrame =
     TextOps.withRepetitionCols(withSignals(df, textCol), textCol,
         "_t2f", "_d5f")
-      .withColumn("reason", reasonExpr(col("_nt"), col("_alpha"),
+      .withColumn("reason", reasonExpr(config)(col("_nt"), col("_alpha"),
         col("_nstop"), col("_t2f"), col("_d5f")))
       .select(col(idCol), col("_nt").as("n_tokens"),
         col("_nstop").as("n_stop"),
         (col("reason") === "ok").as("keep"), col("reason"))
+
+  /** Persist a [[PolicyConfig]] as a one-row parquet artifact. */
+  def savePolicy(spark: SparkSession, config: PolicyConfig,
+                 path: String): Unit = {
+    import spark.implicits._
+    Seq(config).toDS().toDF()
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePolicy]] artifact; fails loudly on anything that is
+    * not exactly one row of the seven threshold columns. */
+  def loadPolicy(spark: SparkSession, path: String): PolicyConfig = {
+    import spark.implicits._
+    val df = spark.read.parquet(path)
+    val want = Set("minTokens", "maxTokens", "minMeanWordLen",
+      "maxMeanWordLen", "minStopwords", "maxTop2Frac", "maxDup5Frac")
+    require(df.columns.toSet == want,
+      s"not a policy artifact: ${df.columns.mkString(",")}")
+    val rows = df.as[PolicyConfig].collect()
+    require(rows.length == 1,
+      s"policy artifact must be exactly one row, got ${rows.length}")
+    rows.head
+  }
 }

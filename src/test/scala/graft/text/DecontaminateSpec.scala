@@ -20,6 +20,41 @@ class DecontaminateSpec extends SparkSpec {
     (5L, "")                                  // empty -> trivially clean
   ).toDF("id", "text")
 
+  // embedding-space: unit vectors on known angles so cosines are exact
+  private def vec(x: Double, y: Double) =
+    Array(x.toFloat, y.toFloat, 0f, 0f)
+
+  private lazy val embCorpus = Seq(
+    (1L, vec(1, 0)),                     // = bench 100 → cos 1.0
+    (2L, vec(0.8, 0.6)),                 // cos 0.8 to bench 100
+    (3L, vec(0, 1)),                     // orthogonal to 100, = 101
+    (4L, vec(-1, 0))                     // anti-parallel → clean at 0.5
+  ).toDF("id", "v")
+
+  private lazy val embBench = Seq(
+    (100L, vec(1, 0)),
+    (101L, vec(0, 1))
+  ).toDF("id", "v")
+
+  test("embedding report: per-corpus-vector close counts and max cosine") {
+    val rep = Decontaminate.embeddingContaminationReport(
+        embCorpus, embBench, "id", "v", minCos = 0.75, numCells = 2)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rep == Seq(
+      (1L, 1L, 1.0, true),
+      (2L, 1L, 0.8, true),
+      (3L, 1L, 1.0, true),     // matches bench 101
+      (4L, 0L, 0.0, false)))
+  }
+
+  test("decontaminateByEmbedding keeps exactly the far rows, schema intact") {
+    val clean = Decontaminate.decontaminateByEmbedding(
+      embCorpus, embBench, "id", "v", minCos = 0.9, numCells = 2)
+    assert(clean.columns.toSeq == Seq("id", "v"))
+    assert(clean.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L))             // cos 0.8 and -1 are below 0.9
+  }
+
   test("report flags exactly the docs sharing an n-gram, with counts") {
     val rep = Decontaminate.contaminationReport(corpus, bench, "id", "text", 3)
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq

@@ -56,4 +56,34 @@ class FilterPolicySpec extends SparkSpec {
     val Seq((_, nt, _, keep, reason)) = decide(Seq((1L, "")))
     assert(nt == 0L && !keep && reason == "n_tokens")
   }
+
+  test("policy artifact round-trips and reproduces tuned verdicts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("policy").toString
+    // loosened for short docs: token floor down, repetition caps up
+    // (a 10-token doc's top bigram alone is >20% of its characters)
+    val tuned = PolicyConfig.Gopher.copy(minTokens = 5, minStopwords = 1,
+      maxTop2Frac = 0.9, maxDup5Frac = 0.9)
+    FilterPolicy.savePolicy(spark, tuned, s"$dir/policy")
+    val loaded = FilterPolicy.loadPolicy(spark, s"$dir/policy")
+    assert(loaded == tuned)
+    // a doc the default policy drops (n_tokens) but the tuned one keeps
+    val doc = Seq((1L, "the quick brown fox jumps over a lazy dog runs"))
+      .toDF("id", "text")
+    def verdict(cfg: PolicyConfig) =
+      FilterPolicy(doc, "id", "text", cfg)
+        .select("keep").as[Boolean].head()
+    assert(!verdict(PolicyConfig.Gopher))
+    assert(verdict(loaded))
+  }
+
+  test("loadPolicy rejects non-artifact inputs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("policy").toString
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/bad")
+    val e = intercept[IllegalArgumentException] {
+      FilterPolicy.loadPolicy(spark, s"$dir/bad")
+    }
+    assert(e.getMessage.contains("not a policy artifact"))
+  }
 }
