@@ -1482,6 +1482,48 @@ object SparkEntry {
       .orderBy(col("rid"))
   }
 
+  /** DSIR-style importance scoring (Importance.train/score): the
+    * hashed-n-gram log-likelihood-ratio model between a target slice
+    * (src0/src1) and the rest of the corpus, then every document's
+    * bucket-ordered weight fold — pins the bucket hash, add-one
+    * smoothing, the 6dp ln weights AND the broadcast-join scoring
+    * against DuckDB's recomputation (weights are transcendental-with-
+    * rounding, totals are the q101 sequential-fold recipe — see the
+    * Importance.score note on why a plain sum is boundary-unsafe). */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val model = graft.text.Importance.train(
+      docs.filter(col("source").isin("src0", "src1")),
+      docs.filter(!col("source").isin("src0", "src1")), "text", 1024)
+    graft.text.Importance.score(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DSIR selection endpoint (Importance.selectTopK): the 100
+    * most target-like documents under q119's model — TakeOrdered
+    * top-k over the scored frame, (score DESC, doc_id) total order. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val model = graft.text.Importance.train(
+      docs.filter(col("source").isin("src0", "src1")),
+      docs.filter(!col("source").isin("src0", "src1")), "text", 1024)
+    graft.text.Importance.selectTopK(docs, "doc_id", "text", model, 100)
+  }
+
+  /** Per-domain quota (Sampling.capPerGroup — C4's "max N pages per
+    * domain") through the custom bounded-heap TopKPerGroup operator:
+    * 10 longest documents per source, (n_chars DESC, doc_id) order —
+    * q54's must-match-the-window-oracle contract applied to the
+    * curation quota. */
+  private def q121(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.capPerGroup(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        Seq("source"), Seq(("n_chars", false), ("doc_id", true)), 10)
+      .select(col("source"), col("rn").cast("int").as("rn"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rn"))
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1667,6 +1709,9 @@ object SparkEntry {
     "q116_embed_decontam_report" -> (q116 _),
     "q117_embed_decontam" -> (q117 _),
     "q118_entity_resolve" -> (q118 _),
+    "q119_importance_score" -> (q119 _),
+    "q120_importance_topk" -> (q120 _),
+    "q121_domain_quota" -> (q121 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2818,6 +2863,69 @@ object SparkEntry {
        |  FROM um LEFT JOIN clus c ON c.id = um.rid)
        |ORDER BY rid""".stripMargin
 
+  /** q119/q120: the DSIR model + scores recomputed in DuckDB — same
+    * md5-32 bucket hash, same add-one smoothing, ln weights round(6)
+    * (transcendental-with-rounding), per-doc totals as seeded
+    * bucket-ordered list_reduce folds (the q101 sequential-fold
+    * recipe; a plain sum of 1e-6-multiple weights rides a rounding
+    * boundary for ~1% of docs). The gram CTEs mirror
+    * Importance.bucketsOf: lowercased whitespace unigrams +
+    * space-joined bigrams, WITH multiplicity. */
+  private def dsirCtes: String =
+    raw"""l AS (SELECT doc_id, source,
+           [x for x in string_split_regex(trim(lower(text)), '\s+')
+            if len(x) > 0] AS ws
+         FROM documents),
+       g AS (SELECT doc_id, source, unnest(ws) AS g FROM l
+         UNION ALL
+         SELECT doc_id, source,
+           unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+         FROM l),
+       hb AS (SELECT doc_id, source,
+           try_cast('0x'||substring(md5(g),1,8) AS BIGINT) % 1024 AS bucket
+         FROM g),
+       ct AS (SELECT bucket, count(*) AS n FROM hb
+         WHERE source IN ('src0','src1') GROUP BY bucket),
+       cr AS (SELECT bucket, count(*) AS n FROM hb
+         WHERE source NOT IN ('src0','src1') GROUP BY bucket),
+       nt AS (SELECT count(*) AS n FROM hb WHERE source IN ('src0','src1')),
+       nr AS (SELECT count(*) AS n FROM hb
+         WHERE source NOT IN ('src0','src1')),
+       model AS (SELECT r.b AS bucket,
+           round(ln((coalesce(ct.n, 0) + 1) / (nt.n + 1024))
+               - ln((coalesce(cr.n, 0) + 1) / (nr.n + 1024)), 6) AS w
+         FROM range(0, 1024) r(b)
+         LEFT JOIN ct ON ct.bucket = r.b
+         LEFT JOIN cr ON cr.bucket = r.b, nt, nr),
+       sc AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(list_reduce(list_prepend(0.0, list(w ORDER BY bucket)),
+             (a, b) -> a + b), 6) AS score
+         FROM hb JOIN model USING (bucket) GROUP BY hb.doc_id),
+       rep AS (SELECT d.doc_id,
+           coalesce(sc.n_grams, 0) AS n_grams,
+           coalesce(sc.score, CAST(0 AS DOUBLE)) AS score
+         FROM documents d LEFT JOIN sc USING (doc_id))"""
+
+  private def q119Sql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_grams, score FROM rep
+       |ORDER BY doc_id""".stripMargin
+
+  private def q120Sql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_grams, score FROM rep
+       |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
+  /** q121: the domain quota against the plain window formulation
+    * (q54's custom-operator-must-match-the-window contract). */
+  private def q121Sql: String =
+    """SELECT source, rn, doc_id, n_chars FROM (
+         SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents) WHERE rn <= 10
+       ORDER BY source, rn"""
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3401,6 +3509,9 @@ object SparkEntry {
     "q116_embed_decontam_report" -> q116Sql,
     "q117_embed_decontam" -> q117Sql,
     "q118_entity_resolve" -> q118Sql,
+    "q119_importance_score" -> q119Sql,
+    "q120_importance_topk" -> q120Sql,
+    "q121_domain_quota" -> q121Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -57,8 +57,14 @@ object EntityResolve {
       .agg(min(struct(col("dist"), col(masterIdCol))).as("_best"))
       .select(col(batchIdCol), col("_best").getField(masterIdCol).as("entity_id"),
         col("_best").getField("dist").as("dist"), lit(true).as("matched"))
+    // persisted: the self-join below evaluates its input SIX times
+    // (two keyed sides, two eager hot-block count scans, two
+    // normalized-string fetches) and each evaluation would otherwise
+    // re-run the registry join + anti-join above
     val unmatched = batch.join(
-      matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
+        matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
+      .select(col(batchIdCol), col(batchStrCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // batch-only components over the SAME blocked join, min-id labels
     val selfPairs = Fuzzy.fuzzyJoinAgainst(
         unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
@@ -73,6 +79,10 @@ object EntityResolve {
       .select(col(batchIdCol),
         coalesce(col("cluster"), col(batchIdCol)).as("entity_id"),
         lit(0L).as("dist"), lit(false).as("matched"))
+    // the cache stays referenced by the returned plan (the
+    // dropHotBuckets precedent: bounded — one (id, string) row per
+    // unmatched batch record, batch-sized by construction, never
+    // registry-sized)
     matched.unionByName(fresh)
   }
 

@@ -173,4 +173,19 @@ object Sampling {
       .withColumn(out, expr)
       .drop("_split_u")
   }
+
+  /** Per-group row quota — C4's "at most N pages per domain" rule and
+    * every other keep-the-best-K-per-key curation step: rows ranked by
+    * `orderCols` (supply tie-breakers; the order must be total for a
+    * deterministic cut) keep the top `k` within each `groupCols`
+    * bucket, with the rank exposed as `rn`. Rides the custom
+    * bounded-heap [[graft.plans.TopKPerGroup]] operator: per-key
+    * O(k) heaps instead of the window form's full per-partition
+    * sort — at 100 TB the difference between "sort every domain's
+    * millions of pages" and "keep 20 in a heap". */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"quota must be >= 1, got $k")
+    TopK.topKPerGroup(df, groupCols, orderCols, k)
+  }
 }

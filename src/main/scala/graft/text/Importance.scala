@@ -1,0 +1,157 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data-selection importance scoring (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" —
+  * public method): rank raw documents by how target-like they are
+  * under a pair of hashed n-gram bag models. The model is a
+  * per-bucket log-likelihood-ratio table
+  *
+  *   w(b) = ln((cT(b)+1) / (NT+B)) − ln((cR(b)+1) / (NR+B))
+  *
+  * over `B` md5-hash buckets of word unigrams + bigrams (add-one
+  * smoothing; cT/cR = bucket counts in the TARGET / RAW corpus, NT/NR
+  * their gram totals), and a document's importance is the sum of its
+  * grams' weights — high when the document's n-gram mass looks like
+  * the target distribution.
+  *
+  * Scale shape: training is two corpus-sized explode→groupBy(bucket)
+  * aggregates (map-side combined; the shuffle carries (bucket, count)
+  * ints — never text), collapsed to a B-row model that BROADCASTS
+  * into scoring; scoring is one explode → broadcast-join → map-side-
+  * combined groupBy(doc) — one narrow (doc_id, weight) shuffle, text
+  * never leaves its scan. The model is a train-once artifact
+  * ([[saveModel]]/[[loadModel]], the `saveParams` idiom): score
+  * tomorrow's crawl without touching the corpora again.
+  *
+  * Cross-engine determinism: buckets come from [[TextOps.md5_32]]
+  * (the engine-portable hash), weights are round(…,6) — ln is the one
+  * transcendental, and 6dp absorbs last-ulp libm differences — and
+  * per-doc totals are SEQUENTIAL bucket-ordered folds (bit-identical
+  * across engines; see the note in [[score]] for why an
+  * order-dependent sum cannot be rounded safe here). */
+object Importance {
+
+  /** Hashed gram-instance buckets (with multiplicity — DSIR models
+    * counts, not presence): word unigrams + space-joined bigrams of
+    * the lowercased whitespace tokenization, md5-bucketed into
+    * [0, buckets). */
+  private def bucketsOf(textCol: Column, buckets: Int): Column = {
+    val ws = filter(TextOps.words(lower(textCol)), w => length(w) > 0)
+    val uni = ws
+    // greatest(…, 0): slice rejects negative lengths, and an empty
+    // token array would pass size-1 = -1
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bi = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(uni, bi), g => pmod(TextOps.md5_32(g), lit(buckets)))
+  }
+
+  private def bucketCounts(df: DataFrame, textCol: String,
+                           buckets: Int): DataFrame =
+    df.select(explode(bucketsOf(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Train the B-row importance model `(bucket, w)` — EVERY bucket in
+    * [0, buckets) has a row (smoothed weight even at zero count), so
+    * scoring joins never miss. Two aggregates over the corpora; the
+    * totals ride a one-row cross join, not a collect. */
+  def train(target: DataFrame, raw: DataFrame, textCol: String,
+            buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = target.sparkSession
+    val ct = bucketCounts(target, textCol, buckets)
+    val cr = bucketCounts(raw, textCol, buckets)
+    val nt = ct.agg(sum(col("n")).as("nt"))
+    val nr = cr.agg(sum(col("n")).as("nr"))
+    spark.range(buckets).select(col("id").cast("long").as("bucket"))
+      .join(ct.withColumnRenamed("n", "_ct"), Seq("bucket"), "left")
+      .join(cr.withColumnRenamed("n", "_cr"), Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("nt"), lit(0L)) + buckets).cast("double")) -
+          log((coalesce(col("_cr"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("nr"), lit(0L)) + buckets).cast("double")),
+          6).as("w"))
+  }
+
+  /** Score every document against a trained model: `(idCol, n_grams,
+    * score)` — n_grams = gram instances in the doc, score = 6dp-rounded
+    * weight total (0.0 for gram-less docs, which is also the score of a
+    * perfectly distribution-neutral doc — rank, don't gate on 0). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: DataFrame): DataFrame = {
+    // bucket width is baked into the model (one row per bucket by
+    // construction), so the score path re-buckets at the model's own
+    // size — a stale-width probe cannot silently mis-bucket.
+    val b = model.count().toInt
+    require(b >= 2, s"importance model has $b rows — not a trained model")
+    // The per-doc total is a SEQUENTIAL fold over (bucket, w) sorted
+    // pairs, not sum(): weights are exact 1e-6 multiples, so their sum
+    // lands exactly on a rounding boundary for ~1% of documents and
+    // order-dependent float addition would flip the last digit between
+    // engines (measured: 1 doc in the first 103 at sf0.001). The fold
+    // order is identical on both sides (DuckDB: seeded list_reduce
+    // over list(w ORDER BY bucket) — the q101 adist recipe), so sums
+    // are bit-identical before rounding. Cost: collect_list shuffles
+    // the same (doc_id, bucket, w) rows a combining sum would, it just
+    // cannot pre-combine map-side — acceptable for an order-pinned
+    // cross-engine contract.
+    val scored = docs
+      .select(col(idCol), explode(bucketsOf(col(textCol), b)).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sort_array(collect_list(struct(col("bucket"), col("w")))).as("_bw"))
+      .select(col(idCol), col("n_grams"),
+        round(aggregate(col("_bw"), lit(0.0),
+          (acc, s) => acc + s.getField("w")), 6).as("score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** The top `k` most target-like documents — (score DESC, id ASC)
+    * total order, computed as a TakeOrdered top-k, never a full
+    * sort-collect. */
+  def selectTopK(docs: DataFrame, idCol: String, textCol: String,
+                 model: DataFrame, k: Int): DataFrame =
+    score(docs, idCol, textCol, model)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** DSIR's importance RESAMPLING: draw without replacement with
+    * probability ∝ exp(score) via the Gumbel-top-k trick — rank by
+    * score + Gumbel noise, where the noise is the engine-portable
+    * seeded md5 uniform ([[graft.ops.Sampling.uniform01]]), so the
+    * sample is reproducible run-to-run. Spec-gated (the noise sum's
+    * rounding boundary is not oracle-safe); the deterministic
+    * [[selectTopK]] is the hash-gated path. */
+  def resample(docs: DataFrame, idCol: String, textCol: String,
+               model: DataFrame, k: Int, seed: Int): DataFrame = {
+    val g = -log(-log(graft.ops.Sampling.uniform01(col(idCol), seed)))
+    score(docs, idCol, textCol, model)
+      .withColumn("_key", col("score") + g)
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(k)
+      .drop("_key")
+  }
+
+  /** Persist / reload the model (the `saveParams` artifact idiom). */
+  def saveModel(model: DataFrame, path: String): Unit =
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadModel(spark: SparkSession, path: String): DataFrame = {
+    val m = spark.read.parquet(path)
+    require(m.columns.toSet == Set("bucket", "w"),
+      s"not an importance model artifact: ${m.columns.mkString(",")}")
+    m
+  }
+}
