@@ -1524,6 +1524,28 @@ object SparkEntry {
         col("doc_id"), col("n_chars"))
       .orderBy(col("source"), col("rn"))
 
+  /** C4 bad-words page filter signal (C4Clean.withBadWordFlags):
+    * exact tokenized blocklist hits per document — the report-first
+    * form of the published page-drop rule (the blocklist is corpus
+    * policy; the gate pins the matching semantics with vocabulary
+    * words that actually occur in the synthetic corpus). */
+  private def q122(s: SparkSession, d: String): DataFrame =
+    graft.text.C4Clean.withBadWordFlags(
+        T(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", Seq("spark", "merge", "casino"))
+      .select(col("doc_id"), col("n_bad"), col("has_bad"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic pre-training shuffle (Sampling.shuffleShards):
+    * every document's (shard, pos) under seed 42 — pure functions of
+    * (seed, id), so DuckDB recomputes the whole assignment bit-for-bit
+    * (md5 shard hash, independent md5 order key, rank within shard). */
+  private def q123(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.shuffleShards(
+        T(s, d, "documents").select(col("doc_id")), "doc_id", 8, seed = 42)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1712,6 +1734,8 @@ object SparkEntry {
     "q119_importance_score" -> (q119 _),
     "q120_importance_topk" -> (q120 _),
     "q121_domain_quota" -> (q121 _),
+    "q122_bad_words" -> (q122 _),
+    "q123_shuffle_shards" -> (q123 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2926,6 +2950,30 @@ object SparkEntry {
          FROM documents) WHERE rn <= 10
        ORDER BY source, rn"""
 
+  /** q122: exact tokenized blocklist counting — same lowercased
+    * whitespace tokenization as every other text oracle. */
+  private def q122Sql: String =
+    raw"""SELECT doc_id,
+         CAST(len([x for x in string_split_regex(trim(lower(text)), '\s+')
+                   if x IN ('spark', 'merge', 'casino')]) AS BIGINT) AS n_bad,
+         len([x for x in string_split_regex(trim(lower(text)), '\s+')
+              if x IN ('spark', 'merge', 'casino')]) > 0 AS has_bad
+       FROM documents ORDER BY doc_id"""
+
+  /** q123: the deterministic shuffle recomputed — md5 shard hash
+    * (the shared 32-bit prefix recipe), independent full-md5 order
+    * key, rank within shard. */
+  private def q123Sql: String =
+    """SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY okey, doc_id) AS BIGINT) AS pos
+       FROM (SELECT doc_id,
+           try_cast('0x' || substring(md5('42|s|' ||
+             CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+           md5('42|o|' || CAST(doc_id AS VARCHAR)) AS okey
+         FROM documents)
+       ORDER BY shard, pos"""
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3512,6 +3560,8 @@ object SparkEntry {
     "q119_importance_score" -> q119Sql,
     "q120_importance_topk" -> q120Sql,
     "q121_domain_quota" -> q121Sql,
+    "q122_bad_words" -> q122Sql,
+    "q123_shuffle_shards" -> q123Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

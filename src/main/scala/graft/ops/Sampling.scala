@@ -188,4 +188,37 @@ object Sampling {
     require(k >= 1, s"quota must be >= 1, got $k")
     TopK.topKPerGroup(df, groupCols, orderCols, k)
   }
+
+  /** Deterministic global shuffle into training shards — the
+    * before-training "shuffle the corpus" step, as a pure function of
+    * (seed, id) like everything else here: `shard` =
+    * md5-hash-mod-`nShards`, `pos` = the row's rank within its shard
+    * under an independent md5 order key (full 32-hex-digit string —
+    * ties only on identical ids). Same seed ⇒ same shards and same
+    * intra-shard order, forever, on any engine and any partitioning;
+    * changing the seed re-shuffles everything.
+    *
+    * Scale shape: one hash-partition exchange on `shard` + a
+    * per-shard sort — shards are the parallel unit (pick thousands at
+    * 100 TB so each sorts a sliver); downstream, feed `shard` to
+    * [[graft.io.Publish]]'s partitioned layout and the written files
+    * ARE the shuffled epoch. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Int = 0): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // distinct derivations for shard vs order: the 32-bit shard hash
+    // reads the md5 PREFIX, so reusing one digest would sort each
+    // shard by the very prefix that chose it
+    val shard = pmod(TextOps.md5_32(
+      concat(lit(s"$seed|s|"), col(idCol).cast("string"))), lit(nShards))
+    val okey = md5(concat(lit(s"$seed|o|"), col(idCol).cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("shard", shard)
+      .withColumn("_okey", okey)
+      .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("_okey"), col(idCol)))
+        .cast("long"))
+      .drop("_okey")
+  }
 }

@@ -52,4 +52,33 @@ object C4Clean {
         size(split(col(textCol), "\n")).cast("long").as("n_lines"),
         size(col("_kept")).cast("long").as("n_kept")): _*)
   }
+
+  /** Count of blocklisted WORD instances in the document — C4's
+    * "bad words" page filter signal (the published pipeline drops any
+    * page with a blocklist hit; the list itself is corpus policy, so
+    * it is a parameter here). Exact tokenized match on the lowercased
+    * whitespace words — substring matching would false-positive
+    * ("class" vs "ass"), which is the documented failure mode of the
+    * original list. Pure per-row HOF, zero shuffle. */
+  def badWordCount(textCol: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val bl = blocklist.map(_.toLowerCase)
+    size(filter(TextOps.words(lower(textCol)),
+      w => w.isInCollection(bl))).cast("long")
+  }
+
+  /** Per-document blocklist report: every input column plus `n_bad`
+    * and `has_bad` — the report-first shape (audit what WOULD drop
+    * before dropping; reasons matter in production curation). */
+  def withBadWordFlags(df: DataFrame, textCol: String,
+                       blocklist: Seq[String]): DataFrame = {
+    val n = badWordCount(col(textCol), blocklist)
+    df.withColumn("n_bad", n).withColumn("has_bad", n > 0)
+  }
+
+  /** The C4 page rule itself: drop every document containing ANY
+    * blocklisted word. One codegen'd scan predicate, no shuffle. */
+  def dropBadWordDocs(df: DataFrame, textCol: String,
+                      blocklist: Seq[String]): DataFrame =
+    df.filter(badWordCount(col(textCol), blocklist) === 0)
 }

@@ -204,6 +204,63 @@ class ParityFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: entity resolution equals the brute-force reference at maxDist 1") {
+    // blocked resolveBatch vs an independent in-memory reference:
+    // closest-master (dist, eid) assignment + union-find components
+    // over the unmatched remainder. Short strings (len 3+) included —
+    // the catch-all short-string key must hold the completeness line.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (trial <- 0 until 3) {
+      val rnd = new Random(9000 + trial)
+      def word() = (0 until 3 + rnd.nextInt(8))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val master = (0 until 8).map(i => (i.toLong, word()))
+      val batch = (0 until 14).map { i =>
+        val s = if (rnd.nextBoolean() && master.nonEmpty) {
+          val base = master(rnd.nextInt(master.size))._2
+          val p = rnd.nextInt(base.length)
+          if (rnd.nextBoolean()) base.updated(p, ('a' + rnd.nextInt(4)).toChar)
+          else base.substring(0, p) + base.substring(math.min(p + 1, base.length))
+        } else word()
+        (100L + i, s)
+      }
+      val got = graft.dedup.EntityResolve.resolveBatch(
+          batch.toDF("rid", "s"), master.toDF("eid", "s"),
+          "rid", "s", "eid", "s", maxDist = 1)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+
+      // reference
+      val matched = batch.flatMap { case (rid, s) =>
+        val cands = master.map { case (eid, m) => (lev(s, m).toLong, eid) }
+          .filter(_._1 <= 1)
+        if (cands.isEmpty) None else {
+          val best = cands.min
+          Some((rid, best._2, best._1, true))
+        }
+      }
+      val um = batch.filterNot(b => matched.exists(_._1 == b._1))
+      // union-find over unmatched pairs
+      val parent = scala.collection.mutable.Map(um.map(b => b._1 -> b._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for ((ia, sa) <- um; (ib, sb) <- um if ia < ib && lev(sa, sb) <= 1) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val fresh = um.map(b => (b._1, find(b._1), 0L, false))
+      val expected = (matched ++ fresh).sortBy(_._1)
+      assert(got == expected, s"trial $trial diverged:\n got=$got\n exp=$expected")
+    }
+  }
+
   test("fuzz: sharded packing with negative ids (truncating DIV still monotone)") {
     val rows = Seq(("g", -130L, 5L), ("g", -64L, 7L), ("g", -1L, 3L),
       ("g", 0L, 4L), ("g", 63L, 9L), ("g", 64L, 2L))

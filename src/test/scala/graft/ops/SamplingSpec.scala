@@ -113,4 +113,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.quantileTrim(df, "v", 0.9, 0.1)
     }
   }
+
+  test("shuffleShards: total, deterministic, balanced-ish, seed-sensitive") {
+    val df = spark.range(1000).select(col("id"))
+    val out = Sampling.shuffleShards(df, "id", 8, seed = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    // total: every row exactly once
+    assert(out.size == 1000 && out.map(_._1).distinct.size == 1000)
+    // pos is 1..n within each shard, no gaps
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size), s"shard $shard")
+    }
+    // md5 balance: no shard degenerate at n=1000, k=8
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.min > 60 && sizes.values.max < 190, sizes.toMap)
+    // deterministic; a different seed reshuffles
+    val again = Sampling.shuffleShards(df, "id", 8, seed = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    val other = Sampling.shuffleShards(df, "id", 8, seed = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet != other.toSet)
+    // intra-shard order is NOT id order (it actually shuffles)
+    val firstShard = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard != firstShard.sorted)
+  }
 }

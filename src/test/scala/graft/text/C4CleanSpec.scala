@@ -64,4 +64,22 @@ class C4CleanSpec extends SparkSpec {
     assert(C4Clean.clean(df, "text").columns.toSeq ==
       Seq("id", "source", "text", "clean_text", "n_lines", "n_kept"))
   }
+
+  test("bad words: exact token match only — no substring false positives") {
+    val df = Seq(
+      (1L, "a clean document here"),
+      (2L, "visit the CASINO now"),        // case-insensitive hit
+      (3L, "classic bypassing words"),      // 'ass' must NOT fire on substrings
+      (4L, "casino casino pills")           // multiplicity counted
+    ).toDF("id", "text")
+    val bl = Seq("casino", "pills", "ass")
+    val rep = C4Clean.withBadWordFlags(df, "text", bl)
+      .select("id", "n_bad", "has_bad")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rep == Seq((1L, 0L, false), (2L, 1L, true),
+      (3L, 0L, false), (4L, 3L, true)))
+    val kept = C4Clean.dropBadWordDocs(df, "text", bl)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
 }
