@@ -1546,6 +1546,23 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
 
+  /** Dataset card (Profile.datasetCard): the per-(source, lang)
+    * composition table a corpus release ships with — one aggregate
+    * pass + broadcast totals; integer counts and 6dp single-division
+    * shares. */
+  private def q124(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.datasetCard(T(s, d, "documents"),
+        "source", "lang", "text")
+      .orderBy(col("source"), col("lang"))
+
+  /** Length histogram (Profile.lengthHistogram): power-of-two token
+    * buckets via exact binary-digit-count math — floor(log2(…)) in
+    * floats flips boundary buckets per engine, the conv/bin digit
+    * count cannot. */
+  private def q125(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.lengthHistogram(T(s, d, "documents"), "text")
+      .orderBy(col("bucket_lo"))
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1736,6 +1753,8 @@ object SparkEntry {
     "q121_domain_quota" -> (q121 _),
     "q122_bad_words" -> (q122 _),
     "q123_shuffle_shards" -> (q123 _),
+    "q124_dataset_card" -> (q124 _),
+    "q125_length_histogram" -> (q125 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2974,6 +2993,37 @@ object SparkEntry {
          FROM documents)
        ORDER BY shard, pos"""
 
+  /** q124/q125: the dataset card recomputed — q84's token-count
+    * formula, integer sums, shares as single CAST-to-DOUBLE divisions
+    * round(6); histogram buckets via bin() digit count (exact). */
+  private def q124Sql: String =
+    raw"""WITH t AS (SELECT source, lang,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+           len(text) AS nc
+         FROM documents),
+       g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+         FROM t GROUP BY source, lang),
+       tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+           CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+       SELECT source, lang, n_docs, n_tokens, n_chars,
+         round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+         round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share
+       FROM g, tot ORDER BY source, lang"""
+
+  private def q125Sql: String =
+    raw"""WITH t AS (SELECT
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+         FROM documents)
+       SELECT CASE WHEN nt <= 0 THEN 0
+                ELSE CAST(1 AS BIGINT) << (len(bin(nt)) - 1)
+              END AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS n_docs
+       FROM t GROUP BY 1 ORDER BY bucket_lo"""
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3562,6 +3612,8 @@ object SparkEntry {
     "q121_domain_quota" -> q121Sql,
     "q122_bad_words" -> q122Sql,
     "q123_shuffle_shards" -> q123Sql,
+    "q124_dataset_card" -> q124Sql,
+    "q125_length_histogram" -> q125Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -144,6 +144,59 @@ object Importance {
       .drop("_key")
   }
 
+  /** [[score]] as a PER-ROW pass — no join, no groupBy, no state —
+    * so scoring runs unchanged inside a Structured Streaming
+    * `readStream → transform → writeStream` (score documents as they
+    * are crawled). The B-row model is collected once (model
+    * PARAMETERS, never data rows — the `loadParams` class of collect)
+    * and broadcast; tokenization, hashing and the bucket-ordered fold
+    * run in plain Scala on `mapPartitions` (the dHash/DEFLATE
+    * precedent for per-row codec-style work), and every step mirrors
+    * the column version exactly — `ImportanceSpec` pins per-row ==
+    * batch on the real corpus. Adds `n_grams` and `score`. */
+  def withScore(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame): DataFrame = {
+    val rows = model.collect()
+    require(rows.length >= 2, "importance model has <2 rows — not trained")
+    val weights = rows.map(r => r.getLong(r.fieldIndex("bucket")) ->
+      r.getDouble(r.fieldIndex("w"))).toMap
+    val b = weights.size
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(weights)
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5_32(s: String): Long = {
+          md.reset()
+          val d = md.digest(s.getBytes("UTF-8"))
+          // first 8 hex chars of the digest = first 4 bytes, unsigned
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
+        val w = bc.value
+        it.map { case (id, text) =>
+          // mirror bucketsOf: trim-split words of the LOWERCASED text,
+          // drop empties, unigrams + space-joined bigrams
+          val ws = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val grams = ws.iterator ++
+            ws.iterator.zip(ws.iterator.drop(1)).map(p => p._1 + " " + p._2)
+          val buckets = grams.map(g => md5_32(g) % b).toArray
+          // bucket-ordered sequential fold == the column version's
+          // sort_array + aggregate; same HALF_UP rounding as round(…,6)
+          java.util.Arrays.sort(buckets)
+          var acc = 0.0
+          buckets.foreach(bk => acc += w(bk))
+          val score = BigDecimal(acc)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, buckets.length.toLong, score)
+        }
+      }
+      .toDF(idCol, "n_grams", "score")
+  }
+
   /** Persist / reload the model (the `saveParams` artifact idiom). */
   def saveModel(model: DataFrame, path: String): Unit =
     model.coalesce(1).write.mode("overwrite").parquet(path)

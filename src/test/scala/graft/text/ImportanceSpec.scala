@@ -84,6 +84,38 @@ class ImportanceSpec extends SparkSpec {
       "scoring degraded to a sort-merge join")
   }
 
+  test("withScore (per-row) == score (batch) on the real corpus") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val rest = docs.filter(col("doc_id") % 7 =!= 0)
+    val m = Importance.train(target, rest, "text", 512)
+    val batch = Importance.score(docs, "doc_id", "text", m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val perRow = Importance.withScore(docs, "doc_id", "text", m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(perRow == batch)
+  }
+
+  test("withScore runs statelessly inside a document stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("dsirstream").toString
+    val q = Importance.withScore(input.toDF().toDF("id", "text"),
+        "id", "text", model)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    input.addData((1L, "quantum physics entangled"), (2L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out(0)._2 == 5L && out(1) == (2L, 0L, 0.0))
+  }
+
   test("resample breaks score ties by noise, not id order") {
     // three identical docs → identical scores; the Gumbel draw decides,
     // so across seeds the winner must vary (id-ordered top-k would not)
