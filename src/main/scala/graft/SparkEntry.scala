@@ -1563,6 +1563,41 @@ object SparkEntry {
     graft.ops.Profile.lengthHistogram(T(s, d, "documents"), "text")
       .orderBy(col("bucket_lo"))
 
+  /** The WHOLE pre-training data-prep chain in ONE gate — the
+    * engine's closing composition: Gopher policy gate → C4 bad-words
+    * drop → 3-gram decontamination vs a held-out benchmark slice →
+    * per-source quota (bounded-heap TopKPerGroup) → deterministic
+    * shuffle into training shards. Every stage is an already-gated
+    * operator; this pins their composition (stage order, which frame
+    * each stage sees) the way q95/q109 pin the curation chains. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val pol = graft.text.FilterPolicy(docs, "doc_id", "text")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
+    val kept = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(pol, Seq("doc_id"))
+    // blocklist/n tuned to the synthetic corpus's tiny dense
+    // vocabulary: 'dup' is the one mid-frequency word (common words
+    // appear in ~80% of docs and would drop everything); 3-grams
+    // collide across most docs, 5-grams separate real overlap from
+    // vocabulary noise
+    val noBad = graft.text.C4Clean.dropBadWordDocs(kept, "text",
+      Seq("dup"))
+    val bench = docs.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") % 7 === 0)
+    val clean = graft.text.Decontaminate.decontaminate(
+      noBad.filter(!(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)),
+      bench, "doc_id", "text", n = 5)
+    val quota = graft.ops.Sampling.capPerGroup(
+      clean.select(col("doc_id"), col("source"), col("n_tokens")),
+      Seq("source"), Seq(("n_tokens", false), ("doc_id", true)), 15)
+    graft.ops.Sampling.shuffleShards(
+        quota.select(col("doc_id"), col("source")), "doc_id", 4, seed = 7)
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1755,6 +1790,7 @@ object SparkEntry {
     "q123_shuffle_shards" -> (q123 _),
     "q124_dataset_card" -> (q124 _),
     "q125_length_histogram" -> (q125 _),
+    "q126_pretraining_prep" -> (q126 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3024,6 +3060,50 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_docs
        FROM t GROUP BY 1 ORDER BY bucket_lo"""
 
+  /** q126: the full prep chain — policyCtes keep gate, tokenized
+    * bad-words drop, the q82 3-gram decontamination shape, the q121
+    * row_number quota, the q123 shard/pos windows — chained. */
+  private def q126Sql: String =
+    "WITH " + policyCtes + raw""",
+       pol AS (SELECT doc_id, n_tokens FROM dec WHERE reason = 'ok'),
+       kept AS (SELECT d.doc_id, d.source, d.text, pol.n_tokens
+          FROM documents d JOIN pol USING (doc_id)),
+       nobad AS (SELECT * FROM kept
+          WHERE len([x for x in string_split_regex(trim(lower(text)), '\s+')
+                     if x IN ('dup')]) = 0),
+       bw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
+       bg AS (SELECT DISTINCT unnest(
+           CASE WHEN len(w) >= 5
+                THEN [array_to_string(w[i:i+4], ' ')
+                      for i in range(1, len(w)-3)]
+                ELSE CAST([] AS VARCHAR[]) END) AS gram FROM bw),
+       cw AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM nobad WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0)),
+       cg AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 5
+                THEN [array_to_string(w[i:i+4], ' ')
+                      for i in range(1, len(w)-3)]
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM cw),
+       bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+       clean AS (SELECT n.doc_id, n.source, n.n_tokens FROM nobad n
+          WHERE NOT (n.doc_id % 2 = 1 AND n.doc_id % 7 = 0)
+            AND n.doc_id NOT IN (SELECT doc_id FROM bad)),
+       quota AS (SELECT doc_id, source FROM (
+            SELECT doc_id, source, row_number() OVER (
+              PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM clean) WHERE rn <= 15),
+       sh AS (SELECT doc_id, source,
+            try_cast('0x' || substring(md5('7|s|' ||
+              CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+            md5('7|o|' || CAST(doc_id AS VARCHAR)) AS okey
+          FROM quota)
+       SELECT doc_id, source, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY okey, doc_id) AS BIGINT) AS pos
+       FROM sh ORDER BY shard, pos"""
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3614,6 +3694,7 @@ object SparkEntry {
     "q123_shuffle_shards" -> q123Sql,
     "q124_dataset_card" -> q124Sql,
     "q125_length_histogram" -> q125Sql,
+    "q126_pretraining_prep" -> q126Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
