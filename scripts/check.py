@@ -148,6 +148,13 @@ def main():
             print(f"FAIL {name}: driver-pandas gate: {'; '.join(pd_errs)}")
             n_fail += 1
             continue
+        if len(o_rows) == 0:
+            # the q126 lesson: a composed gate whose stages empty BOTH
+            # sides is hash-green while proving nothing. Non-fatal —
+            # some gates (anti-joins) are legitimately empty — but a
+            # NEW gate showing up here needs a survivorship probe.
+            print(f"WARN {name}: VACUOUS gate (0 rows) — hash equality "
+                  "proves nothing; confirm emptiness is the semantics")
         print(f"PASS {name} ({len(o_rows)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")

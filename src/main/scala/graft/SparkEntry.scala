@@ -159,9 +159,16 @@ object SparkEntry {
       .orderBy(col("size_class"), col("is_promo"))
 
   /** EXCEPT set-op (db-copy sync set-difference, SURVEY §2.7). */
+  /** EXCEPT against the deeply-negative-balance customers: every
+    * nation has SOME customer, so the unfiltered form was vacuous
+    * (0 rows at every SF — hash-green while proving nothing); the
+    * < -990 filter leaves 13-25 uncovered nations per SF, so the
+    * set-difference path is actually exercised. */
   private def q13(s: SparkSession, d: String): DataFrame =
     T(s, d, "nation").select(col("n_nationkey"))
-      .except(T(s, d, "customer").select(col("c_nationkey").as("n_nationkey")))
+      .except(T(s, d, "customer")
+        .filter(col("c_acctbal") < -990)
+        .select(col("c_nationkey").as("n_nationkey")))
       .orderBy(col("n_nationkey"))
 
   /** UNION (distinct) set-op. */
@@ -3201,7 +3208,7 @@ object SparkEntry {
          FROM part GROUP BY 1, 2 ORDER BY size_class, is_promo""",
     "q13_except_setop" ->
       """SELECT n_nationkey FROM nation
-         EXCEPT SELECT c_nationkey FROM customer
+         EXCEPT SELECT c_nationkey FROM customer WHERE c_acctbal < -990
          ORDER BY n_nationkey""",
     "q14_union_setop" ->
       """SELECT s_nationkey AS nationkey FROM supplier
