@@ -1605,6 +1605,22 @@ object SparkEntry {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** PARAGRAPH-level exact dedup (LineDedup.removeDuplicatedParagraphs
+    * — q103's machinery at the blank-line granularity): documents
+    * recut into paragraphs at ' table ' plus a shared two-line footer
+    * paragraph; the footer dedups as ONE unit (its inner newline
+    * survives in the winner), pinning that the separator reaches
+    * split, winner selection AND the rebuild join. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(
+      replace(col("text"), lit(" table "), lit("\n\n")),
+      lit("\n\nall rights reserved\nsee terms for details"))
+    graft.text.LineDedup.removeDuplicatedParagraphs(
+        T(s, d, "documents").select(col("doc_id"), aug.as("aug")),
+        "doc_id", "aug")
+      .orderBy(col("doc_id"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1798,6 +1814,7 @@ object SparkEntry {
     "q124_dataset_card" -> (q124 _),
     "q125_length_histogram" -> (q125 _),
     "q126_pretraining_prep" -> (q126 _),
+    "q127_paragraph_dedup" -> (q127 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3111,6 +3128,29 @@ object SparkEntry {
            ORDER BY okey, doc_id) AS BIGINT) AS pos
        FROM sh ORDER BY shard, pos"""
 
+  /** q127: q103's line-dedup oracle with the two-newline paragraph
+    * separator at every stage (split, winner, rebuild join). */
+  private def q127Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+       |    replace(text, ' table ', chr(10) || chr(10)) ||
+       |    chr(10) || chr(10) || 'all rights reserved' ||
+       |    chr(10) || 'see terms for details' AS aug
+       |  FROM documents),
+       |l AS (SELECT doc_id, string_split(aug, chr(10) || chr(10)) AS us
+       |  FROM t),
+       |ls AS (SELECT doc_id, i - 1 AS pos, trim(us[i]) AS ln
+       |  FROM l, unnest(range(1, len(us) + 1)) r(i)),
+       |g AS (SELECT md5(ln) AS h, count(DISTINCT doc_id) AS nd,
+       |    min(struct_pack(d := doc_id, p := pos)) AS w
+       |  FROM ls GROUP BY md5(ln)),
+       |keep AS (SELECT ls.doc_id, ls.pos, ls.ln
+       |  FROM ls JOIN g ON md5(ls.ln) = g.h
+       |  WHERE g.nd < 2 OR (g.w.d = ls.doc_id AND g.w.p = ls.pos))
+       |SELECT doc_id,
+       |  string_agg(ln, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+       |  count(*) AS n_kept
+       |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q84: window cumsum per source + generate_series range-explode —
     * `//` floors like Spark's DIV; the default RANGE window frame
     * equals ROWS here because doc_id is unique within each source. */
@@ -3702,6 +3742,7 @@ object SparkEntry {
     "q124_dataset_card" -> q124Sql,
     "q125_length_histogram" -> q125Sql,
     "q126_pretraining_prep" -> q126Sql,
+    "q127_paragraph_dedup" -> q127Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -125,6 +125,44 @@ object Decontaminate {
         coalesce(col("n_close"), lit(0L)).>(0).as("contaminated"))
   }
 
+  /** [[contaminationReport]] as a PER-ROW pass — no join, no groupBy,
+    * no state — so decontamination runs unchanged inside a Structured
+    * Streaming `readStream → transform → writeStream` (flag
+    * contaminated documents as they are crawled). The benchmark's
+    * distinct n-gram set is collected once and broadcast — eval sets
+    * are MBs by definition (the same object the batch path already
+    * broadcasts into its semi-join); the corpus side never joins or
+    * shuffles. Tokenization and shingling mirror the column version
+    * exactly — `DecontaminateSpec` pins per-row == batch on the real
+    * corpus. Adds `n_bad_grams` (distinct matching grams) and
+    * `contaminated`. */
+  def withContamination(docs: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = benchGrams(bench, textCol, n)
+      .as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(grams)
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = bc.value
+        it.map { case (id, text) =>
+          // mirror TextOps.withShingles: split(trim(lower)), n-window
+          // space-joined grams, DISTINCT per doc
+          val ws = text.toLowerCase.trim.split("\\s+")
+          val mine =
+            if (ws.length >= n) ws.sliding(n).map(_.mkString(" ")).toSet
+            else Set.empty[String]
+          val bad = mine.count(g.contains).toLong
+          (id, bad, bad > 0)
+        }
+      }
+      .toDF(idCol, "n_bad_grams", "contaminated")
+  }
+
   /** The embedding-clean corpus: rows whose vector is NOT within
     * cosine `minCos` of any benchmark vector. Anti side carries ids
     * only — corpus payloads never shuffle. */

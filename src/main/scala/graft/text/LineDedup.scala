@@ -29,17 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  /** Removes every duplicated line except its keep-first winner.
-    * Lines compare TRIMMED; the rebuilt `clean_text` carries the
-    * trimmed lines joined with `\n`, plus `n_kept`. A line content
-    * must appear in at least `minDocs` DISTINCT documents to count
-    * as duplicated (within-document repeats alone are kept — the
-    * cross-document signal is what marks boilerplate). */
+  /** Removes every duplicated unit except its keep-first winner.
+    * Units compare TRIMMED; the rebuilt `clean_text` carries the
+    * trimmed units re-joined with `sep`, plus `n_kept`. A unit's
+    * content must appear in at least `minDocs` DISTINCT documents to
+    * count as duplicated (within-document repeats alone are kept —
+    * the cross-document signal is what marks boilerplate). `sep`
+    * picks the granularity: `"\n"` = C4 lines (the default),
+    * `"\n\n"` = paragraphs ([[removeDuplicatedParagraphs]]) — same
+    * three-shuffle hash-keyed plan either way. */
   def removeDuplicatedLines(df: DataFrame, idCol: String,
                             textCol: String,
-                            minDocs: Int = 2): DataFrame = {
+                            minDocs: Int = 2,
+                            sep: String = "\n"): DataFrame = {
     val ls = df.select(col(idCol).as("_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "raw")))
       .select(col("_id"), col("pos"), trim(col("raw")).as("ln"))
       .withColumn("h", md5(col("ln")))
     val g = ls.groupBy(col("h")).agg(
@@ -48,8 +53,15 @@ object LineDedup {
     val kept = ls.join(g, Seq("h"))
       .filter(col("nd") < minDocs ||
         (col("w.d") === col("_id") && col("w.p") === col("pos")))
-    rebuild(kept, idCol)
+    rebuild(kept, idCol, sep)
   }
+
+  /** [[removeDuplicatedLines]] at PARAGRAPH granularity (blank-line
+    * separated) — the other C4-family dedup unit. */
+  def removeDuplicatedParagraphs(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 minDocs: Int = 2): DataFrame =
+    removeDuplicatedLines(df, idCol, textCol, minDocs, sep = "\n\n")
 
   /** The A-vs-B incremental form (same convention as
     * [[SpanDedup.removeDuplicatedSpansAgainst]]): batch lines whose
@@ -62,25 +74,28 @@ object LineDedup {
     * documents disappear. */
   def removeDuplicatedLinesAgainst(batch: DataFrame, corpus: DataFrame,
                                    idCol: String,
-                                   textCol: String): DataFrame = {
+                                   textCol: String,
+                                   sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val corpusHashes = corpus
-      .select(explode(split(col(textCol), "\n")).as("raw"))
+      .select(explode(split(col(textCol), sepRe)).as("raw"))
       .select(md5(trim(col("raw"))).as("h"))
       .distinct()
     val ls = batch.select(col(idCol).as("_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "raw")))
       .select(col("_id"), col("pos"), trim(col("raw")).as("ln"))
       .withColumn("h", md5(col("ln")))
-    rebuild(ls.join(corpusHashes, Seq("h"), "left_anti"), idCol)
+    rebuild(ls.join(corpusHashes, Seq("h"), "left_anti"), idCol, sep)
   }
 
-  /** Shared tail: position-ordered rebuild of the kept lines. */
-  private def rebuild(kept: DataFrame, idCol: String): DataFrame =
+  /** Shared tail: position-ordered rebuild of the kept units. */
+  private def rebuild(kept: DataFrame, idCol: String,
+                      sep: String): DataFrame =
     kept.groupBy(col("_id"))
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("ln")))),
-          s => s.getField("ln")), "\n").as("clean_text"),
+          s => s.getField("ln")), sep).as("clean_text"),
         count("*").as("n_kept"))
       .select(col("_id").as(idCol), col("clean_text"), col("n_kept"))
 }

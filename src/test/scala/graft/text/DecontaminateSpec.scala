@@ -20,6 +20,38 @@ class DecontaminateSpec extends SparkSpec {
     (5L, "")                                  // empty -> trivially clean
   ).toDF("id", "text")
 
+  test("withContamination (per-row) == contaminationReport on the real corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val b = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+    val c = docs.filter(col("doc_id") % 2 === 0)
+    val batch = Decontaminate.contaminationReport(c, b, "doc_id", "text", 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val perRow = Decontaminate.withContamination(c, "doc_id", "text", b, 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(perRow == batch)
+    assert(batch.exists(_._3), "fixture produced no contamination")
+  }
+
+  test("withContamination runs statelessly inside a document stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("deconstream").toString
+    val q = Decontaminate.withContamination(
+        input.toDF().toDF("id", "text"), "id", "text", bench, 3)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    input.addData((1L, "a very quick brown fox ran"), (2L, "nothing shared"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 0L, false)))
+  }
+
   // embedding-space: unit vectors on known angles so cosines are exact
   private def vec(x: Double, y: Double) =
     Array(x.toFloat, y.toFloat, 0f, 0f)

@@ -81,4 +81,30 @@ class LineDedupSpec extends SparkSpec {
       (1L, "padded\nkeep me", 2L),
       (2L, "also here", 1L)))
   }
+
+  test("paragraph granularity: blank-line units dedup, lines inside stay") {
+    // the shared footer PARAGRAPH (which itself contains a newline)
+    // dedups as one unit; at line granularity its two lines would
+    // dedup separately
+    val footer = "all rights reserved\nsee terms for details"
+    val df = Seq(
+      (1L, s"first unique paragraph\n\n$footer"),
+      (2L, s"second unique paragraph\n\n$footer")).toDF("id", "text")
+    val out = LineDedup.removeDuplicatedParagraphs(df, "id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, s"first unique paragraph\n\n$footer", 2L),
+      (2L, "second unique paragraph", 1L)))
+  }
+
+  test("A-vs-B at paragraph granularity removes corpus paragraphs") {
+    val corpus = Seq((1L, "standing para one\n\nstanding para two"))
+      .toDF("id", "text")
+    val batch = Seq((10L, "fresh para\n\nstanding para two"))
+      .toDF("id", "text")
+    val out = LineDedup.removeDuplicatedLinesAgainst(batch, corpus,
+        "id", "text", sep = "\n\n")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((10L, "fresh para", 1L)))
+  }
 }
