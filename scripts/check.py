@@ -14,7 +14,6 @@ import math
 import sys
 
 import duckdb
-import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -33,54 +32,48 @@ def norm_rows(cols, rows):
     return [tuple(norm_cell(r[i]) for i in order) for r in rows]
 
 
-def dtype_family(dtype, sample):
-    """Classify a pandas dtype the way the driver's hasher sees it."""
-    k = dtype.kind
-    if k in "iu":
+def duck_family(duck_type):
+    """The pandas dtype FAMILY a DuckDB result column lands in after
+    .df() conversion — derived from the cursor's type description, so
+    the gate costs zero extra query executions. HUGEINT/UBIGINT widen
+    to float64 (the q90/q84 driver-hash class); LIST/STRUCT/MAP become
+    object columns holding arrays (the q100 sort_values class)."""
+    t = str(duck_type).upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
+        return "UNSORTABLE(array)"
+    if t in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "float"  # no 128/unsigned-64 dtype in pandas -> float64
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
         return "int"
-    if k == "f":
-        return "float"
-    if k == "b":
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"  # duckdb .df() renders DECIMAL as float64
+    if t == "BOOLEAN":
         return "bool"
-    if k == "M":
+    if t.startswith(("TIMESTAMP", "DATE")):
         return "datetime"
-    if k == "O":
-        # object column: a list/ndarray cell is unsortable/unhashable in
-        # the driver's pandas path (the q100 lesson) — flag it distinctly.
-        if sample is not None and isinstance(sample, (list, np.ndarray)):
-            return "UNSORTABLE(array)"
-        return "object"
-    return str(dtype)
+    return "object"
 
 
-def pandas_gate(name, con, sql, out_dir):
-    """Mirror the driver's pandas conversion: both sides via .df(), then
-    fail on (a) any column whose cells are lists/ndarrays, (b) any
-    oracle-vs-spark dtype FAMILY mismatch (int vs float — the HUGEINT →
-    float64 class from q90/q84). fetchall() yields native ints and
-    structurally cannot catch either class."""
-    o_df = con.execute(sql).df()
-    s_df = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+def pandas_gate(name, o_desc, s_desc):
+    """Mirror the driver's pandas conversion: fail on (a) any column
+    whose cells would be lists/ndarrays, (b) any oracle-vs-spark dtype
+    FAMILY mismatch (int vs float — the HUGEINT → float64 class).
+    Families come from the ALREADY-EXECUTED cursors' type descriptions
+    (the hash gate ran both queries), so this costs no re-execution."""
+    o_fam = {d[0]: duck_family(d[1]) for d in o_desc}
+    s_fam = {d[0]: duck_family(d[1]) for d in s_desc}
     errs = []
-    for df, side in ((o_df, "oracle"), (s_df, "spark")):
-        for c in df.columns:
-            nn = df[c].dropna()
-            sample = nn.iloc[0] if len(nn) else None
-            fam = dtype_family(df[c].dtype, sample)
+    for fams, side in ((o_fam, "oracle"), (s_fam, "spark")):
+        for c, fam in fams.items():
             if fam.startswith("UNSORTABLE"):
                 errs.append(f"{side}.{c} holds array cells "
                             "(driver sort_values would die)")
-    for c in o_df.columns:
-        if c not in s_df.columns:
-            continue
-        onn = o_df[c].dropna()
-        snn = s_df[c].dropna()
-        of = dtype_family(o_df[c].dtype, onn.iloc[0] if len(onn) else None)
-        sf = dtype_family(s_df[c].dtype, snn.iloc[0] if len(snn) else None)
-        if of != sf and {of, sf} <= {"int", "float"}:
+    for c, of in o_fam.items():
+        sf = s_fam.get(c)
+        if sf is not None and of != sf and {of, sf} <= {"int", "float"}:
             errs.append(f"column {c}: dtype family oracle={of} "
-                        f"({o_df[c].dtype}) vs spark={sf} ({s_df[c].dtype})"
-                        " — driver hash would mismatch")
+                        f"vs spark={sf} — driver hash would mismatch")
     return errs
 
 
@@ -94,8 +87,12 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # con.execute returns the CONNECTION itself, so the oracle's
+            # description must be snapshotted before the spark-side
+            # execute overwrites the live cursor.
             o = con.execute(sql)
-            o_cols = [d[0] for d in o.description]
+            o_desc = list(o.description)
+            o_cols = [d[0] for d in o_desc]
             o_rows = o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
@@ -104,7 +101,8 @@ def main():
         try:
             s = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in s.description]
+            s_desc = list(s.description)
+            s_cols = [d[0] for d in s_desc]
             s_rows = s.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {str(e)[:200]}")
@@ -112,17 +110,6 @@ def main():
             continue
         if sorted(o_cols) != sorted(s_cols):
             print(f"FAIL {name}: columns oracle={sorted(o_cols)} spark={sorted(s_cols)}")
-            n_fail += 1
-            continue
-        # The driver's hasher is type-strict (e.g. DuckDB sum(BIGINT) yields
-        # HUGEINT, which hash-mismatches Spark's BIGINT even when every value
-        # is identical) — so compare result column TYPES, not just names.
-        o_types = {d[0]: str(d[1]) for d in o.description}
-        s_types = {d[0]: str(d[1]) for d in s.description}
-        type_diff = {c: (o_types[c], s_types[c]) for c in o_types
-                     if o_types[c] != s_types[c]}
-        if type_diff:
-            print(f"FAIL {name}: column types differ (oracle, spark): {type_diff}")
             n_fail += 1
             continue
         if len(o_rows) != len(s_rows):
@@ -141,7 +128,7 @@ def main():
             n_fail += 1
             continue
         try:
-            pd_errs = pandas_gate(name, con, sql, out_dir)
+            pd_errs = pandas_gate(name, o_desc, s_desc)
         except Exception as e:
             pd_errs = [f"pandas conversion error: {str(e)[:200]}"]
         if pd_errs:

@@ -1572,7 +1572,7 @@ object SparkEntry {
 
   /** The WHOLE pre-training data-prep chain in ONE gate — the
     * engine's closing composition: Gopher policy gate → C4 bad-words
-    * drop → 3-gram decontamination vs a held-out benchmark slice →
+    * drop → 5-gram decontamination vs a held-out benchmark slice →
     * per-source quota (bounded-heap TopKPerGroup) → deterministic
     * shuffle into training shards. Every stage is an already-gated
     * operator; this pins their composition (stage order, which frame

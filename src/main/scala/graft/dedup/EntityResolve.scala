@@ -39,7 +39,9 @@ object EntityResolve {
     * master (0-maxDist) for matched rows and 0 for new entities.
     * `masterKeys` is the registry's stored [[Fuzzy.entityKeys]]
     * artifact; when absent the keys are built from `master` inline
-    * (the bootstrap / ad-hoc form). */
+    * (the bootstrap / ad-hoc form). The returned frame is PERSISTED
+    * and already materialized (batch-sized; every internal cache is
+    * released before return) — unpersist it after consuming. */
   def resolveBatch(batch: DataFrame, master: DataFrame,
                    batchIdCol: String, batchStrCol: String,
                    masterIdCol: String, masterStrCol: String,
@@ -79,11 +81,17 @@ object EntityResolve {
       .select(col(batchIdCol),
         coalesce(col("cluster"), col(batchIdCol)).as("entity_id"),
         lit(0L).as("dist"), lit(false).as("matched"))
-    // the cache stays referenced by the returned plan (the
-    // dropHotBuckets precedent: bounded — one (id, string) row per
-    // unmatched batch record, batch-sized by construction, never
-    // registry-sized)
-    matched.unionByName(fresh)
+    // materialize the result EAGERLY so the unmatched slice's cache is
+    // released before return (the lshNearDupPairs materialize-then-
+    // release precedent — repeated direct calls in a long-lived session
+    // must not accumulate cache blocks). The returned frame itself is
+    // persisted (batch-sized by construction); callers unpersist after
+    // consuming, as EntityResolveStream does.
+    val out = matched.unionByName(fresh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    unmatched.unpersist()
+    out
   }
 
   /** The rows of `batch` that became new canonical entities under a

@@ -131,35 +131,56 @@ object Decontaminate {
     * contaminated documents as they are crawled). The benchmark's
     * distinct n-gram set is collected once and broadcast — eval sets
     * are MBs by definition (the same object the batch path already
-    * broadcasts into its semi-join); the corpus side never joins or
-    * shuffles. Tokenization and shingling mirror the column version
-    * exactly — `DecontaminateSpec` pins per-row == batch on the real
-    * corpus. Adds `n_bad_grams` (distinct matching grams) and
+    * broadcasts into its semi-join), and `maxBenchGrams` enforces that
+    * definition: the collect is LIMIT-bounded, so pointing this at a
+    * corpus-sized frame fails with a message instead of a driver OOM
+    * (the artifact-validation idiom). The corpus side never joins or
+    * shuffles; the id column passes through untouched (any type).
+    * Tokenization and shingling mirror the column version exactly —
+    * `DecontaminateSpec` pins per-row == batch on the real corpus.
+    * Adds `n_bad_grams` (distinct matching grams) and
     * `contaminated`. */
   def withContamination(docs: DataFrame, idCol: String, textCol: String,
-                        bench: DataFrame, n: Int): DataFrame = {
+                        bench: DataFrame, n: Int,
+                        maxBenchGrams: Int = 10000000): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(maxBenchGrams >= 1 && maxBenchGrams < Int.MaxValue,
+      s"maxBenchGrams must be in [1, ${Int.MaxValue}), got $maxBenchGrams")
     val spark = docs.sparkSession
-    import spark.implicits._
-    val grams = benchGrams(bench, textCol, n)
-      .as[String].collect().toSet
-    val bc = spark.sparkContext.broadcast(grams)
-    docs.select(col(idCol).cast("long"),
-        coalesce(col(textCol), lit("")).cast("string"))
-      .as[(Long, String)]
+    // limit(max+1): within budget the limited collect IS the full set,
+    // over budget it stops at max+1 rows instead of materializing the
+    // whole mispointed frame on the driver
+    val arr = benchGrams(bench, textCol, n)
+      .limit(maxBenchGrams + 1)
+      .collect().map(_.getString(0))
+    require(arr.length <= maxBenchGrams,
+      s"benchmark side has > $maxBenchGrams distinct $n-grams — " +
+        "withContamination broadcasts the BENCHMARK set (eval sets are " +
+        "MBs by definition); a frame this large is almost certainly the " +
+        "corpus side. Swap the arguments, use the batch " +
+        "contaminationReport, or raise maxBenchGrams explicitly.")
+    val bc = spark.sparkContext.broadcast(arr.toSet)
+    val idField = docs.schema(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,
+      org.apache.spark.sql.types.StructField("n_bad_grams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("contaminated",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    docs.select(col(idCol),
+        coalesce(col(textCol), lit("")).cast("string").as("_text"))
       .mapPartitions { it =>
         val g = bc.value
-        it.map { case (id, text) =>
+        it.map { r =>
           // mirror TextOps.withShingles: split(trim(lower)), n-window
           // space-joined grams, DISTINCT per doc
-          val ws = text.toLowerCase.trim.split("\\s+")
+          val ws = r.getString(1).toLowerCase.trim.split("\\s+")
           val mine =
             if (ws.length >= n) ws.sliding(n).map(_.mkString(" ")).toSet
             else Set.empty[String]
           val bad = mine.count(g.contains).toLong
-          (id, bad, bad > 0)
+          org.apache.spark.sql.Row(r.get(0), bad, bad > 0)
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(idCol, "n_bad_grams", "contaminated")
   }
 

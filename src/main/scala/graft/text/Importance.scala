@@ -55,10 +55,15 @@ object Importance {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
 
-  /** Train the B-row importance model `(bucket, w)` — EVERY bucket in
-    * [0, buckets) has a row (smoothed weight even at zero count), so
-    * scoring joins never miss. Two aggregates over the corpora; the
-    * totals ride a one-row cross join, not a collect. */
+  /** Train the B-row importance model `(bucket, w, _b)` — EVERY
+    * bucket in [0, buckets) has a row (smoothed weight even at zero
+    * count), so scoring joins never miss. Two aggregates over the
+    * corpora; the totals ride a one-row cross join, not a collect.
+    * `_b` is the constant bucket-width tag (the [[graft.dedup.Fuzzy
+    * .entityKeys]] `_w` idiom): [[score]] re-buckets at the model's
+    * own width by reading ONE row of it, so a stale-width probe
+    * cannot silently mis-bucket and scoring never pays a `count()`
+    * job to recover the width. */
   def train(target: DataFrame, raw: DataFrame, textCol: String,
             buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -77,7 +82,21 @@ object Importance {
             (coalesce(col("nt"), lit(0L)) + buckets).cast("double")) -
           log((coalesce(col("_cr"), lit(0L)) + 1).cast("double") /
             (coalesce(col("nr"), lit(0L)) + buckets).cast("double")),
-          6).as("w"))
+          6).as("w"),
+        lit(buckets).as("_b"))
+  }
+
+  /** The model's bucket width off its `_b` tag — one single-row read
+    * (the constant column makes any row authoritative), never a
+    * model-sized `count()` job. */
+  private def bucketWidth(model: DataFrame): Int = {
+    require(model.columns.contains("_b"),
+      s"importance model lacks the _b width tag " +
+        s"(${model.columns.mkString(",")}) — models stored before the " +
+        "tag must be retrained")
+    val row = model.select(col("_b")).limit(1).collect()
+    require(row.nonEmpty, "importance model is empty — not trained")
+    row.head.getInt(0)
   }
 
   /** Score every document against a trained model: `(idCol, n_grams,
@@ -86,11 +105,8 @@ object Importance {
     * perfectly distribution-neutral doc — rank, don't gate on 0). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame): DataFrame = {
-    // bucket width is baked into the model (one row per bucket by
-    // construction), so the score path re-buckets at the model's own
-    // size — a stale-width probe cannot silently mis-bucket.
-    val b = model.count().toInt
-    require(b >= 2, s"importance model has $b rows — not a trained model")
+    val b = bucketWidth(model)
+    require(b >= 2, s"importance model width is $b — not a trained model")
     // The per-doc total is a SEQUENTIAL fold over (bucket, w) sorted
     // pairs, not sum(): weights are exact 1e-6 multiples, so their sum
     // lands exactly on a rounding boundary for ~1% of documents and
@@ -104,7 +120,7 @@ object Importance {
     // cross-engine contract.
     val scored = docs
       .select(col(idCol), explode(bucketsOf(col(textCol), b)).as("bucket"))
-      .join(broadcast(model), Seq("bucket"))
+      .join(broadcast(model.select(col("bucket"), col("w"))), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sort_array(collect_list(struct(col("bucket"), col("w")))).as("_bw"))
@@ -158,15 +174,27 @@ object Importance {
                 model: DataFrame): DataFrame = {
     val rows = model.collect()
     require(rows.length >= 2, "importance model has <2 rows — not trained")
+    require(rows.head.schema.fieldNames.contains("_b"),
+      "importance model lacks the _b width tag — models stored before " +
+        "the tag must be retrained")
+    val b = rows.head.getInt(rows.head.fieldIndex("_b"))
     val weights = rows.map(r => r.getLong(r.fieldIndex("bucket")) ->
       r.getDouble(r.fieldIndex("w"))).toMap
-    val b = weights.size
+    require(weights.size == b,
+      s"importance model carries ${weights.size} buckets but its width " +
+        s"tag says $b — corrupt artifact")
     val spark = docs.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(weights)
-    docs.select(col(idCol).cast("long"),
-        coalesce(col(textCol), lit("")).cast("string"))
-      .as[(Long, String)]
+    // the id column passes through UNTOUCHED (any type — it is never
+    // computed on), so the output schema carries the caller's id field
+    val idField = docs.schema(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,
+      org.apache.spark.sql.types.StructField("n_grams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    docs.select(col(idCol),
+        coalesce(col(textCol), lit("")).cast("string").as("_text"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def md5_32(s: String): Long = {
@@ -177,10 +205,11 @@ object Importance {
             ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         }
         val w = bc.value
-        it.map { case (id, text) =>
+        it.map { r =>
           // mirror bucketsOf: trim-split words of the LOWERCASED text,
           // drop empties, unigrams + space-joined bigrams
-          val ws = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val ws = r.getString(1).toLowerCase.trim.split("\\s+")
+            .filter(_.nonEmpty)
           val grams = ws.iterator ++
             ws.iterator.zip(ws.iterator.drop(1)).map(p => p._1 + " " + p._2)
           val buckets = grams.map(g => md5_32(g) % b).toArray
@@ -191,9 +220,9 @@ object Importance {
           buckets.foreach(bk => acc += w(bk))
           val score = BigDecimal(acc)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          (id, buckets.length.toLong, score)
+          org.apache.spark.sql.Row(r.get(0), buckets.length.toLong, score)
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(idCol, "n_grams", "score")
   }
 
@@ -203,8 +232,17 @@ object Importance {
 
   def loadModel(spark: SparkSession, path: String): DataFrame = {
     val m = spark.read.parquet(path)
-    require(m.columns.toSet == Set("bucket", "w"),
-      s"not an importance model artifact: ${m.columns.mkString(",")}")
+    require(m.columns.toSet == Set("bucket", "w", "_b"),
+      s"not an importance model artifact: ${m.columns.mkString(",")}" +
+        (if (m.columns.toSet == Set("bucket", "w"))
+          " (models stored before the _b width tag must be retrained)"
+        else ""))
+    // one-time artifact validation (load happens once per job, so a
+    // count here is cheap): the width tag must match the row count or
+    // score's smoothed-join contract (every bucket has a row) breaks
+    require(m.count() == bucketWidth(m).toLong,
+      s"importance model row count does not match its _b width tag — " +
+        "corrupt or truncated artifact")
     m
   }
 }

@@ -34,6 +34,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(batch.exists(_._3), "fixture produced no contamination")
   }
 
+  test("withContamination bounds the benchmark collect — a corpus-sized " +
+      "frame fails loudly, not with a driver OOM") {
+    // corpus has 3 distinct 3-grams over its multi-word docs; cap at 2
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.withContamination(corpus, "id", "text", corpus, 3,
+        maxBenchGrams = 2)
+    }
+    assert(e.getMessage.contains("maxBenchGrams"))
+    // at the default cap the same call is fine
+    assert(Decontaminate.withContamination(corpus, "id", "text", corpus, 3)
+      .count() == 5L)
+  }
+
+  test("withContamination passes a NON-numeric id column through untouched") {
+    val sc = corpus.selectExpr("concat('doc-', id) AS key", "text")
+    val out = Decontaminate.withContamination(sc, "key", "text", bench, 3)
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) ==
+      Seq("doc-1", "doc-2", "doc-3", "doc-4", "doc-5"))
+    assert(out.head == ("doc-1", 1L, true))
+  }
+
   test("withContamination runs statelessly inside a document stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -25,10 +25,28 @@ class ImportanceSpec extends SparkSpec {
 
   private lazy val model = Importance.train(target, raw, "text", B)
 
-  test("model covers every bucket exactly once") {
+  test("model covers every bucket exactly once, width tag constant") {
     assert(model.count() == B)
     assert(model.select("bucket").distinct().count() == B)
-    assert(model.columns.toSeq == Seq("bucket", "w"))
+    assert(model.columns.toSeq == Seq("bucket", "w", "_b"))
+    assert(model.select("_b").distinct().as[Int].collect().toSeq == Seq(B))
+  }
+
+  test("score reads the width off the _b tag — no model-sized count job") {
+    // a model whose tag DISAGREES with its row count must score at the
+    // tag's width: scores against a same-tag, fewer-rows model would
+    // throw on a missing bucket or silently differ if score counted
+    // rows. Here we just pin that the tag is authoritative: doubling
+    // the tag re-buckets everything (different scores).
+    val retagged = model.drop("_b").withColumn("_b", lit(B * 2))
+    val a = Importance.score(raw.limit(1), "id", "text", model)
+      .as[(Long, Long, Double)].collect().toSeq
+    // buckets hashed mod 2B mostly miss the 64-row table -> the join
+    // drops those grams, so n_grams shrinks (proves b came from _b)
+    val b = Importance.score(raw.limit(1), "id", "text", retagged)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a.head._2 == 9L)
+    assert(b.head._2 < 9L, s"width tag not authoritative: $b")
   }
 
   test("target-like doc outranks spam; gram-less doc scores zero") {
@@ -65,6 +83,50 @@ class ImportanceSpec extends SparkSpec {
       Importance.loadModel(spark, s"$dir/bad")
     }
     assert(e.getMessage.contains("not an importance model"))
+  }
+
+  test("untagged (legacy) model rejected loudly by score and withScore") {
+    val legacy = model.drop("_b")
+    val e1 = intercept[IllegalArgumentException] {
+      Importance.score(raw, "id", "text", legacy).collect()
+    }
+    assert(e1.getMessage.contains("_b"))
+    val e2 = intercept[IllegalArgumentException] {
+      Importance.withScore(raw, "id", "text", legacy).collect()
+    }
+    assert(e2.getMessage.contains("_b"))
+  }
+
+  test("loadModel rejects a truncated artifact (rows != width tag)") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    Importance.saveModel(model.filter(col("bucket") < B / 2), s"$dir/trunc")
+    val e = intercept[IllegalArgumentException] {
+      Importance.loadModel(spark, s"$dir/trunc")
+    }
+    assert(e.getMessage.contains("width tag"))
+  }
+
+  test("production bucket count: train/score/withScore at 1M buckets") {
+    // the published DSIR recipe hashes into ~10^5-10^6 buckets; pin
+    // that the engine holds at the top of that range: the model stays
+    // one broadcastable B-row frame and the per-row path's driver map
+    // stays loadable
+    val big = 1 << 20
+    val m = Importance.train(target, raw, "text", big)
+    assert(m.count() == big.toLong)
+    val batch = Importance.score(raw, "id", "text", m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val perRow = Importance.withScore(raw, "id", "text", m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(perRow == batch)
+    val s = batch.map(t => t._1 -> t._3).toMap
+    assert(s(12L) > s(10L), s"ranking collapsed at 1M buckets: $s")
+    // measure the per-row path's driver-map footprint (COVERAGE.md
+    // documents the ceiling this pins)
+    val est = org.apache.spark.util.SizeEstimator.estimate(
+      m.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    info(f"1M-bucket model driver map ~= ${est / 1024.0 / 1024.0}%.1f MiB")
+    assert(est < 512L * 1024 * 1024, "1M-bucket map no longer broadcast-safe")
   }
 
   test("resample is seed-deterministic and respects k") {
