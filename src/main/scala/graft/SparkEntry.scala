@@ -114,9 +114,15 @@ object SparkEntry {
   /** Anti-join: customers with no orders (db-copy new-rows shape,
     * SURVEY §2.4). */
   private def q07(s: SparkSession, d: String): DataFrame =
+    // anti-join against URGENT orders only: below sf0.1 every customer
+    // has SOME order, so the unfiltered form is vacuously empty at the
+    // driver's gate scale (18 / 203 / 1986 survivors at the three SFs
+    // this way — the operator is exercised everywhere)
     Relational.newRows(
         T(s, d, "customer").withColumnRenamed("c_custkey", "k"),
-        T(s, d, "orders").select(col("o_custkey").as("k")), "k")
+        T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k")), "k")
       .select(col("k").as("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
@@ -266,9 +272,16 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Exact-dedup groups (hash-groupBy on fingerprint). */
+  /** Exact-dedup groups (hash-groupBy on fingerprint) — over a 40-char
+    * text prefix: full-text duplicates exist only at sf0.1+, so the
+    * prefix deterministically manufactures collisions (21 / 23 / 233
+    * dup groups at the three SFs) and the gate is non-vacuous at the
+    * driver's sf0.01 scale. The operator under test is unchanged. */
   private def q24(s: SparkSession, d: String): DataFrame =
-    Dedup.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
+    Dedup.exactDupGroups(
+      T(s, d, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 40).as("stub")),
+      "doc_id", "stub")
 
   /** Token / character counting. */
   private def q25(s: SparkSession, d: String): DataFrame =
@@ -3220,7 +3233,9 @@ object SparkEntry {
            AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
     "q07_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "q08_brands_shipped" ->
       """SELECT p_brand, count(*) AS n_parts FROM part
@@ -3311,7 +3326,8 @@ object SparkEntry {
     "q24_exact_dedup" ->
       """SELECT fp, count(*) AS cnt, CAST(min(doc_id) AS BIGINT) AS min_id
          FROM (SELECT doc_id,
-                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                 md5(trim(regexp_replace(lower(substr(text, 1, 40)),
+                   '\s+', ' ', 'g'))) AS fp
                FROM documents)
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     "q25_token_stats" ->
