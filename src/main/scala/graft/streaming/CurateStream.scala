@@ -110,22 +110,24 @@ object CurateStream {
     onBatch(batchId, report)
   }
 
-  /** Union of the per-batch subdirectories under `dir` (minus the
-    * in-flight batch's own), or None before the first acceptance
+  /** Fold completed per-batch acceptance dirs into one snapshot per
+    * subdirectory ([[StreamState.compactDir]]'s crash contract) —
+    * run periodically so the per-trigger state read stops unioning one
+    * dir per historical batch. Caps STRICTLY below the newest corpus
+    * batch id: an in-flight replay of that id must still exclude its
+    * own (possibly partial) previous write by id. */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    StreamState.latestBatchId(spark, s"$stateDir/corpus").foreach { cap =>
+      Seq("corpus", "fps", "sigs").foreach(sub =>
+        StreamState.compactDir(spark, s"$stateDir/$sub", cap))
+    }
+
+  /** Union of the per-batch subdirectories under `dir` holding batches
+    * BEFORE the in-flight id (batch ids are monotone, so id-exclusion
+    * and before-id reads agree), or None before the first acceptance
     * lands. Listing is one driver-side FS call per trigger — trivial
     * next to the batch job it gates. */
   private def readState(spark: SparkSession, dir: String,
-                        excludeBatchId: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val subs = fs.listStatus(p).filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(_.getName != s"b$excludeBatchId")
-        .map(_.toString)
-      if (subs.isEmpty) None
-      else Some(spark.read.parquet(subs.toIndexedSeq: _*))
-    }
-  }
+                        excludeBatchId: Long): Option[DataFrame] =
+    StreamState.read(spark, dir, excludeBatchId)
 }

@@ -85,42 +85,36 @@ object EntityResolveStream {
   /** Every canonical entity as of the last COMPLETED batch (plus the
     * seed): `new/b*` capped at the newest assign marker. */
   def registry(spark: SparkSession, stateDir: String): DataFrame = {
-    val cap = math.max(latestId(spark, s"$stateDir/assign"), -1L)
-    val parts = subdirs(spark, s"$stateDir/new", cap + 1)
+    val cap = StreamState.latestBatchId(spark, s"$stateDir/assign")
+      .getOrElse(-1L)
+    val parts = StreamState.read(spark, s"$stateDir/new", cap + 1)
     require(parts.nonEmpty, s"no entity-resolution state under $stateDir")
-    spark.read.parquet(parts.get: _*)
+    parts.get
   }
 
   /** Every record→entity assignment of the completed batches. */
   def assignments(spark: SparkSession, stateDir: String): DataFrame = {
-    val cap = latestId(spark, s"$stateDir/assign")
-    val parts = subdirs(spark, s"$stateDir/assign", cap + 1)
+    val cap = StreamState.latestBatchId(spark, s"$stateDir/assign")
+      .getOrElse(Long.MinValue)
+    val parts = StreamState.read(spark, s"$stateDir/assign", cap + 1)
     require(parts.nonEmpty, s"no assignments under $stateDir")
-    spark.read.parquet(parts.get: _*)
+    parts.get
   }
+
+  /** Fold completed per-batch state dirs into one snapshot per
+    * subdirectory ([[StreamState.compactDir]]'s crash contract) —
+    * run periodically so a year of daily batches reads as one parquet
+    * dir + the recent tail. Caps STRICTLY below the newest assign
+    * marker: the newest completed batch stays a `b` dir, because an
+    * in-flight replay of that id must still be able to exclude its own
+    * writes by id. */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    StreamState.latestBatchId(spark, s"$stateDir/assign").foreach { cap =>
+      Seq("new", "keys", "assign").foreach(sub =>
+        StreamState.compactDir(spark, s"$stateDir/$sub", cap))
+    }
 
   private def readAll(spark: SparkSession, dir: String,
                       beforeBatch: Long): Option[DataFrame] =
-    subdirs(spark, dir, beforeBatch).map(spark.read.parquet(_: _*))
-
-  private def latestId(spark: SparkSession, dir: String): Long =
-    subdirs(spark, dir, Long.MaxValue)
-      .map(_.map(p => p.substring(p.lastIndexOf("/b") + 2).toLong).max)
-      .getOrElse(Long.MinValue)
-
-  /** Per-batch subdirectory paths with id < `beforeBatch` (one
-    * driver-side FS listing — the [[ScdStream]] idiom). */
-  private def subdirs(spark: SparkSession, dir: String,
-                      beforeBatch: Long): Option[Seq[String]] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val subs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(q => q.getName.startsWith("b") &&
-          q.getName.drop(1).toLong < beforeBatch)
-        .map(_.toString).toSeq
-      if (subs.isEmpty) None else Some(subs)
-    }
-  }
+    StreamState.read(spark, dir, beforeBatch)
 }

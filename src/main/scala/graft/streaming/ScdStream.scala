@@ -80,39 +80,34 @@ object ScdStream {
     // key both closed (bN) and still open (b(N-1)) — an inconsistent
     // read until the replay completes. A closed dir newer than the
     // newest open snapshot is by definition such an orphan.
-    val openIds = subdirs(spark, s"$stateDir/open", Long.MaxValue)
-      .map(_.map(p => p.substring(p.lastIndexOf("/b") + 2).toLong))
-    val closedCap = openIds.map(_.max + 1).getOrElse(Long.MaxValue)
-    val closed = subdirs(spark, s"$stateDir/closed", closedCap)
+    val closedCap = StreamState
+      .latestBatchId(spark, s"$stateDir/open")
+      .map(_ + 1).getOrElse(Long.MaxValue)
+    val closed = StreamState.read(spark, s"$stateDir/closed", closedCap)
     val open = latestOpen(spark, s"$stateDir/open", Long.MaxValue)
-    val parts = closed.map(spark.read.parquet(_: _*)).toSeq ++ open.toSeq
+    val parts = closed.toSeq ++ open.toSeq
     require(parts.nonEmpty, s"no SCD state under $stateDir")
     parts.reduceLeft(_ unionByName _)
   }
+
+  /** Fold completed `closed/b*` dirs into one snapshot and
+    * garbage-collect superseded `open/b*` snapshots (latest-wins dead
+    * rows, not history) — the registry maintenance move. Closed caps
+    * STRICTLY below the newest open id, and the open GC keeps the two
+    * newest snapshots, so an in-flight replay of the newest batch id
+    * still reads exactly the state it read the first time. */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    StreamState.latestBatchId(spark, s"$stateDir/open").foreach { cap =>
+      StreamState.compactDir(spark, s"$stateDir/closed", cap)
+      // capExclusive = cap keeps the newest-but-one (replay fallback)
+      // AND the newest (outside the cap) open snapshots
+      StreamState.gcLatestWins(spark, s"$stateDir/open", cap)
+    }
 
   /** The newest `open/b<id>` snapshot with id strictly below
     * `beforeBatch` (excludes an in-flight replay's partial write). */
   private def latestOpen(spark: SparkSession, dir: String,
                          beforeBatch: Long): Option[DataFrame] =
-    subdirs(spark, dir, beforeBatch).map { paths =>
-      val latest = paths.maxBy(p =>
-        p.substring(p.lastIndexOf("/b") + 2).toLong)
-      spark.read.parquet(latest)
-    }
-
-  /** Per-batch subdirectory paths with id < `beforeBatch`, or None
-    * when no state exists yet. One driver-side FS listing. */
-  private def subdirs(spark: SparkSession, dir: String,
-                      beforeBatch: Long): Option[Seq[String]] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val subs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(q => q.getName.startsWith("b") &&
-          q.getName.drop(1).toLong < beforeBatch)
-        .map(_.toString).toSeq
-      if (subs.isEmpty) None else Some(subs)
-    }
-  }
+    StreamState.latestBatchDir(spark, dir, beforeBatch)
+      .map { case (_, path) => spark.read.parquet(path) }
 }

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared on-disk state discipline for the `foreachBatch` registries
+  * ([[EntityResolveStream]], [[ScdStream]], [[CurateStream]]): state
+  * accumulates as per-batch parquet subdirectories `b<id>` (append-only,
+  * replay-idempotent — each batch overwrites only its own dir), which is
+  * crash-safe but grows one directory per trigger forever. This object
+  * adds the MAINTENANCE move: [[compact]] folds completed batch dirs
+  * into one snapshot so a year of daily batches reads as one parquet
+  * dir + the recent tail, not 365 listings.
+  *
+  * Snapshot naming IS the commit protocol: a snapshot is written to a
+  * `_tmp_…` dir (invisible — the name regexes below are the read
+  * filter) and RENAMED to `c<gen>_<coveredMax>` (atomic on HDFS and
+  * local FS). `coveredMax` says "this snapshot holds every batch dir
+  * with id <= coveredMax (and every older snapshot)"; `gen` increases
+  * per compact so the newest snapshot is identifiable even before the
+  * superseded dirs are garbage-collected. Crash analysis:
+  *
+  *  - crash mid-write: only a `_tmp_…` dir exists — reads ignore it,
+  *    state is untouched; the next compact deletes it and rewrites;
+  *  - crash after rename, before GC: reads pick the new snapshot and
+  *    skip the covered dirs by id — the leftover dirs are dead bytes,
+  *    deleted by the next compact;
+  *  - nothing is ever deleted before the rename lands, so no
+  *    interleaving of operations can lose or double rows.
+  *
+  * Compaction must cap STRICTLY below the stream's newest completion
+  * marker (each stream's `compact` computes this): `foreachBatch`
+  * replays at most the newest batch id, and that id's reads exclude
+  * its own dirs by id — which only works while those dirs are not yet
+  * folded into a snapshot. [[parts]] fails loudly if a snapshot ever
+  * covers the requested read boundary. Safe to run while the stream is
+  * live (single maintenance caller at a time; it is a metadata-cheap
+  * background job, schedule it like any table OPTIMIZE).
+  *
+  * Stray non-matching names (a manual `backup/` dir, editor droppings)
+  * are ignored by the same regexes instead of crashing the reads.
+  */
+object StreamState {
+
+  private val BatchRe = "^b(-?\\d+)$".r
+  private val CompactRe = "^c(\\d+)_(-?\\d+)$".r
+  private val TmpPrefix = "_tmp_"
+
+  private case class Listing(batches: Seq[(Long, String)],
+                             compacts: Seq[(Long, Long, String)],
+                             tmps: Seq[String])
+
+  private def fileSystem(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** One driver-side FS listing, names parsed and filtered. */
+  private def listing(spark: SparkSession, dir: String): Option[Listing] = {
+    val (fs, p) = fileSystem(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val subs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      val batches = subs.flatMap(q => q.getName match {
+        case BatchRe(id) => Some(id.toLong -> q.toString)
+        case _ => None
+      }).toSeq
+      val compacts = subs.flatMap(q => q.getName match {
+        case CompactRe(gen, m) => Some((gen.toLong, m.toLong, q.toString))
+        case _ => None
+      }).toSeq
+      val tmps = subs.filter(_.getName.startsWith(TmpPrefix))
+        .map(_.toString).toSeq
+      Some(Listing(batches, compacts, tmps))
+    }
+  }
+
+  /** Live part paths carrying batches with id < `beforeBatch`: the
+    * newest snapshot (it holds everything <= its coveredMax) plus the
+    * uncovered batch dirs. None when no such state exists. */
+  def parts(spark: SparkSession, dir: String,
+            beforeBatch: Long): Option[Seq[String]] =
+    listing(spark, dir).flatMap { l =>
+      val chosen = l.compacts.sortBy(_._1).lastOption
+      chosen.foreach { case (_, coveredMax, path) =>
+        require(coveredMax < beforeBatch,
+          s"snapshot $path covers batch ids through $coveredMax but the " +
+            s"read excludes ids >= $beforeBatch — compaction must cap " +
+            "strictly below the newest completion marker")
+      }
+      val lo = chosen.map(_._2).getOrElse(Long.MinValue)
+      val live = chosen.map(_._3).toSeq ++
+        l.batches.filter(b => b._1 > lo && b._1 < beforeBatch).map(_._2)
+      if (live.isEmpty) None else Some(live)
+    }
+
+  /** The newest batch id present (batch dirs OR folded into a
+    * snapshot), or None with no state. The completion-marker id. */
+  def latestBatchId(spark: SparkSession, dir: String): Option[Long] =
+    listing(spark, dir).flatMap { l =>
+      (l.batches.map(_._1) ++ l.compacts.map(_._2)).maxOption
+    }
+
+  /** The path of the newest batch dir with id < `beforeBatch` plus its
+    * id — for latest-wins state (ScdStream's open slice). Snapshots are
+    * not consulted: latest-wins dirs are never folded, only GC'd. */
+  def latestBatchDir(spark: SparkSession, dir: String,
+                     beforeBatch: Long): Option[(Long, String)] =
+    listing(spark, dir).flatMap {
+      _.batches.filter(_._1 < beforeBatch).sortBy(_._1).lastOption
+    }
+
+  /** Fold every live part with batch id < `capExclusive` into one
+    * snapshot dir and garbage-collect what it supersedes. Idempotent;
+    * a no-op when there is nothing new to fold. See the object doc for
+    * the crash contract. */
+  def compactDir(spark: SparkSession, dir: String,
+                 capExclusive: Long): Unit =
+    listing(spark, dir).foreach { l =>
+      val (fs, _) = fileSystem(spark, dir)
+      // stale tmp dirs are dead by definition (a live compact is THIS
+      // call); clear them first so a crashed attempt cannot accumulate
+      l.tmps.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(t), true))
+      val prev = l.compacts.sortBy(_._1).lastOption
+      val lo = prev.map(_._2).getOrElse(Long.MinValue)
+      val fold = l.batches.filter(b => b._1 > lo && b._1 < capExclusive)
+      if (fold.nonEmpty) {
+        val gen = prev.map(_._1 + 1).getOrElse(0L)
+        val coveredMax = fold.map(_._1).max
+        val live = prev.map(_._3).toSeq ++ fold.map(_._2)
+        val tmp = s"$dir/${TmpPrefix}c${gen}_$coveredMax"
+        spark.read.parquet(live: _*)
+          .write.mode("overwrite").parquet(tmp)
+        val committed = fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$dir/c${gen}_$coveredMax"))
+        require(committed, s"snapshot rename failed under $dir")
+        // GC — reads already resolve through the new snapshot
+        (prev.map(_._3).toSeq ++ fold.map(_._2)).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
+
+  /** Delete batch dirs with id < `capExclusive` except the newest of
+    * them — the latest-wins GC (ScdStream's open slice: superseded
+    * snapshots are dead rows, not history). Pure deletion; safe at any
+    * crash point. */
+  def gcLatestWins(spark: SparkSession, dir: String,
+                   capExclusive: Long): Unit =
+    listing(spark, dir).foreach { l =>
+      val (fs, _) = fileSystem(spark, dir)
+      val old = l.batches.filter(_._1 < capExclusive).sortBy(_._1)
+      old.dropRight(1).foreach { case (_, d) =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      }
+    }
+
+  /** Convenience: [[parts]] read as one frame. */
+  def read(spark: SparkSession, dir: String,
+           beforeBatch: Long): Option[DataFrame] =
+    parts(spark, dir, beforeBatch).map(ps => spark.read.parquet(ps: _*))
+}

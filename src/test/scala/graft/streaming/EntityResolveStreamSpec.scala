@@ -87,6 +87,68 @@ class EntityResolveStreamSpec extends SparkSpec {
     assert(asg(dir) == Seq((10L, 1L, 1L, true)))
   }
 
+  test("compact folds state without changing any read; later batches " +
+      "run identically to an uncompacted twin") {
+    val a = tmp(); val b = tmp()
+    val batches = Seq(
+      Seq((10L, "golden widget"), (11L, "copper spring")),
+      Seq((20L, "golden widgex")),
+      Seq((30L, "novel record aa"), (31L, "novel record ab")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("rid", "name")
+      EntityResolveStream.processBatch(df, i.toLong, "rid", "name", 2, a)
+      EntityResolveStream.processBatch(df, i.toLong, "rid", "name", 2, b)
+    }
+    val before = (reg(a), asg(a))
+    EntityResolveStream.compact(spark, a)
+    assert((reg(a), asg(a)) == before, "compact changed a read")
+    // the history below the newest marker folded into ONE snapshot dir
+    val newDirs = new java.io.File(s"$a/new").listFiles
+      .map(_.getName).sorted.toSeq
+    assert(newDirs.count(_.startsWith("c")) == 1, s"no snapshot: $newDirs")
+    assert(newDirs.count(_.startsWith("b")) == 1,
+      s"covered batch dirs not GC'd: $newDirs")
+    // the compacted registry keeps serving batches exactly like the twin
+    val b3 = Seq((40L, "golden widgez"), (41L, "novel record ac"))
+      .toDF("rid", "name")
+    EntityResolveStream.processBatch(b3, 3L, "rid", "name", 2, a)
+    EntityResolveStream.processBatch(b3, 3L, "rid", "name", 2, b)
+    assert((reg(a), asg(a)) == ((reg(b), asg(b))))
+    // repeated compacts (with and without a new tail) stay consistent
+    EntityResolveStream.compact(spark, a)
+    EntityResolveStream.compact(spark, a)
+    assert((reg(a), asg(a)) == ((reg(b), asg(b))))
+  }
+
+  test("crash mid-compact is invisible; the next compact completes") {
+    val dir = tmp()
+    EntityResolveStream.processBatch(
+      Seq((10L, "alpha name")).toDF("rid", "name"), 0L, "rid", "name", 2, dir)
+    EntityResolveStream.processBatch(
+      Seq((20L, "beta name")).toDF("rid", "name"), 1L, "rid", "name", 2, dir)
+    val before = (reg(dir), asg(dir))
+    // a crashed compact = a half-written tmp dir full of garbage
+    val tmpDir = new java.io.File(s"$dir/new/_tmp_c0_0")
+    tmpDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/new/_tmp_c0_0/part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    assert((reg(dir), asg(dir)) == before, "tmp dir leaked into reads")
+    EntityResolveStream.compact(spark, dir)
+    assert((reg(dir), asg(dir)) == before)
+    assert(!tmpDir.exists, "stale tmp dir not cleaned by the next compact")
+  }
+
+  test("stray non-batch dirs under state are ignored, not fatal") {
+    val dir = tmp()
+    EntityResolveStream.processBatch(
+      Seq((10L, "alpha name")).toDF("rid", "name"), 0L, "rid", "name", 2, dir)
+    new java.io.File(s"$dir/new/backup").mkdirs()
+    new java.io.File(s"$dir/assign/backup").mkdirs()
+    assert(reg(dir) == Seq((10L, "alpha name")))
+    assert(asg(dir) == Seq((10L, 10L, 0L, false)))
+  }
+
   test("MemoryStream end-to-end matches the batch composition") {
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext

@@ -56,6 +56,34 @@ class ScdStreamSpec extends SparkSpec {
       (1L, "lima", 1L, None)))
   }
 
+  test("compact folds closed history and GCs dead open snapshots; " +
+      "reads and later batches unchanged") {
+    val a = tmp(); val b = tmp()
+    def batch(i: Int, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("pk", "city")
+      ScdStream.processBatch(df, i.toLong, "pk", Seq("city"), a, false)
+      ScdStream.processBatch(df, i.toLong, "pk", Seq("city"), b, false)
+    }
+    batch(0, Seq((1L, "oslo"), (2L, "rome")))
+    batch(1, Seq((1L, "lima")))
+    batch(2, Seq((1L, "kiev"), (2L, "baku")))
+    val before = dim(a)
+    ScdStream.compact(spark, a)
+    assert(dim(a) == before, "compact changed the dimension read")
+    val closedDirs = new java.io.File(s"$a/closed").listFiles
+      .map(_.getName).sorted.toSeq
+    assert(closedDirs.count(_.startsWith("c")) == 1,
+      s"closed history not folded: $closedDirs")
+    val openDirs = new java.io.File(s"$a/open").listFiles
+      .map(_.getName).sorted.toSeq
+    assert(openDirs == Seq("b1", "b2"),
+      s"open GC must keep exactly the two newest snapshots: $openDirs")
+    batch(3, Seq((2L, "cairo")))
+    assert(dim(a) == dim(b))
+    ScdStream.compact(spark, a)
+    assert(dim(a) == dim(b))
+  }
+
   test("dimension() ignores an orphan closed dir from a crashed batch") {
     // Crash window: closed/b2 written, open/b2 NOT — pk 1 would appear
     // both closed (b2) and still open (b1) until the replay completes.

@@ -291,4 +291,39 @@ class StreamingSpec extends SparkSpec {
       a1.unpersist(); a2.unpersist()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("CurateStream.compact folds acceptance state; the next batch " +
+      "curates identically to an uncompacted twin") {
+    import spark.implicits._
+    import graft.dedup.SimilarityMethod
+    val a = java.nio.file.Files.createTempDirectory("curcompact-a").toString
+    val b = java.nio.file.Files.createTempDirectory("curcompact-b").toString
+    val m = SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "an entirely different document all about spark shuffle partitions here"
+    val t3 = "a brand new batch family document describing minhash banded candidates"
+    def run(d: String, id: Long, rows: Seq[(Long, String)]): Unit =
+      CurateStream.processBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", d, 0.0, m, (_, _) => ())
+    def corpusIds(d: String) = spark.read.parquet(
+        new java.io.File(d, "corpus").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Seq(a, b).foreach { d =>
+      run(d, 0L, Seq(1L -> t1, 2L -> t2))
+      run(d, 1L, Seq(11L -> (t1 + " ok"), 12L -> t3))
+    }
+    CurateStream.compact(spark, a)
+    assert(corpusIds(a) == corpusIds(b), "compact changed the corpus")
+    val subdirs = new java.io.File(a, "corpus").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(subdirs.count(_.startsWith("c")) == 1, s"not folded: $subdirs")
+    // post-compact: a near-dup of FOLDED corpus content must still drop
+    // (the snapshot serves the sigs/fps probes like the b-dirs did)
+    Seq(a, b).foreach(d => run(d, 2L, Seq(21L -> (t3 + " yes"),
+      22L -> "one genuinely novel streaming document here today")))
+    assert(corpusIds(a) == corpusIds(b))
+    assert(corpusIds(a).contains(22L) && !corpusIds(a).contains(21L),
+      s"post-compact curation diverged: ${corpusIds(a)}")
+  }
 }
