@@ -2817,8 +2817,28 @@ object SparkEntry {
 
   /** q114: same dual-pass keys (p/s + length band, probe side fans
     * to adjacent bands), DISTINCT candidates, levenshtein verify. */
+  /** The middle-window blocking pass of the fuzzy oracles (mirrors
+    * `Fuzzy.keyed` at maxDist = 2): probe form fans the window
+    * position by d ∈ [-3, 3] and the band by o ∈ [-1, 1]; index form
+    * is the single center window. `idSel`/`strSel` are the SELECT-list
+    * fragments (aliasing allowed), `s` the raw string column. */
+  private def midKeyProbeSql(idSel: String, strSel: String, s: String,
+                             rel: String): String =
+    s"SELECT $idSel, $strSel, 'm' || substr($s, (len($s) - 2) // 2 + 1 + d, 2) " +
+      s"|| '_' || CAST(len($s) // 3 + o AS VARCHAR) AS k " +
+      s"FROM $rel, unnest([-1, 0, 1]) t(o), " +
+      s"unnest([-3, -2, -1, 0, 1, 2, 3]) u(d) " +
+      s"WHERE len($s) >= 6 AND (len($s) - 2) // 2 + 1 + d >= 1 " +
+      s"AND (len($s) - 2) // 2 + 2 + d <= len($s)"
+
+  private def midKeyIndexSql(idSel: String, strSel: String, s: String,
+                             rel: String): String =
+    s"SELECT $idSel, $strSel, 'm' || substr($s, (len($s) - 2) // 2 + 1, 2) " +
+      s"|| '_' || CAST(len($s) // 3 AS VARCHAR) AS k " +
+      s"FROM $rel WHERE len($s) >= 6"
+
   private def q114Sql: String =
-    """WITH e AS (SELECT min(p_partkey) AS id_a,
+    s"""WITH e AS (SELECT min(p_partkey) AS id_a,
        |    p_name || ' ' || p_type AS s
        |  FROM part GROUP BY p_name || ' ' || p_type),
        |a AS (SELECT id_a, lower(trim(s)) AS na FROM e),
@@ -2836,13 +2856,17 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT id_a, na, 's' || substr(na, len(na) - 1, 2) || '_' ||
        |    CAST(len(na) // 3 + o AS VARCHAR) AS k
-       |  FROM a, unnest([-1, 0, 1]) t(o)),
+       |  FROM a, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  ${midKeyProbeSql("id_a", "na", "na", "a")}),
        |bk AS (
        |  SELECT id_b, nb, 'p' || substr(nb, 1, 2) || '_' ||
        |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b
        |  UNION ALL
        |  SELECT id_b, nb, 's' || substr(nb, len(nb) - 1, 2) || '_' ||
-       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b),
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b
+       |  UNION ALL
+       |  ${midKeyIndexSql("id_b", "nb", "nb", "b")}),
        |cand AS (SELECT DISTINCT id_a, na, id_b, nb
        |  FROM ak JOIN bk USING (k))
        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
@@ -2864,13 +2888,17 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT id_a, na, 's' || substr(na, len(na) - 1, 2) || '_' ||
        |    CAST(len(na) // 3 + o AS VARCHAR) AS k
-       |  FROM a, unnest([-1, 0, 1]) t(o)),
+       |  FROM a, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  ${midKeyProbeSql("id_a", "na", "na", "a")}),
        |bk AS (
        |  SELECT id_b, nb, 'p' || substr(nb, 1, 2) || '_' ||
        |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b
        |  UNION ALL
        |  SELECT id_b, nb, 's' || substr(nb, len(nb) - 1, 2) || '_' ||
-       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b),
+       |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM b
+       |  UNION ALL
+       |  ${midKeyIndexSql("id_b", "nb", "nb", "b")}),
        |cand AS (SELECT DISTINCT id_a, na, id_b, nb
        |  FROM ak JOIN bk USING (k)),
        |prs AS (SELECT id_a, id_b FROM cand
@@ -2935,13 +2963,17 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT rid, nb, 's' || substr(nb, len(nb) - 1, 2) || '_' ||
        |    CAST(len(nb) // 3 + o AS VARCHAR) AS k
-       |  FROM bt, unnest([-1, 0, 1]) t(o)),
+       |  FROM bt, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  ${midKeyProbeSql("rid", "nb", "nb", "bt")}),
        |mk AS (
        |  SELECT eid, nm, 'p' || substr(nm, 1, 2) || '_' ||
        |    CAST(len(nm) // 3 AS VARCHAR) AS k FROM m
        |  UNION ALL
        |  SELECT eid, nm, 's' || substr(nm, len(nm) - 1, 2) || '_' ||
-       |    CAST(len(nm) // 3 AS VARCHAR) AS k FROM m),
+       |    CAST(len(nm) // 3 AS VARCHAR) AS k FROM m
+       |  UNION ALL
+       |  ${midKeyIndexSql("eid", "nm", "nm", "m")}),
        |cand AS (SELECT DISTINCT rid, nb, eid, nm FROM ak JOIN mk USING (k)),
        |pm AS (SELECT rid, eid, levenshtein(nb, nm) AS dist
        |  FROM cand WHERE levenshtein(nb, nm) <= 2),
@@ -2958,13 +2990,17 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT rid AS sid_a, nb AS sna, 's' || substr(nb, len(nb) - 1, 2)
        |    || '_' || CAST(len(nb) // 3 + o AS VARCHAR) AS k
-       |  FROM um, unnest([-1, 0, 1]) t(o)),
+       |  FROM um, unnest([-1, 0, 1]) t(o)
+       |  UNION ALL
+       |  ${midKeyProbeSql("rid AS sid_a", "nb AS sna", "nb", "um")}),
        |ub AS (
        |  SELECT rid AS sid_b, nb AS snb, 'p' || substr(nb, 1, 2) || '_' ||
        |    CAST(len(nb) // 3 AS VARCHAR) AS k FROM um
        |  UNION ALL
        |  SELECT rid AS sid_b, nb AS snb, 's' || substr(nb, len(nb) - 1, 2)
-       |    || '_' || CAST(len(nb) // 3 AS VARCHAR) AS k FROM um),
+       |    || '_' || CAST(len(nb) // 3 AS VARCHAR) AS k FROM um
+       |  UNION ALL
+       |  ${midKeyIndexSql("rid AS sid_b", "nb AS snb", "nb", "um")}),
        |cand2 AS (SELECT DISTINCT sid_a, sna, sid_b, snb
        |  FROM ua JOIN ub USING (k)),
        |prs AS (SELECT sid_a AS id_a, sid_b AS id_b FROM cand2

@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   * both keys — so every string short enough to pair with one
   * (len <= 3 + maxDist) ALSO carries a catch-all per-band key,
   * restoring completeness for short pairs; the bucket is bounded by
-  * the hot-block cap like any other. For larger maxDist this is the
-  * usual best-effort blocking — edits split across BOTH zones evade
-  * both passes; production stacks add more passes (middle n-grams,
-  * phonetic keys) to taste. Keys also carry a length band of width
+  * the hot-block cap like any other. For `maxDist >= 2` a THIRD pass
+  * keys the center 2-char window (probe side fans the position, see
+  * [[keyed]]): two edits cannot corrupt three disjoint windows, so
+  * maxDist = 2 is complete for pairs of strings >= 6 chars (zones
+  * disjoint from len 6 up; `FuzzySpec` measures recall 1.0 vs brute
+  * force on a 2-typo corpus) and for pairs both short enough for the
+  * catch-all key. The one remaining best-effort sliver at maxDist = 2
+  * is MIXED pairs (one side <= 3 + maxDist, the other >= 6) whose two
+  * edits land in overlapping short-side zones; beyond maxDist = 2,
+  * blocking is best-effort as in every production stack (add phonetic
+  * or q-gram passes to taste). Keys also carry a length band of width
   * `maxDist + 1`; the probe side explodes to adjacent bands, so a
   * pair whose lengths straddle a band boundary (|Δlen| <= maxDist
   * always holds within distance maxDist) is still generated.
@@ -49,7 +56,14 @@ object Fuzzy {
 
   /** Blocking-key rows: (id, _k). Prefix + suffix keys always; the
     * catch-all short-string key when len <= 3 + maxDist (zone-overlap
-    * completeness, see object scaladoc); the probe side
+    * completeness, see object scaladoc); for maxDist >= 2 additionally
+    * the MIDDLE-window pass (third zone — two edits cannot corrupt
+    * three disjoint 2-char windows, so pairs of strings >= 6 chars are
+    * caught even when both end zones took an edit): the index side
+    * keys its center 2-char window once, the probe side fans the
+    * window position by ±(maxDist + ceil(maxDist/2)) — maxDist covers
+    * the net-indel shift of the preserved window, the ceil term the
+    * center-definition drift between lengths. The probe side
     * (`explodeBands`) fans out to the three adjacent bands. Strings
     * do not leave this frame — candidates shuffle ids only. */
   private def keyed(df: DataFrame, id: String, s: String, maxDist: Int,
@@ -57,17 +71,29 @@ object Fuzzy {
     val bandW = maxDist + 1
     val offsets =
       if (explodeBands) array(lit(-1), lit(0), lit(1)) else array(lit(0))
+    val midDeltas: Seq[Int] =
+      if (maxDist < 2) Seq.empty // dual-pass is already complete at <= 1
+      else if (explodeBands) {
+        val r = maxDist + (maxDist + 1) / 2
+        (-r to r).toSeq
+      } else Seq(0)
+    val midKeys = midDeltas.map { dlt =>
+      val pos = (expr("(_len - 2) DIV 2") + lit(1 + dlt)).cast("int")
+      when(col("_len") >= 6 && pos >= 1 && (pos + lit(1)) <= col("_len"),
+        concat(lit("m"), col("_s").substr(pos, lit(2)), lit("_"),
+          col("_band").cast("string")))
+    }
     df.select(col(id), norm(col(s)).as("_s"))
       .withColumn("_len", length(col("_s")))
       .withColumn("_o", explode(offsets))
       .withColumn("_band", expr(s"_len DIV $bandW") + col("_o"))
-      .withColumn("_k", explode(array(
+      .withColumn("_k", explode(array((Seq(
         concat(lit("p"), col("_s").substr(lit(1), lit(2)), lit("_"),
           col("_band").cast("string")),
         concat(lit("s"), col("_s").substr(col("_len") - 1, lit(2)),
           lit("_"), col("_band").cast("string")),
         when(col("_len") <= lit(3 + maxDist),
-          concat(lit("w_"), col("_band").cast("string"))))))
+          concat(lit("w_"), col("_band").cast("string")))) ++ midKeys): _*)))
       .filter(col("_k").isNotNull)
       .select(col(id), col("_k"))
   }

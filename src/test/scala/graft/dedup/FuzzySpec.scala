@@ -62,6 +62,66 @@ class FuzzySpec extends SparkSpec with HotBucketLogCapture {
     assert(out == Seq((1L, 9L, 1L)))
   }
 
+  test("maxDist=2 recall contract: blocked join finds EVERY " +
+      "brute-force pair on a 2-typo corpus") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef" // small alphabet -> accidental near pairs too
+    def randStr(): String = {
+      val len = 8 + rnd.nextInt(7)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    def typo(s: String): String = {
+      var cur = s
+      (1 to 2).foreach { _ =>
+        val p = rnd.nextInt(cur.length)
+        rnd.nextInt(3) match {
+          case 0 => cur = cur.substring(0, p) +
+            alphabet(rnd.nextInt(alphabet.length)) + cur.substring(p + 1)
+          case 1 if cur.length > 6 =>
+            cur = cur.substring(0, p) + cur.substring(p + 1)
+          case _ => cur = cur.substring(0, p) +
+            alphabet(rnd.nextInt(alphabet.length)) + cur.substring(p)
+        }
+      }
+      cur
+    }
+    val bases = (0 until 250).map(i => (i.toLong, randStr()))
+    val variants = bases.map { case (i, s) => (1000L + i, typo(s)) }
+    val rows = bases ++ variants
+    // brute force in the DRIVER (spec-only oracle): 500^2 tiny DPs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && math.abs(sa.length - sb.length) <= 2 && lev(sa, sb) <= 2
+    } yield (ia, ib)).toSet
+    assert(brute.size >= 250, s"fixture too sparse: ${brute.size} pairs")
+    val df = rows.toDF("id", "s")
+    val blocked = Fuzzy.fuzzyJoinAgainst(
+        df.select(col("id").as("id_a"), col("s")),
+        df.select(col("id").as("id_b"), col("s")),
+        "id_a", "s", "id_b", "s", maxDist = 2)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is structural (the Levenshtein verify runs on every
+    // candidate); RECALL is the contract under test
+    assert(blocked.subsetOf(brute), "verify let a far pair through")
+    val missed = brute -- blocked
+    info(s"brute pairs: ${brute.size}; blocked recall: " +
+      f"${(brute.size - missed.size).toDouble / brute.size}%.4f")
+    // strings are >= 6 chars, so the three-pass blocking is COMPLETE
+    // at maxDist 2 (see Fuzzy's object doc) — the floor is 1.0
+    assert(missed.isEmpty,
+      s"${missed.size} missed pairs, e.g. ${missed.take(5)}")
+  }
+
   test("hot blocks are dropped loudly at the cap; cold pairs survive") {
     // 30 probe names share prefix+suffix+band with 30 corpus names →
     // 2-char-key blocks of 30 rows each side; cap at 20 culls them
