@@ -1634,6 +1634,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The q128 CAPSTONE — the ENTIRE published pre-training prep
+    * recipe through ONE gate via [[graft.apps.PretrainPrep.run]]:
+    * Gopher policy → C4 bad-words → exact dedup → span scrub
+    * (minDocs=3) → MinHash-LSH near-dup → 5-gram decontamination →
+    * per-source quota → deterministic shuffle shards. Unlike q126
+    * (which skips every dedup stage) and q95 (which stops before
+    * quota/shuffle), this runs the full release pipeline; the fixture
+    * manufactures exact copies (+100000 ids) and near copies
+    * (+200000 ids, 6-word tail) so BOTH dedup stages drop rows at
+    * every SF (the q24 manufactured-collision discipline;
+    * survivorship asserted stage-by-stage in PretrainPrepSpec). */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
+    val base = docs.filter(!benchPred)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+          col("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" tail marker alpha beta gamma delta")).as("text")))
+    val (out, _) = graft.apps.PretrainPrep.run(
+      corpus, "doc_id", "text", "source",
+      bench = Some(docs.filter(benchPred)),
+      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+      decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
+      log = _ => ())
+    out.select(col("doc_id"), col("source"), col("n_kept"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1828,6 +1864,7 @@ object SparkEntry {
     "q125_length_histogram" -> (q125 _),
     "q126_pretraining_prep" -> (q126 _),
     "q127_paragraph_dedup" -> (q127 _),
+    "q128_pretrain_prep" -> (q128 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3177,6 +3214,78 @@ object SparkEntry {
            ORDER BY okey, doc_id) AS BIGINT) AS pos
        FROM sh ORDER BY shard, pos"""
 
+  /** q128: the full prep recipe — the q128 gate's augmented corpus
+    * (exact copies +100000, near copies +200000 with the 6-word tail),
+    * policy CTEs over it, the q24-style raw fingerprint exact dedup,
+    * the q92 scrub chain at minDocs=3, the q30 LSH chain at 0.6,
+    * recursive clustering, the q126 decontamination/quota/shuffle
+    * tail. */
+  private def q128Sql: String =
+    s"""WITH RECURSIVE corpusx AS (
+       |  SELECT doc_id, source, text FROM documents
+       |    WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0)
+       |  UNION ALL
+       |  SELECT doc_id + 100000, source, text FROM documents
+       |    WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0)
+       |      AND doc_id % 10 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 200000, source,
+       |      text || ' tail marker alpha beta gamma delta' FROM documents
+       |    WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0)
+       |      AND doc_id % 10 = 4),
+       |""".stripMargin + policyCtesOver("corpusx") + raw""",
+       pol AS (SELECT doc_id FROM dec WHERE reason = 'ok'),
+       nb AS (SELECT c.doc_id, c.source, c.text FROM corpusx c
+          JOIN pol USING (doc_id)
+          WHERE len([x for x in string_split_regex(trim(lower(c.text)), '\s+')
+                     if x IN ('dup')]) = 0),
+       fpx AS (SELECT doc_id, source, text,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+          FROM nb),
+       winx AS (SELECT min(doc_id) AS doc_id FROM fpx GROUP BY f),
+       ex AS (SELECT fpx.doc_id, fpx.source, fpx.text
+          FROM fpx JOIN winx USING (doc_id)),
+       wk AS (SELECT doc_id, list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            x -> length(x) > 0) AS ws FROM ex),
+       """ + spanScrubCtes(3) + raw""",
+       srcx AS (SELECT s.doc_id, s.clean_text AS text, s.n_kept, e.source
+          FROM scr s JOIN ex e USING (doc_id)),
+       """ + lshPairsSql("srcx", 0.6, sfx = "x") + ",\n         " +
+      clusterSql("x") + raw""",
+       surv AS (SELECT doc_id, text, n_kept, source FROM srcx
+          WHERE doc_id NOT IN (SELECT id FROM clusx WHERE cluster <> id)),
+       bwx AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
+       bgx AS (SELECT DISTINCT unnest(
+           CASE WHEN len(w) >= 5
+                THEN [array_to_string(w[i:i+4], ' ')
+                      for i in range(1, len(w)-3)]
+                ELSE CAST([] AS VARCHAR[]) END) AS gram FROM bwx),
+       cwx AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w FROM surv),
+       cgx AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 5
+                THEN [array_to_string(w[i:i+4], ' ')
+                      for i in range(1, len(w)-3)]
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM cwx),
+       badx AS (SELECT DISTINCT doc_id FROM cgx JOIN bgx USING (gram)),
+       clnx AS (SELECT doc_id, source, n_kept FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM badx)),
+       quotax AS (SELECT doc_id, source, n_kept FROM (
+            SELECT doc_id, source, n_kept, row_number() OVER (
+              PARTITION BY source ORDER BY n_kept DESC, doc_id) AS rn
+            FROM clnx) WHERE rn <= 15),
+       shx AS (SELECT doc_id, source, n_kept,
+            try_cast('0x' || substring(md5('7|s|' ||
+              CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+            md5('7|o|' || CAST(doc_id AS VARCHAR)) AS okey
+          FROM quotax)
+       SELECT doc_id, source, n_kept, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY okey, doc_id) AS BIGINT) AS pos
+       FROM shx ORDER BY shard, pos"""
+
   /** q127: q103's line-dedup oracle with the two-newline paragraph
     * separator at every stage (split, winner, rebuild join). */
   private def q127Sql: String =
@@ -3795,6 +3904,7 @@ object SparkEntry {
     "q125_length_histogram" -> q125Sql,
     "q126_pretraining_prep" -> q126Sql,
     "q127_paragraph_dedup" -> q127Sql,
+    "q128_pretrain_prep" -> q128Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -3940,13 +4050,18 @@ object SparkEntry {
 
   /** The FilterPolicy CTE chain ending in `dec(doc_id, n_tokens,
     * n_stop, reason)` — shared by q93 and the composed q95. */
-  private def policyCtes: String = {
+  private def policyCtes: String = policyCtesOver("documents")
+
+  /** [[policyCtes]] parameterized on the source relation (must carry
+    * doc_id + text) — q128 runs the policy over its augmented gate
+    * corpus instead of `documents`. */
+  private def policyCtesOver(src: String): String = {
     import graft.text.{FilterPolicy => FP}
     s"""w AS (
         SELECT doc_id, list_filter(
           string_split_regex(trim(lower(text)), '\\s+'),
           x -> length(x) > 0) AS ws
-        FROM documents),
+        FROM $src),
       b AS (
         SELECT doc_id, ws,
           CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
@@ -4009,15 +4124,15 @@ object SparkEntry {
     * exact dedup over the scrubbed text, the q30 LSH pair chain at
     * 0.6 (suffix z), recursive clustering, representative-only
     * survivors. */
-  private def q95Sql: String =
-    "WITH RECURSIVE " + policyCtes + raw""",
-       pol AS (SELECT doc_id FROM dec WHERE reason = 'ok'),
-       wk AS (SELECT w.doc_id, ws FROM w JOIN pol USING (doc_id)),
-       pgk AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+  /** The q92/q95 duplicated-span scrub CTE chain: reads `wk(doc_id,
+    * ws)`, ends in `scr(doc_id, clean_text, n_kept)` (4-gram spans
+    * duplicated across >= `minDocs` docs). Shared by q95 and q128. */
+  private def spanScrubCtes(minDocs: Int = 2): String =
+    raw"""pgk AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
           FROM wk, unnest([{'p': i - 1, 'gl': ws[i:i+3]}
                            for i in range(1, len(ws) - 2)]) AS u(s)),
        dupk AS (SELECT h FROM pgk GROUP BY h
-          HAVING count(DISTINCT doc_id) >= 2),
+          HAVING count(DISTINCT doc_id) >= $minDocs),
        covk AS (SELECT DISTINCT doc_id, x AS pos
           FROM pgk JOIN dupk USING (h), unnest(range(p, p + 4)) AS r(x)),
        tokk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
@@ -4026,7 +4141,13 @@ object SparkEntry {
           LEFT JOIN covk c2 ON t.doc_id = c2.doc_id AND t.pos = c2.pos
           WHERE c2.pos IS NULL),
        scr AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
-          count(*) AS n_kept FROM keepk GROUP BY doc_id),
+          count(*) AS n_kept FROM keepk GROUP BY doc_id)"""
+
+  private def q95Sql: String =
+    "WITH RECURSIVE " + policyCtes + raw""",
+       pol AS (SELECT doc_id FROM dec WHERE reason = 'ok'),
+       wk AS (SELECT w.doc_id, ws FROM w JOIN pol USING (doc_id)),
+       """ + spanScrubCtes() + raw""",
        fpsq AS (SELECT doc_id, clean_text, n_kept,
           md5(clean_text) AS f FROM scr),
        keepq AS (SELECT min(doc_id) AS doc_id FROM fpsq GROUP BY f),
