@@ -4,7 +4,6 @@ import graft.dedup.{Dedup, SimilarJoin, SimilarityMethod}
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** The end-to-end curation pipeline a training-data user actually runs
   * — the extension operators composed in their canonical order, ONE
@@ -21,10 +20,12 @@ import org.apache.spark.storage.StorageLevel
   * [[SimilarJoin.similarClusters]] (banded candidates, hot-bucket cap,
   * optional reliable checkpointing — all the knobs documented there);
   * the report is one small aggregation. Every stage count the report
-  * carries is read off a persisted frame, so no stage is computed
-  * twice, and every intermediate cache is RELEASED before return —
-  * only the returned curated frame stays persisted (caller unpersists
-  * after writing). */
+  * carries is read off a materialized stage frame, so no stage is
+  * computed twice; stage boundaries cut the lineage by default
+  * ([[graft.ops.StageCut]] — the composed plan otherwise re-enters
+  * Catalyst analysis at every downstream action), and cleanup follows
+  * StageCut's contract (GC under the default cut; explicit unpersist
+  * under `spark.graft.stageCutLineage=false`). */
 object Curate {
 
   /** Per-stage row counts + the final corpus profile. */
@@ -51,7 +52,7 @@ object Curate {
                             stage: DataFrame => DataFrame): (DataFrame, Long, Long) = {
     val obs = new org.apache.spark.sql.Observation()
     val out = stage(docs.observe(obs, count(lit(1)).as("n")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val after = out.count()
     (out, obs.get("n").asInstanceOf[Long], after)
   }
@@ -141,7 +142,7 @@ object Curate {
     val exact = keepMinPerFp(
         quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
       .drop("_fp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
     quality.unpersist()
     log(s"[curate] exact dedup: $afterQuality -> $afterExact")
@@ -152,7 +153,7 @@ object Curate {
     val dropIds = clusters.filter(col("cluster") =!= col("id"))
       .select(col("id").as(idCol))
     val curated = exact.join(dropIds, Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
     exact.unpersist()
     log(s"[curate] near dedup (${method.getClass.getSimpleName}): " +
@@ -202,7 +203,7 @@ object Curate {
     // stage 2: exact dedup, keep min id per identical vector
     val exact = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
       .drop("_fp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
     valid.unpersist()
     log(s"[curate-emb] exact vector dedup: $afterValid -> $afterExact")
@@ -213,7 +214,7 @@ object Curate {
     val dropIds = clusters.filter(col("cluster") =!= col("id"))
       .select(col("id").as(idCol))
     val curated = exact.join(dropIds, Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
     exact.unpersist()
     log(s"[curate-emb] near dedup (cos >= ${method.minCos}): " +
@@ -270,7 +271,7 @@ object Curate {
     // only through the exchange, never the payload bytes
     val exact = keepMinPerFp(valid.withColumn("_fp", md5(col(payloadCol))), idCol)
       .drop("_fp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
     valid.unpersist()
     log(s"[curate-img] exact byte dedup: $afterValid -> $afterExact")
@@ -281,7 +282,7 @@ object Curate {
     val dropIds = clusters.filter(col("cluster") =!= col("id"))
       .select(col("id").as(idCol))
     val curated = exact.join(dropIds, Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
     exact.unpersist()
     log(s"[curate-img] near dedup (dHash <= ${method.maxHamming}): " +
@@ -332,7 +333,7 @@ object Curate {
     val exact = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
       .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
     valid.unpersist()
     log(s"[curate-emb+] exact vector dedup (batch + corpus fps): " +
@@ -356,7 +357,7 @@ object Curate {
       case other => other
     }
     val curated = dropBatchNearDups(exact, corpus, idCol, embCol, m3)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
     exact.unpersist()
     log(s"[curate-emb+] near dedup vs corpus (cos >= ${method.minCos}): " +
@@ -483,7 +484,7 @@ object Curate {
         quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
       .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
     quality.unpersist()
     log(s"[curate+] exact dedup (batch + corpus fps): $afterQuality -> $afterExact")
@@ -491,7 +492,7 @@ object Curate {
     // stage 3: ONE component pass over within-batch + cross-side edges
     val curated = dropBatchNearDups(exact, corpus, idCol, textCol, method,
         corpusSigs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
     exact.unpersist()
     log(s"[curate+] near dedup vs corpus (${method.getClass.getSimpleName}): " +

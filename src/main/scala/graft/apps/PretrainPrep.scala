@@ -5,7 +5,6 @@ import graft.ops.{Packing, Profile, Sampling}
 import graft.text.{C4Clean, Decontaminate, FilterPolicy, PolicyConfig, SpanDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** The FULL published pre-training data-prep recipe as one pipeline —
   * what [[Curate]] is to curation, this is to corpus release: raw
@@ -44,9 +43,16 @@ import org.apache.spark.storage.StorageLevel
   * each operator) — document text never rides a dedup or candidate
   * shuffle, the benchmark side broadcasts, quota is O(k) heaps, the
   * shuffle is one exchange + per-shard sort. Stage counts are read
-  * off persisted frames (no stage computed twice) and every
-  * intermediate cache is released before return; only the returned
-  * frame stays persisted (callers unpersist after writing).
+  * off materialized stage frames (no stage computed twice).
+  *
+  * Stage boundaries cut the lineage by default ([[graft.ops.StageCut]]
+  * — eager `localCheckpoint`): a nine-stage composed plan re-enters
+  * Catalyst analysis at EVERY downstream action, and that constant
+  * grows superlinearly with plan size — measured 4× on the q128 gate
+  * (43.7 s chained-persist vs 10.8 s with stage cuts, identical
+  * results). `spark.graft.stageCutLineage=false` reverts to plain
+  * persist() for lineage-based recovery; see StageCut's scaladoc for
+  * the full trade.
   *
   * The q128 gate pins stages 1-6 + 8-9 end-to-end against a DuckDB
   * oracle; `PretrainPrepSpec` pins run() == the hand-composed
@@ -67,7 +73,8 @@ object PretrainPrep {
                          vecCol: String, minCos: Double)
 
   /** Returns the training-ready frame `(idCol, srcCol, clean_text,
-    * n_kept, shard, pos)` (persisted; unpersist after writing) and the
+    * n_kept, shard, pos)` — already materialized (see
+    * [[graft.ops.StageCut]] for the cleanup contract) — and the
     * per-stage [[Report]]. `bench` is the held-out eval set (same
     * textCol); pass None to skip decontamination. `docs` must not
     * contain the benchmark rows — exclude them before calling (the
@@ -88,6 +95,8 @@ object PretrainPrep {
           nShards: Int = 64,
           seed: Int = 0,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
+    // stage boundary: materialize + cut lineage (conf-revertible)
+    val stage = (df: DataFrame) => graft.ops.StageCut(df)
     require(spanN >= 1, s"spanN must be >= 1, got $spanN")
     require(spanMinDocs >= 2, s"spanMinDocs must be >= 2, got $spanMinDocs")
     require(decontamN >= 1, s"decontamN must be >= 1, got $decontamN")
@@ -102,7 +111,7 @@ object PretrainPrep {
       .filter(col("keep")).select(col(idCol))
     val kept = docs.select(col(idCol), col(srcCol), col(textCol))
       .join(keptIds, Seq(idCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(stage)
     val afterPolicy = kept.count()
     log(s"[prep] policy gate: $input -> $afterPolicy")
 
@@ -110,7 +119,7 @@ object PretrainPrep {
     val noBad =
       (if (badWords.isEmpty) kept
        else C4Clean.dropBadWordDocs(kept, textCol, badWords))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(stage)
     val afterBadWords = noBad.count()
     kept.unpersist()
     log(s"[prep] bad-words (${badWords.size} terms): " +
@@ -124,7 +133,7 @@ object PretrainPrep {
       .groupBy(col("_f")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val exact = noBad.join(winners, Seq(idCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(stage)
     val afterExact = exact.count()
     noBad.unpersist()
     log(s"[prep] exact dedup: $afterBadWords -> $afterExact")
@@ -134,7 +143,7 @@ object PretrainPrep {
     val scrubbed = SpanDedup
       .removeDuplicatedSpans(exact, idCol, textCol, spanN, spanMinDocs)
       .join(exact.select(col(idCol), col(srcCol)), Seq(idCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(stage)
     val afterSpanScrub = scrubbed.count()
     exact.unpersist()
     log(s"[prep] span scrub (n=$spanN, minDocs=$spanMinDocs): " +
@@ -147,7 +156,7 @@ object PretrainPrep {
     val dropIds = clusters.filter(col("cluster") =!= col("id"))
       .select(col("id").as(idCol))
     val near = scrubbed.join(dropIds, Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(stage)
     val afterNear = near.count()
     scrubbed.unpersist()
     log(s"[prep] near dedup (${method.getClass.getSimpleName}): " +
@@ -160,7 +169,7 @@ object PretrainPrep {
             near.withColumn(textCol, col("clean_text")), b,
             idCol, textCol, decontamN)
           .drop(textCol)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(stage)
       case None => near
     }
     val afterDecontam = dec.count()
@@ -180,7 +189,7 @@ object PretrainPrep {
             idCol, e.vecCol, e.minCos)
           .select(col(idCol))
         dec.join(keepIds, Seq(idCol), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(stage)
       case None => dec
     }
     val afterEmbDecontam = embClean.count()
@@ -196,7 +205,7 @@ object PretrainPrep {
          .drop("rn"))
     // stage 9: deterministic shuffle into shards (adds shard, pos)
     val sharded = Sampling.shuffleShards(quota, idCol, nShards, seed)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(stage)
     val afterQuota = sharded.count()
     embClean.unpersist()
     log(s"[prep] quota (<= $quotaPerSource/source) + shuffle " +
