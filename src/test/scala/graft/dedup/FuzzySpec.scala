@@ -122,6 +122,28 @@ class FuzzySpec extends SparkSpec with HotBucketLogCapture {
       s"${missed.size} missed pairs, e.g. ${missed.take(5)}")
   }
 
+  test("maxDist=2 middle pass: both-end-corrupted pairs caught when " +
+      "both strings >= 6 chars") {
+    // prefix AND suffix zones edited (one indel each end): only the
+    // preserved center window can generate the candidate
+    val out = join(Seq((1L, "zabcdefq")), Seq((9L, "abcdef")), 2)
+    assert(out == Seq((1L, 9L, 2L)))
+    // and symmetric orientation
+    val out2 = join(Seq((1L, "abcdef")), Seq((9L, "zabcdefq")), 2)
+    assert(out2 == Seq((1L, 9L, 2L)))
+  }
+
+  test("documented best-effort sliver: a MIXED (<=5, >=6) pair with " +
+      "both end zones edited is missed at maxDist=2") {
+    // the object scaladoc's one remaining gap: len 5 has no middle
+    // window (zones overlap below 6) and len 7 is past the catch-all
+    // cutoff, so no pass pairs them. This pin keeps the contract
+    // honest — if blocking later closes the gap, update the scaladoc
+    // WITH this expectation.
+    assert(join(Seq((1L, "zabcdeq")), Seq((9L, "abcde")), 2) == Seq.empty)
+    assert(join(Seq((1L, "abcde")), Seq((9L, "zabcdeq")), 2) == Seq.empty)
+  }
+
   test("hot blocks are dropped loudly at the cap; cold pairs survive") {
     // 30 probe names share prefix+suffix+band with 30 corpus names →
     // 2-char-key blocks of 30 rows each side; cap at 20 culls them
