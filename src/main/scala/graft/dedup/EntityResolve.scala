@@ -53,20 +53,22 @@ object EntityResolve {
     val toMaster = Fuzzy.fuzzyJoinAgainst(batch, master,
       batchIdCol, batchStrCol, masterIdCol, masterStrCol,
       maxDist, maxBucket, masterKeys)
-    // closest master wins, ties by min id — one struct-min aggregate
-    val matched = toMaster
+    // closest master wins, ties by min id — one struct-min aggregate.
+    // Stage-cut ([[graft.ops.StageCut]]): consumed twice (anti-join
+    // source + final union), and cutting keeps the blocked-join tree
+    // out of every downstream analysis pass
+    val matched = graft.ops.StageCut(toMaster
       .groupBy(col(batchIdCol))
       .agg(min(struct(col("dist"), col(masterIdCol))).as("_best"))
       .select(col(batchIdCol), col("_best").getField(masterIdCol).as("entity_id"),
-        col("_best").getField("dist").as("dist"), lit(true).as("matched"))
-    // persisted: the self-join below evaluates its input SIX times
+        col("_best").getField("dist").as("dist"), lit(true).as("matched")))
+    // stage-cut: the self-join below evaluates its input SIX times
     // (two keyed sides, two eager hot-block count scans, two
     // normalized-string fetches) and each evaluation would otherwise
-    // re-run the registry join + anti-join above
-    val unmatched = batch.join(
+    // re-run — and re-ANALYZE — the registry join + anti-join above
+    val unmatched = graft.ops.StageCut(batch.join(
         matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
-      .select(col(batchIdCol), col(batchStrCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(batchIdCol), col(batchStrCol)))
     // batch-only components over the SAME blocked join, min-id labels
     val selfPairs = Fuzzy.fuzzyJoinAgainst(
         unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
@@ -84,11 +86,11 @@ object EntityResolve {
     // materialize the result EAGERLY so the unmatched slice's cache is
     // released before return (the lshNearDupPairs materialize-then-
     // release precedent — repeated direct calls in a long-lived session
-    // must not accumulate cache blocks). The returned frame itself is
-    // persisted (batch-sized by construction); callers unpersist after
-    // consuming, as EntityResolveStream does.
-    val out = matched.unionByName(fresh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // must not accumulate cache blocks). The returned frame is
+    // batch-sized and follows StageCut's cleanup contract (GC under
+    // the default cut; callers unpersist under the persist fallback,
+    // as EntityResolveStream does).
+    val out = graft.ops.StageCut(matched.unionByName(fresh))
     out.count()
     unmatched.unpersist()
     out
