@@ -87,11 +87,12 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            # con.execute returns the CONNECTION itself, so the oracle's
-            # description must be snapshotted before the spark-side
-            # execute overwrites the live cursor.
-            o = con.execute(sql)
-            o_desc = list(o.description)
+            # relation API: .columns/.types are REAL DuckDB type names
+            # resolved at bind time (the DB-API cursor description only
+            # carries generic codes like 'NUMBER'/'list', useless for
+            # the dtype gate); fetchall() executes the query ONCE.
+            o = con.sql(sql)
+            o_desc = list(zip(o.columns, [str(t) for t in o.types]))
             o_cols = [d[0] for d in o_desc]
             o_rows = o.fetchall()
         except Exception as e:
@@ -99,9 +100,9 @@ def main():
             n_fail += 1
             continue
         try:
-            s = con.execute(
+            s = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_desc = list(s.description)
+            s_desc = list(zip(s.columns, [str(t) for t in s.types]))
             s_cols = [d[0] for d in s_desc]
             s_rows = s.fetchall()
         except Exception as e:
