@@ -144,7 +144,7 @@ object Curate {
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
-    quality.unpersist()
+    graft.ops.StageCut.release(quality)
     log(s"[curate] exact dedup: $afterQuality -> $afterExact")
 
     // stage 3: near-dup clusters over the exact-deduped corpus; every
@@ -155,7 +155,7 @@ object Curate {
     val curated = exact.join(dropIds, Seq(idCol), "left_anti")
       .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     log(s"[curate] near dedup (${method.getClass.getSimpleName}): " +
       s"$afterExact -> $afterNear")
 
@@ -205,7 +205,7 @@ object Curate {
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
-    valid.unpersist()
+    graft.ops.StageCut.release(valid)
     log(s"[curate-emb] exact vector dedup: $afterValid -> $afterExact")
 
     // stage 3: near-dup clusters at cosine >= minCos; every
@@ -216,7 +216,7 @@ object Curate {
     val curated = exact.join(dropIds, Seq(idCol), "left_anti")
       .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     log(s"[curate-emb] near dedup (cos >= ${method.minCos}): " +
       s"$afterExact -> $afterNear")
 
@@ -273,7 +273,7 @@ object Curate {
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
-    valid.unpersist()
+    graft.ops.StageCut.release(valid)
     log(s"[curate-img] exact byte dedup: $afterValid -> $afterExact")
 
     // stage 3: perceptual near-dup clusters; every non-representative
@@ -284,7 +284,7 @@ object Curate {
     val curated = exact.join(dropIds, Seq(idCol), "left_anti")
       .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     log(s"[curate-img] near dedup (dHash <= ${method.maxHamming}): " +
       s"$afterExact -> $afterNear")
 
@@ -335,7 +335,7 @@ object Curate {
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
-    valid.unpersist()
+    graft.ops.StageCut.release(valid)
     log(s"[curate-emb+] exact vector dedup (batch + corpus fps): " +
       s"$afterValid -> $afterExact")
 
@@ -359,7 +359,7 @@ object Curate {
     val curated = dropBatchNearDups(exact, corpus, idCol, embCol, m3)
       .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     log(s"[curate-emb+] near dedup vs corpus (cos >= ${method.minCos}): " +
       s"$afterExact -> $afterNear")
 
@@ -486,7 +486,7 @@ object Curate {
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
-    quality.unpersist()
+    graft.ops.StageCut.release(quality)
     log(s"[curate+] exact dedup (batch + corpus fps): $afterQuality -> $afterExact")
 
     // stage 3: ONE component pass over within-batch + cross-side edges
@@ -494,7 +494,7 @@ object Curate {
         corpusSigs)
       .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     log(s"[curate+] near dedup vs corpus (${method.getClass.getSimpleName}): " +
       s"$afterExact -> $afterNear")
 
@@ -555,7 +555,7 @@ object CurateMain {
         val (curated, report) = Curate.runEmbedding(vecs, "vec_id",
           "embedding", emb)
         curated.write.mode("overwrite").parquet(outDir)
-        curated.unpersist()
+        graft.ops.StageCut.release(curated)
         println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
           s"($outDir)")
       case _ =>
@@ -563,7 +563,7 @@ object CurateMain {
         val (curated, report) = Curate.run(docs, "doc_id", "text", minQuality,
           method)
         curated.write.mode("overwrite").parquet(outDir)
-        curated.unpersist()
+        graft.ops.StageCut.release(curated)
         println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
           s"($outDir)")
     }
@@ -645,7 +645,7 @@ object CurateIncrementalMain {
         // maintenance artifact off the still-cached accepted frame
         Curate.embeddingFingerprints(accepted, "embedding")
           .write.mode("overwrite").parquet(s"$outDir/fps")
-        accepted.unpersist()
+        graft.ops.StageCut.release(accepted)
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")
       case m =>
@@ -667,7 +667,7 @@ object CurateIncrementalMain {
               .write.mode("overwrite").parquet(s"$outDir/sigs")
           case _ => ()
         }
-        accepted.unpersist()
+        graft.ops.StageCut.release(accepted)
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")
     }

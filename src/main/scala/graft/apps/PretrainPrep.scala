@@ -104,8 +104,12 @@ object PretrainPrep {
       s"quotaPerSource must be >= 1, got $quotaPerSource")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
 
-    // stage 1: policy gate. The input count is a metadata-cheap
-    // count() (parquet row-group counts; no data read on a plain scan)
+    // stage 1: policy gate. The input stat is a dedicated count():
+    // free only when `docs` is a plain parquet scan (row-group counts,
+    // no data read); a TRANSFORMED input pays one scan here. The
+    // Observation idiom cannot replace it — FilterPolicy scans its
+    // input twice (signals + repetition aggregate), and an observe
+    // node evaluated twice in one job double-counts.
     val input = docs.count()
     val keptIds = FilterPolicy(docs, idCol, textCol, config)
       .filter(col("keep")).select(col(idCol))
@@ -121,7 +125,7 @@ object PretrainPrep {
        else C4Clean.dropBadWordDocs(kept, textCol, badWords))
         .transform(stage)
     val afterBadWords = noBad.count()
-    kept.unpersist()
+    graft.ops.StageCut.release(kept)
     log(s"[prep] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
 
@@ -135,7 +139,7 @@ object PretrainPrep {
     val exact = noBad.join(winners, Seq(idCol), "left_semi")
       .transform(stage)
     val afterExact = exact.count()
-    noBad.unpersist()
+    graft.ops.StageCut.release(noBad)
     log(s"[prep] exact dedup: $afterBadWords -> $afterExact")
 
     // stage 4: span scrub — text becomes clean_text (+ n_kept);
@@ -145,7 +149,7 @@ object PretrainPrep {
       .join(exact.select(col(idCol), col(srcCol)), Seq(idCol))
       .transform(stage)
     val afterSpanScrub = scrubbed.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     log(s"[prep] span scrub (n=$spanN, minDocs=$spanMinDocs): " +
       s"$afterExact -> $afterSpanScrub")
 
@@ -158,7 +162,7 @@ object PretrainPrep {
     val near = scrubbed.join(dropIds, Seq(idCol), "left_anti")
       .transform(stage)
     val afterNear = near.count()
-    scrubbed.unpersist()
+    graft.ops.StageCut.release(scrubbed)
     log(s"[prep] near dedup (${method.getClass.getSimpleName}): " +
       s"$afterSpanScrub -> $afterNear")
 
@@ -173,7 +177,7 @@ object PretrainPrep {
       case None => near
     }
     val afterDecontam = dec.count()
-    if (bench.isDefined) near.unpersist()
+    if (bench.isDefined) graft.ops.StageCut.release(near)
     log(s"[prep] $decontamN-gram decontamination: " +
       s"$afterNear -> $afterDecontam")
 
@@ -193,7 +197,7 @@ object PretrainPrep {
       case None => dec
     }
     val afterEmbDecontam = embClean.count()
-    if (embDecontam.isDefined) dec.unpersist()
+    if (embDecontam.isDefined) graft.ops.StageCut.release(dec)
     log(s"[prep] embedding decontamination: " +
       s"$afterDecontam -> $afterEmbDecontam")
 
@@ -207,7 +211,7 @@ object PretrainPrep {
     val sharded = Sampling.shuffleShards(quota, idCol, nShards, seed)
       .transform(stage)
     val afterQuota = sharded.count()
-    embClean.unpersist()
+    graft.ops.StageCut.release(embClean)
     log(s"[prep] quota (<= $quotaPerSource/source) + shuffle " +
       s"($nShards shards, seed $seed): $afterEmbDecontam -> $afterQuota")
 
@@ -313,7 +317,7 @@ object PretrainPrepMain {
         out.withColumnRenamed("clean_text", "text"), "text")
       .write.mode("overwrite").parquet(s"$outDir/length_hist")
     FilterPolicy.savePolicy(spark, config, s"$outDir/policy")
-    out.unpersist()
+    graft.ops.StageCut.release(out)
     println(s"[prep] ${report.input} in -> ${report.afterQuota} docs / " +
       s"$written rows published under $outDir")
     Mains.stop(spark)

@@ -39,9 +39,10 @@ object EntityResolve {
     * master (0-maxDist) for matched rows and 0 for new entities.
     * `masterKeys` is the registry's stored [[Fuzzy.entityKeys]]
     * artifact; when absent the keys are built from `master` inline
-    * (the bootstrap / ad-hoc form). The returned frame is PERSISTED
-    * and already materialized (batch-sized; every internal cache is
-    * released before return) — unpersist it after consuming. */
+    * (the bootstrap / ad-hoc form). The returned frame is already
+    * materialized (batch-sized; every internal cache is released
+    * before return) — free it with [[graft.ops.StageCut.release]]
+    * after consuming. */
   def resolveBatch(batch: DataFrame, master: DataFrame,
                    batchIdCol: String, batchStrCol: String,
                    masterIdCol: String, masterStrCol: String,
@@ -92,7 +93,8 @@ object EntityResolve {
     // as EntityResolveStream does).
     val out = graft.ops.StageCut(matched.unionByName(fresh))
     out.count()
-    unmatched.unpersist()
+    graft.ops.StageCut.release(matched)
+    graft.ops.StageCut.release(unmatched)
     out
   }
 

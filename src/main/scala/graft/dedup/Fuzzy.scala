@@ -107,18 +107,31 @@ object Fuzzy {
     * keys (band width, short-string cutoff) — a mismatched probe would
     * silently miss pairs, so [[fuzzyJoinAgainst]] revalidates it via
     * the `_w<bandW>` tag row convention below. */
+  /** The blocking-key SCHEME version baked into stored artifacts:
+    * bumped whenever [[keyed]] changes what keys exist (v2 = the
+    * middle-window pass), so a pre-change artifact fails loudly at
+    * the probe instead of silently missing the pairs only the new
+    * pass can generate (the Importance `_b` discipline). */
+  private val KeyScheme = 2
+
   def entityKeys(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     keyed(df, idCol, strCol, maxDist, explodeBands = false)
       .join(normed(df, idCol, strCol, "_n"), Seq(idCol))
       .withColumn("_w", lit(maxDist + 1))
-      .select(col(idCol).as("id"), col("_n"), col("_k"), col("_w"))
+      .withColumn("_v", lit(KeyScheme))
+      .select(col(idCol).as("id"), col("_n"), col("_k"), col("_w"),
+        col("_v"))
   }
 
   private def requireKeys(keys: DataFrame, maxDist: Int): DataFrame = {
-    require(keys.columns.toSet == Set("id", "_n", "_k", "_w"),
-      s"not a Fuzzy.entityKeys artifact: ${keys.columns.mkString(",")}")
+    require(keys.columns.toSet == Set("id", "_n", "_k", "_w", "_v"),
+      s"not a Fuzzy.entityKeys artifact: ${keys.columns.mkString(",")}" +
+        (if (keys.columns.toSet == Set("id", "_n", "_k", "_w"))
+          " (artifacts stored before the middle-window key scheme must" +
+            " be rebuilt with entityKeys)"
+        else ""))
     keys
   }
 
@@ -142,12 +155,15 @@ object Fuzzy {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val ck = corpusKeys.map(requireKeys(_, maxDist))
     ck.foreach { k =>
-      // fail loudly on a band-width mismatch BEFORE silently missing
-      // pairs; one row's tag suffices (the column is constant).
-      val w = k.select(col("_w")).limit(1).collect()
+      // fail loudly on a band-width or key-scheme mismatch BEFORE
+      // silently missing pairs; one row's tags suffice (constant cols)
+      val w = k.select(col("_w"), col("_v")).limit(1).collect()
       require(w.isEmpty || w.head.getInt(0) == maxDist + 1,
         s"entityKeys artifact was built for maxDist=${w.head.getInt(0) - 1}, " +
           s"probe uses maxDist=$maxDist")
+      require(w.isEmpty || w.head.getInt(1) == KeyScheme,
+        s"entityKeys artifact uses key scheme v${w.head.getInt(1)}, this " +
+          s"build probes v$KeyScheme — rebuild the artifact with entityKeys")
     }
     val ak = Dedup.dropHotBuckets(
       keyed(a, idA, strA, maxDist, explodeBands = true),

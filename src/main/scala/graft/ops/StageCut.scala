@@ -23,11 +23,12 @@ import org.apache.spark.storage.StorageLevel
   * to plain persist(MEMORY_AND_DISK) — same storage footprint, same
   * results, bigger plans.
   *
-  * Cleanup: under the default cut, the checkpoint blocks free when
-  * the frame is garbage-collected (Spark's ContextCleaner — the
-  * normal cache-cleanup path); under persist(), callers release
-  * explicitly with unpersist() as before (unpersist on a cut frame is
-  * a harmless no-op, so pipeline code calls it unconditionally).
+  * Cleanup: release stage frames with [[release]] — plain
+  * `Dataset.unpersist` only clears CacheManager entries and cannot
+  * reach the RDD a cut frame was rebased onto (those blocks would
+  * otherwise wait for driver GC via ContextCleaner — fine for a few
+  * stages, unbounded for a long training loop). Under the persist
+  * fallback, release degrades to a normal unpersist.
   */
 object StageCut {
 
@@ -37,4 +38,18 @@ object StageCut {
     if (df.sparkSession.conf.get(ConfKey, "true").toBoolean)
       df.localCheckpoint(true)
     else df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Deterministically free a frame RETURNED BY [[apply]] (or any
+    * eager localCheckpoint). Call it ONLY on the cut frame itself: a
+    * frame DERIVED from a cut frame shares the parent's RDD, and
+    * releasing through the derived plan would free blocks the parent
+    * still needs. Safe on plain/persisted frames (normal unpersist). */
+  def release(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    df.unpersist()
+  }
 }

@@ -106,7 +106,7 @@ object CurateStream {
           .write.mode("overwrite").parquet(s"$stateDir/sigs/b$batchId")
       case _ => ()
     }
-    accepted.unpersist()
+    graft.ops.StageCut.release(accepted)
     onBatch(batchId, report)
   }
 

@@ -67,10 +67,11 @@ object EntityResolveStream {
     val keys = readAll(spark, s"$stateDir/keys", batchId)
       .getOrElse(Fuzzy.entityKeys(emptyMaster, "_eid", strCol, maxDist)
         .limit(0))
+    // resolveBatch returns an already-materialized stage-cut frame —
+    // re-persisting would double-cache its blocks
     val resolved = EntityResolve.resolveBatch(batch, emptyMaster,
         idCol, strCol, "_eid", strCol, maxDist,
         masterKeys = Some(keys))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fresh = EntityResolve.newEntities(batch, resolved, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fresh.write.mode("overwrite").parquet(s"$stateDir/new/b$batchId")
@@ -79,7 +80,7 @@ object EntityResolveStream {
       .write.mode("overwrite").parquet(s"$stateDir/keys/b$batchId")
     // completion marker LAST
     resolved.write.mode("overwrite").parquet(s"$stateDir/assign/b$batchId")
-    resolved.unpersist(); fresh.unpersist()
+    graft.ops.StageCut.release(resolved); fresh.unpersist()
   }
 
   /** Every canonical entity as of the last COMPLETED batch (plus the

@@ -19,22 +19,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per compact so the newest snapshot is identifiable even before the
   * superseded dirs are garbage-collected. Crash analysis:
   *
+  * Garbage collection is DEFERRED one compact cycle: a compact never
+  * deletes the dirs it just superseded — it deletes what the PREVIOUS
+  * committed snapshot superseded. An in-flight reader that listed the
+  * directory before the newest snapshot committed therefore has a full
+  * compact interval to finish reading the files it chose (schedule
+  * compaction coarser than the longest trigger/batch job — the same
+  * contract as any table OPTIMIZE with concurrent readers). Crash
+  * analysis:
+  *
   *  - crash mid-write: only a `_tmp_…` dir exists — reads ignore it,
   *    state is untouched; the next compact deletes it and rewrites;
-  *  - crash after rename, before GC: reads pick the new snapshot and
-  *    skip the covered dirs by id — the leftover dirs are dead bytes,
-  *    deleted by the next compact;
-  *  - nothing is ever deleted before the rename lands, so no
-  *    interleaving of operations can lose or double rows.
+  *  - crash right after rename: reads pick the new snapshot and skip
+  *    the covered dirs by id — exactly the steady state, since GC is
+  *    deferred anyway; the next compact's opening GC (computed from
+  *    the newest committed snapshot, not from any in-memory fold set)
+  *    reclaims them;
+  *  - nothing covered by only an UNcommitted snapshot is ever deleted,
+  *    so no interleaving of operations can lose or double rows.
   *
   * Compaction must cap STRICTLY below the stream's newest completion
   * marker (each stream's `compact` computes this): `foreachBatch`
   * replays at most the newest batch id, and that id's reads exclude
   * its own dirs by id — which only works while those dirs are not yet
   * folded into a snapshot. [[parts]] fails loudly if a snapshot ever
-  * covers the requested read boundary. Safe to run while the stream is
-  * live (single maintenance caller at a time; it is a metadata-cheap
-  * background job, schedule it like any table OPTIMIZE).
+  * covers the requested read boundary. Single maintenance caller at a
+  * time; it is a metadata-cheap background job.
   *
   * Stray non-matching names (a manual `backup/` dir, editor droppings)
   * are ignored by the same regexes instead of crashing the reads.
@@ -110,9 +120,10 @@ object StreamState {
     }
 
   /** Fold every live part with batch id < `capExclusive` into one
-    * snapshot dir and garbage-collect what it supersedes. Idempotent;
-    * a no-op when there is nothing new to fold. See the object doc for
-    * the crash contract. */
+    * snapshot dir, after reclaiming whatever the PREVIOUS committed
+    * snapshot superseded (deferred GC — see the object doc for the
+    * in-flight-reader grace and crash contracts). Idempotent; a
+    * cleanup-only pass when there is nothing new to fold. */
   def compactDir(spark: SparkSession, dir: String,
                  capExclusive: Long): Unit =
     listing(spark, dir).foreach { l =>
@@ -122,6 +133,15 @@ object StreamState {
       l.tmps.foreach(t =>
         fs.delete(new org.apache.hadoop.fs.Path(t), true))
       val prev = l.compacts.sortBy(_._1).lastOption
+      // DEFERRED GC: everything the newest COMMITTED snapshot covers
+      // has been dead for at least one compact interval — reclaim it
+      // now, before building the next snapshot
+      prev.foreach { case (g, m, _) =>
+        l.compacts.filter(_._1 < g).foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(c._3), true))
+        l.batches.filter(_._1 <= m).foreach(b =>
+          fs.delete(new org.apache.hadoop.fs.Path(b._2), true))
+      }
       val lo = prev.map(_._2).getOrElse(Long.MinValue)
       val fold = l.batches.filter(b => b._1 > lo && b._1 < capExclusive)
       if (fold.nonEmpty) {
@@ -134,9 +154,8 @@ object StreamState {
         val committed = fs.rename(new org.apache.hadoop.fs.Path(tmp),
           new org.apache.hadoop.fs.Path(s"$dir/c${gen}_$coveredMax"))
         require(committed, s"snapshot rename failed under $dir")
-        // GC — reads already resolve through the new snapshot
-        (prev.map(_._3).toSeq ++ fold.map(_._2)).foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        // NO deletion here: the dirs this snapshot superseded stay
+        // until the next compact so in-flight readers never lose files
       }
     }
 

@@ -425,11 +425,11 @@ object TextOps {
         // analysis grows linearly and the loop quadratically (measured
         // 6.7 s -> 2.6 s for 12 merges at sf0.1 switching to cuts)
         val next = next0.localCheckpoint(true)
-        cur.unpersist()
+        graft.ops.StageCut.release(cur)
         cur = next
       }
     }
-    cur.unpersist()
+    graft.ops.StageCut.release(cur)
     acc.toSeq
   }
 
@@ -533,11 +533,11 @@ object TextOps {
         // cut every pass (the trainBpe rationale: persist chains embed
         // every parent plan, so analysis grows per pass)
         val next = next0.localCheckpoint(true)
-        cur.unpersist()
+        graft.ops.StageCut.release(cur)
         cur = next
       }
     }
-    cur.unpersist()
+    graft.ops.StageCut.release(cur)
     acc.toSeq
   }
 

@@ -67,6 +67,22 @@ class EntityResolveSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDist"))
   }
 
+  test("artifact stored before the middle-window key scheme is rejected") {
+    // a pre-scheme artifact would PASS the _w check but lack the 'm'
+    // keys the probe fans — it must fail loudly, not silently miss
+    // the pairs only the middle pass can generate
+    val legacy = Fuzzy.entityKeys(master, "eid", "name", maxDist = 2)
+      .drop("_v")
+    val e = intercept[IllegalArgumentException] {
+      EntityResolve.resolveBatch(
+        Seq((10L, "golden widget")).toDF("rid", "name"), master,
+        "rid", "name", "eid", "name", maxDist = 2,
+        masterKeys = Some(legacy)).collect()
+    }
+    assert(e.getMessage.contains("rebuilt") ||
+      e.getMessage.contains("rebuild"))
+  }
+
   test("incremental resolve equals the full-run clustering") {
     // b1 seeds the registry (its q115-style self-cluster reps); b2
     // resolves incrementally. With b1 ids < b2 ids and no b2 record

@@ -34,6 +34,19 @@ class StageCutSpec extends SparkSpec {
     } finally spark.conf.unset(StageCut.ConfKey)
   }
 
+  test("release frees the checkpointed RDD deterministically") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cut = StageCut(spark.range(1000).toDF("id"))
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "the cut persisted no RDD")
+    StageCut.release(cut)
+    val after = sc.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      "release left checkpoint blocks for GC (plain unpersist cannot " +
+        "reach a cut frame's RDD)")
+  }
+
   test("the cut truncates the logical plan; the fallback persists") {
     val df = spark.range(100).toDF("id")
       .withColumn("x", col("id") * 2)

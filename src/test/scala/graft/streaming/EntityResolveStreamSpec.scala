@@ -102,21 +102,27 @@ class EntityResolveStreamSpec extends SparkSpec {
     val before = (reg(a), asg(a))
     EntityResolveStream.compact(spark, a)
     assert((reg(a), asg(a)) == before, "compact changed a read")
-    // the history below the newest marker folded into ONE snapshot dir
-    val newDirs = new java.io.File(s"$a/new").listFiles
+    def newDirs() = new java.io.File(s"$a/new").listFiles
       .map(_.getName).sorted.toSeq
-    assert(newDirs.count(_.startsWith("c")) == 1, s"no snapshot: $newDirs")
-    assert(newDirs.count(_.startsWith("b")) == 1,
-      s"covered batch dirs not GC'd: $newDirs")
+    // the history below the newest marker folded into ONE snapshot;
+    // the covered b-dirs stay for one cycle (DEFERRED GC — in-flight
+    // readers keep their files)
+    assert(newDirs() == Seq("b0", "b1", "b2", "c0_1"),
+      s"unexpected layout after first compact: ${newDirs()}")
     // the compacted registry keeps serving batches exactly like the twin
     val b3 = Seq((40L, "golden widgez"), (41L, "novel record ac"))
       .toDF("rid", "name")
     EntityResolveStream.processBatch(b3, 3L, "rid", "name", 2, a)
     EntityResolveStream.processBatch(b3, 3L, "rid", "name", 2, b)
     assert((reg(a), asg(a)) == ((reg(b), asg(b))))
-    // repeated compacts (with and without a new tail) stay consistent
+    // compact #2 reclaims what the FIRST snapshot superseded and folds
+    // the next tail; compact #3 reclaims the superseded first snapshot
     EntityResolveStream.compact(spark, a)
+    assert(newDirs() == Seq("b2", "b3", "c0_1", "c1_2"),
+      s"deferred GC broke the cycle: ${newDirs()}")
     EntityResolveStream.compact(spark, a)
+    assert(newDirs() == Seq("b3", "c1_2"),
+      s"second cycle did not reclaim the superseded dirs: ${newDirs()}")
     assert((reg(a), asg(a)) == ((reg(b), asg(b))))
   }
 
