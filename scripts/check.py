@@ -34,10 +34,12 @@ def norm_rows(cols, rows):
 
 def duck_family(duck_type):
     """The pandas dtype FAMILY a DuckDB result column lands in after
-    .df() conversion — derived from the cursor's type description, so
-    the gate costs zero extra query executions. HUGEINT/UBIGINT widen
-    to float64 (the q90/q84 driver-hash class); LIST/STRUCT/MAP become
-    object columns holding arrays (the q100 sort_values class)."""
+    .df() conversion — derived from the relation's bind-time type
+    names (con.sql(...).types; the DB-API cursor description only
+    carries generic codes like 'NUMBER'), so the gate costs zero extra
+    query executions. HUGEINT/UBIGINT widen to float64 (the q90/q84
+    driver-hash class); LIST/STRUCT/MAP become object columns holding
+    arrays (the q100 sort_values class)."""
     t = str(duck_type).upper()
     if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
         return "UNSORTABLE(array)"
@@ -59,8 +61,8 @@ def pandas_gate(name, o_desc, s_desc):
     """Mirror the driver's pandas conversion: fail on (a) any column
     whose cells would be lists/ndarrays, (b) any oracle-vs-spark dtype
     FAMILY mismatch (int vs float — the HUGEINT → float64 class).
-    Families come from the ALREADY-EXECUTED cursors' type descriptions
-    (the hash gate ran both queries), so this costs no re-execution."""
+    Families come from the relations' bind-time (name, type) pairs
+    built in the main loop, so this costs no re-execution."""
     o_fam = {d[0]: duck_family(d[1]) for d in o_desc}
     s_fam = {d[0]: duck_family(d[1]) for d in s_desc}
     errs = []

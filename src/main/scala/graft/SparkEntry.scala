@@ -663,7 +663,7 @@ object SparkEntry {
       .orderBy(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    curated.unpersist()
+    graft.ops.StageCut.release(curated)
     out
   }
 
@@ -745,7 +745,7 @@ object SparkEntry {
     // one persist site round 7 left unpaired (bench loops accumulated a
     // cache entry per q68 run)
     out.count()
-    exact.unpersist()
+    graft.ops.StageCut.release(exact)
     out
   }
 
@@ -788,8 +788,8 @@ object SparkEntry {
       .orderBy(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    accepted.unpersist()
-    corpus.unpersist()
+    graft.ops.StageCut.release(accepted)
+    graft.ops.StageCut.release(corpus)
     out
   }
 
@@ -810,7 +810,7 @@ object SparkEntry {
     val out = curated.select(col("vec_id")).orderBy(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    curated.unpersist()
+    graft.ops.StageCut.release(curated)
     out
   }
 
@@ -832,8 +832,8 @@ object SparkEntry {
     val out = accepted.select(col("vec_id")).orderBy(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    accepted.unpersist()
-    corpus.unpersist()
+    graft.ops.StageCut.release(accepted)
+    graft.ops.StageCut.release(corpus)
     out
   }
 
@@ -1496,10 +1496,16 @@ object SparkEntry {
             concat(expr("substr(s, 1, length(s) - 1)"), lit("q")))
           .otherwise(concat(lit("z"), expr("substr(s, 2)"))).as("s"))
     val keys = graft.dedup.Fuzzy.entityKeys(masterDf, "eid", "s", 2)
-    graft.dedup.EntityResolve.resolveBatch(
+    val resolved = graft.dedup.EntityResolve.resolveBatch(
         batchDf, masterDf.limit(0), "rid", "s", "eid", "s",
         maxDist = 2, masterKeys = Some(keys))
-      .orderBy(col("rid"))
+    // q65's cache discipline: materialize the small result, release
+    // the stage-cut pipeline frame deterministically
+    val out = resolved.orderBy(col("rid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    graft.ops.StageCut.release(resolved)
+    out
   }
 
   /** DSIR-style importance scoring (Importance.train/score): the
@@ -1686,12 +1692,12 @@ object SparkEntry {
     val kept = docs.join(pol, Seq("doc_id"), "left_semi")
     val scr = graft.text.SpanDedup.removeDuplicatedSpans(
         kept, "doc_id", "text", n = 4)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     val fp = scr.withColumn("_f", md5(col("clean_text")))
     val winners = fp.groupBy(col("_f"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val ek = scr.join(winners, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.StageCut.apply)
     ek.count()
     val clusters = graft.dedup.SimilarJoin.similarClusters(
       ek.select(col("doc_id"), col("clean_text").as("text")),
@@ -1704,8 +1710,8 @@ object SparkEntry {
       .orderBy(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    ek.unpersist()
-    scr.unpersist()
+    graft.ops.StageCut.release(ek)
+    graft.ops.StageCut.release(scr)
     out
   }
 

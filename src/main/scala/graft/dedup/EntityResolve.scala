@@ -84,13 +84,12 @@ object EntityResolve {
       .select(col(batchIdCol),
         coalesce(col("cluster"), col(batchIdCol)).as("entity_id"),
         lit(0L).as("dist"), lit(false).as("matched"))
-    // materialize the result EAGERLY so the unmatched slice's cache is
-    // released before return (the lshNearDupPairs materialize-then-
+    // materialize the result EAGERLY so the internal stage frames can
+    // be released before return (the lshNearDupPairs materialize-then-
     // release precedent — repeated direct calls in a long-lived session
     // must not accumulate cache blocks). The returned frame is
-    // batch-sized and follows StageCut's cleanup contract (GC under
-    // the default cut; callers unpersist under the persist fallback,
-    // as EntityResolveStream does).
+    // batch-sized; callers free it with StageCut.release after
+    // consuming (as EntityResolveStream and the q118 gate do).
     val out = graft.ops.StageCut(matched.unionByName(fresh))
     out.count()
     graft.ops.StageCut.release(matched)

@@ -40,12 +40,14 @@ object StageCut {
     else df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Deterministically free a frame RETURNED BY [[apply]] (or any
-    * eager localCheckpoint). Call it ONLY on the cut frame itself: a
-    * frame DERIVED from a cut frame shares the parent's RDD, and
-    * releasing through the derived plan would free blocks the parent
-    * still needs. Safe on plain/persisted frames (normal unpersist). */
+    * eager localCheckpoint). Only a ROOT-level checkpoint RDD is
+    * released — the shape apply() returns — so calling this on a
+    * frame that merely CONTAINS someone else's cut frame in its plan
+    * (a derived frame, or a persist-fallback stage built over a
+    * caller's checkpointed input) never frees blocks the caller still
+    * needs; those get a normal unpersist. */
   def release(df: DataFrame): Unit = {
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
       case _ => ()

@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * local FS). `coveredMax` says "this snapshot holds every batch dir
   * with id <= coveredMax (and every older snapshot)"; `gen` increases
   * per compact so the newest snapshot is identifiable even before the
-  * superseded dirs are garbage-collected. Crash analysis:
+  * superseded dirs are garbage-collected.
   *
   * Garbage collection is DEFERRED one compact cycle: a compact never
   * deletes the dirs it just superseded — it deletes what the PREVIOUS
