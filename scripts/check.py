@@ -73,7 +73,12 @@ def pandas_gate(name, o_desc, s_desc):
                             "(driver sort_values would die)")
     for c, of in o_fam.items():
         sf = s_fam.get(c)
-        if sf is not None and of != sf and {of, sf} <= {"int", "float"}:
+        # ANY family mismatch fails: int-vs-float is the historical
+        # HUGEINT class, but bool-vs-int (Python True == 1 makes the
+        # value compare succeed locally while the driver's type-strict
+        # hasher fails) and every other cross-family pair are the same
+        # silent local-pass/driver-fail trap.
+        if sf is not None and of != sf:
             errs.append(f"column {c}: dtype family oracle={of} "
                         f"vs spark={sf} — driver hash would mismatch")
     return errs

@@ -63,38 +63,63 @@ object EntityResolve {
       .agg(min(struct(col("dist"), col(masterIdCol))).as("_best"))
       .select(col(batchIdCol), col("_best").getField(masterIdCol).as("entity_id"),
         col("_best").getField("dist").as("dist"), lit(true).as("matched")))
-    // stage-cut: the self-join below evaluates its input SIX times
-    // (two keyed sides, two eager hot-block count scans, two
-    // normalized-string fetches) and each evaluation would otherwise
-    // re-run — and re-ANALYZE — the registry join + anti-join above
-    val unmatched = graft.ops.StageCut(batch.join(
-        matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
-      .select(col(batchIdCol), col(batchStrCol)))
-    // batch-only components over the SAME blocked join, min-id labels
-    val selfPairs = Fuzzy.fuzzyJoinAgainst(
-        unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
-        unmatched.select(col(batchIdCol).as("_rb"), col(batchStrCol)),
-        "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket)
-      .filter(col("_ra") < col("_rb"))
-      .select(col("_ra").as("id_a"), col("_rb").as("id_b"))
-    val clusters = Dedup.dupClusters(selfPairs)
-    val fresh = unmatched.select(col(batchIdCol))
-      .join(clusters.withColumnRenamed("id", batchIdCol),
-        Seq(batchIdCol), "left")
-      .select(col(batchIdCol),
-        coalesce(col("cluster"), col(batchIdCol)).as("entity_id"),
-        lit(0L).as("dist"), lit(false).as("matched"))
-    // materialize the result EAGERLY so the internal stage frames can
-    // be released before return (the lshNearDupPairs materialize-then-
-    // release precedent — repeated direct calls in a long-lived session
-    // must not accumulate cache blocks). The returned frame is
-    // batch-sized; callers free it with StageCut.release after
-    // consuming (as EntityResolveStream and the q118 gate do).
-    val out = graft.ops.StageCut(matched.unionByName(fresh))
-    out.count()
-    graft.ops.StageCut.release(matched)
-    graft.ops.StageCut.release(unmatched)
-    out
+    try {
+      // stage-cut: the self-join below evaluates its input SIX times
+      // (two keyed sides, two eager hot-block count scans, two
+      // normalized-string fetches) and each evaluation would otherwise
+      // re-run — and re-ANALYZE — the registry join + anti-join above
+      val unmatched = graft.ops.StageCut(batch.join(
+          matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
+        .select(col(batchIdCol), col(batchStrCol)))
+      try {
+        // batch-only components over the SAME blocked join, min-id labels
+        val selfPairs = Fuzzy.fuzzyJoinAgainst(
+            unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
+            unmatched.select(col(batchIdCol).as("_rb"), col(batchStrCol)),
+            "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket)
+          .filter(col("_ra") < col("_rb"))
+          .select(col("_ra").as("id_a"), col("_rb").as("id_b"))
+        val clusters = Dedup.dupClusters(selfPairs)
+        val fresh = unmatched.select(col(batchIdCol))
+          .join(clusters.withColumnRenamed("id", batchIdCol),
+            Seq(batchIdCol), "left")
+          .select(col(batchIdCol),
+            coalesce(col("cluster"), col(batchIdCol)).as("entity_id"),
+            lit(0L).as("dist"), lit(false).as("matched"))
+        // materialize the result EAGERLY so the internal stage frames
+        // can be released before return (the lshNearDupPairs
+        // materialize-then-release precedent — repeated direct calls in
+        // a long-lived session must not accumulate cache blocks). The
+        // try/finally shape frees the internal frames on ANY exit, so a
+        // mid-resolve failure cannot leak them either. The returned
+        // frame is batch-sized; callers free it with StageCut.release
+        // after consuming — or use [[withResolvedBatch]], which
+        // enforces that pairing.
+        val out = graft.ops.StageCut(matched.unionByName(fresh))
+        out.count()
+        out
+      } finally graft.ops.StageCut.release(unmatched)
+    } finally graft.ops.StageCut.release(matched)
+  }
+
+  /** Loan-pattern form of [[resolveBatch]]: hands the resolved frame to
+    * `use` and ALWAYS releases it afterwards — the cleanup contract
+    * enforced by the API instead of by scaladoc. resolveBatch returns
+    * an eagerly-materialized stage-cut frame; a caller that forgets the
+    * paired [[graft.ops.StageCut.release]] accumulates checkpoint
+    * blocks until driver GC in a long-lived session, so prefer this
+    * form anywhere the resolved frame's lifetime is lexical (collect
+    * or write inside `use`; don't leak the frame itself out). */
+  def withResolvedBatch[T](batch: DataFrame, master: DataFrame,
+                           batchIdCol: String, batchStrCol: String,
+                           masterIdCol: String, masterStrCol: String,
+                           maxDist: Int,
+                           masterKeys: Option[DataFrame] = None,
+                           maxBucket: Int = Dedup.defaultMaxBucket)
+                          (use: DataFrame => T): T = {
+    val resolved = resolveBatch(batch, master, batchIdCol, batchStrCol,
+      masterIdCol, masterStrCol, maxDist, masterKeys, maxBucket)
+    try use(resolved) finally graft.ops.StageCut.release(resolved)
   }
 
   /** The rows of `batch` that became new canonical entities under a

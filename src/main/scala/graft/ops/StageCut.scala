@@ -3,55 +3,178 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
-/** Pipeline STAGE BOUNDARY: materialize a stage's frame and cut its
-  * lineage (eager `localCheckpoint`). The multi-stage pipelines
-  * ([[graft.apps.Curate]], [[graft.apps.PretrainPrep]]) chain 5-9
-  * operators, each stage persisted and counted — but persist() alone
-  * leaves the LOGICAL plan intact, so every downstream action
-  * re-enters Catalyst analysis over the whole composed tree, and that
-  * driver-side constant grows superlinearly with plan size. Measured
-  * on the q128 gate at sf0.1: 43.7 s with chained persists vs 10.8 s
-  * with stage cuts — identical results, all the difference in plan
-  * re-analysis, none in data work.
+/** Pipeline STAGE BOUNDARY: materialize a stage's frame and — when the
+  * composed plan has grown past a threshold — cut its lineage. The
+  * multi-stage pipelines ([[graft.apps.Curate]],
+  * [[graft.apps.PretrainPrep]]) chain 5-9 operators, each stage
+  * persisted and counted; persist() alone leaves the LOGICAL plan
+  * intact, so every downstream action re-enters Catalyst analysis over
+  * the whole composed tree, and that driver-side constant grows
+  * superlinearly with plan size (quadratically across loop iterations).
+  * Measured on the q128 gate at sf0.1: 43.7 s with chained persists vs
+  * 10.8 s with stage cuts — identical results, all the difference in
+  * plan re-analysis, none in data work.
   *
-  * The trade: a truncated stage cannot be recomputed from lineage
-  * after executor loss (the job fails and the driver retries the
-  * run). Every pipeline stage in this engine is deterministic (seeded
-  * hashes, min-id winners), so a retry reproduces the identical
-  * output; a deployment that prefers lineage-based recovery over
-  * analysis time sets `spark.graft.stageCutLineage=false` to revert
-  * to plain persist(MEMORY_AND_DISK) — same storage footprint, same
-  * results, bigger plans.
+  * The cut is NOT free, though: an eager localCheckpoint runs one
+  * dedicated materialization job and stores row-serialized blocks,
+  * where persist() caches the columnar InMemoryRelation on the same
+  * count() the pipeline already runs — so for a SHORT pipeline over a
+  * small analyzed plan the cut costs more than the re-analysis it
+  * saves (driver-measured in round 12: the 3-stage embedding pipeline
+  * regressed +1.6 s under unconditional cuts while the BPE training
+  * loops gained 17 s). apply() therefore gates on the ANALYZED PLAN
+  * SIZE: below `spark.graft.stageCutMinNodes` nodes ([[DefaultMinNodes]])
+  * the frame is persisted and the lineage kept;
+  * at or above it the lineage is cut. Plans compound until they cross
+  * the threshold, then reset — bounding every action's analysis cost
+  * at O(threshold) while short pipelines keep persist()'s cheaper
+  * materialization and full lineage recovery. `stageCutMinNodes=0`
+  * restores the cut-always round-12 behavior.
+  *
+  * The recovery trade: a LOCALLY checkpointed stage cannot be
+  * recomputed after executor loss (the job fails and the driver
+  * retries the run). Every pipeline stage in this engine is
+  * deterministic (seeded hashes, min-id winners), so a retry
+  * reproduces the identical output — acceptable on local[*] and small
+  * clusters. On a large cluster where executor churn is routine, set
+  * `spark.graft.stageCutMode=reliable` (with
+  * `sparkContext.setCheckpointDir`, or use [[withReliableCuts]]): cuts
+  * then go through a RELIABLE checkpoint (HDFS/object-store files)
+  * that survives any executor loss, keeping the analysis win without
+  * the recovery trade. `spark.graft.stageCutLineage=false` disables
+  * cutting entirely (plain persist(MEMORY_AND_DISK) — same storage
+  * footprint, same results, bigger plans).
+  *
+  * `spark.graft.stageCutLog=true` prints one stderr line per boundary
+  * (analyzed-node count, decision, analysis + materialization ms) —
+  * the instrumentation that picked the default threshold.
   *
   * Cleanup: release stage frames with [[release]] — plain
   * `Dataset.unpersist` only clears CacheManager entries and cannot
   * reach the RDD a cut frame was rebased onto (those blocks would
   * otherwise wait for driver GC via ContextCleaner — fine for a few
-  * stages, unbounded for a long training loop). Under the persist
-  * fallback, release degrades to a normal unpersist.
+  * stages, unbounded for a long training loop). release also deletes a
+  * reliable cut's checkpoint files. Under the persist path, release
+  * degrades to a normal unpersist.
   */
 object StageCut {
 
+  /** Legacy kill switch: "false" never cuts (persist everywhere). */
   val ConfKey = "spark.graft.stageCutLineage"
+  /** What a cut does: "local" (default) = eager localCheckpoint;
+    * "reliable" = eager reliable checkpoint (needs a checkpoint dir). */
+  val ModeKey = "spark.graft.stageCutMode"
+  /** Analyzed-plan node threshold below which apply() persists instead
+    * of cutting. 0 = always cut. */
+  val MinNodesKey = "spark.graft.stageCutMinNodes"
+  /** "true" logs one stderr line per boundary. */
+  val LogKey = "spark.graft.stageCutLog"
 
-  def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get(ConfKey, "true").toBoolean)
-      df.localCheckpoint(true)
-    else df.persist(StorageLevel.MEMORY_AND_DISK)
+  /** Default for [[MinNodesKey]], from sf0.1 instrumentation: the
+    * 3-4-stage linear pipelines that regressed under cut-always sit at
+    * 15-60 analyzed nodes per boundary, the deep-pipeline/loop frames
+    * that gain from cutting at 100s-1000s. */
+  val DefaultMinNodes = 96
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.conf
+    val t0 = System.nanoTime()
+    val analyzed = df.queryExecution.analyzed
+    var nodes = 0
+    analyzed.foreach(_ => nodes += 1)
+    val analyzeMs = (System.nanoTime() - t0) / 1e6
+    val minNodes = conf.get(MinNodesKey, DefaultMinNodes.toString).toInt
+    val cut = conf.get(ConfKey, "true").toBoolean && nodes >= minNodes
+    val mode = conf.get(ModeKey, "local")
+    val t1 = System.nanoTime()
+    val out =
+      if (!cut) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else mode match {
+        case "reliable" =>
+          require(spark.sparkContext.getCheckpointDir.isDefined,
+            s"$ModeKey=reliable needs sparkContext.setCheckpointDir " +
+              "(or run inside StageCut.withReliableCuts)")
+          df.checkpoint(true)
+        case "local" => df.localCheckpoint(true)
+        case other => throw new IllegalArgumentException(
+          s"$ModeKey must be 'local' or 'reliable', got '$other'")
+      }
+    if (conf.get(LogKey, "false").toBoolean) {
+      val matMs = (System.nanoTime() - t1) / 1e6
+      System.err.println(
+        f"[stagecut] nodes=$nodes%d min=$minNodes%d cut=$cut%b " +
+          f"mode=$mode%s analyzeMs=$analyzeMs%.1f matMs=$matMs%.1f")
+    }
+    out
+  }
 
   /** Deterministically free a frame RETURNED BY [[apply]] (or any
-    * eager localCheckpoint). Only a ROOT-level checkpoint RDD is
-    * released — the shape apply() returns — so calling this on a
-    * frame that merely CONTAINS someone else's cut frame in its plan
-    * (a derived frame, or a persist-fallback stage built over a
-    * caller's checkpointed input) never frees blocks the caller still
-    * needs; those get a normal unpersist. */
+    * eager checkpoint). Only a ROOT-level checkpoint RDD is released —
+    * the shape apply() returns — so calling this on a frame that
+    * merely CONTAINS someone else's cut frame in its plan (a derived
+    * frame, or a persist-path stage built over a caller's checkpointed
+    * input) never frees blocks the caller still needs; those get a
+    * normal unpersist. A reliable cut's checkpoint files are deleted
+    * (best-effort — an already-gone directory is fine). */
   def release(df: DataFrame): Unit = {
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(
+                df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
       case _ => ()
     }
     df.unpersist()
+  }
+
+  /** Run `body` with RELIABLE stage cuts scoped to `dir` — the
+    * cluster-deployment idiom ([[graft.dedup.Dedup.withReliableClusters]]'s
+    * shape): sets `stageCutMode=reliable` plus the checkpoint dir
+    * (which also flips any [[graft.dedup.Dedup.dupClusters]] inside to
+    * its reliable snapshot mode), restores both after, and deletes the
+    * scope's resolved checkpoint directory — setCheckpointDir creates
+    * a fresh UUID subdir per call, so everything under it (rdd-*
+    * checkpoints a release missed, cluster snapshots) belongs to this
+    * scope. Stage cuts inside survive executor loss; the auto
+    * threshold still applies. Materialize results INSIDE the body —
+    * after the scope exits, a cut frame's disk backing is gone and
+    * re-evaluating it fails loudly, not silently. */
+  def withReliableCuts[T](spark: org.apache.spark.sql.SparkSession,
+                          dir: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prevMode = spark.conf.getOption(ModeKey)
+    val prevDir = sc.getCheckpointDir
+    spark.conf.set(ModeKey, "reliable")
+    sc.setCheckpointDir(dir)
+    val resolved = sc.getCheckpointDir
+    try body
+    finally {
+      prevMode match {
+        case Some(m) => spark.conf.set(ModeKey, m)
+        case None => spark.conf.unset(ModeKey)
+      }
+      // the setter is private[spark] but public in bytecode; None
+      // restores the no-checkpoint-dir default (the withReliableClusters
+      // idiom). A reflection failure degrades to a warning.
+      try sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, prevDir)
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[graft.ops] withReliableCuts: could not restore the " +
+            s"checkpoint dir (${e.getClass.getSimpleName}); it remains " +
+            s"set to '$dir'")
+      }
+      try resolved.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
   }
 }

@@ -42,9 +42,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * marker (each stream's `compact` computes this): `foreachBatch`
   * replays at most the newest batch id, and that id's reads exclude
   * its own dirs by id — which only works while those dirs are not yet
-  * folded into a snapshot. [[parts]] fails loudly if a snapshot ever
-  * covers the requested read boundary. Single maintenance caller at a
-  * time; it is a metadata-cheap background job.
+  * folded into a snapshot. [[parts]] fails loudly if the requested
+  * read boundary falls below every usable snapshot (with a one-
+  * generation fallback for a compact committing mid-read — see its
+  * doc). Single maintenance caller at a time.
+  *
+  * COST: each compact rewrites the WHOLE accumulated state — the new
+  * snapshot is built by reading the previous snapshot plus the tail
+  * and writing both back, O(total state) I/O per cycle, NOT a
+  * metadata-only move (reads are metadata-cheap afterwards; the
+  * compact itself is a full-table write like any OPTIMIZE). Schedule
+  * accordingly: cadence should grow with the state/tail ratio — daily
+  * batches compacted weekly rewrite the state 52×/year; compacting
+  * every batch makes total I/O quadratic in stream length. For
+  * append-heavy registries measured in TBs, run compaction rarely (or
+  * partition state so each compact touches one partition).
   *
   * Stray non-matching names (a manual `backup/` dir, editor droppings)
   * are ignored by the same regexes instead of crashing the reads.
@@ -85,17 +97,37 @@ object StreamState {
   }
 
   /** Live part paths carrying batches with id < `beforeBatch`: the
-    * newest snapshot (it holds everything <= its coveredMax) plus the
-    * uncovered batch dirs. None when no such state exists. */
+    * newest USABLE snapshot (it holds everything <= its coveredMax)
+    * plus the uncovered batch dirs. None when no such state exists.
+    *
+    * Usable = coveredMax < beforeBatch, and the read may fall back ONE
+    * generation to find it: when a maintenance compact commits between
+    * a caller deriving its read boundary and this listing (the
+    * ScdStream.dimension cross-directory race — boundary from `open/`
+    * at t0, this listing at t1), the NEWEST snapshot can legitimately
+    * cover past the boundary. The previous snapshot is still on disk
+    * (GC is deferred one cycle) and the batch dirs above ITS coveredMax
+    * are too (only dirs <= the previous snapshot's cap were reclaimed
+    * by the newest compact's opening GC), so that pair reconstructs the
+    * boundary-consistent view exactly. Falling back FURTHER is
+    * impossible — older snapshots' tail dirs are gone — so a boundary
+    * below the second-newest snapshot's cap still fails loudly: that
+    * needs two compact cycles inside one read, which the documented
+    * "schedule compaction coarser than the longest batch job" contract
+    * excludes. */
   def parts(spark: SparkSession, dir: String,
             beforeBatch: Long): Option[Seq[String]] =
     listing(spark, dir).flatMap { l =>
-      val chosen = l.compacts.sortBy(_._1).lastOption
-      chosen.foreach { case (_, coveredMax, path) =>
-        require(coveredMax < beforeBatch,
+      val byGen = l.compacts.sortBy(_._1)
+      val chosen = byGen.filter(_._2 < beforeBatch).lastOption
+      byGen.lastOption.foreach { case (newestGen, coveredMax, path) =>
+        require(chosen.exists(c =>
+            c._1 == newestGen || byGen.takeRight(2).headOption.exists(_._1 == c._1)),
           s"snapshot $path covers batch ids through $coveredMax but the " +
-            s"read excludes ids >= $beforeBatch — compaction must cap " +
-            "strictly below the newest completion marker")
+            s"read excludes ids >= $beforeBatch and no committed " +
+            "snapshot within one generation sits below that boundary — " +
+            "compaction must cap strictly below the newest completion " +
+            "marker and run coarser than the longest concurrent read")
       }
       val lo = chosen.map(_._2).getOrElse(Long.MinValue)
       val live = chosen.map(_._3).toSeq ++

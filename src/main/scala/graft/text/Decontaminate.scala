@@ -142,23 +142,27 @@ object Decontaminate {
     * `contaminated`. */
   def withContamination(docs: DataFrame, idCol: String, textCol: String,
                         bench: DataFrame, n: Int,
-                        maxBenchGrams: Int = 10000000): DataFrame = {
+                        maxBenchGrams: Int = 2000000): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(maxBenchGrams >= 1 && maxBenchGrams < Int.MaxValue,
       s"maxBenchGrams must be in [1, ${Int.MaxValue}), got $maxBenchGrams")
     val spark = docs.sparkSession
-    // limit(max+1): within budget the limited collect IS the full set,
-    // over budget it stops at max+1 rows instead of materializing the
-    // whole mispointed frame on the driver
-    val arr = benchGrams(bench, textCol, n)
-      .limit(maxBenchGrams + 1)
-      .collect().map(_.getString(0))
-    require(arr.length <= maxBenchGrams,
+    // the budget check is a COUNT over limit(max+1) — the limit stops
+    // the scan early on a mispointed corpus-sized frame and the count
+    // moves no gram strings to the driver, so the guard itself cannot
+    // OOM (the earlier limit+collect guard still pulled up to max+1
+    // strings — ~GBs near the budget — before its require fired). Only
+    // a frame that PASSED the check is then collected; the bench side
+    // is small by definition, so the second evaluation is cheap.
+    val grams = benchGrams(bench, textCol, n)
+    val probed = grams.limit(maxBenchGrams + 1).count()
+    require(probed <= maxBenchGrams,
       s"benchmark side has > $maxBenchGrams distinct $n-grams — " +
         "withContamination broadcasts the BENCHMARK set (eval sets are " +
         "MBs by definition); a frame this large is almost certainly the " +
         "corpus side. Swap the arguments, use the batch " +
         "contaminationReport, or raise maxBenchGrams explicitly.")
+    val arr = grams.collect().map(_.getString(0))
     val bc = spark.sparkContext.broadcast(arr.toSet)
     val idField = docs.schema(idCol)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,

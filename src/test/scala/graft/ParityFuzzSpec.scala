@@ -232,10 +232,11 @@ class ParityFuzzSpec extends SparkSpec {
         } else word()
         (100L + i, s)
       }
-      val got = graft.dedup.EntityResolve.resolveBatch(
+      val got = graft.dedup.EntityResolve.withResolvedBatch(
           batch.toDF("rid", "s"), master.toDF("eid", "s"),
-          "rid", "s", "eid", "s", maxDist = 1)
-        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+          "rid", "s", "eid", "s", maxDist = 1) {
+        _.as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      }
 
       // reference
       val matched = batch.flatMap { case (rid, s) =>

@@ -16,11 +16,13 @@ class EntityResolveSpec extends SparkSpec {
     (3L, "silver bearing")
   ).toDF("eid", "name")
 
+  // loan form: the resolved frame is released by the API, not the test
   private def resolve(batch: Seq[(Long, String)],
                       keys: Option[org.apache.spark.sql.DataFrame] = None) =
-    EntityResolve.resolveBatch(batch.toDF("rid", "name"), master,
-        "rid", "name", "eid", "name", maxDist = 2, masterKeys = keys)
-      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    EntityResolve.withResolvedBatch(batch.toDF("rid", "name"), master,
+        "rid", "name", "eid", "name", maxDist = 2, masterKeys = keys) {
+      _.as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    }
 
   test("matched rows adopt the closest master; new rows cluster") {
     val out = resolve(Seq(
@@ -43,10 +45,11 @@ class EntityResolveSpec extends SparkSpec {
       (1L, "copper sprind"),
       (2L, "copper sprinx")
     ).toDF("eid", "name")
-    val out = EntityResolve.resolveBatch(
+    val out = EntityResolve.withResolvedBatch(
         Seq((10L, "copper sprinq")).toDF("rid", "name"), twoClose,
-        "rid", "name", "eid", "name", maxDist = 2)
-      .as[(Long, Long, Long, Boolean)].collect().toSeq
+        "rid", "name", "eid", "name", maxDist = 2) {
+      _.as[(Long, Long, Long, Boolean)].collect().toSeq
+    }
     assert(out == Seq((10L, 1L, 1L, true)))
   }
 
@@ -108,11 +111,12 @@ class EntityResolveSpec extends SparkSpec {
     val b1df = b1.toDF("id", "name")
     val reps = b1df.filter(col("id").isin(
       b1.map(_._1).filter(i => full(i) == i): _*))
-    val inc = EntityResolve.resolveBatch(b2.toDF("rid", "name"),
+    val inc = EntityResolve.withResolvedBatch(b2.toDF("rid", "name"),
         reps.select(col("id").as("eid"), col("name")),
-        "rid", "name", "eid", "name", maxDist = 2)
-      .as[(Long, Long, Long, Boolean)].collect()
-      .map(r => r._1 -> r._2).toMap
+        "rid", "name", "eid", "name", maxDist = 2) {
+      _.as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r._2).toMap
+    }
     b2.map(_._1).foreach { id =>
       assert(inc(id) == full(id), s"record $id: inc=${inc(id)} full=${full(id)}")
     }
@@ -121,10 +125,11 @@ class EntityResolveSpec extends SparkSpec {
   test("newEntities returns exactly the fresh component representatives") {
     val batch = Seq((10L, "golden widget"), (12L, "brand new entity"),
       (13L, "brand new entitx")).toDF("rid", "name")
-    val resolved = EntityResolve.resolveBatch(batch, master,
-      "rid", "name", "eid", "name", maxDist = 2)
-    val fresh = EntityResolve.newEntities(batch, resolved, "rid")
-      .select("rid").as[Long].collect().sorted.toSeq
+    val fresh = EntityResolve.withResolvedBatch(batch, master,
+        "rid", "name", "eid", "name", maxDist = 2) { resolved =>
+      EntityResolve.newEntities(batch, resolved, "rid")
+        .select("rid").as[Long].collect().sorted.toSeq
+    }
     assert(fresh == Seq(12L))
   }
 }

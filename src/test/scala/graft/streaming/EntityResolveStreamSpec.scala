@@ -35,18 +35,21 @@ class EntityResolveStreamSpec extends SparkSpec {
     val r0 = EntityResolve.resolveBatch(b0,
       b0.select(col("rid").as("eid"), col("name")).limit(0),
       "rid", "name", "eid", "name", 2)
-    val reg0 = EntityResolve.newEntities(b0, r0, "rid")
-    val r1 = EntityResolve.resolveBatch(b1,
-      reg0.select(col("rid").as("eid"), col("name")),
-      "rid", "name", "eid", "name", 2)
-    val expected = (r0.as[(Long, Long, Long, Boolean)].collect() ++
-      r1.as[(Long, Long, Long, Boolean)].collect()).sortBy(_._1).toSeq
-    assert(asg(dir) == expected)
-    // registry = b0 reps + b1's fresh reps
-    assert(reg(dir).map(_._1) ==
-      (reg0.select("rid").as[Long].collect().sorted.toSeq ++ Seq(21L)))
-    // the cross-batch match went to the right entity
-    assert(asg(dir).contains((20L, 10L, 1L, true)))
+    try {
+      val reg0 = EntityResolve.newEntities(b0, r0, "rid")
+      val reg0Ids = reg0.select("rid").as[Long].collect().sorted.toSeq
+      val expected = EntityResolve.withResolvedBatch(b1,
+          reg0.select(col("rid").as("eid"), col("name")),
+          "rid", "name", "eid", "name", 2) { r1 =>
+        (r0.as[(Long, Long, Long, Boolean)].collect() ++
+          r1.as[(Long, Long, Long, Boolean)].collect()).sortBy(_._1).toSeq
+      }
+      assert(asg(dir) == expected)
+      // registry = b0 reps + b1's fresh reps
+      assert(reg(dir).map(_._1) == reg0Ids ++ Seq(21L))
+      // the cross-batch match went to the right entity
+      assert(asg(dir).contains((20L, 10L, 1L, true)))
+    } finally graft.ops.StageCut.release(r0)
   }
 
   test("replaying a batch id rewrites identically") {

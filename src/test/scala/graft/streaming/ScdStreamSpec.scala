@@ -108,6 +108,43 @@ class ScdStreamSpec extends SparkSpec {
     assert(dim(dir).contains((1L, "lima", 1L, Some(2L))))
   }
 
+  test("parts tolerates one compact committing mid-read; two fail loudly") {
+    // the dimension() race: the read boundary is derived from open/ at
+    // t0, closed/ is listed at t1 — a compact committing in between can
+    // make the NEWEST snapshot cover past the boundary. Deferred GC
+    // keeps the previous snapshot AND the batch dirs above its cap, so
+    // parts must fall back one generation instead of tripping its
+    // boundary require; a boundary below the second-newest snapshot is
+    // genuinely folded away and must still fail loudly.
+    val a = tmp(); val twin = tmp()
+    def batch(i: Int, rows: Seq[(Long, String)]): Unit = {
+      ScdStream.processBatch(rows.toDF("pk", "city"), i.toLong,
+        "pk", Seq("city"), a, false)
+      ScdStream.processBatch(rows.toDF("pk", "city"), i.toLong,
+        "pk", Seq("city"), twin, false)
+    }
+    batch(0, Seq((1L, "oslo"), (2L, "rome")))
+    batch(1, Seq((1L, "lima")))
+    batch(2, Seq((2L, "baku")))
+    ScdStream.compact(spark, a) // closed: c0 covering b0..b1
+    batch(3, Seq((1L, "kiev")))
+    batch(4, Seq((2L, "cairo")))
+    ScdStream.compact(spark, a) // closed: c1 covering b2..b3; GC b0,b1
+    def closedRows(dir: String, before: Long) =
+      StreamState.read(spark, s"$dir/closed", before).get
+        .as[(Long, String, Long, Option[Long])]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    // stale boundary 3 (derived before the second compact): the newest
+    // snapshot covers 3 — the grace path must serve c0 + b2 instead
+    assert(closedRows(a, 3L) == closedRows(twin, 3L),
+      "grace read diverged from the uncompacted twin")
+    // boundary 1 sits below BOTH snapshots' caps — folded away for real
+    val e = intercept[IllegalArgumentException] { closedRows(a, 1L) }
+    assert(e.getMessage.contains("compaction must cap"))
+    // and the fresh boundary reads normally off the newest snapshot
+    assert(closedRows(a, 5L) == closedRows(twin, 5L))
+  }
+
   test("MemoryStream end-to-end matches the batch composition") {
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext
