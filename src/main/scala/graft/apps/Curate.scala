@@ -83,7 +83,7 @@ object Curate {
 
   /** Stage-2 exact dedup: keep min id per `_fp`, winners fetched by a
     * semi join — (fp, id) only through the agg exchange. */
-  private def keepMinPerFp(withFp: DataFrame, idCol: String): DataFrame = {
+  private[apps] def keepMinPerFp(withFp: DataFrame, idCol: String): DataFrame = {
     val keepIds = withFp.select(col("_fp"), col(idCol))
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
@@ -114,7 +114,7 @@ object Curate {
 
   /** Family-checks a caller-supplied fingerprint table and normalizes
     * it to the internal `_fp` name. Schema-only — no data read. */
-  private def requireFps(fps: DataFrame, wantCol: String,
+  private[apps] def requireFps(fps: DataFrame, wantCol: String,
                          builder: String): DataFrame = {
     val cols = fps.columns.toSet
     require(cols.contains(wantCol),
@@ -387,7 +387,7 @@ object Curate {
     * dupClusters materializes its edge snapshot up front, after which
     * the lists are released. Returns the surviving batch frame
     * UN-persisted (callers persist + count). */
-  private def dropBatchNearDups(exact: DataFrame, corpus: DataFrame,
+  private[apps] def dropBatchNearDups(exact: DataFrame, corpus: DataFrame,
                                 idCol: String, contentCol: String,
                                 method: SimilarityMethod,
                                 corpusSigs: Option[DataFrame] = None): DataFrame = {

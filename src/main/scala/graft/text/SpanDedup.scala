@@ -142,6 +142,58 @@ object SpanDedup {
     scrubByHits(newDf, idCol, textCol, n, hits)
   }
 
+  /** The corpus-side train-once artifact for [[removeDuplicatedSpansWithCounts]]:
+    * per-n-gram DISTINCT-document counts `(h, nd)` over the corpus —
+    * one pass, fixed-width rows (md5 + count), stored as parquet and
+    * appended to as batches are accepted (union + re-aggregate, or
+    * keep per-increment tables and sum at read). Built over the text
+    * the scrub stage actually saw (PRE-scrub), the counts make the
+    * incremental threshold arithmetic match a full-run replay
+    * exactly. */
+  def gramDocCounts(corpus: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    positionedGrams(corpus, idCol, textCol, n)
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+  }
+
+  /** The MULTIPLICITY-exact incremental removal — what
+    * [[removeDuplicatedSpansAgainst]] cannot express: a batch position
+    * is scrubbed when its n-gram's document count across BATCH +
+    * STANDING CORPUS reaches `minDocs`, exactly the rule
+    * [[removeDuplicatedSpans]] applies in a full run over the union
+    * (the against-form's any-corpus-hit rule is the minDocs-irrelevant
+    * special case). `corpusCounts` is the stored [[gramDocCounts]]
+    * artifact `(h, nd)`.
+    *
+    * Scale shape: batch grams aggregate to per-hash counts (batch-
+    * sized); the corpus artifact joins ON the hash key with the batch
+    * side as the small build side (AQE broadcasts it under threshold),
+    * so the corpus-scale artifact streams through a scan and never
+    * shuffles; the scrub tail is [[removeDuplicatedSpans]]'s. */
+  def removeDuplicatedSpansWithCounts(newDf: DataFrame,
+                                      corpusCounts: DataFrame,
+                                      idCol: String, textCol: String,
+                                      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(corpusCounts.columns.toSet == Set("h", "nd"),
+      s"corpusCounts must be a gramDocCounts artifact (h, nd), got " +
+        s"(${corpusCounts.columns.mkString(", ")})")
+    val grams = positionedGrams(newDf, idCol, textCol, n)
+    val batchCounts = grams.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_bnd"))
+    // batch-only grams crossing the threshold alone, plus grams whose
+    // batch+corpus total crosses it; the inner join keeps the corpus
+    // artifact on the streamed side
+    val dup = batchCounts.filter(col("_bnd") >= minDocs).select(col("h"))
+      .unionByName(batchCounts.join(corpusCounts, Seq("h"))
+        .filter(col("_bnd") + col("nd") >= minDocs).select(col("h")))
+      .distinct()
+    scrubByHits(newDf, idCol, textCol, n, grams.join(dup, Seq("h")))
+  }
+
   /** Shared removal tail: expand hit positions to covered token
     * offsets, anti-join the positioned token stream, rebuild each
     * document in position order (sort_array over (pos, token) —
