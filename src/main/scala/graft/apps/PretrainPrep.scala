@@ -61,7 +61,8 @@ import org.apache.spark.sql.functions._
 object PretrainPrep {
 
   /** Per-stage survivor counts. `afterEmbDecontam == afterDecontam`
-    * when no embedding decontamination is configured. */
+    * when no embedding decontamination is configured. `input` is -1
+    * when the run skipped the input count (`countInput = false`). */
   case class Report(input: Long, afterPolicy: Long, afterBadWords: Long,
                     afterExact: Long, afterSpanScrub: Long,
                     afterNear: Long, afterDecontam: Long,
@@ -94,6 +95,7 @@ object PretrainPrep {
           quotaPerSource: Int = Int.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
+          countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
     // stage boundary: materialize + cut lineage (conf-revertible)
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
@@ -106,11 +108,12 @@ object PretrainPrep {
 
     // stage 1: policy gate. The input stat is a dedicated count():
     // free only when `docs` is a plain parquet scan (row-group counts,
-    // no data read); a TRANSFORMED input pays one scan here. The
+    // no data read); a TRANSFORMED input pays one full scan here —
+    // `countInput = false` skips it (Report.input becomes -1). The
     // Observation idiom cannot replace it — FilterPolicy scans its
     // input twice (signals + repetition aggregate), and an observe
     // node evaluated twice in one job double-counts.
-    val input = docs.count()
+    val input = if (countInput) docs.count() else -1L
     val keptIds = FilterPolicy(docs, idCol, textCol, config)
       .filter(col("keep")).select(col(idCol))
     val kept = docs.select(col(idCol), col(srcCol), col(textCol))

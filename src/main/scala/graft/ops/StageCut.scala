@@ -76,6 +76,18 @@ object StageCut {
     * that gain from cutting at 100s-1000s. */
   val DefaultMinNodes = 96
 
+  /** Materialization contract: the CUT paths (local/reliable
+    * checkpoint) are EAGER — the returned frame's blocks exist when
+    * apply() returns. The PERSIST path (plans under [[MinNodesKey]])
+    * is LAZY — nothing materializes until the caller's first action —
+    * and its lineage may pass through a PREVIOUS stage's cut frame, so
+    * `release(input)` is only safe AFTER an action on the frame this
+    * returns: releasing first unpersists checkpoint blocks the lazy
+    * frame still needs, and a later recompute (block eviction,
+    * executor loss) fails hard because a released local checkpoint has
+    * no lineage to rebuild from. Every pipeline in this engine
+    * count()s the returned frame before releasing its input — new
+    * call sites must keep that order. */
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.conf
@@ -145,7 +157,13 @@ object StageCut {
     * scope. Stage cuts inside survive executor loss; the auto
     * threshold still applies. Materialize results INSIDE the body —
     * after the scope exits, a cut frame's disk backing is gone and
-    * re-evaluating it fails loudly, not silently. */
+    * re-evaluating it fails loudly, not silently.
+    *
+    * SINGLE-CALLER scope (the [[graft.dedup.Dedup.withReliableClusters]]
+    * caveat): the checkpoint dir and `stageCutMode` are GLOBAL session
+    * state — concurrent jobs on the same SparkSession would checkpoint
+    * into this scope's directory and lose their files when the scope
+    * deletes it. Run one reliable scope at a time per session. */
   def withReliableCuts[T](spark: org.apache.spark.sql.SparkSession,
                           dir: String)(body: => T): T = {
     val sc = spark.sparkContext
@@ -162,19 +180,30 @@ object StageCut {
       }
       // the setter is private[spark] but public in bytecode; None
       // restores the no-checkpoint-dir default (the withReliableClusters
-      // idiom). A reflection failure degrades to a warning.
-      try sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
-        .invoke(sc, prevDir)
-      catch {
-        case scala.util.control.NonFatal(e) => System.err.println(
-          s"[graft.ops] withReliableCuts: could not restore the " +
-            s"checkpoint dir (${e.getClass.getSimpleName}); it remains " +
-            s"set to '$dir'")
+      // idiom). A reflection failure degrades to a warning — and SKIPS
+      // the directory delete below: the global checkpoint dir still
+      // points inside this scope's dir, and deleting it would leave
+      // session state aimed at a path every later checkpoint would
+      // fail to write.
+      val restored =
+        try {
+          sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+            .invoke(sc, prevDir)
+          true
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft.ops] withReliableCuts: could not restore the " +
+                s"checkpoint dir (${e.getClass.getSimpleName}); it remains " +
+                s"set under '$dir', which is therefore NOT deleted")
+            false
+        }
+      if (restored) {
+        try resolved.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () } // best-effort
       }
-      try resolved.foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
     }
   }
 }

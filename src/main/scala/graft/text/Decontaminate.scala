@@ -139,7 +139,14 @@ object Decontaminate {
     * Tokenization and shingling mirror the column version exactly —
     * `DecontaminateSpec` pins per-row == batch on the real corpus.
     * Adds `n_bad_grams` (distinct matching grams) and
-    * `contaminated`. */
+    * `contaminated`.
+    *
+    * NOTE on the default budget: `maxBenchGrams` tightened 10,000,000
+    * → 2,000,000 in round 13 (the old default let a ~1 GB broadcast
+    * through silently; a 13-gram eval suite in the few-MB range sits
+    * well under 2M distinct grams). Callers with genuinely larger
+    * bench sets pass a higher budget explicitly — the guard is a
+    * mispointed-argument tripwire, not a hard capability limit. */
   def withContamination(docs: DataFrame, idCol: String, textCol: String,
                         bench: DataFrame, n: Int,
                         maxBenchGrams: Int = 2000000): DataFrame = {
@@ -152,8 +159,12 @@ object Decontaminate {
     // moves no gram strings to the driver, so the guard itself cannot
     // OOM (the earlier limit+collect guard still pulled up to max+1
     // strings — ~GBs near the budget — before its require fired). Only
-    // a frame that PASSED the check is then collected; the bench side
-    // is small by definition, so the second evaluation is cheap.
+    // a frame that PASSED the check is then collected — and that
+    // second evaluation is ALSO limit-bounded: the probe and the
+    // collect are two separate evaluations of an uncached frame, so a
+    // source that grew (or is nondeterministic) between them would
+    // otherwise blow past the budget the probe just enforced. On a
+    // static frame the bounded collect returns the identical set.
     val grams = benchGrams(bench, textCol, n)
     val probed = grams.limit(maxBenchGrams + 1).count()
     require(probed <= maxBenchGrams,
@@ -162,7 +173,7 @@ object Decontaminate {
         "MBs by definition); a frame this large is almost certainly the " +
         "corpus side. Swap the arguments, use the batch " +
         "contaminationReport, or raise maxBenchGrams explicitly.")
-    val arr = grams.collect().map(_.getString(0))
+    val arr = grams.limit(maxBenchGrams).collect().map(_.getString(0))
     val bc = spark.sparkContext.broadcast(arr.toSet)
     val idField = docs.schema(idCol)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,

@@ -167,6 +167,16 @@ object SpanDedup {
     * special case). `corpusCounts` is the stored [[gramDocCounts]]
     * artifact `(h, nd)`.
     *
+    * PRECONDITION — disjoint id sets: a document id present in BOTH
+    * the batch and the corpus the counts were built over is counted
+    * twice toward `minDocs` (once in the batch's distinct-doc count,
+    * once in the artifact's `nd`), which over-scrubs versus a
+    * full-run replay over the true union. The artifact carries no ids,
+    * so this is not checkable here; an ingest pipeline's daily batches
+    * are new ids by construction (and an at-least-once replay must
+    * dedup by id BEFORE this call, not after). The double-count
+    * behavior is pinned in SpanDedupSpec.
+    *
     * Scale shape: batch grams aggregate to per-hash counts (batch-
     * sized); the corpus artifact joins ON the hash key with the batch
     * side as the small build side (AQE broadcasts it under threshold),

@@ -121,6 +121,58 @@ class PretrainPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("countInput=false skips exactly the one input-scan job on a " +
+      "transformed input, with an otherwise identical run") {
+    // a TRANSFORMED input: its count() is a real scan, not a parquet
+    // row-group metadata read — the scan the knob exists to skip
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id") % 3 =!= 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    def jobs[T](body: => T): (Long, T) = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        // drain the async listener bus before reading the counter
+        var last = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val b = n.get
+          if (b == last) stable += 1 else { stable = 0; last = b }
+        }
+        (n.get, r)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def run(ci: Boolean) = {
+      val (out, r) = PretrainPrep.run(docs, "doc_id", "text", "source",
+        badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+        method = SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+        quotaPerSource = 15, nShards = 4, seed = 7,
+        countInput = ci, log = _ => ())
+      val rows = out.select(col("doc_id"), col("shard"), col("pos"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      graft.ops.StageCut.release(out)
+      (r, rows)
+    }
+    run(ci = true) // warm-up: file listing, codegen, broadcast thresholds
+    // what the skipped scan costs, measured the same way (AQE may split
+    // one count() into several jobs — calibrate instead of assuming 1)
+    val (countJobs, _) = jobs(docs.count())
+    val (jobsOn, (rOn, rowsOn)) = jobs(run(ci = true))
+    val (jobsOff, (rOff, rowsOff)) = jobs(run(ci = false))
+    assert(rowsOff == rowsOn, "countInput must not change results")
+    assert(rOff == rOn.copy(input = -1L), s"only input differs: $rOn vs $rOff")
+    assert(countJobs >= 1, "the transformed-input count must be a real job")
+    assert(jobsOff == jobsOn - countJobs,
+      s"countInput=false must skip exactly the input-count scan " +
+        s"($countJobs jobs; true: $jobsOn, false: $jobsOff)")
+  }
+
   test("CLI writes the full release layout (data, manifest, card, " +
       "length_hist, policy)") {
     val dir = java.nio.file.Files.createTempDirectory("prep").toString

@@ -102,4 +102,112 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "k m", 2L), (5L, "p q r s", 4L)))
   }
+
+  // ---- the incremental COUNT artifact + multiplicity-exact scrub ----
+
+  test("gramDocCounts counts DISTINCT docs per n-gram hash") {
+    val corpus = Seq(
+      (1L, "a b c d"),       // grams: "a b c", "b c d"
+      (2L, "a b c e"),       // grams: "a b c", "b c e"
+      (3L, "a b c a b c"))   // "a b c" twice (+ bridge grams) — still ONE doc
+      .toDF("doc_id", "text")
+    val counts = SpanDedup.gramDocCounts(corpus, "doc_id", "text", n = 3)
+      .as[(String, Long)].collect().toMap
+    // the shared gram's hash: md5 of the space-joined lowercase words
+    val h = spark.sql("SELECT md5('a b c')").as[String].head()
+    assert(counts(h) == 3L, "within-doc repetition must not inflate nd")
+    assert(counts.filter(_._2 > 1) == Map(h -> 3L),
+      s"only 'a b c' crosses docs: $counts")
+  }
+
+  private def scrubWithCounts(batch: Seq[(Long, String)],
+                              corpus: Seq[(Long, String)],
+                              n: Int, minDocs: Int) = {
+    val counts = SpanDedup.gramDocCounts(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+    SpanDedup.removeDuplicatedSpansWithCounts(
+        batch.toDF("doc_id", "text"), counts, "doc_id", "text", n, minDocs)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("counts-scrub: batch-only grams cross the threshold alone") {
+    // corpus shares nothing; two batch docs share "a b c d"
+    val corpus = Seq((100L, "x y z w"))
+    val batch = Seq(
+      (1L, "a b c d p"),
+      (2L, "q a b c d"),
+      (3L, "u v w s t"))
+    assert(scrubWithCounts(batch, corpus, n = 3, minDocs = 2) == Seq(
+      (1L, "p", 1L), (2L, "q", 1L), (3L, "u v w s t", 5L)))
+  }
+
+  test("counts-scrub: batch + corpus multiplicities SUM toward minDocs") {
+    // "a b c d" in ONE batch doc + TWO corpus docs: 1+2 >= 3 scrubs at
+    // minDocs=3; "e f g h" in one batch doc + ONE corpus doc: 1+1 < 3
+    // survives at minDocs=3 but scrubs at minDocs=2 (the against-form
+    // special case)
+    val corpus = Seq((100L, "a b c d x"), (101L, "y a b c d"),
+      (102L, "e f g h z"))
+    val batch = Seq(
+      (1L, "k a b c d m"),
+      (2L, "k e f g h m"))
+    assert(scrubWithCounts(batch, corpus, n = 3, minDocs = 3) == Seq(
+      (1L, "k m", 2L), (2L, "k e f g h m", 6L)))
+    assert(scrubWithCounts(batch, corpus, n = 3, minDocs = 2) == Seq(
+      (1L, "k m", 2L), (2L, "k m", 2L)))
+  }
+
+  test("counts-scrub parity: == removeDuplicatedSpans over the union, " +
+      "restricted to batch ids (disjoint id spaces)") {
+    // mixed crossings: batch-internal (1,3 share "p q r s"), cross-side
+    // (5 shares "a b c d" with corpus 100), corpus-internal only (100,
+    // 101 share "m n o" — must NOT scrub any batch doc at minDocs=3
+    // unless a batch doc carries it too: doc 7 does), untouched (9)
+    val corpus = Seq(
+      (100L, "a b c d m n o"),
+      (101L, "m n o t u v w"),
+      (102L, "z1 z2 z3 z4"))
+    val batch = Seq(
+      (1L, "p q r s e1 e2"),
+      (3L, "e3 p q r s e4"),
+      (5L, "e5 a b c d e6"),
+      (7L, "e7 m n o e8 e9"),
+      (9L, "w1 w2 w3 w4 w5"))
+    for (minDocs <- Seq(2, 3)) {
+      val batchIds = batch.map(_._1).toSet
+      val full = SpanDedup.removeDuplicatedSpans(
+          (batch ++ corpus).toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, minDocs = minDocs)
+        .as[(Long, String, Long)].collect()
+        .filter(r => batchIds(r._1)).sortBy(_._1).toSeq
+      val inc = scrubWithCounts(batch, corpus, n = 3, minDocs = minDocs)
+      assert(inc == full, s"minDocs=$minDocs: incremental $inc != full-run " +
+        s"batch slice $full")
+    }
+  }
+
+  test("counts-scrub pins the documented overlap-id DOUBLE COUNT: an id " +
+      "in both batch and corpus over-scrubs vs the true-union replay") {
+    // doc 1 appears (same text) in batch AND in the corpus the counts
+    // were built over: _bnd=1 + nd=1 = 2 >= minDocs=2 scrubs everything,
+    // where a replay over the DEDUPED union (one distinct doc) keeps it
+    val text = "a b c d e"
+    val inc = scrubWithCounts(Seq((1L, text)), Seq((1L, text)),
+      n = 3, minDocs = 2)
+    assert(inc.isEmpty, "overlapping id must over-scrub (documented)")
+    val replay = SpanDedup.removeDuplicatedSpans(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 3, 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(replay == Seq((1L, text, 5L)), "the true union keeps the doc")
+  }
+
+  test("counts-scrub rejects a frame that is not a gramDocCounts artifact") {
+    val batch = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bad = Seq(("x", 1L)).toDF("hash", "n")
+    val e = intercept[IllegalArgumentException] {
+      SpanDedup.removeDuplicatedSpansWithCounts(batch, bad,
+        "doc_id", "text", 3, 2)
+    }
+    assert(e.getMessage.contains("gramDocCounts"))
+  }
 }
