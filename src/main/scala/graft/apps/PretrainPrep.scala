@@ -73,6 +73,42 @@ object PretrainPrep {
   case class EmbDecontam(docVecs: DataFrame, benchVecs: DataFrame,
                          vecCol: String, minCos: Double)
 
+  /** The TRAIN-ONCE maintenance artifacts a run leaves behind so the
+    * NEXT daily [[runIncremental]] never re-reads the standing
+    * corpus's raw text:
+    *
+    *   - `fps` — DISTINCT raw-text fingerprints of the scrub stage's
+    *     input docs ([[graft.apps.Curate.textFingerprints]] shape,
+    *     `_fp_text`): the incremental exact stage anti-joins these.
+    *     Built over the scrub INPUT, not the accepted output — the
+    *     full run's exact stage sees every post-bad-words doc, so
+    *     docs dropped LATER (scrub/near/decontam/quota) still block a
+    *     re-submitted exact copy, exactly as a full-run replay would.
+    *   - `gramCounts` — [[graft.text.SpanDedup.gramDocCounts]] `(h,
+    *     nd)` over the same docs' raw text: the incremental scrub's
+    *     multiplicity-exact threshold arithmetic.
+    *   - `scrubInput` — the still-materialized stage frame both were
+    *     built from. The caller materializes the artifact frames
+    *     (write/collect) and then MUST [[graft.ops.StageCut.release]]
+    *     this frame; until then fps/gramCounts evaluate against the
+    *     cached blocks instead of recomputing three stages.
+    *
+    * Union maintenance after each accepted increment (disjoint daily
+    * ids — see [[graft.text.SpanDedup.removeDuplicatedSpansWithCounts]]):
+    * `fps' = (fps ∪ batch.fps).distinct`, `gramCounts' = (gramCounts ∪
+    * batch.gramCounts) groupBy h sum nd`, corpus' = corpus ∪ accepted,
+    * and LSH signatures over the accepted clean_text union into the
+    * standing sigs table. */
+  case class PrepArtifacts(fps: DataFrame, gramCounts: DataFrame,
+                           scrubInput: DataFrame)
+
+  /** Per-stage survivor counts of [[runIncremental]]. `input` is -1
+    * when the run skipped the input count (`countInput = false`). */
+  case class IncReport(input: Long, afterPolicy: Long, afterBadWords: Long,
+                       afterExact: Long, afterSpanScrub: Long,
+                       afterNear: Long, afterDecontam: Long,
+                       afterQuota: Long)
+
   /** Returns the training-ready frame `(idCol, srcCol, clean_text,
     * n_kept, shard, pos)` — already materialized (see
     * [[graft.ops.StageCut]] for the cleanup contract) — and the
@@ -97,6 +133,55 @@ object PretrainPrep {
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
+    val (out, report, _) = runImpl(docs, idCol, textCol, srcCol, bench,
+      config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
+      quotaPerSource, nShards, seed, countInput, keepArtifacts = false, log)
+    (out, report)
+  }
+
+  /** [[run]] that ALSO returns the [[PrepArtifacts]] the next
+    * [[runIncremental]] consumes — same stages, same output, but the
+    * scrub-input frame stays materialized so the artifact frames are
+    * one cached-pass each. Release `artifacts.scrubInput` after
+    * materializing them. */
+  def runWithArtifacts(docs: DataFrame, idCol: String, textCol: String,
+          srcCol: String,
+          bench: Option[DataFrame] = None,
+          config: PolicyConfig = PolicyConfig.Gopher,
+          badWords: Seq[String] = Seq.empty,
+          spanN: Int = 4,
+          spanMinDocs: Int = 2,
+          method: SimilarityMethod =
+            SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+          decontamN: Int = 13,
+          embDecontam: Option[EmbDecontam] = None,
+          quotaPerSource: Int = Int.MaxValue,
+          nShards: Int = 64,
+          seed: Int = 0,
+          countInput: Boolean = true,
+          log: String => Unit = m => System.err.println(m)): (DataFrame, Report, PrepArtifacts) = {
+    val (out, report, arts) = runImpl(docs, idCol, textCol, srcCol, bench,
+      config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
+      quotaPerSource, nShards, seed, countInput, keepArtifacts = true, log)
+    (out, report, arts.get)
+  }
+
+  private def runImpl(docs: DataFrame, idCol: String, textCol: String,
+          srcCol: String,
+          bench: Option[DataFrame],
+          config: PolicyConfig,
+          badWords: Seq[String],
+          spanN: Int,
+          spanMinDocs: Int,
+          method: SimilarityMethod,
+          decontamN: Int,
+          embDecontam: Option[EmbDecontam],
+          quotaPerSource: Int,
+          nShards: Int,
+          seed: Int,
+          countInput: Boolean,
+          keepArtifacts: Boolean,
+          log: String => Unit): (DataFrame, Report, Option[PrepArtifacts]) = {
     // stage boundary: materialize + cut lineage (conf-revertible)
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
     require(spanN >= 1, s"spanN must be >= 1, got $spanN")
@@ -152,7 +237,14 @@ object PretrainPrep {
       .join(exact.select(col(idCol), col(srcCol)), Seq(idCol))
       .transform(stage)
     val afterSpanScrub = scrubbed.count()
-    graft.ops.StageCut.release(exact)
+    // artifact mode keeps the scrub input alive: fps + gram counts are
+    // then one cached pass each, and the CALLER releases it
+    val artifacts =
+      if (keepArtifacts) Some(PrepArtifacts(
+        Curate.textFingerprints(exact, textCol),
+        SpanDedup.gramDocCounts(exact, idCol, textCol, spanN),
+        exact))
+      else { graft.ops.StageCut.release(exact); None }
     log(s"[prep] span scrub (n=$spanN, minDocs=$spanMinDocs): " +
       s"$afterExact -> $afterSpanScrub")
 
@@ -220,7 +312,269 @@ object PretrainPrep {
 
     (sharded, Report(input, afterPolicy, afterBadWords, afterExact,
       afterSpanScrub, afterNear, afterDecontam, afterEmbDecontam,
-      afterQuota))
+      afterQuota), artifacts)
+  }
+
+  /** The DAILY run — today's crawl batch through the SAME release
+    * recipe, against a STANDING corpus, without re-reading the corpus
+    * text: every stage swaps its self-join form for the A-vs-B form
+    * this engine already gates one by one. Corpus survivors are
+    * INVARIANT — only batch documents are ever dropped or trimmed.
+    *
+    *   1. Gopher policy gate on the batch (the corpus already passed),
+    *   2. C4 bad-words drop,
+    *   3. exact dedup — min id per raw-text fingerprint WITHIN the
+    *      batch, then anti-join the stored corpus `fps` artifact,
+    *   4. duplicated-span scrub with MULTIPLICITY-EXACT union
+    *      arithmetic ([[graft.text.SpanDedup.removeDuplicatedSpansWithCounts]]
+    *      against the stored [[graft.text.SpanDedup.gramDocCounts]]
+    *      artifact): a batch position is cut when batch + corpus
+    *      document counts reach `spanMinDocs`, exactly the rule a full
+    *      run applies over the union,
+    *   5. near-dup — within-batch pairs plus batch×corpus pairs
+    *      ([[graft.dedup.SimilarJoin.similarJoinAgainst]] over the
+    *      corpus `clean_text`, or the stored `corpusSigs` signature
+    *      table) through ONE connected-components pass
+    *      ([[Curate]]'s incremental drop rule: a batch doc falls if
+    *      its component touches the corpus or it is a non-min-id
+    *      member of a batch-only component),
+    *   6. n-gram benchmark decontamination (same bench, per-doc —
+    *      stateless, so the batch form IS the full form),
+    *   7. per-source quota as HEADROOM fill: the batch keeps its
+    *      token-richest rows per source only up to `quotaPerSource`
+    *      minus the standing corpus's count for that source (a full
+    *      quota means no batch row of that source enters — the corpus
+    *      is never evicted),
+    *   8. deterministic shard assignment with the SAME (seed,
+    *      nShards) as the standing corpus — `shard` is a pure function
+    *      of the id, so batch rows land in their forever-shards; `pos`
+    *      continues each shard's sequence after the corpus's rows
+    *      (pos = corpus shard count + batch rank), so corpus ∪
+    *      accepted is a dense, collision-free epoch per shard.
+    *
+    * `corpus` must be the ACCEPTED output of a previous [[run]] /
+    * runIncremental (columns idCol, srcCol, clean_text, n_kept, shard,
+    * pos) — `seed`/`nShards` must match the run that produced it.
+    * `corpusFps` and `corpusGramCounts` are the [[PrepArtifacts]]
+    * tables; batch and corpus ids must be DISJOINT (see
+    * removeDuplicatedSpansWithCounts — a replayed id double-counts).
+    *
+    * Equivalence vs a full run over corpus ∪ batch (spec-pinned in
+    * `PretrainPrepSpec`): stages 1-4 and 6 match the full run's batch
+    * slice exactly (same preconditions as
+    * [[graft.apps.Curate.runIncremental]]: batch ids sort after corpus
+    * ids, no value collisions). Three documented drifts are inherent
+    * to append-on-accept: (a) the near stage pairs the batch against
+    * ACCEPTED corpus docs only, so a batch doc near-duplicating a
+    * corpus doc that the corpus run itself dropped (quota, decontam)
+    * is kept here but dropped by a full-run replay; (b) a gram whose
+    * corpus-side count sits below `spanMinDocs` until BATCH copies
+    * push it over scrubs the batch positions (exact) but cannot
+    * retroactively scrub the standing corpus's copies, where a full
+    * run scrubs both sides; (c) quota is headroom-fill — a full run's
+    * global top-K may instead evict a corpus doc in favor of a richer
+    * batch doc. All three keep the corpus fixed, which is the contract
+    * an append-only release wants.
+    *
+    * Scale shape: the corpus contributes the `fps`/`gramCounts`/`sigs`
+    * artifact scans plus two id-or-shard-column reads (near-stage
+    * component ids, per-source/per-shard counts) — its TEXT is read
+    * zero times with stored sigs; every shuffle is batch-sized except
+    * the artifact joins, which stream the corpus side. */
+  def runIncremental(newDocs: DataFrame, corpus: DataFrame,
+          corpusFps: DataFrame, corpusGramCounts: DataFrame,
+          idCol: String, textCol: String, srcCol: String,
+          bench: Option[DataFrame] = None,
+          config: PolicyConfig = PolicyConfig.Gopher,
+          badWords: Seq[String] = Seq.empty,
+          spanN: Int = 4,
+          spanMinDocs: Int = 2,
+          method: SimilarityMethod =
+            SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+          corpusSigs: Option[DataFrame] = None,
+          decontamN: Int = 13,
+          quotaPerSource: Int = Int.MaxValue,
+          nShards: Int = 64,
+          seed: Int = 0,
+          countInput: Boolean = true,
+          log: String => Unit = m => System.err.println(m)): (DataFrame, IncReport) = {
+    val (out, report, _) = runIncrementalImpl(newDocs, corpus, corpusFps,
+      corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
+      spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
+      nShards, seed, countInput, keepArtifacts = false, log)
+    (out, report)
+  }
+
+  /** [[runIncremental]] that also returns the batch-side
+    * [[PrepArtifacts]] (fingerprints + gram counts of the batch's
+    * scrub-input docs) for the union maintenance move — release
+    * `artifacts.scrubInput` after materializing them. */
+  def runIncrementalWithArtifacts(newDocs: DataFrame, corpus: DataFrame,
+          corpusFps: DataFrame, corpusGramCounts: DataFrame,
+          idCol: String, textCol: String, srcCol: String,
+          bench: Option[DataFrame] = None,
+          config: PolicyConfig = PolicyConfig.Gopher,
+          badWords: Seq[String] = Seq.empty,
+          spanN: Int = 4,
+          spanMinDocs: Int = 2,
+          method: SimilarityMethod =
+            SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+          corpusSigs: Option[DataFrame] = None,
+          decontamN: Int = 13,
+          quotaPerSource: Int = Int.MaxValue,
+          nShards: Int = 64,
+          seed: Int = 0,
+          countInput: Boolean = true,
+          log: String => Unit = m => System.err.println(m)): (DataFrame, IncReport, PrepArtifacts) = {
+    val (out, report, arts) = runIncrementalImpl(newDocs, corpus, corpusFps,
+      corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
+      spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
+      nShards, seed, countInput, keepArtifacts = true, log)
+    (out, report, arts.get)
+  }
+
+  private def runIncrementalImpl(newDocs: DataFrame, corpus: DataFrame,
+          corpusFps: DataFrame, corpusGramCounts: DataFrame,
+          idCol: String, textCol: String, srcCol: String,
+          bench: Option[DataFrame],
+          config: PolicyConfig,
+          badWords: Seq[String],
+          spanN: Int,
+          spanMinDocs: Int,
+          method: SimilarityMethod,
+          corpusSigs: Option[DataFrame],
+          decontamN: Int,
+          quotaPerSource: Int,
+          nShards: Int,
+          seed: Int,
+          countInput: Boolean,
+          keepArtifacts: Boolean,
+          log: String => Unit): (DataFrame, IncReport, Option[PrepArtifacts]) = {
+    val stage = (df: DataFrame) => graft.ops.StageCut(df)
+    require(spanN >= 1, s"spanN must be >= 1, got $spanN")
+    require(spanMinDocs >= 2, s"spanMinDocs must be >= 2, got $spanMinDocs")
+    require(decontamN >= 1, s"decontamN must be >= 1, got $decontamN")
+    require(quotaPerSource >= 1,
+      s"quotaPerSource must be >= 1, got $quotaPerSource")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val missing = Seq(idCol, srcCol, "clean_text", "shard")
+      .filterNot(corpus.columns.contains)
+    require(missing.isEmpty,
+      s"corpus must be a previous run's ACCEPTED output; missing " +
+        s"columns: ${missing.mkString(", ")}")
+
+    // stage 1: policy gate on the batch (same count note as run())
+    val input = if (countInput) newDocs.count() else -1L
+    val keptIds = FilterPolicy(newDocs, idCol, textCol, config)
+      .filter(col("keep")).select(col(idCol))
+    val kept = newDocs.select(col(idCol), col(srcCol), col(textCol))
+      .join(keptIds, Seq(idCol), "left_semi")
+      .transform(stage)
+    val afterPolicy = kept.count()
+    log(s"[prep+] policy gate: $input -> $afterPolicy")
+
+    // stage 2: bad-words — in-row, rides the scan
+    val noBad =
+      (if (badWords.isEmpty) kept
+       else C4Clean.dropBadWordDocs(kept, textCol, badWords))
+        .transform(stage)
+    val afterBadWords = noBad.count()
+    graft.ops.StageCut.release(kept)
+    log(s"[prep+] bad-words (${badWords.size} terms): " +
+      s"$afterPolicy -> $afterBadWords")
+
+    // stage 3: exact dedup within the batch, then against the stored
+    // corpus fingerprints — (fp, id) only through both exchanges
+    val cfps = Curate.requireFps(corpusFps, "_fp_text", "textFingerprints")
+    val winners = noBad
+      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
+        col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .join(cfps, Seq("_fp"), "left_anti")
+      .select(col(idCol))
+    val exact = noBad.join(winners, Seq(idCol), "left_semi")
+      .transform(stage)
+    val afterExact = exact.count()
+    graft.ops.StageCut.release(noBad)
+    log(s"[prep+] exact dedup (batch + corpus fps): " +
+      s"$afterBadWords -> $afterExact")
+
+    // stage 4: multiplicity-exact span scrub vs the stored counts
+    val scrubbed = SpanDedup
+      .removeDuplicatedSpansWithCounts(exact, corpusGramCounts,
+        idCol, textCol, spanN, spanMinDocs)
+      .join(exact.select(col(idCol), col(srcCol)), Seq(idCol))
+      .transform(stage)
+    val afterSpanScrub = scrubbed.count()
+    val artifacts =
+      if (keepArtifacts) Some(PrepArtifacts(
+        Curate.textFingerprints(exact, textCol),
+        SpanDedup.gramDocCounts(exact, idCol, textCol, spanN),
+        exact))
+      else { graft.ops.StageCut.release(exact); None }
+    log(s"[prep+] span scrub (n=$spanN, minDocs=$spanMinDocs, corpus " +
+      s"counts): $afterExact -> $afterSpanScrub")
+
+    // stage 5: near-dup vs self + corpus clean_text (or stored sigs) —
+    // ONE component pass, Curate's incremental drop rule
+    val near = Curate.dropBatchNearDups(
+        scrubbed.select(col(idCol), col(srcCol), col("n_kept"),
+          col("clean_text"), col("clean_text").as(textCol)),
+        corpus.select(col(idCol), col("clean_text").as(textCol)),
+        idCol, textCol, method, corpusSigs)
+      .drop(textCol)
+      .transform(stage)
+    val afterNear = near.count()
+    graft.ops.StageCut.release(scrubbed)
+    log(s"[prep+] near dedup vs corpus (${method.getClass.getSimpleName}): " +
+      s"$afterSpanScrub -> $afterNear")
+
+    // stage 6: n-gram decontamination of the scrubbed batch text
+    val dec = bench match {
+      case Some(b) =>
+        Decontaminate.decontaminate(
+            near.withColumn(textCol, col("clean_text")), b,
+            idCol, textCol, decontamN)
+          .drop(textCol)
+          .transform(stage)
+      case None => near
+    }
+    val afterDecontam = dec.count()
+    if (bench.isDefined) graft.ops.StageCut.release(near)
+    log(s"[prep+] $decontamN-gram decontamination: " +
+      s"$afterNear -> $afterDecontam")
+
+    // stage 7: per-source HEADROOM quota — the standing corpus's count
+    // per source is a (srcCol)-only aggregate; batch keeps its
+    // token-richest rows only into the remaining headroom
+    val quota =
+      if (quotaPerSource == Int.MaxValue) dec
+      else {
+        val standing = corpus.groupBy(col(srcCol))
+          .agg(count(lit(1)).as("_cn"))
+        Sampling.capPerGroup(dec, Seq(srcCol),
+            Seq(("n_kept", false), (idCol, true)), quotaPerSource)
+          .join(standing, Seq(srcCol), "left")
+          .filter(col("rn") + coalesce(col("_cn"), lit(0L)) <=
+            quotaPerSource)
+          .drop("rn", "_cn")
+      }
+    // stage 8: same-epoch shard assignment; pos continues each shard's
+    // sequence after the standing corpus ((shard)-only aggregate)
+    val shardCounts = corpus.groupBy(col("shard"))
+      .agg(count(lit(1)).as("_sn"))
+    val sharded = Sampling.shuffleShards(quota, idCol, nShards, seed)
+      .join(shardCounts, Seq("shard"), "left")
+      .withColumn("pos", col("pos") + coalesce(col("_sn"), lit(0L)))
+      .drop("_sn")
+      .transform(stage)
+    val afterQuota = sharded.count()
+    graft.ops.StageCut.release(dec)
+    log(s"[prep+] quota headroom (<= $quotaPerSource/source incl corpus) " +
+      s"+ shards ($nShards, seed $seed): $afterDecontam -> $afterQuota")
+
+    (sharded, IncReport(input, afterPolicy, afterBadWords, afterExact,
+      afterSpanScrub, afterNear, afterDecontam, afterQuota), artifacts)
   }
 }
 
@@ -238,7 +592,11 @@ object PretrainPrep {
   *     table carries a `lang` column) and [[Profile.lengthHistogram]]
   *     over the released text,
   *   - `policy/` — the [[PolicyConfig]] artifact that produced the
-  *     keep decisions ([[FilterPolicy.savePolicy]]).
+  *     keep decisions ([[FilterPolicy.savePolicy]]),
+  *   - `fps/` + `gram_counts/` + `sigs/` — the
+  *     [[PretrainPrep.PrepArtifacts]] maintenance tables (plus LSH /
+  *     SimHash signatures over the accepted clean text) that the
+  *     DAILY `pretrain-prep-incremental` run consumes.
   *
   * Options: `bench=<parquet>` (held-out eval set, enables
   * decontamination), `policy=<parquet>` (stored config artifact),
@@ -285,20 +643,28 @@ object PretrainPrepMain {
         opts.get("mincos").map(_.toDouble).getOrElse(0.98))
     }
     val seqLen = opts.get("seqLen").map(_.toInt).getOrElse(2048)
-    val (out, report) = PretrainPrep.run(docs, "doc_id", "text", "source",
+    val method = opts.get("method").map(CurateMain.parseMethod)
+      .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
+    val (out, report, arts) = PretrainPrep.runWithArtifacts(
+      docs, "doc_id", "text", "source",
       bench = bench, config = config,
       badWords = opts.get("badwords")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
       spanN = opts.get("spanN").map(_.toInt).getOrElse(4),
       spanMinDocs = opts.get("spanMinDocs").map(_.toInt).getOrElse(2),
-      method = opts.get("method").map(CurateMain.parseMethod)
-        .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8)),
+      method = method,
       decontamN = opts.get("decontamN").map(_.toInt).getOrElse(13),
       embDecontam = emb,
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
       seed = opts.get("seed").map(_.toInt).getOrElse(0))
+    // maintenance artifacts for the daily incremental run — off the
+    // still-cached scrub-input frame, then release it
+    arts.fps.write.mode("overwrite").parquet(s"$outDir/fps")
+    arts.gramCounts.write.mode("overwrite").parquet(s"$outDir/gram_counts")
+    PretrainPrepIncrementalMain.writeSigs(out, method, s"$outDir/sigs")
+    graft.ops.StageCut.release(arts.scrubInput)
 
     // data/: partition pruning on shard, row groups clustered by pos
     val written = graft.io.Publish.writePartitioned(out, s"$outDir/data",
@@ -322,6 +688,140 @@ object PretrainPrepMain {
     FilterPolicy.savePolicy(spark, config, s"$outDir/policy")
     graft.ops.StageCut.release(out)
     println(s"[prep] ${report.input} in -> ${report.afterQuota} docs / " +
+      s"$written rows published under $outDir")
+    Mains.stop(spark)
+  }
+}
+
+/** `pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir>
+  * [key=value...]` — the DAILY release run as one CLI: read today's
+  * batch from `batchDir` (a `documents` table), the standing corpus
+  * and its maintenance artifacts from a previous `pretrain-prep` (or
+  * `pretrain-prep-incremental`) output directory, run
+  * [[PretrainPrep.runIncremental]], and write the same layout the
+  * next day's run reads:
+  *
+  *   - `data/` — the accepted batch rows, shard-partitioned like the
+  *     full run's (UNION the directories for the epoch: pos continues
+  *     each shard's sequence after the standing corpus),
+  *   - `accepted/` — the same rows unpartitioned (the frame to union
+  *     into the standing corpus table),
+  *   - `fps/` + `gram_counts/` — the batch-side [[PretrainPrep
+  *     .PrepArtifacts]], already UNIONED with the standing tables
+  *     (fps distinct, counts summed per hash) so the directory is the
+  *     next run's artifact input as-is,
+  *   - `sigs/` — standing ∪ accepted-batch signatures (same union
+  *     maintenance).
+  *
+  * Options: `bench=<parquet>`, `policy=<parquet>`, `badwords=a,b,c`,
+  * `spanN=4`, `spanMinDocs=2`, `method=minhash:0.8|simhash:<h>`,
+  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0` — `shards` and
+  * `seed` MUST match the run that produced the standing corpus (the
+  * epoch is a pure function of them). Stage counts land on stderr. */
+object PretrainPrepIncrementalMain {
+
+  private val usage =
+    "usage: pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir> " +
+      "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
+      "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
+      "[shards=64] [seed=0]"
+  private val knownKeys = Set("bench", "policy", "badwords", "spanN",
+    "spanMinDocs", "method", "decontamN", "quota", "shards", "seed")
+
+  /** Signature table over an accepted frame's `clean_text` — the near
+    * stage's train-once artifact; a cosine/embedding method has no
+    * text signature table (nothing written). */
+  private[apps] def writeSigs(accepted: DataFrame,
+                              method: SimilarityMethod,
+                              dir: String): Unit = method match {
+    case SimilarityMethod.MinHashLsh(n, b, _) =>
+      graft.dedup.Dedup.lshSignatures(
+          accepted.select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", "text", n, b)
+        .write.mode("overwrite").parquet(dir)
+    case _: SimilarityMethod.SimHash =>
+      graft.dedup.Dedup.simhashSignatures(
+          accepted.select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    case _ => ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) throw new IllegalArgumentException(usage)
+    val Array(batchDir, corpusOut, outDir, rest @ _*) =
+      args.toSeq.toArray: @unchecked
+    val opts = rest.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if knownKeys(k) => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"unrecognized option '$kv'\n$usage")
+      }
+    }.toMap
+    val spark = Mains.session("graft-pretrain-prep-incremental")
+    val batch = graft.Tables.load(spark, batchDir, "documents")
+    // the standing corpus is the previous run's shard-partitioned data
+    val corpus = graft.io.Publish.readPartitioned(spark, s"$corpusOut/data")
+    val corpusFps = spark.read.parquet(s"$corpusOut/fps")
+    val corpusCounts = spark.read.parquet(s"$corpusOut/gram_counts")
+    val method = opts.get("method").map(CurateMain.parseMethod)
+      .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
+    val sigsPath = new java.io.File(s"$corpusOut/sigs")
+    val corpusSigs =
+      if (sigsPath.isDirectory && sigsPath.list().nonEmpty)
+        Some(spark.read.parquet(sigsPath.toString))
+      else None
+    val bench = opts.get("bench").map(p => spark.read.parquet(p))
+    val config = opts.get("policy")
+      .map(p => FilterPolicy.loadPolicy(spark, p))
+      .getOrElse(PolicyConfig.Gopher)
+    val (out, report, arts) = PretrainPrep.runIncrementalWithArtifacts(
+      batch, corpus, corpusFps, corpusCounts, "doc_id", "text", "source",
+      bench = bench, config = config,
+      badWords = opts.get("badwords")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      spanN = opts.get("spanN").map(_.toInt).getOrElse(4),
+      spanMinDocs = opts.get("spanMinDocs").map(_.toInt).getOrElse(2),
+      method = method, corpusSigs = corpusSigs,
+      decontamN = opts.get("decontamN").map(_.toInt).getOrElse(13),
+      quotaPerSource = opts.get("quota").map(_.toInt)
+        .getOrElse(Int.MaxValue),
+      nShards = opts.get("shards").map(_.toInt).getOrElse(64),
+      seed = opts.get("seed").map(_.toInt).getOrElse(0))
+
+    val written = graft.io.Publish.writePartitioned(out, s"$outDir/data",
+      Seq("shard"), "pos")
+    out.write.mode("overwrite").parquet(s"$outDir/accepted")
+    // UNION maintenance: the written artifact dirs are the next run's
+    // inputs as-is (fps distinct, per-hash counts summed, sigs unioned)
+    arts.fps.unionByName(corpusFps.select(col("_fp_text"))).distinct()
+      .write.mode("overwrite").parquet(s"$outDir/fps")
+    arts.gramCounts.unionByName(corpusCounts)
+      .groupBy(col("h")).agg(sum(col("nd")).as("nd"))
+      .write.mode("overwrite").parquet(s"$outDir/gram_counts")
+    graft.ops.StageCut.release(arts.scrubInput)
+    corpusSigs match {
+      case Some(sigs) =>
+        // re-read the accepted rows (tiny) so the sig pass does not
+        // re-run the pipeline tail, then union with the standing table
+        val acc = spark.read.parquet(s"$outDir/accepted")
+        val fresh = method match {
+          case SimilarityMethod.MinHashLsh(n, b, _) =>
+            Some(graft.dedup.Dedup.lshSignatures(
+              acc.select(col("doc_id"), col("clean_text").as("text")),
+              "doc_id", "text", n, b))
+          case _: SimilarityMethod.SimHash =>
+            Some(graft.dedup.Dedup.simhashSignatures(
+              acc.select(col("doc_id"), col("clean_text").as("text")),
+              "doc_id", "text"))
+          case _ => None
+        }
+        fresh.foreach(_.unionByName(sigs)
+          .write.mode("overwrite").parquet(s"$outDir/sigs"))
+      case None => writeSigs(out, method, s"$outDir/sigs")
+    }
+    graft.ops.StageCut.release(out)
+    println(s"[prep+] ${report.input} in -> ${report.afterQuota} accepted / " +
       s"$written rows published under $outDir")
     Mains.stop(spark)
   }

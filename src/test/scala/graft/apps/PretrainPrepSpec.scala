@@ -173,6 +173,184 @@ class PretrainPrepSpec extends SparkSpec {
         s"($countJobs jobs; true: $jobsOn, false: $jobsOff)")
   }
 
+  // ---- runIncremental: the daily A-vs-B release run ----
+
+  /** Policy-passing filler: `n` tokens, unique to `tag` (every 4-gram
+    * window contains a tagged word — no unintended cross-doc grams),
+    * a stopword every 4th token (>= 2 for n >= 8), mean word len ~4.5. */
+  private def filler(tag: String, n: Int): String = {
+    val stops = Seq("the", "and", "of", "is", "on", "to", "in", "for",
+      "an", "a")
+    (1 to n).map(i =>
+      if (i % 4 == 0) stops((i / 4 - 1) % stops.size) else s"${tag}x$i")
+      .mkString(" ")
+  }
+
+  /** The shared boilerplate phrase (8 tokens = five 4-grams): present
+    * in THREE corpus docs, so the corpus run scrubs it (minDocs=3) and
+    * the stored gram counts carry nd=3 — a batch doc containing it is
+    * trimmed identically by the incremental counts path and a full-run
+    * replay (the scrub-stability precondition). */
+  private val P = "crimson harbor lantern glows beyond the midnight quay"
+  private val benchGram = "zeta omega theta sigma lambda"
+
+  private def incFixture() = {
+    val corpusDocs = Seq(
+      (1L, "w1", filler("c1", 16) + " " + P + " " + filler("c1b", 16)),
+      (2L, "w1", filler("c2", 16) + " " + P + " " + filler("c2b", 16)),
+      (3L, "w1", filler("c3", 16) + " " + P + " " + filler("c3b", 16)),
+      (4L, "w1", filler("c4", 32)),
+      (5L, "w2", filler("c5", 32))).toDF("doc_id", "source", "text")
+    val t101 = filler("n1", 32)
+    val t107 = filler("n7", 16) + " " + P + " " + filler("n7b", 16)
+    val batch = Seq(
+      (101L, "w1", t101),                         // novel -> accepted
+      (102L, "w1", filler("n2", 8)),              // < 30 tokens -> policy
+      (103L, "w1", filler("n3", 31) + " dup"),    // bad word -> badwords
+      (104L, "w1", t101),                         // = 101 -> batch exact
+      (105L, "w1", filler("c4", 32)),             // = corpus 4 -> fps exact
+      (106L, "w1", filler("c5", 32) + " " + filler("t6", 4)), // ~ corpus 5 -> near
+      (107L, "w1", t107),                         // P trimmed -> accepted
+      (108L, "w1", t107 + " " + filler("t8", 4)), // ~ 107 -> batch near
+      (109L, "w1", filler("n9", 27) + " " + benchGram)) // -> decontam
+      .toDF("doc_id", "source", "text")
+    val bench = Seq((900L, benchGram + " " + filler("bb", 16)))
+      .toDF("doc_id", "text")
+    (corpusDocs, batch, bench)
+  }
+
+  private val incMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+
+  private def corpusRun(corpusDocs: org.apache.spark.sql.DataFrame,
+                        bench: org.apache.spark.sql.DataFrame) =
+    PretrainPrep.runWithArtifacts(corpusDocs, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      nShards = 4, seed = 7, log = _ => ())
+
+  test("runIncremental == the batch slice of a full run over the union " +
+      "(the q70 equivalence discipline), with every stage dropping") {
+    val (corpusDocs, batch, bench) = incFixture()
+    val (corpus, corpusReport, arts) = corpusRun(corpusDocs, bench)
+    assert(corpusReport.afterQuota == 5, s"corpus run: $corpusReport")
+
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (inc, r) = PretrainPrep.runIncremental(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      nShards = 4, seed = 7, log = logs += _)
+
+    // every incremental stage drops on this fixture
+    assert(r == PretrainPrep.IncReport(9, 8, 7, 5, 5, 3, 2, 2), s"$r")
+    assert(logs.size == 7, s"one log line per stage pair: $logs")
+    // the span stage's bite is token REMOVAL: 107 lost P's 8 tokens
+    // plus the preceding stopword (all four P-hosting docs end their
+    // leading filler with the same 16th-position stopword, so the
+    // boundary gram "<stop> crimson harbor lantern" is duplicated too)
+    val kept107 = inc.filter(col("doc_id") === 107).select("n_kept")
+      .as[Long].head()
+    assert(kept107 == 31L, s"107 must be trimmed 40 -> 31, got $kept107")
+
+    // equivalence: the full run over corpus ∪ batch, batch slice
+    val (full, _) = PretrainPrep.run(
+      corpusDocs.unionByName(batch), "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      nShards = 4, seed = 7, log = _ => ())
+    def slice(df: org.apache.spark.sql.DataFrame,
+              pred: org.apache.spark.sql.Column) = df
+      .filter(pred)
+      .select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_kept"), col("shard").cast("long"))
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(slice(inc, lit(true)) == slice(full, col("doc_id") > 100),
+      "incremental != full-run batch slice")
+    // corpus invariance: the full run keeps exactly the standing corpus
+    assert(slice(full, col("doc_id") <= 100) == slice(corpus, lit(true)))
+
+    // the pos contract: corpus ∪ accepted is a DENSE per-shard epoch
+    val union = corpus
+      .select(col("shard").cast("long"), col("pos").cast("long"))
+      .unionByName(inc
+        .select(col("shard").cast("long"), col("pos").cast("long")))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    union.foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).sorted.toSeq
+      assert(ps == (1L to ps.size).toSeq,
+        s"shard $shard positions not dense: $ps")
+    }
+
+    // the train-once path: stored corpus signatures change nothing
+    val sigs = graft.dedup.Dedup.lshSignatures(
+      corpus.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", nGram = 3, bands = 4)
+    val (incS, rS) = PretrainPrep.runIncremental(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, corpusSigs = Some(sigs),
+      decontamN = 5, nShards = 4, seed = 7, log = _ => ())
+    assert(rS == r)
+    assert(slice(incS, lit(true)) == slice(inc, lit(true)))
+
+    graft.ops.StageCut.release(arts.scrubInput)
+    graft.ops.StageCut.release(incS)
+    graft.ops.StageCut.release(full)
+    graft.ops.StageCut.release(inc)
+    graft.ops.StageCut.release(corpus)
+  }
+
+  test("runIncrementalWithArtifacts emits union-ready maintenance tables") {
+    val (corpusDocs, batch, bench) = incFixture()
+    val (corpus, _, arts) = corpusRun(corpusDocs, bench)
+    val (inc, _, bArts) = PretrainPrep.runIncrementalWithArtifacts(
+      batch, corpus, arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      nShards = 4, seed = 7, log = _ => ())
+    // batch scrub input = {101, 106, 107, 108, 109}
+    assert(bArts.fps.count() == 5)
+    // union maintenance: summed counts == gramDocCounts over the union
+    // of both scrub inputs (P's hash: 3 corpus + 2 batch docs)
+    val merged = bArts.gramCounts.unionByName(arts.gramCounts)
+      .groupBy(col("h")).agg(sum(col("nd")).as("nd"))
+    val pHash = spark.sql(
+      s"SELECT md5('${P.split(" ").take(4).mkString(" ")}')")
+      .as[String].head()
+    assert(merged.filter(col("h") === pHash).select("nd").as[Long].head()
+      == 5L)
+    val replay = graft.text.SpanDedup.gramDocCounts(
+      bArts.scrubInput.select(col("doc_id"), col("text"))
+        .unionByName(arts.scrubInput.select(col("doc_id"), col("text"))),
+      "doc_id", "text", 4)
+    val diff = merged.unionByName(replay).groupBy("h", "nd")
+      .count().filter(col("count") =!= 2).count()
+    assert(diff == 0, "merged counts != union replay")
+    graft.ops.StageCut.release(bArts.scrubInput)
+    graft.ops.StageCut.release(arts.scrubInput)
+    graft.ops.StageCut.release(inc)
+    graft.ops.StageCut.release(corpus)
+  }
+
+  test("incremental quota is HEADROOM fill: corpus counts consume the " +
+      "per-source budget and are never evicted") {
+    val (corpusDocs, batch, bench) = incFixture()
+    val (corpus, _, arts) = corpusRun(corpusDocs, bench)
+    // corpus accepted: w1 x4, w2 x1. quota=5 -> headroom w1=1, w2=4.
+    // batch candidates after decontam: 101 (w1, n_kept 32) and 107
+    // (w1, trimmed to 31) — richer 101 fills the single w1 slot.
+    val (inc, r) = PretrainPrep.runIncremental(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      quotaPerSource = 5, nShards = 4, seed = 7, log = _ => ())
+    assert(r.afterDecontam == 2 && r.afterQuota == 1, s"$r")
+    assert(inc.select("doc_id").as[Long].collect().toSeq == Seq(101L))
+    graft.ops.StageCut.release(arts.scrubInput)
+    graft.ops.StageCut.release(inc)
+    graft.ops.StageCut.release(corpus)
+  }
+
   test("CLI writes the full release layout (data, manifest, card, " +
       "length_hist, policy)") {
     val dir = java.nio.file.Files.createTempDirectory("prep").toString
@@ -199,5 +377,63 @@ class PretrainPrepSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/length_hist").count() > 0)
     assert(FilterPolicy.loadPolicy(spark, s"$dir/policy") ==
       graft.text.PolicyConfig.Gopher)
+    // ...including the incremental run's artifact inputs
+    assert(spark.read.parquet(s"$dir/fps").columns.toSeq == Seq("_fp_text"))
+    assert(spark.read.parquet(s"$dir/gram_counts").columns.sorted.toSeq ==
+      Seq("h", "nd"))
+    assert(spark.read.parquet(s"$dir/sigs").count() > 0)
+  }
+
+  test("incremental CLI chains off a full-run output dir and re-emits " +
+      "the next day's artifact layout") {
+    val (corpusDocs, batch, bench) = incFixture()
+    val day0 = java.nio.file.Files.createTempDirectory("prep0").toString
+    val day1 = java.nio.file.Files.createTempDirectory("prep1").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("batch").toString
+    // lay out a documents table for each CLI input
+    val corpusIn = java.nio.file.Files.createTempDirectory("cin").toString
+    corpusDocs.withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$corpusIn/documents.parquet")
+    batch.withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+    bench.write.mode("overwrite").parquet(benchDir)
+    Mains.keepSessionForTests = true
+    try {
+      PretrainPrepMain.main(Array(corpusIn, day0, s"bench=$benchDir",
+        "badwords=dup", "spanN=4", "spanMinDocs=3", "method=minhash:0.6",
+        "decontamN=5", "shards=4", "seed=7", "seqLen=64"))
+      PretrainPrepIncrementalMain.main(Array(batchDir, day0, day1,
+        s"bench=$benchDir", "badwords=dup", "spanN=4", "spanMinDocs=3",
+        "method=minhash:0.6", "decontamN=5", "shards=4", "seed=7"))
+    } finally Mains.keepSessionForTests = false
+    // accepted matches the library run (101 novel + 107 trimmed)
+    val accepted = spark.read.parquet(s"$day1/accepted")
+    assert(accepted.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(101L, 107L))
+    // shard-partitioned data dir unions with day0's for the epoch
+    val d0 = graft.io.Publish.readPartitioned(spark, s"$day0/data")
+    val d1 = graft.io.Publish.readPartitioned(spark, s"$day1/data")
+    assert(d1.count() == 2 && d0.count() == 5)
+    d0.select(col("shard").cast("long"), col("pos").cast("long"))
+      .unionByName(d1.select(col("shard").cast("long"),
+        col("pos").cast("long")))
+      .as[(Long, Long)].collect().groupBy(_._1).foreach { case (s, rows) =>
+        val ps = rows.map(_._2).sorted.toSeq
+        assert(ps == (1L to ps.size).toSeq, s"shard $s not dense: $ps")
+      }
+    // day1 artifacts are the UNION tables — the next run's inputs as-is
+    val fps0 = spark.read.parquet(s"$day0/fps")
+    val fps1 = spark.read.parquet(s"$day1/fps")
+    assert(fps1.count() == fps0.count() + 5) // 5 batch scrub-input docs
+    val c0 = spark.read.parquet(s"$day0/gram_counts")
+    val c1 = spark.read.parquet(s"$day1/gram_counts")
+    val pHash = spark.sql(
+      s"SELECT md5('${P.split(" ").take(4).mkString(" ")}')")
+      .as[String].head()
+    assert(c0.filter(col("h") === pHash).select("nd").as[Long].head() == 3L)
+    assert(c1.filter(col("h") === pHash).select("nd").as[Long].head() == 5L)
+    val sigs1 = spark.read.parquet(s"$day1/sigs")
+    assert(sigs1.select("id").distinct().count() == 7) // 5 + 2 accepted
   }
 }
