@@ -1676,6 +1676,112 @@ object SparkEntry {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** The q129 gate's batch: seven manufactured families over the
+    * documents table that make EVERY incremental stage drop at every
+    * SF (the q128 manufactured-collision discipline, extended to the
+    * daily-run stages). Original ids stay embedded in tail tokens so
+    * every text is reproducible in the oracle:
+    *
+    *   - +1000000 `%4==1`: word-REVERSED docs — genuinely new content
+    *     (policy + bad-words drops ride along: reversal preserves the
+    *     token stats and the bad word),
+    *   - +1100000 bench docs prefixed `qv<id>` — survive everything
+    *     up to decontamination, where their verbatim bench 5-grams
+    *     kill them,
+    *   - +1200000 `%8==1`: exact copies of the reversed family →
+    *     within-batch exact dedup (min id keeps +1000000),
+    *   - +1300000 `%10==6`: RAW corpus texts → exact dedup vs the
+    *     stored corpus fingerprints,
+    *   - +1400000 `%10==4`: corpus texts + 5 unique tail tokens — the
+    *     corpus holds these texts TWICE (base + near-copy twin), so
+    *     the stored gram counts carry nd=2 and the batch copy crosses
+    *     spanMinDocs=3: the span scrub trims them to their tails,
+    *   - +1500000 `%10==0`: corpus texts + 2 tail tokens (nd=1+1 < 3
+    *     — NOT scrubbed) → near-dup vs the corpus clean text,
+    *   - +1600000 `%8==5`: reversed family + 2 tail tokens → within-
+    *     batch near-dup (component representative keeps +1000000). */
+  private[graft] def prepGateBatch(docs: DataFrame): DataFrame = {
+    val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
+    val base = docs.filter(!benchPred)
+    val idS = col("doc_id").cast("string")
+    val rev = concat_ws(" ",
+      reverse(graft.text.TextOps.words(lower(col("text")))))
+    def fam(off: Long, pred: org.apache.spark.sql.Column,
+            text: org.apache.spark.sql.Column) =
+      base.filter(pred).select((col("doc_id") + off).as("doc_id"),
+        col("source"), text.as("text"))
+    fam(1000000L, col("doc_id") % 4 === 1, rev)
+      .unionByName(docs.filter(benchPred).select(
+        (col("doc_id") + 1100000L).as("doc_id"), col("source"),
+        concat(lit("qv"), idS, lit(" "), col("text")).as("text")))
+      .unionByName(fam(1200000L, col("doc_id") % 8 === 1, rev))
+      .unionByName(fam(1300000L, col("doc_id") % 10 === 6, col("text")))
+      .unionByName(fam(1400000L, col("doc_id") % 10 === 4,
+        concat(col("text"), lit(" qa"), idS, lit(" qb"), idS,
+          lit(" qc"), idS, lit(" qd"), idS, lit(" qe"), idS)))
+      .unionByName(fam(1500000L, col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" qn"), idS, lit(" qm"), idS)))
+      .unionByName(fam(1600000L, col("doc_id") % 8 === 5,
+        concat(rev, lit(" qg"), idS, lit(" qh"), idS)))
+  }
+
+  /** The q129 CAPSTONE — [[graft.apps.PretrainPrep.runIncremental]]
+    * (the DAILY release run) through one gate: the standing corpus is
+    * q128's full run re-executed WITH its maintenance artifacts
+    * (fingerprints, gram counts, LSH signatures — the stored-artifact
+    * daily shape, so the corpus text is never re-read by the near
+    * stage), today's batch is [[prepGateBatch]]'s seven families, and
+    * the oracle recomposes BOTH pipelines: the proven q128 corpus
+    * chain, then the batch through policy → bad-words → batch+corpus
+    * exact dedup → the multiplicity-exact counts scrub (batch counts
+    * + stored nd vs minDocs=3) → the A-vs-B LSH chain over batch ∪
+    * corpus-accepted restricted to batch-touching pairs → 5-gram
+    * decontamination → HEADROOM quota (18 − per-source corpus count)
+    * → shards with pos continuing each shard's corpus sequence. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = T(s, d, "documents")
+    val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
+    val base = docs.filter(!benchPred)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpusIn = base
+      .unionByName(base.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+          col("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" tail marker alpha beta gamma delta")).as("text")))
+    val bench = docs.filter(benchPred)
+    val (corpus, _, arts) = graft.apps.PretrainPrep.runWithArtifacts(
+      corpusIn, "doc_id", "text", "source",
+      bench = Some(bench),
+      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+      decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
+      log = _ => ())
+    val sigs = Dedup.lshSignatures(
+      corpus.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", nGram = 3, bands = 4)
+    val (out, _) = graft.apps.PretrainPrep.runIncremental(
+      prepGateBatch(docs), corpus, arts.fps, arts.gramCounts,
+      "doc_id", "text", "source",
+      bench = Some(bench),
+      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+      corpusSigs = Some(sigs), decontamN = 5, quotaPerSource = 18,
+      nShards = 4, seed = 7, log = _ => ())
+    val res = out.select(col("doc_id"), col("source"), col("n_kept"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    graft.ops.StageCut.release(out)
+    graft.ops.StageCut.release(arts.scrubInput)
+    graft.ops.StageCut.release(corpus)
+    res
+  }
+
   /** The WHOLE text-curation pipeline end-to-end through one gate:
     * FilterPolicy keep gate → duplicated-span scrub (n=4) → exact
     * dedup on the scrubbed fingerprint (min id per md5) → MinHash-LSH
@@ -1871,6 +1977,7 @@ object SparkEntry {
     "q126_pretraining_prep" -> (q126 _),
     "q127_paragraph_dedup" -> (q127 _),
     "q128_pretrain_prep" -> (q128 _),
+    "q129_pretrain_prep_incremental" -> (q129 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3226,8 +3333,17 @@ object SparkEntry {
     * the q92 scrub chain at minDocs=3, the q30 LSH chain at 0.6,
     * recursive clustering, the q126 decontamination/quota/shuffle
     * tail. */
-  private def q128Sql: String =
-    s"""WITH RECURSIVE corpusx AS (
+  /** The q128 CORPUS chain as a reusable fragment (no WITH keyword):
+    * augmented gate corpus -> policy -> bad-words -> exact (fp-min) ->
+    * 4-gram scrub at minDocs=3 -> LSH 0.6 clustering -> 5-gram
+    * decontamination -> quota 15 -> shards(4, seed 7), ending in
+    * `corpacc(doc_id, source, text, n_kept, shard, pos)` — the
+    * accepted standing corpus WITH its clean text. q128 selects from
+    * it directly; q129 builds the incremental batch pipeline on top
+    * (reusing `ex` for the fps/gram-count artifacts, `pgk` for the
+    * per-gram doc counts and `bgx` for the bench gram set). */
+  private def prepCorpusCtes: String =
+    s"""corpusx AS (
        |  SELECT doc_id, source, text FROM documents
        |    WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0)
        |  UNION ALL
@@ -3286,11 +3402,149 @@ object SparkEntry {
             try_cast('0x' || substring(md5('7|s|' ||
               CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
             md5('7|o|' || CAST(doc_id AS VARCHAR)) AS okey
-          FROM quotax)
-       SELECT doc_id, source, n_kept, shard,
-         CAST(row_number() OVER (PARTITION BY shard
-           ORDER BY okey, doc_id) AS BIGINT) AS pos
-       FROM shx ORDER BY shard, pos"""
+          FROM quotax),
+       corpacc AS (SELECT q.doc_id, q.source, v.text, q.n_kept, q.shard,
+            CAST(row_number() OVER (PARTITION BY q.shard
+              ORDER BY q.okey, q.doc_id) AS BIGINT) AS pos
+          FROM shx q JOIN surv v USING (doc_id))"""
+
+  private def q128Sql: String =
+    "WITH RECURSIVE " + prepCorpusCtes + raw"""
+       SELECT doc_id, source, n_kept, shard, pos
+       FROM corpacc ORDER BY shard, pos"""
+
+  /** q129: [[prepCorpusCtes]]' standing corpus (with its `ex`-stage
+    * fps/gram-count artifacts and `bgx` bench grams), then the DAILY
+    * batch pipeline of [[graft.apps.PretrainPrep.runIncremental]]
+    * recomposed over [[prepGateBatch]]'s seven families: policy →
+    * bad-words → exact dedup (batch fp-min, then anti vs corpus `ex`
+    * fps) → multiplicity-exact span scrub (batch distinct-doc counts
+    * + stored corpus counts vs minDocs=3) → LSH 0.6 components over
+    * batch ∪ corpus-accepted with the incremental drop rule (corpus-
+    * touching component, or non-min member of a batch-only component)
+    * → 5-gram decontamination → per-source HEADROOM quota (18 − the
+    * corpus's count) → shards(4, seed 7) with pos continuing each
+    * shard's corpus sequence. */
+  private def q129Sql: String =
+    "WITH RECURSIVE " + prepCorpusCtes + raw""",
+       batchx AS (
+         SELECT doc_id + 1000000 AS doc_id, source,
+             array_to_string(list_reverse(
+               string_split_regex(trim(lower(text)), '\s+')), ' ') AS text
+           FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0) AND doc_id % 4 = 1
+         UNION ALL
+         SELECT doc_id + 1100000, source,
+             'qv' || CAST(doc_id AS VARCHAR) || ' ' || text
+           FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 1200000, source,
+             array_to_string(list_reverse(
+               string_split_regex(trim(lower(text)), '\s+')), ' ')
+           FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0) AND doc_id % 8 = 1
+         UNION ALL
+         SELECT doc_id + 1300000, source, text
+           FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0) AND doc_id % 10 = 6
+         UNION ALL
+         SELECT doc_id + 1400000, source,
+             text || ' qa' || CAST(doc_id AS VARCHAR)
+                  || ' qb' || CAST(doc_id AS VARCHAR)
+                  || ' qc' || CAST(doc_id AS VARCHAR)
+                  || ' qd' || CAST(doc_id AS VARCHAR)
+                  || ' qe' || CAST(doc_id AS VARCHAR)
+           FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0) AND doc_id % 10 = 4
+         UNION ALL
+         SELECT doc_id + 1500000, source,
+             text || ' qn' || CAST(doc_id AS VARCHAR)
+                  || ' qm' || CAST(doc_id AS VARCHAR)
+           FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0) AND doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 1600000, source,
+             array_to_string(list_reverse(
+               string_split_regex(trim(lower(text)), '\s+')), ' ')
+               || ' qg' || CAST(doc_id AS VARCHAR)
+               || ' qh' || CAST(doc_id AS VARCHAR)
+           FROM documents
+           WHERE NOT (doc_id % 2 = 1 AND doc_id % 7 = 0) AND doc_id % 8 = 5),
+       """ + policyCtesOver("batchx", "i") + raw""",
+       poli AS (SELECT doc_id FROM deci WHERE reason = 'ok'),
+       nbi AS (SELECT c.doc_id, c.source, c.text FROM batchx c
+          JOIN poli USING (doc_id)
+          WHERE len([x for x in string_split_regex(trim(lower(c.text)), '\s+')
+                     if x IN ('dup')]) = 0),
+       fpxi AS (SELECT doc_id, source, text,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+          FROM nbi),
+       winxi AS (SELECT min(doc_id) AS doc_id FROM fpxi GROUP BY f),
+       exi AS (SELECT fpxi.doc_id, fpxi.source, fpxi.text
+          FROM fpxi JOIN winxi USING (doc_id)
+          WHERE fpxi.f NOT IN (SELECT f FROM fpx)),
+       wki AS (SELECT doc_id, list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            x -> length(x) > 0) AS ws FROM exi),
+       pgki AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM wki, unnest([{'p': i - 1, 'gl': ws[i:i+3]}
+                            for i in range(1, len(ws) - 2)]) AS u(s)),
+       gdc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM pgk GROUP BY h),
+       bgc AS (SELECT h, count(DISTINCT doc_id) AS bnd FROM pgki GROUP BY h),
+       dupki AS (SELECT h FROM bgc WHERE bnd >= 3
+          UNION
+          SELECT bgc.h FROM bgc JOIN gdc USING (h) WHERE bnd + nd >= 3),
+       covki AS (SELECT DISTINCT doc_id, x AS pos
+          FROM pgki JOIN dupki USING (h), unnest(range(p, p + 4)) AS r(x)),
+       tokki AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
+          FROM wki, unnest(range(1, len(ws) + 1)) AS r(i)),
+       keepki AS (SELECT t.doc_id, t.pos, t.tk FROM tokki t
+          LEFT JOIN covki c2 ON t.doc_id = c2.doc_id AND t.pos = c2.pos
+          WHERE c2.pos IS NULL),
+       scri AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+          count(*) AS n_kept FROM keepki GROUP BY doc_id),
+       bsrc AS (SELECT s.doc_id, s.clean_text, s.n_kept, e.source
+          FROM scri s JOIN exi e USING (doc_id)),
+       uni AS (SELECT doc_id, clean_text AS text FROM bsrc
+          UNION ALL SELECT doc_id, text FROM corpacc),
+       """ + lshPairsSql("uni", 0.6, sfx = "y") + ",\n         " +
+      clusterSql("y") + raw""",
+       tchy AS (SELECT DISTINCT cluster FROM clusy
+          WHERE id IN (SELECT doc_id FROM corpacc)),
+       dropy AS (SELECT id FROM clusy
+          WHERE id NOT IN (SELECT doc_id FROM corpacc)
+            AND (id <> cluster OR cluster IN (SELECT cluster FROM tchy))),
+       nearoki AS (SELECT * FROM bsrc
+          WHERE doc_id NOT IN (SELECT id FROM dropy)),
+       cwyi AS (SELECT doc_id,
+            string_split_regex(trim(lower(clean_text)), '\s+') AS w
+          FROM nearoki),
+       cgyi AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 5
+                THEN [array_to_string(w[i:i+4], ' ')
+                      for i in range(1, len(w)-3)]
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM cwyi),
+       badyi AS (SELECT DISTINCT doc_id FROM cgyi JOIN bgx USING (gram)),
+       clnyi AS (SELECT doc_id, source, n_kept FROM nearoki
+          WHERE doc_id NOT IN (SELECT doc_id FROM badyi)),
+       ccn AS (SELECT source, count(*) AS cn FROM corpacc GROUP BY source),
+       quoti AS (SELECT doc_id, source, n_kept FROM (
+            SELECT doc_id, source, n_kept, row_number() OVER (
+              PARTITION BY source ORDER BY n_kept DESC, doc_id) AS rn
+            FROM clnyi) q
+          LEFT JOIN ccn USING (source)
+          WHERE q.rn + coalesce(cn, 0) <= 18),
+       shyi AS (SELECT doc_id, source, n_kept,
+            try_cast('0x' || substring(md5('7|s|' ||
+              CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+            md5('7|o|' || CAST(doc_id AS VARCHAR)) AS okey
+          FROM quoti),
+       scnt AS (SELECT shard, count(*) AS sn FROM corpacc GROUP BY shard)
+       SELECT s.doc_id, s.source, s.n_kept, s.shard,
+         CAST(row_number() OVER (PARTITION BY s.shard
+             ORDER BY s.okey, s.doc_id) + coalesce(n.sn, 0) AS BIGINT) AS pos
+       FROM shyi s LEFT JOIN scnt n USING (shard)
+       ORDER BY shard, pos"""
 
   /** q127: q103's line-dedup oracle with the two-newline paragraph
     * separator at every stage (split, winner, rebuild join). */
@@ -3911,6 +4165,7 @@ object SparkEntry {
     "q126_pretraining_prep" -> q126Sql,
     "q127_paragraph_dedup" -> q127Sql,
     "q128_pretrain_prep" -> q128Sql,
+    "q129_pretrain_prep_incremental" -> q129Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -4060,57 +4315,59 @@ object SparkEntry {
 
   /** [[policyCtes]] parameterized on the source relation (must carry
     * doc_id + text) — q128 runs the policy over its augmented gate
-    * corpus instead of `documents`. */
-  private def policyCtesOver(src: String): String = {
+    * corpus instead of `documents` — and on a CTE-name suffix so two
+    * policy chains can coexist in one statement (q129 gates the
+    * corpus AND the batch pipelines together). */
+  private def policyCtesOver(src: String, sfx: String = ""): String = {
     import graft.text.{FilterPolicy => FP}
-    s"""w AS (
+    s"""w$sfx AS (
         SELECT doc_id, list_filter(
           string_split_regex(trim(lower(text)), '\\s+'),
           x -> length(x) > 0) AS ws
         FROM $src),
-      b AS (
+      b$sfx AS (
         SELECT doc_id, ws,
           CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
             AS BIGINT) AS total
-        FROM w),
-      g AS (
+        FROM w$sfx),
+      g$sfx AS (
         SELECT doc_id, 2 AS n,
           unnest(list_transform(range(1, len(ws)),
             j -> ws[j] || ' ' || ws[j+1])) AS gram
-        FROM b
+        FROM b$sfx
         UNION ALL
         SELECT doc_id, 5 AS n,
           unnest(list_transform(range(1, len(ws) - 3),
             j -> ws[j]||' '||ws[j+1]||' '||ws[j+2]||' '||ws[j+3]||' '||ws[j+4]))
           AS gram
-        FROM b),
-      c AS (
+        FROM b$sfx),
+      c$sfx AS (
         SELECT doc_id, n, gram, count(*) AS cnt,
           length(replace(gram, ' ', '')) AS chars
-        FROM g GROUP BY doc_id, n, gram),
-      a AS (
+        FROM g$sfx GROUP BY doc_id, n, gram),
+      a$sfx AS (
         SELECT doc_id,
           max(CASE WHEN n = 2 THEN cnt * chars END) AS top2,
           sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * chars END) AS dup5
-        FROM c GROUP BY doc_id),
-      fr AS (
-        SELECT b.doc_id,
-          CASE WHEN b.total > 0
-            THEN CAST(coalesce(a.top2, 0) AS DOUBLE) / b.total
+        FROM c$sfx GROUP BY doc_id),
+      fr$sfx AS (
+        SELECT b$sfx.doc_id,
+          CASE WHEN b$sfx.total > 0
+            THEN CAST(coalesce(a$sfx.top2, 0) AS DOUBLE) / b$sfx.total
             ELSE 0.0 END AS top2_frac,
-          CASE WHEN b.total > 0
-            THEN CAST(coalesce(a.dup5, 0) AS DOUBLE) / b.total
+          CASE WHEN b$sfx.total > 0
+            THEN CAST(coalesce(a$sfx.dup5, 0) AS DOUBLE) / b$sfx.total
             ELSE 0.0 END AS dup5_frac
-        FROM b LEFT JOIN a USING (doc_id)),
-      sig AS (
+        FROM b$sfx LEFT JOIN a$sfx USING (doc_id)),
+      sig$sfx AS (
         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
           CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
             AS DOUBLE) AS alpha,
           CAST(len(list_filter(ws, x -> list_contains(
             ['the','a','an','of','and','to','in','is','on','for'], x)))
             AS BIGINT) AS n_stop
-        FROM w),
-      dec AS (
+        FROM w$sfx),
+      dec$sfx AS (
         SELECT s.doc_id, s.n_tokens, s.n_stop,
           CASE
             WHEN s.n_tokens < ${FP.MinTokens}
@@ -4121,7 +4378,7 @@ object SparkEntry {
             WHEN f.top2_frac > ${TextOps.RepTop2Max}
               OR f.dup5_frac > ${TextOps.RepDup5Max} THEN 'repetition'
             ELSE 'ok' END AS reason
-        FROM sig s JOIN fr f USING (doc_id))"""
+        FROM sig$sfx s JOIN fr$sfx f USING (doc_id))"""
   }
 
   /** q95: the WHOLE text-curation pipeline composed end-to-end from
