@@ -3408,10 +3408,42 @@ object SparkEntry {
               ORDER BY q.okey, q.doc_id) AS BIGINT) AS pos
           FROM shx q JOIN surv v USING (doc_id))"""
 
+  /** Rewrite `name AS (` to `name AS MATERIALIZED (` for every
+    * non-recursive CTE in `sql` that the rest of the statement
+    * references more than once. DuckDB inlines every un-hinted CTE
+    * per reference, so a chain like q129's — where `corpacc`
+    * (transitively the WHOLE corpus pipeline) is consumed five times
+    * by the batch chain — re-expands exponentially and exhausts file
+    * handles before producing a row (the q76 lesson, SURVEY §12).
+    * `MATERIALIZED` is a pure evaluation fence: values are identical,
+    * the plan evaluates each hinted CTE once. Recursive members
+    * (`reach…(id, label) AS (`) must stay un-hinted — DuckDB rejects
+    * the hint inside a recursive definition — so any CTE declared
+    * with a column list is skipped. Over-counting from column aliases
+    * that shadow a CTE name (e.g. `w`) only adds a harmless extra
+    * materialization, never changes values. */
+  private def materializeSharedCtes(sql: String): String = {
+    // a CTE definition starts a line, or follows the WITH [RECURSIVE]
+    // keyword on the first one; `AS u(s)` unnest aliases never match
+    // (their name sits AFTER the AS)
+    val defRe =
+      raw"(?m)(?:^|,|\bWITH\b|\bRECURSIVE\b)\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\(".r
+    val names = defRe.findAllMatchIn(sql).map(_.group(1)).toSet
+    val word = raw"[A-Za-z0-9_]"
+    names.foldLeft(sql) { (acc, n) =>
+      val refs = raw"(?<!$word)$n(?!$word)".r.findAllMatchIn(acc).size - 1
+      if (refs >= 2)
+        acc.replaceFirst(
+          raw"(?m)((?:^|,|\bWITH\b|\bRECURSIVE\b)\s*)$n\s+AS\s+\(",
+          s"$$1$n AS MATERIALIZED (")
+      else acc
+    }
+  }
+
   private def q128Sql: String =
-    "WITH RECURSIVE " + prepCorpusCtes + raw"""
+    materializeSharedCtes("WITH RECURSIVE " + prepCorpusCtes + raw"""
        SELECT doc_id, source, n_kept, shard, pos
-       FROM corpacc ORDER BY shard, pos"""
+       FROM corpacc ORDER BY shard, pos""")
 
   /** q129: [[prepCorpusCtes]]' standing corpus (with its `ex`-stage
     * fps/gram-count artifacts and `bgx` bench grams), then the DAILY
@@ -3426,7 +3458,7 @@ object SparkEntry {
     * corpus's count) → shards(4, seed 7) with pos continuing each
     * shard's corpus sequence. */
   private def q129Sql: String =
-    "WITH RECURSIVE " + prepCorpusCtes + raw""",
+    materializeSharedCtes("WITH RECURSIVE " + prepCorpusCtes + raw""",
        batchx AS (
          SELECT doc_id + 1000000 AS doc_id, source,
              array_to_string(list_reverse(
@@ -3544,7 +3576,7 @@ object SparkEntry {
          CAST(row_number() OVER (PARTITION BY s.shard
              ORDER BY s.okey, s.doc_id) + coalesce(n.sn, 0) AS BIGINT) AS pos
        FROM shyi s LEFT JOIN scnt n USING (shard)
-       ORDER BY shard, pos"""
+       ORDER BY shard, pos""")
 
   /** q127: q103's line-dedup oracle with the two-newline paragraph
     * separator at every stage (split, winner, rebuild join). */
