@@ -702,8 +702,16 @@ object PretrainPrepMain {
   * next day's run reads:
   *
   *   - `data/` — the accepted batch rows, shard-partitioned like the
-  *     full run's (UNION the directories for the epoch: pos continues
-  *     each shard's sequence after the standing corpus),
+  *     full run's (pos continues each shard's sequence after the
+  *     standing corpus),
+  *   - `chain.txt` — the standing-corpus CHAIN manifest: one
+  *     qualified `data/` directory URI per line, oldest first, ending
+  *     in this run's own `data/`. The standing corpus IS the union of
+  *     these directories; the next day's run assembles it from this
+  *     manifest, so chained daily runs never rewrite the corpus (at
+  *     corpus scale a daily rewrite would dwarf the batch work) and
+  *     day N+1 sees the FULL corpus for pos continuation, quota
+  *     headroom and near-dup, not just day N's batch,
   *   - `accepted/` — the same rows unpartitioned (the frame to union
   *     into the standing corpus table),
   *   - `fps/` + `gram_counts/` — the batch-side [[PretrainPrep
@@ -711,22 +719,96 @@ object PretrainPrepMain {
   *     (fps distinct, counts summed per hash) so the directory is the
   *     next run's artifact input as-is,
   *   - `sigs/` — standing ∪ accepted-batch signatures (same union
-  *     maintenance).
+  *     maintenance; when the standing dir carries no sigs table, the
+  *     corpus clean text is signed ONCE here so the chain is
+  *     signature-complete from this day forward).
+  *
+  * Before running, the assembled corpus is integrity-checked: every
+  * shard's `pos` sequence must be dense (`count == max(pos) ==
+  * count(distinct pos)`), which fails fast on a broken or partial
+  * chain (`check=off` skips the scan — two narrow columns, but a
+  * corpus-sized read).
   *
   * Options: `bench=<parquet>`, `policy=<parquet>`, `badwords=a,b,c`,
   * `spanN=4`, `spanMinDocs=2`, `method=minhash:0.8|simhash:<h>`,
-  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0` — `shards` and
-  * `seed` MUST match the run that produced the standing corpus (the
-  * epoch is a pure function of them). Stage counts land on stderr. */
+  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0`, `check=off` —
+  * `shards` and `seed` MUST match the run that produced the standing
+  * corpus (the epoch is a pure function of them). Stage counts land
+  * on stderr. */
 object PretrainPrepIncrementalMain {
 
   private val usage =
     "usage: pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir> " +
       "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
       "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
-      "[shards=64] [seed=0]"
+      "[shards=64] [seed=0] [check=off]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
-    "spanMinDocs", "method", "decontamN", "quota", "shards", "seed")
+    "spanMinDocs", "method", "decontamN", "quota", "shards", "seed",
+    "check")
+
+  /** Hadoop-FS probe (works on hdfs://, s3a://, file:// alike —
+    * `java.io.File` is silently false for every non-local scheme):
+    * does `path` exist as a non-empty directory? */
+  private[apps] def dirNonEmpty(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory && fs.listStatus(p).nonEmpty
+  }
+
+  /** The ordered `data/` directories whose union IS the standing
+    * corpus rooted at `dir`: the `chain.txt` manifest when present
+    * (one qualified URI per line, oldest first), else the single
+    * `<dir>/data` of a pre-manifest full run. */
+  private[apps] def corpusChain(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/chain.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      } else List(s"$dir/data")
+    val missing = dirs.filterNot(dirNonEmpty(spark, _))
+    require(missing.isEmpty,
+      s"standing-corpus chain under $dir references missing or empty " +
+        s"data directories: ${missing.mkString(", ")}")
+    dirs
+  }
+
+  /** Write the chain manifest for `outDir`: the inherited chain plus
+    * this run's own `data/`, each qualified against its filesystem so
+    * the lines are scheme-complete URIs. */
+  private[apps] def writeChain(spark: SparkSession, dirs: Seq[String],
+                               outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val qualified = dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/chain.txt")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write((qualified.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Fail fast on a broken chain: each shard of the assembled corpus
+    * must be a dense, collision-free 1..n `pos` sequence — the exact
+    * invariant a dropped or doubled chain link violates (day-3 pos
+    * would collide with the forgotten older corpus). Costs one
+    * two-column corpus scan. */
+  private[apps] def requireDenseEpoch(corpus: DataFrame,
+                                      context: String): Unit = {
+    val bad = corpus.groupBy(col("shard"))
+      .agg(count(lit(1)).as("_n"), max(col("pos")).as("_mx"),
+        countDistinct(col("pos")).as("_dp"))
+      .filter(col("_n") =!= col("_mx") || col("_n") =!= col("_dp"))
+      .limit(4).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"standing corpus ($context) is not a dense per-shard epoch — " +
+        "chained data directories are inconsistent (shard, rows, " +
+        "max pos, distinct pos): " + bad.mkString(", "))
+  }
 
   /** Signature table over an accepted frame's `clean_text` — the near
     * stage's train-once artifact; a cosine/embedding method has no
