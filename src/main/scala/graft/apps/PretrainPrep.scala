@@ -840,18 +840,28 @@ object PretrainPrepIncrementalMain {
           s"unrecognized option '$kv'\n$usage")
       }
     }.toMap
+    opts.get("check").foreach(v => require(v == "on" || v == "off",
+      s"check must be 'on' or 'off', got '$v'\n$usage"))
     val spark = Mains.session("graft-pretrain-prep-incremental")
     val batch = graft.Tables.load(spark, batchDir, "documents")
-    // the standing corpus is the previous run's shard-partitioned data
-    val corpus = graft.io.Publish.readPartitioned(spark, s"$corpusOut/data")
+    // the standing corpus is the UNION of the chain's data directories
+    // (chain.txt when present, a pre-manifest run's single data/
+    // otherwise) — chained daily runs never rewrite corpus text, and
+    // day N+1 sees the FULL corpus for pos continuation, quota
+    // headroom and near-dup, not just day N's batch
+    val chain = corpusChain(spark, corpusOut)
+    val corpus = chain.map(d => graft.io.Publish.readPartitioned(spark, d))
+      .reduce(_.unionByName(_))
+    if (!opts.get("check").contains("off"))
+      requireDenseEpoch(corpus,
+        s"${chain.size}-link chain under $corpusOut")
     val corpusFps = spark.read.parquet(s"$corpusOut/fps")
     val corpusCounts = spark.read.parquet(s"$corpusOut/gram_counts")
     val method = opts.get("method").map(CurateMain.parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
-    val sigsPath = new java.io.File(s"$corpusOut/sigs")
     val corpusSigs =
-      if (sigsPath.isDirectory && sigsPath.list().nonEmpty)
-        Some(spark.read.parquet(sigsPath.toString))
+      if (dirNonEmpty(spark, s"$corpusOut/sigs"))
+        Some(spark.read.parquet(s"$corpusOut/sigs"))
       else None
     val bench = opts.get("bench").map(p => spark.read.parquet(p))
     val config = opts.get("policy")
@@ -900,8 +910,19 @@ object PretrainPrepIncrementalMain {
         }
         fresh.foreach(_.unionByName(sigs)
           .write.mode("overwrite").parquet(s"$outDir/sigs"))
-      case None => writeSigs(out, method, s"$outDir/sigs")
+      case None =>
+        // first signing on this chain: sign corpus ∪ batch clean text
+        // ONCE so the chain is signature-complete from this day on
+        // (re-read accepted so the sig pass does not re-run the tail)
+        val acc = spark.read.parquet(s"$outDir/accepted")
+        writeSigs(
+          corpus.select(col("doc_id"), col("clean_text"))
+            .unionByName(acc.select(col("doc_id"), col("clean_text"))),
+          method, s"$outDir/sigs")
     }
+    // the manifest is written LAST: a crashed run leaves no chain.txt,
+    // so a partial output dir never parses as a valid chain root
+    writeChain(spark, chain :+ s"$outDir/data", outDir)
     graft.ops.StageCut.release(out)
     println(s"[prep+] ${report.input} in -> ${report.afterQuota} accepted / " +
       s"$written rows published under $outDir")

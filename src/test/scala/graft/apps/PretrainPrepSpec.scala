@@ -436,4 +436,205 @@ class PretrainPrepSpec extends SparkSpec {
     val sigs1 = spark.read.parquet(s"$day1/sigs")
     assert(sigs1.select("id").distinct().count() == 7) // 5 + 2 accepted
   }
+
+  // ---- the CHAIN manifest: day-3 chained daily runs ----
+
+  private def writeDocsDir(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val chainArgs = Seq("badwords=dup", "spanN=4", "spanMinDocs=3",
+    "method=minhash:0.6", "decontamN=5", "shards=4", "seed=7")
+
+  /** Day-2 batch: exercises the chain against BOTH prior days —
+    * 202 exact-copies a day-1 accepted doc (fps union), 203
+    * near-duplicates a DAY-0 corpus doc (sigs union), 204 fails
+    * policy, 201 is the one acceptance. */
+  private def chainBatch2(corpusDocs: org.apache.spark.sql.DataFrame,
+                          batch1: org.apache.spark.sql.DataFrame) = {
+    val t101 = batch1.filter(col("doc_id") === 101)
+      .select("text").as[String].head()
+    val c4 = corpusDocs.filter(col("doc_id") === 4)
+      .select("text").as[String].head()
+    Seq(
+      (201L, "w1", filler("m1", 32)),           // novel -> accepted
+      (202L, "w1", t101),                       // = day-1 accepted -> exact
+      (203L, "w1", c4 + " " + filler("m3", 4)), // ~ DAY-0 corpus -> near
+      (204L, "w1", filler("m4", 8)))            // < 30 tokens -> policy
+      .toDF("doc_id", "source", "text")
+  }
+
+  /** Day-0 full + day-1/day-2 incremental CLI runs, built ONCE and
+    * shared by the chain tests below. */
+  private lazy val chained = {
+    val (corpusDocs, batch1, bench) = incFixture()
+    val batch2 = chainBatch2(corpusDocs, batch1)
+    val day0 = java.nio.file.Files.createTempDirectory("chain0").toString
+    val day1 = java.nio.file.Files.createTempDirectory("chain1").toString
+    val day2 = java.nio.file.Files.createTempDirectory("chain2").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    bench.write.mode("overwrite").parquet(benchDir)
+    val (cin, b1, b2) =
+      (writeDocsDir(corpusDocs), writeDocsDir(batch1), writeDocsDir(batch2))
+    Mains.keepSessionForTests = true
+    try {
+      PretrainPrepMain.main((Seq(cin, day0, s"bench=$benchDir") ++
+        chainArgs :+ "seqLen=64").toArray)
+      PretrainPrepIncrementalMain.main((Seq(b1, day0, day1,
+        s"bench=$benchDir") ++ chainArgs).toArray)
+      PretrainPrepIncrementalMain.main((Seq(b2, day1, day2,
+        s"bench=$benchDir") ++ chainArgs).toArray)
+    } finally Mains.keepSessionForTests = false
+    (day0, day1, day2, corpusDocs, batch1, batch2, bench)
+  }
+
+  test("day-3 chain: manifests accumulate oldest-first and the next " +
+      "run assembles the corpus from the chain union") {
+    val (day0, day1, day2, _, _, _, _) = chained
+    def lines(dir: String) = scala.io.Source.fromFile(s"$dir/chain.txt")
+      .getLines().filter(_.nonEmpty).toList
+    // day-0 (full run) predates the manifest; corpusChain falls back
+    assert(!new java.io.File(s"$day0/chain.txt").exists())
+    assert(PretrainPrepIncrementalMain.corpusChain(spark, day0) ==
+      List(s"$day0/data"))
+    // day-1/day-2 manifests: inherited chain + own data/, qualified
+    assert(lines(day1).map(d => new java.io.File(new java.net.URI(d))
+      .toString) == List(s"$day0/data", s"$day1/data"))
+    assert(PretrainPrepIncrementalMain.corpusChain(spark, day2)
+      .map(d => new java.io.File(new java.net.URI(d)).toString) ==
+      List(s"$day0/data", s"$day1/data", s"$day2/data"))
+    // day-2 dropped the day-1 exact copy AND the day-0 near copy
+    val acc2 = spark.read.parquet(s"$day2/accepted")
+    assert(acc2.select("doc_id").as[Long].collect().toSeq == Seq(201L))
+  }
+
+  test("day-3 chain: corpus ∪ day1 ∪ day2 is a dense per-shard epoch " +
+      "(pos continues across the WHOLE chain, not just the last batch)") {
+    val (day0, day1, day2, _, _, _, _) = chained
+    val union = Seq(day0, day1, day2)
+      .map(d => graft.io.Publish.readPartitioned(spark, s"$d/data")
+        .select(col("shard").cast("long"), col("pos").cast("long")))
+      .reduce(_ unionByName _)
+    union.as[(Long, Long)].collect().groupBy(_._1).foreach {
+      case (shard, rows) =>
+        val ps = rows.map(_._2).sorted.toSeq
+        assert(ps == (1L to ps.size).toSeq, s"shard $shard not dense: $ps")
+    }
+    // and the shipped integrity check agrees
+    PretrainPrepIncrementalMain.requireDenseEpoch(
+      Seq(day0, day1, day2).map(d =>
+        graft.io.Publish.readPartitioned(spark, s"$d/data"))
+        .reduce(_ unionByName _), "3-link spec chain")
+  }
+
+  test("day-3 chain: day-2 acceptance == the batch slice of ONE full " +
+      "run over corpus ∪ batch1 ∪ batch2, and day-1 stays invariant") {
+    val (_, day1, day2, corpusDocs, batch1, batch2, bench) = chained
+    val (full, _) = PretrainPrep.run(
+      corpusDocs.unionByName(batch1).unionByName(batch2),
+      "doc_id", "text", "source", bench = Some(bench),
+      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+      method = incMethod, decontamN = 5, nShards = 4, seed = 7,
+      log = _ => ())
+    def slice(df: org.apache.spark.sql.DataFrame,
+              pred: org.apache.spark.sql.Column) = df
+      .filter(pred)
+      .select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_kept"), col("shard").cast("long"))
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val acc1 = spark.read.parquet(s"$day1/accepted")
+    val acc2 = spark.read.parquet(s"$day2/accepted")
+    assert(slice(acc2, lit(true)) ==
+      slice(full, col("doc_id") > 200), "day-2 != full-run batch slice")
+    assert(slice(acc1, lit(true)) ==
+      slice(full, col("doc_id") > 100 && col("doc_id") <= 200),
+      "day-1 not invariant under the day-2 replay")
+    graft.ops.StageCut.release(full)
+  }
+
+  test("day-3 chain: artifact tables are three-way unions (fps adds " +
+      "day-2's scrub input; gram counts sum across the chain)") {
+    val (_, day1, day2, corpusDocs, _, _, _) = chained
+    val fps1 = spark.read.parquet(s"$day1/fps").count()
+    val fps2 = spark.read.parquet(s"$day2/fps").count()
+    assert(fps2 == fps1 + 2) // day-2 scrub input = {201, 203}
+    // doc 4's leading 4-gram now counts corpus doc 4 AND near-copy 203
+    val c4gram = corpusDocs.filter(col("doc_id") === 4)
+      .select("text").as[String].head().split(" ").take(4).mkString(" ")
+    val h = spark.sql(s"SELECT md5('$c4gram')").as[String].head()
+    assert(spark.read.parquet(s"$day2/gram_counts")
+      .filter(col("h") === h).select("nd").as[Long].head() == 2L)
+    // sigs stay signature-complete: 5 corpus + 2 day-1 + 1 day-2
+    assert(spark.read.parquet(s"$day2/sigs")
+      .select("id").distinct().count() == 8)
+  }
+
+  test("chain integrity: a dropped link fails fast with check=on and " +
+      "is skippable with check=off; a missing dir always fails") {
+    val (day0, day1, _, _, _, batch2, _) = chained
+    val b2 = writeDocsDir(batch2)
+    // a BROKEN root: the manifest doubles the day-0 link, so every
+    // day-0 pos appears twice — never a dense epoch
+    val broken = java.nio.file.Files.createTempDirectory("broke").toString
+    for (t <- Seq("fps", "gram_counts", "sigs"))
+      spark.read.parquet(s"$day1/$t")
+        .write.mode("overwrite").parquet(s"$broken/$t")
+    PretrainPrepIncrementalMain.writeChain(spark,
+      Seq(s"$day0/data", s"$day0/data"), broken)
+    val outA = java.nio.file.Files.createTempDirectory("chainA").toString
+    Mains.keepSessionForTests = true
+    try {
+      val e = intercept[IllegalStateException] {
+        PretrainPrepIncrementalMain.main(
+          (Seq(b2, broken, outA) ++ chainArgs).toArray)
+      }
+      assert(e.getMessage.contains("dense"))
+      // check=off skips the scan and the (wrong-corpus) run completes
+      PretrainPrepIncrementalMain.main(
+        (Seq(b2, broken, outA) ++ chainArgs :+ "check=off").toArray)
+      assert(spark.read.parquet(s"$outA/accepted").count() > 0)
+      // a chain line whose directory is MISSING fails regardless
+      val gone = java.nio.file.Files.createTempDirectory("gone").toString
+      PretrainPrepIncrementalMain.writeChain(spark,
+        Seq(s"$day1/data", s"$gone/nope/data"), broken)
+      val e2 = intercept[IllegalArgumentException] {
+        PretrainPrepIncrementalMain.main(
+          (Seq(b2, broken, outA) ++ chainArgs :+ "check=off").toArray)
+      }
+      assert(e2.getMessage.contains("missing or empty"))
+      // option hygiene: only on|off are accepted
+      val e3 = intercept[IllegalArgumentException] {
+        PretrainPrepIncrementalMain.main(
+          (Seq(b2, broken, outA) ++ chainArgs :+ "check=maybe").toArray)
+      }
+      assert(e3.getMessage.contains("check must be"))
+    } finally Mains.keepSessionForTests = false
+  }
+
+  test("first signing on a sig-less chain signs corpus ∪ batch, so the " +
+      "chain is signature-complete from that day forward") {
+    val (corpusDocs, batch1, bench) = incFixture()
+    val (corpus, _, arts) = corpusRun(corpusDocs, bench)
+    // a standing dir WITHOUT sigs (e.g. produced by a library run)
+    val day0 = java.nio.file.Files.createTempDirectory("nosig0").toString
+    graft.io.Publish.writePartitioned(corpus, s"$day0/data",
+      Seq("shard"), "pos")
+    arts.fps.write.mode("overwrite").parquet(s"$day0/fps")
+    arts.gramCounts.write.mode("overwrite").parquet(s"$day0/gram_counts")
+    graft.ops.StageCut.release(arts.scrubInput)
+    graft.ops.StageCut.release(corpus)
+    val day1 = java.nio.file.Files.createTempDirectory("nosig1").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    bench.write.mode("overwrite").parquet(benchDir)
+    Mains.keepSessionForTests = true
+    try PretrainPrepIncrementalMain.main((Seq(writeDocsDir(batch1), day0,
+      day1, s"bench=$benchDir", "check=on") ++ chainArgs).toArray)
+    finally Mains.keepSessionForTests = false
+    // 5 corpus docs + 2 accepted batch docs — NOT batch-only
+    assert(spark.read.parquet(s"$day1/sigs")
+      .select("id").distinct().count() == 7)
+  }
 }
