@@ -1676,6 +1676,39 @@ object SparkEntry {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** q130 — the PER-DOCUMENT DROP LEDGER of the q128 pipeline
+    * ([[graft.apps.PretrainPrep.runTracked]] with `keepLedger`): one
+    * row `(doc_id, stage, reason, winner_id)` for every input doc the
+    * release rejected — policy verdicts, bad-word pages, exact
+    * duplicates with their min-id winner, scrubbed-empty docs,
+    * near-dup cluster members with their representative, benchmark
+    * overlaps and quota evictions. The oracle recomputes every drop
+    * set from the q128 CTE chain's own intermediates, so the audit
+    * trail is value-pinned end to end, not just count-reconciled. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
+    val base = docs.filter(!benchPred)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+          col("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" tail marker alpha beta gamma delta")).as("text")))
+    val t = graft.apps.PretrainPrep.runTracked(
+      corpus, "doc_id", "text", "source",
+      bench = Some(docs.filter(benchPred)),
+      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+      decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
+      keepLedger = true, log = _ => ())
+    graft.ops.StageCut.release(t.out)
+    t.ledger.get.orderBy(col("stage"), col("doc_id"))
+  }
+
   /** The q129 gate's batch: seven manufactured families over the
     * documents table that make EVERY incremental stage drop at every
     * SF (the q128 manufactured-collision discipline, extended to the
@@ -1701,6 +1734,14 @@ object SparkEntry {
     *   - +1600000 `%8==5`: reversed family + 2 tail tokens → within-
     *     batch near-dup (component representative keeps +1000000). */
   private[graft] def prepGateBatch(docs: DataFrame): DataFrame = {
+    // the family offsets below (and q128's +100000/+200000 corpus
+    // families) are disjoint only while base ids stay under the
+    // 100000 spacing — fail loudly if a regenerated testdata set
+    // ever crosses it, instead of silently colliding family ids
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 100000L,
+      s"prepGateBatch offsets assume doc_id < 100000, testdata " +
+        s"reaches $maxId — widen the family offsets")
     val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
     val base = docs.filter(!benchPred)
     val idS = col("doc_id").cast("string")
@@ -1978,6 +2019,7 @@ object SparkEntry {
     "q127_paragraph_dedup" -> (q127 _),
     "q128_pretrain_prep" -> (q128 _),
     "q129_pretrain_prep_incremental" -> (q129 _),
+    "q130_prep_drop_ledger" -> (q130 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3421,7 +3463,11 @@ object SparkEntry {
     * the hint inside a recursive definition — so any CTE declared
     * with a column list is skipped. Over-counting from column aliases
     * that shadow a CTE name (e.g. `w`) only adds a harmless extra
-    * materialization, never changes values. */
+    * materialization, never changes values. CAVEAT before any wider
+    * reuse: a `WINDOW w AS (...)` clause matches the definition regex
+    * and would be corrupted by the rewrite — none of the prep oracles
+    * uses WINDOW clauses; parse CTE definitions positionally if this
+    * ever needs to serve SQL that does. */
   private def materializeSharedCtes(sql: String): String = {
     // a CTE definition starts a line, or follows the WITH [RECURSIVE]
     // keyword on the first one; `AS u(s)` unnest aliases never match
@@ -3444,6 +3490,41 @@ object SparkEntry {
     materializeSharedCtes("WITH RECURSIVE " + prepCorpusCtes + raw"""
        SELECT doc_id, source, n_kept, shard, pos
        FROM corpacc ORDER BY shard, pos""")
+
+  /** q130: the q128 pipeline's DROP LEDGER — each stage's reject set
+    * recomputed from the q128 CTE chain's own intermediates: policy
+    * verdicts (`dec`), bad-word pages (`pol` minus `nb`), non-min
+    * fingerprint holders (winner = the min), scrubbed-empty docs
+    * (`ex` minus `scr`), non-representative cluster members (winner =
+    * the label), benchmark overlaps (`badx`) and over-quota rows
+    * (rank > 15 in `clnx`'s window). */
+  private def q130Sql: String =
+    materializeSharedCtes("WITH RECURSIVE " + prepCorpusCtes + raw""",
+       fmz AS (SELECT f, min(doc_id) AS mn FROM fpx GROUP BY f),
+       qrnz AS (SELECT doc_id, row_number() OVER (PARTITION BY source
+            ORDER BY n_kept DESC, doc_id) AS rn FROM clnx)
+       SELECT doc_id, stage, reason, winner_id FROM (
+         SELECT doc_id, 'policy' AS stage, reason,
+                CAST(NULL AS BIGINT) AS winner_id
+           FROM dec WHERE reason <> 'ok'
+         UNION ALL
+         SELECT doc_id, 'bad_words', 'bad_word', NULL FROM pol
+           WHERE doc_id NOT IN (SELECT doc_id FROM nb)
+         UNION ALL
+         SELECT x.doc_id, 'exact', 'duplicate_text', fmz.mn
+           FROM fpx x JOIN fmz USING (f) WHERE x.doc_id <> fmz.mn
+         UNION ALL
+         SELECT doc_id, 'span_scrub', 'all_spans_duplicated', NULL
+           FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM scr)
+         UNION ALL
+         SELECT id, 'near', 'near_duplicate', cluster FROM clusx
+           WHERE cluster <> id
+         UNION ALL
+         SELECT doc_id, 'decontam', 'bench_overlap', NULL FROM badx
+         UNION ALL
+         SELECT doc_id, 'quota', 'source_quota', NULL FROM qrnz
+           WHERE rn > 15)
+       ORDER BY stage, doc_id""")
 
   /** q129: [[prepCorpusCtes]]' standing corpus (with its `ex`-stage
     * fps/gram-count artifacts and `bgx` bench grams), then the DAILY
@@ -4198,6 +4279,7 @@ object SparkEntry {
     "q127_paragraph_dedup" -> q127Sql,
     "q128_pretrain_prep" -> q128Sql,
     "q129_pretrain_prep_incremental" -> q129Sql,
+    "q130_prep_drop_ledger" -> q130Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

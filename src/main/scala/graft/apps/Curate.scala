@@ -390,6 +390,21 @@ object Curate {
   private[apps] def dropBatchNearDups(exact: DataFrame, corpus: DataFrame,
                                 idCol: String, contentCol: String,
                                 method: SimilarityMethod,
+                                corpusSigs: Option[DataFrame] = None): DataFrame =
+    exact.join(
+      batchNearDrops(exact, corpus, idCol, contentCol, method, corpusSigs)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** The DROP rows behind [[dropBatchNearDups]] — `(idCol, _win,
+    * _corpus)`: each dropped batch doc with its component
+    * representative (the cluster label — possibly itself a batch id)
+    * and whether the component touches the standing corpus. One
+    * evaluation yields both the survivor anti-join and the drop
+    * ledger's near attribution. */
+  private[apps] def batchNearDrops(exact: DataFrame, corpus: DataFrame,
+                                idCol: String, contentCol: String,
+                                method: SimilarityMethod,
                                 corpusSigs: Option[DataFrame] = None): DataFrame = {
     val batchPairs = SimilarJoin.similarJoin(exact, idCol, contentCol, method)
     val crossPairs = SimilarJoin.similarJoinAgainst(exact, corpus,
@@ -405,11 +420,11 @@ object Curate {
     val touched = clusters.join(corpusIds, Seq("id"), "left_semi")
       .select(col("cluster")).distinct()
     val batchMembers = clusters.join(corpusIds, Seq("id"), "left_anti")
-    val dropIds = batchMembers
+    batchMembers
       .join(touched.withColumn("_t", lit(true)), Seq("cluster"), "left")
       .filter(col("id") =!= col("cluster") || col("_t").isNotNull)
-      .select(col("id").as(idCol))
-    exact.join(dropIds, Seq(idCol), "left_anti")
+      .select(col("id").as(idCol), col("cluster").as("_win"),
+        col("_t").isNotNull.as("_corpus"))
   }
 
   /** INCREMENTAL curation — today's batch of new documents curated

@@ -109,6 +109,28 @@ object PretrainPrep {
                        afterNear: Long, afterDecontam: Long,
                        afterQuota: Long)
 
+  /** [[runTracked]] / [[runIncrementalTracked]] result: the accepted
+    * frame and report of the plain run, plus the opted-into extras.
+    * `ledger` is the per-document DROP AUDIT — one row `(idCol,
+    * stage, reason, winner_id)` for every input document that did NOT
+    * reach the output: `stage` ∈ {policy, bad_words, exact,
+    * span_scrub, near, decontam, emb_decontam, quota}, `reason` is
+    * machine-readable (the policy stage carries
+    * [[graft.text.FilterPolicy]]'s first-failing-rule verdict;
+    * dedup stages distinguish batch-internal from corpus-caused
+    * drops), and `winner_id` names the surviving twin where the drop
+    * has one (exact dedup: the min-id fingerprint holder; near dedup:
+    * the cluster representative) and is NULL otherwise. Ledger ids
+    * and output ids partition the input exactly — reconciliation
+    * against the report deltas is spec-pinned. The frame is
+    * materialized ([[graft.ops.StageCut]]); release it like `out`.
+    * Cost when enabled: one id-column anti-join per stage plus one
+    * extra policy/fingerprint evaluation — no extra pass over any
+    * corpus-sized text. */
+  case class Tracked[R](out: DataFrame, report: R,
+                        artifacts: Option[PrepArtifacts],
+                        ledger: Option[DataFrame])
+
   /** Returns the training-ready frame `(idCol, srcCol, clean_text,
     * n_kept, shard, pos)` — already materialized (see
     * [[graft.ops.StageCut]] for the cleanup contract) — and the
@@ -133,10 +155,11 @@ object PretrainPrep {
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
-    val (out, report, _) = runImpl(docs, idCol, textCol, srcCol, bench,
+    val r = runImpl(docs, idCol, textCol, srcCol, bench,
       config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
-      quotaPerSource, nShards, seed, countInput, keepArtifacts = false, log)
-    (out, report)
+      quotaPerSource, nShards, seed, countInput, keepArtifacts = false,
+      keepLedger = false, log)
+    (r.out, r.report)
   }
 
   /** [[run]] that ALSO returns the [[PrepArtifacts]] the next
@@ -160,11 +183,37 @@ object PretrainPrep {
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report, PrepArtifacts) = {
-    val (out, report, arts) = runImpl(docs, idCol, textCol, srcCol, bench,
+    val r = runImpl(docs, idCol, textCol, srcCol, bench,
       config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
-      quotaPerSource, nShards, seed, countInput, keepArtifacts = true, log)
-    (out, report, arts.get)
+      quotaPerSource, nShards, seed, countInput, keepArtifacts = true,
+      keepLedger = false, log)
+    (r.out, r.report, r.artifacts.get)
   }
+
+  /** [[run]] with OPT-IN extras: `keepArtifacts` adds the
+    * [[PrepArtifacts]] maintenance tables, `keepLedger` the
+    * per-document drop audit — see [[Tracked]] for both contracts. */
+  def runTracked(docs: DataFrame, idCol: String, textCol: String,
+          srcCol: String,
+          bench: Option[DataFrame] = None,
+          config: PolicyConfig = PolicyConfig.Gopher,
+          badWords: Seq[String] = Seq.empty,
+          spanN: Int = 4,
+          spanMinDocs: Int = 2,
+          method: SimilarityMethod =
+            SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+          decontamN: Int = 13,
+          embDecontam: Option[EmbDecontam] = None,
+          quotaPerSource: Int = Int.MaxValue,
+          nShards: Int = 64,
+          seed: Int = 0,
+          countInput: Boolean = true,
+          keepArtifacts: Boolean = false,
+          keepLedger: Boolean = false,
+          log: String => Unit = m => System.err.println(m)): Tracked[Report] =
+    runImpl(docs, idCol, textCol, srcCol, bench, config, badWords, spanN,
+      spanMinDocs, method, decontamN, embDecontam, quotaPerSource, nShards,
+      seed, countInput, keepArtifacts, keepLedger, log)
 
   private def runImpl(docs: DataFrame, idCol: String, textCol: String,
           srcCol: String,
@@ -181,7 +230,8 @@ object PretrainPrep {
           seed: Int,
           countInput: Boolean,
           keepArtifacts: Boolean,
-          log: String => Unit): (DataFrame, Report, Option[PrepArtifacts]) = {
+          keepLedger: Boolean,
+          log: String => Unit): Tracked[Report] = {
     // stage boundary: materialize + cut lineage (conf-revertible)
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
     require(spanN >= 1, s"spanN must be >= 1, got $spanN")
@@ -190,6 +240,15 @@ object PretrainPrep {
     require(quotaPerSource >= 1,
       s"quotaPerSource must be >= 1, got $quotaPerSource")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // drop-ledger plumbing: each fragment is an id-column frame built
+    // from frames alive at its stage, materialized (stage + count)
+    // BEFORE those parents are released — the StageCut ordering
+    // contract. Fragments union into one final ledger at the end.
+    val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def frag(df: => DataFrame): Unit = if (keepLedger) {
+      val f = stage(df); f.count(); ledgerFrags += f
+    }
+    def noWin = lit(null).cast(docs.schema(idCol).dataType).as("winner_id")
 
     // stage 1: policy gate. The input stat is a dedicated count():
     // free only when `docs` is a plain parquet scan (row-group counts,
@@ -199,12 +258,23 @@ object PretrainPrep {
     // input twice (signals + repetition aggregate), and an observe
     // node evaluated twice in one job double-counts.
     val input = if (countInput) docs.count() else -1L
-    val keptIds = FilterPolicy(docs, idCol, textCol, config)
+    // ledger mode materializes the verdict frame once so keep AND
+    // drop reasons come from a single policy evaluation
+    val verdicts =
+      if (keepLedger) Some(stage(FilterPolicy(docs, idCol, textCol, config)))
+      else None
+    val keptIds = verdicts
+      .getOrElse(FilterPolicy(docs, idCol, textCol, config))
       .filter(col("keep")).select(col(idCol))
     val kept = docs.select(col(idCol), col(srcCol), col(textCol))
       .join(keptIds, Seq(idCol), "left_semi")
       .transform(stage)
     val afterPolicy = kept.count()
+    verdicts.foreach { v =>
+      frag(v.filter(!col("keep")).select(col(idCol),
+        lit("policy").as("stage"), col("reason"), noWin))
+      graft.ops.StageCut.release(v)
+    }
     log(s"[prep] policy gate: $input -> $afterPolicy")
 
     // stage 2: C4 bad-words page filter — pure in-row, rides the scan
@@ -213,20 +283,30 @@ object PretrainPrep {
        else C4Clean.dropBadWordDocs(kept, textCol, badWords))
         .transform(stage)
     val afterBadWords = noBad.count()
+    frag(kept.select(col(idCol))
+      .join(noBad.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("bad_words").as("stage"),
+        lit("bad_word").as("reason"), noWin))
     graft.ops.StageCut.release(kept)
     log(s"[prep] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
 
     // stage 3: exact dedup on the raw-text fingerprint — (fp, id)
     // only through the exchange, the heavy text never shuffles
-    val winners = noBad
+    val fpMin = noBad
       .select(graft.text.TextOps.fingerprint(col(textCol)).as("_f"),
         col(idCol))
       .groupBy(col("_f")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val exact = noBad.join(winners, Seq(idCol), "left_semi")
+    val exact = noBad.join(fpMin.select(col(idCol)), Seq(idCol), "left_semi")
       .transform(stage)
     val afterExact = exact.count()
+    frag(noBad
+      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_f"),
+        col(idCol))
+      .join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_f"))
+      .filter(col(idCol) =!= col("_win"))
+      .select(col(idCol), lit("exact").as("stage"),
+        lit("duplicate_text").as("reason"), col("_win").as("winner_id")))
     graft.ops.StageCut.release(noBad)
     log(s"[prep] exact dedup: $afterBadWords -> $afterExact")
 
@@ -237,6 +317,10 @@ object PretrainPrep {
       .join(exact.select(col(idCol), col(srcCol)), Seq(idCol))
       .transform(stage)
     val afterSpanScrub = scrubbed.count()
+    frag(exact.select(col(idCol))
+      .join(scrubbed.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("span_scrub").as("stage"),
+        lit("all_spans_duplicated").as("reason"), noWin))
     // artifact mode keeps the scrub input alive: fps + gram counts are
     // then one cached pass each, and the CALLER releases it
     val artifacts =
@@ -248,15 +332,29 @@ object PretrainPrep {
     log(s"[prep] span scrub (n=$spanN, minDocs=$spanMinDocs): " +
       s"$afterExact -> $afterSpanScrub")
 
-    // stage 5: near-dup clusters over the scrubbed text
+    // stage 5: near-dup clusters over the scrubbed text. Ledger mode
+    // materializes the (id, cluster) drop pairs ONCE — winner
+    // attribution and the anti-join share a single LSH evaluation.
     val clusters = SimilarJoin.similarClusters(
       scrubbed.select(col(idCol), col("clean_text").as(textCol)),
       idCol, textCol, method)
-    val dropIds = clusters.filter(col("cluster") =!= col("id"))
-      .select(col("id").as(idCol))
+    val nearPairs =
+      if (keepLedger) {
+        val p = stage(clusters.filter(col("cluster") =!= col("id"))
+          .select(col("id").as(idCol), col("cluster").as("_win")))
+        p.count(); Some(p)
+      } else None
+    val dropIds = nearPairs.map(_.select(col(idCol)))
+      .getOrElse(clusters.filter(col("cluster") =!= col("id"))
+        .select(col("id").as(idCol)))
     val near = scrubbed.join(dropIds, Seq(idCol), "left_anti")
       .transform(stage)
     val afterNear = near.count()
+    nearPairs.foreach { p =>
+      frag(p.select(col(idCol), lit("near").as("stage"),
+        lit("near_duplicate").as("reason"), col("_win").as("winner_id")))
+      graft.ops.StageCut.release(p)
+    }
     graft.ops.StageCut.release(scrubbed)
     log(s"[prep] near dedup (${method.getClass.getSimpleName}): " +
       s"$afterSpanScrub -> $afterNear")
@@ -272,7 +370,13 @@ object PretrainPrep {
       case None => near
     }
     val afterDecontam = dec.count()
-    if (bench.isDefined) graft.ops.StageCut.release(near)
+    if (bench.isDefined) {
+      frag(near.select(col(idCol))
+        .join(dec.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("decontam").as("stage"),
+          lit("bench_overlap").as("reason"), noWin))
+      graft.ops.StageCut.release(near)
+    }
     log(s"[prep] $decontamN-gram decontamination: " +
       s"$afterNear -> $afterDecontam")
 
@@ -292,7 +396,13 @@ object PretrainPrep {
       case None => dec
     }
     val afterEmbDecontam = embClean.count()
-    if (embDecontam.isDefined) graft.ops.StageCut.release(dec)
+    if (embDecontam.isDefined) {
+      frag(dec.select(col(idCol))
+        .join(embClean.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("emb_decontam").as("stage"),
+          lit("bench_embedding_overlap").as("reason"), noWin))
+      graft.ops.StageCut.release(dec)
+    }
     log(s"[prep] embedding decontamination: " +
       s"$afterDecontam -> $afterEmbDecontam")
 
@@ -306,13 +416,24 @@ object PretrainPrep {
     val sharded = Sampling.shuffleShards(quota, idCol, nShards, seed)
       .transform(stage)
     val afterQuota = sharded.count()
+    frag(embClean.select(col(idCol))
+      .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("quota").as("stage"),
+        lit("source_quota").as("reason"), noWin))
     graft.ops.StageCut.release(embClean)
     log(s"[prep] quota (<= $quotaPerSource/source) + shuffle " +
       s"($nShards shards, seed $seed): $afterEmbDecontam -> $afterQuota")
 
-    (sharded, Report(input, afterPolicy, afterBadWords, afterExact,
+    val ledger =
+      if (keepLedger) {
+        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
+        l.count()
+        ledgerFrags.foreach(graft.ops.StageCut.release)
+        Some(l)
+      } else None
+    Tracked(sharded, Report(input, afterPolicy, afterBadWords, afterExact,
       afterSpanScrub, afterNear, afterDecontam, afterEmbDecontam,
-      afterQuota), artifacts)
+      afterQuota), artifacts, ledger)
   }
 
   /** The DAILY run — today's crawl batch through the SAME release
@@ -398,11 +519,12 @@ object PretrainPrep {
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, IncReport) = {
-    val (out, report, _) = runIncrementalImpl(newDocs, corpus, corpusFps,
+    val r = runIncrementalImpl(newDocs, corpus, corpusFps,
       corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
       spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
-      nShards, seed, countInput, keepArtifacts = false, log)
-    (out, report)
+      nShards, seed, countInput, keepArtifacts = false,
+      keepLedger = false, log)
+    (r.out, r.report)
   }
 
   /** [[runIncremental]] that also returns the batch-side
@@ -426,12 +548,44 @@ object PretrainPrep {
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, IncReport, PrepArtifacts) = {
-    val (out, report, arts) = runIncrementalImpl(newDocs, corpus, corpusFps,
+    val r = runIncrementalImpl(newDocs, corpus, corpusFps,
       corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
       spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
-      nShards, seed, countInput, keepArtifacts = true, log)
-    (out, report, arts.get)
+      nShards, seed, countInput, keepArtifacts = true,
+      keepLedger = false, log)
+    (r.out, r.report, r.artifacts.get)
   }
+
+  /** [[runIncremental]] with OPT-IN extras: `keepArtifacts` adds the
+    * batch-side [[PrepArtifacts]], `keepLedger` the per-document drop
+    * audit — see [[Tracked]]. The incremental ledger additionally
+    * distinguishes corpus-caused drops (`duplicate_of_corpus`,
+    * `near_duplicate_of_corpus`) from batch-internal ones — the
+    * audit trail a daily run needs to explain rejects against a
+    * standing corpus nobody can eyeball. */
+  def runIncrementalTracked(newDocs: DataFrame, corpus: DataFrame,
+          corpusFps: DataFrame, corpusGramCounts: DataFrame,
+          idCol: String, textCol: String, srcCol: String,
+          bench: Option[DataFrame] = None,
+          config: PolicyConfig = PolicyConfig.Gopher,
+          badWords: Seq[String] = Seq.empty,
+          spanN: Int = 4,
+          spanMinDocs: Int = 2,
+          method: SimilarityMethod =
+            SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+          corpusSigs: Option[DataFrame] = None,
+          decontamN: Int = 13,
+          quotaPerSource: Int = Int.MaxValue,
+          nShards: Int = 64,
+          seed: Int = 0,
+          countInput: Boolean = true,
+          keepArtifacts: Boolean = false,
+          keepLedger: Boolean = false,
+          log: String => Unit = m => System.err.println(m)): Tracked[IncReport] =
+    runIncrementalImpl(newDocs, corpus, corpusFps, corpusGramCounts,
+      idCol, textCol, srcCol, bench, config, badWords, spanN, spanMinDocs,
+      method, corpusSigs, decontamN, quotaPerSource, nShards, seed,
+      countInput, keepArtifacts, keepLedger, log)
 
   private def runIncrementalImpl(newDocs: DataFrame, corpus: DataFrame,
           corpusFps: DataFrame, corpusGramCounts: DataFrame,
@@ -449,8 +603,17 @@ object PretrainPrep {
           seed: Int,
           countInput: Boolean,
           keepArtifacts: Boolean,
-          log: String => Unit): (DataFrame, IncReport, Option[PrepArtifacts]) = {
+          keepLedger: Boolean,
+          log: String => Unit): Tracked[IncReport] = {
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
+    // drop-ledger plumbing — same materialize-before-release contract
+    // as runImpl's
+    val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def frag(df: => DataFrame): Unit = if (keepLedger) {
+      val f = stage(df); f.count(); ledgerFrags += f
+    }
+    def noWin =
+      lit(null).cast(newDocs.schema(idCol).dataType).as("winner_id")
     require(spanN >= 1, s"spanN must be >= 1, got $spanN")
     require(spanMinDocs >= 2, s"spanMinDocs must be >= 2, got $spanMinDocs")
     require(decontamN >= 1, s"decontamN must be >= 1, got $decontamN")
@@ -465,12 +628,22 @@ object PretrainPrep {
 
     // stage 1: policy gate on the batch (same count note as run())
     val input = if (countInput) newDocs.count() else -1L
-    val keptIds = FilterPolicy(newDocs, idCol, textCol, config)
+    val verdicts =
+      if (keepLedger)
+        Some(stage(FilterPolicy(newDocs, idCol, textCol, config)))
+      else None
+    val keptIds = verdicts
+      .getOrElse(FilterPolicy(newDocs, idCol, textCol, config))
       .filter(col("keep")).select(col(idCol))
     val kept = newDocs.select(col(idCol), col(srcCol), col(textCol))
       .join(keptIds, Seq(idCol), "left_semi")
       .transform(stage)
     val afterPolicy = kept.count()
+    verdicts.foreach { v =>
+      frag(v.filter(!col("keep")).select(col(idCol),
+        lit("policy").as("stage"), col("reason"), noWin))
+      graft.ops.StageCut.release(v)
+    }
     log(s"[prep+] policy gate: $input -> $afterPolicy")
 
     // stage 2: bad-words — in-row, rides the scan
@@ -479,6 +652,10 @@ object PretrainPrep {
        else C4Clean.dropBadWordDocs(kept, textCol, badWords))
         .transform(stage)
     val afterBadWords = noBad.count()
+    frag(kept.select(col(idCol))
+      .join(noBad.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("bad_words").as("stage"),
+        lit("bad_word").as("reason"), noWin))
     graft.ops.StageCut.release(kept)
     log(s"[prep+] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
@@ -486,15 +663,30 @@ object PretrainPrep {
     // stage 3: exact dedup within the batch, then against the stored
     // corpus fingerprints — (fp, id) only through both exchanges
     val cfps = Curate.requireFps(corpusFps, "_fp_text", "textFingerprints")
-    val winners = noBad
+    val fpMin = noBad
       .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
         col(idCol))
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val winners = fpMin
       .join(cfps, Seq("_fp"), "left_anti")
       .select(col(idCol))
     val exact = noBad.join(winners, Seq(idCol), "left_semi")
       .transform(stage)
     val afterExact = exact.count()
+    // attribution: a fingerprint already standing in the corpus drops
+    // ALL its batch holders (winner unknown to the batch — NULL); a
+    // batch-only duplicate names its min-id winner
+    frag(noBad
+      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
+        col(idCol))
+      .join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_fp"))
+      .join(cfps.withColumn("_c", lit(true)), Seq("_fp"), "left")
+      .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
+      .select(col(idCol), lit("exact").as("stage"),
+        when(col("_c").isNotNull, lit("duplicate_of_corpus"))
+          .otherwise(lit("duplicate_text")).as("reason"),
+        when(col("_c").isNotNull, lit(null)).otherwise(col("_win"))
+          .as("winner_id")))
     graft.ops.StageCut.release(noBad)
     log(s"[prep+] exact dedup (batch + corpus fps): " +
       s"$afterBadWords -> $afterExact")
@@ -506,6 +698,10 @@ object PretrainPrep {
       .join(exact.select(col(idCol), col(srcCol)), Seq(idCol))
       .transform(stage)
     val afterSpanScrub = scrubbed.count()
+    frag(exact.select(col(idCol))
+      .join(scrubbed.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("span_scrub").as("stage"),
+        lit("all_spans_duplicated").as("reason"), noWin))
     val artifacts =
       if (keepArtifacts) Some(PrepArtifacts(
         Curate.textFingerprints(exact, textCol),
@@ -516,15 +712,32 @@ object PretrainPrep {
       s"counts): $afterExact -> $afterSpanScrub")
 
     // stage 5: near-dup vs self + corpus clean_text (or stored sigs) —
-    // ONE component pass, Curate's incremental drop rule
-    val near = Curate.dropBatchNearDups(
-        scrubbed.select(col(idCol), col(srcCol), col("n_kept"),
-          col("clean_text"), col("clean_text").as(textCol)),
-        corpus.select(col(idCol), col("clean_text").as(textCol)),
-        idCol, textCol, method, corpusSigs)
+    // ONE component pass, Curate's incremental drop rule. Ledger mode
+    // materializes the drop rows (id, representative, corpus-touched)
+    // once and shares them with the anti-join.
+    val nearBase = scrubbed.select(col(idCol), col(srcCol), col("n_kept"),
+      col("clean_text"), col("clean_text").as(textCol))
+    val corpusText = corpus.select(col(idCol), col("clean_text").as(textCol))
+    val nearDrops =
+      if (keepLedger) {
+        val d = stage(Curate.batchNearDrops(nearBase, corpusText,
+          idCol, textCol, method, corpusSigs))
+        d.count(); Some(d)
+      } else None
+    val near = nearDrops
+      .map(d => nearBase.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(Curate.dropBatchNearDups(nearBase, corpusText,
+        idCol, textCol, method, corpusSigs))
       .drop(textCol)
       .transform(stage)
     val afterNear = near.count()
+    nearDrops.foreach { d =>
+      frag(d.select(col(idCol), lit("near").as("stage"),
+        when(col("_corpus"), lit("near_duplicate_of_corpus"))
+          .otherwise(lit("near_duplicate")).as("reason"),
+        col("_win").as("winner_id")))
+      graft.ops.StageCut.release(d)
+    }
     graft.ops.StageCut.release(scrubbed)
     log(s"[prep+] near dedup vs corpus (${method.getClass.getSimpleName}): " +
       s"$afterSpanScrub -> $afterNear")
@@ -540,7 +753,13 @@ object PretrainPrep {
       case None => near
     }
     val afterDecontam = dec.count()
-    if (bench.isDefined) graft.ops.StageCut.release(near)
+    if (bench.isDefined) {
+      frag(near.select(col(idCol))
+        .join(dec.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("decontam").as("stage"),
+          lit("bench_overlap").as("reason"), noWin))
+      graft.ops.StageCut.release(near)
+    }
     log(s"[prep+] $decontamN-gram decontamination: " +
       s"$afterNear -> $afterDecontam")
 
@@ -569,12 +788,24 @@ object PretrainPrep {
       .drop("_sn")
       .transform(stage)
     val afterQuota = sharded.count()
+    frag(dec.select(col(idCol))
+      .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("quota").as("stage"),
+        lit("source_quota").as("reason"), noWin))
     graft.ops.StageCut.release(dec)
     log(s"[prep+] quota headroom (<= $quotaPerSource/source incl corpus) " +
       s"+ shards ($nShards, seed $seed): $afterDecontam -> $afterQuota")
 
-    (sharded, IncReport(input, afterPolicy, afterBadWords, afterExact,
-      afterSpanScrub, afterNear, afterDecontam, afterQuota), artifacts)
+    val ledger =
+      if (keepLedger) {
+        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
+        l.count()
+        ledgerFrags.foreach(graft.ops.StageCut.release)
+        Some(l)
+      } else None
+    Tracked(sharded, IncReport(input, afterPolicy, afterBadWords,
+      afterExact, afterSpanScrub, afterNear, afterDecontam, afterQuota),
+      artifacts, ledger)
   }
 }
 
@@ -603,8 +834,9 @@ object PretrainPrep {
   * `badwords=a,b,c`, `spanN=4`, `method=minhash:0.8|simhash:<h>`,
   * `decontamN=13`, `embvecs=<parquet>` + `embbench=<parquet>` +
   * `veccol=embedding` + `mincos=0.98` (embedding decontamination),
-  * `quota=<k>`, `shards=64`, `seed=0`, `seqLen=2048`. Stage counts
-  * land on stderr. */
+  * `quota=<k>`, `shards=64`, `seed=0`, `seqLen=2048`, `ledger=on`
+  * (adds `ledger/` — the [[PretrainPrep.Tracked]] per-document drop
+  * audit). Stage counts land on stderr. */
 object PretrainPrepMain {
 
   private val usage =
@@ -612,10 +844,10 @@ object PretrainPrepMain {
       "[policy=parquet] [badwords=a,b,c] [spanN=4] [spanMinDocs=2] " +
       "[method=minhash:0.8] [decontamN=13] [embvecs=parquet] " +
       "[embbench=parquet] [veccol=embedding] [mincos=0.98] [quota=k] " +
-      "[shards=64] [seed=0] [seqLen=2048]"
+      "[shards=64] [seed=0] [seqLen=2048] [ledger=on]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "embvecs", "embbench",
-    "veccol", "mincos", "quota", "shards", "seed", "seqLen")
+    "veccol", "mincos", "quota", "shards", "seed", "seqLen", "ledger")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) throw new IllegalArgumentException(usage)
@@ -629,6 +861,9 @@ object PretrainPrepMain {
     }.toMap
     require(opts.contains("embvecs") == opts.contains("embbench"),
       "embedding decontamination needs BOTH embvecs= and embbench=")
+    opts.get("ledger").foreach(v => require(v == "on" || v == "off",
+      s"ledger must be 'on' or 'off', got '$v'\n$usage"))
+    val wantLedger = opts.get("ledger").contains("on")
     val spark = Mains.session("graft-pretrain-prep")
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val bench = opts.get("bench").map(p => spark.read.parquet(p))
@@ -645,7 +880,7 @@ object PretrainPrepMain {
     val seqLen = opts.get("seqLen").map(_.toInt).getOrElse(2048)
     val method = opts.get("method").map(CurateMain.parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
-    val (out, report, arts) = PretrainPrep.runWithArtifacts(
+    val tracked = PretrainPrep.runTracked(
       docs, "doc_id", "text", "source",
       bench = bench, config = config,
       badWords = opts.get("badwords")
@@ -658,7 +893,15 @@ object PretrainPrepMain {
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
-      seed = opts.get("seed").map(_.toInt).getOrElse(0))
+      seed = opts.get("seed").map(_.toInt).getOrElse(0),
+      keepArtifacts = true, keepLedger = wantLedger)
+    val (out, report, arts) = (tracked.out, tracked.report,
+      tracked.artifacts.get)
+    // ledger/: the per-document drop audit (opt-in)
+    tracked.ledger.foreach { l =>
+      l.write.mode("overwrite").parquet(s"$outDir/ledger")
+      graft.ops.StageCut.release(l)
+    }
     // maintenance artifacts for the daily incremental run — off the
     // still-cached scrub-input frame, then release it
     arts.fps.write.mode("overwrite").parquet(s"$outDir/fps")
@@ -731,20 +974,21 @@ object PretrainPrepMain {
   *
   * Options: `bench=<parquet>`, `policy=<parquet>`, `badwords=a,b,c`,
   * `spanN=4`, `spanMinDocs=2`, `method=minhash:0.8|simhash:<h>`,
-  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0`, `check=off` —
-  * `shards` and `seed` MUST match the run that produced the standing
-  * corpus (the epoch is a pure function of them). Stage counts land
-  * on stderr. */
+  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0`, `check=off`,
+  * `ledger=on` (adds `ledger/` — the [[PretrainPrep.Tracked]] drop
+  * audit for the batch) — `shards` and `seed` MUST match the run
+  * that produced the standing corpus (the epoch is a pure function
+  * of them). Stage counts land on stderr. */
 object PretrainPrepIncrementalMain {
 
   private val usage =
     "usage: pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir> " +
       "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
       "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
-      "[shards=64] [seed=0] [check=off]"
+      "[shards=64] [seed=0] [check=off] [ledger=on]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "quota", "shards", "seed",
-    "check")
+    "check", "ledger")
 
   /** Hadoop-FS probe (works on hdfs://, s3a://, file:// alike —
     * `java.io.File` is silently false for every non-local scheme):
@@ -842,6 +1086,8 @@ object PretrainPrepIncrementalMain {
     }.toMap
     opts.get("check").foreach(v => require(v == "on" || v == "off",
       s"check must be 'on' or 'off', got '$v'\n$usage"))
+    opts.get("ledger").foreach(v => require(v == "on" || v == "off",
+      s"ledger must be 'on' or 'off', got '$v'\n$usage"))
     val spark = Mains.session("graft-pretrain-prep-incremental")
     val batch = graft.Tables.load(spark, batchDir, "documents")
     // the standing corpus is the UNION of the chain's data directories
@@ -867,7 +1113,7 @@ object PretrainPrepIncrementalMain {
     val config = opts.get("policy")
       .map(p => FilterPolicy.loadPolicy(spark, p))
       .getOrElse(PolicyConfig.Gopher)
-    val (out, report, arts) = PretrainPrep.runIncrementalWithArtifacts(
+    val tracked = PretrainPrep.runIncrementalTracked(
       batch, corpus, corpusFps, corpusCounts, "doc_id", "text", "source",
       bench = bench, config = config,
       badWords = opts.get("badwords")
@@ -879,7 +1125,17 @@ object PretrainPrepIncrementalMain {
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
-      seed = opts.get("seed").map(_.toInt).getOrElse(0))
+      seed = opts.get("seed").map(_.toInt).getOrElse(0),
+      keepArtifacts = true,
+      keepLedger = opts.get("ledger").contains("on"))
+    val (out, report, arts) = (tracked.out, tracked.report,
+      tracked.artifacts.get)
+    // ledger/: why each batch doc was rejected — the audit a daily
+    // run needs against a corpus nobody can eyeball
+    tracked.ledger.foreach { l =>
+      l.write.mode("overwrite").parquet(s"$outDir/ledger")
+      graft.ops.StageCut.release(l)
+    }
 
     val written = graft.io.Publish.writePartitioned(out, s"$outDir/data",
       Seq("shard"), "pos")

@@ -351,13 +351,97 @@ class PretrainPrepSpec extends SparkSpec {
     graft.ops.StageCut.release(corpus)
   }
 
+  test("drop ledger (full run): per-stage rows reconcile exactly with " +
+      "the report deltas, ids partition the input, winners are real") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val corpus = gateCorpus(docs)
+    val t = PretrainPrep.runTracked(corpus, "doc_id", "text", "source",
+      bench = Some(docs.filter(benchPred)), badWords = Seq("dup"),
+      spanN = 4, spanMinDocs = 3,
+      method = SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+      decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
+      keepLedger = true, log = _ => ())
+    val (r, led) = (t.report, t.ledger.get)
+    def n(st: String) = led.filter(col("stage") === st).count()
+    // per-stage reconciliation against the survivor-count deltas
+    assert(n("policy") == r.input - r.afterPolicy)
+    assert(n("bad_words") == r.afterPolicy - r.afterBadWords)
+    assert(n("exact") == r.afterBadWords - r.afterExact)
+    assert(n("span_scrub") == r.afterExact - r.afterSpanScrub)
+    assert(n("near") == r.afterSpanScrub - r.afterNear)
+    assert(n("decontam") == r.afterNear - r.afterDecontam)
+    assert(n("quota") == r.afterEmbDecontam - r.afterQuota)
+    // the ledger and the output PARTITION the input: one row per
+    // dropped doc, none for survivors, nothing uncovered
+    assert(led.count() == r.input - r.afterQuota)
+    assert(led.select("doc_id").distinct().count() == led.count())
+    assert(led.join(t.out, Seq("doc_id"), "left_semi").count() == 0)
+    val covered = led.select("doc_id").unionByName(t.out.select("doc_id"))
+    assert(covered.count() == r.input &&
+      covered.exceptAll(corpus.select("doc_id")).count() == 0)
+    // winners: the manufactured exact family names its original; near
+    // reps are the component min id (always below the dropped id)
+    val ex = led.filter(col("stage") === "exact")
+    assert(ex.count() > 0 && ex.filter(col("winner_id").isNull).count() == 0)
+    assert(ex.filter(col("doc_id") > 100000 && col("doc_id") < 200000)
+      .filter(col("winner_id") =!= col("doc_id") - 100000).count() == 0)
+    val nr = led.filter(col("stage") === "near")
+    assert(nr.count() > 0 && nr.filter(col("winner_id").isNull ||
+      col("winner_id") >= col("doc_id")).count() == 0)
+    // policy reasons come from FilterPolicy's verdict vocabulary
+    assert(led.filter(col("stage") === "policy").filter(!col("reason")
+      .isin("n_tokens", "word_len", "stopwords", "repetition"))
+      .count() == 0)
+    graft.ops.StageCut.release(led)
+    graft.ops.StageCut.release(t.out)
+  }
+
+  test("drop ledger (incremental): every reject attributed, corpus-" +
+      "caused drops distinguished, quota rejects appear when capped") {
+    val (corpusDocs, batch, bench) = incFixture()
+    val (corpus, _, arts) = corpusRun(corpusDocs, bench)
+    val t = PretrainPrep.runIncrementalTracked(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      nShards = 4, seed = 7, keepLedger = true, log = _ => ())
+    val rows = t.ledger.get
+      .select(col("doc_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (102L, "policy", "n_tokens", None),
+      (103L, "bad_words", "bad_word", None),
+      (104L, "exact", "duplicate_text", Some(101L)),
+      (105L, "exact", "duplicate_of_corpus", None),
+      (106L, "near", "near_duplicate_of_corpus", Some(5L)),
+      (108L, "near", "near_duplicate", Some(107L)),
+      (109L, "decontam", "bench_overlap", None)), s"ledger: $rows")
+    graft.ops.StageCut.release(t.ledger.get)
+    graft.ops.StageCut.release(t.out)
+    // capped: 107 loses the one w1 headroom slot to richer 101
+    val t2 = PretrainPrep.runIncrementalTracked(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      bench = Some(bench), badWords = Seq("dup"), spanN = 4,
+      spanMinDocs = 3, method = incMethod, decontamN = 5,
+      quotaPerSource = 5, nShards = 4, seed = 7, keepLedger = true,
+      log = _ => ())
+    assert(t2.ledger.get.filter(col("stage") === "quota")
+      .select(col("doc_id"), col("reason"))
+      .as[(Long, String)].collect().toSeq == Seq((107L, "source_quota")))
+    assert(t2.ledger.get.count() == 8)
+    graft.ops.StageCut.release(t2.ledger.get)
+    graft.ops.StageCut.release(t2.out)
+    graft.ops.StageCut.release(arts.scrubInput)
+    graft.ops.StageCut.release(corpus)
+  }
+
   test("CLI writes the full release layout (data, manifest, card, " +
       "length_hist, policy)") {
     val dir = java.nio.file.Files.createTempDirectory("prep").toString
     Mains.keepSessionForTests = true
     try PretrainPrepMain.main(Array(sf(), dir,
       "badwords=dup", "spanN=4", "method=minhash:0.6", "decontamN=5",
-      "quota=15", "shards=4", "seed=7", "seqLen=64"))
+      "quota=15", "shards=4", "seed=7", "seqLen=64", "ledger=on"))
     finally Mains.keepSessionForTests = false
     val data = graft.io.Publish.readPartitioned(spark, s"$dir/data")
     assert(data.count() > 0)
@@ -382,6 +466,12 @@ class PretrainPrepSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/gram_counts").columns.sorted.toSeq ==
       Seq("h", "nd"))
     assert(spark.read.parquet(s"$dir/sigs").count() > 0)
+    // ...and the opted-in drop ledger, disjoint from the released ids
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    assert(ledger.columns.toSeq ==
+      Seq("doc_id", "stage", "reason", "winner_id"))
+    assert(ledger.count() > 0 &&
+      ledger.join(data, Seq("doc_id"), "left_semi").count() == 0)
   }
 
   test("incremental CLI chains off a full-run output dir and re-emits " +
