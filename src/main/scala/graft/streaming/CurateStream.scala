@@ -45,13 +45,17 @@ object CurateStream {
     * accumulates under `stateDir` as described above. `onBatch` is
     * invoked with (batchId, report) after each trigger — reporting
     * hook, not a data path. Seed a pre-existing corpus by writing its
-    * rows/artifacts as `b-1` subdirectories before starting. */
+    * rows/artifacts as `b-1` subdirectories before starting.
+    * `autoCompactEvery = N` runs [[compact]] after every Nth
+    * completed batch ([[StreamState.maybeAutoCompact]] — 0 keeps
+    * compaction an explicit maintenance call). */
   def start(docs: DataFrame, idCol: String, textCol: String,
             stateDir: String,
             minQuality: Double = 0.5,
             method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
             checkpointLocation: Option[String] = None,
-            onBatch: (Long, Curate.Report) => Unit = (_, _) => ()): StreamingQuery = {
+            onBatch: (Long, Curate.Report) => Unit = (_, _) => (),
+            autoCompactEvery: Int = 0): StreamingQuery = {
     require(!method.isInstanceOf[SimilarityMethod.EmbeddingCosine] &&
         !method.isInstanceOf[SimilarityMethod.ImageDHash],
       "CurateStream curates TEXT batches (runIncremental); embedding/image " +
@@ -62,6 +66,8 @@ object CurateStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, stateDir, minQuality,
           method, onBatch)
+        StreamState.maybeAutoCompact(autoCompactEvery, batchId)(
+          compact(batch.sparkSession, stateDir))
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
       .start()

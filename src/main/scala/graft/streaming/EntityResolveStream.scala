@@ -41,14 +41,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object EntityResolveStream {
 
   /** Starts the stream. `records` must be a STREAMING DataFrame
-    * carrying `idCol` + `strCol`. */
+    * carrying `idCol` + `strCol`. `autoCompactEvery = N` runs
+    * [[compact]] after every Nth completed batch
+    * ([[StreamState.maybeAutoCompact]] — 0 keeps compaction an
+    * explicit maintenance call). */
   def start(records: DataFrame, idCol: String, strCol: String,
             maxDist: Int, stateDir: String,
-            checkpointLocation: Option[String] = None): StreamingQuery = {
+            checkpointLocation: Option[String] = None,
+            autoCompactEvery: Int = 0): StreamingQuery = {
     val writer = records.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, strCol, maxDist, stateDir)
+        StreamState.maybeAutoCompact(autoCompactEvery, batchId)(
+          compact(batch.sparkSession, stateDir))
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
       .start()

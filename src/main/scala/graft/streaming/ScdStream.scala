@@ -34,15 +34,21 @@ object ScdStream {
   /** Starts the stream. `updates` must be a STREAMING DataFrame
     * carrying `pkCol` + `payloadCols`. Seed a pre-existing dimension
     * by writing its open rows as `open/b-1` (and history as
-    * `closed/b-1`) before starting. */
+    * `closed/b-1`) before starting. `autoCompactEvery = N` runs
+    * [[compact]] after every Nth completed batch
+    * ([[StreamState.maybeAutoCompact]] — 0 keeps compaction an
+    * explicit maintenance call). */
   def start(updates: DataFrame, pkCol: String, payloadCols: Seq[String],
             stateDir: String, closeMissing: Boolean = false,
-            checkpointLocation: Option[String] = None): StreamingQuery = {
+            checkpointLocation: Option[String] = None,
+            autoCompactEvery: Int = 0): StreamingQuery = {
     val writer = updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, pkCol, payloadCols, stateDir,
           closeMissing)
+        StreamState.maybeAutoCompact(autoCompactEvery, batchId)(
+          compact(batch.sparkSession, stateDir))
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
       .start()

@@ -209,4 +209,20 @@ object StreamState {
   def read(spark: SparkSession, dir: String,
            beforeBatch: Long): Option[DataFrame] =
     parts(spark, dir, beforeBatch).map(ps => spark.read.parquet(ps: _*))
+
+  /** The streams' AUTO-COMPACT cadence hook: run `compact` after the
+    * batch completing each `every`-batch window (batch ids count from
+    * 0, so `every = 3` compacts after batches 2, 5, 8, …). `every = 0`
+    * — the default at every call site — disables it: compaction stays
+    * an explicit maintenance call unless opted into. Replay-safe: a
+    * re-run batch re-triggers the same compact, which is idempotent;
+    * running inside `foreachBatch` serializes it against the stream's
+    * own writes, and EXTERNAL readers keep the deferred-GC grace of
+    * one full window — the object doc's "schedule compaction coarser
+    * than the longest concurrent read", now measured in batches. */
+  private[streaming] def maybeAutoCompact(every: Int, batchId: Long)
+                                         (compact: => Unit): Unit = {
+    require(every >= 0, s"autoCompactEvery must be >= 0, got $every")
+    if (every > 0 && batchId >= 0 && (batchId + 1) % every == 0) compact
+  }
 }

@@ -176,4 +176,39 @@ class EntityResolveStreamSpec extends SparkSpec {
       (11L, 11L, 0L, false),
       (20L, 10L, 1L, true)))
   }
+
+  test("autoCompactEvery: identical results to the uncompacted twin, " +
+      "bounded dir counts, later batches resolve against folded state") {
+    val batches = Seq(
+      Seq((10L, "golden widget"), (11L, "copper spring")),
+      Seq((20L, "golden widgeq"), (21L, "novel record aa")),
+      Seq((30L, "novel record ax")), // matches 21 post-first-compact
+      Seq((40L, "copper sprinq")),   // matches 11, by then FOLDED
+      Seq((50L, "fresh item zz")))
+    def run(dir: String, every: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = EntityResolveStream.start(input.toDF().toDF("rid", "name"),
+        "rid", "name", maxDist = 2, dir,
+        checkpointLocation = Some(s"$dir/ckpt"), autoCompactEvery = every)
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    val (a, twin) = (tmp(), tmp())
+    run(a, 2); run(twin, 0)
+    assert(reg(a) == reg(twin), "registry diverged under auto-compact")
+    assert(asg(a) == asg(twin), "assignments diverged under auto-compact")
+    // the batch-3 record matched entity 11 from batch 0 — whose dirs
+    // the batch-1 auto-compact had already folded into a snapshot
+    assert(asg(a).contains((40L, 11L, 1L, true)))
+    // bounded growth: every subdir carries a snapshot and strictly
+    // fewer live b-dirs than the 5 triggers the twin accumulated
+    for (sub <- Seq("new", "keys", "assign")) {
+      val names = new java.io.File(s"$a/$sub").list().toSeq
+      assert(names.exists(_.startsWith("c")), s"$sub has no snapshot")
+      assert(names.count(_.startsWith("b")) <
+        new java.io.File(s"$twin/$sub").list().count(_.startsWith("b")),
+        s"$sub not bounded: $names")
+    }
+  }
 }

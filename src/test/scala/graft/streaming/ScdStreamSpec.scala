@@ -163,4 +163,27 @@ class ScdStreamSpec extends SparkSpec {
     assert(out.contains((2L, "rome", 0L, None)))
     assert(out.size == 3)
   }
+
+  test("autoCompactEvery: dimension identical to the uncompacted twin " +
+      "with folded closed history and GC'd open snapshots") {
+    val batches = Seq(Seq((1L, "oslo"), (2L, "rome")), Seq((1L, "lima")),
+      Seq((2L, "cairo")), Seq((1L, "quito")))
+    def run(dir: String, every: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = ScdStream.start(input.toDF().toDF("pk", "city"),
+        "pk", Seq("city"), dir, checkpointLocation = Some(s"$dir/ckpt"),
+        autoCompactEvery = every)
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    val (a, twin) = (tmp(), tmp())
+    run(a, 2); run(twin, 0)
+    assert(dim(a) == dim(twin), "dimension diverged under auto-compact")
+    val closed = new java.io.File(s"$a/closed").list().toSeq
+    assert(closed.exists(_.startsWith("c")), s"no closed snapshot: $closed")
+    // latest-wins open slice: superseded snapshots GC'd, not folded
+    assert(new java.io.File(s"$a/open").list().count(_.startsWith("b")) <
+      new java.io.File(s"$twin/open").list().count(_.startsWith("b")))
+  }
 }
