@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   * maxDist = 2 is complete for pairs of strings >= 6 chars (zones
   * disjoint from len 6 up; `FuzzySpec` measures recall 1.0 vs brute
   * force on a 2-typo corpus) and for pairs both short enough for the
-  * catch-all key. The one remaining best-effort sliver at maxDist = 2
-  * is MIXED pairs (one side <= 3 + maxDist, the other >= 6) whose two
-  * edits land in overlapping short-side zones; beyond maxDist = 2,
-  * blocking is best-effort as in every production stack (add phonetic
-  * or q-gram passes to taste). Keys also carry a length band of width
+  * catch-all key — whose cutoff widens at maxDist >= 2 to
+  * 3 + 2*maxDist, i.e. to every possible PARTNER of an
+  * overlapping-zone string, so MIXED (short, long) pairs whose edits
+  * corrupt both short-side end zones still meet in the catch-all
+  * bucket. Blocking at maxDist <= 2 is therefore COMPLETE at every
+  * length mix (`FuzzySpec` measures recall 1.0 on a mixed 4-11-char
+  * 2-typo corpus too); beyond maxDist = 2 it is best-effort as in
+  * every production stack (add phonetic or q-gram passes to taste).
+  * Keys also carry a length band of width
   * `maxDist + 1`; the probe side explodes to adjacent bands, so a
   * pair whose lengths straddle a band boundary (|Δlen| <= maxDist
   * always holds within distance maxDist) is still generated.
@@ -69,6 +73,15 @@ object Fuzzy {
   private def keyed(df: DataFrame, id: String, s: String, maxDist: Int,
                     explodeBands: Boolean): DataFrame = {
     val bandW = maxDist + 1
+    // catch-all cutoff: strings with OVERLAPPING end zones
+    // (len <= 3 + maxDist) need the key for their own completeness;
+    // at maxDist >= 2 every possible PARTNER of such a string
+    // (|Δlen| <= maxDist, so len <= 3 + 2*maxDist) carries it too —
+    // a mixed (short, long) pair whose edits corrupt both short-side
+    // end zones then still meets in the catch-all bucket, closing
+    // what used to be the documented (<=5, >=6) sliver. The wider
+    // bucket stays bounded by the hot-block cap like any other.
+    val wCut = if (maxDist >= 2) 3 + 2 * maxDist else 3 + maxDist
     val offsets =
       if (explodeBands) array(lit(-1), lit(0), lit(1)) else array(lit(0))
     val midDeltas: Seq[Int] =
@@ -92,7 +105,7 @@ object Fuzzy {
           col("_band").cast("string")),
         concat(lit("s"), col("_s").substr(col("_len") - 1, lit(2)),
           lit("_"), col("_band").cast("string")),
-        when(col("_len") <= lit(3 + maxDist),
+        when(col("_len") <= lit(wCut),
           concat(lit("w_"), col("_band").cast("string")))) ++ midKeys): _*)))
       .filter(col("_k").isNotNull)
       .select(col(id), col("_k"))
@@ -109,10 +122,11 @@ object Fuzzy {
     * the `_w<bandW>` tag row convention below. */
   /** The blocking-key SCHEME version baked into stored artifacts:
     * bumped whenever [[keyed]] changes what keys exist (v2 = the
-    * middle-window pass), so a pre-change artifact fails loudly at
-    * the probe instead of silently missing the pairs only the new
-    * pass can generate (the Importance `_b` discipline). */
-  private val KeyScheme = 2
+    * middle-window pass; v3 = the widened catch-all cutoff that
+    * closed the mixed-length sliver), so a pre-change artifact fails
+    * loudly at the probe instead of silently missing the pairs only
+    * the new keys can generate (the Importance `_b` discipline). */
+  private val KeyScheme = 3
 
   def entityKeys(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int): DataFrame = {

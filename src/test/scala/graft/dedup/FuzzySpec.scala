@@ -133,15 +133,81 @@ class FuzzySpec extends SparkSpec with HotBucketLogCapture {
     assert(out2 == Seq((1L, 9L, 2L)))
   }
 
-  test("documented best-effort sliver: a MIXED (<=5, >=6) pair with " +
-      "both end zones edited is missed at maxDist=2") {
-    // the object scaladoc's one remaining gap: len 5 has no middle
-    // window (zones overlap below 6) and len 7 is past the catch-all
-    // cutoff, so no pass pairs them. This pin keeps the contract
-    // honest — if blocking later closes the gap, update the scaladoc
-    // WITH this expectation.
-    assert(join(Seq((1L, "zabcdeq")), Seq((9L, "abcde")), 2) == Seq.empty)
-    assert(join(Seq((1L, "abcde")), Seq((9L, "zabcdeq")), 2) == Seq.empty)
+  test("maxDist=2 recall measured on a MIXED-LENGTH corpus: every " +
+      "miss falls inside the documented (<=5, >=6) sliver") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef"
+    def randStr(): String = {
+      val len = 4 + rnd.nextInt(8) // 4..11 straddles the len-6 edge
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    def typo(s: String): String = {
+      var cur = s
+      (1 to 2).foreach { _ =>
+        val p = rnd.nextInt(cur.length)
+        rnd.nextInt(3) match {
+          case 0 => cur = cur.substring(0, p) +
+            alphabet(rnd.nextInt(alphabet.length)) + cur.substring(p + 1)
+          case 1 if cur.length > 4 =>
+            cur = cur.substring(0, p) + cur.substring(p + 1)
+          case _ => cur = cur.substring(0, p) +
+            alphabet(rnd.nextInt(alphabet.length)) + cur.substring(p)
+        }
+      }
+      cur
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val bases = (0 until 250).map(i => (i.toLong, randStr()))
+    val rows = bases ++ bases.map { case (i, s) => (1000L + i, typo(s)) }
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && math.abs(sa.length - sb.length) <= 2 && lev(sa, sb) <= 2
+    } yield (ia, ib)).toSet
+    val mixedBrute = brute.count { case (ia, ib) =>
+      val byId = rows.toMap
+      math.min(byId(ia).length, byId(ib).length) <= 5 &&
+        math.max(byId(ia).length, byId(ib).length) >= 6
+    }
+    assert(brute.size >= 400 && mixedBrute >= 40,
+      s"fixture too sparse: ${brute.size} pairs, $mixedBrute mixed")
+    val df = rows.toDF("id", "s")
+    val blocked = Fuzzy.fuzzyJoinAgainst(
+        df.select(col("id").as("id_a"), col("s")),
+        df.select(col("id").as("id_b"), col("s")),
+        "id_a", "s", "id_b", "s", maxDist = 2)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(brute), "verify let a far pair through")
+    val missed = brute -- blocked
+    val byId = rows.toMap
+    info(f"mixed-length corpus: ${brute.size} brute pairs " +
+      f"($mixedBrute mixed), ${missed.size} misses")
+    // the widened catch-all cutoff (3 + 2*maxDist at maxDist >= 2)
+    // makes blocking COMPLETE at every length mix — before it, this
+    // seeded corpus measured recall 0.9373 with 52 misses, all mixed
+    // (<=5, >=6) pairs with both short-side end zones edited
+    assert(missed.isEmpty, s"${missed.size} missed, e.g. " +
+      missed.take(5).map { case (ia, ib) =>
+        s"(${byId(ia)}, ${byId(ib)})" }.mkString(", "))
+  }
+
+  test("the old mixed-length sliver is CLOSED: a (<=5, >=6) pair with " +
+      "both end zones edited meets in the widened catch-all bucket") {
+    // pre-v3 key scheme missed these (len 5 has no middle window and
+    // len 7 sat past the old catch-all cutoff) — the round-12 pin
+    // expected Seq.empty here; the widened cutoff pairs them
+    assert(join(Seq((1L, "zabcdeq")), Seq((9L, "abcde")), 2) ==
+      Seq((1L, 9L, 2L)))
+    assert(join(Seq((1L, "abcde")), Seq((9L, "zabcdeq")), 2) ==
+      Seq((1L, 9L, 2L)))
   }
 
   test("hot blocks are dropped loudly at the cap; cold pairs survive") {
