@@ -57,7 +57,16 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toSeq
+    // optional name filter: `runMain graft.Bench q72_… q70_…` times
+    // only those queries — the per-query adjudication tool (the
+    // driver's full run passes no args; unknown names fail loudly)
+    val names =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        args.toSeq
+      }
     // RUN-LEVEL contention canary (rounds 5-7 each published a phantom
     // per-query "regression" that judge re-measurement traced to
     // whole-run machine load — uniform contention the per-query
