@@ -18,18 +18,19 @@ import org.apache.spark.storage.StorageLevel
   * The cut is NOT free, though: an eager localCheckpoint runs one
   * dedicated materialization job and stores row-serialized blocks,
   * where persist() caches the columnar InMemoryRelation on the same
-  * count() the pipeline already runs — so for a SHORT pipeline over a
-  * small analyzed plan the cut costs more than the re-analysis it
-  * saves (driver-measured in round 12: the 3-stage embedding pipeline
-  * regressed +1.6 s under unconditional cuts while the BPE training
-  * loops gained 17 s). apply() therefore gates on the ANALYZED PLAN
-  * SIZE: below `spark.graft.stageCutMinNodes` nodes ([[DefaultMinNodes]])
-  * the frame is persisted and the lineage kept;
-  * at or above it the lineage is cut. Plans compound until they cross
-  * the threshold, then reset — bounding every action's analysis cost
-  * at O(threshold) while short pipelines keep persist()'s cheaper
-  * materialization and full lineage recovery. `stageCutMinNodes=0`
-  * restores the cut-always round-12 behavior.
+  * count() the pipeline already runs. apply() can therefore gate on
+  * the ANALYZED PLAN SIZE: below `spark.graft.stageCutMinNodes` nodes
+  * the frame is persisted and the lineage kept; at or above it the
+  * lineage is cut. The DEFAULT is cut-always ([[DefaultMinNodes]] = 0):
+  * round 13 set a 96-node gate off one driver measurement (a 3-stage
+  * embedding pipeline +1.6 s under unconditional cuts), but the
+  * round-16 re-measurement — all eight pipeline gates at sf0.1,
+  * min-of-2 timing, clean contention canaries, both settings — could
+  * not reproduce any persist win: cut-always won or tied EVERY gate
+  * (q118 8.36→5.82 s, q129 27.6→24.1, q72 16.5→14.6, q70 11.8→10.3,
+  * q65 5.4→4.1, q126 6.7→6.1, q71/q128 neutral; −11.6 s over the
+  * set). Set `stageCutMinNodes` above your deepest short pipeline to
+  * re-enable the persist gate on workloads where it measures better.
   *
   * The recovery trade: a LOCALLY checkpointed stage cannot be
   * recomputed after executor loss (the job fails and the driver
@@ -70,11 +71,11 @@ object StageCut {
   /** "true" logs one stderr line per boundary. */
   val LogKey = "spark.graft.stageCutLog"
 
-  /** Default for [[MinNodesKey]], from sf0.1 instrumentation: the
-    * 3-4-stage linear pipelines that regressed under cut-always sit at
-    * 15-60 analyzed nodes per boundary, the deep-pipeline/loop frames
-    * that gain from cutting at 100s-1000s. */
-  val DefaultMinNodes = 96
+  /** Default for [[MinNodesKey]]: 0 = cut always (the round-16
+    * re-measurement above — the round-13 96-node gate lost 0.6-3.5 s
+    * on six of eight pipeline gates and won none). The knob stays for
+    * workloads where the persist path measures better. */
+  val DefaultMinNodes = 0
 
   /** Materialization contract: the CUT paths (local/reliable
     * checkpoint) are EAGER — the returned frame's blocks exist when

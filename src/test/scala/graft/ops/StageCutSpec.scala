@@ -56,37 +56,39 @@ class StageCutSpec extends SparkSpec {
     }
   }
 
-  test("auto gate: small plans persist, large plans cut, 0 always cuts") {
+  test("gate: default cuts always; a raised threshold persists small " +
+      "plans and cuts past it; the kill switch never cuts") {
     val small = spark.range(100).toDF("id")
       .withColumn("x", col("id") * 2)
       .filter(col("x") % 3 === 0)
     def isCut(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.logical.collectLeaves()
         .exists(_.getClass.getSimpleName.contains("LogicalRDD"))
-    // default threshold: a handful-of-nodes plan stays on persist —
-    // the round-12 driver regression showed the eager cut costs more
-    // than the re-analysis it saves on short linear pipelines
-    val kept = StageCut(small)
-    assert(!isCut(kept), "a small plan must persist under the default gate")
-    assert(kept.storageLevel.useMemory, "persist path must cache the frame")
-    kept.unpersist()
-    // grow the plan past the threshold: composition compounds until a
-    // boundary crosses minNodes, then the cut resets analysis cost
-    var grown = small
-    (1 to StageCut.DefaultMinNodes).foreach { i =>
-      grown = grown.withColumn(s"c$i", col("id") + i)
-    }
-    val cut = StageCut(grown)
-    assert(isCut(cut), "a plan past the threshold must cut its lineage")
-    StageCut.release(cut)
-    withMinNodes(0) {
-      val always = StageCut(small)
-      assert(isCut(always), "minNodes=0 must restore cut-always")
-      StageCut.release(always)
+    // the round-16 default: cut always (the 96-node gate lost on six
+    // of eight pipeline gates in the A/B re-measurement and won none)
+    assert(StageCut.DefaultMinNodes == 0)
+    val cutDefault = StageCut(small)
+    assert(isCut(cutDefault), "the default gate must cut every boundary")
+    StageCut.release(cutDefault)
+    // a RAISED threshold restores the persist gate: a small plan stays
+    // on persist; composition compounds until a boundary crosses
+    // minNodes, then the cut resets analysis cost
+    withMinNodes(96) {
+      val kept = StageCut(small)
+      assert(!isCut(kept), "a small plan must persist under a 96 gate")
+      assert(kept.storageLevel.useMemory, "persist path must cache")
+      kept.unpersist()
+      var grown = small
+      (1 to 96).foreach { i =>
+        grown = grown.withColumn(s"c$i", col("id") + i)
+      }
+      val cut = StageCut(grown)
+      assert(isCut(cut), "a plan past the threshold must cut its lineage")
+      StageCut.release(cut)
     }
     spark.conf.set(StageCut.ConfKey, "false")
     try {
-      val never = withMinNodes(0) { StageCut(grown) }
+      val never = StageCut(small)
       assert(!isCut(never), s"${StageCut.ConfKey}=false must never cut")
       never.unpersist()
     } finally spark.conf.unset(StageCut.ConfKey)
