@@ -292,21 +292,29 @@ object PretrainPrep {
       s"$afterPolicy -> $afterBadWords")
 
     // stage 3: exact dedup on the raw-text fingerprint — (fp, id)
-    // only through the exchange, the heavy text never shuffles
-    val fpMin = noBad
-      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_f"),
-        col(idCol))
+    // only through the exchange, the heavy text never shuffles. In
+    // ledger mode the (fp, id) frame is materialized ONCE so winner
+    // attribution does not re-fingerprint the text.
+    val fpAll =
+      if (keepLedger) Some(stage(noBad
+        .select(graft.text.TextOps.fingerprint(col(textCol)).as("_f"),
+          col(idCol))))
+      else None
+    val fpMin = fpAll
+      .getOrElse(noBad
+        .select(graft.text.TextOps.fingerprint(col(textCol)).as("_f"),
+          col(idCol)))
       .groupBy(col("_f")).agg(min(col(idCol)).as(idCol))
     val exact = noBad.join(fpMin.select(col(idCol)), Seq(idCol), "left_semi")
       .transform(stage)
     val afterExact = exact.count()
-    frag(noBad
-      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_f"),
-        col(idCol))
-      .join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_f"))
-      .filter(col(idCol) =!= col("_win"))
-      .select(col(idCol), lit("exact").as("stage"),
-        lit("duplicate_text").as("reason"), col("_win").as("winner_id")))
+    fpAll.foreach { fa =>
+      frag(fa.join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_f"))
+        .filter(col(idCol) =!= col("_win"))
+        .select(col(idCol), lit("exact").as("stage"),
+          lit("duplicate_text").as("reason"), col("_win").as("winner_id")))
+      graft.ops.StageCut.release(fa)
+    }
     graft.ops.StageCut.release(noBad)
     log(s"[prep] exact dedup: $afterBadWords -> $afterExact")
 
@@ -661,11 +669,19 @@ object PretrainPrep {
       s"$afterPolicy -> $afterBadWords")
 
     // stage 3: exact dedup within the batch, then against the stored
-    // corpus fingerprints — (fp, id) only through both exchanges
+    // corpus fingerprints — (fp, id) only through both exchanges. In
+    // ledger mode the (fp, id) frame is materialized ONCE so winner
+    // attribution does not re-fingerprint the batch text.
     val cfps = Curate.requireFps(corpusFps, "_fp_text", "textFingerprints")
-    val fpMin = noBad
-      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
-        col(idCol))
+    val fpAll =
+      if (keepLedger) Some(stage(noBad
+        .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
+          col(idCol))))
+      else None
+    val fpMin = fpAll
+      .getOrElse(noBad
+        .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
+          col(idCol)))
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     val winners = fpMin
       .join(cfps, Seq("_fp"), "left_anti")
@@ -676,17 +692,17 @@ object PretrainPrep {
     // attribution: a fingerprint already standing in the corpus drops
     // ALL its batch holders (winner unknown to the batch — NULL); a
     // batch-only duplicate names its min-id winner
-    frag(noBad
-      .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
-        col(idCol))
-      .join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_fp"))
-      .join(cfps.withColumn("_c", lit(true)), Seq("_fp"), "left")
-      .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
-      .select(col(idCol), lit("exact").as("stage"),
-        when(col("_c").isNotNull, lit("duplicate_of_corpus"))
-          .otherwise(lit("duplicate_text")).as("reason"),
-        when(col("_c").isNotNull, lit(null)).otherwise(col("_win"))
-          .as("winner_id")))
+    fpAll.foreach { fa =>
+      frag(fa.join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_fp"))
+        .join(cfps.withColumn("_c", lit(true)), Seq("_fp"), "left")
+        .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
+        .select(col(idCol), lit("exact").as("stage"),
+          when(col("_c").isNotNull, lit("duplicate_of_corpus"))
+            .otherwise(lit("duplicate_text")).as("reason"),
+          when(col("_c").isNotNull, lit(null)).otherwise(col("_win"))
+            .as("winner_id")))
+      graft.ops.StageCut.release(fa)
+    }
     graft.ops.StageCut.release(noBad)
     log(s"[prep+] exact dedup (batch + corpus fps): " +
       s"$afterBadWords -> $afterExact")
