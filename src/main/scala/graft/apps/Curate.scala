@@ -89,6 +89,23 @@ object Curate {
     withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
   }
 
+  /** The batch ∩ corpus fingerprint HIT SET, computed without moving
+    * the corpus-sized `cfps` table: the corpus side is probed ONCE by
+    * a broadcast semi-join on the batch's distinct fingerprints (a
+    * scan — no exchange on the standing table), and the result is at
+    * most batch-distinct-sized, so callers broadcast it into their
+    * anti/attribution joins. The shape this replaces — `batch
+    * left_anti cfps` — sort-merges BOTH sides, re-shuffling the whole
+    * standing fingerprint table on every daily run; at corpus scale
+    * that shuffle dwarfs the batch work. Contract: the BATCH
+    * fingerprint set is broadcast-scale (the daily-batch shape — the
+    * same assumption the near stage's signature probe and the
+    * decontamination gram set already make). */
+  private[apps] def corpusFpHits(batchFps: DataFrame, fpCol: String,
+                                 cfps: DataFrame): DataFrame =
+    cfps.join(broadcast(batchFps.select(col(fpCol)).distinct()),
+      Seq(fpCol), "left_semi")
+
   /** The persistable corpus fingerprint tables for the incremental
     * runs' exact stage — build once over the standing corpus, store as
     * parquet, pass back via `corpusFps` so a daily batch never re-reads
@@ -326,12 +343,15 @@ object Curate {
     log(s"[curate-emb+] valid vectors: $input -> $afterValid")
 
     // stage 2: exact vector dedup within the batch, then against the
-    // corpus — (fp, id) only through both exchanges
+    // corpus — the standing fingerprint table is probed, never
+    // shuffled ([[corpusFpHits]])
     val cfps = corpusFps.map(requireFps(_, "_fp_emb", "embeddingFingerprints"))
       .getOrElse(embeddingFingerprints(corpus, embCol)
         .select(col("_fp_emb").as("_fp")))
-    val exact = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
-      .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
+    val batchFp = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
+    val exact = batchFp
+      .join(broadcast(corpusFpHits(batchFp, "_fp", cfps)),
+        Seq("_fp"), "left_anti")
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()
@@ -490,14 +510,17 @@ object Curate {
     log(s"[curate+] quality >= $minQuality: $input -> $afterQuality")
 
     // stage 2: exact dedup within the batch, then against the corpus.
-    // Corpus side shrinks to DISTINCT fingerprints before the anti-join
-    // — (fp) only, never corpus text, through the exchange.
+    // The corpus fingerprint table never moves: it is probed once by
+    // the broadcast batch fingerprints and only the hit set (at most
+    // batch-sized) is broadcast into the anti-join ([[corpusFpHits]]).
     val cfps = corpusFps.map(requireFps(_, "_fp_text", "textFingerprints"))
       .getOrElse(textFingerprints(corpus, textCol)
         .select(col("_fp_text").as("_fp")))
-    val exact = keepMinPerFp(
-        quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
-      .join(cfps.select(col("_fp")), Seq("_fp"), "left_anti")
+    val batchFp = keepMinPerFp(
+      quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
+    val exact = batchFp
+      .join(broadcast(corpusFpHits(batchFp, "_fp", cfps)),
+        Seq("_fp"), "left_anti")
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
     val afterExact = exact.count()

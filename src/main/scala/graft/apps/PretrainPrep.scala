@@ -508,8 +508,11 @@ object PretrainPrep {
     * Scale shape: the corpus contributes the `fps`/`gramCounts`/`sigs`
     * artifact scans plus two id-or-shard-column reads (near-stage
     * component ids, per-source/per-shard counts) — its TEXT is read
-    * zero times with stored sigs; every shuffle is batch-sized except
-    * the artifact joins, which stream the corpus side. */
+    * zero times with stored sigs. The fps table is PROBED by the
+    * broadcast batch fingerprints ([[Curate.corpusFpHits]] — never
+    * shuffled); every remaining shuffle is batch-sized except the
+    * gram-count join, which streams the corpus side (batch gram sets
+    * are too large to broadcast). */
   def runIncremental(newDocs: DataFrame, corpus: DataFrame,
           corpusFps: DataFrame, corpusGramCounts: DataFrame,
           idCol: String, textCol: String, srcCol: String,
@@ -669,9 +672,11 @@ object PretrainPrep {
       s"$afterPolicy -> $afterBadWords")
 
     // stage 3: exact dedup within the batch, then against the stored
-    // corpus fingerprints — (fp, id) only through both exchanges. In
-    // ledger mode the (fp, id) frame is materialized ONCE so winner
-    // attribution does not re-fingerprint the batch text.
+    // corpus fingerprints. The corpus table is PROBED, never shuffled
+    // ([[Curate.corpusFpHits]] — the anti-join and the ledger
+    // attribution both consume the broadcast hit set). In ledger mode
+    // the (fp, id) frame is materialized ONCE so winner attribution
+    // does not re-fingerprint the batch text.
     val cfps = Curate.requireFps(corpusFps, "_fp_text", "textFingerprints")
     val fpAll =
       if (keepLedger) Some(stage(noBad
@@ -683,8 +688,9 @@ object PretrainPrep {
         .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
           col(idCol)))
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val fpHits = Curate.corpusFpHits(fpMin, "_fp", cfps)
     val winners = fpMin
-      .join(cfps, Seq("_fp"), "left_anti")
+      .join(broadcast(fpHits), Seq("_fp"), "left_anti")
       .select(col(idCol))
     val exact = noBad.join(winners, Seq(idCol), "left_semi")
       .transform(stage)
@@ -694,7 +700,8 @@ object PretrainPrep {
     // batch-only duplicate names its min-id winner
     fpAll.foreach { fa =>
       frag(fa.join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_fp"))
-        .join(cfps.withColumn("_c", lit(true)), Seq("_fp"), "left")
+        .join(broadcast(fpHits).withColumn("_c", lit(true)),
+          Seq("_fp"), "left")
         .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
         .select(col(idCol), lit("exact").as("stage"),
           when(col("_c").isNotNull, lit("duplicate_of_corpus"))

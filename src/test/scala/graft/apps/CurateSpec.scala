@@ -598,4 +598,31 @@ class CurateSpec extends SparkSpec {
     assert(report.afterNear == 2)
     inc.unpersist()
   }
+
+  test("plan shape: the corpus fingerprint table is PROBED by broadcast " +
+      "joins, never sort-merge shuffled (the 100 TB daily-run contract)") {
+    // broadcast auto-threshold off: without the explicit hints this
+    // anti-join shape sort-merges BOTH sides — i.e. re-shuffles the
+    // corpus-sized standing table on every daily run
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchFp = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "_fp")
+      val cfps = Seq("aa", "cc").toDF("_fp")
+      val out = batchFp
+        .join(broadcast(Curate.corpusFpHits(batchFp, "_fp", cfps)),
+          Seq("_fp"), "left_anti")
+      val p = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("SortMergeJoin"),
+        "corpus fps must never sort-merge:\n" + p)
+      assert(p.linesIterator.count(_.contains("Join type:")) == 2 &&
+        p.contains("Join type: LeftSemi") &&
+        p.contains("Join type: LeftAnti"),
+        "expected the probe semi-join and the hit anti-join:\n" + p)
+      // and the values are the plain anti-join's
+      assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+  }
 }
