@@ -370,12 +370,33 @@ object Dedup {
         .filter(col("band").isNotNull),
       Seq("band"), maxBucket, s"lshNearDupPairsAgainst($tag)")
     // candidates = new-side bands probed into the corpus-side band
-    // index: ONE equi-join on the band key, (band, id) bytes only
-    val pairs = bandedOf(sigA, "new").select(col("band"), col("id").as("id_a"))
-      .join(bandedOf(sigB, "corpus").select(col("band"), col("id").as("id_b")),
+    // index. The BATCH band rows broadcast (the daily-batch contract —
+    // |batch| × bands keyed rows); the corpus band table is then
+    // probed by one scan-side hash join and NEVER shuffled — a plain
+    // equi-join would hash-exchange the corpus-sized side on every
+    // daily run.
+    val pairs0 = bandedOf(sigB, "corpus").select(col("band"), col("id").as("id_b"))
+      .join(broadcast(
+          bandedOf(sigA, "new").select(col("band"), col("id").as("id_a"))),
         Seq("band"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // the verify fetch has the same scale trap: joining candidates
+    // against the full corpus signature table shuffles it on id. With
+    // the signature caches on, the candidate list is persisted (it is
+    // read twice) and its DISTINCT corpus ids — at most
+    // candidate-sized — broadcast-probe the corpus table down to the
+    // rows the verify actually touches before any exchange.
+    val pairs =
+      if (cacheSignatures)
+        pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0
+    val shB0 = sigB.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val shB =
+      if (cacheSignatures)
+        shB0.join(broadcast(pairs.select(col("id_b")).distinct()),
+          Seq("id_b"), "left_semi")
+      else shB0
     val jac =
       if (bands <= 4) {
         import org.apache.spark.sql.graft.bridge
@@ -384,12 +405,14 @@ object Dedup {
       } else jaccardDistinct(col("sh_a"), col("sh_b"))
     val verified = pairs
       .join(sigA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sigB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
     val own = if (corpusSigs.isEmpty) Seq(sigA, sigB) else Seq(sigA)
-    (if (cacheSignatures) own else Seq.empty, verified)
+    val caches = (if (cacheSignatures) own else Seq.empty) ++
+      (if (cacheSignatures) Seq(pairs) else Seq.empty)
+    (caches, verified)
   }
 
   /** The persistable SimHash signature table — `(id, sig)` — the
@@ -440,12 +463,13 @@ object Dedup {
     val sigA = sigOf(newDf)
     val sigB = corpusSigs.map(validateSimhashSigs).getOrElse(sigOf(corpusDf))
     val ownB = corpusSigs.isEmpty
-    val verified = hammingAbPlan(sigA, sigB, 4, maxHamming, maxBucket,
-      "simhashNearDupPairsAgainst")
+    val (pairCache, verified) = hammingAbPlan(sigA, sigB, 4, maxHamming,
+      maxBucket, "simhashNearDupPairsAgainst", cachePairs = cacheSignatures)
     if (!cacheSignatures) verified
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      pairCache.foreach(_.unpersist())
       sigA.unpersist()
       if (ownB) sigB.unpersist()
       out
@@ -699,18 +723,36 @@ object Dedup {
 
   /** A-vs-B form: new-side bands probed into the corpus-side band
     * index; independent id spaces, no `<` canonicalization. */
+  /** The A-vs-B Hamming plan. The batch side's band rows BROADCAST
+    * into the probe join and, with `cachePairs`, the candidate list is
+    * persisted so its distinct corpus ids can broadcast-probe the
+    * corpus signature table before the verify fetch — the corpus side
+    * is then scanned, never shuffled (the [[lshPlanAgainst]] shape).
+    * Returns the pair cache (release AFTER materializing the verified
+    * frame) alongside the plan. */
   private def hammingAbPlan(sigA: DataFrame, sigB: DataFrame, nBands: Int,
                             maxHamming: Int, maxBucket: Int,
-                            tag: String): DataFrame = {
+                            tag: String,
+                            cachePairs: Boolean): (Option[DataFrame], DataFrame) = {
     def capped(sig: DataFrame, side: String) = dropHotBuckets(
       bandedOf(sig, nBands), Seq("bi", "bv"), maxBucket, s"$tag($side)")
-    val pairs = capped(sigA, "new")
-      .select(col("bi"), col("bv"), col("id").as("id_a"))
-      .join(capped(sigB, "corpus")
-        .select(col("bi"), col("bv"), col("id").as("id_b")), Seq("bi", "bv"))
+    val pairs0 = capped(sigB, "corpus")
+      .select(col("bi"), col("bv"), col("id").as("id_b"))
+      .join(broadcast(capped(sigA, "new")
+        .select(col("bi"), col("bv"), col("id").as("id_a"))), Seq("bi", "bv"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    hammingVerify(pairs, sigA, sigB, maxHamming)
+    val pairs =
+      if (cachePairs)
+        pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0
+    val sigBFetch =
+      if (cachePairs)
+        sigB.join(broadcast(pairs.select(col("id_b").as("id"))),
+          Seq("id"), "left_semi")
+      else sigB
+    (if (cachePairs) Some(pairs) else None,
+      hammingVerify(pairs, sigA, sigBFetch, maxHamming))
   }
 
   private def bandedOf(sig: DataFrame, nBands: Int): DataFrame =
@@ -817,12 +859,13 @@ object Dedup {
     val sigA = sigOf(newDf)
     val sigB = corpusSigs.map(validateDhashSigs).getOrElse(sigOf(corpusDf))
     val ownB = corpusSigs.isEmpty
-    val verified = hammingAbPlan(sigA, sigB, 8, maxHamming, maxBucket,
-      "imageNearDupPairsAgainst")
+    val (pairCache, verified) = hammingAbPlan(sigA, sigB, 8, maxHamming,
+      maxBucket, "imageNearDupPairsAgainst", cachePairs = cacheSignatures)
     if (!cacheSignatures) verified
     else {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      pairCache.foreach(_.unpersist())
       sigA.unpersist()
       if (ownB) sigB.unpersist()
       out

@@ -143,10 +143,17 @@ class PlanQualitySpec extends SparkSpec {
       assert(parquetScans == 2, s"expected ONE scan per side, got $parquetScans")
       assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
         "both band probes and both sh-fetches must reuse the side caches")
-      // the probe join is ONE band-key equi-join: an exchange per side,
-      // carrying (band, id) only
+      // the CORPUS side is probed, never shuffled: the batch band rows
+      // broadcast into the candidate join and the candidate ids
+      // broadcast-semi-probe the corpus signature fetch — no band-key
+      // exchange anywhere in the plan
       val bandEx = p.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
-      assert(bandEx.length == 2, s"expected 2 band exchanges:\n${bandEx.mkString("\n")}")
+      assert(bandEx.isEmpty,
+        s"the corpus band table must not shuffle:\n${bandEx.mkString("\n")}")
+      assert(p.contains("Join type: LeftSemi"),
+        "the sh_b fetch must semi-probe the corpus signature table")
+      assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+        "batch bands and candidate ids must broadcast")
       // native signature + verify expressions, once per side / per pair
       assert(p.linesIterator.count(_.contains("graft_lsh_sig")) == 2,
         "each side computes its signatures exactly once, inside its cache")
@@ -165,15 +172,16 @@ class PlanQualitySpec extends SparkSpec {
         docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
         "doc_id", "text", maxHamming = 3, cacheSignatures = false)
       val p = explainOf(verified)
-      // each side is one scan feeding its signature; the probe join
-      // exchanges carry (bi, bv, id) — a long and two ints per row,
-      // never text
+      // each side is one scan feeding its signature; the corpus band
+      // index is PROBED by the broadcast batch bands — no (bi, bv)
+      // exchange on either side
       val parquetScans = p.linesIterator
         .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
       assert(parquetScans <= 4, s"at most two passes per side, got $parquetScans")
       val bandEx = p.linesIterator
         .count(l => l.contains("hashpartitioning(bi") && l.contains("bv"))
-      assert(bandEx == 2, s"expected 2 (bi, bv) band exchanges, got $bandEx:\n$p")
+      assert(bandEx == 0, s"the band probe must broadcast, got $bandEx band exchanges:\n$p")
+      assert(p.contains("BroadcastExchange"), "batch bands must broadcast")
       // signatures are the native one-pass expression; the verify is a
       // codegen'd xor + bit_count on longs — no interpreted HOFs
       assert(p.contains("graft_simhash32"), "signature must be the native pass")
