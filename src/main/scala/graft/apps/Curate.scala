@@ -433,13 +433,20 @@ object Curate {
       .unionByName(crossPairs.select(col("id_a"), col("id_b")))
     val clusters = Dedup.dupClusters(edges)
     batchPairs.unpersist(); crossPairs.unpersist()
-    val corpusIds = corpus.select(col(idCol).as("id"))
+    // which component members are CORPUS docs? The corpus id column is
+    // corpus-sized — probe it with the broadcast component member ids
+    // (candidate-scale: only docs touched by an edge) instead of
+    // shuffling it; the hit set is then broadcast into both joins (one
+    // scan, reused exchange, no standing-table shuffle — the
+    // corpusFpHits shape).
+    val corpusHits = corpus.select(col(idCol).as("id"))
+      .join(broadcast(clusters.select(col("id"))), Seq("id"), "left_semi")
     // components containing ANY corpus member: every batch doc inside
     // near-duplicates standing content — drop them all (the component
     // label itself may be a batch id, so label math alone is not enough)
-    val touched = clusters.join(corpusIds, Seq("id"), "left_semi")
+    val touched = clusters.join(broadcast(corpusHits), Seq("id"), "left_semi")
       .select(col("cluster")).distinct()
-    val batchMembers = clusters.join(corpusIds, Seq("id"), "left_anti")
+    val batchMembers = clusters.join(broadcast(corpusHits), Seq("id"), "left_anti")
     batchMembers
       .join(touched.withColumn("_t", lit(true)), Seq("cluster"), "left")
       .filter(col("id") =!= col("cluster") || col("_t").isNotNull)
