@@ -39,10 +39,12 @@ import org.apache.spark.sql.functions._
   * always holds within distance maxDist) is still generated.
   *
   * Shape at 100 TB: candidate generation is ONE hash join carrying
-  * only `(id, _k)` — the strings do NOT ride the candidate shuffle;
-  * after the id-pair `distinct()` the two normalized strings are
-  * fetched by two id-keyed joins, so each string crosses the wire
-  * once per surviving pair, not once per raw candidate. Block sizes
+  * only `(id, _k)` — the strings do NOT ride the candidate shuffle —
+  * and in the default probe shape (`probeScale`) the batch key rows
+  * BROADCAST into it, so the standing registry's key table is
+  * scanned, never exchanged; the corpus-side strings are then fetched
+  * by broadcasting the surviving id pairs (registry streams again),
+  * and the batch strings by one batch-scale id join. Block sizes
   * are bounded by the same [[Dedup.dropHotBuckets]] discipline as
   * every banded finder (a skewed key — every entity starting "ma" in
   * one length band — would otherwise make one block quadratic); the
@@ -160,12 +162,21 @@ object Fuzzy {
     * `corpusKeys` is the train-once artifact ([[entityKeys]] of `b`
     * at the SAME maxDist): when supplied, the b side's strings are
     * never re-read — keys and normalized strings both come from the
-    * artifact (`b` may be passed as an empty frame; it is unused). */
+    * artifact (`b` may be passed as an empty frame; it is unused).
+    *
+    * `probeScale` (default true — the daily-batch contract): the A
+    * side's key rows BROADCAST into the corpus key index and the
+    * candidate id pairs broadcast into the corpus string fetch, so
+    * the b side is scanned, never shuffled — the standing registry
+    * does not move on a daily run. Pass false for a symmetric
+    * corpus-vs-corpus join whose A side exceeds broadcast scale;
+    * that restores the sort-merge shape on both joins. */
   def fuzzyJoinAgainst(a: DataFrame, b: DataFrame, idA: String,
                        strA: String, idB: String, strB: String,
                        maxDist: Int,
                        maxBucket: Int = Dedup.defaultMaxBucket,
-                       corpusKeys: Option[DataFrame] = None): DataFrame = {
+                       corpusKeys: Option[DataFrame] = None,
+                       probeScale: Boolean = true): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val ck = corpusKeys.map(requireKeys(_, maxDist))
     ck.foreach { k =>
@@ -186,13 +197,35 @@ object Fuzzy {
       .getOrElse(keyed(b, idB, strB, maxDist, explodeBands = false))
     val bk = Dedup.dropHotBuckets(bkRaw, Seq("_k"), maxBucket,
       "fuzzyJoinAgainst(corpus)")
-    val bNorm = ck.map(_.select(col("id").as(idB), col("_n").as("_nb"))
-        .distinct())
+    // the artifact carries one row per (id, key) — its per-id string
+    // must be deduplicated before verification, but WHERE matters:
+    // a corpus-wide distinct() is itself a standing-table shuffle, so
+    // the probe shape defers it to after the candidate filter
+    val bNormRaw = ck.map(_.select(col("id").as(idB), col("_n").as("_nb")))
       .getOrElse(normed(b, idB, strB, "_nb"))
-    ak.join(bk, Seq("_k"))
-      .select(col(idA), col(idB)).distinct()
-      .join(normed(a, idA, strA, "_na"), Seq(idA))
-      .join(bNorm, Seq(idB))
+    val aNorm = normed(a, idA, strA, "_na")
+    val joined =
+      if (probeScale) {
+        // daily shape: batch keys broadcast → the corpus key index is
+        // scanned, not exchanged; the candidate id pairs (bounded by
+        // the hot-block caps) broadcast → the corpus string table
+        // streams through the fetch, and the artifact's per-key
+        // duplicate rows collapse at candidate scale
+        val pairs = bk.join(broadcast(ak), Seq("_k"))
+          .select(col(idA), col(idB)).distinct()
+        val fetched = bNormRaw.join(broadcast(pairs), Seq(idB))
+          .select(col(idA), col(idB), col("_nb"))
+        (if (ck.isDefined) fetched.distinct() else fetched)
+          .join(aNorm, Seq(idA))
+      } else {
+        val bNorm =
+          if (ck.isDefined) bNormRaw.distinct() else bNormRaw
+        ak.join(bk, Seq("_k"))
+          .select(col(idA), col(idB)).distinct()
+          .join(aNorm, Seq(idA))
+          .join(bNorm, Seq(idB))
+      }
+    joined
       .withColumn("dist", levenshtein(col("_na"), col("_nb")))
       .filter(col("dist") <= maxDist)
       .select(col(idA), col(idB), col("dist").cast("long").as("dist"))

@@ -210,6 +210,40 @@ class FuzzySpec extends SparkSpec with HotBucketLogCapture {
       Seq((1L, 9L, 2L)))
   }
 
+  test("plan shape: the stored key artifact is probed by broadcasts, " +
+      "never shuffled (the 100 TB registry contract)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val master = Seq((1L, "golden widget"), (2L, "copper spring"))
+        .toDF("eid", "name")
+      // the artifact as it exists in production: a STORED table (a
+      // live entityKeys plan would drag its own construction join
+      // into the corpus side of this explain)
+      val dir = java.nio.file.Files.createTempDirectory("fkeys").toString
+      Fuzzy.entityKeys(master, "eid", "name", 2)
+        .write.mode("overwrite").parquet(dir)
+      val keys = spark.read.parquet(dir)
+      val batch = Seq((10L, "golden widgez")).toDF("rid", "name")
+      val out = Fuzzy.fuzzyJoinAgainst(batch, master.limit(0),
+        "rid", "name", "eid", "name", 2, corpusKeys = Some(keys))
+      val p = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // registry-side columns never hash-exchange: the key probe and
+      // the string fetch are broadcast joins (the per-key duplicate
+      // rows collapse AFTER the candidate filter, so even the
+      // artifact's dedup is candidate-scale); only batch-scale frames
+      // may sort-merge
+      assert(!p.contains("hashpartitioning(eid") &&
+        !p.contains("hashpartitioning(_k"),
+        "the registry artifact must not shuffle:\n" + p)
+      assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+        "batch keys and candidate pairs must broadcast:\n" + p)
+      assert(out.as[(Long, Long, Long)].collect().toSeq ==
+        Seq((10L, 1L, 1L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+  }
+
   test("hot blocks are dropped loudly at the cap; cold pairs survive") {
     // 30 probe names share prefix+suffix+band with 30 corpus names →
     // 2-char-key blocks of 30 rows each side; cap at 20 culls them
