@@ -748,7 +748,7 @@ object Dedup {
       else pairs0
     val sigBFetch =
       if (cachePairs)
-        sigB.join(broadcast(pairs.select(col("id_b").as("id"))),
+        sigB.join(broadcast(pairs.select(col("id_b").as("id")).distinct()),
           Seq("id"), "left_semi")
       else sigB
     (if (cachePairs) Some(pairs) else None,
