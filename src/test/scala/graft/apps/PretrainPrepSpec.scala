@@ -576,7 +576,7 @@ class PretrainPrepSpec extends SparkSpec {
       PretrainPrepIncrementalMain.main((Seq(b1, day0, day1,
         s"bench=$benchDir") ++ chainArgs).toArray)
       PretrainPrepIncrementalMain.main((Seq(b2, day1, day2,
-        s"bench=$benchDir") ++ chainArgs).toArray)
+        s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
     } finally Mains.keepSessionForTests = false
     (day0, day1, day2, corpusDocs, batch1, batch2, bench)
   }
@@ -660,6 +660,22 @@ class PretrainPrepSpec extends SparkSpec {
     // sigs stay signature-complete: 5 corpus + 2 day-1 + 1 day-2
     assert(spark.read.parquet(s"$day2/sigs")
       .select("id").distinct().count() == 8)
+  }
+
+  test("day-3 chain + ledger: the day-2 run explains every reject " +
+      "against the TWO-day-old standing corpus") {
+    val (_, _, day2, _, _, _, _) = chained
+    // 202 duplicates a DAY-1 accepted doc's fingerprint (now standing
+    // in the chained fps artifact), 203 near-duplicates a DAY-0
+    // corpus doc through the chained sigs, 204 fails policy — the
+    // audit a daily run owes against a corpus nobody can eyeball
+    val rows = spark.read.parquet(s"$day2/ledger")
+      .select(col("doc_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (202L, "exact", "duplicate_of_corpus", None),
+      (203L, "near", "near_duplicate_of_corpus", Some(4L)),
+      (204L, "policy", "n_tokens", None)), s"ledger: $rows")
   }
 
   test("chain integrity: a dropped link fails fast with check=on and " +
