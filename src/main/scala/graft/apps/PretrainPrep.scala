@@ -124,9 +124,10 @@ object PretrainPrep {
     * and output ids partition the input exactly — reconciliation
     * against the report deltas is spec-pinned. The frame is
     * materialized ([[graft.ops.StageCut]]); release it like `out`.
-    * Cost when enabled: one id-column anti-join per stage plus one
-    * extra policy/fingerprint evaluation — no extra pass over any
-    * corpus-sized text. */
+    * Cost when enabled: one id-column anti-join per stage plus the
+    * materialization of the (shared, single-evaluation) policy
+    * verdict and fingerprint frames — no extra pass over any text,
+    * batch- or corpus-sized. */
   case class Tracked[R](out: DataFrame, report: R,
                         artifacts: Option[PrepArtifacts],
                         ledger: Option[DataFrame])
