@@ -92,19 +92,33 @@ object Curate {
   /** The batch ∩ corpus fingerprint HIT SET, computed without moving
     * the corpus-sized `cfps` table: the corpus side is probed ONCE by
     * a broadcast semi-join on the batch's distinct fingerprints (a
-    * scan — no exchange on the standing table), and the result is at
-    * most batch-distinct-sized, so callers broadcast it into their
-    * anti/attribution joins. The shape this replaces — `batch
-    * left_anti cfps` — sort-merges BOTH sides, re-shuffling the whole
-    * standing fingerprint table on every daily run; at corpus scale
-    * that shuffle dwarfs the batch work. Contract: the BATCH
-    * fingerprint set is broadcast-scale (the daily-batch shape — the
-    * same assumption the near stage's signature probe and the
-    * decontamination gram set already make). */
-  private[apps] def corpusFpHits(batchFps: DataFrame, fpCol: String,
-                                 cfps: DataFrame): DataFrame =
-    cfps.join(broadcast(batchFps.select(col(fpCol)).distinct()),
-      Seq(fpCol), "left_semi")
+    * scan — no exchange on the standing table), and the result —
+    * deduplicated here, because a caller-supplied `cfps` may carry one
+    * row per DOC rather than per fingerprint — is at most
+    * batch-distinct-sized and comes back already broadcast-hinted for
+    * the caller's anti/attribution joins. The shape this replaces —
+    * `batch left_anti cfps` — sort-merges BOTH sides, re-shuffling the
+    * whole standing fingerprint table on every daily run; at corpus
+    * scale that shuffle dwarfs the batch work.
+    *
+    * Contract: the BATCH fingerprint set is broadcast-scale (the
+    * daily-batch shape — the same assumption the near stage's
+    * signature probe and the decontamination gram set already make) —
+    * and the contract is ENFORCED by [[graft.ops.ProbeGuard]]: the
+    * batch key set is counted first, and above `graft.probe.maxKeys`
+    * BOTH joins fall back to the un-hinted sort-merge shape (loudly)
+    * instead of collecting an oversized frame onto the driver. One
+    * count gates the whole shape — the hit set is a subset of the
+    * guarded key set, so it inherits the bound. */
+  private[graft] def corpusFpHits(batchFps: DataFrame, fpCol: String,
+                                 cfps: DataFrame): DataFrame = {
+    val keys = batchFps.select(col(fpCol)).distinct()
+    if (graft.ops.ProbeGuard.fits(keys, "Curate.corpusFpHits")) {
+      val hits = cfps.join(broadcast(keys), Seq(fpCol), "left_semi").distinct()
+      broadcast(hits)
+    } else
+      cfps.join(keys, Seq(fpCol), "left_semi").distinct()
+  }
 
   /** The persistable corpus fingerprint tables for the incremental
     * runs' exact stage — build once over the standing corpus, store as
@@ -349,8 +363,10 @@ object Curate {
       .getOrElse(embeddingFingerprints(corpus, embCol)
         .select(col("_fp_emb").as("_fp")))
     val batchFp = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
+    // the hit set comes back broadcast-hinted (or guard-fallback plain)
+    // from corpusFpHits — the hint decision lives there
     val exact = batchFp
-      .join(broadcast(corpusFpHits(batchFp, "_fp", cfps)),
+      .join(corpusFpHits(batchFp, "_fp", cfps),
         Seq("_fp"), "left_anti")
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)
@@ -525,8 +541,10 @@ object Curate {
         .select(col("_fp_text").as("_fp")))
     val batchFp = keepMinPerFp(
       quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
+    // the hit set comes back broadcast-hinted (or guard-fallback plain)
+    // from corpusFpHits — the hint decision lives there
     val exact = batchFp
-      .join(broadcast(corpusFpHits(batchFp, "_fp", cfps)),
+      .join(corpusFpHits(batchFp, "_fp", cfps),
         Seq("_fp"), "left_anti")
       .drop("_fp")
       .transform(graft.ops.StageCut.apply)

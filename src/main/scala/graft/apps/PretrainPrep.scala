@@ -689,9 +689,11 @@ object PretrainPrep {
         .select(graft.text.TextOps.fingerprint(col(textCol)).as("_fp"),
           col(idCol)))
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    // the hit set comes back broadcast-hinted (or guard-fallback plain)
+    // from corpusFpHits — the hint decision lives there
     val fpHits = Curate.corpusFpHits(fpMin, "_fp", cfps)
     val winners = fpMin
-      .join(broadcast(fpHits), Seq("_fp"), "left_anti")
+      .join(fpHits, Seq("_fp"), "left_anti")
       .select(col(idCol))
     val exact = noBad.join(winners, Seq(idCol), "left_semi")
       .transform(stage)
@@ -701,7 +703,7 @@ object PretrainPrep {
     // batch-only duplicate names its min-id winner
     fpAll.foreach { fa =>
       frag(fa.join(fpMin.withColumnRenamed(idCol, "_win"), Seq("_fp"))
-        .join(broadcast(fpHits).withColumn("_c", lit(true)),
+        .join(fpHits.withColumn("_c", lit(true)),
           Seq("_fp"), "left")
         .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
         .select(col(idCol), lit("exact").as("stage"),

@@ -374,11 +374,17 @@ object Dedup {
     // |batch| × bands keyed rows); the corpus band table is then
     // probed by one scan-side hash join and NEVER shuffled — a plain
     // equi-join would hash-exchange the corpus-sized side on every
-    // daily run.
+    // daily run. The contract is enforced by [[graft.ops.ProbeGuard]]:
+    // the batch band rows are counted first (one agg over the batch
+    // signature cache — the corpus side is never scanned by the
+    // guard), and above graft.probe.maxKeys the WHOLE plan reverts to
+    // the pre-probe sort-merge shape, loudly — both this join and the
+    // verify fetch below, whose candidate id set is only batch-bounded
+    // when the band rows are.
+    val bandedA = bandedOf(sigA, "new").select(col("band"), col("id").as("id_a"))
+    val probeOk = graft.ops.ProbeGuard.fits(bandedA, "Dedup.lshPlanAgainst")
     val pairs0 = bandedOf(sigB, "corpus").select(col("band"), col("id").as("id_b"))
-      .join(broadcast(
-          bandedOf(sigA, "new").select(col("band"), col("id").as("id_a"))),
-        Seq("band"))
+      .join(if (probeOk) broadcast(bandedA) else bandedA, Seq("band"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // the verify fetch has the same scale trap: joining candidates
@@ -393,9 +399,15 @@ object Dedup {
       else pairs0
     val shB0 = sigB.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val shB =
-      if (cacheSignatures)
+      if (cacheSignatures && probeOk)
         shB0.join(broadcast(pairs.select(col("id_b")).distinct()),
           Seq("id_b"), "left_semi")
+      else if (cacheSignatures)
+        // guard fallback: keep the semi-join filter (it still prunes
+        // the verify fetch) but without the forced hint — the
+        // candidate id set is not batch-bounded when the band rows
+        // overflowed the contract
+        shB0.join(pairs.select(col("id_b")).distinct(), Seq("id_b"), "left_semi")
       else shB0
     val jac =
       if (bands <= 4) {
@@ -736,10 +748,15 @@ object Dedup {
                             cachePairs: Boolean): (Option[DataFrame], DataFrame) = {
     def capped(sig: DataFrame, side: String) = dropHotBuckets(
       bandedOf(sig, nBands), Seq("bi", "bv"), maxBucket, s"$tag($side)")
+    // one [[graft.ops.ProbeGuard]] count on the batch band rows gates
+    // the WHOLE probe shape — the candidate id set broadcast below is
+    // only batch-bounded when the band rows are (lshPlanAgainst shape)
+    val bandedA = capped(sigA, "new")
+      .select(col("bi"), col("bv"), col("id").as("id_a"))
+    val probeOk = graft.ops.ProbeGuard.fits(bandedA, tag)
     val pairs0 = capped(sigB, "corpus")
       .select(col("bi"), col("bv"), col("id").as("id_b"))
-      .join(broadcast(capped(sigA, "new")
-        .select(col("bi"), col("bv"), col("id").as("id_a"))), Seq("bi", "bv"))
+      .join(if (probeOk) broadcast(bandedA) else bandedA, Seq("bi", "bv"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     val pairs =
@@ -747,8 +764,11 @@ object Dedup {
         pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else pairs0
     val sigBFetch =
-      if (cachePairs)
+      if (cachePairs && probeOk)
         sigB.join(broadcast(pairs.select(col("id_b").as("id")).distinct()),
+          Seq("id"), "left_semi")
+      else if (cachePairs)
+        sigB.join(pairs.select(col("id_b").as("id")).distinct(),
           Seq("id"), "left_semi")
       else sigB
     (if (cachePairs) Some(pairs) else None,

@@ -42,18 +42,28 @@ object EntityResolve {
     * (the bootstrap / ad-hoc form). The returned frame is already
     * materialized (batch-sized; every internal cache is released
     * before return) — free it with [[graft.ops.StageCut.release]]
-    * after consuming. */
+    * after consuming.
+    *
+    * `probeScale` threads through to BOTH internal
+    * [[Fuzzy.fuzzyJoinAgainst]] calls (registry join and the
+    * unmatched self-join). The default true is right for the daily
+    * shape and self-protecting — [[graft.ops.ProbeGuard]] measures the
+    * batch key set and falls back to sort-merge above the cap — but a
+    * bootstrap/ad-hoc caller resolving a known corpus-scale "batch"
+    * can pass false to skip the probe shape (and the guard counts)
+    * outright. */
   def resolveBatch(batch: DataFrame, master: DataFrame,
                    batchIdCol: String, batchStrCol: String,
                    masterIdCol: String, masterStrCol: String,
                    maxDist: Int,
                    masterKeys: Option[DataFrame] = None,
-                   maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+                   maxBucket: Int = Dedup.defaultMaxBucket,
+                   probeScale: Boolean = true): DataFrame = {
     require(batchIdCol != masterIdCol,
       s"batch and master id columns must differ (got $batchIdCol both)")
     val toMaster = Fuzzy.fuzzyJoinAgainst(batch, master,
       batchIdCol, batchStrCol, masterIdCol, masterStrCol,
-      maxDist, maxBucket, masterKeys)
+      maxDist, maxBucket, masterKeys, probeScale)
     // closest master wins, ties by min id — one struct-min aggregate.
     // Stage-cut ([[graft.ops.StageCut]]): consumed twice (anti-join
     // source + final union), and cutting keeps the blocked-join tree
@@ -76,7 +86,8 @@ object EntityResolve {
         val selfPairs = Fuzzy.fuzzyJoinAgainst(
             unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
             unmatched.select(col(batchIdCol).as("_rb"), col(batchStrCol)),
-            "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket)
+            "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket,
+            probeScale = probeScale)
           .filter(col("_ra") < col("_rb"))
           .select(col("_ra").as("id_a"), col("_rb").as("id_b"))
         val clusters = Dedup.dupClusters(selfPairs)
@@ -115,10 +126,11 @@ object EntityResolve {
                            masterIdCol: String, masterStrCol: String,
                            maxDist: Int,
                            masterKeys: Option[DataFrame] = None,
-                           maxBucket: Int = Dedup.defaultMaxBucket)
+                           maxBucket: Int = Dedup.defaultMaxBucket,
+                           probeScale: Boolean = true)
                           (use: DataFrame => T): T = {
     val resolved = resolveBatch(batch, master, batchIdCol, batchStrCol,
-      masterIdCol, masterStrCol, maxDist, masterKeys, maxBucket)
+      masterIdCol, masterStrCol, maxDist, masterKeys, maxBucket, probeScale)
     try use(resolved) finally graft.ops.StageCut.release(resolved)
   }
 

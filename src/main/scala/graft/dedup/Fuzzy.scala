@@ -168,9 +168,15 @@ object Fuzzy {
     * side's key rows BROADCAST into the corpus key index and the
     * candidate id pairs broadcast into the corpus string fetch, so
     * the b side is scanned, never shuffled — the standing registry
-    * does not move on a daily run. Pass false for a symmetric
-    * corpus-vs-corpus join whose A side exceeds broadcast scale;
-    * that restores the sort-merge shape on both joins. */
+    * does not move on a daily run. The contract is ENFORCED by
+    * [[graft.ops.ProbeGuard]]: the A-side key rows are counted first
+    * (batch-scale — the guard never scans b), and above
+    * `graft.probe.maxKeys` the whole join reverts to the symmetric
+    * sort-merge shape, loudly — so a symmetric corpus-vs-corpus
+    * caller that leaves the default on picks up the right shape from
+    * the measured size rather than from a silent assumption. Pass
+    * false to skip the probe shape (and the guard count) outright
+    * when the A side is known to be corpus-scale. */
   def fuzzyJoinAgainst(a: DataFrame, b: DataFrame, idA: String,
                        strA: String, idB: String, strB: String,
                        maxDist: Int,
@@ -205,12 +211,16 @@ object Fuzzy {
       .getOrElse(normed(b, idB, strB, "_nb"))
     val aNorm = normed(a, idA, strA, "_na")
     val joined =
-      if (probeScale) {
+      if (probeScale &&
+          graft.ops.ProbeGuard.fits(ak, "Fuzzy.fuzzyJoinAgainst")) {
         // daily shape: batch keys broadcast → the corpus key index is
         // scanned, not exchanged; the candidate id pairs (bounded by
-        // the hot-block caps) broadcast → the corpus string table
-        // streams through the fetch, and the artifact's per-key
-        // duplicate rows collapse at candidate scale
+        // the hot-block caps, batch-∝ because the guarded key set is)
+        // broadcast → the corpus string table streams through the
+        // fetch, and the artifact's per-key duplicate rows collapse at
+        // candidate scale. ONE guard count gates the whole shape — the
+        // pair set is not separately counted because counting it would
+        // re-run the candidate join it feeds.
         val pairs = bk.join(broadcast(ak), Seq("_k"))
           .select(col(idA), col(idB)).distinct()
         val fetched = bNormRaw.join(broadcast(pairs), Seq(idB))
