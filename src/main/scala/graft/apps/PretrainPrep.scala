@@ -1004,14 +1004,20 @@ object PretrainPrepMain {
   * `ledger=on` (adds `ledger/` — the [[PretrainPrep.Tracked]] drop
   * audit for the batch) — `shards` and `seed` MUST match the run
   * that produced the standing corpus (the epoch is a pure function
-  * of them). Stage counts land on stderr. */
+  * of them). Stage counts land on stderr.
+  *
+  * Maintenance verb: `compact <chainRootDir> <outDir>` folds the
+  * chain into one consolidated root (see [[compactChain]]) so the
+  * manifest does not grow one parquet root per day forever. */
 object PretrainPrepIncrementalMain {
 
   private val usage =
     "usage: pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir> " +
       "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
       "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
-      "[shards=64] [seed=0] [check=off] [ledger=on]"
+      "[shards=64] [seed=0] [check=off] [ledger=on]\n" +
+      "   or: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
+      "[check=off]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "quota", "shards", "seed",
     "check", "ledger")
@@ -1099,7 +1105,87 @@ object PretrainPrepIncrementalMain {
     case _ => ()
   }
 
+  private val compactUsage =
+    "usage: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
+      "[check=off]"
+
+  /** Fold the chain rooted at `rootDir` into ONE consolidated corpus
+    * root at `outDir`: the union of the chain's `data/` directories is
+    * republished as a single `data/` (same shard/pos values — the
+    * epoch is untouched), the standing artifacts (`fps`,
+    * `gram_counts`, and `sigs` when present) carry over as-is — they
+    * are already CUMULATIVE at the chain head, so this is a rewrite,
+    * not a recomputation — and a one-link `chain.txt` is written LAST
+    * (the crash-safe manifest-last discipline shared with the daily
+    * run and [[graft.streaming.StreamState]] compaction: a crashed
+    * compact leaves no manifest, so a partial dir never parses as a
+    * valid chain root).
+    *
+    * Why: `chain.txt` otherwise grows one link per day forever —
+    * after a year, every daily run opens 365 parquet roots and
+    * [[requireDenseEpoch]] scans the whole chain link by link.
+    * Compacting periodically re-roots the chain so both costs are
+    * O(one consolidated directory).
+    *
+    * NOT carried: per-run `accepted/` and `ledger/` outputs — they
+    * are run audits, not corpus state; keep the original run
+    * directories if the audit trail matters. The source dirs are left
+    * untouched — delete them once the compacted root is in use (the
+    * manifest-last write makes "usable" well-defined: `chain.txt`
+    * exists iff the compact completed).
+    *
+    * Returns the consolidated row count. */
+  private[apps] def compactChain(spark: SparkSession, rootDir: String,
+                                 outDir: String,
+                                 check: Boolean = true): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    require(qual(rootDir) != qual(outDir),
+      "compact must write to a NEW directory — an in-place compact " +
+        "would overwrite chain links while reading them")
+    val chain = corpusChain(spark, rootDir)
+    require(!chain.map(qual).contains(qual(s"$outDir/data")),
+      s"$outDir/data is itself a link of the chain being compacted")
+    val corpus = chain.map(d => graft.io.Publish.readPartitioned(spark, d))
+      .reduce(_.unionByName(_))
+    if (check) requireDenseEpoch(corpus,
+      s"${chain.size}-link chain under $rootDir (pre-compact)")
+    val written = graft.io.Publish.writePartitioned(
+      corpus, s"$outDir/data", Seq("shard"), "pos")
+    spark.read.parquet(s"$rootDir/fps")
+      .write.mode("overwrite").parquet(s"$outDir/fps")
+    spark.read.parquet(s"$rootDir/gram_counts")
+      .write.mode("overwrite").parquet(s"$outDir/gram_counts")
+    if (dirNonEmpty(spark, s"$rootDir/sigs"))
+      spark.read.parquet(s"$rootDir/sigs")
+        .write.mode("overwrite").parquet(s"$outDir/sigs")
+    writeChain(spark, Seq(s"$outDir/data"), outDir)
+    System.err.println(s"[prep-compact] ${chain.size}-link chain under " +
+      s"$rootDir -> $written rows consolidated at $outDir")
+    written
+  }
+
+  private def compactMain(args: Array[String]): Unit = {
+    if (args.length < 2) throw new IllegalArgumentException(compactUsage)
+    val Array(rootDir, outDir, rest @ _*) = args: @unchecked
+    val opts = rest.map { kv =>
+      kv.split("=", 2) match {
+        case Array("check", v) if v == "on" || v == "off" => "check" -> v
+        case _ => throw new IllegalArgumentException(
+          s"unrecognized option '$kv'\n$compactUsage")
+      }
+    }.toMap
+    val spark = Mains.session("graft-pretrain-prep-compact")
+    compactChain(spark, rootDir, outDir,
+      check = !opts.get("check").contains("off"))
+    Mains.stop(spark)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("compact")) return compactMain(args.tail)
     if (args.length < 3) throw new IllegalArgumentException(usage)
     val Array(batchDir, corpusOut, outDir, rest @ _*) =
       args.toSeq.toArray: @unchecked

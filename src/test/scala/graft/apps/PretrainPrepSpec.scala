@@ -743,4 +743,79 @@ class PretrainPrepSpec extends SparkSpec {
     assert(spark.read.parquet(s"$day1/sigs")
       .select("id").distinct().count() == 7)
   }
+
+  // ---- chain COMPACTION: fold N links into one re-rooted corpus ----
+
+  test("compact: day-2 off the compacted day-1 root equals the " +
+      "uncompacted twin, and the new chain is ONE link") {
+    val (day0, day1, day2, _, _, batch2, bench) = chained
+    val cDir = java.nio.file.Files.createTempDirectory("compact").toString
+    val day2c = java.nio.file.Files.createTempDirectory("chain2c").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    bench.write.mode("overwrite").parquet(benchDir)
+    val b2 = writeDocsDir(batch2)
+    Mains.keepSessionForTests = true
+    try {
+      // fold the 2-link chain (day0/data + day1/data) into one root
+      PretrainPrepIncrementalMain.main(
+        Array("compact", day1, cDir, "check=on"))
+      // the manifest re-roots to exactly one link: the integrity scan
+      // and the corpus read are O(compacted corpus) from here on
+      assert(PretrainPrepIncrementalMain.corpusChain(spark, cDir)
+        .map(d => new java.io.File(new java.net.URI(d)).toString) ==
+        List(s"$cDir/data"))
+      // consolidated data = the union of the folded links, same epoch
+      val folded = graft.io.Publish.readPartitioned(spark, s"$cDir/data")
+      val union = Seq(day0, day1)
+        .map(d => graft.io.Publish.readPartitioned(spark, s"$d/data"))
+        .reduce(_ unionByName _)
+      assert(folded.count() == union.count())
+      PretrainPrepIncrementalMain.requireDenseEpoch(folded, "compacted root")
+      // day-2 TWIN off the compacted root: same args, same batch
+      PretrainPrepIncrementalMain.main((Seq(b2, cDir, day2c,
+        s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
+    } finally Mains.keepSessionForTests = false
+    def snap(dir: String, tail: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$tail").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    // acceptance, placement, audit and artifacts all match the twin
+    assert(snap(day2c, "accepted", Seq("doc_id", "clean_text", "shard", "pos"))
+      == snap(day2, "accepted", Seq("doc_id", "clean_text", "shard", "pos")))
+    assert(snap(day2c, "ledger", Seq("doc_id", "stage", "reason", "winner_id"))
+      == snap(day2, "ledger", Seq("doc_id", "stage", "reason", "winner_id")))
+    assert(snap(day2c, "fps", Seq("_fp_text")) ==
+      snap(day2, "fps", Seq("_fp_text")))
+    assert(snap(day2c, "gram_counts", Seq("h", "nd")) ==
+      snap(day2, "gram_counts", Seq("h", "nd")))
+    assert(spark.read.parquet(s"$day2c/sigs").select("id").distinct().count()
+      == spark.read.parquet(s"$day2/sigs").select("id").distinct().count())
+    // the twin's chain: compacted root + its own day
+    assert(PretrainPrepIncrementalMain.corpusChain(spark, day2c)
+      .map(d => new java.io.File(new java.net.URI(d)).toString) ==
+      List(s"$cDir/data", s"$day2c/data"))
+  }
+
+  test("compact: refuses in-place targets and chain-link collisions; " +
+      "a crashed compact leaves no parseable root") {
+    val (_, day1, _, _, _, _, _) = chained
+    val e = intercept[IllegalArgumentException] {
+      PretrainPrepIncrementalMain.compactChain(spark, day1, day1)
+    }
+    assert(e.getMessage.contains("NEW directory"))
+    // manifest-last crash safety: an output dir holding data but no
+    // chain.txt (a compact that died before the final write) must not
+    // parse as a chain root UNLESS it has a pre-manifest data/ — and a
+    // fresh empty dir has none, so corpusChain fails loudly
+    val dead = java.nio.file.Files.createTempDirectory("dead").toString
+    val e2 = intercept[IllegalArgumentException] {
+      PretrainPrepIncrementalMain.corpusChain(spark, dead)
+    }
+    assert(e2.getMessage.contains("missing or empty"))
+    // option hygiene
+    val e3 = intercept[IllegalArgumentException] {
+      PretrainPrepIncrementalMain.main(
+        Array("compact", day1, dead, "ledger=on"))
+    }
+    assert(e3.getMessage.contains("unrecognized option"))
+  }
 }
