@@ -1709,6 +1709,33 @@ object SparkEntry {
     t.ledger.get.orderBy(col("stage"), col("doc_id"))
   }
 
+  /** q131 — the PER-DOCUMENT DROP LEDGER of the q70 incremental
+    * CURATE composition ([[graft.apps.Curate.runIncrementalTracked]]):
+    * the odd-id half of `documents` curated against the even-half
+    * standing corpus, with one row `(doc_id, stage, reason,
+    * winner_id)` per rejected batch doc — quality failures, exact
+    * duplicates split into batch-internal (min-id winner) vs
+    * corpus-standing (NULL winner — the fingerprint table has no ids),
+    * and near-dup components split into batch-only (winner = the
+    * representative) vs corpus-touched (winner = the component's min
+    * CORPUS member, always a real survivor). The oracle recomputes
+    * every drop set from the q70 CTE chain's own intermediates, so the
+    * curate audit trail is value-pinned exactly like q130 pins the
+    * prep one. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+    val (corpus, _) = graft.apps.Curate.run(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      minQuality = 0.6, method = method, log = _ => ())
+    val (accepted, _, ledger) = graft.apps.Curate.runIncrementalTracked(
+      docs.filter(col("doc_id") % 2 === 1), corpus, "doc_id", "text",
+      minQuality = 0.6, method = method, log = _ => ())
+    graft.ops.StageCut.release(accepted)
+    graft.ops.StageCut.release(corpus)
+    ledger.orderBy(col("stage"), col("doc_id"))
+  }
+
   /** The q129 gate's batch: seven manufactured families over the
     * documents table that make EVERY incremental stage drop at every
     * SF (the q128 manufactured-collision discipline, extended to the
@@ -2020,6 +2047,7 @@ object SparkEntry {
     "q128_pretrain_prep" -> (q128 _),
     "q129_pretrain_prep_incremental" -> (q129 _),
     "q130_prep_drop_ledger" -> (q130 _),
+    "q131_curate_drop_ledger" -> (q131 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2257,6 +2285,65 @@ object SparkEntry {
            SELECT id FROM clusi WHERE id % 2 = 1
              AND (id <> cluster OR cluster IN (SELECT cluster FROM touched)))
          ORDER BY vec_id"""
+
+  /** q131 oracle: the q70 chain's DROP LEDGER — each curate stage's
+    * reject set recomputed from the q70 CTEs themselves: odd docs
+    * missing from `qualb` (quality), `fpsb` holders of a
+    * corpus-standing fingerprint (NULL winner) or of a non-min batch
+    * fingerprint (winner = the min), and odd `clusi` members under the
+    * q70 drop rule, attributed to the component's min EVEN member when
+    * it touches the corpus and to the representative otherwise. */
+  private def q131Sql: String =
+    s"""WITH RECURSIVE
+         ${qualSql("c", " WHERE doc_id % 2 = 0")},
+         ${exactSql("c")},
+         ${lshPairsSql("ekc", 0.6, sfx = "c")},
+         ${clusterSql("c")},
+         ck AS (SELECT doc_id, text, quality FROM ekc
+                WHERE doc_id NOT IN (SELECT id FROM clusc WHERE cluster <> id)),
+         ${qualSql("b", " WHERE doc_id % 2 = 1")},
+         ${exactSql("b")},
+         cfps AS (SELECT DISTINCT
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                  FROM ck),
+         bex AS (SELECT ekb.doc_id, ekb.text, ekb.quality FROM ekb
+                 WHERE md5(trim(regexp_replace(lower(ekb.text), '\\s+', ' ', 'g')))
+                       NOT IN (SELECT f FROM cfps)),
+         bu AS (SELECT doc_id, text FROM bex
+                UNION ALL SELECT doc_id, text FROM ck),
+         ${lshPairsSql("bu", 0.6,
+             "a.doc_id < c.doc_id AND (a.doc_id % 2 = 1 OR c.doc_id % 2 = 1)",
+             sfx = "i")},
+         ${clusterSql("i")},
+         touched AS (SELECT DISTINCT cluster FROM clusi WHERE id % 2 = 0),
+         fmb AS (SELECT f, min(doc_id) AS mn FROM fpsb GROUP BY f)
+         SELECT doc_id, stage, reason, winner_id FROM (
+           SELECT doc_id, 'quality' AS stage, 'low_quality' AS reason,
+                  CAST(NULL AS BIGINT) AS winner_id
+             FROM documents WHERE doc_id % 2 = 1
+               AND doc_id NOT IN (SELECT doc_id FROM qualb)
+           UNION ALL
+           SELECT x.doc_id, 'exact',
+                  CASE WHEN x.f IN (SELECT f FROM cfps)
+                       THEN 'duplicate_of_corpus' ELSE 'duplicate_text' END,
+                  CASE WHEN x.f IN (SELECT f FROM cfps)
+                       THEN CAST(NULL AS BIGINT) ELSE fmb.mn END
+             FROM fpsb x JOIN fmb USING (f)
+             WHERE x.f IN (SELECT f FROM cfps) OR x.doc_id <> fmb.mn
+           UNION ALL
+           SELECT c.id, 'near',
+                  CASE WHEN c.cluster IN (SELECT cluster FROM touched)
+                       THEN 'near_duplicate_of_corpus'
+                       ELSE 'near_duplicate' END,
+                  CASE WHEN c.cluster IN (SELECT cluster FROM touched)
+                       THEN (SELECT min(x.id) FROM clusi x
+                             WHERE x.cluster = c.cluster AND x.id % 2 = 0)
+                       ELSE c.cluster END
+             FROM clusi c
+             WHERE c.id % 2 = 1
+               AND (c.id <> c.cluster
+                    OR c.cluster IN (SELECT cluster FROM touched)))
+         ORDER BY stage, doc_id"""
 
   /** q64/q75 oracle: ALL-pairs brute-force cosine at the round-to-6
     * >= 0.4 verify semantics — shared verbatim by the pinned-K gate
@@ -4280,6 +4367,7 @@ object SparkEntry {
     "q128_pretrain_prep" -> q128Sql,
     "q129_pretrain_prep_incremental" -> q129Sql,
     "q130_prep_drop_ledger" -> q130Sql,
+    "q131_curate_drop_ledger" -> q131Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

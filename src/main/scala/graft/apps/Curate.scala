@@ -351,26 +351,81 @@ object Curate {
                               method: SimilarityMethod.EmbeddingCosine,
                               corpusFps: Option[DataFrame] = None,
                               log: String => Unit = m => System.err.println(m)): (DataFrame, EmbReport) = {
+    val (curated, report, _) = runIncrementalEmbeddingImpl(newVecs, corpus,
+      idCol, embCol, method, corpusFps, keepLedger = false, log)
+    (curated, report)
+  }
+
+  /** [[runIncrementalEmbedding]] with the per-document drop ledger —
+    * the [[runIncrementalTracked]] contract over the vector stages:
+    * `stage` ∈ {validity, exact, near}, reasons `invalid_vector`,
+    * `duplicate_vector`/`duplicate_of_corpus`,
+    * `near_duplicate`/`near_duplicate_of_corpus`. */
+  def runIncrementalEmbeddingTracked(newVecs: DataFrame, corpus: DataFrame,
+                              idCol: String, embCol: String,
+                              method: SimilarityMethod.EmbeddingCosine,
+                              corpusFps: Option[DataFrame] = None,
+                              log: String => Unit = m => System.err.println(m)): (DataFrame, EmbReport, DataFrame) = {
+    val (curated, report, ledger) = runIncrementalEmbeddingImpl(newVecs,
+      corpus, idCol, embCol, method, corpusFps, keepLedger = true, log)
+    (curated, report, ledger.get)
+  }
+
+  private def runIncrementalEmbeddingImpl(newVecs: DataFrame, corpus: DataFrame,
+                              idCol: String, embCol: String,
+                              method: SimilarityMethod.EmbeddingCosine,
+                              corpusFps: Option[DataFrame],
+                              keepLedger: Boolean,
+                              log: String => Unit): (DataFrame, EmbReport, Option[DataFrame]) = {
+    val stage = (df: DataFrame) => graft.ops.StageCut(df)
+    val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def frag(df: => DataFrame): Unit = if (keepLedger) {
+      val f = stage(df); f.count(); ledgerFrags += f
+    }
+    def noWin = lit(null).cast(newVecs.schema(idCol).dataType).as("winner_id")
+
     // stage 1: validity on the BATCH only (the corpus already passed)
     val (valid, input, afterValid) = observedStage(newVecs,
       _.filter(validVector(embCol)))
+    frag(newVecs.select(col(idCol))
+      .join(valid.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("validity").as("stage"),
+        lit("invalid_vector").as("reason"), noWin))
     log(s"[curate-emb+] valid vectors: $input -> $afterValid")
 
     // stage 2: exact vector dedup within the batch, then against the
     // corpus — the standing fingerprint table is probed, never
-    // shuffled ([[corpusFpHits]])
+    // shuffled ([[corpusFpHits]]). Ledger mode materializes the
+    // (fp, id) frame once so attribution never re-fingerprints.
     val cfps = corpusFps.map(requireFps(_, "_fp_emb", "embeddingFingerprints"))
       .getOrElse(embeddingFingerprints(corpus, embCol)
         .select(col("_fp_emb").as("_fp")))
-    val batchFp = keepMinPerFp(valid.withColumn("_fp", vecFp(embCol)), idCol)
+    val withFp = valid.withColumn("_fp", vecFp(embCol))
+    val fpAll =
+      if (keepLedger) Some(stage(withFp.select(col("_fp"), col(idCol))))
+      else None
+    val keepIds = fpAll.getOrElse(withFp.select(col("_fp"), col(idCol)))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val batchFp = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
     // the hit set comes back broadcast-hinted (or guard-fallback plain)
     // from corpusFpHits — the hint decision lives there
+    val fpHits = corpusFpHits(batchFp, "_fp", cfps)
     val exact = batchFp
-      .join(corpusFpHits(batchFp, "_fp", cfps),
-        Seq("_fp"), "left_anti")
+      .join(fpHits, Seq("_fp"), "left_anti")
       .drop("_fp")
-      .transform(graft.ops.StageCut.apply)
+      .transform(stage)
     val afterExact = exact.count()
+    fpAll.foreach { fa =>
+      frag(fa.join(keepIds.withColumnRenamed(idCol, "_win"), Seq("_fp"))
+        .join(fpHits.withColumn("_c", lit(true)), Seq("_fp"), "left")
+        .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
+        .select(col(idCol), lit("exact").as("stage"),
+          when(col("_c").isNotNull, lit("duplicate_of_corpus"))
+            .otherwise(lit("duplicate_vector")).as("reason"),
+          when(col("_c").isNotNull, lit(null)).otherwise(col("_win"))
+            .as("winner_id")))
+      graft.ops.StageCut.release(fa)
+    }
     graft.ops.StageCut.release(valid)
     log(s"[curate-emb+] exact vector dedup (batch + corpus fps): " +
       s"$afterValid -> $afterExact")
@@ -392,9 +447,23 @@ object Curate {
         if (idx.centroids.nonEmpty) e.copy(index = Some(idx)) else e
       case other => other
     }
-    val curated = dropBatchNearDups(exact, corpus, idCol, embCol, m3)
-      .transform(graft.ops.StageCut.apply)
+    val nearDrops =
+      if (keepLedger) {
+        val d = stage(batchNearDrops(exact, corpus, idCol, embCol, m3))
+        d.count(); Some(d)
+      } else None
+    val curated = nearDrops
+      .map(d => exact.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(dropBatchNearDups(exact, corpus, idCol, embCol, m3))
+      .transform(stage)
     val afterNear = curated.count()
+    nearDrops.foreach { d =>
+      frag(d.select(col(idCol), lit("near").as("stage"),
+        when(col("_corpus"), lit("near_duplicate_of_corpus"))
+          .otherwise(lit("near_duplicate")).as("reason"),
+        col("_win").as("winner_id")))
+      graft.ops.StageCut.release(d)
+    }
     graft.ops.StageCut.release(exact)
     log(s"[curate-emb+] near dedup vs corpus (cos >= ${method.minCos}): " +
       s"$afterExact -> $afterNear")
@@ -408,7 +477,15 @@ object Curate {
     log(s"[curate-emb+] accepted $afterNear new vectors; dims: " +
       dimProfile.toSeq.sortBy(_._1).map { case (d, n) => s"$d=$n" }.mkString(", "))
 
-    (curated, EmbReport(input, afterValid, afterExact, afterNear, dimProfile))
+    val ledger =
+      if (keepLedger) {
+        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
+        l.count()
+        ledgerFrags.foreach(graft.ops.StageCut.release)
+        Some(l)
+      } else None
+    (curated, EmbReport(input, afterValid, afterExact, afterNear,
+      dimProfile), ledger)
   }
 
   /** The shared near-dup stage of the incremental pipelines: one
@@ -433,11 +510,16 @@ object Curate {
       Seq(idCol), "left_anti")
 
   /** The DROP rows behind [[dropBatchNearDups]] — `(idCol, _win,
-    * _corpus)`: each dropped batch doc with its component
-    * representative (the cluster label — possibly itself a batch id)
-    * and whether the component touches the standing corpus. One
-    * evaluation yields both the survivor anti-join and the drop
-    * ledger's near attribution. */
+    * _corpus)`: each dropped batch doc with the surviving twin it is
+    * attributed to and whether its component touches the standing
+    * corpus. For a batch-only component `_win` is the cluster label
+    * (the min-id member — the one row that survives); for a
+    * corpus-touched component the label itself may be a DROPPED batch
+    * doc (the whole component drops), so `_win` is resolved to the
+    * component's min CORPUS member instead — a real survivor, and the
+    * standing doc the batch content near-duplicates. One evaluation
+    * yields both the survivor anti-join and the drop ledger's near
+    * attribution. */
   private[apps] def batchNearDrops(exact: DataFrame, corpus: DataFrame,
                                 idCol: String, contentCol: String,
                                 method: SimilarityMethod,
@@ -452,22 +534,25 @@ object Curate {
     // which component members are CORPUS docs? The corpus id column is
     // corpus-sized — probe it with the broadcast component member ids
     // (candidate-scale: only docs touched by an edge) instead of
-    // shuffling it; the hit set is then broadcast into both joins (one
-    // scan, reused exchange, no standing-table shuffle — the
-    // corpusFpHits shape).
+    // shuffling it; the min corpus member per component (the ledger's
+    // winner AND the corpus-touched marker) is then broadcast into
+    // both joins (one scan, reused exchange, no standing-table shuffle
+    // — the corpusFpHits shape).
     val corpusHits = corpus.select(col(idCol).as("id"))
       .join(broadcast(clusters.select(col("id"))), Seq("id"), "left_semi")
     // components containing ANY corpus member: every batch doc inside
     // near-duplicates standing content — drop them all (the component
     // label itself may be a batch id, so label math alone is not enough)
-    val touched = clusters.join(broadcast(corpusHits), Seq("id"), "left_semi")
-      .select(col("cluster")).distinct()
+    val corpusWin = clusters
+      .join(broadcast(corpusHits), Seq("id"), "left_semi")
+      .groupBy(col("cluster")).agg(min(col("id")).as("_cwin"))
     val batchMembers = clusters.join(broadcast(corpusHits), Seq("id"), "left_anti")
     batchMembers
-      .join(touched.withColumn("_t", lit(true)), Seq("cluster"), "left")
-      .filter(col("id") =!= col("cluster") || col("_t").isNotNull)
-      .select(col("id").as(idCol), col("cluster").as("_win"),
-        col("_t").isNotNull.as("_corpus"))
+      .join(broadcast(corpusWin), Seq("cluster"), "left")
+      .filter(col("id") =!= col("cluster") || col("_cwin").isNotNull)
+      .select(col("id").as(idCol),
+        coalesce(col("_cwin"), col("cluster")).as("_win"),
+        col("_cwin").isNotNull.as("_corpus"))
   }
 
   /** INCREMENTAL curation — today's batch of new documents curated
@@ -526,37 +611,128 @@ object Curate {
                      corpusSigs: Option[DataFrame] = None,
                      corpusFps: Option[DataFrame] = None,
                      log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
+    val (curated, report, _) = runIncrementalImpl(newDocs, corpus, idCol,
+      textCol, minQuality, method, corpusSigs, corpusFps,
+      keepLedger = false, log)
+    (curated, report)
+  }
+
+  /** [[runIncremental]] that ALSO returns the per-document DROP
+    * AUDIT — the [[PretrainPrep.Tracked]] ledger contract for the
+    * curate chain: one row `(idCol, stage, reason, winner_id)` per
+    * rejected batch doc, `stage` ∈ {quality, exact, near}, corpus-
+    * caused drops distinguished (`duplicate_of_corpus` with NULL
+    * winner — the fingerprint table has no ids;
+    * `near_duplicate_of_corpus` with the component's min CORPUS
+    * member as winner), batch-internal ones naming their surviving
+    * twin. Ledger ids and accepted ids partition the quality-input
+    * exactly (spec-pinned). Both returned frames are materialized
+    * ([[graft.ops.StageCut]]) — release both. Cost when enabled: one
+    * id anti-join per stage plus materializing the shared
+    * fingerprint and near-drop frames — no extra pass over any text. */
+  def runIncrementalTracked(newDocs: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     minQuality: Double = 0.5,
+                     method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
+                     corpusSigs: Option[DataFrame] = None,
+                     corpusFps: Option[DataFrame] = None,
+                     log: String => Unit = m => System.err.println(m)): (DataFrame, Report, DataFrame) = {
+    val (curated, report, ledger) = runIncrementalImpl(newDocs, corpus,
+      idCol, textCol, minQuality, method, corpusSigs, corpusFps,
+      keepLedger = true, log)
+    (curated, report, ledger.get)
+  }
+
+  private def runIncrementalImpl(newDocs: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     minQuality: Double,
+                     method: SimilarityMethod,
+                     corpusSigs: Option[DataFrame],
+                     corpusFps: Option[DataFrame],
+                     keepLedger: Boolean,
+                     log: String => Unit): (DataFrame, Report, Option[DataFrame]) = {
+    // drop-ledger plumbing: the PretrainPrep.runImpl discipline —
+    // each fragment materializes BEFORE its parents are released
+    val stage = (df: DataFrame) => graft.ops.StageCut(df)
+    val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def frag(df: => DataFrame): Unit = if (keepLedger) {
+      val f = stage(df); f.count(); ledgerFrags += f
+    }
+    def noWin = lit(null).cast(newDocs.schema(idCol).dataType).as("winner_id")
+
     // stage 1: quality on the BATCH only (the corpus already passed it)
     val (quality, input, afterQuality) = observedStage(newDocs,
       _.transform(TextOps.withQualityScore(_, textCol, "quality"))
         .filter(col("quality") >= minQuality))
+    frag(newDocs.select(col(idCol))
+      .join(quality.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("quality").as("stage"),
+        lit("low_quality").as("reason"), noWin))
     log(s"[curate+] quality >= $minQuality: $input -> $afterQuality")
 
     // stage 2: exact dedup within the batch, then against the corpus.
     // The corpus fingerprint table never moves: it is probed once by
     // the broadcast batch fingerprints and only the hit set (at most
     // batch-sized) is broadcast into the anti-join ([[corpusFpHits]]).
+    // In ledger mode the (fp, id) frame is materialized ONCE so winner
+    // attribution does not re-fingerprint the batch text.
     val cfps = corpusFps.map(requireFps(_, "_fp_text", "textFingerprints"))
       .getOrElse(textFingerprints(corpus, textCol)
         .select(col("_fp_text").as("_fp")))
-    val batchFp = keepMinPerFp(
-      quality.withColumn("_fp", TextOps.fingerprint(col(textCol))), idCol)
+    val withFp = quality.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    val fpAll =
+      if (keepLedger) Some(stage(withFp.select(col("_fp"), col(idCol))))
+      else None
+    val keepIds = fpAll.getOrElse(withFp.select(col("_fp"), col(idCol)))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val batchFp = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
     // the hit set comes back broadcast-hinted (or guard-fallback plain)
     // from corpusFpHits — the hint decision lives there
+    val fpHits = corpusFpHits(batchFp, "_fp", cfps)
     val exact = batchFp
-      .join(corpusFpHits(batchFp, "_fp", cfps),
-        Seq("_fp"), "left_anti")
+      .join(fpHits, Seq("_fp"), "left_anti")
       .drop("_fp")
-      .transform(graft.ops.StageCut.apply)
+      .transform(stage)
     val afterExact = exact.count()
+    // attribution: a fingerprint standing in the corpus drops ALL its
+    // batch holders (winner unknown to the batch — NULL); a batch-only
+    // duplicate names its min-id winner
+    fpAll.foreach { fa =>
+      frag(fa.join(keepIds.withColumnRenamed(idCol, "_win"), Seq("_fp"))
+        .join(fpHits.withColumn("_c", lit(true)), Seq("_fp"), "left")
+        .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
+        .select(col(idCol), lit("exact").as("stage"),
+          when(col("_c").isNotNull, lit("duplicate_of_corpus"))
+            .otherwise(lit("duplicate_text")).as("reason"),
+          when(col("_c").isNotNull, lit(null)).otherwise(col("_win"))
+            .as("winner_id")))
+      graft.ops.StageCut.release(fa)
+    }
     graft.ops.StageCut.release(quality)
     log(s"[curate+] exact dedup (batch + corpus fps): $afterQuality -> $afterExact")
 
-    // stage 3: ONE component pass over within-batch + cross-side edges
-    val curated = dropBatchNearDups(exact, corpus, idCol, textCol, method,
-        corpusSigs)
-      .transform(graft.ops.StageCut.apply)
+    // stage 3: ONE component pass over within-batch + cross-side
+    // edges. Ledger mode materializes the (id, _win, _corpus) drop
+    // rows once and shares them with the anti-join.
+    val nearDrops =
+      if (keepLedger) {
+        val d = stage(batchNearDrops(exact, corpus, idCol, textCol,
+          method, corpusSigs))
+        d.count(); Some(d)
+      } else None
+    val curated = nearDrops
+      .map(d => exact.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(dropBatchNearDups(exact, corpus, idCol, textCol, method,
+        corpusSigs))
+      .transform(stage)
     val afterNear = curated.count()
+    nearDrops.foreach { d =>
+      frag(d.select(col(idCol), lit("near").as("stage"),
+        when(col("_corpus"), lit("near_duplicate_of_corpus"))
+          .otherwise(lit("near_duplicate")).as("reason"),
+        col("_win").as("winner_id")))
+      graft.ops.StageCut.release(d)
+    }
     graft.ops.StageCut.release(exact)
     log(s"[curate+] near dedup vs corpus (${method.getClass.getSimpleName}): " +
       s"$afterExact -> $afterNear")
@@ -573,8 +749,15 @@ object Curate {
     log(s"[curate+] accepted $afterNear new docs, $totalTokens tokens; languages: " +
       langProfile.toSeq.sortBy(_._1).map { case (l, n) => s"$l=$n" }.mkString(", "))
 
+    val ledger =
+      if (keepLedger) {
+        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
+        l.count()
+        ledgerFrags.foreach(graft.ops.StageCut.release)
+        Some(l)
+      } else None
     (curated, Report(input, afterQuality, afterExact, afterNear,
-      langProfile, totalTokens))
+      langProfile, totalTokens), ledger)
   }
 }
 
@@ -658,15 +841,18 @@ object CurateMain {
   * only, loud error with cosine), `fps=<parquet>` (stored corpus
   * fingerprint table), `index=<dir>` (stored [[graft.sim.CellIndex]],
   * cosine only), `checkpoint=<dir>` (reliable clustering, as in
-  * `curate`). */
+  * `curate`), `ledger=on` (adds `ledger/` — the per-document drop
+  * audit of [[Curate.runIncrementalTracked]] /
+  * [[Curate.runIncrementalEmbeddingTracked]]). */
 object CurateIncrementalMain {
 
   private val usage =
     "usage: curate-incremental <batchDir> <corpusParquet> <outDir> " +
       "[minQuality=0.5] [method=minhash:0.8] [sigs=parquet] " +
-      "[fps=parquet] [index=dir] [checkpoint=dir]"
+      "[fps=parquet] [index=dir] [checkpoint=dir] [ledger=on]"
   private val knownKeys =
-    Set("minQuality", "method", "sigs", "fps", "index", "checkpoint")
+    Set("minQuality", "method", "sigs", "fps", "index", "checkpoint",
+      "ledger")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) throw new IllegalArgumentException(usage)
@@ -680,6 +866,9 @@ object CurateIncrementalMain {
       }
     }.toMap
     val minQuality = opts.get("minQuality").map(_.toDouble).getOrElse(0.5)
+    opts.get("ledger").foreach(v => require(v == "on" || v == "off",
+      s"ledger must be 'on' or 'off', got '$v'\n$usage"))
+    val keepLedger = opts.get("ledger").contains("on")
     val method = opts.get("method").map(CurateMain.parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
     // cross-wired artifacts fail BEFORE any I/O
@@ -702,8 +891,20 @@ object CurateIncrementalMain {
           .map(p => emb.copy(index = Some(graft.sim.CellIndex.load(spark, p))))
           .getOrElse(emb)
         val batch = graft.Tables.load(spark, batchDir, "embeddings")
-        val (accepted, report) = Curate.runIncrementalEmbedding(
-          batch, corpus, "vec_id", "embedding", m, corpusFps = corpusFps)
+        val (accepted, report, ledger) =
+          if (keepLedger) {
+            val (a, r, l) = Curate.runIncrementalEmbeddingTracked(
+              batch, corpus, "vec_id", "embedding", m, corpusFps = corpusFps)
+            (a, r, Some(l))
+          } else {
+            val (a, r) = Curate.runIncrementalEmbedding(
+              batch, corpus, "vec_id", "embedding", m, corpusFps = corpusFps)
+            (a, r, None)
+          }
+        ledger.foreach { l =>
+          l.write.mode("overwrite").parquet(s"$outDir/ledger")
+          graft.ops.StageCut.release(l)
+        }
         accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
         // maintenance artifact off the still-cached accepted frame
         Curate.embeddingFingerprints(accepted, "embedding")
@@ -714,9 +915,22 @@ object CurateIncrementalMain {
       case m =>
         val sigs = opts.get("sigs").map(p => spark.read.parquet(p))
         val batch = graft.Tables.load(spark, batchDir, "documents")
-        val (accepted, report) = Curate.runIncremental(
-          batch, corpus, "doc_id", "text", minQuality, m,
-          corpusSigs = sigs, corpusFps = corpusFps)
+        val (accepted, report, ledger) =
+          if (keepLedger) {
+            val (a, r, l) = Curate.runIncrementalTracked(
+              batch, corpus, "doc_id", "text", minQuality, m,
+              corpusSigs = sigs, corpusFps = corpusFps)
+            (a, r, Some(l))
+          } else {
+            val (a, r) = Curate.runIncremental(
+              batch, corpus, "doc_id", "text", minQuality, m,
+              corpusSigs = sigs, corpusFps = corpusFps)
+            (a, r, None)
+          }
+        ledger.foreach { l =>
+          l.write.mode("overwrite").parquet(s"$outDir/ledger")
+          graft.ops.StageCut.release(l)
+        }
         accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
         // maintenance artifacts off the still-cached accepted frame
         Curate.textFingerprints(accepted, "text")

@@ -120,7 +120,9 @@ object PretrainPrep {
     * dedup stages distinguish batch-internal from corpus-caused
     * drops), and `winner_id` names the surviving twin where the drop
     * has one (exact dedup: the min-id fingerprint holder; near dedup:
-    * the cluster representative) and is NULL otherwise. Ledger ids
+    * the cluster representative, or for a corpus-touched component the
+    * min corpus member — always a real survivor) and is NULL
+    * otherwise. Ledger ids
     * and output ids partition the input exactly — reconciliation
     * against the report deltas is spec-pinned. The frame is
     * materialized ([[graft.ops.StageCut]]); release it like `out`.

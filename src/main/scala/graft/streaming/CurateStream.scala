@@ -48,14 +48,20 @@ object CurateStream {
     * rows/artifacts as `b-1` subdirectories before starting.
     * `autoCompactEvery = N` runs [[compact]] after every Nth
     * completed batch ([[StreamState.maybeAutoCompact]] — 0 keeps
-    * compaction an explicit maintenance call). */
+    * compaction an explicit maintenance call). `keepLedger` writes the
+    * per-document drop audit of [[Curate.runIncrementalTracked]] to a
+    * PER-BATCH subdirectory `ledger/b<batchId>` — audit output, never
+    * read back by a trigger and never compacted (folding would erase
+    * which trigger rejected a doc); replays overwrite their own
+    * subdirectory like every other per-batch write here. */
   def start(docs: DataFrame, idCol: String, textCol: String,
             stateDir: String,
             minQuality: Double = 0.5,
             method: SimilarityMethod = SimilarityMethod.MinHashLsh(minJaccard = 0.8),
             checkpointLocation: Option[String] = None,
             onBatch: (Long, Curate.Report) => Unit = (_, _) => (),
-            autoCompactEvery: Int = 0): StreamingQuery = {
+            autoCompactEvery: Int = 0,
+            keepLedger: Boolean = false): StreamingQuery = {
     require(!method.isInstanceOf[SimilarityMethod.EmbeddingCosine] &&
         !method.isInstanceOf[SimilarityMethod.ImageDHash],
       "CurateStream curates TEXT batches (runIncremental); embedding/image " +
@@ -65,7 +71,7 @@ object CurateStream {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, stateDir, minQuality,
-          method, onBatch)
+          method, onBatch, keepLedger)
         StreamState.maybeAutoCompact(autoCompactEvery, batchId)(
           compact(batch.sparkSession, stateDir))
       }
@@ -80,7 +86,8 @@ object CurateStream {
                                       idCol: String, textCol: String,
                                       stateDir: String, minQuality: Double,
                                       method: SimilarityMethod,
-                                      onBatch: (Long, Curate.Report) => Unit): Unit = {
+                                      onBatch: (Long, Curate.Report) => Unit,
+                                      keepLedger: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // a replayed batch id must NOT see its own (possibly partial)
     // previous write as standing corpus — its rows would then drop as
@@ -97,9 +104,17 @@ object CurateStream {
       case _ => None
     }
     val fps = readState(spark, s"$stateDir/fps", batchId)
-    val (accepted, report) = Curate.runIncremental(batch, corpus, idCol,
-      textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
-      log = _ => ())
+    val (accepted, report) =
+      if (keepLedger) {
+        val (a, r, l) = Curate.runIncrementalTracked(batch, corpus, idCol,
+          textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
+          log = _ => ())
+        l.write.mode("overwrite").parquet(s"$stateDir/ledger/b$batchId")
+        graft.ops.StageCut.release(l)
+        (a, r)
+      } else Curate.runIncremental(batch, corpus, idCol,
+        textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
+        log = _ => ())
     accepted.write.mode("overwrite").parquet(s"$stateDir/corpus/b$batchId")
     Curate.textFingerprints(accepted, textCol)
       .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")

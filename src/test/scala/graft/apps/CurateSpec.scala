@@ -625,4 +625,89 @@ class CurateSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       "10485760")
   }
+
+  // ---- the incremental drop ledger (the PretrainPrep.Tracked
+  // contract extended to the curate chain) ----
+
+  test("runIncrementalTracked: every reject attributed, ledger + " +
+      "accepted partition the batch, corpus near-drops name CORPUS winners") {
+    import spark.implicits._
+    // the :69 equivalence fixture plus one junk doc for the quality
+    // stage (no stopwords + all punctuation -> score ~0 < 0.2)
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "an entirely different document all about spark shuffle partitions here"
+    val tC = "a lone corpus singleton document that matches nothing else at all"
+    val tD = "yet another standalone corpus text on partitioned parquet scan pruning"
+    val tE = "a brand new batch family document describing minhash banded candidates"
+    val tF = "one genuinely novel batch document with no relatives anywhere at all"
+    val b1 = Seq(1L -> tA, 2L -> (tA + " ok"), 3L -> tB, 4L -> (tB + " ok"),
+      5L -> tC, 6L -> tD).toDF("doc_id", "text")
+    val b2 = Seq(101L -> (tA + " yes"), 102L -> tC, 103L -> tE,
+      104L -> (tE + " ok"), 105L -> tF, 106L -> tE,
+      107L -> "::::;;;;....!!!!").toDF("doc_id", "text")
+    val (corpus, _) = Curate.run(b1, "doc_id", "text", 0.0, method, _ => ())
+    val (acc, report, ledger) = Curate.runIncrementalTracked(
+      b2, corpus, "doc_id", "text", 0.2, method, log = _ => ())
+    val accIds = acc.select("doc_id").as[Long].collect().toSet
+    assert(accIds == Set(103L, 105L))
+    // every reject is attributed; corpus-caused near drops resolve to
+    // a CORPUS member (101's component label would be 1 here anyway,
+    // but the convention is winner = min corpus member, a real
+    // survivor — never a dropped batch doc)
+    val rows = ledger
+      .select(col("doc_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (101L, "near", "near_duplicate_of_corpus", Some(1L)),
+      (102L, "exact", "duplicate_of_corpus", None),
+      (104L, "near", "near_duplicate", Some(103L)),
+      (106L, "exact", "duplicate_text", Some(103L)),
+      (107L, "quality", "low_quality", None)), s"ledger: $rows")
+    // reconciliation: ledger ids ∪ accepted ids partition the batch
+    assert((rows.map(_._1).toSet ++ accIds) == (101L to 107L).toSet &&
+      rows.map(_._1).toSet.intersect(accIds).isEmpty)
+    // winners are real survivors (accepted batch docs or corpus docs)
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(rows.flatMap(_._4).forall(w => accIds(w) || corpusIds(w)))
+    // the tracked run's acceptance equals the untracked twin's
+    val (accU, _) = Curate.runIncremental(
+      b2, corpus, "doc_id", "text", 0.2, method, log = _ => ())
+    assert(accU.select("doc_id").as[Long].collect().toSet == accIds)
+    assert(report.afterNear == 2)
+    graft.ops.StageCut.release(ledger)
+    graft.ops.StageCut.release(acc); accU.unpersist(); corpus.unpersist()
+  }
+
+  test("runIncrementalEmbeddingTracked: validity/exact/near rejects " +
+      "attributed over the vector stages") {
+    import spark.implicits._
+    val c = Seq(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      201L -> Seq(Float.NaN, 1.0f),    // invalid vector
+      202L -> Seq(1.0f, 0.0f),         // exact dup of corpus 1
+      203L -> Seq(0.99f, 0.0141f),     // cos vs corpus 1 ~ 0.990
+      204L -> Seq(0.6f, 0.8f),         // within-batch near family...
+      205L -> Seq(0.61f, 0.79f),       // ...drop 205, keep 204
+      206L -> Seq(0.6f, 0.8f),         // exact dup of 204
+      207L -> Seq(-1.0f, 0.0f))        // novel survivor
+      .toDF("vec_id", "embedding")
+    val m = SimilarityMethod.EmbeddingCosine(minCos = 0.95)
+    val (acc, _, ledger) = Curate.runIncrementalEmbeddingTracked(
+      batch, c, "vec_id", "embedding", m, log = _ => ())
+    val accIds = acc.select("vec_id").as[Long].collect().toSet
+    assert(accIds == Set(204L, 207L), s"accepted: $accIds")
+    val rows = ledger
+      .select(col("vec_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (201L, "validity", "invalid_vector", None),
+      (202L, "exact", "duplicate_of_corpus", None),
+      (203L, "near", "near_duplicate_of_corpus", Some(1L)),
+      (205L, "near", "near_duplicate", Some(204L)),
+      (206L, "exact", "duplicate_vector", Some(204L))), s"ledger: $rows")
+    assert((rows.map(_._1).toSet ++ accIds) == (201L to 207L).toSet)
+    graft.ops.StageCut.release(ledger)
+    graft.ops.StageCut.release(acc)
+  }
 }

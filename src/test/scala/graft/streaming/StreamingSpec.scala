@@ -326,4 +326,41 @@ class StreamingSpec extends SparkSpec {
     assert(corpusIds(a).contains(22L) && !corpusIds(a).contains(21L),
       s"post-compact curation diverged: ${corpusIds(a)}")
   }
+
+  test("CurateStream ledger: per-batch drop audit subdirs, replay " +
+      "overwrites, audit disjoint from acceptances") {
+    import spark.implicits._
+    import graft.dedup.SimilarityMethod
+    val dir = java.nio.file.Files.createTempDirectory("curledger").toString
+    val m = SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "a brand new batch family document describing minhash banded candidates"
+    def run(id: Long, rows: Seq[(Long, String)]): Unit =
+      CurateStream.processBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", dir, 0.0, m, (_, _) => (), keepLedger = true)
+    run(0L, Seq(1L -> t1, 2L -> (t1 + " ok"), 3L -> t2))
+    run(1L, Seq(11L -> (t2 + " yes"), 12L -> t1,
+      13L -> "one genuinely novel streaming document here today"))
+    def ledgerOf(id: Long) = spark.read.parquet(s"$dir/ledger/b$id")
+      .select(col("doc_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    // batch 0 bootstraps on an empty corpus: 2 near-dups 1 in-batch
+    assert(ledgerOf(0L) == Seq((2L, "near", "near_duplicate", Some(1L))))
+    // batch 1: 11 near-dups STANDING doc 3 (corpus-attributed winner),
+    // 12 is an exact copy of standing doc 1 (fp table has no ids)
+    assert(ledgerOf(1L) == Seq(
+      (11L, "near", "near_duplicate_of_corpus", Some(3L)),
+      (12L, "exact", "duplicate_of_corpus", None)))
+    // audit rows never overlap acceptances
+    val corpus = spark.read.parquet(
+      new java.io.File(dir, "corpus").listFiles()
+        .map(_.getAbsolutePath).toIndexedSeq: _*)
+    assert(corpus.join(spark.read.parquet(s"$dir/ledger/b0")
+        .unionByName(spark.read.parquet(s"$dir/ledger/b1")),
+      Seq("doc_id"), "left_semi").count() == 0)
+    // replay of batch 1 overwrites its own ledger subdir (idempotent)
+    run(1L, Seq(11L -> (t2 + " yes"), 12L -> t1,
+      13L -> "one genuinely novel streaming document here today"))
+    assert(ledgerOf(1L).size == 2, "replay must not double-append audit rows")
+  }
 }
