@@ -3545,30 +3545,57 @@ object SparkEntry {
     * by the batch chain — re-expands exponentially and exhausts file
     * handles before producing a row (the q76 lesson, SURVEY §12).
     * `MATERIALIZED` is a pure evaluation fence: values are identical,
-    * the plan evaluates each hinted CTE once. Recursive members
-    * (`reach…(id, label) AS (`) must stay un-hinted — DuckDB rejects
-    * the hint inside a recursive definition — so any CTE declared
-    * with a column list is skipped. Over-counting from column aliases
-    * that shadow a CTE name (e.g. `w`) only adds a harmless extra
-    * materialization, never changes values. CAVEAT before any wider
-    * reuse: a `WINDOW w AS (...)` clause matches the definition regex
-    * and would be corrupted by the rewrite — none of the prep oracles
-    * uses WINDOW clauses; parse CTE definitions positionally if this
-    * ever needs to serve SQL that does. */
-  private def materializeSharedCtes(sql: String): String = {
-    // a CTE definition starts a line, or follows the WITH [RECURSIVE]
-    // keyword on the first one; `AS u(s)` unnest aliases never match
-    // (their name sits AFTER the AS)
-    val defRe =
-      raw"(?m)(?:^|,|\bWITH\b|\bRECURSIVE\b)\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\(".r
-    val names = defRe.findAllMatchIn(sql).map(_.group(1)).toSet
+    * the plan evaluates each hinted CTE once.
+    *
+    * Definitions are located POSITIONALLY, not by regex alone: the
+    * statement is walked tracking parenthesis depth (single-quoted
+    * literals skipped), and only a `name AS (` sitting at depth 0
+    * BEFORE the first depth-0 SELECT — the WITH clause — is a CTE
+    * definition. That construction excludes the two false-positive
+    * shapes the old line-anchored regex could corrupt: a
+    * `WINDOW w AS (...)` clause (always inside a CTE body at depth
+    * >= 1, or after the top-level SELECT) and a recursive member's
+    * column list (`reach(id, label) AS (` — `label` sits at depth 1;
+    * DuckDB also rejects the hint on recursive CTEs, so they must
+    * stay untouched). Over-counting references from column aliases
+    * that shadow a CTE name only adds a harmless extra
+    * materialization, never changes values. */
+  private[graft] def materializeSharedCtes(sql: String): String = {
+    // paren-depth per character, with '...' literals opaque ('' is the
+    // SQL escape: the closing quote of "''" re-opens immediately,
+    // which leaves depth unchanged either way)
+    val depth = new Array[Int](sql.length)
+    var d = 0; var inStr = false; var topSelect = sql.length
+    for (i <- sql.indices) {
+      depth(i) = d
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case 'S' | 's' if d == 0 && topSelect == sql.length &&
+            sql.regionMatches(true, i, "SELECT", 0, 6) &&
+            (i == 0 || { val p = sql.charAt(i - 1)
+              !p.isLetterOrDigit && p != '_' }) &&
+            (i + 6 >= sql.length || { val nx = sql.charAt(i + 6)
+              !nx.isLetterOrDigit && nx != '_' }) =>
+          topSelect = i
+        case _ => ()
+      }
+    }
+    val defRe = raw"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\(".r
+    val defs = defRe.findAllMatchIn(sql).toList
+      .filter(m => m.start < topSelect && depth(m.start) == 0)
     val word = raw"[A-Za-z0-9_]"
-    names.foldLeft(sql) { (acc, n) =>
-      val refs = raw"(?<!$word)$n(?!$word)".r.findAllMatchIn(acc).size - 1
+    // reference counts over the ORIGINAL statement; rewrite back to
+    // front so earlier match offsets stay valid
+    defs.reverse.foldLeft(sql) { (acc, m) =>
+      val n = m.group(1)
+      val refs = raw"(?<!$word)$n(?!$word)".r.findAllMatchIn(sql).size - 1
       if (refs >= 2)
-        acc.replaceFirst(
-          raw"(?m)((?:^|,|\bWITH\b|\bRECURSIVE\b)\s*)$n\s+AS\s+\(",
-          s"$$1$n AS MATERIALIZED (")
+        acc.substring(0, m.start) + s"$n AS MATERIALIZED (" +
+          acc.substring(m.end)
       else acc
     }
   }
