@@ -76,8 +76,30 @@ object Bench {
     // stamps "contended": true on the JSON so a slow-looking run
     // self-identifies instead of burning a judge re-adjudication.
     val sentinel = "q01_pricing_summary"
+    // SECOND canary, shuffle-heavy: q01 is a scan+agg over pushed
+    // filters — too small to sense contention that lands on WIDE
+    // stages. Round 16's driver artifact carried ~20% uniform
+    // inflation on shuffle-heavy queries under a CLEAN q01 canary
+    // (judge re-bench disproved every "regression"). This synthetic
+    // pays two full 32-way exchanges (hash agg + distinct) over a
+    // fixed generated frame, so executor-thread contention that only
+    // shows up on exchange-bound work moves THIS number too.
+    def shuffleCanary(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, countDistinct}
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      spark.range(4000000L)
+        .select((col("id") % 100000).as("k"),
+          (col("id") * 2654435761L % 9973).as("v"))
+        .groupBy(col("k"))
+        .agg(sum(col("v")).as("s"), countDistinct(col("v")).as("d"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     one(sentinel, SparkEntry.queries(sentinel)) // untimed: compile the plan
+    shuffleCanary() // untimed: codegen + first-shuffle setup
     val canaryStart = one(sentinel, SparkEntry.queries(sentinel))
+    val shuffleStart = shuffleCanary()
     val passA = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
     val passB = names.map(n => n -> one(n, SparkEntry.queries(n))).toMap
     val results = names.map { n =>
@@ -112,20 +134,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dec(v) }
       .mkString("{", ",", "}")
     val canaryEnd = one(sentinel, SparkEntry.queries(sentinel))
+    val shuffleEnd = shuffleCanary()
     // TWO-SIDED: round 9's driver run started contended and settled —
     // canary 6.7s → 1.1s — and the old `end > 1.5*start` one-sided test
     // stamped contended=false while ~1.3-1.5x inflation sat on dozens of
     // untouched queries. Contention at EITHER end of the run means the
-    // numbers in between are suspect, so flag on the ratio both ways.
-    val contended = canaryStart > 0 && canaryEnd > 0 &&
-      math.max(canaryStart, canaryEnd) > 1.5 * math.min(canaryStart, canaryEnd)
+    // numbers in between are suspect, so flag on the ratio both ways —
+    // and on EITHER canary (the scan canary misses exchange-bound load).
+    def drifted(s: Double, e: Double): Boolean =
+      s > 0 && e > 0 && math.max(s, e) > 1.5 * math.min(s, e)
+    val contended = drifted(canaryStart, canaryEnd) ||
+      drifted(shuffleStart, shuffleEnd)
     System.err.println(f"[bench] canary $sentinel start=$canaryStart%.3f " +
-      f"end=$canaryEnd%.3f contended=$contended")
+      f"end=$canaryEnd%.3f shuffle start=$shuffleStart%.3f " +
+      f"end=$shuffleEnd%.3f contended=$contended")
     // a failed query's -1 sentinel must not SHRINK the total (a broken
     // query would read as a speedup); sum successes, surface failures
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3dec(total)},"unit":"sec","failed":$failed,"contended":$contended,"canary_start":${r3dec(canaryStart)},"canary_end":${r3dec(canaryEnd)},"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3dec(total)},"unit":"sec","failed":$failed,"contended":$contended,"canary_start":${r3dec(canaryStart)},"canary_end":${r3dec(canaryEnd)},"shuffle_canary_start":${r3dec(shuffleStart)},"shuffle_canary_end":${r3dec(shuffleEnd)},"sf":"$sfDir","queries":$qs}""")
     // The driver's bench artifact keeps only the LAST 2000 chars of
     // stdout; with 70+ queries the big line overflows that window and
     // truncation eats the HEAD (total/contended/canary) — in round 8 the
@@ -133,7 +160,7 @@ object Bench {
     // outlier in seconds was exactly the part cut off. A second, compact
     // summary line (no per-query map) printed AFTER the big line sits at
     // the tail, so any tail-capture always preserves the run verdict.
-    println(s"""{"metric":"summary","value":${r3dec(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"contended":$contended,"canary_start":${r3dec(canaryStart)},"canary_end":${r3dec(canaryEnd)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":${r3dec(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"contended":$contended,"canary_start":${r3dec(canaryStart)},"canary_end":${r3dec(canaryEnd)},"shuffle_canary_start":${r3dec(shuffleStart)},"shuffle_canary_end":${r3dec(shuffleEnd)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

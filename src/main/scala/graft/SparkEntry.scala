@@ -773,24 +773,43 @@ object SparkEntry {
     * chain in DuckDB from the q65/q69 fragments, so corpus curation,
     * the cross-side candidate banding, the component decision rule, and
     * corpus-survivor invariance are all under one hash. */
-  private def q70(s: SparkSession, d: String): DataFrame = {
+  /** Gate-scoped memo of the q70 incremental-curate composition —
+    * the [[prepTracked]] discipline for the curate gates: ONE tracked
+    * run (corpus, accepted, ledger) serves q70 (the acceptance) and
+    * q131 (the drop audit). q70 — the gate that IS the composition —
+    * always rebuilds; q131 reads the stored audit like a production
+    * consumer would. Frames are StageCut-materialized and memo-owned;
+    * superseded builds are released on rebuild. */
+  private val curateMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private def buildCurateTracked(s: SparkSession, d: String) = {
     val docs = T(s, d, "documents")
     val method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6)
     val (corpus, _) = graft.apps.Curate.run(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
       minQuality = 0.6, method = method, log = _ => ())
-    val (accepted, _) = graft.apps.Curate.runIncremental(
+    val (accepted, _, ledger) = graft.apps.Curate.runIncrementalTracked(
       docs.filter(col("doc_id") % 2 === 1), corpus, "doc_id", "text",
       minQuality = 0.6, method = method, log = _ => ())
-    // q65's cache discipline: materialize the tiny two-column result,
-    // release the corpus-sized pipeline caches
-    val out = accepted.select(col("doc_id"), col("quality"))
-      .orderBy(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    graft.ops.StageCut.release(accepted)
-    graft.ops.StageCut.release(corpus)
-    out
+    (corpus, accepted, ledger)
+  }
+
+  private def curateTracked(s: SparkSession, d: String,
+      rebuild: Boolean = false): (DataFrame, DataFrame, DataFrame) =
+    if (rebuild) {
+      val t = buildCurateTracked(s, d)
+      curateMemo.put(d, t).foreach { case (c, a, l) =>
+        graft.ops.StageCut.release(c)
+        graft.ops.StageCut.release(a)
+        graft.ops.StageCut.release(l)
+      }
+      t
+    } else curateMemo.getOrElseUpdate(d, buildCurateTracked(s, d))
+
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val (_, accepted, _) = curateTracked(s, d, rebuild = true)
+    accepted.select(col("doc_id"), col("quality")).orderBy(col("doc_id"))
   }
 
   /** EMBEDDING curation through the gate: Curate.runEmbedding over the
@@ -1651,7 +1670,10 @@ object SparkEntry {
     * (+200000 ids, 6-word tail) so BOTH dedup stages drop rows at
     * every SF (the q24 manufactured-collision discipline;
     * survivorship asserted stage-by-stage in PretrainPrepSpec). */
-  private def q128(s: SparkSession, d: String): DataFrame = {
+  /** The q128 gate family's corpus INPUT — base docs plus the two
+    * manufactured collision families (+100000 exact, +200000 near) —
+    * and its held-out bench slice. Shared by [[prepTracked]]. */
+  private def prepCorpusInput(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = T(s, d, "documents")
     val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
     val base = docs.filter(!benchPred)
@@ -1664,17 +1686,59 @@ object SparkEntry {
         .select((col("doc_id") + 200000).as("doc_id"), col("source"),
           concat(col("text"),
             lit(" tail marker alpha beta gamma delta")).as("text")))
-    val (out, _) = graft.apps.PretrainPrep.run(
+    (corpus, docs.filter(benchPred))
+  }
+
+  /** Gate-scoped memo of the q128 standing-corpus pipeline: ONE
+    * Tracked run (artifacts + ledger on) serves the three prep gates —
+    * q128 reads the release, q130 the drop ledger, q129 the standing
+    * corpus plus the artifacts its daily run consumes. Production
+    * consumers read STORED artifacts; rebuilding the identical
+    * pipeline inside each gate modeled nothing and tripled the
+    * suite's most expensive work (r16 VERDICT cost note). Values are
+    * unchanged — ledger/artifact modes share the single runImpl code
+    * path and their output equality is spec-pinned — and every gate
+    * stays independently runnable: the memo builds lazily on first
+    * use, keyed by data directory. q128 — the gate that IS the corpus
+    * build — always REBUILDS, so its bench time keeps measuring the
+    * pipeline rather than a map lookup (the superseded build's frames
+    * are released). Frames are StageCut-materialized
+    * (localCheckpoint), so the bench's per-query clearCache() cannot
+    * evict them between gates. */
+  private val prepMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.apps.PretrainPrep.Tracked[graft.apps.PretrainPrep.Report]]
+
+  private def buildPrepTracked(s: SparkSession, d: String) = {
+    val (corpus, bench) = prepCorpusInput(s, d)
+    graft.apps.PretrainPrep.runTracked(
       corpus, "doc_id", "text", "source",
-      bench = Some(docs.filter(benchPred)),
+      bench = Some(bench),
       badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
       method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
       decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
-      log = _ => ())
-    out.select(col("doc_id"), col("source"), col("n_kept"),
+      keepArtifacts = true, keepLedger = true, log = _ => ())
+  }
+
+  private def releasePrepTracked(
+      t: graft.apps.PretrainPrep.Tracked[graft.apps.PretrainPrep.Report]): Unit = {
+    graft.ops.StageCut.release(t.out)
+    t.ledger.foreach(graft.ops.StageCut.release)
+    t.artifacts.foreach(a => graft.ops.StageCut.release(a.scrubInput))
+  }
+
+  private def prepTracked(s: SparkSession, d: String,
+      rebuild: Boolean = false): graft.apps.PretrainPrep.Tracked[graft.apps.PretrainPrep.Report] =
+    if (rebuild) {
+      val t = buildPrepTracked(s, d)
+      prepMemo.put(d, t).foreach(releasePrepTracked)
+      t
+    } else prepMemo.getOrElseUpdate(d, buildPrepTracked(s, d))
+
+  private def q128(s: SparkSession, d: String): DataFrame =
+    prepTracked(s, d, rebuild = true).out
+      .select(col("doc_id"), col("source"), col("n_kept"),
         col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
-  }
 
   /** q130 — the PER-DOCUMENT DROP LEDGER of the q128 pipeline
     * ([[graft.apps.PretrainPrep.runTracked]] with `keepLedger`): one
@@ -1685,29 +1749,12 @@ object SparkEntry {
     * overlaps and quota evictions. The oracle recomputes every drop
     * set from the q128 CTE chain's own intermediates, so the audit
     * trail is value-pinned end to end, not just count-reconciled. */
-  private def q130(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents")
-    val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
-    val base = docs.filter(!benchPred)
-      .select(col("doc_id"), col("source"), col("text"))
-    val corpus = base
-      .unionByName(base.filter(col("doc_id") % 10 === 2)
-        .select((col("doc_id") + 100000).as("doc_id"), col("source"),
-          col("text")))
-      .unionByName(base.filter(col("doc_id") % 10 === 4)
-        .select((col("doc_id") + 200000).as("doc_id"), col("source"),
-          concat(col("text"),
-            lit(" tail marker alpha beta gamma delta")).as("text")))
-    val t = graft.apps.PretrainPrep.runTracked(
-      corpus, "doc_id", "text", "source",
-      bench = Some(docs.filter(benchPred)),
-      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
-      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
-      decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
-      keepLedger = true, log = _ => ())
-    graft.ops.StageCut.release(t.out)
-    t.ledger.get.orderBy(col("stage"), col("doc_id"))
-  }
+  private def q130(s: SparkSession, d: String): DataFrame =
+    // the ledger of the SHARED prep build ([[prepTracked]]) — the
+    // audit of the same run q128 releases, exactly as a production
+    // consumer would read the stored ledger/ next to the release.
+    // Memo-owned frames: not released here.
+    prepTracked(s, d).ledger.get.orderBy(col("stage"), col("doc_id"))
 
   /** q131 — the PER-DOCUMENT DROP LEDGER of the q70 incremental
     * CURATE composition ([[graft.apps.Curate.runIncrementalTracked]]):
@@ -1722,19 +1769,11 @@ object SparkEntry {
     * every drop set from the q70 CTE chain's own intermediates, so the
     * curate audit trail is value-pinned exactly like q130 pins the
     * prep one. */
-  private def q131(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents")
-    val method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6)
-    val (corpus, _) = graft.apps.Curate.run(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      minQuality = 0.6, method = method, log = _ => ())
-    val (accepted, _, ledger) = graft.apps.Curate.runIncrementalTracked(
-      docs.filter(col("doc_id") % 2 === 1), corpus, "doc_id", "text",
-      minQuality = 0.6, method = method, log = _ => ())
-    graft.ops.StageCut.release(accepted)
-    graft.ops.StageCut.release(corpus)
-    ledger.orderBy(col("stage"), col("doc_id"))
-  }
+  private def q131(s: SparkSession, d: String): DataFrame =
+    // the drop audit of the SHARED curate composition
+    // ([[curateTracked]] — the run q70 gates); memo-owned frames,
+    // not released here.
+    curateTracked(s, d)._3.orderBy(col("stage"), col("doc_id"))
 
   /** The q129 gate's batch: seven manufactured families over the
     * documents table that make EVERY incremental stage drop at every
@@ -1810,24 +1849,13 @@ object SparkEntry {
     import org.apache.spark.storage.StorageLevel
     val docs = T(s, d, "documents")
     val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
-    val base = docs.filter(!benchPred)
-      .select(col("doc_id"), col("source"), col("text"))
-    val corpusIn = base
-      .unionByName(base.filter(col("doc_id") % 10 === 2)
-        .select((col("doc_id") + 100000).as("doc_id"), col("source"),
-          col("text")))
-      .unionByName(base.filter(col("doc_id") % 10 === 4)
-        .select((col("doc_id") + 200000).as("doc_id"), col("source"),
-          concat(col("text"),
-            lit(" tail marker alpha beta gamma delta")).as("text")))
     val bench = docs.filter(benchPred)
-    val (corpus, _, arts) = graft.apps.PretrainPrep.runWithArtifacts(
-      corpusIn, "doc_id", "text", "source",
-      bench = Some(bench),
-      badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
-      method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
-      decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
-      log = _ => ())
+    // the standing corpus + its maintenance artifacts come from the
+    // shared prep build ([[prepTracked]] — production reads STORED
+    // artifacts; only the DAILY run below is this gate's subject).
+    // Memo-owned frames: not released here.
+    val t = prepTracked(s, d)
+    val (corpus, arts) = (t.out, t.artifacts.get)
     val sigs = Dedup.lshSignatures(
       corpus.select(col("doc_id"), col("clean_text").as("text")),
       "doc_id", "text", nGram = 3, bands = 4)
@@ -1845,8 +1873,6 @@ object SparkEntry {
       .persist(StorageLevel.MEMORY_AND_DISK)
     res.count()
     graft.ops.StageCut.release(out)
-    graft.ops.StageCut.release(arts.scrubInput)
-    graft.ops.StageCut.release(corpus)
     res
   }
 

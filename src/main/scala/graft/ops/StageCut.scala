@@ -74,7 +74,19 @@ object StageCut {
   /** Default for [[MinNodesKey]]: 0 = cut always (the round-16
     * re-measurement above — the round-13 96-node gate lost 0.6-3.5 s
     * on six of eight pipeline gates and won none). The knob stays for
-    * workloads where the persist path measures better. */
+    * workloads where the persist path measures better.
+    *
+    * DEPLOYMENT NOTE — cut-always widens the recovery trade to every
+    * stage boundary: a local checkpoint has no lineage, so after ANY
+    * executor loss the blocks it held are unrecoverable and the job
+    * fails (previously short pipelines stayed on recoverable persist
+    * under the 96-node gate). On preemptible/spot executors or any
+    * cluster where churn is routine, either run under
+    * `stageCutMode=reliable` with a checkpoint dir ([[withReliableCuts]]
+    * — survives any executor loss) or raise [[MinNodesKey]] back to a
+    * persist-biased threshold and accept the analysis-time cost. The
+    * local[*] single-JVM default has no executor churn, which is why
+    * cut-always is the measured default here. */
   val DefaultMinNodes = 0
 
   /** Materialization contract: the CUT paths (local/reliable
