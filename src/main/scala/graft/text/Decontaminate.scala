@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *     once and BROADCAST — eval sets are small by definition (MBs
   *     against a 100 TB corpus), and the broadcast turns the
   *     corpus-side probe into a narrow map stage: no corpus shuffle
-  *     at all until the per-doc hit aggregation;
+  *     at all until the per-doc hit aggregation. The size contract is
+  *     ENFORCED ([[graft.ops.ProbeGuard]]): the gram set is counted
+  *     first, and a mispointed corpus-sized "benchmark" falls back to
+  *     the sort-merge semi join loudly instead of OOMing the driver;
   *   - the corpus side stages its per-doc DISTINCT shingle array in
   *     one pass ([[TextOps.withShingles]] — staged words, linear not
   *     quadratic in doc length) and explodes (doc_id, n-gram) pairs —
@@ -47,7 +50,8 @@ object Decontaminate {
     TextOps.withShingles(corpus.select(col(idCol), col(textCol)),
         textCol, "_sh", n)
       .select(col(idCol), explode(col("_sh")).as("_gram"))
-      .join(broadcast(grams), Seq("_gram"), "left_semi")
+      .join(graft.ops.ProbeGuard.hinted(grams, "Decontaminate.benchGrams"),
+        Seq("_gram"), "left_semi")
 
   /** Per-document contamination report: `(idCol, n_bad_grams,
     * contaminated)` for every corpus row — `n_bad_grams` = how many

@@ -203,6 +203,28 @@ class ProbeGuardSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: a corpus-sized 'benchmark' gram set falls back " +
+      "instead of force-broadcasting") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val corpus = docs.filter("doc_id % 3 <> 0")
+    val bench = docs.filter("doc_id % 3 = 0")
+    def run(): Seq[String] = rows(graft.text.Decontaminate.decontaminate(
+      corpus, bench, "doc_id", "text", 5).select(col("doc_id")))
+    noAutoBroadcast {
+      val expect = run()
+      withCap("10") {
+        val (fb, logs) = withLogCapture {
+          graft.text.Decontaminate.decontaminate(
+            corpus, bench, "doc_id", "text", 5).select(col("doc_id"))
+        }
+        assert(!planOf(fb).contains("BroadcastExchange"),
+          "over-cap gram set must not broadcast:\n" + planOf(fb))
+        assert(logs.exists(_.contains("Decontaminate.benchGrams")))
+        assert(rows(fb) == expect, "fallback must not change the clean set")
+      }
+    }
+  }
+
   test("resolveBatch threads probeScale to both internal fuzzy joins") {
     import spark.implicits._
     val master = Seq((100L, "acme corp"), (200L, "globex inc"))
