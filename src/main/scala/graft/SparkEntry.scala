@@ -839,22 +839,52 @@ object SparkEntry {
     * against the runEmbedding-curated even half. Cells for the A-vs-B
     * cosine join train on the corpus side; the oracle recomposes both
     * pipelines brute-force in DuckDB. */
-  private def q72(s: SparkSession, d: String): DataFrame = {
+  /** Gate-scoped memo of the q72 embedding-incremental composition —
+    * the [[curateTracked]] discipline over the vector stages: one
+    * tracked run serves q72 (the acceptance) and q132 (the drop
+    * audit). */
+  private val curateEmbMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private def buildCurateEmbTracked(s: SparkSession, d: String) = {
     val emb = T(s, d, "embeddings")
     val method = graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16)
     val (corpus, _) = graft.apps.Curate.runEmbedding(
       emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
       method, log = _ => ())
-    val (accepted, _) = graft.apps.Curate.runIncrementalEmbedding(
+    val (accepted, _, ledger) = graft.apps.Curate.runIncrementalEmbeddingTracked(
       emb.filter(col("vec_id") % 2 === 1), corpus, "vec_id", "embedding",
       method, log = _ => ())
-    val out = accepted.select(col("vec_id")).orderBy(col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    graft.ops.StageCut.release(accepted)
-    graft.ops.StageCut.release(corpus)
-    out
+    (corpus, accepted, ledger)
   }
+
+  private def curateEmbTracked(s: SparkSession, d: String,
+      rebuild: Boolean = false): (DataFrame, DataFrame, DataFrame) =
+    if (rebuild) {
+      val t = buildCurateEmbTracked(s, d)
+      curateEmbMemo.put(d, t).foreach { case (c, a, l) =>
+        graft.ops.StageCut.release(c)
+        graft.ops.StageCut.release(a)
+        graft.ops.StageCut.release(l)
+      }
+      t
+    } else curateEmbMemo.getOrElseUpdate(d, buildCurateEmbTracked(s, d))
+
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val (_, accepted, _) = curateEmbTracked(s, d, rebuild = true)
+    accepted.select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
+  /** q132 — the drop audit of the q72 EMBEDDING incremental
+    * composition ([[graft.apps.Curate.runIncrementalEmbeddingTracked]]
+    * via [[curateEmbTracked]]): one `(vec_id, stage, reason,
+    * winner_id)` row per rejected odd-side vector — validity failures,
+    * exact vector duplicates split batch-internal vs corpus-standing,
+    * and cosine near-dup components split batch-only vs corpus-touched
+    * (winner = the component's min EVEN member). The oracle recomputes
+    * each drop set from the q72 CTE chain. */
+  private def q132(s: SparkSession, d: String): DataFrame =
+    curateEmbTracked(s, d)._3.orderBy(col("stage"), col("vec_id"))
 
   /** Two-sided SimHash join through the gate — the one A-vs-B method
     * that had spec coverage but no oracle (round-7 finding): odd-id
@@ -2074,6 +2104,7 @@ object SparkEntry {
     "q129_pretrain_prep_incremental" -> (q129 _),
     "q130_prep_drop_ledger" -> (q130 _),
     "q131_curate_drop_ledger" -> (q131 _),
+    "q132_curate_emb_drop_ledger" -> (q132 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2319,6 +2350,57 @@ object SparkEntry {
     * fingerprint (winner = the min), and odd `clusi` members under the
     * q70 drop rule, attributed to the component's min EVEN member when
     * it touches the corpus and to the representative otherwise. */
+  /** q132 oracle: the q72 chain's DROP LEDGER — the q131 recipe over
+    * the vector fragments: odd vectors missing from the validity CTE,
+    * valid batch vectors whose value stands in the corpus (NULL
+    * winner) or is a non-min batch duplicate (winner = the min), and
+    * odd cosine-cluster members under the q72 drop rule, attributed to
+    * the component's min EVEN member when it touches the corpus. */
+  private def q132Sql: String =
+    s"""WITH RECURSIVE
+         ${embValidSql("c", "vec_id % 2 = 0")},
+         ${embPairsSql("ekc", "c")},
+         ${clusterSql("c")},
+         ck AS (SELECT vec_id, e FROM ekc
+                WHERE vec_id NOT IN (SELECT id FROM clusc WHERE cluster <> id)),
+         ${embValidSql("b", "vec_id % 2 = 1")},
+         bex AS (SELECT ekb.vec_id, ekb.e FROM ekb
+                 WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.e = ekb.e)),
+         bu AS (SELECT vec_id, e FROM bex
+                UNION ALL SELECT vec_id, e FROM ck),
+         ${embPairsSql("bu", "i", "a.vec_id % 2 = 1 OR b.vec_id % 2 = 1")},
+         ${clusterSql("i")},
+         touched AS (SELECT DISTINCT cluster FROM clusi WHERE id % 2 = 0)
+         SELECT vec_id, stage, reason, winner_id FROM (
+           SELECT vec_id, 'validity' AS stage, 'invalid_vector' AS reason,
+                  CAST(NULL AS BIGINT) AS winner_id
+             FROM embeddings WHERE vec_id % 2 = 1
+               AND vec_id NOT IN (SELECT vec_id FROM vb)
+           UNION ALL
+           SELECT x.vec_id, 'exact',
+                  CASE WHEN EXISTS (SELECT 1 FROM ck WHERE ck.e = x.e)
+                       THEN 'duplicate_of_corpus' ELSE 'duplicate_vector' END,
+                  CASE WHEN EXISTS (SELECT 1 FROM ck WHERE ck.e = x.e)
+                       THEN CAST(NULL AS BIGINT)
+                       ELSE (SELECT min(y.vec_id) FROM vb y WHERE y.e = x.e) END
+             FROM vb x
+             WHERE EXISTS (SELECT 1 FROM ck WHERE ck.e = x.e)
+                OR x.vec_id <> (SELECT min(y.vec_id) FROM vb y WHERE y.e = x.e)
+           UNION ALL
+           SELECT c.id, 'near',
+                  CASE WHEN c.cluster IN (SELECT cluster FROM touched)
+                       THEN 'near_duplicate_of_corpus'
+                       ELSE 'near_duplicate' END,
+                  CASE WHEN c.cluster IN (SELECT cluster FROM touched)
+                       THEN (SELECT min(x.id) FROM clusi x
+                             WHERE x.cluster = c.cluster AND x.id % 2 = 0)
+                       ELSE c.cluster END
+             FROM clusi c
+             WHERE c.id % 2 = 1
+               AND (c.id <> c.cluster
+                    OR c.cluster IN (SELECT cluster FROM touched)))
+         ORDER BY stage, vec_id"""
+
   private def q131Sql: String =
     s"""WITH RECURSIVE
          ${qualSql("c", " WHERE doc_id % 2 = 0")},
@@ -4421,6 +4503,7 @@ object SparkEntry {
     "q129_pretrain_prep_incremental" -> q129Sql,
     "q130_prep_drop_ledger" -> q130Sql,
     "q131_curate_drop_ledger" -> q131Sql,
+    "q132_curate_emb_drop_ledger" -> q132Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
