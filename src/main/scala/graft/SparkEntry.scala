@@ -886,6 +886,98 @@ object SparkEntry {
   private def q132(s: SparkSession, d: String): DataFrame =
     curateEmbTracked(s, d)._3.orderBy(col("stage"), col("vec_id"))
 
+  /** The q133/q134 media-gate fixture: synthetic grid images
+    * ([[graft.multimodal.Multimodal.synthGridImage]] — deterministic
+    * PNGs whose dHash the oracle re-derives ANALYTICALLY from the md5
+    * cell formula, the q74 trick). Corpus = EVEN doc_ids at their
+    * natural (base = id/4, variant = id%4) mapping — each base
+    * contributes a variant-0 and a brightness-40 variant-2 image, so
+    * the corpus run itself exercises dHash clustering. Batch = ODD
+    * ids by id%16 family:
+    *   1  → byte-copy of corpus image id−1 (exact vs corpus),
+    *   9  → garbage bytes (validity),
+    *   3/11 → poked variant 3 of the corpus base (near vs corpus,
+    *          Hamming ≤ 2 by construction),
+    *   5  → novel base id+1000000 (survivor),
+    *   13 → brightness variant of sibling id−8's novel base
+    *        (within-batch near, winner = the sibling when present),
+    *   7  → novel base id+2000000 (survivor),
+    *   15 → byte-copy of sibling id−8's image (within-batch exact).
+    * Families reference siblings by VALUE (payload built from the
+    * id arithmetic), so a missing sibling row just demotes the family
+    * member to a novel survivor — no contiguity assumption; the
+    * oracle derives the same classes from the same id set. */
+  private def mediaGateFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.multimodal.Multimodal.synthGridImage
+    val ids = T(s, d, "documents").select(col("doc_id")).as[Long]
+    val corpus = ids.filter(_ % 2 == 0).mapPartitions(_.map(id =>
+        (id, synthGridImage(id / 4, (id % 4).toInt))))
+      .toDF("media_id", "payload")
+    val batch = ids.filter(_ % 2 == 1).mapPartitions(_.map { id =>
+      val p = (id % 16) match {
+        case 1L  => synthGridImage(id / 4, 0)
+        case 9L  => Array[Byte](9, 9, 9, 9, 9)
+        case 3L | 11L => synthGridImage(id / 4, 3)
+        case 5L  => synthGridImage(id + 1000000L, 0)
+        case 13L => synthGridImage(id - 8 + 1000000L, 1)
+        case 7L  => synthGridImage(id + 2000000L, 0)
+        case _   => synthGridImage(id - 8 + 2000000L, 0) // 15
+      }
+      (id, p)
+    }).toDF("media_id", "payload")
+    (corpus, batch)
+  }
+
+  /** Gate-scoped memo of the media incremental composition — the
+    * [[curateTracked]] discipline over the perceptual stages: one
+    * tracked run serves q133 (the acceptance) and q134 (the audit). */
+  private val curateMediaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private def buildCurateMediaTracked(s: SparkSession, d: String) = {
+    val (corpusMedia, batchMedia) = mediaGateFrames(s, d)
+    val (corpus, _) = graft.apps.Curate.runMedia(
+      corpusMedia, "media_id", "payload", log = _ => ())
+    val (accepted, _, ledger) = graft.apps.Curate.runIncrementalMediaTracked(
+      batchMedia, corpus, "media_id", "payload", log = _ => ())
+    (corpus, accepted, ledger)
+  }
+
+  private def curateMediaTracked(s: SparkSession, d: String,
+      rebuild: Boolean = false): (DataFrame, DataFrame, DataFrame) =
+    if (rebuild) {
+      val t = buildCurateMediaTracked(s, d)
+      curateMediaMemo.put(d, t).foreach { case (c, a, l) =>
+        graft.ops.StageCut.release(c)
+        graft.ops.StageCut.release(a)
+        graft.ops.StageCut.release(l)
+      }
+      t
+    } else curateMediaMemo.getOrElseUpdate(d, buildCurateMediaTracked(s, d))
+
+  /** q133 — INCREMENTAL media curation through the gate
+    * ([[graft.apps.Curate.runIncrementalMedia]]): the odd-id synthetic
+    * image batch curated against the runMedia-curated even-id corpus —
+    * magic validity, exact BYTE dedup vs the corpus payload
+    * fingerprints, one dHash component pass under the incremental drop
+    * rule. The oracle replays both pipelines in DuckDB entirely in
+    * (base, brightness, poke) space: byte equality is pixel-class
+    * equality (deterministic encoder) and dHash comes from the q74
+    * analytic cell formula — brightness cancels in every gradient, the
+    * poke flips at most two bits. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val (_, accepted, _) = curateMediaTracked(s, d, rebuild = true)
+    accepted.select(col("media_id")).orderBy(col("media_id"))
+  }
+
+  /** q134 — the drop audit of the q133 composition
+    * ([[graft.apps.Curate.runIncrementalMediaTracked]]): one
+    * `(media_id, stage, reason, winner_id)` row per rejected batch
+    * image, recomputed stage by stage by the analytic oracle. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    curateMediaTracked(s, d)._3.orderBy(col("stage"), col("media_id"))
+
   /** Two-sided SimHash join through the gate — the one A-vs-B method
     * that had spec coverage but no oracle (round-7 finding): odd-id
     * docs probed into the even-id corpus (band, byte) index, exact
@@ -2105,6 +2197,8 @@ object SparkEntry {
     "q130_prep_drop_ledger" -> (q130 _),
     "q131_curate_drop_ledger" -> (q131 _),
     "q132_curate_emb_drop_ledger" -> (q132 _),
+    "q133_media_incremental" -> (q133 _),
+    "q134_media_drop_ledger" -> (q134 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2350,6 +2444,158 @@ object SparkEntry {
     * fingerprint (winner = the min), and odd `clusi` members under the
     * q70 drop rule, attributed to the component's min EVEN member when
     * it touches the corpus and to the representative otherwise. */
+  /** Shared CTE chain for the q133/q134 media oracle — the whole
+    * two-pipeline composition in ANALYTIC space (the q74 trick, no
+    * image decode): every gate image is a deterministic grid whose
+    * cell grays come from the md5 formula, so byte equality is
+    * pixel-class equality `(base, bright, poke)` and the dHash is
+    * recomputed from cell comparisons (brightness cancels in every
+    * gradient, so it is omitted from the sig). Ends in: `sigm` (all
+    * media rows + class + sig), `ckm` (corpus survivors after the
+    * runMedia dHash clustering), `fmbm` (batch byte-class minima),
+    * `corpstand` (batch rows whose bytes stand in the corpus), `bexm`
+    * (batch exact-stage survivors), `clusmi` + `touchedm` (the
+    * incremental component pass). */
+  private def mediaOracleCtes: String =
+    s"""med0 AS (
+         SELECT doc_id AS mid, doc_id // 4 AS base,
+                CASE WHEN doc_id % 4 = 2 THEN 40 ELSE 0 END AS bright,
+                FALSE AS poke, 0 AS side
+           FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, doc_id // 4, 0, FALSE, 1
+           FROM documents WHERE doc_id % 16 = 1
+         UNION ALL
+         SELECT doc_id, doc_id // 4, 0, TRUE, 1
+           FROM documents WHERE doc_id % 16 IN (3, 11)
+         UNION ALL
+         SELECT doc_id, doc_id + 1000000, 0, FALSE, 1
+           FROM documents WHERE doc_id % 16 = 5
+         UNION ALL
+         SELECT doc_id, doc_id - 8 + 1000000, 15, FALSE, 1
+           FROM documents WHERE doc_id % 16 = 13
+         UNION ALL
+         SELECT doc_id, doc_id + 2000000, 0, FALSE, 1
+           FROM documents WHERE doc_id % 16 = 7
+         UNION ALL
+         SELECT doc_id, doc_id - 8 + 2000000, 0, FALSE, 1
+           FROM documents WHERE doc_id % 16 = 15),
+       pke AS (
+         -- EFFECTIVE poke per poked base: the poked gray coincides
+         -- with the original (3,3) cell gray for ~1/151 of bases, and
+         -- a coinciding poke leaves the image byte-identical to the
+         -- unpoked variant — byte-class equality must see that
+         SELECT base,
+           (40 + ((ascii(substr(md5(concat(base, '_p')), 1, 1)) * 131
+                 + ascii(substr(md5(concat(base, '_p')), 2, 1)) * 17
+                 + ascii(substr(md5(concat(base, '_p')), 3, 1))) % 151))
+           <> (40 + ((ascii(substr(md5(concat(base, '_3_3')), 1, 1)) * 131
+                 + ascii(substr(md5(concat(base, '_3_3')), 2, 1)) * 17
+                 + ascii(substr(md5(concat(base, '_3_3')), 3, 1))) % 151))
+           AS eff
+         FROM (SELECT DISTINCT base FROM med0 WHERE poke)),
+       med AS (
+         SELECT m.mid, m.base, m.bright,
+                CASE WHEN m.poke THEN coalesce(e.eff, TRUE)
+                     ELSE FALSE END AS poke, m.side
+         FROM med0 m LEFT JOIN pke e ON m.base = e.base),
+       gm AS (
+         SELECT m.mid, t1.cx, t2.cy,
+           CASE WHEN m.poke AND t1.cx = 3 AND t2.cy = 3 THEN
+             40 + ((ascii(substr(md5(concat(m.base, '_p')), 1, 1)) * 131
+                  + ascii(substr(md5(concat(m.base, '_p')), 2, 1)) * 17
+                  + ascii(substr(md5(concat(m.base, '_p')), 3, 1))) % 151)
+           ELSE
+             40 + ((ascii(substr(md5(concat(m.base, '_', t1.cx, '_', t2.cy)), 1, 1)) * 131
+                  + ascii(substr(md5(concat(m.base, '_', t1.cx, '_', t2.cy)), 2, 1)) * 17
+                  + ascii(substr(md5(concat(m.base, '_', t1.cx, '_', t2.cy)), 3, 1))) % 151)
+           END AS g
+         FROM med m, range(9) t1(cx), range(8) t2(cy)),
+       bitm AS (
+         SELECT a.mid, CAST(a.cy * 8 + a.cx AS INT) AS bit
+         FROM gm a JOIN gm b
+           ON a.mid = b.mid AND a.cy = b.cy AND b.cx = a.cx + 1
+         WHERE a.cx < 8 AND a.g < b.g),
+       sigm AS (
+         SELECT m.mid, m.base, m.bright, m.poke, m.side,
+           CAST(coalesce(sum(CASE WHEN bit < 63 THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0)
+              + coalesce(max(CASE WHEN bit = 63 THEN 1 ELSE 0 END), 0)
+                * (-9223372036854775807 - 1) AS BIGINT) AS sig
+         FROM med m LEFT JOIN bitm ON m.mid = bitm.mid
+         GROUP BY m.mid, m.base, m.bright, m.poke, m.side),
+       prsmc AS (
+         SELECT a.mid AS id_a, b.mid AS id_b
+         FROM sigm a JOIN sigm b ON a.mid < b.mid
+         WHERE a.side = 0 AND b.side = 0
+           AND bit_count(xor(a.sig, b.sig)) <= 7),
+       ${clusterSql("mc")},
+       ckm AS (SELECT s.* FROM sigm s WHERE s.side = 0
+               AND s.mid NOT IN (SELECT id FROM clusmc WHERE cluster <> id)),
+       fmbm AS (SELECT base, bright, poke, min(mid) AS mn
+                FROM sigm WHERE side = 1 GROUP BY base, bright, poke),
+       corpstand AS (SELECT x.mid FROM sigm x
+         WHERE x.side = 1 AND EXISTS (SELECT 1 FROM ckm c
+           WHERE c.base = x.base AND c.bright = x.bright
+             AND c.poke = x.poke)),
+       bexm AS (SELECT x.* FROM sigm x JOIN fmbm f
+           ON x.base = f.base AND x.bright = f.bright AND x.poke = f.poke
+         WHERE x.side = 1 AND x.mid = f.mn
+           AND x.mid NOT IN (SELECT mid FROM corpstand)),
+       bum AS (SELECT mid, sig FROM bexm UNION ALL SELECT mid, sig FROM ckm),
+       prsmi AS (
+         SELECT a.mid AS id_a, b.mid AS id_b
+         FROM bum a JOIN bum b ON a.mid < b.mid
+           AND (a.mid % 2 = 1 OR b.mid % 2 = 1)
+         WHERE bit_count(xor(a.sig, b.sig)) <= 7),
+       ${clusterSql("mi")},
+       touchedm AS (SELECT DISTINCT cluster FROM clusmi WHERE id % 2 = 0)"""
+
+  /** q133 oracle: the media incremental ACCEPTANCE — exact-stage
+    * survivors minus the dHash component drops under the q70/q72
+    * incremental rule. */
+  private def q133Sql: String =
+    materializeSharedCtes(s"""WITH RECURSIVE
+         $mediaOracleCtes
+         SELECT mid AS media_id FROM bexm
+         WHERE mid NOT IN (
+           SELECT id FROM clusmi WHERE id % 2 = 1
+             AND (id <> cluster OR cluster IN (SELECT cluster FROM touchedm)))
+         ORDER BY media_id""")
+
+  /** q134 oracle: the media incremental DROP LEDGER — the q131/q132
+    * recipe over the analytic media chain. */
+  private def q134Sql: String =
+    materializeSharedCtes(s"""WITH RECURSIVE
+         $mediaOracleCtes
+         SELECT media_id, stage, reason, winner_id FROM (
+           SELECT doc_id AS media_id, 'validity' AS stage,
+                  'invalid_image' AS reason, CAST(NULL AS BIGINT) AS winner_id
+             FROM documents WHERE doc_id % 16 = 9
+           UNION ALL
+           SELECT x.mid, 'exact',
+                  CASE WHEN x.mid IN (SELECT mid FROM corpstand)
+                       THEN 'duplicate_of_corpus' ELSE 'duplicate_bytes' END,
+                  CASE WHEN x.mid IN (SELECT mid FROM corpstand)
+                       THEN CAST(NULL AS BIGINT) ELSE f.mn END
+             FROM sigm x JOIN fmbm f
+               ON x.base = f.base AND x.bright = f.bright AND x.poke = f.poke
+             WHERE x.side = 1
+               AND (x.mid IN (SELECT mid FROM corpstand) OR x.mid <> f.mn)
+           UNION ALL
+           SELECT c.id, 'near',
+                  CASE WHEN c.cluster IN (SELECT cluster FROM touchedm)
+                       THEN 'near_duplicate_of_corpus'
+                       ELSE 'near_duplicate' END,
+                  CASE WHEN c.cluster IN (SELECT cluster FROM touchedm)
+                       THEN (SELECT min(x.id) FROM clusmi x
+                             WHERE x.cluster = c.cluster AND x.id % 2 = 0)
+                       ELSE c.cluster END
+             FROM clusmi c
+             WHERE c.id % 2 = 1
+               AND (c.id <> c.cluster
+                    OR c.cluster IN (SELECT cluster FROM touchedm)))
+         ORDER BY stage, media_id""")
+
   /** q132 oracle: the q72 chain's DROP LEDGER — the q131 recipe over
     * the vector fragments: odd vectors missing from the validity CTE,
     * valid batch vectors whose value stands in the corpus (NULL
@@ -4504,6 +4750,8 @@ object SparkEntry {
     "q130_prep_drop_ledger" -> q130Sql,
     "q131_curate_drop_ledger" -> q131Sql,
     "q132_curate_emb_drop_ledger" -> q132Sql,
+    "q133_media_incremental" -> q133Sql,
+    "q134_media_drop_ledger" -> q134Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

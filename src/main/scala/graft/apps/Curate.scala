@@ -488,6 +488,164 @@ object Curate {
       dimProfile), ledger)
   }
 
+  /** The persistable corpus BYTE-fingerprint table for the media
+    * incremental run's exact stage — [[textFingerprints]]'s analog
+    * over raw payload bytes (md5 of the binary — bit-identical files,
+    * the crawl's literal re-downloads, no decode). `_fp_img` family
+    * stamp so a cross-wired text/embedding table fails loudly; same
+    * staleness rule: append the accepted batch's fingerprints after
+    * each run. */
+  def mediaFingerprints(corpus: DataFrame, payloadCol: String): DataFrame =
+    corpus.select(md5(col(payloadCol)).as("_fp_img")).distinct()
+
+  /** INCREMENTAL media curation — [[runIncrementalEmbedding]]'s
+    * contract with [[runMedia]]'s perceptual stages, completing the
+    * text/embedding/media × full/incremental matrix: (1) validity =
+    * decodable image magic on the BATCH only (codegen'd prefix check,
+    * no decode); (2) exact BYTE dedup within the batch, then against
+    * the corpus payload fingerprints ([[mediaFingerprints]] — the
+    * standing table is probed, never shuffled, the [[corpusFpHits]]
+    * shape); (3) near-dup = ONE component pass over within-batch +
+    * batch×corpus dHash pairs (Curate's incremental drop rule;
+    * `corpusSigs` = the stored [[graft.dedup.Dedup.dhashSignatures]]
+    * table — with it AND `corpusFps` supplied, the daily run decodes
+    * ZERO corpus images); (4) a container-format histogram of the
+    * accepted batch. Corpus survivors are INVARIANT; batch and corpus
+    * ids must share one collision-free id space. */
+  def runIncrementalMedia(newMedia: DataFrame, corpus: DataFrame,
+                          idCol: String, payloadCol: String,
+                          method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+                          corpusFps: Option[DataFrame] = None,
+                          corpusSigs: Option[DataFrame] = None,
+                          log: String => Unit = m => System.err.println(m)): (DataFrame, MediaReport) = {
+    val (curated, report, _) = runIncrementalMediaImpl(newMedia, corpus,
+      idCol, payloadCol, method, corpusFps, corpusSigs,
+      keepLedger = false, log)
+    (curated, report)
+  }
+
+  /** [[runIncrementalMedia]] with the per-document drop ledger — the
+    * [[runIncrementalTracked]] contract over the perceptual stages:
+    * `stage` ∈ {validity, exact, near}, reasons `invalid_image`,
+    * `duplicate_bytes`/`duplicate_of_corpus`,
+    * `near_duplicate`/`near_duplicate_of_corpus`. */
+  def runIncrementalMediaTracked(newMedia: DataFrame, corpus: DataFrame,
+                          idCol: String, payloadCol: String,
+                          method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+                          corpusFps: Option[DataFrame] = None,
+                          corpusSigs: Option[DataFrame] = None,
+                          log: String => Unit = m => System.err.println(m)): (DataFrame, MediaReport, DataFrame) = {
+    val (curated, report, ledger) = runIncrementalMediaImpl(newMedia,
+      corpus, idCol, payloadCol, method, corpusFps, corpusSigs,
+      keepLedger = true, log)
+    (curated, report, ledger.get)
+  }
+
+  private def runIncrementalMediaImpl(newMedia: DataFrame, corpus: DataFrame,
+                          idCol: String, payloadCol: String,
+                          method: SimilarityMethod.ImageDHash,
+                          corpusFps: Option[DataFrame],
+                          corpusSigs: Option[DataFrame],
+                          keepLedger: Boolean,
+                          log: String => Unit): (DataFrame, MediaReport, Option[DataFrame]) = {
+    val stage = (df: DataFrame) => graft.ops.StageCut(df)
+    val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def frag(df: => DataFrame): Unit = if (keepLedger) {
+      val f = stage(df); f.count(); ledgerFrags += f
+    }
+    def noWin = lit(null).cast(newMedia.schema(idCol).dataType).as("winner_id")
+
+    // stage 1: validity — prefix check only, rides the scan
+    val (valid, input, afterValid) = observedStage(newMedia,
+      _.filter(imageFormat(payloadCol).isNotNull))
+    frag(newMedia.select(col(idCol))
+      .join(valid.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("validity").as("stage"),
+        lit("invalid_image").as("reason"), noWin))
+    log(s"[curate-img+] image magic: $input -> $afterValid")
+
+    // stage 2: exact byte dedup within the batch, then against the
+    // corpus payload fingerprints — (fp, id) only through every
+    // exchange, the payload bytes never shuffle. Ledger mode
+    // materializes the (fp, id) frame once.
+    val cfps = corpusFps.map(requireFps(_, "_fp_img", "mediaFingerprints"))
+      .getOrElse(mediaFingerprints(corpus, payloadCol)
+        .select(col("_fp_img").as("_fp")))
+    val withFp = valid.withColumn("_fp", md5(col(payloadCol)))
+    val fpAll =
+      if (keepLedger) Some(stage(withFp.select(col("_fp"), col(idCol))))
+      else None
+    val keepIds = fpAll.getOrElse(withFp.select(col("_fp"), col(idCol)))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val batchFp = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
+    // hint decision lives in corpusFpHits (ProbeGuard)
+    val fpHits = corpusFpHits(batchFp, "_fp", cfps)
+    val exact = batchFp
+      .join(fpHits, Seq("_fp"), "left_anti")
+      .drop("_fp")
+      .transform(stage)
+    val afterExact = exact.count()
+    fpAll.foreach { fa =>
+      frag(fa.join(keepIds.withColumnRenamed(idCol, "_win"), Seq("_fp"))
+        .join(fpHits.withColumn("_c", lit(true)), Seq("_fp"), "left")
+        .filter(col("_c").isNotNull || col(idCol) =!= col("_win"))
+        .select(col(idCol), lit("exact").as("stage"),
+          when(col("_c").isNotNull, lit("duplicate_of_corpus"))
+            .otherwise(lit("duplicate_bytes")).as("reason"),
+          when(col("_c").isNotNull, lit(null)).otherwise(col("_win"))
+            .as("winner_id")))
+      graft.ops.StageCut.release(fa)
+    }
+    graft.ops.StageCut.release(valid)
+    log(s"[curate-img+] exact byte dedup (batch + corpus fps): " +
+      s"$afterValid -> $afterExact")
+
+    // stage 3: the shared incremental component pass over dHash pairs
+    // — the ONE O(pixels) decode pass per side (zero corpus decodes
+    // with corpusSigs supplied)
+    val nearDrops =
+      if (keepLedger) {
+        val d = stage(batchNearDrops(exact, corpus, idCol, payloadCol,
+          method, corpusSigs))
+        d.count(); Some(d)
+      } else None
+    val curated = nearDrops
+      .map(d => exact.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(dropBatchNearDups(exact, corpus, idCol, payloadCol,
+        method, corpusSigs))
+      .transform(stage)
+    val afterNear = curated.count()
+    nearDrops.foreach { d =>
+      frag(d.select(col(idCol), lit("near").as("stage"),
+        when(col("_corpus"), lit("near_duplicate_of_corpus"))
+          .otherwise(lit("near_duplicate")).as("reason"),
+        col("_win").as("winner_id")))
+      graft.ops.StageCut.release(d)
+    }
+    graft.ops.StageCut.release(exact)
+    log(s"[curate-img+] near dedup vs corpus (dHash <= ${method.maxHamming}): " +
+      s"$afterExact -> $afterNear")
+
+    // stage 4: container histogram of the ACCEPTED batch
+    val profile = curated
+      .groupBy(imageFormat(payloadCol).as("_fmt"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val formatProfile = profile.map(r => r.getString(0) -> r.getLong(1)).toMap
+    log(s"[curate-img+] accepted $afterNear images; formats: " +
+      formatProfile.toSeq.sortBy(_._1).map { case (f, n) => s"$f=$n" }.mkString(", "))
+
+    val ledger =
+      if (keepLedger) {
+        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
+        l.count()
+        ledgerFrags.foreach(graft.ops.StageCut.release)
+        Some(l)
+      } else None
+    (curated, MediaReport(input, afterValid, afterExact, afterNear,
+      formatProfile), ledger)
+  }
+
   /** The shared near-dup stage of the incremental pipelines: one
     * connected-components pass over within-batch pairs
     * ([[SimilarJoin.similarJoin]]) plus batch×corpus pairs

@@ -678,6 +678,68 @@ class CurateSpec extends SparkSpec {
     graft.ops.StageCut.release(acc); accU.unpersist(); corpus.unpersist()
   }
 
+  test("runIncrementalMedia(Tracked): batch images curated against a " +
+      "standing image corpus — artifact parity, ledger partition") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // corpus: two independent patterns; batch exercises every stage:
+    //   101 byte-copies corpus 1          -> exact duplicate_of_corpus
+    //   102 brightness variant of corpus 1 (same dHash, new bytes)
+    //                                      -> near_duplicate_of_corpus(1)
+    //   103 novel family base              -> kept
+    //   104 brightness variant of 103      -> near_duplicate(103)
+    //   105 byte-copies 103                -> duplicate_bytes(103)
+    //   106 unrelated base                 -> kept
+    //   110 no image magic                 -> invalid_image
+    val corpus0 = Seq(
+      (1L, Multimodal.synthGridImage(50L, 0)),
+      (2L, Multimodal.synthGridImage(70L, 0))).toDF("media_id", "payload")
+    val (corpus, _) = Curate.runMedia(corpus0, "media_id", "payload",
+      log = _ => ())
+    val batch = Seq(
+      (101L, Multimodal.synthGridImage(50L, 0)),
+      (102L, Multimodal.synthGridImage(50L, 1)),
+      (103L, Multimodal.synthGridImage(80L, 0)),
+      (104L, Multimodal.synthGridImage(80L, 1)),
+      (105L, Multimodal.synthGridImage(80L, 0)),
+      (106L, Multimodal.synthGridImage(90L, 0)),
+      (110L, Array[Byte](9, 9, 9, 9, 9))).toDF("media_id", "payload")
+    val (acc, report, ledger) = Curate.runIncrementalMediaTracked(
+      batch, corpus, "media_id", "payload", log = _ => ())
+    val accIds = acc.select("media_id").as[Long].collect().toSet
+    assert(accIds == Set(103L, 106L), s"accepted: $accIds")
+    assert(report.input == 7 && report.afterValid == 6 &&
+      report.afterExact == 4 && report.afterNear == 2)
+    val rows = ledger
+      .select(col("media_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (101L, "exact", "duplicate_of_corpus", None),
+      (102L, "near", "near_duplicate_of_corpus", Some(1L)),
+      (104L, "near", "near_duplicate", Some(103L)),
+      (105L, "exact", "duplicate_bytes", Some(103L)),
+      (110L, "validity", "invalid_image", None)), s"ledger: $rows")
+    assert((rows.map(_._1).toSet ++ accIds) ==
+      Set(101L, 102L, 103L, 104L, 105L, 106L, 110L))
+    // the train-once shape: stored byte fingerprints + dHash signature
+    // table give the identical outcome with ZERO corpus decodes
+    val fps = Curate.mediaFingerprints(corpus, "payload")
+    val sigs = graft.dedup.Dedup.dhashSignatures(corpus, "media_id", "payload")
+    val (accS, _) = Curate.runIncrementalMedia(batch, corpus,
+      "media_id", "payload", corpusFps = Some(fps),
+      corpusSigs = Some(sigs), log = _ => ())
+    assert(accS.select("media_id").as[Long].collect().toSet == accIds)
+    // a cross-wired family table fails loudly at the schema check
+    val e = intercept[IllegalArgumentException] {
+      Curate.runIncrementalMedia(batch, corpus, "media_id", "payload",
+        corpusFps = Some(fps.select(col("_fp_img").as("_fp_text"))),
+        log = _ => ())
+    }
+    assert(e.getMessage.contains("_fp_img"))
+    graft.ops.StageCut.release(ledger)
+    graft.ops.StageCut.release(acc); accS.unpersist(); corpus.unpersist()
+  }
+
   test("runIncrementalEmbeddingTracked: validity/exact/near rejects " +
       "attributed over the vector stages") {
     import spark.implicits._
