@@ -927,7 +927,9 @@ object Curate {
   * MinHash-LSH; `simhash:<maxHamming>` selects SimHash banding;
   * `cosine:<minCos>` switches to the EMBEDDING pipeline
   * ([[Curate.runEmbedding]] over the `embeddings` table — minQuality is
-  * ignored; validity replaces the quality stage). With a
+  * ignored; validity replaces the quality stage); `dhash:<maxHamming>`
+  * switches to the MEDIA pipeline ([[Curate.runMedia]] over
+  * `<sfDir>/media.parquet` with (media_id, payload) columns). With a
   * `checkpointDir` the near-dup clustering runs inside
   * [[graft.dedup.Dedup.withReliableClusters]] — fault-tolerant
   * parquet-snapshot rounds on a real cluster, every snapshot cleaned
@@ -941,6 +943,8 @@ object CurateMain {
       SimilarityMethod.MinHashLsh(minJaccard = m.stripPrefix("minhash:").toDouble)
     case m if m.startsWith("cosine:") =>
       SimilarityMethod.EmbeddingCosine(minCos = m.stripPrefix("cosine:").toDouble)
+    case m if m.startsWith("dhash:") =>
+      SimilarityMethod.ImageDHash(maxHamming = m.stripPrefix("dhash:").toInt)
     case m => SimilarityMethod.MinHashLsh(minJaccard = m.toDouble)
   }
 
@@ -958,6 +962,16 @@ object CurateMain {
         val vecs = graft.Tables.load(spark, sfDir, "embeddings")
         val (curated, report) = Curate.runEmbedding(vecs, "vec_id",
           "embedding", emb)
+        curated.write.mode("overwrite").parquet(outDir)
+        graft.ops.StageCut.release(curated)
+        println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
+          s"($outDir)")
+      case img: SimilarityMethod.ImageDHash =>
+        // media corpora have no standard driver table — the CLI reads
+        // `<sfDir>/media.parquet` with (media_id, payload) columns
+        val media = spark.read.parquet(s"$sfDir/media.parquet")
+        val (curated, report) = Curate.runMedia(media, "media_id",
+          "payload", img)
         curated.write.mode("overwrite").parquet(outDir)
         graft.ops.StageCut.release(curated)
         println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
@@ -993,10 +1007,13 @@ object CurateMain {
   * move, so the NEXT daily run never reads the corpus content.
   *
   * Options: `minQuality=0.5` (text), `method=minhash:0.8 |
-  * simhash:<h> | cosine:<c>`, `sigs=<parquet>` (stored corpus
-  * signature table — [[graft.dedup.Dedup.lshSignatures]] or
-  * [[graft.dedup.Dedup.simhashSignatures]] matching the method; text
-  * only, loud error with cosine), `fps=<parquet>` (stored corpus
+  * simhash:<h> | cosine:<c> | dhash:<h>` (`dhash:` = the MEDIA
+  * pipeline, [[Curate.runIncrementalMedia]] over
+  * `<batchDir>/media.parquet`), `sigs=<parquet>` (stored corpus
+  * signature table — [[graft.dedup.Dedup.lshSignatures]],
+  * [[graft.dedup.Dedup.simhashSignatures]] or
+  * [[graft.dedup.Dedup.dhashSignatures]] matching the method;
+  * loud error with cosine), `fps=<parquet>` (stored corpus
   * fingerprint table), `index=<dir>` (stored [[graft.sim.CellIndex]],
   * cosine only), `checkpoint=<dir>` (reliable clustering, as in
   * `curate`), `ledger=on` (adds `ledger/` — the per-document drop
@@ -1067,6 +1084,34 @@ object CurateIncrementalMain {
         // maintenance artifact off the still-cached accepted frame
         Curate.embeddingFingerprints(accepted, "embedding")
           .write.mode("overwrite").parquet(s"$outDir/fps")
+        graft.ops.StageCut.release(accepted)
+        println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
+          s"accepted ($outDir/accepted)")
+      case img: SimilarityMethod.ImageDHash =>
+        val sigs = opts.get("sigs").map(p => spark.read.parquet(p))
+        val batch = spark.read.parquet(s"$batchDir/media.parquet")
+        val (accepted, report, ledger) =
+          if (keepLedger) {
+            val (a, r, l) = Curate.runIncrementalMediaTracked(
+              batch, corpus, "media_id", "payload", img,
+              corpusFps = corpusFps, corpusSigs = sigs)
+            (a, r, Some(l))
+          } else {
+            val (a, r) = Curate.runIncrementalMedia(
+              batch, corpus, "media_id", "payload", img,
+              corpusFps = corpusFps, corpusSigs = sigs)
+            (a, r, None)
+          }
+        ledger.foreach { l =>
+          l.write.mode("overwrite").parquet(s"$outDir/ledger")
+          graft.ops.StageCut.release(l)
+        }
+        accepted.write.mode("overwrite").parquet(s"$outDir/accepted")
+        // maintenance artifacts off the still-cached accepted frame
+        Curate.mediaFingerprints(accepted, "payload")
+          .write.mode("overwrite").parquet(s"$outDir/fps")
+        graft.dedup.Dedup.dhashSignatures(accepted, "media_id", "payload")
+          .write.mode("overwrite").parquet(s"$outDir/sigs")
         graft.ops.StageCut.release(accepted)
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")

@@ -908,6 +908,12 @@ object PretrainPrepMain {
     val seqLen = opts.get("seqLen").map(_.toInt).getOrElse(2048)
     val method = opts.get("method").map(CurateMain.parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
+    // the prep pipelines dedup CLEAN TEXT — an embedding or image
+    // method would feed a string column to a vector/decoder join and
+    // die mid-pipeline; fail at the argument instead
+    require(method.isInstanceOf[SimilarityMethod.MinHashLsh] ||
+        method.isInstanceOf[SimilarityMethod.SimHash],
+      s"method must be a TEXT method (minhash:<j> | simhash:<h>), got $method")
     val tracked = PretrainPrep.runTracked(
       docs, "doc_id", "text", "source",
       bench = bench, config = config,
@@ -1219,6 +1225,12 @@ object PretrainPrepIncrementalMain {
     val corpusCounts = spark.read.parquet(s"$corpusOut/gram_counts")
     val method = opts.get("method").map(CurateMain.parseMethod)
       .getOrElse(SimilarityMethod.MinHashLsh(minJaccard = 0.8))
+    // the prep pipelines dedup CLEAN TEXT — an embedding or image
+    // method would feed a string column to a vector/decoder join and
+    // die mid-pipeline; fail at the argument instead
+    require(method.isInstanceOf[SimilarityMethod.MinHashLsh] ||
+        method.isInstanceOf[SimilarityMethod.SimHash],
+      s"method must be a TEXT method (minhash:<j> | simhash:<h>), got $method")
     val corpusSigs =
       if (dirNonEmpty(spark, s"$corpusOut/sigs"))
         Some(spark.read.parquet(s"$corpusOut/sigs"))

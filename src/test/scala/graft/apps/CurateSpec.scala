@@ -678,6 +678,54 @@ class CurateSpec extends SparkSpec {
     graft.ops.StageCut.release(acc); accU.unpersist(); corpus.unpersist()
   }
 
+  test("media CLI day chain: curate dhash full run, then " +
+      "curate-incremental with stored artifacts + ledger") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val srcDir = java.nio.file.Files.createTempDirectory("mediain").toString
+    val day0 = java.nio.file.Files.createTempDirectory("media0").toString
+    val day1 = java.nio.file.Files.createTempDirectory("media1").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("mediab").toString
+    Seq((1L, Multimodal.synthGridImage(50L, 0)),
+        (2L, Multimodal.synthGridImage(70L, 0)))
+      .toDF("media_id", "payload")
+      .write.mode("overwrite").parquet(s"$srcDir/media.parquet")
+    Seq((101L, Multimodal.synthGridImage(50L, 0)),  // corpus byte copy
+        (102L, Multimodal.synthGridImage(80L, 0)),  // novel, kept
+        (103L, Multimodal.synthGridImage(80L, 1)),  // near of 102
+        (110L, Array[Byte](1, 2, 3)))               // invalid
+      .toDF("media_id", "payload")
+      .write.mode("overwrite").parquet(s"$batchDir/media.parquet")
+    Mains.keepSessionForTests = true
+    try {
+      CurateMain.main(Array(srcDir, day0, "0.5", "dhash:7"))
+      // artifacts for the daily run come from the day-0 corpus
+      val corpus = spark.read.parquet(day0)
+      Curate.mediaFingerprints(corpus, "payload")
+        .write.mode("overwrite").parquet(s"$day0.fps")
+      graft.dedup.Dedup.dhashSignatures(corpus, "media_id", "payload")
+        .write.mode("overwrite").parquet(s"$day0.sigs")
+      CurateIncrementalMain.main(Array(batchDir, day0, day1,
+        "method=dhash:7", s"fps=$day0.fps", s"sigs=$day0.sigs",
+        "ledger=on"))
+    } finally Mains.keepSessionForTests = false
+    assert(spark.read.parquet(day0).select("media_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    assert(spark.read.parquet(s"$day1/accepted").select("media_id")
+      .as[Long].collect().toSet == Set(102L))
+    val ledger = spark.read.parquet(s"$day1/ledger")
+      .select(col("media_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(ledger == Seq(
+      (101L, "exact", "duplicate_of_corpus", None),
+      (103L, "near", "near_duplicate", Some(102L)),
+      (110L, "validity", "invalid_image", None)), s"ledger: $ledger")
+    // union-ready artifacts for the NEXT day
+    assert(spark.read.parquet(s"$day1/fps").columns.toSeq == Seq("_fp_img"))
+    assert(spark.read.parquet(s"$day1/sigs").columns.sorted.toSeq ==
+      Seq("dsig", "id"))
+  }
+
   test("runIncrementalMedia(Tracked): batch images curated against a " +
       "standing image corpus — artifact parity, ledger partition") {
     import spark.implicits._
