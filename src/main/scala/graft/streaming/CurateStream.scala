@@ -64,9 +64,9 @@ object CurateStream {
             keepLedger: Boolean = false): StreamingQuery = {
     require(!method.isInstanceOf[SimilarityMethod.EmbeddingCosine] &&
         !method.isInstanceOf[SimilarityMethod.ImageDHash],
-      "CurateStream curates TEXT batches (runIncremental); embedding/image " +
-        "streams compose runIncrementalEmbedding/similarJoinAgainst in " +
-        "their own foreachBatch")
+      "CurateStream curates TEXT batches (runIncremental); use " +
+        "CurateEmbeddingStream for vectors and CurateMediaStream for " +
+        "image payloads")
     val writer = docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

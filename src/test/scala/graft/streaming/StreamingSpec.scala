@@ -327,6 +327,99 @@ class StreamingSpec extends SparkSpec {
       s"post-compact curation diverged: ${corpusIds(a)}")
   }
 
+  test("CurateEmbeddingStream: two micro-batches equal the chained " +
+      "batch composition, with per-batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.apps.Curate
+    import graft.dedup.SimilarityMethod
+    val dir = java.nio.file.Files.createTempDirectory("embstream").toString
+    val m = SimilarityMethod.EmbeddingCosine(minCos = 0.95, numCells = 4)
+    // batch 1: near pair (keep 1), orthogonal singleton
+    val b1 = Seq(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.999f, 0.0447f),
+      3L -> Seq(0.0f, 1.0f))
+    // batch 2: exact dup of standing 1, near of standing 3, novel,
+    // invalid (NaN)
+    val b2 = Seq(11L -> Seq(1.0f, 0.0f), 12L -> Seq(0.0447f, 0.999f),
+      13L -> Seq(-1.0f, 0.0f), 14L -> Seq(Float.NaN, 1.0f))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = CurateEmbeddingStream.start(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, m, keepLedger = true)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // streamed corpus == hand-chained runIncrementalEmbedding calls
+    val empty = b1.toDF("vec_id", "embedding").limit(0)
+    val (a1, _) = Curate.runIncrementalEmbedding(
+      b1.toDF("vec_id", "embedding"), empty, "vec_id", "embedding", m,
+      log = _ => ())
+    val (a2, _) = Curate.runIncrementalEmbedding(
+      b2.toDF("vec_id", "embedding"), a1, "vec_id", "embedding", m,
+      log = _ => ())
+    val want = (a1.select("vec_id").collect() ++ a2.select("vec_id").collect())
+      .map(_.getLong(0)).toSet
+    val got = spark.read.parquet(
+        new java.io.File(dir, "corpus").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got == Set(1L, 3L, 13L), s"stream=$got want=$want")
+    // per-batch audit: batch 1 drops only the near twin; batch 2
+    // explains all three rejects against the STANDING corpus
+    def ledgerOf(id: Long) = spark.read.parquet(s"$dir/ledger/b$id")
+      .select(col("vec_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(ledgerOf(0L) == Seq((2L, "near", "near_duplicate", Some(1L))))
+    assert(ledgerOf(1L) == Seq(
+      (11L, "exact", "duplicate_of_corpus", None),
+      (12L, "near", "near_duplicate_of_corpus", Some(3L)),
+      (14L, "validity", "invalid_vector", None)), s"b1: ${ledgerOf(1L)}")
+    a1.unpersist(); a2.unpersist()
+  }
+
+  test("CurateMediaStream: dedup against folded state, zero corpus " +
+      "decodes via stored sigs, compaction twin-equal") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val a = java.nio.file.Files.createTempDirectory("medstream-a").toString
+    val b = java.nio.file.Files.createTempDirectory("medstream-b").toString
+    val p1 = Multimodal.synthGridImage(50L, 0)
+    val p2 = Multimodal.synthGridImage(70L, 0)
+    val p3 = Multimodal.synthGridImage(80L, 0)
+    def run(d: String, id: Long, rows: Seq[(Long, Array[Byte])]): Unit =
+      CurateMediaStream.processBatch(rows.toDF("media_id", "payload"), id,
+        "media_id", "payload", d,
+        graft.dedup.SimilarityMethod.ImageDHash(), (_, _) => (),
+        keepLedger = true)
+    def corpusIds(d: String) = spark.read.parquet(
+        new java.io.File(d, "corpus").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    Seq(a, b).foreach { d =>
+      run(d, 0L, Seq(1L -> p1, 2L -> p2))
+      // exact copy of standing 1, brightness near of standing 2, novel
+      run(d, 1L, Seq(11L -> p1,
+        12L -> Multimodal.synthGridImage(70L, 1), 13L -> p3))
+    }
+    assert(corpusIds(a) == Set(1L, 2L, 13L))
+    val led = spark.read.parquet(s"$a/ledger/b1")
+      .select(col("media_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(led == Seq(
+      (11L, "exact", "duplicate_of_corpus", None),
+      (12L, "near", "near_duplicate_of_corpus", Some(2L))), s"ledger: $led")
+    // compact one twin; the next batch must curate identically
+    CurateMediaStream.compact(spark, a)
+    Seq(a, b).foreach(d => run(d, 2L, Seq(
+      21L -> Multimodal.synthGridImage(80L, 1), // near of folded 13
+      22L -> Multimodal.synthGridImage(90L, 0))))
+    assert(corpusIds(a) == corpusIds(b))
+    assert(corpusIds(a).contains(22L) && !corpusIds(a).contains(21L),
+      s"post-compact media curation diverged: ${corpusIds(a)}")
+  }
+
   test("CurateStream ledger: per-batch drop audit subdirs, replay " +
       "overwrites, audit disjoint from acceptances") {
     import spark.implicits._
