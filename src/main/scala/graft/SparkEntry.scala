@@ -906,11 +906,20 @@ object SparkEntry {
     * Families reference siblings by VALUE (payload built from the
     * id arithmetic), so a missing sibling row just demotes the family
     * member to a novel survivor — no contiguity assumption; the
-    * oracle derives the same classes from the same id set. */
+    * oracle derives the same classes from the same id set.
+    *
+    * The fixture keeps every third WHOLE 16-id block
+    * (`(id/16) % 3 == 0`): image generation + decode dominate the
+    * gate's cost, a third of the rows pins the identical semantics,
+    * and block-granular sampling keeps each family's sibling (id−8,
+    * same block) and corpus byte-twin (id−1, same block) mechanics
+    * intact — an id-granular filter would orphan every within-batch
+    * pair. */
   private def mediaGateFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import graft.multimodal.Multimodal.synthGridImage
     val ids = T(s, d, "documents").select(col("doc_id")).as[Long]
+      .filter(id => (id / 16) % 3 == 0)
     val corpus = ids.filter(_ % 2 == 0).mapPartitions(_.map(id =>
         (id, synthGridImage(id / 4, (id % 4).toInt))))
       .toDF("media_id", "payload")
@@ -2457,29 +2466,31 @@ object SparkEntry {
     * (batch exact-stage survivors), `clusmi` + `touchedm` (the
     * incremental component pass). */
   private def mediaOracleCtes: String =
-    s"""med0 AS (
+    s"""docm AS (SELECT doc_id FROM documents
+                 WHERE (doc_id // 16) % 3 = 0),
+       med0 AS (
          SELECT doc_id AS mid, doc_id // 4 AS base,
                 CASE WHEN doc_id % 4 = 2 THEN 40 ELSE 0 END AS bright,
                 FALSE AS poke, 0 AS side
-           FROM documents WHERE doc_id % 2 = 0
+           FROM docm WHERE doc_id % 2 = 0
          UNION ALL
          SELECT doc_id, doc_id // 4, 0, FALSE, 1
-           FROM documents WHERE doc_id % 16 = 1
+           FROM docm WHERE doc_id % 16 = 1
          UNION ALL
          SELECT doc_id, doc_id // 4, 0, TRUE, 1
-           FROM documents WHERE doc_id % 16 IN (3, 11)
+           FROM docm WHERE doc_id % 16 IN (3, 11)
          UNION ALL
          SELECT doc_id, doc_id + 1000000, 0, FALSE, 1
-           FROM documents WHERE doc_id % 16 = 5
+           FROM docm WHERE doc_id % 16 = 5
          UNION ALL
          SELECT doc_id, doc_id - 8 + 1000000, 15, FALSE, 1
-           FROM documents WHERE doc_id % 16 = 13
+           FROM docm WHERE doc_id % 16 = 13
          UNION ALL
          SELECT doc_id, doc_id + 2000000, 0, FALSE, 1
-           FROM documents WHERE doc_id % 16 = 7
+           FROM docm WHERE doc_id % 16 = 7
          UNION ALL
          SELECT doc_id, doc_id - 8 + 2000000, 0, FALSE, 1
-           FROM documents WHERE doc_id % 16 = 15),
+           FROM docm WHERE doc_id % 16 = 15),
        pke AS (
          -- EFFECTIVE poke per poked base: the poked gray coincides
          -- with the original (3,3) cell gray for ~1/151 of bases, and
@@ -2570,7 +2581,7 @@ object SparkEntry {
          SELECT media_id, stage, reason, winner_id FROM (
            SELECT doc_id AS media_id, 'validity' AS stage,
                   'invalid_image' AS reason, CAST(NULL AS BIGINT) AS winner_id
-             FROM documents WHERE doc_id % 16 = 9
+             FROM docm WHERE doc_id % 16 = 9
            UNION ALL
            SELECT x.mid, 'exact',
                   CASE WHEN x.mid IN (SELECT mid FROM corpstand)
