@@ -48,6 +48,14 @@ object ProbeGuard {
   /** Runtime conf key for the probe-broadcast row cap. */
   val ConfKey = "graft.probe.maxKeys"
 
+  /** Runtime conf key for the over-cap policy: `fallback` (default —
+    * revert to the sort-merge shape, loud log) or `fail` (throw with
+    * the same guidance). A daily job with a latency SLA may prefer
+    * the loud failure: the fallback shuffles the standing table,
+    * which is correct at any size but can quietly turn a minutes-run
+    * into hours at corpus scale — visible only as a stderr line. */
+  val PolicyKey = "graft.probe.onOverflow"
+
   /** Default cap on forced-broadcast probe rows (see object doc). */
   val DefaultMaxKeys: Long = 4000000L
 
@@ -69,22 +77,32 @@ object ProbeGuard {
 
   /** Counts `keys` and reports whether a forced broadcast is within
     * the contract. `false` comes with a loud log line naming the site,
-    * the size, and the remedies. One decision should gate one whole
-    * probe SHAPE: a plan whose candidate fetches are downstream of a
-    * guarded batch key set inherits its bound through the hot-bucket
-    * caps, so counting every derived frame again would add jobs
-    * without adding safety. */
+    * the size, and the remedies — or, under `graft.probe.onOverflow=
+    * fail`, an IllegalStateException carrying the same guidance. One
+    * decision should gate one whole probe SHAPE: a plan whose
+    * candidate fetches are downstream of a guarded batch key set
+    * inherits its bound through the hot-bucket caps, so counting every
+    * derived frame again would add jobs without adding safety. */
   def fits(keys: DataFrame, site: String): Boolean = {
     val mx = cap(keys)
     if (mx <= 0L) return true
     val n = keys.count()
     val ok = n <= mx
-    if (!ok) log(s"[probe-guard] $site: probe key set has $n rows, over " +
-      s"$ConfKey=$mx — falling back to the shuffle join (a forced " +
-      "broadcast at this size risks driver OOM). This path is sized for " +
-      "daily-batch probes against a standing table; for a symmetric " +
-      s"corpus-scale side use the non-probe form, or raise $ConfKey if " +
-      "the driver is provisioned for it.")
+    if (!ok) {
+      val msg = s"[probe-guard] $site: probe key set has $n rows, over " +
+        s"$ConfKey=$mx (a forced broadcast at this size risks driver " +
+        "OOM). This path is sized for daily-batch probes against a " +
+        "standing table; for a symmetric corpus-scale side use the " +
+        s"non-probe form, or raise $ConfKey if the driver is " +
+        "provisioned for it."
+      keys.sparkSession.conf.getOption(PolicyKey)
+          .getOrElse("fallback") match {
+        case "fail" => throw new IllegalStateException(msg)
+        case "fallback" => log(msg + " Falling back to the shuffle join.")
+        case other => throw new IllegalArgumentException(
+          s"$PolicyKey must be 'fallback' or 'fail', got '$other'")
+      }
+    }
     ok
   }
 

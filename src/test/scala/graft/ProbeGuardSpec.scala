@@ -71,6 +71,27 @@ class ProbeGuardSpec extends SparkSpec {
     }
   }
 
+  test("onOverflow=fail turns the fallback into a loud error with the " +
+      "same guidance; bad policy values are rejected") {
+    import spark.implicits._
+    val keys = (1 to 100).toDF("k")
+    withCap("10") {
+      spark.conf.set(ProbeGuard.PolicyKey, "fail")
+      try {
+        val e = intercept[IllegalStateException] {
+          ProbeGuard.fits(keys, "spec-site")
+        }
+        assert(e.getMessage.contains("spec-site") &&
+          e.getMessage.contains(ProbeGuard.ConfKey))
+        spark.conf.set(ProbeGuard.PolicyKey, "explode")
+        val e2 = intercept[IllegalArgumentException] {
+          ProbeGuard.fits(keys, "spec-site")
+        }
+        assert(e2.getMessage.contains(ProbeGuard.PolicyKey))
+      } finally spark.conf.unset(ProbeGuard.PolicyKey)
+    }
+  }
+
   test("cap <= 0 disables the guard; a non-numeric cap fails loudly") {
     import spark.implicits._
     val keys = (1 to 50).toDF("k")
