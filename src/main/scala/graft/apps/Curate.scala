@@ -104,20 +104,21 @@ object Curate {
     * Contract: the BATCH fingerprint set is broadcast-scale (the
     * daily-batch shape — the same assumption the near stage's
     * signature probe and the decontamination gram set already make) —
-    * and the contract is ENFORCED by [[graft.ops.ProbeGuard]]: the
-    * batch key set is counted first, and above `graft.probe.maxKeys`
-    * BOTH joins fall back to the un-hinted sort-merge shape (loudly)
-    * instead of collecting an oversized frame onto the driver. One
-    * count gates the whole shape — the hit set is a subset of the
-    * guarded key set, so it inherits the bound. */
+    * and the contract is ENFORCED by [[graft.ops.ProbeGuard]]'s
+    * TIERED shape ([[graft.ops.ProbeGuard.standingHits]]): the batch
+    * key set is counted first; above `graft.probe.maxKeys` the
+    * standing scan is Bloom-reduced instead of broadcast-probed (the
+    * corpus still never exchanges at its own scale — only candidate
+    * rows ride the semi-join shuffle); and only beyond
+    * `graft.probe.bloomMaxKeys` does the plan fall back to the full
+    * sort-merge, loudly. One count gates the whole shape — the hit
+    * set is a subset of the guarded key set, so it inherits the
+    * bound (and keeps the broadcast hint only in the probe tier). */
   private[graft] def corpusFpHits(batchFps: DataFrame, fpCol: String,
                                  cfps: DataFrame): DataFrame = {
     val keys = batchFps.select(col(fpCol)).distinct()
-    if (graft.ops.ProbeGuard.fits(keys, "Curate.corpusFpHits")) {
-      val hits = cfps.join(broadcast(keys), Seq(fpCol), "left_semi").distinct()
-      broadcast(hits)
-    } else
-      cfps.join(keys, Seq(fpCol), "left_semi").distinct()
+    graft.ops.ProbeGuard.standingHits(cfps, keys, Seq(fpCol),
+      "Curate.corpusFpHits")
   }
 
   /** The persistable corpus fingerprint tables for the incremental

@@ -374,17 +374,23 @@ object Dedup {
     // |batch| × bands keyed rows); the corpus band table is then
     // probed by one scan-side hash join and NEVER shuffled — a plain
     // equi-join would hash-exchange the corpus-sized side on every
-    // daily run. The contract is enforced by [[graft.ops.ProbeGuard]]:
-    // the batch band rows are counted first (one agg over the batch
-    // signature cache — the corpus side is never scanned by the
-    // guard), and above graft.probe.maxKeys the WHOLE plan reverts to
-    // the pre-probe sort-merge shape, loudly — both this join and the
+    // daily run. The contract is enforced by [[graft.ops.ProbeGuard]]'s
+    // TIERED shape: the batch band rows are counted first (one agg
+    // over the batch signature cache — the corpus side is never
+    // scanned by the guard); over graft.probe.maxKeys the corpus band
+    // index is Bloom-reduced at its scan instead (the exchange then
+    // carries ~candidate rows, not the corpus); only beyond
+    // graft.probe.bloomMaxKeys does the WHOLE plan revert to the
+    // pre-probe sort-merge shape, loudly — both this join and the
     // verify fetch below, whose candidate id set is only batch-bounded
     // when the band rows are.
     val bandedA = bandedOf(sigA, "new").select(col("band"), col("id").as("id_a"))
-    val probeOk = graft.ops.ProbeGuard.fits(bandedA, "Dedup.lshPlanAgainst")
-    val pairs0 = bandedOf(sigB, "corpus").select(col("band"), col("id").as("id_b"))
-      .join(if (probeOk) broadcast(bandedA) else bandedA, Seq("band"))
+    val bandedB = bandedOf(sigB, "corpus")
+      .select(col("band"), col("id").as("id_b"))
+    val t = graft.ops.ProbeGuard.tiered(
+      bandedB, bandedA, Seq("band"), "Dedup.lshPlanAgainst")
+    val probeOk = t.shape == graft.ops.ProbeGuard.Shape.Probe
+    val pairs0 = t.standing.join(t.keys, Seq("band"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // the verify fetch has the same scale trap: joining candidates
@@ -402,8 +408,19 @@ object Dedup {
       if (cacheSignatures && probeOk)
         shB0.join(broadcast(pairs.select(col("id_b")).distinct()),
           Seq("id_b"), "left_semi")
-      else if (cacheSignatures)
-        // guard fallback: keep the semi-join filter (it still prunes
+      else if (cacheSignatures &&
+          t.shape == graft.ops.ProbeGuard.Shape.Bloom) {
+        // Bloom tier: the candidate id set is over the broadcast cap
+        // by construction, but its Bloom filter is not — the verify
+        // fetch scans the corpus signature table through
+        // might_contain(xxhash64(id_b)) built (and counted) off the
+        // persisted pair cache; the verify join's inner match drops
+        // the filter's false positives
+        val ids = pairs.select(col("id_b")).distinct()
+        shB0.filter(graft.ops.ProbeGuard.bloomPredicate(
+          ids, Seq("id_b"), ids.count(), "Dedup.lshPlanAgainst(verify)"))
+      } else if (cacheSignatures)
+        // shuffle fallback: keep the semi-join filter (it still prunes
         // the verify fetch) but without the forced hint — the
         // candidate id set is not batch-bounded when the band rows
         // overflowed the contract
@@ -750,13 +767,18 @@ object Dedup {
       bandedOf(sig, nBands), Seq("bi", "bv"), maxBucket, s"$tag($side)")
     // one [[graft.ops.ProbeGuard]] count on the batch band rows gates
     // the WHOLE probe shape — the candidate id set broadcast below is
-    // only batch-bounded when the band rows are (lshPlanAgainst shape)
+    // only batch-bounded when the band rows are (lshPlanAgainst shape,
+    // including its Bloom middle tier: over graft.probe.maxKeys the
+    // corpus band index and the verify fetch are Bloom-reduced at
+    // their scans instead of broadcast-probed)
     val bandedA = capped(sigA, "new")
       .select(col("bi"), col("bv"), col("id").as("id_a"))
-    val probeOk = graft.ops.ProbeGuard.fits(bandedA, tag)
-    val pairs0 = capped(sigB, "corpus")
+    val bandedB = capped(sigB, "corpus")
       .select(col("bi"), col("bv"), col("id").as("id_b"))
-      .join(if (probeOk) broadcast(bandedA) else bandedA, Seq("bi", "bv"))
+    val t = graft.ops.ProbeGuard.tiered(
+      bandedB, bandedA, Seq("bi", "bv"), tag)
+    val probeOk = t.shape == graft.ops.ProbeGuard.Shape.Probe
+    val pairs0 = t.standing.join(t.keys, Seq("bi", "bv"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     val pairs =
@@ -767,7 +789,15 @@ object Dedup {
       if (cachePairs && probeOk)
         sigB.join(broadcast(pairs.select(col("id_b").as("id")).distinct()),
           Seq("id"), "left_semi")
-      else if (cachePairs)
+      else if (cachePairs &&
+          t.shape == graft.ops.ProbeGuard.Shape.Bloom) {
+        // Bloom tier: scan-side might_contain over the candidate ids
+        // (counted off the persisted pair cache); the verify join's
+        // inner match drops the filter's false positives
+        val ids = pairs.select(col("id_b").as("id")).distinct()
+        sigB.filter(graft.ops.ProbeGuard.bloomPredicate(
+          ids, Seq("id"), ids.count(), s"$tag(verify)"))
+      } else if (cachePairs)
         sigB.join(pairs.select(col("id_b").as("id")).distinct(),
           Seq("id"), "left_semi")
       else sigB

@@ -210,9 +210,13 @@ object Fuzzy {
     val bNormRaw = ck.map(_.select(col("id").as(idB), col("_n").as("_nb")))
       .getOrElse(normed(b, idB, strB, "_nb"))
     val aNorm = normed(a, idA, strA, "_na")
-    val joined =
-      if (probeScale &&
-          graft.ops.ProbeGuard.fits(ak, "Fuzzy.fuzzyJoinAgainst")) {
+    import graft.ops.ProbeGuard
+    val t =
+      if (probeScale)
+        ProbeGuard.tiered(bk, ak, Seq("_k"), "Fuzzy.fuzzyJoinAgainst")
+      else ProbeGuard.Sides(ProbeGuard.Shape.Shuffle, -1L, bk, ak)
+    val joined = t.shape match {
+      case ProbeGuard.Shape.Probe =>
         // daily shape: batch keys broadcast → the corpus key index is
         // scanned, not exchanged; the candidate id pairs (bounded by
         // the hot-block caps, batch-∝ because the guarded key set is)
@@ -221,20 +225,39 @@ object Fuzzy {
         // candidate scale. ONE guard count gates the whole shape — the
         // pair set is not separately counted because counting it would
         // re-run the candidate join it feeds.
-        val pairs = bk.join(broadcast(ak), Seq("_k"))
+        val pairs = t.standing.join(t.keys, Seq("_k"))
           .select(col(idA), col(idB)).distinct()
         val fetched = bNormRaw.join(broadcast(pairs), Seq(idB))
           .select(col(idA), col(idB), col("_nb"))
         (if (ck.isDefined) fetched.distinct() else fetched)
           .join(aNorm, Seq(idA))
-      } else {
+      case ProbeGuard.Shape.Bloom =>
+        // Bloom tier: the candidate pair set is over the broadcast cap
+        // (its parent key set is), so the corpus string fetch scans
+        // through might_contain(xxhash64(idB)) instead of a broadcast
+        // probe. The pair plan is not persisted here, so the filter is
+        // SIZED by the guarded key count — a proxy; an under-estimate
+        // only weakens the fpp, never loses a match — and its build
+        // evaluates the candidate join once more (scan-heavy,
+        // exchange-light: the corpus key index is already
+        // Bloom-reduced on both evaluations).
+        val pairs = t.standing.join(t.keys, Seq("_k"))
+          .select(col(idA), col(idB)).distinct()
+        val fetched = bNormRaw
+          .filter(ProbeGuard.bloomPredicate(pairs.select(col(idB)),
+            Seq(idB), t.keyCount, "Fuzzy.fuzzyJoinAgainst(fetch)"))
+          .join(pairs, Seq(idB))
+          .select(col(idA), col(idB), col("_nb"))
+        (if (ck.isDefined) fetched.distinct() else fetched)
+          .join(aNorm, Seq(idA))
+      case ProbeGuard.Shape.Shuffle =>
         val bNorm =
           if (ck.isDefined) bNormRaw.distinct() else bNormRaw
-        ak.join(bk, Seq("_k"))
+        t.keys.join(t.standing, Seq("_k"))
           .select(col(idA), col(idB)).distinct()
           .join(aNorm, Seq(idA))
           .join(bNorm, Seq(idB))
-      }
+    }
     joined
       .withColumn("dist", levenshtein(col("_na"), col("_nb")))
       .filter(col("dist") <= maxDist)

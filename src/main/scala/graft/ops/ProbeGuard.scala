@@ -1,7 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Self-enforcing size contract for the forced-broadcast PROBE shapes.
   *
@@ -111,4 +116,208 @@ object ProbeGuard {
     * it. */
   def hinted(keys: DataFrame, site: String): DataFrame =
     if (fits(keys, site)) broadcast(keys) else keys
+
+  // ---------------------------------------------- tiered (bloom) form
+
+  /** Which regime a standing-vs-batch join runs in (see [[tiered]]).
+    * A probe key row in a broadcast hash relation costs ~50-100
+    * BYTES; the same key in a Bloom filter costs ~10 BITS — so the
+    * middle tier extends the "standing table is scanned, never
+    * exchanged at corpus scale" regime ~16x past the broadcast cap
+    * (64x per byte) before the plan has to fall back to a full
+    * sort-merge. */
+  sealed trait Shape
+  object Shape {
+    /** Keys within `graft.probe.maxKeys`: force-broadcast the key set;
+      * the standing side is scanned by a broadcast hash join and never
+      * exchanged. */
+    case object Probe extends Shape
+    /** Keys over the broadcast cap but within
+      * `graft.probe.bloomMaxKeys`: a Bloom filter over
+      * `xxhash64(join keys)` is built from the key set (one extra
+      * aggregation over the batch side) and applied as a predicate on
+      * the standing side's scan, so the rows the join then exchanges
+      * are ~matches + fpp x standing instead of the whole standing
+      * table. False positives are removed by the real join; false
+      * negatives are impossible — results are bit-identical to the
+      * other tiers. */
+    case object Bloom extends Shape
+    /** Keys beyond both caps (or the capped filter would be too weak
+      * to pay for itself): the pre-probe sort-merge shape. This is the
+      * tier `graft.probe.onOverflow=fail` guards — the only one that
+      * exchanges the standing table at its own scale. */
+    case object Shuffle extends Shape
+  }
+
+  /** Runtime conf: key-count ceiling for the Bloom tier (default
+    * [[DefaultBloomMaxKeys]]; <= 0 disables the tier, restoring the
+    * two-tier probe-or-shuffle behavior). */
+  val BloomKeysKey = "graft.probe.bloomMaxKeys"
+
+  /** Runtime conf: target false-positive rate for the Bloom tier
+    * (default [[DefaultBloomFpp]]). Only effectiveness, never
+    * correctness, depends on it. */
+  val BloomFppKey = "graft.probe.bloomFpp"
+
+  /** Runtime conf: hard cap on Bloom filter SIZE in bits (default
+    * [[DefaultBloomMaxBits]]) — the filter is built executor-side in
+    * partials of this size, merged on the driver, and shipped in the
+    * filtering plan as a literal, so this bounds all three. When the
+    * cap forces fewer bits than the target fpp wants, the filter is
+    * built anyway at the (weaker) achievable fpp — unless that
+    * exceeds 0.5, where filtering no longer pays and the decision
+    * falls to [[Shape.Shuffle]]. */
+  val BloomBitsKey = "graft.probe.bloomMaxBits"
+
+  /** 64M keys: at the default fpp this is a ~32 MB filter (vs the
+    * multi-GB broadcast relation the same keys would need), still a
+    * one-literal ship to every executor. */
+  val DefaultBloomMaxKeys: Long = 64000000L
+
+  /** 1% false positives ~= 9.6 bits/key: the standing side's exchange
+    * shrinks to matches + 1% of the standing row count. */
+  val DefaultBloomFpp: Double = 0.01
+
+  /** 2^28 bits = 32 MB. At the 64M-key ceiling this degrades fpp to
+    * ~0.15 — still a ~7x exchange reduction. */
+  val DefaultBloomMaxBits: Long = 1L << 28
+
+  private def longConf(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key) match {
+      case Some(v) =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a long, got '$v'")
+        }
+      case None => dflt
+    }
+
+  private def doubleConf(df: DataFrame, key: String, dflt: Double): Double =
+    df.sparkSession.conf.getOption(key) match {
+      case Some(v) =>
+        try v.trim.toDouble
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a double, got '$v'")
+        }
+      case None => dflt
+    }
+
+  /** One eager count of `keys` -> the tier the whole shape runs in,
+    * plus the counted size (the Bloom build reuses it for sizing).
+    * [[fits]]' overflow policy applies only when the decision lands on
+    * [[Shape.Shuffle]] — the Bloom tier is a designed regime, not a
+    * contract breach, and logs an info line instead. */
+  def shapeOf(keys: DataFrame, site: String): (Shape, Long) = {
+    val mx = cap(keys)
+    if (mx <= 0L) return (Shape.Probe, -1L)
+    val n = keys.count()
+    if (n <= mx) return (Shape.Probe, n)
+    val bloomMax = longConf(keys, BloomKeysKey, DefaultBloomMaxKeys)
+    val fpp = doubleConf(keys, BloomFppKey, DefaultBloomFpp)
+    val maxBits = longConf(keys, BloomBitsKey, DefaultBloomMaxBits)
+    val bits =
+      if (bloomMax > 0L && n <= bloomMax)
+        math.min(BloomFilter.optimalNumOfBits(n, fpp), maxBits)
+      else 0L
+    // achievable fpp at `bits`, optimal hash count: ~0.6185^(bits/n)
+    val effFpp =
+      if (bits > 0L) math.pow(0.6185, bits.toDouble / n.toDouble) else 1.0
+    if (bits > 0L && effFpp <= 0.5) {
+      log(s"[probe-guard] $site: probe key set has $n rows, over " +
+        s"$ConfKey=$mx — bloom-reducing the standing side instead " +
+        f"($bits%d bits, effective fpp ~$effFpp%.3f; " +
+        s"cap $BloomKeysKey=$bloomMax).")
+      (Shape.Bloom, n)
+    } else {
+      val detail =
+        if (bloomMax <= 0L) s"the Bloom tier is disabled ($BloomKeysKey<=0)"
+        else if (n > bloomMax) s"over $BloomKeysKey=$bloomMax too"
+        else f"a $maxBits%d-bit filter would pass ~${effFpp * 100}%.0f%% " +
+          s"of the standing side ($BloomBitsKey too small for $n keys)"
+      val msg = s"[probe-guard] $site: probe key set has $n rows, over " +
+        s"$ConfKey=$mx, and $detail (a forced broadcast at this size " +
+        "risks driver OOM). This path is sized for batch-scale probes " +
+        "against a standing table; for a symmetric corpus-scale side " +
+        s"use the non-probe form, or raise $ConfKey/$BloomKeysKey if " +
+        "the driver is provisioned for it."
+      keys.sparkSession.conf.getOption(PolicyKey)
+          .getOrElse("fallback") match {
+        case "fail" => throw new IllegalStateException(msg)
+        case "fallback" => log(msg + " Falling back to the shuffle join.")
+        case other => throw new IllegalArgumentException(
+          s"$PolicyKey must be 'fallback' or 'fail', got '$other'")
+      }
+      (Shape.Shuffle, n)
+    }
+  }
+
+  /** Builds the Bloom-tier predicate: a filter over `keys`'
+    * `xxhash64(joinCols)` (one aggregation job — executor partials
+    * merged on the driver), returned as a `might_contain` Column to
+    * apply on the STANDING side's identically-named join columns.
+    * Mapping keys to a 64-bit hash before the filter only ever ADDS
+    * false positives (a hash collision keeps a spurious standing row
+    * that the real join then drops), so any downstream equi-join
+    * result is unchanged. */
+  def bloomPredicate(keys: DataFrame, joinCols: Seq[String], n: Long,
+                     site: String): Column = {
+    require(joinCols.nonEmpty, s"$site: bloomPredicate needs join columns")
+    val fpp = doubleConf(keys, BloomFppKey, DefaultBloomFpp)
+    val maxBits = longConf(keys, BloomBitsKey, DefaultBloomMaxBits)
+    val bits = math.max(64L,
+      math.min(BloomFilter.optimalNumOfBits(math.max(n, 1L), fpp), maxBits))
+    val hash = xxhash64(joinCols.map(col): _*)
+    val bf = keys.select(hash.as("_h")).stat
+      .bloomFilter("_h", math.max(n, 1L), bits)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType), bridge.expression(hash)))
+  }
+
+  /** A [[tiered]] decision: the tier, the guarded key count (-1 when
+    * the guard is disabled — callers may reuse it to proxy-size
+    * downstream Bloom builds), the standing side (Bloom-filtered in
+    * the middle tier) and the key side (broadcast-hinted in the probe
+    * tier). */
+  final case class Sides(shape: Shape, keyCount: Long,
+                         standing: DataFrame, keys: DataFrame)
+
+  /** The whole tiered preparation for one standing-vs-keys equi-join
+    * on `joinCols` (same names both sides). Callers join the two
+    * returned frames exactly as before and may use the tier to steer
+    * DOWNSTREAM fetches (a candidate set is only batch-bounded in the
+    * probe tier). All three tiers produce bit-identical join
+    * results. */
+  def tiered(standing: DataFrame, keys: DataFrame, joinCols: Seq[String],
+             site: String): Sides =
+    shapeOf(keys, site) match {
+      case (Shape.Probe, n) => Sides(Shape.Probe, n, standing, broadcast(keys))
+      case (Shape.Bloom, n) =>
+        Sides(Shape.Bloom, n,
+          standing.filter(bloomPredicate(keys, joinCols, n, site)), keys)
+      case (Shape.Shuffle, n) => Sides(Shape.Shuffle, n, standing, keys)
+    }
+
+  /** The distinct hit set `standing SEMI-JOIN keys` on `joinCols`,
+    * under the tiered contract — the shape for "which of my batch keys
+    * exist in the standing table?" consumers (exact-dedup anti-joins,
+    * A-vs-B gram/line hits): the standing side is only ever SCANNED,
+    * and the hit set comes back bounded by the key set, so the caller
+    * can join it against batch-side frames without touching the
+    * standing table again. Probe tier returns it broadcast-hinted (a
+    * subset of the guarded key set inherits the bound); Bloom tier
+    * returns the filtered-scan hit set unhinted (key-scale — over the
+    * broadcast cap by construction); Shuffle tier is the plain
+    * semi-join. All three are value-identical. */
+  def standingHits(standing: DataFrame, keys: DataFrame,
+                   joinCols: Seq[String], site: String): DataFrame = {
+    val t = tiered(standing, keys, joinCols, site)
+    val hits = t.standing.select(joinCols.map(col): _*)
+      .join(t.keys, joinCols, "left_semi").distinct()
+    if (t.shape == Shape.Probe) broadcast(hits) else hits
+  }
 }

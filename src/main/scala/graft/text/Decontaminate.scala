@@ -46,12 +46,18 @@ object Decontaminate {
     * distinct, so downstream counts need no count_distinct. */
   private def corpusHits(corpus: DataFrame, grams: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int): DataFrame =
-    TextOps.withShingles(corpus.select(col(idCol), col(textCol)),
-        textCol, "_sh", n)
+                         n: Int): DataFrame = {
+    val shingled = TextOps.withShingles(
+        corpus.select(col(idCol), col(textCol)), textCol, "_sh", n)
       .select(col(idCol), explode(col("_sh")).as("_gram"))
-      .join(graft.ops.ProbeGuard.hinted(grams, "Decontaminate.benchGrams"),
-        Seq("_gram"), "left_semi")
+    // tiered guard: a contract-sized benchmark broadcasts; a
+    // mispointed corpus-scale "benchmark" Bloom-reduces the corpus
+    // shingle stream at its scan (or, beyond the Bloom cap, falls back
+    // to the sort-merge) instead of OOMing the driver
+    val t = graft.ops.ProbeGuard.tiered(shingled, grams, Seq("_gram"),
+      "Decontaminate.benchGrams")
+    t.standing.join(t.keys, Seq("_gram"), "left_semi")
+  }
 
   /** Per-document contamination report: `(idCol, n_bad_grams,
     * contaminated)` for every corpus row — `n_bad_grams` = how many

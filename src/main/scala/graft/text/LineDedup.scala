@@ -68,24 +68,32 @@ object LineDedup {
     * trimmed content exists ANYWHERE in the standing corpus are
     * removed; batch-INTERNAL duplicates do not count — they are the
     * next full run's concern, keeping daily cost ∝ batch. The corpus
-    * side distills to DISTINCT line hashes before the join (content
-    * and positions dropped — the probe carries the minimum), so the
-    * daily job never re-shuffles corpus text. Fully-covered batch
-    * documents disappear. */
+    * side distills to the HIT set under the
+    * [[graft.ops.ProbeGuard.standingHits]] tiered contract: the batch
+    * line hashes are counted, and the corpus line stream is then
+    * scanned — broadcast-probed in the probe tier, Bloom-filtered
+    * over it — so its distinct aggregation exchanges ~batch-matching
+    * rows, not every distinct corpus line; only beyond the Bloom cap
+    * does the full corpus-distinct sort-merge run, loudly. (The guard
+    * count and the hit probe each evaluate the batch explode once —
+    * batch-scale by the same contract.) Fully-covered batch documents
+    * disappear. */
   def removeDuplicatedLinesAgainst(batch: DataFrame, corpus: DataFrame,
                                    idCol: String,
                                    textCol: String,
                                    sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val corpusHashes = corpus
+    val corpusLines = corpus
       .select(explode(split(col(textCol), sepRe)).as("raw"))
       .select(md5(trim(col("raw"))).as("h"))
-      .distinct()
     val ls = batch.select(col(idCol).as("_id"),
         posexplode(split(col(textCol), sepRe)).as(Seq("pos", "raw")))
       .select(col("_id"), col("pos"), trim(col("raw")).as("ln"))
       .withColumn("h", md5(col("ln")))
-    rebuild(ls.join(corpusHashes, Seq("h"), "left_anti"), idCol, sep)
+    val hits = graft.ops.ProbeGuard.standingHits(corpusLines,
+      ls.select(col("h")).distinct(), Seq("h"),
+      "LineDedup.removeDuplicatedLinesAgainst")
+    rebuild(ls.join(hits, Seq("h"), "left_anti"), idCol, sep)
   }
 
   /** Shared tail: position-ordered rebuild of the kept units. */

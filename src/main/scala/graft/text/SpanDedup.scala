@@ -68,21 +68,35 @@ object SpanDedup {
   /** The INCREMENTAL form every other dedup method here has: spans of
     * a NEW batch duplicated against a STANDING corpus — a position
     * hits when its n-gram occurs anywhere in the corpus. The corpus
-    * side distills to DISTINCT hashes before the join (positions and
-    * ids dropped — the probe carries the minimum), so the daily cost
-    * is one distinct over corpus grams + a hash join sized by the
-    * batch. Same output shape as [[duplicatedSpans]]. */
+    * side distills to the HIT set under the
+    * [[graft.ops.ProbeGuard.standingHits]] tiered contract (the batch
+    * gram hashes are counted; the corpus gram stream is then scanned
+    * — broadcast-probed or Bloom-filtered — so its distinct
+    * aggregation exchanges ~batch-matching rows, not every distinct
+    * corpus gram; the full corpus-distinct sort-merge runs only
+    * beyond the Bloom cap, loudly). Same output shape as
+    * [[duplicatedSpans]]. */
   def duplicatedSpansAgainst(newDf: DataFrame, corpus: DataFrame,
                              idCol: String, textCol: String,
                              n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val corpusHashes = positionedGrams(corpus, idCol, textCol, n)
-      .select(col("h")).distinct()
-    val hits = positionedGrams(newDf, idCol, textCol, n)
-      .join(corpusHashes, Seq("h"))
+    val newGrams = positionedGrams(newDf, idCol, textCol, n)
+    val hits = newGrams
+      .join(corpusHitSet(corpus, newGrams, idCol, textCol, n), Seq("h"))
       .select(col(idCol), col("p"))
     mergeSpans(hits, idCol, n)
   }
+
+  /** Shared corpus-side distillation for the A-vs-B span forms: the
+    * distinct corpus gram hashes that occur in the batch, tier-guarded
+    * (see [[duplicatedSpansAgainst]]). */
+  private def corpusHitSet(corpus: DataFrame, newGrams: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    graft.ops.ProbeGuard.standingHits(
+      positionedGrams(corpus, idCol, textCol, n).select(col("h")),
+      newGrams.select(col("h")).distinct(), Seq("h"),
+      "SpanDedup.spansAgainst")
 
   /** Sessionize-pattern interval merge of duplicated positions into
     * maximal spans (shared by the self and A-vs-B detectors). */
@@ -129,16 +143,15 @@ object SpanDedup {
   /** The incremental removal: tokens of a NEW batch covered by an
     * n-gram the standing corpus already contains are scrubbed — what
     * an ingest pipeline applies after [[duplicatedSpansAgainst]]
-    * flags the boilerplate. Same corpus-side distillation (distinct
-    * hashes only). */
+    * flags the boilerplate. Same tier-guarded corpus-side
+    * distillation ([[corpusHitSet]]). */
   def removeDuplicatedSpansAgainst(newDf: DataFrame, corpus: DataFrame,
                                    idCol: String, textCol: String,
                                    n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val corpusHashes = positionedGrams(corpus, idCol, textCol, n)
-      .select(col("h")).distinct()
-    val hits = positionedGrams(newDf, idCol, textCol, n)
-      .join(corpusHashes, Seq("h"))
+    val newGrams = positionedGrams(newDf, idCol, textCol, n)
+    val hits = newGrams
+      .join(corpusHitSet(corpus, newGrams, idCol, textCol, n), Seq("h"))
     scrubByHits(newDf, idCol, textCol, n, hits)
   }
 
@@ -178,10 +191,22 @@ object SpanDedup {
     * behavior is pinned in SpanDedupSpec.
     *
     * Scale shape: batch grams aggregate to per-hash counts (batch-
-    * sized); the corpus artifact joins ON the hash key with the batch
-    * side as the small build side (AQE broadcasts it under threshold),
-    * so the corpus-scale artifact streams through a scan and never
-    * shuffles; the scrub tail is [[removeDuplicatedSpans]]'s. */
+    * sized), and the corpus-vs-batch count join runs under the
+    * [[graft.ops.ProbeGuard]] TIERED contract: within
+    * `graft.probe.maxKeys` the batch counts broadcast (the corpus
+    * artifact streams through a scan-side hash join — zero exchange);
+    * batch gram sets routinely EXCEED broadcast scale, and then the
+    * Bloom tier filters the artifact's scan by a
+    * `might_contain(xxhash64(h))` built from the batch hashes, so the
+    * exchange the sort-merge join needs carries ~matching + fpp x
+    * corpus rows instead of the whole artifact — bit-identical either
+    * way (Bloom false positives fail the real join; false negatives
+    * are impossible). Beyond `graft.probe.bloomMaxKeys` the plan falls
+    * back to the full sort-merge, loudly. The guard's count + Bloom
+    * build re-evaluate the batch gram aggregation (one extra pass over
+    * the batch text each — the pipelines hand this function a
+    * stage-cut `newDf`, so the pass is cache-fed); the scrub tail is
+    * [[removeDuplicatedSpans]]'s. */
   def removeDuplicatedSpansWithCounts(newDf: DataFrame,
                                       corpusCounts: DataFrame,
                                       idCol: String, textCol: String,
@@ -196,9 +221,11 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("_bnd"))
     // batch-only grams crossing the threshold alone, plus grams whose
     // batch+corpus total crosses it; the inner join keeps the corpus
-    // artifact on the streamed side
+    // artifact on the scanned side (tiered shape — see the scaladoc)
+    val t = graft.ops.ProbeGuard.tiered(
+      corpusCounts, batchCounts, Seq("h"), "SpanDedup.gramCountJoin")
     val dup = batchCounts.filter(col("_bnd") >= minDocs).select(col("h"))
-      .unionByName(batchCounts.join(corpusCounts, Seq("h"))
+      .unionByName(t.standing.join(t.keys, Seq("h"))
         .filter(col("_bnd") + col("nd") >= minDocs).select(col("h")))
       .distinct()
     scrubByHits(newDf, idCol, textCol, n, grams.join(dup, Seq("h")))

@@ -4,23 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops.ProbeGuard
 
-/** The forced-broadcast probe contract must be SELF-ENFORCING: every
-  * probe shape (corpus fingerprint probe, LSH/Hamming band probes, the
-  * fuzzy key probe) counts its batch-derived key set and, above
-  * `graft.probe.maxKeys`, falls back to the sort-merge shape loudly
-  * instead of collecting an oversized frame onto the driver. Each test
-  * drives an over-threshold "batch" through one probe site and asserts
-  * (a) the plan carries NO forced broadcast (auto-broadcast is off, so
-  * any BroadcastExchange would be a hint), (b) the results equal the
-  * contracted-shape run bit for bit, (c) the fallback is logged. The
-  * contracted shape itself is pinned in PlanQualitySpec (q69/q73/fp
-  * probes) — those pins plus these fallbacks are the two halves of the
-  * guard's "done" contract. */
+/** The forced-broadcast probe contract must be SELF-ENFORCING and
+  * degrade GRACEFULLY: every probe shape (corpus fingerprint probe,
+  * LSH/Hamming band probes, the fuzzy key probe) counts its
+  * batch-derived key set and, above `graft.probe.maxKeys`, drops to
+  * the Bloom tier (the standing side's scan is filtered by a
+  * `might_contain` built from the keys — bit-identical, the standing
+  * table still never exchanges at its own scale) and only beyond
+  * `graft.probe.bloomMaxKeys` to the sort-merge shape, loudly. Each
+  * site test drives an over-threshold "batch" through BOTH degraded
+  * tiers and asserts (a) the plan carries NO forced broadcast
+  * (auto-broadcast is off, so any BroadcastExchange would be a hint)
+  * and shows/omits the `might_contain` filter per tier, (b) the
+  * results equal the contracted-shape run bit for bit, (c) the tier
+  * change is logged. The contracted shape itself is pinned in
+  * PlanQualitySpec (q69/q73/fp probes) — those pins plus these
+  * fallbacks are the halves of the guard's "done" contract. */
 class ProbeGuardSpec extends SparkSpec {
 
   private def withCap[T](cap: String)(body: => T): T = {
     spark.conf.set(ProbeGuard.ConfKey, cap)
     try body finally spark.conf.unset(ProbeGuard.ConfKey)
+  }
+
+  /** Pins the SHUFFLE tier under a small cap (Bloom tier disabled). */
+  private def withShuffleTier[T](cap: String)(body: => T): T = {
+    spark.conf.set(ProbeGuard.BloomKeysKey, "0")
+    try withCap(cap)(body)
+    finally spark.conf.unset(ProbeGuard.BloomKeysKey)
   }
 
   private def withLogCapture[T](body: => T): (T, Seq[String]) = {
@@ -111,14 +122,94 @@ class ProbeGuardSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- tiered contract
+
+  test("shapeOf: the tier ladder — probe within cap, Bloom between the " +
+      "caps, shuffle beyond (or with the tier disabled / bits too weak)") {
+    import spark.implicits._
+    val keys = (1 to 100).toDF("k")
+    def shape(): ProbeGuard.Shape = ProbeGuard.shapeOf(keys, "spec-site")._1
+    assert(shape() == ProbeGuard.Shape.Probe)
+    withCap("10") {
+      assert(shape() == ProbeGuard.Shape.Bloom)
+      spark.conf.set(ProbeGuard.BloomKeysKey, "50")
+      try {
+        val ((s, _), logs) = withLogCapture(ProbeGuard.shapeOf(keys, "spec-site"))
+        assert(s == ProbeGuard.Shape.Shuffle)
+        assert(logs.exists(m => m.contains(ProbeGuard.BloomKeysKey)),
+          s"the over-Bloom fallback must name the Bloom cap, got: $logs")
+      } finally spark.conf.unset(ProbeGuard.BloomKeysKey)
+      spark.conf.set(ProbeGuard.BloomKeysKey, "0")
+      try assert(shape() == ProbeGuard.Shape.Shuffle,
+        "bloomMaxKeys <= 0 must disable the tier")
+      finally spark.conf.unset(ProbeGuard.BloomKeysKey)
+      // a bit cap too small for the key count degrades the achievable
+      // fpp past usefulness -> shuffle, with the bits knob named
+      spark.conf.set(ProbeGuard.BloomBitsKey, "64")
+      try {
+        val ((s, _), logs) = withLogCapture(ProbeGuard.shapeOf(keys, "spec-site"))
+        assert(s == ProbeGuard.Shape.Shuffle)
+        assert(logs.exists(_.contains(ProbeGuard.BloomBitsKey)))
+      } finally spark.conf.unset(ProbeGuard.BloomBitsKey)
+    }
+  }
+
+  test("shapeOf honors onOverflow=fail ONLY at the shuffle tier — the " +
+      "Bloom tier is a designed regime, not a breach") {
+    import spark.implicits._
+    val keys = (1 to 100).toDF("k")
+    withCap("10") {
+      spark.conf.set(ProbeGuard.PolicyKey, "fail")
+      try {
+        assert(ProbeGuard.shapeOf(keys, "spec-site")._1 ==
+          ProbeGuard.Shape.Bloom, "fail policy must not fire on the Bloom tier")
+        spark.conf.set(ProbeGuard.BloomKeysKey, "50")
+        try {
+          val e = intercept[IllegalStateException] {
+            ProbeGuard.shapeOf(keys, "spec-site")
+          }
+          assert(e.getMessage.contains("spec-site") &&
+            e.getMessage.contains(ProbeGuard.BloomKeysKey))
+        } finally spark.conf.unset(ProbeGuard.BloomKeysKey)
+      } finally spark.conf.unset(ProbeGuard.PolicyKey)
+    }
+  }
+
+  test("tiered: the Bloom filter is superset-safe — join results are " +
+      "bit-identical, and the filter really prunes the standing scan") {
+    import spark.implicits._
+    val standing = (1 to 5000).map(i => (s"k$i", i)).toDF("k", "v")
+    val keys = (1 to 40).map(i => s"k${i * 100}").toDF("k")
+    noAutoBroadcast {
+      val expect = rows(standing.join(keys, Seq("k"), "left_semi"))
+      withCap("10") {
+        val t = ProbeGuard.tiered(standing, keys, Seq("k"), "spec-site")
+        assert(t.shape == ProbeGuard.Shape.Bloom && t.keyCount == 40L)
+        val got = t.standing.join(t.keys, Seq("k"), "left_semi")
+        assert(rows(got) == expect)
+        // the filtered scan passes the 40 true keys + ~1% fps, not 5000
+        val scanned = t.standing.count()
+        assert(scanned >= 40 && scanned < 500,
+          s"Bloom filter should prune the standing side, kept $scanned/5000")
+      }
+    }
+  }
+
   // ------------------------------------------------------- probe sites
 
-  test("corpusFpHits: over-threshold batch falls back, results identical") {
+  test("corpusFpHits: over-threshold batch degrades Bloom-then-shuffle, " +
+      "results identical at every tier") {
     import spark.implicits._
-    val cfps = (1 to 2000).map(i => s"fp$i").toDF("_fp")
+    // range-backed frames: a LocalRelation would let
+    // ConvertToLocalRelation fold the Bloom filter into the scan at
+    // optimize time and hide it from the plan assertions
+    val cfps = spark.range(1, 2001)
+      .select(concat(lit("fp"), col("id")).as("_fp"))
     // one duplicate corpus row — the hit set must stay fp-distinct
-    val cfpsDup = cfps.union(Seq("fp7").toDF("_fp"))
-    val batch = (1 to 300).map(i => s"fp${i * 7}").toDF("_fp")
+    val cfpsDup = cfps.union(spark.range(7, 8)
+      .select(concat(lit("fp"), col("id")).as("_fp")))
+    val batch = spark.range(1, 301)
+      .select(concat(lit("fp"), col("id") * 7).as("_fp"))
     noAutoBroadcast {
       val contracted = graft.apps.Curate.corpusFpHits(batch, "_fp", cfpsDup)
       assert(planOf(contracted).contains("BroadcastExchange"),
@@ -127,11 +218,27 @@ class ProbeGuardSpec extends SparkSpec {
       assert(expect.distinct.size == expect.size,
         "hit set must be fingerprint-distinct even off a per-doc corpus table")
       withCap("10") {
+        // Bloom tier: no broadcast, the corpus scan runs through the
+        // key filter instead
+        val (bl, logs) = withLogCapture {
+          graft.apps.Curate.corpusFpHits(batch, "_fp", cfpsDup)
+        }
+        val p = planOf(bl)
+        assert(!p.contains("BroadcastExchange"),
+          "over-threshold batch must drop the forced hints:\n" + p)
+        assert(p.contains("might_contain"),
+          "Bloom tier must filter the standing scan:\n" + p)
+        assert(logs.exists(m => m.contains("Curate.corpusFpHits") &&
+          m.contains("bloom")), s"tier change must be logged, got: $logs")
+        assert(rows(bl) == expect, "Bloom tier must not change the hit set")
+      }
+      withShuffleTier("10") {
         val (fb, logs) = withLogCapture {
           graft.apps.Curate.corpusFpHits(batch, "_fp", cfpsDup)
         }
-        assert(!planOf(fb).contains("BroadcastExchange"),
-          "over-threshold batch must drop BOTH forced hints:\n" + planOf(fb))
+        val p = planOf(fb)
+        assert(!p.contains("BroadcastExchange") && !p.contains("might_contain"),
+          "shuffle tier must carry neither hint nor filter:\n" + p)
         assert(logs.exists(_.contains("Curate.corpusFpHits")))
         assert(rows(fb) == expect, "fallback must not change the hit set")
       }
@@ -151,6 +258,24 @@ class ProbeGuardSpec extends SparkSpec {
       val expect = rows(first)
       first.unpersist()
       withCap("10") {
+        // Bloom tier: band join AND verify fetch run through
+        // might_contain filters — no broadcast, no corpus-sided
+        // semi-join exchange
+        val ((cachesBl, planBl), logs) = withLogCapture {
+          graft.dedup.Dedup.lshPlanAgainst(batch, corpus, "doc_id", "text",
+            nGram = 3, bands = 4, minJaccard = 0.5, cacheSignatures = true)
+        }
+        val p = planOf(planBl)
+        assert(!p.contains("BroadcastExchange"),
+          "over-threshold batch must drop the band AND verify-fetch hints:\n" + p)
+        assert(p.contains("might_contain"),
+          "Bloom tier must filter the corpus scans:\n" + p)
+        assert(logs.exists(m => m.contains("Dedup.lshPlanAgainst") &&
+          m.contains("bloom")), s"tier change must be logged, got: $logs")
+        assert(rows(planBl) == expect, "Bloom tier must not change the pairs")
+        cachesBl.foreach(_.unpersist())
+      }
+      withShuffleTier("10") {
         val ((cachesFb, planFb), logs) = withLogCapture {
           graft.dedup.Dedup.lshPlanAgainst(batch, corpus, "doc_id", "text",
             nGram = 3, bands = 4, minJaccard = 0.5, cacheSignatures = true)
@@ -178,19 +303,37 @@ class ProbeGuardSpec extends SparkSpec {
       val expect = rows(first)
       first.unpersist() // see the lshPlanAgainst cache-hijack note
       withCap("10") {
+        val (bl, logs) = withLogCapture(run())
+        assert(logs.exists(m => m.contains("simhashNearDupPairsAgainst") &&
+          m.contains("bloom")),
+          s"Bloom tier must name the operator, got: $logs")
+        assert(rows(bl) == expect, "Bloom tier must not change the pairs")
+        bl.unpersist()
+      }
+      withShuffleTier("10") {
         val (fb, logs) = withLogCapture(run())
         assert(logs.exists(_.contains("simhashNearDupPairsAgainst")),
           s"fallback must name the operator, got: $logs")
         assert(rows(fb) == expect, "fallback must not change the pairs")
         fb.unpersist()
       }
-      // the uncached form exposes the plan: no forced hint above cap
+      // the uncached form exposes the plan: no forced hint above cap,
+      // Bloom filter on the corpus band scan
       withCap("10") {
         val p = planOf(graft.dedup.Dedup.simhashNearDupPairsAgainst(
           batch, corpus, "doc_id", "text", maxHamming = 3,
           cacheSignatures = false))
         assert(!p.contains("BroadcastExchange"),
           "over-threshold batch bands must not broadcast:\n" + p)
+        assert(p.contains("might_contain"),
+          "Bloom tier must filter the corpus band scan:\n" + p)
+      }
+      withShuffleTier("10") {
+        val p = planOf(graft.dedup.Dedup.simhashNearDupPairsAgainst(
+          batch, corpus, "doc_id", "text", maxHamming = 3,
+          cacheSignatures = false))
+        assert(!p.contains("BroadcastExchange") && !p.contains("might_contain"),
+          "shuffle tier must carry neither hint nor filter:\n" + p)
       }
     }
   }
@@ -205,6 +348,21 @@ class ProbeGuardSpec extends SparkSpec {
       val expect = rows(graft.dedup.Fuzzy.fuzzyJoinAgainst(
         a, b, "id_a", "s", "id_b", "s", maxDist = 2))
       withCap("2") {
+        // Bloom tier: corpus key index and string fetch filtered
+        val (bl, logs) = withLogCapture {
+          graft.dedup.Fuzzy.fuzzyJoinAgainst(
+            a, b, "id_a", "s", "id_b", "s", maxDist = 2)
+        }
+        val p = planOf(bl)
+        assert(!p.contains("BroadcastExchange"),
+          "over-cap A side must drop the forced hints:\n" + p)
+        assert(p.contains("might_contain"),
+          "Bloom tier must filter the corpus scans:\n" + p)
+        assert(logs.exists(m => m.contains("Fuzzy.fuzzyJoinAgainst") &&
+          m.contains("bloom")))
+        assert(rows(bl) == expect, "Bloom tier must not change the matches")
+      }
+      withShuffleTier("2") {
         val (fb, logs) = withLogCapture {
           graft.dedup.Fuzzy.fuzzyJoinAgainst(
             a, b, "id_a", "s", "id_b", "s", maxDist = 2)
@@ -234,6 +392,20 @@ class ProbeGuardSpec extends SparkSpec {
     noAutoBroadcast {
       val expect = run()
       withCap("10") {
+        val (bl, logs) = withLogCapture {
+          graft.text.Decontaminate.decontaminate(
+            corpus, bench, "doc_id", "text", 5).select(col("doc_id"))
+        }
+        val p = planOf(bl)
+        assert(!p.contains("BroadcastExchange"),
+          "over-cap gram set must not broadcast:\n" + p)
+        assert(p.contains("might_contain"),
+          "Bloom tier must filter the corpus shingle scan:\n" + p)
+        assert(logs.exists(m => m.contains("Decontaminate.benchGrams") &&
+          m.contains("bloom")))
+        assert(rows(bl) == expect, "Bloom tier must not change the clean set")
+      }
+      withShuffleTier("10") {
         val (fb, logs) = withLogCapture {
           graft.text.Decontaminate.decontaminate(
             corpus, bench, "doc_id", "text", 5).select(col("doc_id"))
@@ -242,6 +414,42 @@ class ProbeGuardSpec extends SparkSpec {
           "over-cap gram set must not broadcast:\n" + planOf(fb))
         assert(logs.exists(_.contains("Decontaminate.benchGrams")))
         assert(rows(fb) == expect, "fallback must not change the clean set")
+      }
+    }
+  }
+
+  test("text A-vs-B forms (gram-count join, lines-against, spans-against): " +
+      "every tier is value-identical, Bloom tier filters the corpus scan") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter("doc_id % 5 = 0")
+    val corpus = docs.filter("doc_id % 5 <> 0")
+    val counts = graft.text.SpanDedup.gramDocCounts(corpus, "doc_id", "text", 4)
+    def runs(): Seq[(String, DataFrame)] = Seq(
+      "gramCountJoin" -> graft.text.SpanDedup.removeDuplicatedSpansWithCounts(
+        batch, counts, "doc_id", "text", n = 4, minDocs = 2),
+      "linesAgainst" -> graft.text.LineDedup.removeDuplicatedLinesAgainst(
+        batch, corpus, "doc_id", "text", sep = " "),
+      "spansAgainst" -> graft.text.SpanDedup.removeDuplicatedSpansAgainst(
+        batch, corpus, "doc_id", "text", n = 6))
+    noAutoBroadcast {
+      val expect = runs().map { case (tag, df) => tag -> rows(df) }.toMap
+      withCap("5") {
+        val (bl, logs) = withLogCapture(runs())
+        bl.foreach { case (tag, df) =>
+          assert(planOf(df).contains("might_contain"),
+            s"$tag: Bloom tier must filter the corpus scan:\n" + planOf(df))
+          assert(rows(df) == expect(tag), s"$tag: Bloom tier changed results")
+        }
+        assert(logs.exists(_.contains("bloom")), s"got: $logs")
+      }
+      withShuffleTier("5") {
+        runs().foreach { case (tag, df) =>
+          val p = planOf(df)
+          assert(!p.contains("might_contain") && !p.contains("BroadcastExchange"),
+            s"$tag: shuffle tier must carry neither hint nor filter:\n" + p)
+          assert(rows(df) == expect(tag), s"$tag: shuffle tier changed results")
+        }
       }
     }
   }
