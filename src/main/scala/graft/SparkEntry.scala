@@ -987,6 +987,73 @@ object SparkEntry {
   private def q134(s: SparkSession, d: String): DataFrame =
     curateMediaTracked(s, d)._3.orderBy(col("stage"), col("media_id"))
 
+  /** Builds `body`'s plan with the probe-broadcast cap forced to 1, so
+    * every [[graft.ops.ProbeGuard]] site inside lands on the BLOOM
+    * tier (batch keys > 1 but far below the Bloom cap) — the tier
+    * decision is baked into the plan at build time, so restoring the
+    * conf afterwards leaves the returned frame on the Bloom shape.
+    * Used by the q135/q136 gates to drive the Bloom-reduced plans
+    * end-to-end against the DuckDB oracle rather than only against
+    * the probe-tier twin in ProbeGuardSpec. */
+  private def onBloomTier(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val key = graft.ops.ProbeGuard.ConfKey
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "1")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** q135 — q96's incremental span scrub with the probe guard forced
+    * past the broadcast tier: the corpus gram stream is Bloom-filtered
+    * at its scan (`might_contain(xxhash64(h))` built from the batch
+    * gram hashes) instead of broadcast-probed. Same semantics, same
+    * oracle as q96 — the gate pins that the Bloom-reduced plan is
+    * oracle-correct on real data, not merely twin-equal. */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    onBloomTier(s)(q96(s, d))
+
+  /** q136 — the gram-count artifact join ([[graft.text.SpanDedup
+    * .removeDuplicatedSpansWithCounts]], the q128/q129 stage-3
+    * operator) on the Bloom tier: odd-id batch scrubbed against the
+    * even-id corpus' stored `(h, nd)` counts at `minDocs = 2` — a
+    * batch 4-gram is scrubbed when it repeats within the batch OR
+    * occurs anywhere in the corpus (nd >= 1 makes the joint threshold
+    * collapse to a corpus hit). The corpus artifact is Bloom-filtered
+    * at its scan before the sort-merge count join. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val counts = graft.text.SpanDedup.gramDocCounts(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 4)
+    onBloomTier(s)(graft.text.SpanDedup.removeDuplicatedSpansWithCounts(
+        docs.filter(col("doc_id") % 2 === 1), counts,
+        "doc_id", "text", n = 4, minDocs = 2)
+      .orderBy(col("doc_id")))
+  }
+
+  /** q137 — token-budget corpus selection
+    * ([[graft.ops.Sampling.tokenBudgetSelect]]): the q26 quality score
+    * ranks the documents, the q25 token count prices them, and the
+    * maximal (quality DESC, doc_id ASC) prefix within a budget of 1/5
+    * of the corpus' total tokens is kept. `maxLocal`/`buckets` are set
+    * low so the gate drives the driver-side range narrowing through
+    * real histogram levels at BOTH sf0.01 and sf0.1 — including the
+    * tie-mass id narrowing: the score caps at 1.0, so a fat quality=1
+    * tie straddles the cutoff at any sf. The oracle is the naive
+    * windowed prefix (integer token cumsum — exact across engines). */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val scored = T(s, d, "documents")
+      .transform(TextOps.withQualityScore(_, "text", "quality"))
+      .select(col("doc_id"), col("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+    val total = scored.agg(sum(col("n_tokens"))).head().getLong(0)
+    graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "quality",
+        "n_tokens", total / 5, buckets = 32, maxLocal = 1000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Two-sided SimHash join through the gate — the one A-vs-B method
     * that had spec coverage but no oracle (round-7 finding): odd-id
     * docs probed into the even-id corpus (band, byte) index, exact
@@ -2208,6 +2275,9 @@ object SparkEntry {
     "q132_curate_emb_drop_ledger" -> (q132 _),
     "q133_media_incremental" -> (q133 _),
     "q134_media_drop_ledger" -> (q134 _),
+    "q135_bloom_span_scrub" -> (q135 _),
+    "q136_bloom_count_scrub" -> (q136 _),
+    "q137_token_budget" -> (q137 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -4763,6 +4833,11 @@ object SparkEntry {
     "q132_curate_emb_drop_ledger" -> q132Sql,
     "q133_media_incremental" -> q133Sql,
     "q134_media_drop_ledger" -> q134Sql,
+    // q135 is q96 on the Bloom-reduced plan — identical semantics,
+    // identical oracle; the gate proves the TIER, not new semantics
+    "q135_bloom_span_scrub" -> q96Sql,
+    "q136_bloom_count_scrub" -> q136Sql,
+    "q137_token_budget" -> q137Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -4878,6 +4953,57 @@ object SparkEntry {
        SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
          count(*) AS n_kept
        FROM keep GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q136: the counts-artifact threshold rule at minDocs=2 — a batch
+    * (odd-id) 4-gram is duplicated when it repeats across batch docs
+    * OR exists anywhere in the (even-id) corpus counts; then q92's
+    * removal tail over the batch. */
+  private def q136Sql: String =
+    raw"""WITH tw AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       pg AS (SELECT doc_id, s.p AS p, md5(array_to_string(s.gl, ' ')) AS h
+          FROM tw, unnest([{'p': i - 1, 'gl': w[i:i+3]}
+                           for i in range(1, len(w) - 2)]) AS u(s)),
+       ch AS (SELECT DISTINCT h FROM pg WHERE doc_id % 2 = 0),
+       bd AS (SELECT h FROM pg WHERE doc_id % 2 = 1
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       dup AS (SELECT h FROM bd UNION SELECT h FROM ch),
+       cov AS (SELECT DISTINCT doc_id, x AS pos
+          FROM pg JOIN dup USING (h), unnest(range(p, p + 4)) AS r(x)
+          WHERE doc_id % 2 = 1),
+       tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tk
+          FROM tw, unnest(range(1, len(w) + 1)) AS r(i)
+          WHERE doc_id % 2 = 1),
+       keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL)
+       SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+       FROM keep GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q137: the windowed prefix the narrowing must reproduce — q26's
+    * quality CTE + q25's token count, cumulative integer token sum
+    * over (quality DESC, doc_id), keep while within 1/5 of the total
+    * (ROWS framing: a RANGE default would lump score ties). */
+  private def q137Sql: String =
+    s"""WITH t AS (SELECT doc_id, $ShW AS w, text FROM documents),
+       s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(w, x -> list_contains(
+             ['the','a','an','of','and','to','in','is','on','for'], x))) AS DOUBLE)
+             / len(w) AS stop_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio
+         FROM t),
+       q AS (SELECT doc_id, n_tokens,
+           round(least(1.0, stop_ratio*2 + (1.0-punct_ratio)*0.5), 4) AS quality
+         FROM s),
+       b AS (SELECT CAST(sum(n_tokens) // 5 AS BIGINT) AS budget FROM q),
+       o AS (SELECT doc_id, quality, n_tokens,
+           sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+         FROM q)
+       SELECT o.doc_id, o.quality, o.n_tokens FROM o, b
+       WHERE o.ct <= b.budget ORDER BY o.doc_id"""
 
   /** q92: covered-position expansion + anti-join + ordered rebuild. */
   private def q92Sql: String =

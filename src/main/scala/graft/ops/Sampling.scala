@@ -221,4 +221,184 @@ object Sampling {
         .cast("long"))
       .drop("_okey")
   }
+
+  /** Greedy token-budget selection — the corpus-ASSEMBLY step of a
+    * training-data pipeline ("fill a 15T-token budget with the
+    * best-scoring documents"): rows are ranked by `(scoreCol DESC,
+    * idCol ASC)` and the maximal PREFIX whose `tokensCol` sum stays
+    * within `budget` is kept (strict prefix, not a knapsack — once
+    * the running total would exceed the budget, everything after the
+    * cutoff is out, zero-token rows included).
+    *
+    * The naive plan — global sort + running-sum window — single-
+    * threads the whole corpus through one partition. This instead
+    * finds the cutoff `(score θ, id)` by DRIVER-SIDE RANGE NARROWING
+    * (the [[graft.dedup.Dedup.dropHotBuckets]] eager-decision
+    * discipline): each level aggregates per-bucket token sums over
+    * the current score interval (`buckets` value-range buckets — a
+    * map-side-combined agg whose output is driver-scale), walks the
+    * buckets in score order accepting whole buckets while they fit,
+    * and recurses into the single boundary bucket; a bucket pinned to
+    * ONE score value (a tie mass) narrows the same way over the id
+    * axis, which always terminates because ids are unique. Once the
+    * boundary region is under `maxLocal` rows the exact prefix is
+    * resolved with one BOUNDED single-partition window. The returned
+    * frame is `df.filter(score > θ OR (score = θ AND id <= idCut))` —
+    * at 100 TB the selection itself is ONE scan-stage filter with no
+    * sort, no window, and no exchange of the data; the decision costs
+    * ~`log_buckets(rows / maxLocal)` extra aggregation passes (2-3 at
+    * any realistic scale) over the three projected columns at plan
+    * BUILD time, each logged.
+    *
+    * Determinism: the cutoff is a pure function of the data (value-
+    * range buckets, no sampling), and the prefix order is total, so
+    * the result is reproducible run-to-run and matches the windowed
+    * SQL oracle row-for-row. Preconditions, validated in the first
+    * aggregation pass and failed loudly: `idCol` integral and unique,
+    * `scoreCol` non-null and non-NaN (engines disagree on NaN/NULL
+    * ordering), `tokensCol` non-null and non-negative (the prefix sum
+    * must be monotone). Integer token sums keep the boundary exact —
+    * no float-accumulation drift between this and any oracle. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long,
+                        buckets: Int = 4096, maxLocal: Long = 1000000L,
+                        log: String => Unit =
+                          m => System.err.println(m)): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxLocal >= 1, s"maxLocal must be >= 1, got $maxLocal")
+    require(Set("long", "int", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"$idCol must be an integral column for the tie-mass narrowing, " +
+        s"got ${df.schema(idCol).dataType.typeName}")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      col(scoreCol).cast("double").as("_s"),
+      col(tokensCol).cast("long").as("_n"))
+    val g = base.agg(coalesce(sum(col("_n")), lit(0L)),
+      count(lit(1)), min(col("_s")), max(col("_s")),
+      coalesce(min(col("_n")), lit(0L)),
+      count(when(col("_s").isNull || isnan(col("_s")) ||
+        col("_n").isNull, 1))).head()
+    require(g.getLong(5) == 0L,
+      s"tokenBudgetSelect: $scoreCol must be non-null/non-NaN and " +
+        s"$tokensCol non-null (${g.getLong(5)} offending rows) — " +
+        "engines disagree on NULL/NaN ordering, so the prefix would " +
+        "not be well-defined")
+    require(g.getLong(4) >= 0L,
+      s"tokenBudgetSelect: $tokensCol must be non-negative " +
+        s"(min ${g.getLong(4)}) — the prefix sum must be monotone")
+    val total = g.getLong(0)
+    val nAll = g.getLong(1)
+    if (budget <= 0L || nAll == 0L) return df.filter(lit(false))
+    if (total <= budget) {
+      log(s"[token-budget] budget $budget >= total $total tokens — " +
+        "everything selected")
+      return df
+    }
+    var remaining = budget
+    var lo = g.getDouble(2)
+    var hi = g.getDouble(3)
+    var nRegion = nAll
+    // the cutoff: last kept row's (score, Some(id)); idCut None means
+    // "no row AT score θ is kept" (accept is then score > θ only)
+    var cut: Option[(Double, Option[Long])] = None
+    var level = 0
+    while (cut.isEmpty && java.lang.Double.compare(lo, hi) != 0 &&
+        nRegion > maxLocal) {
+      level += 1
+      require(level <= 64, "tokenBudgetSelect: score narrowing did not " +
+        "converge in 64 levels (adversarial score distribution?) — " +
+        "raise maxLocal")
+      val width = hi - lo
+      val hist = base.filter(col("_s") >= lo && col("_s") <= hi)
+        .groupBy(least(lit(buckets - 1),
+          floor((col("_s") - lit(lo)) / lit(width) * buckets))
+          .cast("int").as("_b"))
+        .agg(sum(col("_n")).as("tn"), count(lit(1)).as("c"),
+          min(col("_s")).as("mn"), max(col("_s")).as("mx"))
+        .collect().sortBy(r => -r.getInt(0))
+      var found = false
+      for (r <- hist if !found) {
+        val tn = r.getLong(1)
+        if (tn <= remaining) remaining -= tn
+        else {
+          found = true
+          lo = r.getDouble(3); hi = r.getDouble(4); nRegion = r.getLong(2)
+        }
+      }
+      assert(found, "tokenBudgetSelect: internal — remaining budget " +
+        "must land inside the region")
+      log(s"[token-budget] level $level: boundary scores [$lo, $hi], " +
+        s"$nRegion rows, $remaining tokens remaining")
+    }
+    if (cut.isEmpty && nRegion > maxLocal) {
+      // tie mass: every region row shares one score — narrow over ids
+      // (ascending: the prefix order within a tie). Always terminates:
+      // ids are unique, so each level shrinks the id range ~buckets-fold
+      val v = lo
+      val tie = base.filter(col("_s") === v)
+      val bounds = tie.agg(min(col("_id")), max(col("_id"))).head()
+      var idLo = bounds.getLong(0)
+      var idHi = bounds.getLong(1)
+      var n2 = nRegion
+      while (cut.isEmpty && n2 > maxLocal) {
+        level += 1
+        require(level <= 128, "tokenBudgetSelect: internal — id " +
+          "narrowing must converge")
+        val blockSize =
+          (((BigInt(idHi) - BigInt(idLo)) / buckets) + 1).toLong
+        // ids in the filtered range are >= idLo, so DIV == floor
+        val hist = tie.filter(col("_id").between(idLo, idHi))
+          .groupBy(expr(s"(_id - ${idLo}L) DIV ${blockSize}L").as("_b"))
+          .agg(sum(col("_n")).as("tn"), count(lit(1)).as("c"),
+            min(col("_id")).as("mn"), max(col("_id")).as("mx"))
+          .collect().sortBy(_.getLong(0))
+        var found = false
+        for (r <- hist if !found) {
+          val tn = r.getLong(1)
+          if (tn <= remaining) remaining -= tn
+          else {
+            found = true
+            idLo = r.getLong(3); idHi = r.getLong(4); n2 = r.getLong(2)
+          }
+        }
+        assert(found, "tokenBudgetSelect: internal — remaining budget " +
+          "must land inside the tie mass")
+        log(s"[token-budget] level $level: tie at score $v, id " +
+          s"block [$idLo, $idHi], $n2 rows, $remaining tokens remaining")
+      }
+      if (cut.isEmpty) {
+        val w = Window.orderBy(col("_id"))
+        val tail = tie.filter(col("_id").between(idLo, idHi))
+          .withColumn("_ct", sum(col("_n")).over(w))
+          .filter(col("_ct") <= remaining)
+          .orderBy(col("_id").desc).limit(1).collect()
+        cut = Some((v, tail.headOption.map(_.getLong(0))
+          .orElse(if (idLo == Long.MinValue) None else Some(idLo - 1))))
+      }
+    }
+    if (cut.isEmpty) {
+      // exact prefix over the bounded boundary region
+      val w = Window.orderBy(col("_s").desc, col("_id"))
+      val tail = base.filter(col("_s") >= lo && col("_s") <= hi)
+        .withColumn("_ct", sum(col("_n")).over(w))
+        .filter(col("_ct") <= remaining)
+        .orderBy(col("_s").asc, col("_id").desc).limit(1).collect()
+      cut = Some(tail.headOption match {
+        case Some(r) => (r.getDouble(1), Some(r.getLong(0)))
+        case None => (hi, None) // nothing kept inside the region
+      })
+    }
+    val (theta, idCut) = cut.get
+    log(s"[token-budget] cutoff: score $theta, id ${idCut.orNull} " +
+      s"(budget $budget of $total total tokens)")
+    val sc = col(scoreCol).cast("double")
+    idCut match {
+      case Some(ic) => df.filter(sc > theta ||
+        (sc === theta && col(idCol).cast("long") <= ic))
+      case None => df.filter(sc > theta)
+    }
+  }
 }
+
+

@@ -138,4 +138,95 @@ class SamplingSpec extends SparkSpec {
     val firstShard = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
     assert(firstShard != firstShard.sorted)
   }
+
+  // ------------------------------------------------ tokenBudgetSelect
+
+  /** Brute-force prefix oracle: (score desc, id asc) order, running
+    * token sum, keep while <= budget. */
+  private def prefixOracle(rows: Seq[(Long, Double, Long)],
+                           budget: Long): Set[Long] = {
+    var acc = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }
+      .takeWhile { case (_, _, n) => { acc += n; acc <= budget } }
+      .map(_._1).toSet
+  }
+
+  private def selected(df: org.apache.spark.sql.DataFrame, budget: Long,
+                       buckets: Int = 8, maxLocal: Long = 4L): Set[Long] =
+    Sampling.tokenBudgetSelect(df, "id", "score", "n", budget,
+        buckets = buckets, maxLocal = maxLocal, log = _ => ())
+      .select("id").as[Long].collect().toSet
+
+  test("tokenBudgetSelect matches the windowed prefix oracle at every " +
+      "budget (tiny maxLocal forces the multi-level narrowing)") {
+    // distinct scores, varied token counts, ids deliberately unordered
+    // relative to score
+    val rows = (0L until 300L).map { i =>
+      (i, ((i * 37) % 101).toDouble / 101.0, (i % 13) + 1L)
+    }
+    val df = rows.toDF("id", "score", "n")
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(0L, 1L, 7L, total / 10, total / 3, total - 1, total,
+        total + 5)) {
+      assert(selected(df, budget) == prefixOracle(rows, budget),
+        s"divergence at budget $budget")
+    }
+  }
+
+  test("tokenBudgetSelect resolves tie masses by id (all rows one score, " +
+      "id narrowing forced through multiple levels)") {
+    val rows = (0L until 500L).map(i => (i * 7 + 3, 0.5, (i % 5) + 1L))
+    val df = rows.toDF("id", "score", "n")
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(1L, total / 4, total / 2, total - 1))
+      assert(selected(df, budget) == prefixOracle(rows, budget),
+        s"divergence at budget $budget")
+  }
+
+  test("tokenBudgetSelect mixes distinct scores with a dominant tie " +
+      "mass straddling the cutoff; zero-token rows ride the prefix") {
+    val tie = (0L until 200L).map(i => (i, 0.25, if (i % 4 == 0) 0L else 2L))
+    val high = (200L until 220L).map(i => (i, 0.9, 10L))
+    val low = (220L until 240L).map(i => (i, 0.1, 1L))
+    val rows = tie ++ high ++ low
+    val df = rows.toDF("id", "score", "n")
+    for (budget <- Seq(150L, 200L, 201L, 350L, 420L))
+      assert(selected(df, budget) == prefixOracle(rows, budget),
+        s"divergence at budget $budget")
+  }
+
+  test("tokenBudgetSelect fails loudly on NaN/NULL scores and negative " +
+      "tokens; keeps original columns") {
+    val bad = Seq((1L, Double.NaN, 2L)).toDF("id", "score", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(bad, "id", "score", "n", 10L, log = _ => ())
+    }
+    assert(e.getMessage.contains("non-null/non-NaN"))
+    val neg = Seq((1L, 0.5, -2L)).toDF("id", "score", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(neg, "id", "score", "n", 10L, log = _ => ())
+    }
+    assert(e2.getMessage.contains("non-negative"))
+    val ok = Seq((1L, 0.5, 2L, "keep-me")).toDF("id", "score", "n", "tag")
+    assert(Sampling.tokenBudgetSelect(ok, "id", "score", "n", 10L,
+      log = _ => ()).columns.toSeq == Seq("id", "score", "n", "tag"))
+  }
+
+  test("tokenBudgetSelect plan: the selection is a filter over the " +
+      "input — no sort, no window, no exchange of the data") {
+    val rows = (0L until 300L).map { i =>
+      (i, ((i * 37) % 101).toDouble / 101.0, (i % 13) + 1L)
+    }
+    // range-backed so ConvertToLocalRelation can't fold the filter away
+    val df = spark.range(0, 300).select(col("id"),
+      (col("id") * 37 % 101).cast("double") / 101.0 as "score",
+      (col("id") % 13 + 1) as "n")
+    val out = Sampling.tokenBudgetSelect(df, "id", "score", "n",
+      rows.map(_._3).sum / 3, log = _ => ())
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange") && !p.contains("Sort") &&
+      !p.contains("Window"),
+      "selection must be a pure scan-side filter:\n" + p)
+  }
 }
