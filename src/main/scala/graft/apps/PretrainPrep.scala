@@ -35,7 +35,13 @@ import org.apache.spark.sql.functions._
   *      ([[Decontaminate.decontaminateByEmbedding]] — catches
   *      paraphrased eval questions n-grams miss),
   *   8. per-source quota ([[Sampling.capPerGroup]] — bounded heaps,
-  *      keep the token-richest K per source),
+  *      keep the token-richest K per source), then an optional GLOBAL
+  *      token budget ([[Sampling.tokenBudgetSelect]] — the
+  *      token-richest (n_kept DESC, id ASC) prefix that fits
+  *      `tokenBudget`; driver-side range narrowing, so the selection
+  *      is a scan-side filter, never a global sort/window; the
+  *      incremental form fills the budget's HEADROOM after the
+  *      standing corpus' spent tokens),
   *   9. deterministic shuffle into training shards
   *      ([[Sampling.shuffleShards]]).
   *
@@ -154,14 +160,15 @@ object PretrainPrep {
           decontamN: Int = 13,
           embDecontam: Option[EmbDecontam] = None,
           quotaPerSource: Int = Int.MaxValue,
+          tokenBudget: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
     val r = runImpl(docs, idCol, textCol, srcCol, bench,
       config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
-      quotaPerSource, nShards, seed, countInput, keepArtifacts = false,
-      keepLedger = false, log)
+      quotaPerSource, tokenBudget, nShards, seed, countInput,
+      keepArtifacts = false, keepLedger = false, log)
     (r.out, r.report)
   }
 
@@ -182,14 +189,15 @@ object PretrainPrep {
           decontamN: Int = 13,
           embDecontam: Option[EmbDecontam] = None,
           quotaPerSource: Int = Int.MaxValue,
+          tokenBudget: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report, PrepArtifacts) = {
     val r = runImpl(docs, idCol, textCol, srcCol, bench,
       config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
-      quotaPerSource, nShards, seed, countInput, keepArtifacts = true,
-      keepLedger = false, log)
+      quotaPerSource, tokenBudget, nShards, seed, countInput,
+      keepArtifacts = true, keepLedger = false, log)
     (r.out, r.report, r.artifacts.get)
   }
 
@@ -208,6 +216,7 @@ object PretrainPrep {
           decontamN: Int = 13,
           embDecontam: Option[EmbDecontam] = None,
           quotaPerSource: Int = Int.MaxValue,
+          tokenBudget: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -215,8 +224,8 @@ object PretrainPrep {
           keepLedger: Boolean = false,
           log: String => Unit = m => System.err.println(m)): Tracked[Report] =
     runImpl(docs, idCol, textCol, srcCol, bench, config, badWords, spanN,
-      spanMinDocs, method, decontamN, embDecontam, quotaPerSource, nShards,
-      seed, countInput, keepArtifacts, keepLedger, log)
+      spanMinDocs, method, decontamN, embDecontam, quotaPerSource,
+      tokenBudget, nShards, seed, countInput, keepArtifacts, keepLedger, log)
 
   private def runImpl(docs: DataFrame, idCol: String, textCol: String,
           srcCol: String,
@@ -229,6 +238,7 @@ object PretrainPrep {
           decontamN: Int,
           embDecontam: Option[EmbDecontam],
           quotaPerSource: Int,
+          tokenBudget: Long,
           nShards: Int,
           seed: Int,
           countInput: Boolean,
@@ -418,22 +428,49 @@ object PretrainPrep {
       s"$afterDecontam -> $afterEmbDecontam")
 
     // stage 8: per-source quota — keep the token-richest K per source
-    val quota =
+    val quota0 =
       (if (quotaPerSource == Int.MaxValue) embClean
        else Sampling.capPerGroup(embClean, Seq(srcCol),
            Seq(("n_kept", false), (idCol, true)), quotaPerSource)
          .drop("rn"))
+    // stage 8b (opt-in): global token budget — the release keeps the
+    // token-richest (n_kept DESC, id ASC) prefix that fits
+    // `tokenBudget` ([[graft.ops.Sampling.tokenBudgetSelect]] — a
+    // scan-side filter; the cutoff is resolved by driver-side range
+    // narrowing, no global sort/window). The quota frame is staged
+    // first: the budget decision and the ledger anti-join both
+    // re-read it
+    val useBudget = tokenBudget != Long.MaxValue
+    val quota = if (useBudget) stage(quota0) else quota0
+    val budgeted =
+      if (useBudget)
+        Sampling.tokenBudgetSelect(quota, idCol, "n_kept", "n_kept",
+          tokenBudget, log = log)
+      else quota
     // stage 9: deterministic shuffle into shards (adds shard, pos)
-    val sharded = Sampling.shuffleShards(quota, idCol, nShards, seed)
+    val sharded = Sampling.shuffleShards(budgeted, idCol, nShards, seed)
       .transform(stage)
     val afterQuota = sharded.count()
-    frag(embClean.select(col(idCol))
-      .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), lit("quota").as("stage"),
-        lit("source_quota").as("reason"), noWin))
+    if (useBudget) {
+      frag(embClean.select(col(idCol))
+        .join(quota.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("quota").as("stage"),
+          lit("source_quota").as("reason"), noWin))
+      frag(quota.select(col(idCol))
+        .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("budget").as("stage"),
+          lit("token_budget").as("reason"), noWin))
+      graft.ops.StageCut.release(quota)
+    } else
+      frag(embClean.select(col(idCol))
+        .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("quota").as("stage"),
+          lit("source_quota").as("reason"), noWin))
     graft.ops.StageCut.release(embClean)
-    log(s"[prep] quota (<= $quotaPerSource/source) + shuffle " +
-      s"($nShards shards, seed $seed): $afterEmbDecontam -> $afterQuota")
+    log(s"[prep] quota (<= $quotaPerSource/source)" +
+      (if (useBudget) s" + token budget $tokenBudget" else "") +
+      s" + shuffle ($nShards shards, seed $seed): " +
+      s"$afterEmbDecontam -> $afterQuota")
 
     val ledger =
       if (keepLedger) {
@@ -529,6 +566,7 @@ object PretrainPrep {
           corpusSigs: Option[DataFrame] = None,
           decontamN: Int = 13,
           quotaPerSource: Int = Int.MaxValue,
+          tokenBudget: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -536,7 +574,7 @@ object PretrainPrep {
     val r = runIncrementalImpl(newDocs, corpus, corpusFps,
       corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
       spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
-      nShards, seed, countInput, keepArtifacts = false,
+      tokenBudget, nShards, seed, countInput, keepArtifacts = false,
       keepLedger = false, log)
     (r.out, r.report)
   }
@@ -558,6 +596,7 @@ object PretrainPrep {
           corpusSigs: Option[DataFrame] = None,
           decontamN: Int = 13,
           quotaPerSource: Int = Int.MaxValue,
+          tokenBudget: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -565,7 +604,7 @@ object PretrainPrep {
     val r = runIncrementalImpl(newDocs, corpus, corpusFps,
       corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
       spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
-      nShards, seed, countInput, keepArtifacts = true,
+      tokenBudget, nShards, seed, countInput, keepArtifacts = true,
       keepLedger = false, log)
     (r.out, r.report, r.artifacts.get)
   }
@@ -590,6 +629,7 @@ object PretrainPrep {
           corpusSigs: Option[DataFrame] = None,
           decontamN: Int = 13,
           quotaPerSource: Int = Int.MaxValue,
+          tokenBudget: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -598,8 +638,8 @@ object PretrainPrep {
           log: String => Unit = m => System.err.println(m)): Tracked[IncReport] =
     runIncrementalImpl(newDocs, corpus, corpusFps, corpusGramCounts,
       idCol, textCol, srcCol, bench, config, badWords, spanN, spanMinDocs,
-      method, corpusSigs, decontamN, quotaPerSource, nShards, seed,
-      countInput, keepArtifacts, keepLedger, log)
+      method, corpusSigs, decontamN, quotaPerSource, tokenBudget,
+      nShards, seed, countInput, keepArtifacts, keepLedger, log)
 
   private def runIncrementalImpl(newDocs: DataFrame, corpus: DataFrame,
           corpusFps: DataFrame, corpusGramCounts: DataFrame,
@@ -613,6 +653,7 @@ object PretrainPrep {
           corpusSigs: Option[DataFrame],
           decontamN: Int,
           quotaPerSource: Int,
+          tokenBudget: Long,
           nShards: Int,
           seed: Int,
           countInput: Boolean,
@@ -794,7 +835,7 @@ object PretrainPrep {
     // stage 7: per-source HEADROOM quota — the standing corpus's count
     // per source is a (srcCol)-only aggregate; batch keeps its
     // token-richest rows only into the remaining headroom
-    val quota =
+    val quota0 =
       if (quotaPerSource == Int.MaxValue) dec
       else {
         val standing = corpus.groupBy(col(srcCol))
@@ -806,23 +847,56 @@ object PretrainPrep {
             quotaPerSource)
           .drop("rn", "_cn")
       }
+    // stage 7b (opt-in): token-budget HEADROOM — the standing corpus
+    // has already spent its n_kept sum (one corpus column-scan
+    // aggregate, only when the budget is set); the batch keeps its
+    // token-richest (n_kept DESC, id ASC) prefix into what is left.
+    // Same headroom-fill caveat as the per-source quota (drift (c)
+    // above): a full-run replay's global prefix may instead evict a
+    // standing doc in favor of a richer batch doc
+    val useBudget = tokenBudget != Long.MaxValue
+    val quota = if (useBudget) stage(quota0) else quota0
+    val budgeted =
+      if (!useBudget) quota
+      else {
+        val spent = corpus.agg(coalesce(sum(col("n_kept")), lit(0L)))
+          .head().getLong(0)
+        val headroom = tokenBudget - spent
+        log(s"[prep+] token budget $tokenBudget: corpus holds $spent " +
+          s"tokens, headroom ${math.max(0L, headroom)}")
+        if (headroom <= 0L) quota.filter(lit(false))
+        else Sampling.tokenBudgetSelect(quota, idCol, "n_kept",
+          "n_kept", headroom, log = log)
+      }
     // stage 8: same-epoch shard assignment; pos continues each shard's
     // sequence after the standing corpus ((shard)-only aggregate)
     val shardCounts = corpus.groupBy(col("shard"))
       .agg(count(lit(1)).as("_sn"))
-    val sharded = Sampling.shuffleShards(quota, idCol, nShards, seed)
+    val sharded = Sampling.shuffleShards(budgeted, idCol, nShards, seed)
       .join(shardCounts, Seq("shard"), "left")
       .withColumn("pos", col("pos") + coalesce(col("_sn"), lit(0L)))
       .drop("_sn")
       .transform(stage)
     val afterQuota = sharded.count()
-    frag(dec.select(col(idCol))
-      .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), lit("quota").as("stage"),
-        lit("source_quota").as("reason"), noWin))
+    if (useBudget) {
+      frag(dec.select(col(idCol))
+        .join(quota.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("quota").as("stage"),
+          lit("source_quota").as("reason"), noWin))
+      frag(quota.select(col(idCol))
+        .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("budget").as("stage"),
+          lit("token_budget").as("reason"), noWin))
+      graft.ops.StageCut.release(quota)
+    } else
+      frag(dec.select(col(idCol))
+        .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit("quota").as("stage"),
+          lit("source_quota").as("reason"), noWin))
     graft.ops.StageCut.release(dec)
-    log(s"[prep+] quota headroom (<= $quotaPerSource/source incl corpus) " +
-      s"+ shards ($nShards, seed $seed): $afterDecontam -> $afterQuota")
+    log(s"[prep+] quota headroom (<= $quotaPerSource/source incl corpus)" +
+      (if (useBudget) s" + token budget $tokenBudget" else "") +
+      s" + shards ($nShards, seed $seed): $afterDecontam -> $afterQuota")
 
     val ledger =
       if (keepLedger) {
@@ -872,10 +946,11 @@ object PretrainPrepMain {
       "[policy=parquet] [badwords=a,b,c] [spanN=4] [spanMinDocs=2] " +
       "[method=minhash:0.8] [decontamN=13] [embvecs=parquet] " +
       "[embbench=parquet] [veccol=embedding] [mincos=0.98] [quota=k] " +
-      "[shards=64] [seed=0] [seqLen=2048] [ledger=on]"
+      "[budget=tokens] [shards=64] [seed=0] [seqLen=2048] [ledger=on]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "embvecs", "embbench",
-    "veccol", "mincos", "quota", "shards", "seed", "seqLen", "ledger")
+    "veccol", "mincos", "quota", "budget", "shards", "seed", "seqLen",
+    "ledger")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) throw new IllegalArgumentException(usage)
@@ -926,6 +1001,8 @@ object PretrainPrepMain {
       embDecontam = emb,
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
+      tokenBudget = opts.get("budget").map(_.toLong)
+        .getOrElse(Long.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
       seed = opts.get("seed").map(_.toInt).getOrElse(0),
       keepArtifacts = true, keepLedger = wantLedger)
@@ -1023,12 +1100,12 @@ object PretrainPrepIncrementalMain {
     "usage: pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir> " +
       "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
       "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
-      "[shards=64] [seed=0] [check=off] [ledger=on]\n" +
+      "[budget=tokens] [shards=64] [seed=0] [check=off] [ledger=on]\n" +
       "   or: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
       "[check=off]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
-    "spanMinDocs", "method", "decontamN", "quota", "shards", "seed",
-    "check", "ledger")
+    "spanMinDocs", "method", "decontamN", "quota", "budget", "shards",
+    "seed", "check", "ledger")
 
   /** Hadoop-FS probe (works on hdfs://, s3a://, file:// alike —
     * `java.io.File` is silently false for every non-local scheme):
@@ -1250,6 +1327,8 @@ object PretrainPrepIncrementalMain {
       decontamN = opts.get("decontamN").map(_.toInt).getOrElse(13),
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
+      tokenBudget = opts.get("budget").map(_.toLong)
+        .getOrElse(Long.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
       seed = opts.get("seed").map(_.toInt).getOrElse(0),
       keepArtifacts = true,

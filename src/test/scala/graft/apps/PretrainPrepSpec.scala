@@ -818,4 +818,87 @@ class PretrainPrepSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("unrecognized option"))
   }
+
+  // -------------------------------------------- token-budget stage 8b
+
+  /** Everything passes, so the budget stage is the only dropper. */
+  private val openPolicy = graft.text.PolicyConfig(
+    minTokens = 1, maxTokens = 1000000, minMeanWordLen = 0.0,
+    maxMeanWordLen = 1000.0, minStopwords = 0, maxTop2Frac = 1.0,
+    maxDup5Frac = 1.0)
+
+  /** Unique-word docs (no exact/near/span dups anywhere): doc `id`
+    * gets `n` tokens, so post-scrub n_kept == n. */
+  private def budgetDocs(rows: Seq[(Long, String, Int)]) =
+    rows.map { case (id, src, n) =>
+      (id, src, (1 to n).map(j => s"d${id}w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+
+  private def prefixIds(rows: Seq[(Long, Int)], budget: Long): Set[Long] = {
+    var acc = 0L
+    rows.sortBy { case (id, n) => (-n, id) }
+      .takeWhile { case (_, n) => { acc += n; acc <= budget } }
+      .map(_._1).toSet
+  }
+
+  test("run(tokenBudget): keeps the (n_kept DESC, id ASC) prefix, " +
+      "ledger attributes the budget drops separately from quota") {
+    // two sources with IDENTICAL length profiles -> cross-source
+    // n_kept ties, broken by id
+    val rows = (1 to 15).flatMap(i =>
+      Seq((100L + i, "a", i + 5), (200L + i, "b", i + 5)))
+    val docs = budgetDocs(rows)
+    val budget = 100L
+    val tracked = PretrainPrep.runTracked(docs, "doc_id", "text",
+      "source", config = openPolicy, tokenBudget = budget,
+      keepLedger = true, log = _ => ())
+    val got = tracked.out.select("doc_id").as[Long].collect().toSet
+    val expect = prefixIds(rows.map(r => (r._1, r._3)), budget)
+    assert(got == expect, s"expected $expect, got $got")
+    val ledger = tracked.ledger.get.collect()
+    assert(ledger.forall(r => r.getString(1) == "budget" &&
+      r.getString(2) == "token_budget"),
+      "the open policy makes budget the only dropping stage")
+    assert(ledger.map(_.getLong(0)).toSet ==
+      rows.map(_._1).toSet -- expect,
+      "ledger ∪ accepted must partition the input")
+    graft.ops.StageCut.release(tracked.out)
+    tracked.ledger.foreach(graft.ops.StageCut.release)
+  }
+
+  test("runIncremental(tokenBudget): the batch fills the HEADROOM " +
+      "left by the standing corpus; zero headroom keeps nothing") {
+    val corpusRows = (1 to 6).map(i => (i.toLong, "a", 10))
+    val (corpus, _, arts) = PretrainPrep.runWithArtifacts(
+      budgetDocs(corpusRows), "doc_id", "text", "source",
+      config = openPolicy, log = _ => ())
+    val spent = 60L // 6 docs x 10 tokens, nothing dropped
+    assert(corpus.agg(sum(col("n_kept"))).head().getLong(0) == spent)
+    val batchRows = (1 to 6).map(i => (1000L + i, "a", i + 4))
+    val batch = budgetDocs(batchRows)
+    // headroom = 85 - 60 = 25: ranked 10,9,8,... -> 10+9 =19 <= 25,
+    // +8 would be 27 > 25
+    val tracked = PretrainPrep.runIncrementalTracked(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      config = openPolicy, tokenBudget = spent + 25L,
+      keepLedger = true, log = _ => ())
+    val got = tracked.out.select("doc_id").as[Long].collect().toSet
+    val expect = prefixIds(batchRows.map(r => (r._1, r._3)), 25L)
+    assert(got == expect, s"expected $expect, got $got")
+    assert(tracked.ledger.get.collect().forall(r =>
+      r.getString(1) == "budget"))
+    graft.ops.StageCut.release(tracked.out)
+    tracked.ledger.foreach(graft.ops.StageCut.release)
+    // a budget the corpus has already exhausted admits nothing
+    val none = PretrainPrep.runIncrementalTracked(batch, corpus,
+      arts.fps, arts.gramCounts, "doc_id", "text", "source",
+      config = openPolicy, tokenBudget = 10L,
+      keepLedger = true, log = _ => ())
+    assert(none.out.count() == 0L)
+    assert(none.ledger.get.filter(col("stage") === "budget").count() ==
+      batchRows.size.toLong)
+    graft.ops.StageCut.release(none.out)
+    none.ledger.foreach(graft.ops.StageCut.release)
+    graft.ops.StageCut.release(arts.scrubInput)
+  }
 }
