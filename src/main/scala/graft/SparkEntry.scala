@@ -1054,6 +1054,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q138 — per-source token budgets
+    * ([[graft.ops.Sampling.tokenBudgetByGroup]], the mixture-assembly
+    * form of q137): each source keeps its (quality DESC, doc_id ASC)
+    * prefix within a budget of 1/3 of that source's own token total
+    * (data-derived so the gate scales with sf). buckets/maxLocal are
+    * set low enough that every source runs real narrowing levels —
+    * including the per-source quality=1.0 tie masses — at both sfs;
+    * the selection itself is a broadcast-join + filter (plan-pinned in
+    * SamplingSpec). */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val scored = T(s, d, "documents")
+      .transform(TextOps.withQualityScore(_, "text", "quality"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+    val budgets = scored.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 3).toMap
+    graft.ops.Sampling.tokenBudgetByGroup(scored, "doc_id", "source",
+        "quality", "n_tokens", budgets, buckets = 8, maxLocal = 20L)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Two-sided SimHash join through the gate — the one A-vs-B method
     * that had spec coverage but no oracle (round-7 finding): odd-id
     * docs probed into the even-id corpus (band, byte) index, exact
@@ -2278,6 +2301,7 @@ object SparkEntry {
     "q135_bloom_span_scrub" -> (q135 _),
     "q136_bloom_count_scrub" -> (q136 _),
     "q137_token_budget" -> (q137 _),
+    "q138_group_token_budget" -> (q138 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -4838,6 +4862,7 @@ object SparkEntry {
     "q135_bloom_span_scrub" -> q96Sql,
     "q136_bloom_count_scrub" -> q136Sql,
     "q137_token_budget" -> q137Sql,
+    "q138_group_token_budget" -> q138Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context
@@ -5004,6 +5029,31 @@ object SparkEntry {
          FROM q)
        SELECT o.doc_id, o.quality, o.n_tokens FROM o, b
        WHERE o.ct <= b.budget ORDER BY o.doc_id"""
+
+  /** q138: q137's CTEs with a per-source windowed prefix — each
+    * source's budget is its own token total // 3 (both window frames
+    * spelled out: the prefix needs ROWS, the per-source total is the
+    * whole partition). */
+  private def q138Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, $ShW AS w, text FROM documents),
+       s AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(w, x -> list_contains(
+             ['the','a','an','of','and','to','in','is','on','for'], x))) AS DOUBLE)
+             / len(w) AS stop_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio
+         FROM t),
+       q AS (SELECT doc_id, source, n_tokens,
+           round(least(1.0, stop_ratio*2 + (1.0-punct_ratio)*0.5), 4) AS quality
+         FROM s),
+       o AS (SELECT doc_id, quality, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+           sum(n_tokens) OVER (PARTITION BY source) // 3 AS b
+         FROM q)
+       SELECT doc_id, quality, n_tokens FROM o
+       WHERE ct <= b ORDER BY doc_id"""
 
   /** q92: covered-position expansion + anti-join + ordered rebuild. */
   private def q92Sql: String =

@@ -399,6 +399,225 @@ object Sampling {
       case None => df.filter(sc > theta)
     }
   }
-}
 
+  /** Per-group [[tokenBudgetSelect]] — the mixture-assembly form
+    * ("10T of web, 3T of code, 1T of wiki"): within each group the
+    * maximal `(scoreCol DESC, idCol ASC)` prefix whose `tokensCol`
+    * sum fits that group's budget is kept; groups absent from
+    * `budgets` use `defaultBudget` (default unlimited; a budget <= 0
+    * keeps nothing of that group). This differs from [[capPerGroup]]
+    * (top-K by COUNT) in that the cap is a token MASS — which is what
+    * a training mixture actually specifies.
+    *
+    * Scale shape — the [[tokenBudgetSelect]] narrowing run for ALL
+    * groups at once: each level is ONE `(group, bucket)` map-side-
+    * combined aggregation over the still-unresolved groups' regions
+    * (region predicates ride a broadcast table; the collected
+    * histogram is <= #activeGroups x `buckets` rows, which is why the
+    * group form defaults to coarser buckets — more levels, each
+    * driver-cheap), score-tie masses narrow the same way over the
+    * unique-id axis, and every terminal region resolves in ONE
+    * `partitionBy(group)` window whose partitions are each <=
+    * `maxLocal` rows by construction. The final selection joins the
+    * per-group cutoff table back by BROADCAST and filters — the data
+    * itself is never sorted, windowed, or exchanged. Same
+    * preconditions as [[tokenBudgetSelect]] (plus: no NULL group
+    * keys), validated in the first pass. */
+  def tokenBudgetByGroup(df: DataFrame, idCol: String, groupCol: String,
+                         scoreCol: String, tokensCol: String,
+                         budgets: Map[String, Long],
+                         defaultBudget: Long = Long.MaxValue,
+                         buckets: Int = 256, maxLocal: Long = 1000000L,
+                         log: String => Unit =
+                           m => System.err.println(m)): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxLocal >= 1, s"maxLocal must be >= 1, got $maxLocal")
+    require(Set("long", "int", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"$idCol must be an integral column, got " +
+        df.schema(idCol).dataType.typeName)
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+      col(idCol).cast("long").as("_id"),
+      col(scoreCol).cast("double").as("_s"),
+      col(tokensCol).cast("long").as("_n"))
+    // pass 1: per-group totals + the shared precondition sweep
+    val g0 = base.groupBy(col("_g")).agg(
+      coalesce(sum(col("_n")), lit(0L)).as("t"), count(lit(1)).as("c"),
+      min(col("_s")).as("mn"), max(col("_s")).as("mx"),
+      coalesce(min(col("_n")), lit(0L)).as("nn"),
+      count(when(col("_s").isNull || isnan(col("_s")) ||
+        col("_n").isNull, 1)).as("bad")).collect()
+    require(g0.forall(!_.isNullAt(0)),
+      s"tokenBudgetByGroup: $groupCol must be non-null")
+    val nBad = g0.map(_.getAs[Long]("bad")).sum
+    require(nBad == 0L,
+      s"tokenBudgetByGroup: $scoreCol must be non-null/non-NaN and " +
+        s"$tokensCol non-null ($nBad offending rows)")
+    require(g0.forall(_.getAs[Long]("nn") >= 0L),
+      s"tokenBudgetByGroup: $tokensCol must be non-negative")
+    // per-group narrowing state; idLo/idHi only bind once `tie`
+    final class St(var lo: Double, var hi: Double, var n: Long,
+                   var remaining: Long,
+                   var tie: Boolean = false,
+                   var idLo: Long = Long.MinValue,
+                   var idHi: Long = Long.MaxValue)
+    // resolved: group -> (mode 2=all 0=none 1=cut, theta, idCut)
+    val done = scala.collection.mutable.Map
+      .empty[String, (Int, Double, Option[Long])]
+    val open = scala.collection.mutable.Map.empty[String, St]
+    g0.foreach { r =>
+      val g = r.getAs[String]("_g")
+      val b = budgets.getOrElse(g, defaultBudget)
+      if (b <= 0L) done(g) = (0, 0.0, None)
+      else if (r.getAs[Long]("t") <= b) done(g) = (2, 0.0, None)
+      else {
+        val st = new St(r.getAs[Double]("mn"),
+          r.getAs[Double]("mx"), r.getAs[Long]("c"), b)
+        // a group born on one score value is already a tie mass
+        if (java.lang.Double.compare(st.lo, st.hi) == 0) st.tie = true
+        open(g) = st
+      }
+    }
+    log(s"[token-budget/group] ${g0.length} groups: " +
+      s"${done.count(_._2._1 == 2)} fit whole, " +
+      s"${done.count(_._2._1 == 0)} zero-budget, ${open.size} narrowing")
+    var level = 0
+    // score-axis levels over the groups still wide and untied
+    def wide() = open.filter { case (_, s) => !s.tie && s.n > maxLocal }
+    while (wide().nonEmpty) {
+      level += 1
+      require(level <= 64, "tokenBudgetByGroup: score narrowing did " +
+        "not converge in 64 levels — raise maxLocal")
+      val act = wide()
+      val regions = act.toSeq.map { case (g, s) =>
+        (g, s.lo, s.hi, s.hi - s.lo) }.toDF("_g", "_lo", "_hi", "_w")
+      val hist = base.join(broadcast(regions), Seq("_g"))
+        .filter(col("_s") >= col("_lo") && col("_s") <= col("_hi"))
+        .groupBy(col("_g"), least(lit(buckets - 1),
+          floor((col("_s") - col("_lo")) / col("_w") * buckets))
+          .cast("int").as("_b"))
+        .agg(sum(col("_n")).as("tn"), count(lit(1)).as("c"),
+          min(col("_s")).as("bmn"), max(col("_s")).as("bmx"))
+        .collect().groupBy(_.getAs[String]("_g"))
+      act.foreach { case (g, s) =>
+        val rows = hist(g).sortBy(r => -r.getAs[Int]("_b"))
+        var found = false
+        for (r <- rows if !found) {
+          val tn = r.getAs[Long]("tn")
+          if (tn <= s.remaining) s.remaining -= tn
+          else {
+            found = true
+            s.lo = r.getAs[Double]("bmn"); s.hi = r.getAs[Double]("bmx")
+            s.n = r.getAs[Long]("c")
+            if (java.lang.Double.compare(s.lo, s.hi) == 0) s.tie = true
+          }
+        }
+        assert(found, s"tokenBudgetByGroup: internal — group $g's " +
+          "remaining budget must land inside its region")
+      }
+      log(s"[token-budget/group] level $level: ${act.size} groups narrowed")
+    }
+    // id-axis narrowing for oversized score-tie masses (ids unique ->
+    // the range shrinks ~buckets-fold per level, always terminates)
+    def ties() = open.filter { case (_, s) =>
+      s.tie && s.n > maxLocal && s.idLo == Long.MinValue }
+    if (ties().nonEmpty) {
+      val vals = ties().toSeq.map { case (g, s) => (g, s.lo) }
+        .toDF("_g", "_v")
+      base.join(broadcast(vals), Seq("_g"))
+        .filter(col("_s") === col("_v"))
+        .groupBy(col("_g"))
+        .agg(min(col("_id")).as("mn"), max(col("_id")).as("mx"))
+        .collect().foreach { r =>
+          val s = open(r.getAs[String]("_g"))
+          s.idLo = r.getAs[Long]("mn"); s.idHi = r.getAs[Long]("mx")
+        }
+    }
+    def tieWide() = open.filter { case (_, s) => s.tie && s.n > maxLocal }
+    while (tieWide().nonEmpty) {
+      level += 1
+      require(level <= 128, "tokenBudgetByGroup: internal — id " +
+        "narrowing must converge")
+      val act = tieWide()
+      val blocks = act.toSeq.map { case (g, s) =>
+        (g, s.lo, s.idLo, s.idHi,
+          (((BigInt(s.idHi) - BigInt(s.idLo)) / buckets) + 1).toLong)
+      }.toDF("_g", "_v", "_il", "_ih", "_bs")
+      val hist = base.join(broadcast(blocks), Seq("_g"))
+        .filter(col("_s") === col("_v") &&
+          col("_id") >= col("_il") && col("_id") <= col("_ih"))
+        .groupBy(col("_g"),
+          expr("(_id - _il) DIV _bs").as("_b"))
+        .agg(sum(col("_n")).as("tn"), count(lit(1)).as("c"),
+          min(col("_id")).as("bmn"), max(col("_id")).as("bmx"))
+        .collect().groupBy(_.getAs[String]("_g"))
+      act.foreach { case (g, s) =>
+        val rows = hist(g).sortBy(_.getAs[Long]("_b"))
+        var found = false
+        for (r <- rows if !found) {
+          val tn = r.getAs[Long]("tn")
+          if (tn <= s.remaining) s.remaining -= tn
+          else {
+            found = true
+            s.idLo = r.getAs[Long]("bmn"); s.idHi = r.getAs[Long]("bmx")
+            s.n = r.getAs[Long]("c")
+          }
+        }
+        assert(found, s"tokenBudgetByGroup: internal — group $g's " +
+          "tie mass must contain the cutoff")
+      }
+      log(s"[token-budget/group] level $level: ${act.size} tie groups " +
+        "narrowed")
+    }
+    // terminal: ONE partitionBy(group) window over every boundary
+    // region (each group's slice <= maxLocal rows); the last kept row
+    // per group is the cutoff
+    if (open.nonEmpty) {
+      val regions = open.toSeq.map { case (g, s) =>
+        (g, s.lo, s.hi, s.idLo, s.idHi, s.remaining)
+      }.toDF("_g", "_lo", "_hi", "_il", "_ih", "_rem")
+      val wSum = Window.partitionBy(col("_g"))
+        .orderBy(col("_s").desc, col("_id"))
+      val wLast = Window.partitionBy(col("_g"))
+        .orderBy(col("_s").asc, col("_id").desc)
+      val cutRows = base.join(broadcast(regions), Seq("_g"))
+        .filter(col("_s") >= col("_lo") && col("_s") <= col("_hi") &&
+          col("_id") >= col("_il") && col("_id") <= col("_ih"))
+        .withColumn("_ct", sum(col("_n")).over(wSum))
+        .filter(col("_ct") <= col("_rem"))
+        .withColumn("_rk", row_number().over(wLast))
+        .filter(col("_rk") === 1)
+        .select(col("_g"), col("_s"), col("_id"))
+        .collect()
+      cutRows.foreach { r =>
+        done(r.getString(0)) = (1, r.getDouble(1), Some(r.getLong(2)))
+      }
+      // groups whose boundary region kept nothing: everything above
+      // the region (score, or id for a tie) is the whole kept set
+      open.keys.filterNot(done.contains).foreach { g =>
+        val s = open(g)
+        done(g) =
+          if (s.tie)
+            (1, s.lo,
+              if (s.idLo == Long.MinValue) None else Some(s.idLo - 1))
+          else (1, s.hi, None)
+      }
+    }
+    val dec = done.toSeq.map { case (g, (m, th, ic)) =>
+      (g, m, th, ic.map(java.lang.Long.valueOf).orNull)
+    }.toDF("_dg", "_mode", "_theta", "_idcut")
+    val sc = col(scoreCol).cast("double")
+    val idc = col(idCol).cast("long")
+    df.join(broadcast(dec),
+        col(groupCol).cast("string") === col("_dg"))
+      .filter(col("_mode") === 2 ||
+        (col("_mode") === 1 && (sc > col("_theta") ||
+          (sc === col("_theta") && col("_idcut").isNotNull &&
+            idc <= col("_idcut")))))
+      .select(df.columns.map(col): _*)
+  }
+}
 

@@ -212,6 +212,66 @@ class SamplingSpec extends SparkSpec {
       log = _ => ()).columns.toSeq == Seq("id", "score", "n", "tag"))
   }
 
+  // ---------------------------------------------- tokenBudgetByGroup
+
+  private def groupOracle(rows: Seq[(Long, String, Double, Long)],
+                          budgets: Map[String, Long],
+                          dflt: Long): Set[Long] =
+    rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val b = budgets.getOrElse(g, dflt)
+      var acc = 0L
+      rs.sortBy { case (id, _, s, _) => (-s, id) }
+        .takeWhile { case (_, _, _, n) => { acc += n; acc <= b } }
+        .map(_._1)
+    }.toSet
+
+  test("tokenBudgetByGroup matches the per-group prefix oracle — " +
+      "mixed whole/zero/cut groups, ties, multi-level narrowing") {
+    // g=a distinct scores; g=b one big tie mass; g=c fits whole;
+    // g=d unlisted (default budget); g=e zero budget
+    val rows =
+      (0L until 120L).map(i => (i, "a", (i % 37).toDouble, (i % 7) + 1L)) ++
+      (200L until 400L).map(i => (i, "b", 5.0, (i % 3) + 1L)) ++
+      (400L until 410L).map(i => (i, "c", 1.0, 2L)) ++
+      (500L until 540L).map(i => (i, "d", (i % 11).toDouble, 3L)) ++
+      (600L until 610L).map(i => (i, "e", 9.9, 1L))
+    val df = rows.toDF("id", "grp", "score", "n")
+    val budgets = Map("a" -> 60L, "b" -> 111L, "c" -> 1000L, "e" -> 0L)
+    for (dflt <- Seq(Long.MaxValue, 50L)) {
+      val got = Sampling.tokenBudgetByGroup(df, "id", "grp", "score",
+          "n", budgets, defaultBudget = dflt, buckets = 8, maxLocal = 6L,
+          log = _ => ())
+        .select("id").as[Long].collect().toSet
+      assert(got == groupOracle(rows, budgets, dflt),
+        s"divergence at defaultBudget $dflt")
+    }
+  }
+
+  test("tokenBudgetByGroup: selection joins a broadcast cutoff table — " +
+      "the data is never sorted, windowed, or exchanged; null groups " +
+      "fail loudly") {
+    val df = spark.range(0, 500).select(col("id"),
+      concat(lit("g"), col("id") % 3) as "grp",
+      (col("id") % 23).cast("double") as "score",
+      (col("id") % 5 + 1) as "n")
+    val out = Sampling.tokenBudgetByGroup(df, "id", "grp", "score", "n",
+      Map("g0" -> 30L, "g1" -> 40L, "g2" -> 50L), log = _ => ())
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      !p.contains("Exchange hashpartitioning"),
+      "selection must be broadcast-join + filter:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    import spark.implicits._
+    val nullG = Seq((1L, null.asInstanceOf[String], 1.0, 1L))
+      .toDF("id", "grp", "score", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetByGroup(nullG, "id", "grp", "score", "n",
+        Map.empty, log = _ => ())
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("tokenBudgetSelect plan: the selection is a filter over the " +
       "input — no sort, no window, no exchange of the data") {
     val rows = (0L until 300L).map { i =>
