@@ -433,6 +433,15 @@ class ProbeGuardSpec extends SparkSpec {
       "spansAgainst" -> graft.text.SpanDedup.removeDuplicatedSpansAgainst(
         batch, corpus, "doc_id", "text", n = 6))
     noAutoBroadcast {
+      // probe tier (default): the batch key set is FORCE-broadcast —
+      // auto-broadcast is off, so any BroadcastExchange is the hint.
+      // For the counts join this replaces the old AQE-maybe shape; the
+      // pin keeps the corpus artifact off the exchange in the
+      // contracted regime
+      runs().foreach { case (tag, df) =>
+        assert(planOf(df).contains("BroadcastExchange"),
+          s"$tag: probe tier must broadcast the batch keys:\n" + planOf(df))
+      }
       val expect = runs().map { case (tag, df) => tag -> rows(df) }.toMap
       withCap("5") {
         val (bl, logs) = withLogCapture(runs())
