@@ -35,13 +35,16 @@ import org.apache.spark.sql.functions._
   *      ([[Decontaminate.decontaminateByEmbedding]] — catches
   *      paraphrased eval questions n-grams miss),
   *   8. per-source quota ([[Sampling.capPerGroup]] — bounded heaps,
-  *      keep the token-richest K per source), then an optional GLOBAL
-  *      token budget ([[Sampling.tokenBudgetSelect]] — the
-  *      token-richest (n_kept DESC, id ASC) prefix that fits
-  *      `tokenBudget`; driver-side range narrowing, so the selection
-  *      is a scan-side filter, never a global sort/window; the
-  *      incremental form fills the budget's HEADROOM after the
-  *      standing corpus' spent tokens),
+  *      keep the token-richest K per source), then optional
+  *      PER-SOURCE token budgets ([[Sampling.tokenBudgetByGroup]] —
+  *      the mixture caps: each source's token-richest prefix within
+  *      its own budget), then an optional GLOBAL token budget
+  *      ([[Sampling.tokenBudgetSelect]] — the token-richest (n_kept
+  *      DESC, id ASC) prefix that fits `tokenBudget`; driver-side
+  *      range narrowing, so each selection is a scan-side filter,
+  *      never a global sort/window; the incremental forms fill each
+  *      budget's HEADROOM after the standing corpus' spent tokens,
+  *      per source and globally),
   *   9. deterministic shuffle into training shards
   *      ([[Sampling.shuffleShards]]).
   *
@@ -161,13 +164,16 @@ object PretrainPrep {
           embDecontam: Option[EmbDecontam] = None,
           quotaPerSource: Int = Int.MaxValue,
           tokenBudget: Long = Long.MaxValue,
+          sourceBudgets: Map[String, Long] = Map.empty,
+          sourceBudgetDefault: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report) = {
     val r = runImpl(docs, idCol, textCol, srcCol, bench,
       config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
-      quotaPerSource, tokenBudget, nShards, seed, countInput,
+      quotaPerSource, tokenBudget, sourceBudgets, sourceBudgetDefault,
+      nShards, seed, countInput,
       keepArtifacts = false, keepLedger = false, log)
     (r.out, r.report)
   }
@@ -190,13 +196,16 @@ object PretrainPrep {
           embDecontam: Option[EmbDecontam] = None,
           quotaPerSource: Int = Int.MaxValue,
           tokenBudget: Long = Long.MaxValue,
+          sourceBudgets: Map[String, Long] = Map.empty,
+          sourceBudgetDefault: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
           log: String => Unit = m => System.err.println(m)): (DataFrame, Report, PrepArtifacts) = {
     val r = runImpl(docs, idCol, textCol, srcCol, bench,
       config, badWords, spanN, spanMinDocs, method, decontamN, embDecontam,
-      quotaPerSource, tokenBudget, nShards, seed, countInput,
+      quotaPerSource, tokenBudget, sourceBudgets, sourceBudgetDefault,
+      nShards, seed, countInput,
       keepArtifacts = true, keepLedger = false, log)
     (r.out, r.report, r.artifacts.get)
   }
@@ -217,6 +226,8 @@ object PretrainPrep {
           embDecontam: Option[EmbDecontam] = None,
           quotaPerSource: Int = Int.MaxValue,
           tokenBudget: Long = Long.MaxValue,
+          sourceBudgets: Map[String, Long] = Map.empty,
+          sourceBudgetDefault: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -225,7 +236,8 @@ object PretrainPrep {
           log: String => Unit = m => System.err.println(m)): Tracked[Report] =
     runImpl(docs, idCol, textCol, srcCol, bench, config, badWords, spanN,
       spanMinDocs, method, decontamN, embDecontam, quotaPerSource,
-      tokenBudget, nShards, seed, countInput, keepArtifacts, keepLedger, log)
+      tokenBudget, sourceBudgets, sourceBudgetDefault, nShards, seed,
+      countInput, keepArtifacts, keepLedger, log)
 
   private def runImpl(docs: DataFrame, idCol: String, textCol: String,
           srcCol: String,
@@ -239,6 +251,8 @@ object PretrainPrep {
           embDecontam: Option[EmbDecontam],
           quotaPerSource: Int,
           tokenBudget: Long,
+          sourceBudgets: Map[String, Long],
+          sourceBudgetDefault: Long,
           nShards: Int,
           seed: Int,
           countInput: Boolean,
@@ -440,26 +454,45 @@ object PretrainPrep {
     // narrowing, no global sort/window). The quota frame is staged
     // first: the budget decision and the ledger anti-join both
     // re-read it
+    // stage 8c (opt-in): per-source token budgets run BEFORE the
+    // global budget — the mixture caps shape the pool, the release
+    // budget trims the result ([[graft.ops.Sampling.tokenBudgetByGroup]])
+    val useSrcBudget = sourceBudgets.nonEmpty ||
+      sourceBudgetDefault != Long.MaxValue
     val useBudget = tokenBudget != Long.MaxValue
-    val quota = if (useBudget) stage(quota0) else quota0
+    val quota = if (useBudget || useSrcBudget) stage(quota0) else quota0
+    val srcBudgeted0 =
+      if (useSrcBudget)
+        Sampling.tokenBudgetByGroup(quota, idCol, srcCol, "n_kept",
+          "n_kept", sourceBudgets, sourceBudgetDefault, log = log)
+      else quota
+    val srcBudgeted =
+      if (useSrcBudget && useBudget) stage(srcBudgeted0) else srcBudgeted0
     val budgeted =
       if (useBudget)
-        Sampling.tokenBudgetSelect(quota, idCol, "n_kept", "n_kept",
+        Sampling.tokenBudgetSelect(srcBudgeted, idCol, "n_kept", "n_kept",
           tokenBudget, log = log)
-      else quota
+      else srcBudgeted
     // stage 9: deterministic shuffle into shards (adds shard, pos)
     val sharded = Sampling.shuffleShards(budgeted, idCol, nShards, seed)
       .transform(stage)
     val afterQuota = sharded.count()
-    if (useBudget) {
+    if (useBudget || useSrcBudget) {
       frag(embClean.select(col(idCol))
         .join(quota.select(col(idCol)), Seq(idCol), "left_anti")
         .select(col(idCol), lit("quota").as("stage"),
           lit("source_quota").as("reason"), noWin))
-      frag(quota.select(col(idCol))
-        .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
-        .select(col(idCol), lit("budget").as("stage"),
-          lit("token_budget").as("reason"), noWin))
+      if (useSrcBudget)
+        frag(quota.select(col(idCol))
+          .join(srcBudgeted.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), lit("budget").as("stage"),
+            lit("source_token_budget").as("reason"), noWin))
+      if (useBudget)
+        frag(srcBudgeted.select(col(idCol))
+          .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), lit("budget").as("stage"),
+            lit("token_budget").as("reason"), noWin))
+      if (useSrcBudget && useBudget) graft.ops.StageCut.release(srcBudgeted)
       graft.ops.StageCut.release(quota)
     } else
       frag(embClean.select(col(idCol))
@@ -468,6 +501,8 @@ object PretrainPrep {
           lit("source_quota").as("reason"), noWin))
     graft.ops.StageCut.release(embClean)
     log(s"[prep] quota (<= $quotaPerSource/source)" +
+      (if (useSrcBudget) s" + source budgets (${sourceBudgets.size} " +
+        s"listed, default $sourceBudgetDefault)" else "") +
       (if (useBudget) s" + token budget $tokenBudget" else "") +
       s" + shuffle ($nShards shards, seed $seed): " +
       s"$afterEmbDecontam -> $afterQuota")
@@ -567,6 +602,8 @@ object PretrainPrep {
           decontamN: Int = 13,
           quotaPerSource: Int = Int.MaxValue,
           tokenBudget: Long = Long.MaxValue,
+          sourceBudgets: Map[String, Long] = Map.empty,
+          sourceBudgetDefault: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -574,8 +611,8 @@ object PretrainPrep {
     val r = runIncrementalImpl(newDocs, corpus, corpusFps,
       corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
       spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
-      tokenBudget, nShards, seed, countInput, keepArtifacts = false,
-      keepLedger = false, log)
+      tokenBudget, sourceBudgets, sourceBudgetDefault, nShards, seed,
+      countInput, keepArtifacts = false, keepLedger = false, log)
     (r.out, r.report)
   }
 
@@ -597,6 +634,8 @@ object PretrainPrep {
           decontamN: Int = 13,
           quotaPerSource: Int = Int.MaxValue,
           tokenBudget: Long = Long.MaxValue,
+          sourceBudgets: Map[String, Long] = Map.empty,
+          sourceBudgetDefault: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -604,8 +643,8 @@ object PretrainPrep {
     val r = runIncrementalImpl(newDocs, corpus, corpusFps,
       corpusGramCounts, idCol, textCol, srcCol, bench, config, badWords,
       spanN, spanMinDocs, method, corpusSigs, decontamN, quotaPerSource,
-      tokenBudget, nShards, seed, countInput, keepArtifacts = true,
-      keepLedger = false, log)
+      tokenBudget, sourceBudgets, sourceBudgetDefault, nShards, seed,
+      countInput, keepArtifacts = true, keepLedger = false, log)
     (r.out, r.report, r.artifacts.get)
   }
 
@@ -630,6 +669,8 @@ object PretrainPrep {
           decontamN: Int = 13,
           quotaPerSource: Int = Int.MaxValue,
           tokenBudget: Long = Long.MaxValue,
+          sourceBudgets: Map[String, Long] = Map.empty,
+          sourceBudgetDefault: Long = Long.MaxValue,
           nShards: Int = 64,
           seed: Int = 0,
           countInput: Boolean = true,
@@ -639,7 +680,8 @@ object PretrainPrep {
     runIncrementalImpl(newDocs, corpus, corpusFps, corpusGramCounts,
       idCol, textCol, srcCol, bench, config, badWords, spanN, spanMinDocs,
       method, corpusSigs, decontamN, quotaPerSource, tokenBudget,
-      nShards, seed, countInput, keepArtifacts, keepLedger, log)
+      sourceBudgets, sourceBudgetDefault, nShards, seed, countInput,
+      keepArtifacts, keepLedger, log)
 
   private def runIncrementalImpl(newDocs: DataFrame, corpus: DataFrame,
           corpusFps: DataFrame, corpusGramCounts: DataFrame,
@@ -654,6 +696,8 @@ object PretrainPrep {
           decontamN: Int,
           quotaPerSource: Int,
           tokenBudget: Long,
+          sourceBudgets: Map[String, Long],
+          sourceBudgetDefault: Long,
           nShards: Int,
           seed: Int,
           countInput: Boolean,
@@ -854,18 +898,47 @@ object PretrainPrep {
     // Same headroom-fill caveat as the per-source quota (drift (c)
     // above): a full-run replay's global prefix may instead evict a
     // standing doc in favor of a richer batch doc
+    // stage 7c (opt-in): per-source token-budget HEADROOM — each
+    // listed source's budget minus the standing corpus' per-source
+    // n_kept sum (one corpus aggregate, only when set); then the
+    // GLOBAL budget's headroom as before. Mixture caps first, release
+    // budget second — the full-run stage order
+    val useSrcBudget = sourceBudgets.nonEmpty ||
+      sourceBudgetDefault != Long.MaxValue
     val useBudget = tokenBudget != Long.MaxValue
-    val quota = if (useBudget) stage(quota0) else quota0
+    val quota = if (useBudget || useSrcBudget) stage(quota0) else quota0
+    val srcBudgeted0 =
+      if (!useSrcBudget) quota
+      else {
+        val spentBySrc = corpus.groupBy(col(srcCol))
+          .agg(coalesce(sum(col("n_kept")), lit(0L)).as("_t")).collect()
+          .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+        def headroom(b: Long, g: String): Long =
+          if (b == Long.MaxValue) b
+          else math.max(0L, b - spentBySrc.getOrElse(g, 0L))
+        val adjusted = (sourceBudgets.keySet ++
+            (if (sourceBudgetDefault != Long.MaxValue) spentBySrc.keySet
+             else Set.empty[String]))
+          .map(g => g ->
+            headroom(sourceBudgets.getOrElse(g, sourceBudgetDefault), g))
+          .toMap
+        log(s"[prep+] source budgets: ${adjusted.size} sources with " +
+          "explicit headroom after corpus spend")
+        Sampling.tokenBudgetByGroup(quota, idCol, srcCol, "n_kept",
+          "n_kept", adjusted, sourceBudgetDefault, log = log)
+      }
+    val srcBudgeted =
+      if (useSrcBudget && useBudget) stage(srcBudgeted0) else srcBudgeted0
     val budgeted =
-      if (!useBudget) quota
+      if (!useBudget) srcBudgeted
       else {
         val spent = corpus.agg(coalesce(sum(col("n_kept")), lit(0L)))
           .head().getLong(0)
         val headroom = tokenBudget - spent
         log(s"[prep+] token budget $tokenBudget: corpus holds $spent " +
           s"tokens, headroom ${math.max(0L, headroom)}")
-        if (headroom <= 0L) quota.filter(lit(false))
-        else Sampling.tokenBudgetSelect(quota, idCol, "n_kept",
+        if (headroom <= 0L) srcBudgeted.filter(lit(false))
+        else Sampling.tokenBudgetSelect(srcBudgeted, idCol, "n_kept",
           "n_kept", headroom, log = log)
       }
     // stage 8: same-epoch shard assignment; pos continues each shard's
@@ -878,15 +951,22 @@ object PretrainPrep {
       .drop("_sn")
       .transform(stage)
     val afterQuota = sharded.count()
-    if (useBudget) {
+    if (useBudget || useSrcBudget) {
       frag(dec.select(col(idCol))
         .join(quota.select(col(idCol)), Seq(idCol), "left_anti")
         .select(col(idCol), lit("quota").as("stage"),
           lit("source_quota").as("reason"), noWin))
-      frag(quota.select(col(idCol))
-        .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
-        .select(col(idCol), lit("budget").as("stage"),
-          lit("token_budget").as("reason"), noWin))
+      if (useSrcBudget)
+        frag(quota.select(col(idCol))
+          .join(srcBudgeted.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), lit("budget").as("stage"),
+            lit("source_token_budget").as("reason"), noWin))
+      if (useBudget)
+        frag(srcBudgeted.select(col(idCol))
+          .join(sharded.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), lit("budget").as("stage"),
+            lit("token_budget").as("reason"), noWin))
+      if (useSrcBudget && useBudget) graft.ops.StageCut.release(srcBudgeted)
       graft.ops.StageCut.release(quota)
     } else
       frag(dec.select(col(idCol))
@@ -895,6 +975,7 @@ object PretrainPrep {
           lit("source_quota").as("reason"), noWin))
     graft.ops.StageCut.release(dec)
     log(s"[prep+] quota headroom (<= $quotaPerSource/source incl corpus)" +
+      (if (useSrcBudget) " + source budgets" else "") +
       (if (useBudget) s" + token budget $tokenBudget" else "") +
       s" + shards ($nShards, seed $seed): $afterDecontam -> $afterQuota")
 
@@ -946,11 +1027,23 @@ object PretrainPrepMain {
       "[policy=parquet] [badwords=a,b,c] [spanN=4] [spanMinDocs=2] " +
       "[method=minhash:0.8] [decontamN=13] [embvecs=parquet] " +
       "[embbench=parquet] [veccol=embedding] [mincos=0.98] [quota=k] " +
-      "[budget=tokens] [shards=64] [seed=0] [seqLen=2048] [ledger=on]"
+      "[budget=tokens] [budgets=src:tok,src2:tok] [budgetDefault=tok] " +
+      "[shards=64] [seed=0] [seqLen=2048] [ledger=on]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "embvecs", "embbench",
-    "veccol", "mincos", "quota", "budget", "shards", "seed", "seqLen",
-    "ledger")
+    "veccol", "mincos", "quota", "budget", "budgets", "budgetDefault",
+    "shards", "seed", "seqLen", "ledger")
+
+  /** `src:tokens,src2:tokens` -> per-source budget map (shared by the
+    * incremental CLI). Source names must not contain ':' or ','. */
+  private[apps] def parseBudgets(s: String): Map[String, Long] =
+    s.split(",").filter(_.nonEmpty).map { kv =>
+      kv.split(":", 2) match {
+        case Array(k, v) if k.nonEmpty => k -> v.toLong
+        case _ => throw new IllegalArgumentException(
+          s"budgets entries must be source:tokens, got '$kv'")
+      }
+    }.toMap
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) throw new IllegalArgumentException(usage)
@@ -1002,6 +1095,10 @@ object PretrainPrepMain {
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
       tokenBudget = opts.get("budget").map(_.toLong)
+        .getOrElse(Long.MaxValue),
+      sourceBudgets = opts.get("budgets").map(parseBudgets)
+        .getOrElse(Map.empty),
+      sourceBudgetDefault = opts.get("budgetDefault").map(_.toLong)
         .getOrElse(Long.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
       seed = opts.get("seed").map(_.toInt).getOrElse(0),
@@ -1100,12 +1197,13 @@ object PretrainPrepIncrementalMain {
     "usage: pretrain-prep-incremental <batchDir> <corpusOutDir> <outDir> " +
       "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
       "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
-      "[budget=tokens] [shards=64] [seed=0] [check=off] [ledger=on]\n" +
+      "[budget=tokens] [budgets=src:tok,...] [budgetDefault=tok] " +
+      "[shards=64] [seed=0] [check=off] [ledger=on]\n" +
       "   or: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
       "[check=off]"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
-    "spanMinDocs", "method", "decontamN", "quota", "budget", "shards",
-    "seed", "check", "ledger")
+    "spanMinDocs", "method", "decontamN", "quota", "budget", "budgets",
+    "budgetDefault", "shards", "seed", "check", "ledger")
 
   /** Hadoop-FS probe (works on hdfs://, s3a://, file:// alike —
     * `java.io.File` is silently false for every non-local scheme):
@@ -1328,6 +1426,10 @@ object PretrainPrepIncrementalMain {
       quotaPerSource = opts.get("quota").map(_.toInt)
         .getOrElse(Int.MaxValue),
       tokenBudget = opts.get("budget").map(_.toLong)
+        .getOrElse(Long.MaxValue),
+      sourceBudgets = opts.get("budgets")
+        .map(PretrainPrepMain.parseBudgets).getOrElse(Map.empty),
+      sourceBudgetDefault = opts.get("budgetDefault").map(_.toLong)
         .getOrElse(Long.MaxValue),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
       seed = opts.get("seed").map(_.toInt).getOrElse(0),

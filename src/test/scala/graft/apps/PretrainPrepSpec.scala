@@ -866,6 +866,77 @@ class PretrainPrepSpec extends SparkSpec {
     tracked.ledger.foreach(graft.ops.StageCut.release)
   }
 
+  test("run(sourceBudgets): per-source caps apply before the global " +
+      "budget; ledger distinguishes the two budget reasons") {
+    // a: 6..20 tokens (sum 195); b: same profile
+    val rows = (1 to 15).flatMap(i =>
+      Seq((100L + i, "a", i + 5), (200L + i, "b", i + 5)))
+    val docs = budgetDocs(rows)
+    def perSource(src: String, b: Long): Set[Long] =
+      prefixIds(rows.filter(_._2 == src).map(r => (r._1, r._3)), b)
+    // source caps only: each source's own (n desc, id) prefix
+    val srcOnly = PretrainPrep.runTracked(docs, "doc_id", "text",
+      "source", config = openPolicy,
+      sourceBudgets = Map("a" -> 50L, "b" -> 80L),
+      keepLedger = true, log = _ => ())
+    val gotSrc = srcOnly.out.select("doc_id").as[Long].collect().toSet
+    assert(gotSrc == perSource("a", 50L) ++ perSource("b", 80L))
+    assert(srcOnly.ledger.get.collect().forall(r =>
+      r.getString(1) == "budget" &&
+        r.getString(2) == "source_token_budget"))
+    graft.ops.StageCut.release(srcOnly.out)
+    srcOnly.ledger.foreach(graft.ops.StageCut.release)
+    // combined: caps shape the pool, then the global prefix trims it
+    val combined = PretrainPrep.runTracked(docs, "doc_id", "text",
+      "source", config = openPolicy,
+      sourceBudgets = Map("a" -> 50L, "b" -> 80L), tokenBudget = 90L,
+      keepLedger = true, log = _ => ())
+    val pool = rows.filter(r =>
+      (perSource("a", 50L) ++ perSource("b", 80L)).contains(r._1))
+    val expect = prefixIds(pool.map(r => (r._1, r._3)), 90L)
+    assert(combined.out.select("doc_id").as[Long].collect().toSet ==
+      expect)
+    val reasons = combined.ledger.get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(reasons.values.toSet ==
+      Set("source_token_budget", "token_budget"),
+      s"both budget stages must attribute their own drops: $reasons")
+    graft.ops.StageCut.release(combined.out)
+    combined.ledger.foreach(graft.ops.StageCut.release)
+  }
+
+  test("runIncremental(sourceBudgets): per-source headroom subtracts " +
+      "the corpus' per-source spend (finite default included)") {
+    // corpus: source a = 3 docs x 10 tokens (spent 30); source c = 1
+    // doc x 10 (spent 10, exercises the finite-default headroom)
+    val corpusRows = (1 to 3).map(i => (i.toLong, "a", 10)) :+
+      (4L, "c", 10)
+    val (corpus, _, arts) = PretrainPrep.runWithArtifacts(
+      budgetDocs(corpusRows), "doc_id", "text", "source",
+      config = openPolicy, log = _ => ())
+    // batch: a rows (headroom 45-30=15 -> 9,8 kept? 9+8=17>15 -> only
+    // 9 wait: ranked desc 9,8,7 -> 9 <= 15, 9+8=17 > 15 -> {9}),
+    // b rows (unlisted, default 20 -> no corpus spend -> 8+7 = 15),
+    // c rows (default 20 - spent 10 = 10 -> 6 only)
+    val batchRows = Seq(
+      (1001L, "a", 9), (1002L, "a", 8), (1003L, "a", 7),
+      (1101L, "b", 8), (1102L, "b", 7), (1103L, "b", 6),
+      (1201L, "c", 6), (1202L, "c", 5))
+    val tracked = PretrainPrep.runIncrementalTracked(
+      budgetDocs(batchRows), corpus, arts.fps, arts.gramCounts,
+      "doc_id", "text", "source", config = openPolicy,
+      sourceBudgets = Map("a" -> 45L), sourceBudgetDefault = 20L,
+      keepLedger = true, log = _ => ())
+    val got = tracked.out.select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1001L, 1101L, 1102L, 1201L),
+      s"per-source headroom arithmetic: got $got")
+    assert(tracked.ledger.get.collect().forall(r =>
+      r.getString(2) == "source_token_budget"))
+    graft.ops.StageCut.release(tracked.out)
+    tracked.ledger.foreach(graft.ops.StageCut.release)
+    graft.ops.StageCut.release(arts.scrubInput)
+  }
+
   test("runIncremental(tokenBudget): the batch fills the HEADROOM " +
       "left by the standing corpus; zero headroom keeps nothing") {
     val corpusRows = (1 to 6).map(i => (i.toLong, "a", 10))
