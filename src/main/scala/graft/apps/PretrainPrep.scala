@@ -585,9 +585,12 @@ object PretrainPrep {
     * component ids, per-source/per-shard counts) — its TEXT is read
     * zero times with stored sigs. The fps table is PROBED by the
     * broadcast batch fingerprints ([[Curate.corpusFpHits]] — never
-    * shuffled); every remaining shuffle is batch-sized except the
-    * gram-count join, which streams the corpus side (batch gram sets
-    * are too large to broadcast). */
+    * shuffled); every remaining shuffle is batch-sized including the
+    * gram-count join, which runs under the [[graft.ops.ProbeGuard]]
+    * tiered contract (batch counts broadcast within the probe cap;
+    * past it the corpus artifact's scan is Bloom-reduced, so its
+    * exchange carries ~matching rows; only past the Bloom cap does
+    * the full corpus-sided sort-merge run, loudly). */
   def runIncremental(newDocs: DataFrame, corpus: DataFrame,
           corpusFps: DataFrame, corpusGramCounts: DataFrame,
           idCol: String, textCol: String, srcCol: String,
