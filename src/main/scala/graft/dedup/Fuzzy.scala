@@ -235,17 +235,23 @@ object Fuzzy {
         // Bloom tier: the candidate pair set is over the broadcast cap
         // (its parent key set is), so the corpus string fetch scans
         // through might_contain(xxhash64(idB)) instead of a broadcast
-        // probe. The pair plan is not persisted here, so the filter is
-        // SIZED by the guarded key count — a proxy; an under-estimate
-        // only weakens the fpp, never loses a match — and its build
-        // evaluates the candidate join once more (scan-heavy,
-        // exchange-light: the corpus key index is already
-        // Bloom-reduced on both evaluations).
+        // probe — the Dedup.lshPlanAgainst verify discipline: the pair
+        // plan is PERSISTED (key-scale — two id columns, bounded by
+        // the hot-block caps), its distinct idB set is COUNTED for the
+        // filter sizing (the guarded key count is the wrong proxy —
+        // key fan-out can put orders of magnitude more ids in than the
+        // sizing expects, degrading fpp toward 1), and both the filter
+        // build and the fetch join read the one cached evaluation.
+        // The cache lives until session end / LRU eviction — bounded
+        // by construction, and the price of not re-running the
+        // candidate join.
         val pairs = t.standing.join(t.keys, Seq("_k"))
           .select(col(idA), col(idB)).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ids = pairs.select(col(idB)).distinct()
         val fetched = bNormRaw
-          .filter(ProbeGuard.bloomPredicate(pairs.select(col(idB)),
-            Seq(idB), t.keyCount, "Fuzzy.fuzzyJoinAgainst(fetch)"))
+          .filter(ProbeGuard.bloomPredicate(ids,
+            Seq(idB), ids.count(), "Fuzzy.fuzzyJoinAgainst(fetch)"))
           .join(pairs, Seq(idB))
           .select(col(idA), col(idB), col("_nb"))
         (if (ck.isDefined) fetched.distinct() else fetched)

@@ -54,11 +54,18 @@ object ProbeGuard {
   val ConfKey = "graft.probe.maxKeys"
 
   /** Runtime conf key for the over-cap policy: `fallback` (default —
-    * revert to the sort-merge shape, loud log) or `fail` (throw with
-    * the same guidance). A daily job with a latency SLA may prefer
-    * the loud failure: the fallback shuffles the standing table,
-    * which is correct at any size but can quietly turn a minutes-run
-    * into hours at corpus scale — visible only as a stderr line. */
+    * revert to the sort-merge shape, loud log), `fail` (throw the
+    * same guidance when the decision lands on the SHUFFLE tier — the
+    * Bloom middle tier is a designed regime and proceeds), or
+    * `fail-all` (throw as soon as the key set exceeds the BROADCAST
+    * cap, Bloom tier included — the pre-Bloom `fail` contract, for
+    * deployments using the guard as a fast SLA tripwire: under
+    * `fail` a between-caps key set now runs a Bloom build plus
+    * key-scale exchanges where the job previously failed
+    * immediately). A daily job with a latency SLA may prefer a loud
+    * failure: the fallback shuffles the standing table, which is
+    * correct at any size but can quietly turn a minutes-run into
+    * hours at corpus scale — visible only as a stderr line. */
   val PolicyKey = "graft.probe.onOverflow"
 
   /** Default cap on forced-broadcast probe rows (see object doc). */
@@ -102,10 +109,10 @@ object ProbeGuard {
         "provisioned for it."
       keys.sparkSession.conf.getOption(PolicyKey)
           .getOrElse("fallback") match {
-        case "fail" => throw new IllegalStateException(msg)
+        case "fail" | "fail-all" => throw new IllegalStateException(msg)
         case "fallback" => log(msg + " Falling back to the shuffle join.")
         case other => throw new IllegalArgumentException(
-          s"$PolicyKey must be 'fallback' or 'fail', got '$other'")
+          s"$PolicyKey must be 'fallback', 'fail' or 'fail-all', got '$other'")
       }
     }
     ok
@@ -214,6 +221,17 @@ object ProbeGuard {
     if (mx <= 0L) return (Shape.Probe, -1L)
     val n = keys.count()
     if (n <= mx) return (Shape.Probe, n)
+    val policy = keys.sparkSession.conf.getOption(PolicyKey)
+      .getOrElse("fallback")
+    require(Set("fallback", "fail", "fail-all").contains(policy),
+      s"$PolicyKey must be 'fallback', 'fail' or 'fail-all', got '$policy'")
+    if (policy == "fail-all")
+      throw new IllegalStateException(
+        s"[probe-guard] $site: probe key set has $n rows, over " +
+          s"$ConfKey=$mx, and $PolicyKey=fail-all forbids every " +
+          "over-broadcast tier (Bloom included) — this deployment " +
+          "treats the cap as a hard SLA tripwire. Shrink the batch, " +
+          s"raise $ConfKey, or relax the policy to 'fail'/'fallback'.")
     val bloomMax = longConf(keys, BloomKeysKey, DefaultBloomMaxKeys)
     val fpp = doubleConf(keys, BloomFppKey, DefaultBloomFpp)
     val maxBits = longConf(keys, BloomBitsKey, DefaultBloomMaxBits)
@@ -242,13 +260,8 @@ object ProbeGuard {
         "against a standing table; for a symmetric corpus-scale side " +
         s"use the non-probe form, or raise $ConfKey/$BloomKeysKey if " +
         "the driver is provisioned for it."
-      keys.sparkSession.conf.getOption(PolicyKey)
-          .getOrElse("fallback") match {
-        case "fail" => throw new IllegalStateException(msg)
-        case "fallback" => log(msg + " Falling back to the shuffle join.")
-        case other => throw new IllegalArgumentException(
-          s"$PolicyKey must be 'fallback' or 'fail', got '$other'")
-      }
+      if (policy == "fail") throw new IllegalStateException(msg)
+      else log(msg + " Falling back to the shuffle join.")
       (Shape.Shuffle, n)
     }
   }

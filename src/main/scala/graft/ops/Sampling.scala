@@ -278,7 +278,13 @@ object Sampling {
       count(lit(1)), min(col("_s")), max(col("_s")),
       coalesce(min(col("_n")), lit(0L)),
       count(when(col("_s").isNull || isnan(col("_s")) ||
-        col("_n").isNull, 1))).head()
+        col("_n").isNull, 1)),
+      count_distinct(col("_id"))).head()
+    require(g.getLong(1) == g.getLong(6),
+      s"tokenBudgetSelect: $idCol must be unique " +
+        s"(${g.getLong(1)} rows, ${g.getLong(6)} distinct ids) — " +
+        "duplicates make the id tie-break, the RANGE-framed boundary " +
+        "window and the final `id <= cutoff` filter all ill-defined")
     require(g.getLong(5) == 0L,
       s"tokenBudgetSelect: $scoreCol must be non-null/non-NaN and " +
         s"$tokensCol non-null (${g.getLong(5)} offending rows) — " +
@@ -449,9 +455,16 @@ object Sampling {
       min(col("_s")).as("mn"), max(col("_s")).as("mx"),
       coalesce(min(col("_n")), lit(0L)).as("nn"),
       count(when(col("_s").isNull || isnan(col("_s")) ||
-        col("_n").isNull, 1)).as("bad")).collect()
+        col("_n").isNull, 1)).as("bad"),
+      count_distinct(col("_id")).as("d")).collect()
     require(g0.forall(!_.isNullAt(0)),
       s"tokenBudgetByGroup: $groupCol must be non-null")
+    g0.find(r => r.getAs[Long]("c") != r.getAs[Long]("d")).foreach { r =>
+      throw new IllegalArgumentException(
+        s"tokenBudgetByGroup: $idCol must be unique within each group " +
+          s"(group ${r.getAs[String]("_g")}: ${r.getAs[Long]("c")} rows, " +
+          s"${r.getAs[Long]("d")} distinct ids)")
+    }
     val nBad = g0.map(_.getAs[Long]("bad")).sum
     require(nBad == 0L,
       s"tokenBudgetByGroup: $scoreCol must be non-null/non-NaN and " +
@@ -609,15 +622,18 @@ object Sampling {
     val dec = done.toSeq.map { case (g, (m, th, ic)) =>
       (g, m, th, ic.map(java.lang.Long.valueOf).orNull)
     }.toDF("_dg", "_mode", "_theta", "_idcut")
-    val sc = col(scoreCol).cast("double")
-    val idc = col(idCol).cast("long")
+    // resolve through DataFrame references (not bare names) so a caller
+    // frame that already contains _dg/_mode/_theta/_idcut never hits an
+    // ambiguous-reference analysis error
+    val sc = df(scoreCol).cast("double")
+    val idc = df(idCol).cast("long")
     df.join(broadcast(dec),
-        col(groupCol).cast("string") === col("_dg"))
-      .filter(col("_mode") === 2 ||
-        (col("_mode") === 1 && (sc > col("_theta") ||
-          (sc === col("_theta") && col("_idcut").isNotNull &&
-            idc <= col("_idcut")))))
-      .select(df.columns.map(col): _*)
+        df(groupCol).cast("string") === dec("_dg"))
+      .filter(dec("_mode") === 2 ||
+        (dec("_mode") === 1 && (sc > dec("_theta") ||
+          (sc === dec("_theta") && dec("_idcut").isNotNull &&
+            idc <= dec("_idcut")))))
+      .select(df.columns.map(df(_)): _*)
   }
 }
 

@@ -40,6 +40,12 @@ object Decontaminate {
     TextOps.withShingles(bench.select(col(textCol)), textCol, "_sh", n)
       .select(explode(col("_sh")).as("_gram"))
       .distinct()
+      // persisted so the ProbeGuard's eager count and the probe join
+      // share ONE evaluation of the bench-side shingle+distinct (the
+      // guard otherwise doubles it — measured as the q82 drift in
+      // round 17). Benchmark gram sets are MBs by contract, so the
+      // cache is driver-trivial and evicted by LRU/session end.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_id, matched-gram) pairs: corpus shingles semi-probed through
     * the broadcast benchmark set. Per-doc shingle arrays are already

@@ -175,6 +175,34 @@ class ProbeGuardSpec extends SparkSpec {
     }
   }
 
+  test("shapeOf honors onOverflow=fail-all at EVERY over-broadcast " +
+      "tier — the pre-Bloom fail-fast contract for SLA tripwires") {
+    import spark.implicits._
+    val keys = (1 to 100).toDF("k")
+    withCap("10") {
+      spark.conf.set(ProbeGuard.PolicyKey, "fail-all")
+      try {
+        // would be the Bloom tier under 'fail' — fail-all throws first
+        val e = intercept[IllegalStateException] {
+          ProbeGuard.shapeOf(keys, "spec-site")
+        }
+        assert(e.getMessage.contains("spec-site") &&
+          e.getMessage.contains("fail-all") &&
+          e.getMessage.contains(ProbeGuard.ConfKey))
+        // fits() treats fail-all as fail
+        val e2 = intercept[IllegalStateException] {
+          ProbeGuard.fits(keys, "spec-site")
+        }
+        assert(e2.getMessage.contains("spec-site"))
+      } finally spark.conf.unset(ProbeGuard.PolicyKey)
+      // within the broadcast cap the policy never fires
+      spark.conf.set(ProbeGuard.PolicyKey, "fail-all")
+      try assert(ProbeGuard.shapeOf((1 to 5).toDF("k"), "spec-site")._1 ==
+        ProbeGuard.Shape.Probe)
+      finally spark.conf.unset(ProbeGuard.PolicyKey)
+    }
+  }
+
   test("tiered: the Bloom filter is superset-safe — join results are " +
       "bit-identical, and the filter really prunes the standing scan") {
     import spark.implicits._

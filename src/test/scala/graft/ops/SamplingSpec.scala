@@ -212,6 +212,45 @@ class SamplingSpec extends SparkSpec {
       log = _ => ()).columns.toSeq == Seq("id", "score", "n", "tag"))
   }
 
+  test("tokenBudgetSelect/ByGroup reject duplicate ids in the first " +
+      "pass — the documented uniqueness check exists") {
+    val dup = Seq((1L, 0.9, 2L), (1L, 0.5, 3L), (2L, 0.7, 1L))
+      .toDF("id", "score", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(dup, "id", "score", "n", 4L, log = _ => ())
+    }
+    assert(e.getMessage.contains("unique"), e.getMessage)
+    val dupG = Seq((1L, "a", 0.9, 2L), (1L, "a", 0.5, 3L))
+      .toDF("id", "grp", "score", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetByGroup(dupG, "id", "grp", "score", "n",
+        Map("a" -> 4L), log = _ => ())
+    }
+    assert(e2.getMessage.contains("unique"), e2.getMessage)
+    // the same id in DIFFERENT groups is fine (uniqueness is per group)
+    val cross = Seq((1L, "a", 0.9, 2L), (1L, "b", 0.5, 3L))
+      .toDF("id", "grp", "score", "n")
+    assert(Sampling.tokenBudgetByGroup(cross, "id", "grp", "score", "n",
+      Map.empty, log = _ => ()).count() == 2L)
+  }
+
+  test("tokenBudgetByGroup survives a caller frame that already has " +
+      "decision-table column names (_dg/_mode/_theta/_idcut)") {
+    val rows = (0L until 60L).map(i =>
+      (i, s"g${i % 2}", (i % 13).toDouble, (i % 4) + 1L))
+    val df = rows.toDF("id", "grp", "score", "n")
+      .withColumn("_dg", lit("x")).withColumn("_mode", lit(7))
+      .withColumn("_theta", lit(0.0)).withColumn("_idcut", lit(-1L))
+    val got = Sampling.tokenBudgetByGroup(df, "id", "grp", "score", "n",
+        Map("g0" -> 20L, "g1" -> 25L), buckets = 4, maxLocal = 5L,
+        log = _ => ())
+    assert(got.columns.toSeq == df.columns.toSeq,
+      "caller columns (collisions included) must pass through")
+    val want = groupOracle(rows.map { case (id, g, s, n) => (id, g, s, n) },
+      Map("g0" -> 20L, "g1" -> 25L), Long.MaxValue)
+    assert(got.select("id").as[Long].collect().toSet == want)
+  }
+
   // ---------------------------------------------- tokenBudgetByGroup
 
   private def groupOracle(rows: Seq[(Long, String, Double, Long)],
