@@ -1123,6 +1123,13 @@ object PretrainPrepMain {
     // data/: partition pruning on shard, row groups clustered by pos
     val written = graft.io.Publish.writePartitioned(out, s"$outDir/data",
       Seq("shard"), "pos")
+    // chain.meta sidecar (no chain.txt — a full-run root is the
+    // pre-manifest single-data/ form): day-1 incremental runs check
+    // density from this instead of scanning the corpus
+    PretrainPrepIncrementalMain.writeChainMeta(spark,
+      Seq(s"$outDir/data" ->
+        PretrainPrepIncrementalMain.linkShardStats(out, s"$outDir/data")),
+      outDir)
     // manifest/: pack each shard's docs in SHUFFLED (pos) order
     Packing.packSequences(out, "pos", "shard", "n_kept", seqLen)
       .join(out.select(col("shard"), col("pos"), col("doc_id")),
@@ -1180,20 +1187,29 @@ object PretrainPrepMain {
   * Before running, the assembled corpus is integrity-checked: every
   * shard's `pos` sequence must be dense (`count == max(pos) ==
   * count(distinct pos)`), which fails fast on a broken or partial
-  * chain (`check=off` skips the scan — two narrow columns, but a
-  * corpus-sized read).
+  * chain. The default `check=on` validates this from the `chain.meta`
+  * sidecar (per-link per-shard pos ranges, recorded when each link
+  * was written) — O(links) driver arithmetic, no corpus read —
+  * scanning only links the sidecar does not cover (pre-metadata
+  * roots, once). `check=full` forces the original whole-corpus
+  * (shard, pos) scan for data the sidecar cannot vouch for;
+  * `check=off` skips validation entirely.
   *
   * Options: `bench=<parquet>`, `policy=<parquet>`, `badwords=a,b,c`,
   * `spanN=4`, `spanMinDocs=2`, `method=minhash:0.8|simhash:<h>`,
-  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0`, `check=off`,
+  * `decontamN=13`, `quota=<k>`, `shards=64`, `seed=0`,
+  * `check=on|off|full`,
   * `ledger=on` (adds `ledger/` — the [[PretrainPrep.Tracked]] drop
   * audit for the batch) — `shards` and `seed` MUST match the run
   * that produced the standing corpus (the epoch is a pure function
   * of them). Stage counts land on stderr.
   *
-  * Maintenance verb: `compact <chainRootDir> <outDir>` folds the
+  * Maintenance verbs: `compact <chainRootDir> <outDir>` folds the
   * chain into one consolidated root (see [[compactChain]]) so the
-  * manifest does not grow one parquet root per day forever. */
+  * manifest does not grow one parquet root per day forever —
+  * per-day drop ledgers consolidate with it, run-tagged; and
+  * `why <chainRootDir> <docId>` resolves a document's drop record
+  * across every ledger the chain can reach (see [[whyDropped]]). */
 object PretrainPrepIncrementalMain {
 
   private val usage =
@@ -1201,9 +1217,10 @@ object PretrainPrepIncrementalMain {
       "[bench=parquet] [policy=parquet] [badwords=a,b,c] [spanN=4] " +
       "[spanMinDocs=2] [method=minhash:0.8] [decontamN=13] [quota=k] " +
       "[budget=tokens] [budgets=src:tok,...] [budgetDefault=tok] " +
-      "[shards=64] [seed=0] [check=off] [ledger=on]\n" +
+      "[shards=64] [seed=0] [check=on|off|full] [ledger=on]\n" +
       "   or: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
-      "[check=off]"
+      "[check=off]\n" +
+      "   or: pretrain-prep-incremental why <chainRootDir> <docId>"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "quota", "budget", "budgets",
     "budgetDefault", "shards", "seed", "check", "ledger")
@@ -1252,6 +1269,216 @@ object PretrainPrepIncrementalMain {
     val out = p.getFileSystem(conf).create(p, true)
     try out.write((qualified.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  // ------------- chain.meta: cached per-link density metadata -------------
+
+  /** Per-shard `(rows, minPos, maxPos)` of one chain link. */
+  private[apps] type LinkStats = Map[Long, (Long, Long, Long)]
+
+  /** One aggregation over a single link (batch-scale for a daily run's
+    * own accepted frame): per-shard (rows, min pos, max pos). The
+    * LINK-INTERNAL invariant — every shard slice is a dense CONTIGUOUS
+    * pos range (`rows == distinct pos == max-min+1`; full runs write
+    * 1..n, daily runs continue each shard's sequence consecutively) —
+    * is checked here, so the chain-level check reduces to interval
+    * arithmetic over these triples. */
+  private[apps] def linkShardStats(link: DataFrame,
+                                   context: String): LinkStats =
+    link.select(col("shard").cast("long").as("_s"),
+        col("pos").cast("long").as("_p"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), countDistinct(col("_p")).as("_d"),
+        min(col("_p")).as("_mn"), max(col("_p")).as("_mx"))
+      .collect()
+      .map { r =>
+        val (s, n, d, mn, mx) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+        if (n != d || n != mx - mn + 1) throw new IllegalStateException(
+          s"chain link $context shard $s is not a dense contiguous pos " +
+            s"range ($n rows, $d distinct pos, span [$mn, $mx]) — the " +
+            "link is corrupt or was not written by a prep run")
+        s -> (n, mn, mx)
+      }.toMap
+
+  /** `chain.meta` — the sidecar that makes the DAILY integrity check
+    * O(links) driver arithmetic instead of an O(corpus) (shard, pos)
+    * scan: one line per (link, shard),
+    * `<qualifiedDataDirURI>\t<shard>\t<rows>\t<minPos>\t<maxPos>`,
+    * recorded when the link is WRITTEN (when its density was last
+    * actually verified). Reference-analog: lwetl probes target state
+    * per copy instead of re-validating the whole target every run
+    * (`lwetl/programs/db_copy/main.py:260-268`). Written BEFORE
+    * `chain.txt` so the manifest-last crash discipline is unchanged —
+    * a root is usable iff `chain.txt` exists; a missing or partial
+    * sidecar only costs a one-time fallback scan of the uncovered
+    * links. */
+  private[apps] val ChainMetaFile = "chain.meta"
+
+  private[apps] def readChainMeta(spark: SparkSession,
+                                  dir: String): Map[String, LinkStats] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ChainMetaFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    lines.map { l =>
+      l.split("\t") match {
+        case Array(d, s, n, mn, mx) =>
+          (d, s.toLong, (n.toLong, mn.toLong, mx.toLong))
+        case _ => throw new IllegalStateException(
+          s"$dir/$ChainMetaFile: malformed line '$l' — regenerate the " +
+            "sidecar (delete it; the next checked run rebuilds it from " +
+            "a one-time scan)")
+      }
+    }.groupBy(_._1).map { case (d, es) =>
+      d -> es.map { case (_, s, st) => s -> st }.toMap
+    }
+  }
+
+  private[apps] def writeChainMeta(spark: SparkSession,
+                                   meta: Seq[(String, LinkStats)],
+                                   outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lines = meta.flatMap { case (d, st) =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val q = p.getFileSystem(conf).makeQualified(p).toString
+      st.toSeq.sortBy(_._1).map { case (s, (n, mn, mx)) =>
+        s"$q\t$s\t$n\t$mn\t$mx" }
+    }
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/$ChainMetaFile")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The chain-level density invariant over per-link metadata: within
+    * every shard, the links' [min, max] pos ranges must TILE 1..total
+    * — sorted by start, the first range starts at 1 and each next
+    * range starts where the previous ended + 1. Equivalent to
+    * [[requireDenseEpoch]] for link-wise contiguous chains (which is
+    * every chain a prep run writes): a dropped, doubled, or reordered
+    * link surfaces as a gap or overlap. Pure driver arithmetic. */
+  private[apps] def requireTiling(perLink: Seq[(String, LinkStats)],
+                                  context: String): Unit =
+    perLink.flatMap { case (d, st) =>
+      st.toSeq.map { case (s, (n, mn, mx)) => (s, (mn, mx, d)) }
+    }.groupBy(_._1).foreach { case (shard, es) =>
+      var expect = 1L
+      es.map(_._2).sortBy(_._1).foreach { case (mn, mx, d) =>
+        if (mn != expect) throw new IllegalStateException(
+          s"standing corpus ($context) is not a dense per-shard epoch: " +
+            s"shard $shard expects pos $expect next but link $d covers " +
+            s"[$mn, $mx] — chained data directories are inconsistent " +
+            "(a dropped, duplicated, or reordered chain link)")
+        expect = mx + 1
+      }
+    }
+
+  /** The default (`check=on`) integrity check: validate the chain from
+    * cached `chain.meta` entries — O(links) driver arithmetic, NO data
+    * files read — scanning only links the sidecar does not cover (a
+    * pre-metadata root; logged, one-time: the returned complete
+    * metadata is what the caller writes forward). `check=full` keeps
+    * the original whole-corpus [[requireDenseEpoch]] scan for
+    * externally-modified data the sidecar cannot vouch for. */
+  private[apps] def checkChainCached(spark: SparkSession, rootDir: String,
+                                     chain: Seq[String],
+                                     context: String): Seq[(String, LinkStats)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val cached = readChainMeta(spark, rootDir)
+    // scan each UNCOVERED directory once even if the manifest lists it
+    // twice — the tiling check still sees one entry per manifest line
+    val scanned = scala.collection.mutable.Map.empty[String, LinkStats]
+    val perLink = chain.map(qual).map { d =>
+      d -> cached.getOrElse(d, scanned.getOrElseUpdate(d, {
+        System.err.println(s"[chain-check] no cached metadata for $d — " +
+          "scanning this link once (the refreshed chain.meta makes the " +
+          "next run's check O(links))")
+        linkShardStats(graft.io.Publish.readPartitioned(spark, d), d)
+      }))
+    }
+    requireTiling(perLink, context)
+    if (scanned.isEmpty)
+      System.err.println(s"[chain-check] ${perLink.size}-link chain " +
+        s"($context) validated from cached metadata — no corpus scan")
+    perLink
+  }
+
+  // ----------------- ledger lifecycle: consolidation + lookup -----------------
+
+  /** The per-run `ledger/` directories reachable from a chain root, in
+    * chain order: every link is some run's `<runDir>/data`, so its
+    * sibling `<runDir>/ledger` (present only when that run passed
+    * `ledger=on`) is that day's drop audit. A compacted root's
+    * consolidated `ledger/` is found the same way — its one link's
+    * parent IS the root. */
+  private[apps] def ledgerDirs(spark: SparkSession,
+                               rootDir: String): Seq[String] =
+    corpusChain(spark, rootDir).flatMap { d =>
+      val l = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(d).getParent, "ledger").toString
+      if (dirNonEmpty(spark, l)) Some(l) else None
+    }
+
+  /** The chain's drop ledger as ONE frame: the union of every
+    * reachable per-run `ledger/`, each row tagged with a `run` column
+    * naming the run directory that dropped it (rows from an
+    * already-consolidated ledger keep their original tag). Returns
+    * None when no run along the chain kept a ledger. Scale shape:
+    * ledgers are batch-sized audit tables and a `doc_id` filter on the
+    * union pushes down to every parquet scan — the lookup never reads
+    * corpus data. */
+  def chainLedger(spark: SparkSession,
+                  rootDir: String): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = ledgerDirs(spark, rootDir)
+    if (dirs.isEmpty) None
+    else Some(dirs.map { l =>
+      val df = spark.read.parquet(l)
+      if (df.columns.contains("run")) df
+      else {
+        val runDir = new org.apache.hadoop.fs.Path(l).getParent
+        df.withColumn("run",
+          lit(runDir.getFileSystem(conf).makeQualified(runDir).toString))
+      }
+    }.reduce(_ unionByName _))
+  }
+
+  /** "Why was document X dropped?" across the whole chain: every
+    * ledger row for `docId` any run along `rootDir`'s chain recorded,
+    * with the `run` provenance column. Empty result = accepted, never
+    * submitted, or the dropping run had `ledger=off`. */
+  def whyDropped(spark: SparkSession, rootDir: String,
+                 docId: Long): DataFrame = {
+    val l = chainLedger(spark, rootDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"no ledger/ outputs found along the chain under $rootDir — " +
+          "run the prep with ledger=on to record drop audits"))
+    l.filter(col("doc_id") === docId)
+  }
+
+  /** The sidecar entries that exist for `chain`'s links, in chain
+    * order, with NO validation and NO fallback scans — what an
+    * unchecked (`check=off`) or scan-checked (`check=full`) run
+    * carries forward; uncovered links stay uncovered until a
+    * `check=on` run fills them. */
+  private[apps] def carriedMeta(spark: SparkSession, rootDir: String,
+                                chain: Seq[String]): Seq[(String, LinkStats)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val cached = readChainMeta(spark, rootDir)
+    chain.map(qual).flatMap(d => cached.get(d).map(d -> _))
   }
 
   /** Fail fast on a broken chain: each shard of the assembled corpus
@@ -1313,12 +1540,15 @@ object PretrainPrepIncrementalMain {
     * Compacting periodically re-roots the chain so both costs are
     * O(one consolidated directory).
     *
-    * NOT carried: per-run `accepted/` and `ledger/` outputs — they
-    * are run audits, not corpus state; keep the original run
-    * directories if the audit trail matters. The source dirs are left
-    * untouched — delete them once the compacted root is in use (the
-    * manifest-last write makes "usable" well-defined: `chain.txt`
-    * exists iff the compact completed).
+    * Ledgers ARE carried: every reachable per-run `ledger/` along the
+    * chain is consolidated into `<outDir>/ledger` with a `run`
+    * provenance column ([[chainLedger]]), so "why was doc X dropped"
+    * ([[whyDropped]]) still resolves after the original run
+    * directories are deleted. NOT carried: per-run `accepted/`
+    * outputs — corpus state already holds the accepted rows. The
+    * source dirs are left untouched — delete them once the compacted
+    * root is in use (the manifest-last write makes "usable"
+    * well-defined: `chain.txt` exists iff the compact completed).
     *
     * Returns the consolidated row count. */
   private[apps] def compactChain(spark: SparkSession, rootDir: String,
@@ -1348,10 +1578,57 @@ object PretrainPrepIncrementalMain {
     if (dirNonEmpty(spark, s"$rootDir/sigs"))
       spark.read.parquet(s"$rootDir/sigs")
         .write.mode("overwrite").parquet(s"$outDir/sigs")
+    // consolidate the chain's drop ledgers (run-tagged) so the audit
+    // trail survives deletion of the folded run directories
+    chainLedger(spark, rootDir).foreach(
+      _.write.mode("overwrite").parquet(s"$outDir/ledger"))
+    // fresh chain.meta for the one consolidated link (compact reads
+    // the whole corpus anyway — this aggregation is marginal, and it
+    // re-grounds the sidecar in actually-scanned data). Under
+    // check=off a non-dense epoch cannot be described by the sidecar's
+    // contiguous-range format: skip it loudly rather than refuse the
+    // unchecked compact.
+    try writeChainMeta(spark,
+      Seq(s"$outDir/data" -> linkShardStats(
+        graft.io.Publish.readPartitioned(spark, s"$outDir/data"),
+        s"$outDir/data")), outDir)
+    catch {
+      case e: IllegalStateException if !check =>
+        System.err.println("[prep-compact] consolidated epoch is not " +
+          s"dense — chain.meta not written (${e.getMessage}); the next " +
+          "checked run will fail as it should")
+    }
     writeChain(spark, Seq(s"$outDir/data"), outDir)
     System.err.println(s"[prep-compact] ${chain.size}-link chain under " +
       s"$rootDir -> $written rows consolidated at $outDir")
     written
+  }
+
+  private val whyUsage =
+    "usage: pretrain-prep-incremental why <chainRootDir> <docId>"
+
+  /** `why <chainRootDir> <docId>` — print every drop-ledger row for
+    * the document across the whole chain (see [[whyDropped]]). */
+  private def whyMain(args: Array[String]): Unit = {
+    if (args.length != 2) throw new IllegalArgumentException(whyUsage)
+    val docId =
+      try args(1).toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"docId must be a long, got '${args(1)}'\n$whyUsage")
+      }
+    val spark = Mains.session("graft-pretrain-prep-why")
+    val hits = whyDropped(spark, args(0), docId)
+    val names = hits.columns
+    val rows = hits.collect()
+    if (rows.isEmpty)
+      println(s"[prep-why] doc $docId: no drop record along the chain " +
+        s"under ${args(0)} (accepted, never submitted, or ledger=off)")
+    else rows.foreach { r =>
+      println("[prep-why] " + names.zip(r.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
+    }
+    Mains.stop(spark)
   }
 
   private def compactMain(args: Array[String]): Unit = {
@@ -1372,6 +1649,7 @@ object PretrainPrepIncrementalMain {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("compact")) return compactMain(args.tail)
+    if (args.headOption.contains("why")) return whyMain(args.tail)
     if (args.length < 3) throw new IllegalArgumentException(usage)
     val Array(batchDir, corpusOut, outDir, rest @ _*) =
       args.toSeq.toArray: @unchecked
@@ -1382,8 +1660,9 @@ object PretrainPrepIncrementalMain {
           s"unrecognized option '$kv'\n$usage")
       }
     }.toMap
-    opts.get("check").foreach(v => require(v == "on" || v == "off",
-      s"check must be 'on' or 'off', got '$v'\n$usage"))
+    opts.get("check").foreach(v =>
+      require(v == "on" || v == "off" || v == "full",
+        s"check must be 'on', 'off' or 'full', got '$v'\n$usage"))
     opts.get("ledger").foreach(v => require(v == "on" || v == "off",
       s"ledger must be 'on' or 'off', got '$v'\n$usage"))
     val spark = Mains.session("graft-pretrain-prep-incremental")
@@ -1396,9 +1675,20 @@ object PretrainPrepIncrementalMain {
     val chain = corpusChain(spark, corpusOut)
     val corpus = chain.map(d => graft.io.Publish.readPartitioned(spark, d))
       .reduce(_.unionByName(_))
-    if (!opts.get("check").contains("off"))
-      requireDenseEpoch(corpus,
-        s"${chain.size}-link chain under $corpusOut")
+    // integrity check: the default (`on`) validates density from the
+    // chain.meta sidecar — O(links) driver arithmetic, scanning only
+    // links the sidecar does not cover (pre-metadata roots, one-time);
+    // `full` keeps the whole-corpus (shard, pos) scan for data the
+    // sidecar cannot vouch for (external modification)
+    val checkMode = opts.getOrElse("check", "on")
+    val chainCtx = s"${chain.size}-link chain under $corpusOut"
+    val inheritedMeta: Seq[(String, LinkStats)] = checkMode match {
+      case "on" => checkChainCached(spark, corpusOut, chain, chainCtx)
+      case "full" =>
+        requireDenseEpoch(corpus, chainCtx)
+        carriedMeta(spark, corpusOut, chain)
+      case _ => carriedMeta(spark, corpusOut, chain)
+    }
     val corpusFps = spark.read.parquet(s"$corpusOut/fps")
     val corpusCounts = spark.read.parquet(s"$corpusOut/gram_counts")
     val method = opts.get("method").map(CurateMain.parseMethod)
@@ -1486,9 +1776,21 @@ object PretrainPrepIncrementalMain {
             .unionByName(acc.select(col("doc_id"), col("clean_text"))),
           method, s"$outDir/sigs")
     }
-    // the manifest is written LAST: a crashed run leaves no chain.txt,
-    // so a partial output dir never parses as a valid chain root
-    writeChain(spark, chain :+ s"$outDir/data", outDir)
+    // chain.meta first (inherited entries + this run's own link — a
+    // batch-scale aggregation over the accepted frame), THEN the
+    // manifest: the crash discipline is unchanged (a run that died
+    // between the two leaves no chain.txt, so the root never parses),
+    // and the next day's default check is O(links) off this sidecar
+    val ownLink = s"$outDir/data"
+    val ownStats = linkShardStats(out, ownLink)
+    if (checkMode == "on")
+      // the inherited metadata is complete here, so pos continuation
+      // of the link just written is verifiable at WRITE time — a
+      // placement bug fails this run, not tomorrow's
+      requireTiling(inheritedMeta :+ (ownLink -> ownStats),
+        s"$chainCtx + $ownLink (post-write)")
+    writeChainMeta(spark, inheritedMeta :+ (ownLink -> ownStats), outDir)
+    writeChain(spark, chain :+ ownLink, outDir)
     graft.ops.StageCut.release(out)
     println(s"[prep+] ${report.input} in -> ${report.afterQuota} accepted / " +
       s"$written rows published under $outDir")

@@ -571,10 +571,10 @@ class PretrainPrepSpec extends SparkSpec {
       (writeDocsDir(corpusDocs), writeDocsDir(batch1), writeDocsDir(batch2))
     Mains.keepSessionForTests = true
     try {
-      PretrainPrepMain.main((Seq(cin, day0, s"bench=$benchDir") ++
-        chainArgs :+ "seqLen=64").toArray)
+      PretrainPrepMain.main((Seq(cin, day0, s"bench=$benchDir",
+        "ledger=on") ++ chainArgs :+ "seqLen=64").toArray)
       PretrainPrepIncrementalMain.main((Seq(b1, day0, day1,
-        s"bench=$benchDir") ++ chainArgs).toArray)
+        s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
       PretrainPrepIncrementalMain.main((Seq(b2, day1, day2,
         s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
     } finally Mains.keepSessionForTests = false
@@ -718,6 +718,179 @@ class PretrainPrepSpec extends SparkSpec {
       }
       assert(e3.getMessage.contains("check must be"))
     } finally Mains.keepSessionForTests = false
+  }
+
+  // ---- ledger lifecycle: consolidation + why-lookup ----
+
+  test("ledger lifecycle: compact consolidates run-tagged ledgers " +
+      "(≡ the union of the dailies') and why-lookup resolves a drop " +
+      "through the compacted root; ledger-less chains fail loudly") {
+    val (day0, day1, _, _, _, _, _) = chained
+    import org.apache.spark.sql.DataFrame
+    def tagged(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/ledger").withColumn("run",
+        lit(new java.io.File(dir).toURI.toString.stripSuffix("/")))
+    // chain ledger off the uncompacted day-1 root = day0 ∪ day1 runs
+    val live = PretrainPrepIncrementalMain.chainLedger(spark, day1).get
+    def snap(df: DataFrame) =
+      df.select(col("doc_id"), col("stage"), col("reason"),
+          col("winner_id"), col("run"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(snap(live) == snap(tagged(day0).unionByName(tagged(day1))))
+    // compact: the consolidated ledger equals the union of the dailies
+    val cDir = java.nio.file.Files.createTempDirectory("compactL").toString
+    PretrainPrepIncrementalMain.compactChain(spark, day1, cDir)
+    assert(snap(spark.read.parquet(s"$cDir/ledger")) == snap(live))
+    // the day-1 exact-dup drop (104, winner 101) resolves through the
+    // COMPACTED root, tagged with the original run directory
+    val w = PretrainPrepIncrementalMain.whyDropped(spark, cDir, 104L)
+      .select(col("stage"), col("reason"), col("winner_id"), col("run"))
+      .as[(String, String, Option[Long], String)].collect().toSeq
+    assert(w.map(r => (r._1, r._2, r._3)) ==
+      Seq(("exact", "duplicate_text", Some(101L))), s"why(104): $w")
+    assert(w.head._4.contains(new java.io.File(day1).getName))
+    // an accepted doc has no drop record
+    assert(PretrainPrepIncrementalMain.whyDropped(spark, cDir, 101L)
+      .count() == 0)
+    // a chain with no ledgers anywhere fails with guidance (the link's
+    // parent dir holds data only — no ledger/ sibling)
+    val bareRun = java.nio.file.Files.createTempDirectory("bareL").toString
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(bareRun, "data"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bareRun, "data", "stub.bin"), Array[Byte](1))
+    val bare = java.nio.file.Files.createTempDirectory("bareRoot").toString
+    PretrainPrepIncrementalMain.writeChain(spark,
+      Seq(s"$bareRun/data"), bare)
+    val e = intercept[IllegalArgumentException] {
+      PretrainPrepIncrementalMain.whyDropped(spark, bare, 104L)
+    }
+    assert(e.getMessage.contains("ledger=on"))
+  }
+
+  test("why CLI verb: prints the drop rows (smoke) and validates args") {
+    val (_, day1, _, _, _, _, _) = chained
+    Mains.keepSessionForTests = true
+    try {
+      PretrainPrepIncrementalMain.main(Array("why", day1, "104"))
+      val e = intercept[IllegalArgumentException] {
+        PretrainPrepIncrementalMain.main(Array("why", day1, "not-a-long"))
+      }
+      assert(e.getMessage.contains("docId"))
+      val e2 = intercept[IllegalArgumentException] {
+        PretrainPrepIncrementalMain.main(Array("why", day1))
+      }
+      assert(e2.getMessage.contains("usage"))
+    } finally Mains.keepSessionForTests = false
+  }
+
+  // ---- chain.meta: the O(links) cached integrity check ----
+
+  test("chain.meta: every run writes the sidecar, its stats equal the " +
+      "data's, and the default check reads NO data files (junk-backed " +
+      "chain with real metadata validates; without metadata it dies " +
+      "in the fallback scan)") {
+    val (day0, day1, day2, _, _, _, _) = chained
+    val m0 = PretrainPrepIncrementalMain.readChainMeta(spark, day0)
+    val m1 = PretrainPrepIncrementalMain.readChainMeta(spark, day1)
+    val m2 = PretrainPrepIncrementalMain.readChainMeta(spark, day2)
+    assert(m0.size == 1 && m1.size == 2 && m2.size == 3)
+    val chain = PretrainPrepIncrementalMain.corpusChain(spark, day2)
+    chain.foreach { d =>
+      assert(m2.contains(d), s"sidecar missing $d")
+      assert(m2(d) == PretrainPrepIncrementalMain.linkShardStats(
+        graft.io.Publish.readPartitioned(spark, d), d),
+        s"cached stats diverge from the data for $d")
+    }
+    // PROOF the cached check is pure arithmetic: a chain whose data
+    // dirs hold only junk bytes (any parquet read dies), with the real
+    // chain's metadata copied in, validates fine
+    val fake = java.nio.file.Files.createTempDirectory("fakemeta").toString
+    val junkDirs = chain.indices.map { i =>
+      val jd = java.nio.file.Files.createTempDirectory(s"junk$i")
+      java.nio.file.Files.write(jd.resolve("garbage.bin"),
+        Array[Byte](1, 2, 3))
+      jd.toString
+    }
+    PretrainPrepIncrementalMain.writeChain(spark, junkDirs, fake)
+    PretrainPrepIncrementalMain.writeChainMeta(spark,
+      junkDirs.zip(chain).map { case (j, d) => j -> m2(d) }, fake)
+    val checked = PretrainPrepIncrementalMain.checkChainCached(spark,
+      fake, PretrainPrepIncrementalMain.corpusChain(spark, fake),
+      "junk-backed chain")
+    assert(checked.size == 3)
+    // and WITHOUT the sidecar the same root must hit the fallback
+    // scan, which dies on the junk — the scan is real, not skipped
+    assert(new java.io.File(s"$fake/chain.meta").delete())
+    intercept[Exception] {
+      PretrainPrepIncrementalMain.checkChainCached(spark, fake,
+        PretrainPrepIncrementalMain.corpusChain(spark, fake),
+        "junk-backed chain")
+    }
+  }
+
+  test("chain.meta: a pre-metadata root falls back to a one-time scan " +
+      "reproducing the cached stats; duplicated or gapped links fail " +
+      "loudly from arithmetic alone") {
+    val (day0, _, day2, _, _, _, _) = chained
+    val chain2 = PretrainPrepIncrementalMain.corpusChain(spark, day2)
+    val m2 = PretrainPrepIncrementalMain.readChainMeta(spark, day2)
+    // same chain, no sidecar: the fallback scan lands on identical stats
+    val noMeta = java.nio.file.Files.createTempDirectory("nometa").toString
+    PretrainPrepIncrementalMain.writeChain(spark, chain2, noMeta)
+    val scanned = PretrainPrepIncrementalMain.checkChainCached(spark,
+      noMeta, PretrainPrepIncrementalMain.corpusChain(spark, noMeta),
+      "scan-fallback chain")
+    assert(scanned.toMap == chain2.map(d => d -> m2(d)).toMap)
+    // DUPLICATED link (metadata present, so no scan): pos overlap
+    val q0 = chain2.head
+    val dup = java.nio.file.Files.createTempDirectory("dupmeta").toString
+    PretrainPrepIncrementalMain.writeChain(spark, Seq(q0, q0), dup)
+    PretrainPrepIncrementalMain.writeChainMeta(spark, Seq(q0 -> m2(q0)), dup)
+    val eDup = intercept[IllegalStateException] {
+      PretrainPrepIncrementalMain.checkChainCached(spark, dup,
+        PretrainPrepIncrementalMain.corpusChain(spark, dup), "doubled link")
+    }
+    assert(eDup.getMessage.contains("dense per-shard epoch"), eDup.getMessage)
+    // GAPPED chain: fabricated metadata whose first range starts at 2
+    val gap = java.nio.file.Files.createTempDirectory("gapmeta").toString
+    PretrainPrepIncrementalMain.writeChain(spark, Seq(q0), gap)
+    PretrainPrepIncrementalMain.writeChainMeta(spark,
+      Seq(q0 -> Map(0L -> ((5L, 2L, 6L)))), gap)
+    val eGap = intercept[IllegalStateException] {
+      PretrainPrepIncrementalMain.checkChainCached(spark, gap,
+        PretrainPrepIncrementalMain.corpusChain(spark, gap), "dropped link")
+    }
+    assert(eGap.getMessage.contains("dense per-shard epoch"), eGap.getMessage)
+  }
+
+  test("day-4 chain: a third daily run rides the cached check (the " +
+      "no-scan line fires), extends the sidecar to four links, and the " +
+      "new link's placement was validated at write time") {
+    val (_, _, day2, _, _, _, bench) = chained
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    bench.write.mode("overwrite").parquet(benchDir)
+    val b3 = writeDocsDir(
+      Seq((301L, "w1", filler("zz", 40))).toDF("doc_id", "source", "text"))
+    val day3 = java.nio.file.Files.createTempDirectory("chain3").toString
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    Mains.keepSessionForTests = true
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      try PretrainPrepIncrementalMain.main((Seq(b3, day2, day3,
+        s"bench=$benchDir") ++ chainArgs).toArray)
+      finally System.setErr(realErr)
+    } finally Mains.keepSessionForTests = false
+    assert(errBuf.toString("UTF-8")
+      .contains("validated from cached metadata — no corpus scan"))
+    val m3 = PretrainPrepIncrementalMain.readChainMeta(spark, day3)
+    assert(m3.size == 4)
+    assert(spark.read.parquet(s"$day3/accepted").count() == 1)
+    // the full sidecar still describes one dense epoch
+    PretrainPrepIncrementalMain.requireTiling(
+      PretrainPrepIncrementalMain.corpusChain(spark, day3)
+        .map(d => d -> m3(d)), "day-4 chain")
   }
 
   test("first signing on a sig-less chain signs corpus ∪ batch, so the " +
