@@ -987,6 +987,139 @@ object SparkEntry {
   private def q134(s: SparkSession, d: String): DataFrame =
     curateMediaTracked(s, d)._3.orderBy(col("stage"), col("media_id"))
 
+  /** The q140/q141 AUDIO-gate fixture — [[mediaGateFrames]]' twin in
+    * amplitude space ([[graft.multimodal.Multimodal.synthStepWav]] /
+    * [[graft.multimodal.Multimodal.synthStepAu]] — deterministic
+    * closed-form PCM whose perceptual hash the oracle re-derives
+    * ANALYTICALLY from the md5 window-level formula). Corpus = EVEN
+    * doc_ids: base = id/4, container = AU when id%4 == 2, WAV
+    * otherwise — each base contributes a WAV and a byte-different AU
+    * twin, so the corpus run itself exercises hash clustering (the
+    * re-encode byte dedup cannot catch). Batch = ODD ids by id%16
+    * family, mirroring the image families with gain shifts standing
+    * in for brightness:
+    *   1  → byte-copy of corpus id−1's WAV (exact vs corpus),
+    *   9  → garbage bytes (validity),
+    *   3/11 → poked window-33 WAV of the corpus base (near vs corpus,
+    *          Hamming ≤ 2 by construction),
+    *   5  → novel base id+1000000 (survivor),
+    *   13 → gain-half of sibling id−8's novel base (within-batch
+    *        near, Hamming 0, winner = the sibling when present),
+    *   7  → novel base id+2000000 (survivor),
+    *   15 → byte-copy of sibling id−8's WAV (within-batch exact).
+    * Same every-third-16-id-block sampling and by-VALUE sibling
+    * references as the image fixture. */
+  private def audioGateFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{synthStepAu, synthStepWav}
+    val ids = T(s, d, "documents").select(col("doc_id")).as[Long]
+      .filter(id => (id / 16) % 3 == 0)
+    val corpus = ids.filter(_ % 2 == 0).mapPartitions(_.map(id =>
+        (id, if (id % 4 == 2) synthStepAu(id / 4, 0)
+             else synthStepWav(id / 4, 0))))
+      .toDF("media_id", "payload")
+    val batch = ids.filter(_ % 2 == 1).mapPartitions(_.map { id =>
+      val p = (id % 16) match {
+        case 1L  => synthStepWav(id / 4, 0)
+        case 9L  => Array[Byte](9, 9, 9, 9, 9)
+        case 3L | 11L => synthStepWav(id / 4, 3)
+        case 5L  => synthStepWav(id + 1000000L, 0)
+        case 13L => synthStepWav(id - 8 + 1000000L, 1)
+        case 7L  => synthStepWav(id + 2000000L, 0)
+        case _   => synthStepWav(id - 8 + 2000000L, 0) // 15
+      }
+      (id, p)
+    }).toDF("media_id", "payload")
+    (corpus, batch)
+  }
+
+  /** Gate-scoped memo of the AUDIO media incremental composition —
+    * one tracked run serves q140 (acceptance) and q141 (audit). */
+  private val curateAudioMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private def buildCurateAudioTracked(s: SparkSession, d: String) = {
+    val method = graft.dedup.SimilarityMethod.AudioHash(maxHamming = 7)
+    val (corpusAudio, batchAudio) = audioGateFrames(s, d)
+    val (corpus, _) = graft.apps.Curate.runMedia(
+      corpusAudio, "media_id", "payload", method, log = _ => ())
+    val (accepted, _, ledger) = graft.apps.Curate.runIncrementalMediaTracked(
+      batchAudio, corpus, "media_id", "payload", method, log = _ => ())
+    (corpus, accepted, ledger)
+  }
+
+  private def curateAudioTracked(s: SparkSession, d: String,
+      rebuild: Boolean = false): (DataFrame, DataFrame, DataFrame) =
+    if (rebuild) {
+      val t = buildCurateAudioTracked(s, d)
+      curateAudioMemo.put(d, t).foreach { case (c, a, l) =>
+        graft.ops.StageCut.release(c)
+        graft.ops.StageCut.release(a)
+        graft.ops.StageCut.release(l)
+      }
+      t
+    } else curateAudioMemo.getOrElseUpdate(d, buildCurateAudioTracked(s, d))
+
+  /** q140 — INCREMENTAL media curation over AUDIO payloads
+    * ([[graft.apps.Curate.runIncrementalMedia]] with
+    * [[graft.dedup.SimilarityMethod.AudioHash]]): the odd-id synthetic
+    * clip batch curated against the runMedia-curated even-id corpus —
+    * audio-magic validity, exact BYTE dedup vs the corpus payload
+    * fingerprints, one perceptual-hash component pass under the
+    * incremental drop rule. The oracle replays both pipelines in
+    * (base, gain, poke, container) space: byte equality is class
+    * equality (deterministic synth) and the hash comes from the q139
+    * analytic window-level formula — gain cancels in every comparison,
+    * the poke flips at most two bits, the AU container none. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val (_, accepted, _) = curateAudioTracked(s, d, rebuild = true)
+    accepted.select(col("media_id")).orderBy(col("media_id"))
+  }
+
+  /** q141 — the drop audit of the q140 composition
+    * ([[graft.apps.Curate.runIncrementalMediaTracked]], AudioHash):
+    * one `(media_id, stage, reason, winner_id)` row per rejected
+    * batch clip, recomputed stage by stage by the analytic oracle
+    * (validity reason is `invalid_audio` — the method-aware ledger). */
+  private def q141(s: SparkSession, d: String): DataFrame =
+    curateAudioTracked(s, d)._3.orderBy(col("stage"), col("media_id"))
+
+  /** PQ codes through the gate ([[graft.sim.Pq.withPqCodes]] over the
+    * seeded-sample codebook, m=8 × ks=16 over the 64-dim embeddings —
+    * 8 small ints per vector, 32× vs float32): one row per
+    * (vector, subvector) with the assigned centroid id. The oracle
+    * re-derives the donor ranking from the md5-32 seeded order, builds
+    * the same codebook, and recomputes every argmin with the identical
+    * ordered fold — a wrong donor rank, subvector split, fold order,
+    * or tie-break all fail the hash. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Pq.withPqCodes(emb, "embedding",
+        graft.sim.Pq.pqCodebook(emb, "vec_id", "embedding", m = 8, ks = 16))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** PQ-ADC top-10 for probe vec_id=0 ([[graft.sim.Pq.pqAdcTopK]]):
+    * exact probe scored against centroid-reconstructed candidates via
+    * the per-probe m×ks lookup table — per-sub fold then cross-sub
+    * fold, the association the oracle mirrors with nested ordered
+    * list_reduce. */
+  private def q143(s: SparkSession, d: String): DataFrame =
+    graft.sim.Pq.pqAdcTopK(T(s, d, "embeddings"), "vec_id", "embedding",
+      m = 8, ks = 16, probeId = 0L, k = 10)
+
+  /** PQ recall audit ([[graft.sim.Pq.pqRecallBatch]], q107's contract
+    * over the PQ index): per probe (vec_id < 25), how many PQ-ADC
+    * top-10 survive in the exact squared-L2 top-10 — the "did 32×
+    * compression hurt" gauge, integer-exact cross-engine. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Pq.pqRecallBatch(emb, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", m = 8, ks = 16, k = 10)
+      .orderBy(col("probe_id"))
+  }
+
   /** Builds `body`'s plan with the probe-broadcast cap forced to 1, so
     * every [[graft.ops.ProbeGuard]] site inside lands on the BLOOM
     * tier (batch keys > 1 but far below the Bloom cap) — the tier
@@ -1110,6 +1243,37 @@ object SparkEntry {
       .toDF("media_id", "payload")
     graft.dedup.SimilarJoin.similarJoin(media, "media_id", "payload",
         graft.dedup.SimilarityMethod.ImageDHash(maxHamming = 7))
+      .select(col("id_a"), col("id_b"), col("score").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** AUDIO perceptual near-dup pairs through the gate — q74's twin in
+    * amplitude space: synthetic step-PCM clips (variant by id%4 — 0
+    * base WAV, 1 gain-half, 2 the SAME levels in an AU container, 3
+    * one poked window), decoded and hashed by the REAL
+    * `javax.sound.sampled` pipeline
+    * ([[graft.multimodal.Multimodal.aHash64]]), paired by the shared
+    * 8-band Hamming machinery at <= 7. The oracle cannot decode audio
+    * — it re-derives each clip's hash ANALYTICALLY (constant windows
+    * make energies exact functions of the md5 levels; gain halving
+    * and the AU container preserve every comparison, so variants
+    * 0/1/2 share one signature bit for bit) and brute-forces all
+    * pairs. A wrong window boundary, normalization, endianness, bit
+    * order, or band split all fail the hash. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{synthStepAu, synthStepWav}
+    val media = T(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val p = (id % 4).toInt match {
+          case 2 => synthStepAu(id / 4, 0)
+          case v => synthStepWav(id / 4, v)
+        }
+        (id, p)
+      })
+      .toDF("media_id", "payload")
+    graft.dedup.SimilarJoin.similarJoin(media, "media_id", "payload",
+        graft.dedup.SimilarityMethod.AudioHash(maxHamming = 7))
       .select(col("id_a"), col("id_b"), col("score").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -2302,6 +2466,12 @@ object SparkEntry {
     "q136_bloom_count_scrub" -> (q136 _),
     "q137_token_budget" -> (q137 _),
     "q138_group_token_budget" -> (q138 _),
+    "q139_audio_hash_pairs" -> (q139 _),
+    "q140_audio_media_incremental" -> (q140 _),
+    "q141_audio_drop_ledger" -> (q141 _),
+    "q142_pq_codes" -> (q142 _),
+    "q143_pq_adc_topk" -> (q143 _),
+    "q144_pq_recall" -> (q144 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -2700,6 +2870,283 @@ object SparkEntry {
                AND (c.id <> c.cluster
                     OR c.cluster IN (SELECT cluster FROM touchedm)))
          ORDER BY stage, media_id""")
+
+  /** The md5-derived step level of the synthetic audio —
+    * `Multimodal.ampOf`'s SQL twin (the `grayOf` discipline): an
+    * affine map of the same 3-hex-char fold, so equality and order of
+    * levels — all the hash ever reads — are engine-exact. */
+  private def ampSqlOf(arg: String): String =
+    s"""1000 + ((ascii(substr(md5($arg), 1, 1)) * 131
+             + ascii(substr(md5($arg), 2, 1)) * 17
+             + ascii(substr(md5($arg), 3, 1))) % 151) * 200"""
+
+  /** q139 oracle: every clip's perceptual hash re-derived analytically
+    * from the md5 window levels — variants 0 (base), 1 (gain-half) and
+    * 2 (AU container) share one signature because halving and
+    * re-containering preserve every energy comparison; only the poked
+    * variant (id%4 = 3, window 33) moves bits. Brute-force pairs at
+    * Hamming <= 7 (pigeonhole makes the Spark side's 8-band candidate
+    * generation lossless there). */
+  private def q139Sql: String =
+    s"""WITH a0 AS (
+           SELECT d.doc_id, t.w,
+             CASE WHEN d.doc_id % 4 = 3 AND t.w = 33
+               THEN ${ampSqlOf("concat(d.doc_id // 4, '_p')")}
+               ELSE ${ampSqlOf("concat(d.doc_id // 4, '_', t.w)")} END AS a
+           FROM documents d, range(65) t(w)),
+         bits AS (
+           SELECT x.doc_id, CAST(x.w AS INT) AS bit
+           FROM a0 x JOIN a0 y ON x.doc_id = y.doc_id AND y.w = x.w + 1
+           WHERE x.w < 64 AND x.a < y.a),
+         sigs AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN bit < 63 THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0)
+                + coalesce(max(CASE WHEN bit = 63 THEN 1 ELSE 0 END), 0)
+                  * (-9223372036854775807 - 1) AS BIGINT) AS sig
+           FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+           GROUP BY d.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 7 ORDER BY id_a, id_b"""
+
+  /** Shared CTE chain for the q140/q141 AUDIO oracle — the
+    * [[mediaOracleCtes]] recipe in amplitude space: byte equality is
+    * class equality over `(base, gain, poke, container)` and the
+    * perceptual hash is recomputed from window-level comparisons (gain
+    * and container cancel, so the sig reads `(base, effective
+    * poke)` only). Ends in the audio twins of the media CTEs: `siga`,
+    * `cka`, `fmba`, `corpstanda`, `bexa`, `clusai` + `toucheda`. */
+  private def audioOracleCtes: String =
+    s"""doca AS (SELECT doc_id FROM documents
+                 WHERE (doc_id // 16) % 3 = 0),
+       aud0 AS (
+         SELECT doc_id AS mid, doc_id // 4 AS base, 0 AS gain,
+                FALSE AS poke,
+                CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS cont, 0 AS side
+           FROM doca WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, doc_id // 4, 0, FALSE, 0, 1
+           FROM doca WHERE doc_id % 16 = 1
+         UNION ALL
+         SELECT doc_id, doc_id // 4, 0, TRUE, 0, 1
+           FROM doca WHERE doc_id % 16 IN (3, 11)
+         UNION ALL
+         SELECT doc_id, doc_id + 1000000, 0, FALSE, 0, 1
+           FROM doca WHERE doc_id % 16 = 5
+         UNION ALL
+         SELECT doc_id, doc_id - 8 + 1000000, 1, FALSE, 0, 1
+           FROM doca WHERE doc_id % 16 = 13
+         UNION ALL
+         SELECT doc_id, doc_id + 2000000, 0, FALSE, 0, 1
+           FROM doca WHERE doc_id % 16 = 7
+         UNION ALL
+         SELECT doc_id, doc_id - 8 + 2000000, 0, FALSE, 0, 1
+           FROM doca WHERE doc_id % 16 = 15),
+       pka AS (
+         -- EFFECTIVE poke per poked base: when the poked window-33
+         -- level coincides with the original (~1/151 of bases), the
+         -- clip is byte-identical to the unpoked one — byte-class
+         -- equality must see that
+         SELECT base,
+           (${ampSqlOf("concat(base, '_p')")})
+           <> (${ampSqlOf("concat(base, '_', 33)")}) AS eff
+         FROM (SELECT DISTINCT base FROM aud0 WHERE poke)),
+       auda AS (
+         SELECT m.mid, m.base, m.gain,
+                CASE WHEN m.poke THEN coalesce(e.eff, TRUE)
+                     ELSE FALSE END AS poke, m.cont, m.side
+         FROM aud0 m LEFT JOIN pka e ON m.base = e.base),
+       ga AS (
+         SELECT m.mid, t.w,
+           CASE WHEN m.poke AND t.w = 33
+             THEN ${ampSqlOf("concat(m.base, '_p')")}
+             ELSE ${ampSqlOf("concat(m.base, '_', t.w)")} END AS a
+         FROM auda m, range(65) t(w)),
+       bita AS (
+         SELECT x.mid, CAST(x.w AS INT) AS bit
+         FROM ga x JOIN ga y ON x.mid = y.mid AND y.w = x.w + 1
+         WHERE x.w < 64 AND x.a < y.a),
+       siga AS (
+         SELECT m.mid, m.base, m.gain, m.poke, m.cont, m.side,
+           CAST(coalesce(sum(CASE WHEN bit < 63 THEN CAST(1 AS BIGINT) << bit ELSE 0 END), 0)
+              + coalesce(max(CASE WHEN bit = 63 THEN 1 ELSE 0 END), 0)
+                * (-9223372036854775807 - 1) AS BIGINT) AS sig
+         FROM auda m LEFT JOIN bita ON m.mid = bita.mid
+         GROUP BY m.mid, m.base, m.gain, m.poke, m.cont, m.side),
+       prsac AS (
+         SELECT a.mid AS id_a, b.mid AS id_b
+         FROM siga a JOIN siga b ON a.mid < b.mid
+         WHERE a.side = 0 AND b.side = 0
+           AND bit_count(xor(a.sig, b.sig)) <= 7),
+       ${clusterSql("ac")},
+       cka AS (SELECT s.* FROM siga s WHERE s.side = 0
+               AND s.mid NOT IN (SELECT id FROM clusac WHERE cluster <> id)),
+       fmba AS (SELECT base, gain, poke, cont, min(mid) AS mn
+                FROM siga WHERE side = 1 GROUP BY base, gain, poke, cont),
+       corpstanda AS (SELECT x.mid FROM siga x
+         WHERE x.side = 1 AND EXISTS (SELECT 1 FROM cka c
+           WHERE c.base = x.base AND c.gain = x.gain
+             AND c.poke = x.poke AND c.cont = x.cont)),
+       bexa AS (SELECT x.* FROM siga x JOIN fmba f
+           ON x.base = f.base AND x.gain = f.gain AND x.poke = f.poke
+             AND x.cont = f.cont
+         WHERE x.side = 1 AND x.mid = f.mn
+           AND x.mid NOT IN (SELECT mid FROM corpstanda)),
+       bua AS (SELECT mid, sig FROM bexa
+               UNION ALL SELECT mid, sig FROM cka),
+       prsai AS (
+         SELECT a.mid AS id_a, b.mid AS id_b
+         FROM bua a JOIN bua b ON a.mid < b.mid
+           AND (a.mid % 2 = 1 OR b.mid % 2 = 1)
+         WHERE bit_count(xor(a.sig, b.sig)) <= 7),
+       ${clusterSql("ai")},
+       toucheda AS (SELECT DISTINCT cluster FROM clusai WHERE id % 2 = 0)"""
+
+  /** q140 oracle: the audio incremental ACCEPTANCE — exact-stage
+    * survivors minus the perceptual-hash component drops under the
+    * q70/q72 incremental rule, in amplitude space. */
+  private def q140Sql: String =
+    materializeSharedCtes(s"""WITH RECURSIVE
+         $audioOracleCtes
+         SELECT mid AS media_id FROM bexa
+         WHERE mid NOT IN (
+           SELECT id FROM clusai WHERE id % 2 = 1
+             AND (id <> cluster OR cluster IN (SELECT cluster FROM toucheda)))
+         ORDER BY media_id""")
+
+  /** q141 oracle: the audio incremental DROP LEDGER — the q134 recipe
+    * over the analytic audio chain (validity reason `invalid_audio`,
+    * the method-aware ledger). */
+  private def q141Sql: String =
+    materializeSharedCtes(s"""WITH RECURSIVE
+         $audioOracleCtes
+         SELECT media_id, stage, reason, winner_id FROM (
+           SELECT doc_id AS media_id, 'validity' AS stage,
+                  'invalid_audio' AS reason, CAST(NULL AS BIGINT) AS winner_id
+             FROM doca WHERE doc_id % 16 = 9
+           UNION ALL
+           SELECT x.mid, 'exact',
+                  CASE WHEN x.mid IN (SELECT mid FROM corpstanda)
+                       THEN 'duplicate_of_corpus' ELSE 'duplicate_bytes' END,
+                  CASE WHEN x.mid IN (SELECT mid FROM corpstanda)
+                       THEN CAST(NULL AS BIGINT) ELSE f.mn END
+             FROM siga x JOIN fmba f
+               ON x.base = f.base AND x.gain = f.gain AND x.poke = f.poke
+                 AND x.cont = f.cont
+             WHERE x.side = 1
+               AND (x.mid IN (SELECT mid FROM corpstanda) OR x.mid <> f.mn)
+           UNION ALL
+           SELECT c.id, 'near',
+                  CASE WHEN c.cluster IN (SELECT cluster FROM toucheda)
+                       THEN 'near_duplicate_of_corpus'
+                       ELSE 'near_duplicate' END,
+                  CASE WHEN c.cluster IN (SELECT cluster FROM toucheda)
+                       THEN (SELECT min(x.id) FROM clusai x
+                             WHERE x.cluster = c.cluster AND x.id % 2 = 0)
+                       ELSE c.cluster END
+             FROM clusai c
+             WHERE c.id % 2 = 1
+               AND (c.id <> c.cluster
+                    OR c.cluster IN (SELECT cluster FROM toucheda)))
+         ORDER BY stage, media_id""")
+
+  /** Shared CTE chain for the PQ oracles (q142–q144): donor ranking
+    * from the md5-32 seeded order (the [[graft.ops.Sampling]] uniform's
+    * SQL twin), the m=8 × ks=16 codebook as ordered centroid lists,
+    * per-(vector, sub, cid) distances as ordered `list_reduce` folds
+    * (the q101 discipline — same association as the Spark side's
+    * sequential `aggregate`), and the argmin codes with the
+    * (dist, cid) tie-break. Ends in `cblq(sub, cid, cent)` and
+    * `codesq(vec_id, sub, code)`. */
+  private def pqOracleCtes: String =
+    """uq AS (SELECT vec_id,
+       |    try_cast('0x'||substring(md5(concat('0|', vec_id)), 1, 8)
+       |      AS BIGINT) AS uu
+       |  FROM embeddings),
+       |donq AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY uu, vec_id) - 1 AS cid
+       |  FROM uq ORDER BY uu, vec_id LIMIT 16),
+       |cblq AS (SELECT s.s AS sub, d.cid,
+       |    list(CAST(e.embedding[s.s * 8 + i.i + 1] AS DOUBLE)
+       |      ORDER BY i.i) AS cent
+       |  FROM donq d JOIN embeddings e USING (vec_id),
+       |       range(8) s(s), range(8) i(i)
+       |  GROUP BY s.s, d.cid),
+       |dterm AS (SELECT e.vec_id, c.sub, c.cid, t.i,
+       |    (CAST(e.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+       |  * (CAST(e.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+       |      AS tm
+       |  FROM embeddings e, cblq c, range(8) t(i)),
+       |ddist AS (SELECT vec_id, sub, cid,
+       |    list_reduce(list_prepend(0.0, list(tm ORDER BY i)),
+       |      (a, b) -> a + b) AS dist
+       |  FROM dterm GROUP BY vec_id, sub, cid),
+       |codesq AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid, row_number()
+       |      OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+       |    FROM ddist) WHERE rk = 1)""".stripMargin
+
+  /** q142 oracle: the PQ code table itself. */
+  private def q142Sql: String =
+    s"""WITH $pqOracleCtes
+       SELECT vec_id, sub, code FROM codesq ORDER BY vec_id, sub"""
+
+  /** q143 oracle: probe-0 LUT (per-sub ordered folds) + cross-sub
+    * ordered fold over the assigned codes, round 6, top-10. */
+  private def q143Sql: String =
+    s"""WITH $pqOracleCtes,
+       plutq AS (SELECT c.sub, c.cid,
+           list_reduce(list_prepend(0.0, list(
+             (CAST(p.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+           * (CAST(p.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+             ORDER BY t.i)), (a, b) -> a + b) AS pd
+         FROM embeddings p, cblq c, range(8) t(i) WHERE p.vec_id = 0
+         GROUP BY c.sub, c.cid)
+       SELECT vec_id, pdist FROM (
+         SELECT cd.vec_id,
+           round(list_reduce(list_prepend(0.0, list(l.pd ORDER BY cd.sub)),
+             (a, b) -> a + b), 6) AS pdist
+         FROM codesq cd JOIN plutq l ON cd.sub = l.sub AND cd.code = l.cid
+         WHERE cd.vec_id <> 0 GROUP BY cd.vec_id)
+       ORDER BY pdist, vec_id LIMIT 10"""
+
+  /** q144 oracle: q107's recall recipe over the PQ index — PQ-ADC
+    * top-10 vs exact squared-L2 top-10 per probe (vec_id < 25). */
+  private def q144Sql: String =
+    s"""WITH $pqOracleCtes,
+       plutb AS (SELECT p.vec_id AS probe_id, c.sub, c.cid,
+           list_reduce(list_prepend(0.0, list(
+             (CAST(p.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+           * (CAST(p.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+             ORDER BY t.i)), (a, b) -> a + b) AS pd
+         FROM embeddings p, cblq c, range(8) t(i) WHERE p.vec_id < 25
+         GROUP BY p.vec_id, c.sub, c.cid),
+       pd AS (SELECT l.probe_id, cd.vec_id,
+           round(list_reduce(list_prepend(0.0, list(l.pd ORDER BY cd.sub)),
+             (a, b) -> a + b), 6) AS pdist
+         FROM codesq cd JOIN plutb l ON cd.sub = l.sub AND cd.code = l.cid
+         WHERE cd.vec_id <> l.probe_id GROUP BY l.probe_id, cd.vec_id),
+       xt AS (SELECT p.vec_id AS probe_id, e.vec_id, r.i,
+           (CAST(p.embedding[r.i] AS DOUBLE) - CAST(e.embedding[r.i] AS DOUBLE))
+         * (CAST(p.embedding[r.i] AS DOUBLE) - CAST(e.embedding[r.i] AS DOUBLE))
+             AS t
+         FROM embeddings p, embeddings e, range(1, 65) r(i)
+         WHERE p.vec_id < 25 AND e.vec_id <> p.vec_id),
+       xd AS (SELECT probe_id, vec_id,
+           round(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
+             (a, b) -> a + b), 6) AS xdist
+         FROM xt GROUP BY probe_id, vec_id),
+       ar AS (SELECT probe_id, vec_id FROM (SELECT *, row_number()
+           OVER (PARTITION BY probe_id ORDER BY pdist, vec_id) AS rn
+         FROM pd) WHERE rn <= 10),
+       xr AS (SELECT probe_id, vec_id FROM (SELECT *, row_number()
+           OVER (PARTITION BY probe_id ORDER BY xdist, vec_id) AS rn
+         FROM xd) WHERE rn <= 10)
+       SELECT probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap
+       FROM ar LEFT JOIN xr USING (probe_id, vec_id)
+       GROUP BY probe_id ORDER BY probe_id"""
 
   /** q132 oracle: the q72 chain's DROP LEDGER — the q131 recipe over
     * the vector fragments: odd vectors missing from the validity CTE,
@@ -4863,6 +5310,12 @@ object SparkEntry {
     "q136_bloom_count_scrub" -> q136Sql,
     "q137_token_budget" -> q137Sql,
     "q138_group_token_budget" -> q138Sql,
+    "q139_audio_hash_pairs" -> q139Sql,
+    "q140_audio_media_incremental" -> q140Sql,
+    "q141_audio_drop_ledger" -> q141Sql,
+    "q142_pq_codes" -> q142Sql,
+    "q143_pq_adc_topk" -> q143Sql,
+    "q144_pq_recall" -> q144Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -278,6 +278,37 @@ object Curate {
       .otherwise(lit(null))
   }
 
+  /** The three JDK-decodable audio containers by magic prefix — the
+    * expression twin of `Multimodal.AudioCodec.sniff`, same codegen'd
+    * scan-filter economics as [[imageFormat]]. */
+  private def audioFormat(payloadCol: String): Column = {
+    val p = col(payloadCol)
+    when(p.isNull || length(p) < 12, lit(null))
+      .when(substring(p, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(p, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+      .when(substring(p, 1, 4) === lit("FORM".getBytes("US-ASCII")) &&
+        substring(p, 9, 3) === lit("AIF".getBytes("US-ASCII")), "aiff")
+      .when(substring(p, 1, 4) === lit(".snd".getBytes("US-ASCII")), "au")
+      .otherwise(lit(null))
+  }
+
+  /** The validity/profile format column for a perceptual-hash method:
+    * image magics for [[SimilarityMethod.ImageDHash]], audio magics
+    * for [[SimilarityMethod.AudioHash]]. */
+  private def mediaFormat(payloadCol: String,
+                          method: SimilarityMethod.PerceptualHash): Column =
+    method match {
+      case _: SimilarityMethod.ImageDHash => imageFormat(payloadCol)
+      case _: SimilarityMethod.AudioHash  => audioFormat(payloadCol)
+    }
+
+  /** The validity-stage ledger reason / log noun per media method. */
+  private def mediaKind(method: SimilarityMethod.PerceptualHash): String =
+    method match {
+      case _: SimilarityMethod.ImageDHash => "image"
+      case _: SimilarityMethod.AudioHash  => "audio"
+    }
+
   /** Curation over a binary IMAGE column — [[runEmbedding]]'s contract
     * with perceptual stages: (1) validity = the payload carries a
     * JDK-decodable image magic (pure codegen'd prefix check riding the
@@ -292,12 +323,12 @@ object Curate {
     * per-row degrade contract of the multimodal layer; (4) a
     * container-format histogram of the survivors. */
   def runMedia(media: DataFrame, idCol: String, payloadCol: String,
-               method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+               method: SimilarityMethod.PerceptualHash = SimilarityMethod.ImageDHash(),
                log: String => Unit = m => System.err.println(m)): (DataFrame, MediaReport) = {
     // stage 1: validity — prefix check only, rides the scan
     val (valid, input, afterValid) = observedStage(media,
-      _.filter(imageFormat(payloadCol).isNotNull))
-    log(s"[curate-img] image magic: $input -> $afterValid")
+      _.filter(mediaFormat(payloadCol, method).isNotNull))
+    log(s"[curate-img] ${mediaKind(method)} magic: $input -> $afterValid")
 
     // stage 2: exact byte dedup, keep min id per payload md5 — (fp, id)
     // only through the exchange, never the payload bytes
@@ -317,16 +348,16 @@ object Curate {
       .transform(graft.ops.StageCut.apply)
     val afterNear = curated.count()
     graft.ops.StageCut.release(exact)
-    log(s"[curate-img] near dedup (dHash <= ${method.maxHamming}): " +
+    log(s"[curate-img] near dedup (hash <= ${method.maxHamming}): " +
       s"$afterExact -> $afterNear")
 
     // stage 4: container histogram of the survivors — one tiny agg
     val profile = curated
-      .groupBy(imageFormat(payloadCol).as("_fmt"))
+      .groupBy(mediaFormat(payloadCol, method).as("_fmt"))
       .agg(count(lit(1)).as("n"))
       .collect()
     val formatProfile = profile.map(r => r.getString(0) -> r.getLong(1)).toMap
-    log(s"[curate-img] kept $afterNear images; formats: " +
+    log(s"[curate-img] kept $afterNear ${mediaKind(method)}s; formats: " +
       formatProfile.toSeq.sortBy(_._1).map { case (f, n) => s"$f=$n" }.mkString(", "))
 
     (curated, MediaReport(input, afterValid, afterExact, afterNear, formatProfile))
@@ -515,7 +546,7 @@ object Curate {
     * ids must share one collision-free id space. */
   def runIncrementalMedia(newMedia: DataFrame, corpus: DataFrame,
                           idCol: String, payloadCol: String,
-                          method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+                          method: SimilarityMethod.PerceptualHash = SimilarityMethod.ImageDHash(),
                           corpusFps: Option[DataFrame] = None,
                           corpusSigs: Option[DataFrame] = None,
                           log: String => Unit = m => System.err.println(m)): (DataFrame, MediaReport) = {
@@ -532,7 +563,7 @@ object Curate {
     * `near_duplicate`/`near_duplicate_of_corpus`. */
   def runIncrementalMediaTracked(newMedia: DataFrame, corpus: DataFrame,
                           idCol: String, payloadCol: String,
-                          method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+                          method: SimilarityMethod.PerceptualHash = SimilarityMethod.ImageDHash(),
                           corpusFps: Option[DataFrame] = None,
                           corpusSigs: Option[DataFrame] = None,
                           log: String => Unit = m => System.err.println(m)): (DataFrame, MediaReport, DataFrame) = {
@@ -544,7 +575,7 @@ object Curate {
 
   private def runIncrementalMediaImpl(newMedia: DataFrame, corpus: DataFrame,
                           idCol: String, payloadCol: String,
-                          method: SimilarityMethod.ImageDHash,
+                          method: SimilarityMethod.PerceptualHash,
                           corpusFps: Option[DataFrame],
                           corpusSigs: Option[DataFrame],
                           keepLedger: Boolean,
@@ -558,12 +589,12 @@ object Curate {
 
     // stage 1: validity — prefix check only, rides the scan
     val (valid, input, afterValid) = observedStage(newMedia,
-      _.filter(imageFormat(payloadCol).isNotNull))
+      _.filter(mediaFormat(payloadCol, method).isNotNull))
     frag(newMedia.select(col(idCol))
       .join(valid.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), lit("validity").as("stage"),
-        lit("invalid_image").as("reason"), noWin))
-    log(s"[curate-img+] image magic: $input -> $afterValid")
+        lit(s"invalid_${mediaKind(method)}").as("reason"), noWin))
+    log(s"[curate-img+] ${mediaKind(method)} magic: $input -> $afterValid")
 
     // stage 2: exact byte dedup within the batch, then against the
     // corpus payload fingerprints — (fp, id) only through every
@@ -624,16 +655,16 @@ object Curate {
       graft.ops.StageCut.release(d)
     }
     graft.ops.StageCut.release(exact)
-    log(s"[curate-img+] near dedup vs corpus (dHash <= ${method.maxHamming}): " +
+    log(s"[curate-img+] near dedup vs corpus (hash <= ${method.maxHamming}): " +
       s"$afterExact -> $afterNear")
 
     // stage 4: container histogram of the ACCEPTED batch
     val profile = curated
-      .groupBy(imageFormat(payloadCol).as("_fmt"))
+      .groupBy(mediaFormat(payloadCol, method).as("_fmt"))
       .agg(count(lit(1)).as("n"))
       .collect()
     val formatProfile = profile.map(r => r.getString(0) -> r.getLong(1)).toMap
-    log(s"[curate-img+] accepted $afterNear images; formats: " +
+    log(s"[curate-img+] accepted $afterNear ${mediaKind(method)}s; formats: " +
       formatProfile.toSeq.sortBy(_._1).map { case (f, n) => s"$f=$n" }.mkString(", "))
 
     val ledger =
@@ -946,6 +977,8 @@ object CurateMain {
       SimilarityMethod.EmbeddingCosine(minCos = m.stripPrefix("cosine:").toDouble)
     case m if m.startsWith("dhash:") =>
       SimilarityMethod.ImageDHash(maxHamming = m.stripPrefix("dhash:").toInt)
+    case m if m.startsWith("audiohash:") =>
+      SimilarityMethod.AudioHash(maxHamming = m.stripPrefix("audiohash:").toInt)
     case m => SimilarityMethod.MinHashLsh(minJaccard = m.toDouble)
   }
 
@@ -967,12 +1000,12 @@ object CurateMain {
         graft.ops.StageCut.release(curated)
         println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
           s"($outDir)")
-      case img: SimilarityMethod.ImageDHash =>
+      case ph: SimilarityMethod.PerceptualHash =>
         // media corpora have no standard driver table — the CLI reads
         // `<sfDir>/media.parquet` with (media_id, payload) columns
         val media = spark.read.parquet(s"$sfDir/media.parquet")
         val (curated, report) = Curate.runMedia(media, "media_id",
-          "payload", img)
+          "payload", ph)
         curated.write.mode("overwrite").parquet(outDir)
         graft.ops.StageCut.release(curated)
         println(s"[curate] ${report.input} in -> ${report.afterNear} out " +
@@ -1088,18 +1121,18 @@ object CurateIncrementalMain {
         graft.ops.StageCut.release(accepted)
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")
-      case img: SimilarityMethod.ImageDHash =>
+      case ph: SimilarityMethod.PerceptualHash =>
         val sigs = opts.get("sigs").map(p => spark.read.parquet(p))
         val batch = spark.read.parquet(s"$batchDir/media.parquet")
         val (accepted, report, ledger) =
           if (keepLedger) {
             val (a, r, l) = Curate.runIncrementalMediaTracked(
-              batch, corpus, "media_id", "payload", img,
+              batch, corpus, "media_id", "payload", ph,
               corpusFps = corpusFps, corpusSigs = sigs)
             (a, r, Some(l))
           } else {
             val (a, r) = Curate.runIncrementalMedia(
-              batch, corpus, "media_id", "payload", img,
+              batch, corpus, "media_id", "payload", ph,
               corpusFps = corpusFps, corpusSigs = sigs)
             (a, r, None)
           }
@@ -1111,8 +1144,12 @@ object CurateIncrementalMain {
         // maintenance artifacts off the still-cached accepted frame
         Curate.mediaFingerprints(accepted, "payload")
           .write.mode("overwrite").parquet(s"$outDir/fps")
-        graft.dedup.Dedup.dhashSignatures(accepted, "media_id", "payload")
-          .write.mode("overwrite").parquet(s"$outDir/sigs")
+        (ph match {
+          case _: SimilarityMethod.ImageDHash =>
+            graft.dedup.Dedup.dhashSignatures(accepted, "media_id", "payload")
+          case _: SimilarityMethod.AudioHash =>
+            graft.dedup.Dedup.audioSignatures(accepted, "media_id", "payload")
+        }).write.mode("overwrite").parquet(s"$outDir/sigs")
         graft.ops.StageCut.release(accepted)
         println(s"[curate+] ${report.input} in -> ${report.afterNear} " +
           s"accepted ($outDir/accepted)")

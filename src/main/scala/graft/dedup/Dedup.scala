@@ -843,7 +843,8 @@ object Dedup {
       s"corpus image-dHash signature frame needs columns (id, dsig), got " +
         s"(${sigs.columns.mkString(", ")}) — build it with " +
         "Dedup.dhashSignatures" +
-        (if (cols.contains("sig") || cols.contains("bands"))
+        (if (cols.contains("asig")) " (this table belongs to the AUDIO method)"
+        else if (cols.contains("sig") || cols.contains("bands"))
           " (this table belongs to a TEXT method)" else ""))
     val s = sigs.agg(count(lit(1)).as("n"), count(col("dsig")).as("ok"))
       .collect().head
@@ -882,6 +883,100 @@ object Dedup {
       val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       sig.unpersist()
+      out
+    }
+  }
+
+  // ------------------------------------------------ audio hash method
+
+  /** The persistable audio perceptual-hash signature table —
+    * `(id, asig)`, the [[dhashSignatures]] analog for audio payloads
+    * ([[graft.multimodal.Multimodal.aHash64]] over decoded PCM). The
+    * column is named `asig` so a stored image/text signature table
+    * cross-wired into the audio path fails the schema check loudly.
+    * Rows whose payload doesn't decode to >= 65 PCM frames are ABSENT
+    * (no hash exists; mirrors NULL-text dropping). */
+  def audioSignatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    graft.multimodal.Multimodal.withAudioHash(df, idCol, payloadCol)
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig").as("asig"))
+
+  private def validateAudioSigs(sigs: DataFrame): DataFrame = {
+    val cols = sigs.columns.toSet
+    require(cols.contains("id") && cols.contains("asig"),
+      s"corpus audio-hash signature frame needs columns (id, asig), got " +
+        s"(${sigs.columns.mkString(", ")}) — build it with " +
+        "Dedup.audioSignatures" +
+        (if (cols.contains("dsig")) " (this table belongs to the IMAGE method)"
+        else if (cols.contains("sig") || cols.contains("bands"))
+          " (this table belongs to a TEXT method)" else ""))
+    val s = sigs.agg(count(lit(1)).as("n"), count(col("asig")).as("ok"))
+      .collect().head
+    require(s.getLong(1) == s.getLong(0),
+      s"corpus audio-hash signature frame has ${s.getLong(0) - s.getLong(1)} " +
+        s"of ${s.getLong(0)} rows with a NULL asig — rebuild with " +
+        "Dedup.audioSignatures")
+    sigs.select(col("id"), col("asig").as("sig"))
+  }
+
+  /** Perceptual audio near-dup PAIRS over a binary payload column:
+    * [[graft.multimodal.Multimodal.aHash64]] per clip (the one
+    * O(samples) decode pass), then the shared byte-band machinery at
+    * 64 bits / 8 bands — exact recall up to Hamming 7 (pigeonhole),
+    * catching the re-encodes and gain shifts byte dedup is blind to.
+    * Returns (id_a, id_b, hamming), id_a < id_b. Scale shape matches
+    * [[imageNearDupPairs]]: decode once into a cached one-long
+    * signature frame; everything after shuffles (band, id) ints. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 7,
+                        cacheSignatures: Boolean = true,
+                        maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val sig0 = graft.multimodal.Multimodal.withAudioHash(df, idCol, payloadCol)
+      .filter(col("sig").isNotNull)
+    val sig = if (cacheSignatures)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
+    val verified = hammingSelfPlan(sig, 8, maxHamming, maxBucket,
+      "audioNearDupPairs")
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sig.unpersist()
+      out
+    }
+  }
+
+  /** Two-sided (A vs B) audio near-dup pairs — [[audioNearDupPairs]]'
+    * incremental shape, mirroring [[imageNearDupPairsAgainst]] (same
+    * ProbeGuard-tiered probe join, same cache lifecycle). `corpusSigs`
+    * takes a stored [[audioSignatures]] table — the corpus is then
+    * never re-decoded on a daily run. */
+  def audioNearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                               idCol: String, payloadCol: String,
+                               maxHamming: Int = 7,
+                               cacheSignatures: Boolean = true,
+                               maxBucket: Int = defaultMaxBucket,
+                               corpusSigs: Option[DataFrame] = None): DataFrame = {
+    def sigOf(df: DataFrame) = {
+      val s0 = graft.multimodal.Multimodal.withAudioHash(df, idCol, payloadCol)
+        .filter(col("sig").isNotNull)
+      if (cacheSignatures)
+        s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s0
+    }
+    val sigA = sigOf(newDf)
+    val sigB = corpusSigs.map(validateAudioSigs).getOrElse(sigOf(corpusDf))
+    val ownB = corpusSigs.isEmpty
+    val (pairCache, verified) = hammingAbPlan(sigA, sigB, 8, maxHamming,
+      maxBucket, "audioNearDupPairsAgainst", cachePairs = cacheSignatures)
+    if (!cacheSignatures) verified
+    else {
+      val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      pairCache.foreach(_.unpersist())
+      sigA.unpersist()
+      if (ownB) sigB.unpersist()
       out
     }
   }

@@ -23,14 +23,29 @@ object SimilarityMethod {
     * up to Hamming 3, band-approximate beyond. */
   case class SimHash(maxHamming: Int = 3) extends SimilarityMethod
 
+  /** The 64-bit perceptual-hash family over binary MEDIA payloads —
+    * what the Curate media pipelines accept: byte-banded over 8 bands,
+    * score = Hamming distance in [0,64] (LOWER is closer), kept when
+    * <= `maxHamming`, exact recall up to Hamming 7 (pigeonhole),
+    * band-approximate beyond. Rows whose payload doesn't decode have
+    * no hash and never pair. */
+  sealed trait PerceptualHash extends SimilarityMethod {
+    def maxHamming: Int
+  }
+
   /** 64-bit perceptual image dHash
-    * ([[graft.multimodal.Multimodal.dHash64]]) with byte-banding over
-    * 8 bands; the content column is a BINARY image payload
-    * (PNG/JPEG/GIF/BMP), score = Hamming distance in [0,64] (LOWER is
-    * closer), kept when <= `maxHamming`. Exact recall up to Hamming 7,
-    * band-approximate beyond. Rows whose payload doesn't decode to a
-    * >= 9×8 image have no hash and never pair. */
-  case class ImageDHash(maxHamming: Int = 7) extends SimilarityMethod
+    * ([[graft.multimodal.Multimodal.dHash64]]); the content column is
+    * a BINARY image payload (PNG/JPEG/GIF/BMP). Rows whose payload
+    * doesn't decode to a >= 9×8 image have no hash. */
+  case class ImageDHash(maxHamming: Int = 7) extends PerceptualHash
+
+  /** 64-bit perceptual audio hash
+    * ([[graft.multimodal.Multimodal.aHash64]] — 65-window PCM energy
+    * gradient); the content column is a BINARY audio payload
+    * (WAV/AIFF/AU). Catches the container re-encodes and uniform gain
+    * shifts byte dedup is blind to. Rows whose payload doesn't decode
+    * to >= 65 PCM frames have no hash. */
+  case class AudioHash(maxHamming: Int = 7) extends PerceptualHash
 
   /** Embedding cosine; score = cosine similarity in [-1,1], kept when
     * >= `minCos`. The content column must be an array vector.
@@ -108,6 +123,11 @@ object SimilarJoin {
             cacheSignatures, maxBucket)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))
+      case SimilarityMethod.AudioHash(mh) =>
+        Dedup.audioNearDupPairs(df, idCol, contentCol, mh,
+            cacheSignatures, maxBucket)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("double").as("score"))
       case SimilarityMethod.EmbeddingCosine(minCos, Some(blockCol), _, _, _) =>
         embeddingPairs(df, idCol, contentCol, blockCol, minCos,
           cacheSignatures, maxBucket)
@@ -151,7 +171,8 @@ object SimilarJoin {
         !method.isInstanceOf[SimilarityMethod.EmbeddingCosine],
       "corpusSigs is the signature-method train-once artifact " +
         "(Dedup.lshSignatures / Dedup.simhashSignatures / " +
-        "Dedup.dhashSignatures); for embeddings pass a CellIndex via " +
+        "Dedup.dhashSignatures / Dedup.audioSignatures); for " +
+        "embeddings pass a CellIndex via " +
         "EmbeddingCosine(index = ...) instead")
     method match {
       case SimilarityMethod.MinHashLsh(n, b, mj) =>
@@ -165,6 +186,11 @@ object SimilarJoin {
             col("hamming").cast("double").as("score"))
       case SimilarityMethod.ImageDHash(mh) =>
         Dedup.imageNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
+            mh, cacheSignatures, maxBucket, corpusSigs)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("double").as("score"))
+      case SimilarityMethod.AudioHash(mh) =>
+        Dedup.audioNearDupPairsAgainst(newDf, corpusDf, idCol, contentCol,
             mh, cacheSignatures, maxBucket, corpusSigs)
           .select(col("id_a"), col("id_b"),
             col("hamming").cast("double").as("score"))

@@ -358,6 +358,173 @@ object Multimodal {
       .toDF("id", "sig")
   }
 
+  /** 64-bit audio perceptual hash — the [[dHash64]] construction over
+    * TIME instead of pixel space: decode the payload's PCM through the
+    * JDK's `javax.sound.sampled` (WAV/AIFF/AU), downmix to mono, slice
+    * the signal into 65 equal time windows, and set bit w (0..63) iff
+    * the mean ENERGY (mean of x²) of window w is strictly below window
+    * w+1's. Hamming-near hashes ⇒ acoustically near-duplicate audio,
+    * robust to exactly the edits byte-equality is blind to: container
+    * re-encode (WAV↔AIFF↔AU carry the same PCM), uniform gain shifts
+    * (scaling every sample by c scales every window energy by c²,
+    * preserving all 64 comparisons), and bit-depth requantization
+    * (window energies move by far less than md5-derived level gaps).
+    *
+    * Determinism contract (what the audio gates lean on): window w
+    * covers frame range `[w*n/65, (w+1)*n/65)` — integer boundaries,
+    * the [[dHash64]] grid rule — and samples normalize as
+    * `signed/2^(bits-1)` (8-bit unsigned recenters by 128), so a
+    * constant-amplitude step signal has window energy exactly
+    * `(v/2^(bits-1))²` and the hash is analytically derivable from
+    * the step levels. None for payloads that don't decode, exotic
+    * encodings (only PCM 8/16-bit), or signals shorter than 65
+    * frames (no meaningful hash; callers drop such rows like
+    * NULL-text). */
+  def aHash64(payload: Array[Byte]): Option[Long] =
+    try {
+      if (payload == null) None
+      else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          val enc = f.getEncoding
+          val bits = f.getSampleSizeInBits
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val bytes = in.readAllBytes()
+            val frameSize = f.getFrameSize
+            val n = if (frameSize > 0) bytes.length / frameSize else 0
+            if (n < 65) None
+            else {
+              val ch = f.getChannels
+              val bps = bits / 8
+              val big = f.isBigEndian
+              val full = (1 << (bits - 1)).toDouble
+              def sample(off: Int): Double =
+                if (bits == 8) {
+                  val b = bytes(off)
+                  (if (unsigned) (b & 0xff) - 128 else b.toInt) / full
+                } else {
+                  val raw =
+                    if (big) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+                    else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
+                  (if (unsigned) raw - 32768 else raw.toShort.toInt) / full
+                }
+              val e = new Array[Double](65)
+              var w = 0
+              while (w < 65) {
+                val i0 = w * n / 65
+                val i1 = (w + 1) * n / 65
+                var s = 0.0
+                var i = i0
+                while (i < i1) {
+                  var m = 0.0
+                  var c = 0
+                  while (c < ch) { m += sample(i * frameSize + c * bps); c += 1 }
+                  m /= ch
+                  s += m * m
+                  i += 1
+                }
+                e(w) = s / (i1 - i0)
+                w += 1
+              }
+              var sig = 0L
+              w = 0
+              while (w < 64) {
+                if (e(w) < e(w + 1)) sig |= 1L << w
+                w += 1
+              }
+              Some(sig)
+            }
+          }
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[aHash64]] as a partition-wise column: `(id, sig)` with NULL for
+    * rows whose payload does not decode to >= 65 PCM frames — the same
+    * null-means-no-signature contract as [[withDHash]]. */
+  def withAudioHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, aHash64(p)) })
+      .toDF("id", "sig")
+  }
+
+  /** Deterministic synthetic test audio: 65 windows × 160 frames of
+    * CONSTANT 16-bit mono PCM at 8 kHz, window w's level derived from
+    * md5("<base>_<w>") by [[ampOf]] — the audio twin of
+    * [[synthGridImage]], same analytic-oracle trick: constant windows
+    * make [[aHash64]]'s energies exactly `(level/32768)²`, so the hash
+    * is a pure function of the md5 levels that a SQL oracle recomputes
+    * without decoding audio.
+    *
+    * Variants model the near-dup edits a crawl sees, chosen so their
+    * hash effect is provable: 1 halves every level (integer DIV 2 — a
+    * uniform gain shift; level gaps are multiples of 200, so halving
+    * preserves every strict comparison AND every tie ⇒ hash-identical
+    * to variant 0), 2 carries the SAME levels in an AU container
+    * ([[synthStepAu]] — byte-different, hash-identical), 3 re-derives
+    * window 33's level from md5("<base>_p") (touches comparisons
+    * 32–33 and 33–34 only ⇒ Hamming <= 2 from variant 0). Distinct
+    * bases give independent hashes (expected Hamming ~32). */
+  def synthStepWav(base: Long, variant: Int): Array[Byte] = {
+    val pcm = stepSamples(base, variant)
+    val dataLen = pcm.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)         // PCM, mono
+      .putInt(8000).putInt(16000)      // rate, byte rate
+      .putShort(2).putShort(16)        // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    pcm.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** The AU-container twin of [[synthStepWav]]: same PCM levels,
+    * big-endian 16-bit in a 24-byte `.snd` header — byte-different
+    * from the WAV, identical [[aHash64]]. */
+  def synthStepAu(base: Long, variant: Int): Array[Byte] = {
+    val pcm = stepSamples(base, variant)
+    val dataLen = pcm.length * 2
+    val bb = java.nio.ByteBuffer.allocate(24 + dataLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(dataLen)
+      .putInt(3)                       // 16-bit linear PCM
+      .putInt(8000).putInt(1)          // rate, channels
+    pcm.foreach(bb.putShort)
+    bb.array()
+  }
+
+  private def stepSamples(base: Long, variant: Int): Array[Short] = {
+    val out = new Array[Short](65 * 160)
+    var w = 0
+    while (w < 65) {
+      val a0 =
+        if (variant == 3 && w == 33) ampOf(md5Hex(s"${base}_p"))
+        else ampOf(md5Hex(s"${base}_$w"))
+      val a = (if (variant == 1) a0 / 2 else a0).toShort
+      var i = w * 160
+      while (i < (w + 1) * 160) { out(i) = a; i += 1 }
+      w += 1
+    }
+    out
+  }
+
+  /** `1000 + ((ascii(h[0])*131 + ascii(h[1])*17 + ascii(h[2])) % 151)
+    * * 200` — a 16-bit level in [1000, 31000] with gaps that are
+    * multiples of 200; the SQL twin is spelled out in the audio-gate
+    * oracles (the [[grayOf]] discipline). */
+  private[graft] def ampOf(h: String): Int =
+    1000 + ((h(0) * 131 + h(1) * 17 + h(2)) % 151) * 200
+
   /** Deterministic synthetic test image: a 72×64 PNG of 8×8
     * constant-gray blocks on a 9×8 grid, block value derived from
     * md5("<base>_<cx>_<cy>") — the SAME formula the q74 oracle

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** [[CurateStream]]'s MEDIA sibling: each micro-batch of binary image
-  * payloads is curated against the standing accepted corpus with
+  * (or, with [[SimilarityMethod.AudioHash]], audio) payloads is curated against the standing accepted corpus with
   * [[Curate.runIncrementalMedia]] and only acceptances (plus the
   * byte-fingerprint and dHash signature artifacts) append to the state
   * directory. Same foreachBatch rationale, per-batch `b<id>`
@@ -27,7 +27,7 @@ object CurateMediaStream {
     * compacted); `autoCompactEvery` as on [[CurateStream]]. */
   def start(media: DataFrame, idCol: String, payloadCol: String,
             stateDir: String,
-            method: SimilarityMethod.ImageDHash = SimilarityMethod.ImageDHash(),
+            method: SimilarityMethod.PerceptualHash = SimilarityMethod.ImageDHash(),
             checkpointLocation: Option[String] = None,
             onBatch: (Long, Curate.MediaReport) => Unit = (_, _) => (),
             autoCompactEvery: Int = 0,
@@ -48,7 +48,7 @@ object CurateMediaStream {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       idCol: String, payloadCol: String,
                                       stateDir: String,
-                                      method: SimilarityMethod.ImageDHash,
+                                      method: SimilarityMethod.PerceptualHash,
                                       onBatch: (Long, Curate.MediaReport) => Unit,
                                       keepLedger: Boolean = false): Unit = {
     val spark = batch.sparkSession
@@ -71,8 +71,12 @@ object CurateMediaStream {
     accepted.write.mode("overwrite").parquet(s"$stateDir/corpus/b$batchId")
     Curate.mediaFingerprints(accepted, payloadCol)
       .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")
-    graft.dedup.Dedup.dhashSignatures(accepted, idCol, payloadCol)
-      .write.mode("overwrite").parquet(s"$stateDir/sigs/b$batchId")
+    (method match {
+      case _: SimilarityMethod.ImageDHash =>
+        graft.dedup.Dedup.dhashSignatures(accepted, idCol, payloadCol)
+      case _: SimilarityMethod.AudioHash =>
+        graft.dedup.Dedup.audioSignatures(accepted, idCol, payloadCol)
+    }).write.mode("overwrite").parquet(s"$stateDir/sigs/b$batchId")
     graft.ops.StageCut.release(accepted)
     onBatch(batchId, report)
   }

