@@ -420,6 +420,78 @@ class StreamingSpec extends SparkSpec {
       s"post-compact media curation diverged: ${corpusIds(a)}")
   }
 
+  test("CurateStream token budget: admit-until-exhausted across " +
+      "micro-batches equals the chained budget composition; spend " +
+      "registry is replay-safe and compacts") {
+    import spark.implicits._
+    import graft.apps.Curate
+    import graft.dedup.SimilarityMethod
+    import graft.ops.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("curbudget").toString
+    val m = SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+    def doc(tag: String, n: Int): String =
+      (1 to n).map(i => s"${tag}w$i").mkString(" ")
+    // batch 1 tokens 30/20/10, budget 55: prefix keeps {1, 2} (50)
+    val b1 = Seq(1L -> doc("a", 30), 2L -> doc("b", 20), 3L -> doc("c", 10))
+    // batch 2 tokens 4/3/2 into the remaining headroom 5: keeps {11}
+    val b2 = Seq(11L -> doc("d", 4), 12L -> doc("e", 3), 13L -> doc("f", 2))
+    val budget = 55L
+    def run(id: Long, rows: Seq[(Long, String)]): Unit =
+      CurateStream.processBatch(rows.toDF("doc_id", "text"), id,
+        "doc_id", "text", dir, 0.0, m, (_, _) => (), keepLedger = true,
+        tokenBudget = budget)
+    run(0L, b1)
+    run(1L, b2)
+    def corpusIds() = spark.read.parquet(
+        new java.io.File(dir, "corpus").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() == Set(1L, 2L, 11L))
+    // the stream == the hand-chained incremental + budget composition
+    val empty = b1.toDF("doc_id", "text").limit(0)
+    def budgeted(df: org.apache.spark.sql.DataFrame, b: Long) =
+      Sampling.tokenBudgetSelect(
+          df.withColumn("_n", graft.text.TextOps.tokenCount(col("text"))),
+          "doc_id", "_n", "_n", b, log = _ => ())
+        .drop("_n")
+    val (r1, _) = Curate.runIncremental(b1.toDF("doc_id", "text"), empty,
+      "doc_id", "text", 0.0, m, log = _ => ())
+    val a1 = budgeted(r1, budget)
+    val spent1 = a1.agg(coalesce(sum(
+      graft.text.TextOps.tokenCount(col("text"))), lit(0L)))
+      .head().getLong(0)
+    val (r2, _) = Curate.runIncremental(b2.toDF("doc_id", "text"), a1,
+      "doc_id", "text", 0.0, m, log = _ => ())
+    val a2 = budgeted(r2, budget - spent1)
+    val want = (a1.select("doc_id").as[Long].collect() ++
+      a2.select("doc_id").as[Long].collect()).toSet
+    assert(corpusIds() == want, s"stream=${corpusIds()} chain=$want")
+    // budget drops are ledgered (quota / token_budget, no winner)
+    def ledgerOf(id: Long) = spark.read.parquet(s"$dir/ledger/b$id")
+      .select(col("doc_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(ledgerOf(0L) == Seq((3L, "quota", "token_budget", None)))
+    assert(ledgerOf(1L) == Seq(
+      (12L, "quota", "token_budget", None),
+      (13L, "quota", "token_budget", None)))
+    // spend registry totals the admitted tokens
+    val spend = spark.read.parquet(
+        new java.io.File(dir, "spend").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .agg(sum(col("tokens"))).head().getLong(0)
+    assert(spend == 54L, s"spend=$spend")
+    // replay of batch 1 is idempotent for corpus, ledger AND spend
+    run(0L, b1)
+    assert(corpusIds() == want)
+    assert(ledgerOf(0L).size == 1)
+    // compaction folds the spend registry; the next trigger still sees
+    // the full cumulative total (nothing re-admitted)
+    CurateStream.compact(spark, dir)
+    run(1L, b2)
+    assert(corpusIds() == want, "post-compact replay must admit identically")
+    r1.unpersist(); r2.unpersist()
+  }
+
   test("CurateStream ledger: per-batch drop audit subdirs, replay " +
       "overwrites, audit disjoint from acceptances") {
     import spark.implicits._
