@@ -437,4 +437,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the (probe, cell) routing table must broadcast into the cell join")
   }
+
+  test("q139 audio pairs: band join carries small ints, signatures " +
+      "fetched post-dedup, no cartesian") {
+    val p = plan("q139_audio_hash_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "banded candidates, never all-pairs")
+    assert(p.contains("bit_count"),
+      "exact Hamming verify must be the codegen'd bit_count")
+  }
+
+  test("q143 PQ ADC top-k: codebook/LUT broadcast, top-10 is " +
+      "TakeOrdered, no corpus shuffle") {
+    val p = plan("q143_pq_adc_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k smallest distances must not global-sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the probe LUT must broadcast to the scan")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-sized may shuffle-join in the probe path")
+  }
+
+  test("PQ batch IVF: both top-k stages custom, routing broadcast, " +
+      "no window, no corpus-sized shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, sf("sf0.01"), "embeddings")
+    val out = graft.sim.Pq.ivfPqTopKBatch(emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+      m = 8, ks = 16, nprobe = 2, k = 10)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2,
+      "routing cutoff AND final per-probe rank must use TopKPerGroup")
+    // the only Windows allowed are pqCodebook's donor ranks — a
+    // row_number over the ks-row TakeOrdered donor frame, bounded by
+    // construction; every RANKING stage must be the custom operator
+    val windows = "Window".r.findAllIn(p).size
+    val donorRanks = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(windows <= 2 * donorRanks,
+      s"unexpected Window beyond the bounded donor ranks " +
+        s"($windows windows, $donorRanks TakeOrdered donor frames)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (probe, lut, cell) routing table must broadcast into the cell join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the coded corpus must never shuffle-join or cross-join")
+  }
 }
