@@ -1748,7 +1748,13 @@ object PretrainPrepIncrementalMain {
       .groupBy(col("h")).agg(sum(col("nd")).as("nd"))
       .write.mode("overwrite").parquet(s"$outDir/gram_counts")
     graft.ops.StageCut.release(arts.scrubInput)
+    // an ALL-REJECTED day leaves accepted/ with no parquet files
+    // (Spark writes none for empty partitions), so the sig re-reads
+    // below would die on schema inference — there is nothing new to
+    // sign anyway, the standing tables carry forward as-is
     corpusSigs match {
+      case Some(sigs) if written == 0 =>
+        sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
       case Some(sigs) =>
         // re-read the accepted rows (tiny) so the sig pass does not
         // re-run the pipeline tail, then union with the standing table
@@ -1766,6 +1772,9 @@ object PretrainPrepIncrementalMain {
         }
         fresh.foreach(_.unionByName(sigs)
           .write.mode("overwrite").parquet(s"$outDir/sigs"))
+      case None if written == 0 =>
+        writeSigs(corpus.select(col("doc_id"), col("clean_text")),
+          method, s"$outDir/sigs")
       case None =>
         // first signing on this chain: sign corpus ∪ batch clean text
         // ONCE so the chain is signature-complete from this day on
@@ -1782,15 +1791,26 @@ object PretrainPrepIncrementalMain {
     // between the two leaves no chain.txt, so the root never parses),
     // and the next day's default check is O(links) off this sidecar
     val ownLink = s"$outDir/data"
-    val ownStats = linkShardStats(out, ownLink)
+    // an ALL-REJECTED day writes no data rows: its data/ holds no
+    // parquet, so a chain line for it would fail tomorrow's read
+    // (schema inference over _SUCCESS alone). The chain re-roots to
+    // the inherited links instead — a zero-acceptance day adds
+    // nothing to the corpus, and the artifact unions above are
+    // no-ops by value.
+    val ownEntry =
+      if (written == 0) {
+        System.err.println(s"[prep+] zero rows accepted — $ownLink is " +
+          "not added to the chain (the inherited links ARE the corpus)")
+        Seq.empty
+      } else Seq(ownLink -> linkShardStats(out, ownLink))
     if (checkMode == "on")
       // the inherited metadata is complete here, so pos continuation
       // of the link just written is verifiable at WRITE time — a
       // placement bug fails this run, not tomorrow's
-      requireTiling(inheritedMeta :+ (ownLink -> ownStats),
+      requireTiling(inheritedMeta ++ ownEntry,
         s"$chainCtx + $ownLink (post-write)")
-    writeChainMeta(spark, inheritedMeta :+ (ownLink -> ownStats), outDir)
-    writeChain(spark, chain :+ ownLink, outDir)
+    writeChainMeta(spark, inheritedMeta ++ ownEntry, outDir)
+    writeChain(spark, chain ++ ownEntry.map(_._1), outDir)
     graft.ops.StageCut.release(out)
     println(s"[prep+] ${report.input} in -> ${report.afterQuota} accepted / " +
       s"$written rows published under $outDir")

@@ -40,7 +40,17 @@ object Publish {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(outDir)
-    df.sparkSession.read.parquet(outDir).count()
+    // an all-empty frame writes NO parquet files (only _SUCCESS) —
+    // the read-back count would die on schema inference; report the
+    // zero without reading so callers can act on it (the prep chain
+    // skips fileless links)
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) 0L else df.sparkSession.read.parquet(outDir).count()
   }
 
   /** Read a published dataset back. Partition-column values come from

@@ -140,14 +140,18 @@ object Pq {
       (acc, s) => acc + element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)), 6)
 
-  /** Asymmetric top-k against the PQ index (codebook trained inline —
-    * [[Quantize.adcTopK]]'s shape): probe exact, candidates
+  /** Asymmetric top-k against the PQ index (codebook trained inline,
+    * or FROZEN via `codebook` — a [[loadCodebook]] artifact, the
+    * production daily shape: the corpus is never re-sampled and codes
+    * stay comparable across batches; [[Quantize.adcTopK]]'s shape):
+    * probe exact, candidates
     * reconstructed at their assigned centroids, smallest squared-L2
     * first with id tie-break. Returns `(idCol, pdist)`. */
   def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
                 m: Int, ks: Int, probeId: Long, k: Int,
-                seed: Int = 0): DataFrame = {
-    val cb = pqCodebook(df, idCol, vecCol, m, ks, seed)
+                seed: Int = 0,
+                codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(df, idCol, vecCol, m, ks, seed))
     // candidates drop the bulky per-row codebook copy — scoring reads
     // the probe-side LUT only
     val coded = withPqCodes(df, vecCol, cb).drop("cents")
@@ -173,8 +177,9 @@ object Pq {
   def ivfPqTopKBatch(corpus: DataFrame, probes: DataFrame,
                      idCol: String, vecCol: String, blockCol: String,
                      m: Int, ks: Int, nprobe: Int, k: Int,
-                     seed: Int = 0): DataFrame = {
-    val cb = pqCodebook(corpus, idCol, vecCol, m, ks, seed)
+                     seed: Int = 0,
+                     codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(corpus, idCol, vecCol, m, ks, seed))
     val coded = withPqCodes(corpus, vecCol, cb).drop("cents")
     val cents = Similarity.centroids(corpus, blockCol, vecCol)
     val prep = probes.select(col(idCol).as("probe_id"),
@@ -204,8 +209,9 @@ object Pq {
     * production. */
   def pqRecallBatch(corpus: DataFrame, probes: DataFrame,
                     idCol: String, vecCol: String, m: Int, ks: Int,
-                    k: Int, seed: Int = 0): DataFrame = {
-    val cb = pqCodebook(corpus, idCol, vecCol, m, ks, seed)
+                    k: Int, seed: Int = 0,
+                    codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(corpus, idCol, vecCol, m, ks, seed))
     val coded = withPqCodes(corpus, vecCol, cb).drop("cents")
       .withColumn("_v", col(vecCol).cast("array<double>"))
     val prep = probes.select(col(idCol).as("probe_id"),

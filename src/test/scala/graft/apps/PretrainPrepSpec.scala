@@ -893,6 +893,43 @@ class PretrainPrepSpec extends SparkSpec {
         .map(d => d -> m3(d)), "day-4 chain")
   }
 
+  test("all-rejected day: the empty data link is NOT chained (no " +
+      "unreadable parquet dir), and the next day runs off the root") {
+    val (day0, _, _, _, _, _, bench) = chained
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    bench.write.mode("overwrite").parquet(benchDir)
+    // every doc under the 30-token policy floor → zero acceptances
+    val bEmpty = writeDocsDir(Seq(
+      (501L, "w1", filler("ez", 5)), (502L, "w1", filler("ez2", 4)))
+      .toDF("doc_id", "source", "text"))
+    val dayE = java.nio.file.Files.createTempDirectory("chainE").toString
+    Mains.keepSessionForTests = true
+    try {
+      PretrainPrepIncrementalMain.main((Seq(bEmpty, day0, dayE,
+        s"bench=$benchDir") ++ chainArgs).toArray)
+      // the chain re-roots to the inherited link only
+      assert(PretrainPrepIncrementalMain.corpusChain(spark, dayE)
+        .map(d => new java.io.File(new java.net.URI(d)).toString) ==
+        List(s"$day0/data"))
+      assert(PretrainPrepIncrementalMain.readChainMeta(spark, dayE).size == 1)
+      // the PARTITIONED data/ write emits no parquet for an all-empty
+      // frame (exactly why the link must not chain); the flat
+      // accepted/ write does carry an empty schema'd file
+      assert(spark.read.parquet(s"$dayE/accepted").count() == 0)
+      val dataFiles = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dayE/data"))
+        .filter(f => f.toString.endsWith(".parquet")).count()
+      assert(dataFiles == 0, s"expected a fileless data dir, found $dataFiles")
+      // and a REAL day chains off the zero-acceptance root cleanly
+      val (_, batch1, _) = incFixture()
+      val dayN = java.nio.file.Files.createTempDirectory("chainN").toString
+      PretrainPrepIncrementalMain.main((Seq(writeDocsDir(batch1), dayE,
+        dayN, s"bench=$benchDir") ++ chainArgs).toArray)
+      assert(spark.read.parquet(s"$dayN/accepted")
+        .select("doc_id").as[Long].collect().sorted.toSeq == Seq(101L, 107L))
+    } finally Mains.keepSessionForTests = false
+  }
+
   test("first signing on a sig-less chain signs corpus ∪ batch, so the " +
       "chain is signature-complete from that day forward") {
     val (corpusDocs, batch1, bench) = incFixture()

@@ -173,6 +173,37 @@ class PqSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("frozen codebook: searches with a loaded artifact equal inline " +
+      "training, and a NEW batch codes against the frozen centroids " +
+      "(never re-sampled)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqf").toFile
+    try {
+      val path = new java.io.File(dir, "cb").getAbsolutePath
+      Pq.saveCodebook(Pq.pqCodebook(vecs, "id", "vec", m = 2, ks = 4), path)
+      val frozen = Pq.loadCodebook(spark, path)
+      val inline = Pq.pqAdcTopK(vecs, "id", "vec", m = 2, ks = 4,
+        probeId = 0L, k = 3).as[(Long, Double)].collect().toSeq
+      val viaArtifact = Pq.pqAdcTopK(vecs, "id", "vec", m = 2, ks = 4,
+          probeId = 0L, k = 3, codebook = Some(frozen))
+        .as[(Long, Double)].collect().toSeq
+      assert(viaArtifact == inline)
+      val recallInline = Pq.pqRecallBatch(vecs, vecs.filter(col("id") < 2),
+        "id", "vec", m = 2, ks = 4, k = 3).as[(Long, Long)].collect().toMap
+      val recallFrozen = Pq.pqRecallBatch(vecs, vecs.filter(col("id") < 2),
+          "id", "vec", m = 2, ks = 4, k = 3, codebook = Some(frozen))
+        .as[(Long, Long)].collect().toMap
+      assert(recallFrozen == recallInline)
+      // day-2 shape: a batch of vectors ABSENT from the training
+      // corpus codes against the frozen centroids — codes comparable
+      // across batches because the codebook never moved
+      val batch = Seq((100L, Seq(2.5f, 3.5f, 6.0f, 7.0f)))
+        .toDF("id", "vec")
+      val codes = Pq.withPqCodes(batch, "vec", frozen)
+        .select(col("codes")).as[Seq[Int]].collect().head
+      assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 4))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("preconditions: ragged vectors, indivisible dims and empty " +
       "corpora fail loudly") {
     val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
