@@ -416,8 +416,11 @@ object Multimodal {
               val e = new Array[Double](65)
               var w = 0
               while (w < 65) {
-                val i0 = w * n / 65
-                val i1 = (w + 1) * n / 65
+                // Long arithmetic: w * n overflows Int past ~33.5M
+                // frames (a ~13-minute 44.1 kHz clip) — exactly the
+                // long near-duplicates the hash exists to catch
+                val i0 = (w.toLong * n / 65).toInt
+                val i1 = ((w + 1).toLong * n / 65).toInt
                 var s = 0.0
                 var i = i0
                 while (i < i1) {

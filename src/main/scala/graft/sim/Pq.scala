@@ -101,12 +101,47 @@ object Pq {
       acc + (x - cv) * (x - cv)
     })
 
+  /** Codebook-vs-frame compatibility, failed LOUDLY at plan build:
+    * the codebook's subs must be exactly 0..m-1 (positional indexing
+    * in [[nested]]/[[subDist]] silently misaligns otherwise), its
+    * centroid dims uniform, and m × subDim must tile the frame's
+    * vector dimension exactly — a FROZEN artifact from a different
+    * embedding space would otherwise score half a vector (or code -1
+    * and die far away in the ADC lookup). One tiny codebook aggregate
+    * plus one size-only pass over `df` — the artifact-validation
+    * price every frozen-artifact consumer here pays. */
+  private def requireCompatible(df: DataFrame, vecCol: String,
+                                cb: DataFrame, site: String): Unit = {
+    val g = cb.agg(countDistinct(col("sub")).as("m"),
+      min(col("sub").cast("int")).as("smn"),
+      max(col("sub").cast("int")).as("smx"),
+      min(size(col("centroid"))).as("dlo"),
+      max(size(col("centroid"))).as("dhi")).head()
+    require(!g.isNullAt(0) && g.getLong(0) >= 1L, s"$site: empty codebook")
+    val m = g.getLong(0).toInt
+    require(g.getInt(1) == 0 && g.getInt(2) == m - 1,
+      s"$site: codebook subs must be exactly 0..${m - 1} " +
+        s"(got range ${g.getInt(1)}..${g.getInt(2)} over $m distinct) — " +
+        "positional subvector indexing would silently misalign")
+    require(g.getInt(3) == g.getInt(4),
+      s"$site: codebook has ragged centroid dims " +
+        s"(${g.getInt(3)}..${g.getInt(4)})")
+    val d = subDimOf(df, vecCol, m)
+    require(d == g.getInt(3),
+      s"$site: codebook subvector dim ${g.getInt(3)} does not match " +
+        s"the frame's dim/m = $d — the artifact belongs to a different " +
+        "embedding space")
+  }
+
   /** Adds `codes: array<int>` — per subvector, the argmin-distance
     * centroid id (strict `<`: the SMALLEST cid wins exact ties).
     * Carries `cents` along for the ADC consumer, like
-    * [[Quantize.withSq8Codes]] carries mins/maxs. */
+    * [[Quantize.withSq8Codes]] carries mins/maxs. The codebook is
+    * validated against the frame ([[requireCompatible]]) — a frozen
+    * artifact from another embedding space fails here, loudly. */
   def withPqCodes(df: DataFrame, vecCol: String,
-                  codebook: DataFrame): DataFrame =
+                  codebook: DataFrame): DataFrame = {
+    requireCompatible(df, vecCol, codebook, "Pq.withPqCodes")
     df.crossJoin(broadcast(nested(codebook)))
       .withColumn("codes",
         transform(sequence(lit(0), size(col("cents")) - 1), s => {
@@ -120,6 +155,7 @@ object Pq {
                 .otherwise(acc)
             }).getField("c")
         }))
+  }
 
   /** The per-probe ADC lookup table — `lut[s][j]` = squared L2 between
     * the probe's subvector `s` and centroid `(s, j)`, built ONCE on
@@ -180,6 +216,7 @@ object Pq {
                      seed: Int = 0,
                      codebook: Option[DataFrame] = None): DataFrame = {
     val cb = codebook.getOrElse(pqCodebook(corpus, idCol, vecCol, m, ks, seed))
+    requireCompatible(probes, vecCol, cb, "Pq.ivfPqTopKBatch(probes)")
     val coded = withPqCodes(corpus, vecCol, cb).drop("cents")
     val cents = Similarity.centroids(corpus, blockCol, vecCol)
     val prep = probes.select(col(idCol).as("probe_id"),
@@ -212,6 +249,7 @@ object Pq {
                     k: Int, seed: Int = 0,
                     codebook: Option[DataFrame] = None): DataFrame = {
     val cb = codebook.getOrElse(pqCodebook(corpus, idCol, vecCol, m, ks, seed))
+    requireCompatible(probes, vecCol, cb, "Pq.pqRecallBatch(probes)")
     val coded = withPqCodes(corpus, vecCol, cb).drop("cents")
       .withColumn("_v", col(vecCol).cast("array<double>"))
     val prep = probes.select(col(idCol).as("probe_id"),
@@ -250,7 +288,10 @@ object Pq {
     codebook.coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Load a [[saveCodebook]] artifact; fails loudly on wrong columns,
-    * a ragged (sub × cid) grid, or ragged centroid dimensions. */
+    * a ragged (sub × cid) grid, non-contiguous sub/cid ranges (the
+    * coding path indexes POSITIONALLY — a missing sub or cid would
+    * silently misalign every later subvector or code), or ragged
+    * centroid dimensions. */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame = {
     val cb = spark.read.parquet(path)
@@ -258,18 +299,32 @@ object Pq {
       s"not a PQ codebook artifact: ${cb.columns.mkString(",")}")
     val g = cb.groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("d"),
+        min(col("cid").cast("int")).as("cmn"),
+        max(col("cid").cast("int")).as("cmx"),
         min(size(col("centroid"))).as("lo"),
         max(size(col("centroid"))).as("hi"))
-      .agg(countDistinct(col("n")).as("nn"), min(col("n")).as("n1"),
+      .agg(countDistinct(col("n")).as("nn"),
         sum(when(col("n") =!= col("d"), 1).otherwise(0)).as("dup"),
+        sum(when(col("cmn") =!= 0 || col("cmx") =!= col("n") - 1, 1)
+          .otherwise(0)).as("ncontig"),
         countDistinct(col("lo")).as("dl"),
-        sum(when(col("lo") =!= col("hi"), 1).otherwise(0)).as("rag"))
+        sum(when(col("lo") =!= col("hi"), 1).otherwise(0)).as("rag"),
+        countDistinct(col("sub")).as("m"),
+        min(col("sub").cast("int")).as("smn"),
+        max(col("sub").cast("int")).as("smx"))
       .head()
-    require(g.getLong(0) == 1L && g.getLong(2) == 0L,
+    require(g.getLong(0) == 1L && g.getLong(1) == 0L,
       "PQ codebook artifact is ragged: every subvector needs the same " +
         "count of distinct cids")
+    require(g.getLong(2) == 0L,
+      "PQ codebook artifact has non-contiguous cids (need exactly " +
+        "0..ks-1 per subvector — codes index the sorted list " +
+        "positionally)")
     require(g.getLong(3) == 1L && g.getLong(4) == 0L,
       "PQ codebook artifact has ragged centroid dimensions")
+    require(g.getInt(6) == 0 && g.getInt(7) == g.getLong(5).toInt - 1,
+      "PQ codebook artifact has non-contiguous subs (need exactly " +
+        "0..m-1 — subvectors index positionally)")
     cb
   }
 }

@@ -79,6 +79,15 @@ object CurateStream {
       "CurateStream curates TEXT batches (runIncremental); use " +
         "CurateEmbeddingStream for vectors and CurateMediaStream for " +
         "image/audio payloads")
+    // the budget's prefix cutoff narrows over the id axis
+    // (Sampling.tokenBudgetSelect), which needs integral ids — fail at
+    // START, not on the first trigger
+    require(tokenBudget == Long.MaxValue ||
+        Set("long", "int", "integer", "short", "byte")
+          .contains(docs.schema(idCol).dataType.typeName),
+      s"tokenBudget needs an integral $idCol (the budget cutoff " +
+        s"tie-breaks and narrows on ids), got " +
+        docs.schema(idCol).dataType.typeName)
     val writer = docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -132,9 +141,11 @@ object CurateStream {
     // token-budget admission: survivors keep their token-richest
     // (tokens DESC, id ASC) prefix into the budget's REMAINING
     // headroom — cumulative spend read id-excluded from the spend/
-    // registry (a replayed batch never double-counts its own write)
-    val (accepted, ledger) =
-      if (tokenBudget == Long.MaxValue) (accepted0, ledger0)
+    // registry (a replayed batch never double-counts its own write).
+    // `spendNow` sums the _n_tok column the admission already
+    // computed — the tokenizer runs once per batch, not twice.
+    val (accepted, ledger, spendNow, cutRoot) =
+      if (tokenBudget == Long.MaxValue) (accepted0, ledger0, -1L, accepted0)
       else {
         val spent = readState(spark, s"$stateDir/spend", batchId)
           .map(_.agg(coalesce(sum(col("tokens")), lit(0L)))
@@ -143,12 +154,15 @@ object CurateStream {
         val headroom = tokenBudget - spent
         val withTok = accepted0.withColumn("_n_tok",
           graft.text.TextOps.tokenCount(col(textCol)))
-        val admitted = graft.ops.StageCut(
-          (if (headroom <= 0L) withTok.filter(lit(false))
-           else graft.ops.Sampling.tokenBudgetSelect(withTok, idCol,
-             "_n_tok", "_n_tok", headroom, log = _ => ()))
-            .drop("_n_tok"))
-        admitted.count()
+        val admitted0 = graft.ops.StageCut(
+          if (headroom <= 0L) withTok.filter(lit(false))
+          else graft.ops.Sampling.tokenBudgetSelect(withTok, idCol,
+            "_n_tok", "_n_tok", headroom, log = _ => ()))
+        val tok = admitted0
+          .agg(coalesce(sum(col("_n_tok")), lit(0L))).head().getLong(0)
+        // a projection over the cut frame — the cut ROOT (admitted0)
+        // is what the final release must target
+        val admitted = admitted0.drop("_n_tok")
         val withDrops = ledger0.map(_.unionByName(
           accepted0.select(col(idCol))
             .join(admitted.select(col(idCol)), Seq(idCol), "left_anti")
@@ -156,15 +170,21 @@ object CurateStream {
               lit("token_budget").as("reason"),
               lit(null).cast(batch.schema(idCol).dataType)
                 .as("winner_id"))))
-        (admitted, withDrops)
+        (admitted, withDrops, tok, admitted0)
       }
     ledger.foreach { l =>
       l.write.mode("overwrite").parquet(s"$stateDir/ledger/b$batchId")
       graft.ops.StageCut.release(l)
     }
-    // the pre-budget acceptance frame feeds the ledger's budget-drop
-    // anti-join — release it only after the ledger is on disk
-    if (!(accepted eq accepted0)) graft.ops.StageCut.release(accepted0)
+    // the pre-budget acceptance frame AND the tracked ledger feed the
+    // budget-drop union lazily (release on the Union frame above is a
+    // no-op for the wrapped original) — release them only after the
+    // ledger is on disk
+    if (!(accepted eq accepted0)) {
+      graft.ops.StageCut.release(accepted0)
+      ledger0.foreach(l0 =>
+        if (!ledger.exists(_ eq l0)) graft.ops.StageCut.release(l0))
+    }
     accepted.write.mode("overwrite").parquet(s"$stateDir/corpus/b$batchId")
     Curate.textFingerprints(accepted, textCol)
       .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")
@@ -182,14 +202,11 @@ object CurateStream {
       // replays overwrite their own subdir, readers exclude the
       // in-flight id, so the running total is exactly-once
       import spark.implicits._
-      val tok = accepted
-        .agg(coalesce(sum(graft.text.TextOps.tokenCount(col(textCol))),
-          lit(0L))).head().getLong(0)
-      Seq(tok).toDF("tokens")
+      Seq(spendNow).toDF("tokens")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$stateDir/spend/b$batchId")
     }
-    graft.ops.StageCut.release(accepted)
+    graft.ops.StageCut.release(cutRoot)
     onBatch(batchId, report)
   }
 
