@@ -1120,6 +1120,77 @@ object SparkEntry {
       .orderBy(col("probe_id"))
   }
 
+  /** Trained residual IVF-PQ model through the gate
+    * ([[graft.sim.IvfPq.train]] — 2^20 fixed-point Lloyd, K=32 coarse
+    * cells × 4 iters, m=8 × ks=64 residual codebooks × 3 iters):
+    * every trained parameter as one long row. The oracle re-derives
+    * the ENTIRE training — seeded donors, every assignment argmin,
+    * every floorDiv centroid mean, empty-cell retention, residuals —
+    * with plain integer SUMs (associativity makes fold order
+    * irrelevant; the q142 double-fold discipline is not needed). */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.IvfPq.modelRows(s,
+        graft.sim.IvfPq.train(emb, "vec_id", "embedding",
+          kCells = 32, m = 8, ks = 64))
+      .orderBy(col("part"), col("sub"), col("cid"), col("pos"))
+  }
+
+  /** Trained IVF-PQ search with exact refine through the gate
+    * ([[graft.sim.IvfPq.topKBatch]]): probes vec_id<25 routed to
+    * their 16 integer-nearest cells, ADC top-200 shortlist per probe
+    * off per-(probe, cell) LUTs, raw vectors fetched by id for the
+    * exact fixed-point re-rank, top-10. Integer-exact end to end. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.IvfPq.topKBatch(emb, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", kCells = 32, m = 8, ks = 64,
+        nprobe = 16, k = 10, refine = 200)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Recall audit for the trained/residual tier
+    * ([[graft.sim.IvfPq.recallBatch]], q144's contract on the trained
+    * path): per probe, ADC-only and refined top-10 overlap with the
+    * exact fixed-point top-10. IvfPqSpec asserts the refined mean
+    * ≥ 7/10 — the number the round-18 audit measured at 1.52/10 on
+    * the sampled/raw construction. */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.IvfPq.recallBatch(emb, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", kCells = 32, m = 8, ks = 64,
+        nprobe = 16, k = 10, refine = 200)
+      .orderBy(col("probe_id"))
+  }
+
+  /** Auto-cell batch IVF-ADC ([[graft.sim.Quantize
+    * .ivfAdcTopKBatchAuto]] — no caller block column: AutoBlock
+    * self-trained angular cells route the probes). Gate config
+    * searches every cell (nprobe = numCells = 8), so the result is
+    * EXACTLY the flat ADC top-5 regardless of centroid quality — the
+    * q75 exactness-K-independent trick, which is what lets a SQL
+    * oracle with no k-means in it gate the auto-trained path. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Quantize.ivfAdcTopKBatchAuto(emb,
+        emb.filter(col("vec_id") < 25), "vec_id", "embedding",
+        nprobe = 8, k = 5, numCells = 8)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Auto-cell batch IVF-PQ over the seeded-sample codebook
+    * ([[graft.sim.Pq.ivfPqTopKBatchAuto]] — q148's trick on the PQ
+    * tier): nprobe = numCells = 8 searches every cell, so the result
+    * is exactly the flat PQ-ADC top-5 the q143-family oracle CTEs
+    * already re-derive, independent of the AutoBlock training. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.sim.Pq.ivfPqTopKBatchAuto(emb, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", m = 8, ks = 16, nprobe = 8, k = 5,
+        numCells = 8)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Builds `body`'s plan with the probe-broadcast cap forced to 1, so
     * every [[graft.ops.ProbeGuard]] site inside lands on the BLOOM
     * tier (batch keys > 1 but far below the Bloom cap) — the tier
@@ -2472,6 +2543,11 @@ object SparkEntry {
     "q142_pq_codes" -> (q142 _),
     "q143_pq_adc_topk" -> (q143 _),
     "q144_pq_recall" -> (q144 _),
+    "q145_ivfpq_model" -> (q145 _),
+    "q146_ivfpq_topk" -> (q146 _),
+    "q147_ivfpq_recall" -> (q147 _),
+    "q148_adc_auto" -> (q148 _),
+    "q149_pq_auto" -> (q149 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3147,6 +3223,215 @@ object SparkEntry {
        SELECT probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap
        FROM ar LEFT JOIN xr USING (probe_id, vec_id)
        GROUP BY probe_id ORDER BY probe_id"""
+
+  /** Exact integer floor division in SQL — `Math.floorDiv`'s value
+    * from truncated `%`/`//` (the numerator is made exactly divisible
+    * first, so the division style cannot matter). */
+  private def fdivSql(s: String, n: String): String =
+    s"CAST(($s - ((($s) % ($n)) + ($n)) % ($n)) // ($n) AS BIGINT)"
+
+  /** Generated CTE chain re-deriving the ENTIRE trained IVF-PQ
+    * pipeline (q145–q147) in DuckDB: fixed-point quantization
+    * (`floor(x·2^20)` — the same integer in any IEEE engine), seeded
+    * donors, the K=32 coarse Lloyd iterations UNROLLED (assignment
+    * argmin with cell tie-break, floorDiv centroid means, empty cells
+    * keeping their previous centroid via the LEFT JOIN coalesce),
+    * full-corpus cells + residuals, the m=8 × ks=64 residual codebook
+    * iterations, final codes, probe routing, per-(probe, cell) ADC
+    * LUTs, the top-200 shortlist and the exact integer refine.
+    * Everything is a plain integer SUM — associativity makes the
+    * double-fold `list_reduce` discipline unnecessary. CTEs are
+    * MATERIALIZED: each level is referenced several times, and
+    * inlining would re-evaluate the training tree exponentially. */
+  private def ivfPqOracleCtes: String = {
+    val (k, ci, m, sd, ks, pi) = (32, 4, 8, 8, 64, 3)
+    val (nprobe, refine, kk, pmax) = (16, 200, 10, 25)
+    val dim = m * sd
+    val smpN = graft.sim.IvfPq.DefaultTrainSample
+    val b = Seq.newBuilder[String]
+    b += s"""uq AS MATERIALIZED (SELECT vec_id,
+      try_cast('0x'||substring(md5(concat('0|', vec_id)), 1, 8) AS BIGINT) AS uu
+      FROM embeddings)"""
+    b += s"""eq AS MATERIALIZED (SELECT vec_id, list_transform(range(1,${dim + 1}),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)*1048576.0) AS BIGINT)) AS xq
+      FROM embeddings WHERE embedding IS NOT NULL)"""
+    b += s"""smp AS MATERIALIZED (SELECT e.vec_id, e.xq FROM eq e JOIN uq u USING (vec_id)
+      ORDER BY u.uu, e.vec_id LIMIT $smpN)"""
+    b += s"""c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY u.uu, e.vec_id) - 1 AS cell,
+      e.xq AS cq FROM eq e JOIN uq u USING (vec_id) ORDER BY u.uu, e.vec_id LIMIT $k)"""
+    for (t <- 1 to ci) {
+      b += s"""ca$t AS MATERIALIZED (SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell, row_number() OVER (PARTITION BY s.vec_id
+          ORDER BY list_sum(list_transform(range(1,${dim + 1}),
+            i -> (s.xq[i]-c.cq[i])*(s.xq[i]-c.cq[i]))), c.cell) AS rk
+        FROM smp s CROSS JOIN c${t - 1} c) WHERE rk = 1)"""
+      b += s"""cu$t AS MATERIALIZED (SELECT a.cell, j.i,
+        ${fdivSql("sum(s.xq[j.i])", "count(*)")} AS v
+        FROM ca$t a JOIN smp s USING (vec_id) CROSS JOIN range(1,${dim + 1}) j(i)
+        GROUP BY a.cell, j.i)"""
+      b += s"""c$t AS MATERIALIZED (SELECT c.cell, list(coalesce(u.v, c.cq[p.i]) ORDER BY p.i) AS cq
+        FROM c${t - 1} c CROSS JOIN range(1,${dim + 1}) p(i)
+        LEFT JOIN cu$t u ON u.cell = c.cell AND u.i = p.i
+        GROUP BY c.cell)"""
+    }
+    val cf = s"c$ci"
+    b += s"""af AS MATERIALIZED (SELECT vec_id, cell FROM (
+      SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_sum(list_transform(range(1,${dim + 1}),
+          i -> (e.xq[i]-c.cq[i])*(e.xq[i]-c.cq[i]))), c.cell) AS rk
+      FROM eq e CROSS JOIN $cf c) WHERE rk = 1)"""
+    b += s"""rq AS MATERIALIZED (SELECT e.vec_id, a.cell,
+      list_transform(range(1,${dim + 1}), i -> e.xq[i]-c.cq[i]) AS rv
+      FROM eq e JOIN af a USING (vec_id) JOIN $cf c USING (cell))"""
+    b += s"""rqs AS MATERIALIZED (SELECT r.* FROM rq r JOIN smp s USING (vec_id))"""
+    b += s"""b0 AS MATERIALIZED (SELECT s.s AS sub, d.cid,
+      list_transform(range(1,${sd + 1}), i -> r.rv[s.s*$sd + i]) AS bq
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY uu, vec_id) - 1 AS cid
+            FROM uq ORDER BY uu, vec_id LIMIT $ks) d
+      JOIN rq r USING (vec_id) CROSS JOIN range($m) s(s))"""
+    for (t <- 1 to pi) {
+      b += s"""pa$t AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+        SELECT r.vec_id, b.sub, b.cid, row_number() OVER (PARTITION BY r.vec_id, b.sub
+          ORDER BY list_sum(list_transform(range(1,${sd + 1}),
+            i -> (r.rv[b.sub*$sd+i]-b.bq[i])*(r.rv[b.sub*$sd+i]-b.bq[i]))), b.cid) AS rk
+        FROM rqs r CROSS JOIN b${t - 1} b) WHERE rk = 1)"""
+      b += s"""bu$t AS MATERIALIZED (SELECT a.sub, a.cid, j.i,
+        ${fdivSql(s"sum(r.rv[a.sub*$sd+j.i])", "count(*)")} AS v
+        FROM pa$t a JOIN rqs r USING (vec_id) CROSS JOIN range(1,${sd + 1}) j(i)
+        GROUP BY a.sub, a.cid, j.i)"""
+      b += s"""b$t AS MATERIALIZED (SELECT b.sub, b.cid, list(coalesce(u.v, b.bq[p.i]) ORDER BY p.i) AS bq
+        FROM b${t - 1} b CROSS JOIN range(1,${sd + 1}) p(i)
+        LEFT JOIN bu$t u ON u.sub = b.sub AND u.cid = b.cid AND u.i = p.i
+        GROUP BY b.sub, b.cid)"""
+    }
+    val bf = s"b$pi"
+    b += s"""pcf AS MATERIALIZED (SELECT vec_id, sub, cid AS code FROM (
+      SELECT r.vec_id, b.sub, b.cid, row_number() OVER (PARTITION BY r.vec_id, b.sub
+        ORDER BY list_sum(list_transform(range(1,${sd + 1}),
+          i -> (r.rv[b.sub*$sd+i]-b.bq[i])*(r.rv[b.sub*$sd+i]-b.bq[i]))), b.cid) AS rk
+      FROM rq r CROSS JOIN $bf b) WHERE rk = 1)"""
+    b += s"""prt AS MATERIALIZED (SELECT probe_id, cell FROM (
+      SELECT e.vec_id AS probe_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_sum(list_transform(range(1,${dim + 1}),
+          i -> (e.xq[i]-c.cq[i])*(e.xq[i]-c.cq[i]))), c.cell) AS rk
+      FROM eq e CROSS JOIN $cf c WHERE e.vec_id < $pmax) WHERE rk <= $nprobe)"""
+    b += s"""plut AS MATERIALIZED (SELECT pr.probe_id, pr.cell, b.sub, b.cid,
+      list_sum(list_transform(range(1,${sd + 1}),
+        i -> (e.xq[b.sub*$sd+i]-c.cq[b.sub*$sd+i]-b.bq[i])
+           * (e.xq[b.sub*$sd+i]-c.cq[b.sub*$sd+i]-b.bq[i]))) AS ld
+      FROM prt pr JOIN eq e ON e.vec_id = pr.probe_id
+      JOIN $cf c ON c.cell = pr.cell CROSS JOIN $bf b)"""
+    b += s"""cand AS MATERIALIZED (SELECT pr.probe_id, f.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc
+      FROM prt pr JOIN af f ON f.cell = pr.cell
+      JOIN pcf cd ON cd.vec_id = f.vec_id
+      JOIN plut l ON l.probe_id = pr.probe_id AND l.cell = pr.cell
+                 AND l.sub = cd.sub AND l.cid = cd.code
+      WHERE f.vec_id <> pr.probe_id
+      GROUP BY pr.probe_id, f.vec_id)"""
+    b += s"""shortl AS MATERIALIZED (SELECT probe_id, vec_id, adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk
+      FROM cand) WHERE rk <= $refine)"""
+    b += s"""ref AS MATERIALIZED (SELECT s.probe_id, s.vec_id,
+      CAST(list_sum(list_transform(range(1,${dim + 1}),
+        i -> (p.xq[i]-e.xq[i])*(p.xq[i]-e.xq[i]))) AS BIGINT) AS xdist
+      FROM shortl s JOIN eq p ON p.vec_id = s.probe_id
+      JOIN eq e ON e.vec_id = s.vec_id)"""
+    b += s"""rr AS MATERIALIZED (SELECT probe_id, vec_id, xdist, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY xdist, vec_id) AS rk
+      FROM ref) WHERE rk <= $kk)"""
+    b.result().mkString(",\n")
+  }
+
+  /** q145 oracle: the trained model itself, exploded to one long per
+    * parameter — a wrong donor, assignment, mean, or retained empty
+    * cell anywhere in the unrolled training fails the hash. */
+  private def q145Sql: String =
+    s"""WITH $ivfPqOracleCtes
+       SELECT part, sub, cid, pos, cv FROM (
+         SELECT 'coarse' AS part, 0 AS sub, cell AS cid, p.i - 1 AS pos, cq[p.i] AS cv
+         FROM c4 CROSS JOIN range(1,65) p(i)
+         UNION ALL
+         SELECT 'book', sub, cid, p.i - 1, bq[p.i] FROM b3 CROSS JOIN range(1,9) p(i))
+       ORDER BY part, sub, cid, pos"""
+
+  /** q146 oracle: routing → LUT ADC → shortlist → exact refine,
+    * integer end to end. */
+  private def q146Sql: String =
+    s"""WITH $ivfPqOracleCtes
+       SELECT probe_id, CAST(rk AS BIGINT) AS rank, vec_id, xdist FROM rr
+       ORDER BY probe_id, rank"""
+
+  /** q147 oracle: ADC-only and refined top-10 overlap against the
+    * exact integer top-10 (q144's recipe on the trained path). */
+  private def q147Sql: String =
+    s"""WITH $ivfPqOracleCtes,
+       xb AS MATERIALIZED (SELECT p.vec_id AS probe_id, e.vec_id,
+         CAST(list_sum(list_transform(range(1,65),
+           i -> (p.xq[i]-e.xq[i])*(p.xq[i]-e.xq[i]))) AS BIGINT) AS xd
+         FROM eq p CROSS JOIN eq e WHERE p.vec_id < 25 AND e.vec_id <> p.vec_id),
+       xr AS MATERIALIZED (SELECT probe_id, vec_id FROM (SELECT *, row_number()
+         OVER (PARTITION BY probe_id ORDER BY xd, vec_id) AS rk FROM xb) WHERE rk <= 10),
+       ax AS (SELECT probe_id, vec_id FROM (SELECT *, row_number()
+         OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk FROM cand) WHERE rk <= 10),
+       na AS (SELECT ax.probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap_adc
+         FROM ax LEFT JOIN xr USING (probe_id, vec_id) GROUP BY ax.probe_id),
+       nr AS (SELECT rr.probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap
+         FROM rr LEFT JOIN xr USING (probe_id, vec_id) GROUP BY rr.probe_id)
+       SELECT probe_id, n_overlap_adc, n_overlap FROM na JOIN nr USING (probe_id)
+       ORDER BY probe_id"""
+
+  /** q148 oracle: q107's flat ADC distances ranked top-5 per probe —
+    * the auto-cell path searches every cell, so no k-means appears
+    * here (exactness is K-independent, the q75 trick). */
+  private def q148Sql: String =
+    """WITH p AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |         FROM embeddings, range(1,65) r(i) GROUP BY i),
+       |co AS (SELECT vec_id, i, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE greatest(0, least(255,
+       |              CAST(floor((CAST(embedding[i] AS DOUBLE)
+       |                  - mn) / (mx - mn) * 256) AS INT))) END AS code
+       |  FROM embeddings, range(1,65) r(i) JOIN p USING (i)),
+       |pq AS (SELECT vec_id AS probe_id, i, CAST(embedding[i] AS DOUBLE) AS qv
+       |  FROM embeddings, range(1,65) r(i) WHERE vec_id < 25),
+       |terms AS (SELECT pq.probe_id, co.vec_id, co.i,
+       |    (qv - (mn + (code + 0.5) * (mx - mn) / 256))
+       |      * (qv - (mn + (code + 0.5) * (mx - mn) / 256)) AS t
+       |  FROM co JOIN pq ON pq.i = co.i
+       |  WHERE co.vec_id <> pq.probe_id),
+       |ordered AS (SELECT probe_id, vec_id, list(t ORDER BY i) AS ts
+       |  FROM terms GROUP BY probe_id, vec_id),
+       |d AS (SELECT probe_id, vec_id,
+       |    round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+       |      AS adist
+       |  FROM ordered)
+       |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adist, vec_id) AS rn FROM d)
+       |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** q149 oracle: the q144 `pd` recipe (flat PQ-ADC distances over
+    * the seeded-sample codebook) ranked top-5 per probe — again no
+    * k-means: the auto path searches every cell. */
+  private def q149Sql: String =
+    s"""WITH $pqOracleCtes,
+       plutb AS (SELECT p.vec_id AS probe_id, c.sub, c.cid,
+           list_reduce(list_prepend(0.0, list(
+             (CAST(p.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+           * (CAST(p.embedding[c.sub * 8 + t.i + 1] AS DOUBLE) - c.cent[t.i + 1])
+             ORDER BY t.i)), (a, b) -> a + b) AS pd
+         FROM embeddings p, cblq c, range(8) t(i) WHERE p.vec_id < 25
+         GROUP BY p.vec_id, c.sub, c.cid),
+       pd AS (SELECT l.probe_id, cd.vec_id,
+           round(list_reduce(list_prepend(0.0, list(l.pd ORDER BY cd.sub)),
+             (a, b) -> a + b), 6) AS pdist
+         FROM codesq cd JOIN plutb l ON cd.sub = l.sub AND cd.code = l.cid
+         WHERE cd.vec_id <> l.probe_id GROUP BY l.probe_id, cd.vec_id)
+       SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, pdist
+       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY pdist, vec_id) AS rn FROM pd)
+       WHERE rn <= 5 ORDER BY probe_id, rank"""
 
   /** q132 oracle: the q72 chain's DROP LEDGER — the q131 recipe over
     * the vector fragments: odd vectors missing from the validity CTE,
@@ -5316,6 +5601,11 @@ object SparkEntry {
     "q142_pq_codes" -> q142Sql,
     "q143_pq_adc_topk" -> q143Sql,
     "q144_pq_recall" -> q144Sql,
+    "q145_ivfpq_model" -> q145Sql,
+    "q146_ivfpq_topk" -> q146Sql,
+    "q147_ivfpq_recall" -> q147Sql,
+    "q148_adc_auto" -> q148Sql,
+    "q149_pq_auto" -> q149Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

@@ -239,6 +239,62 @@ object Pq {
       .select(col("probe_id"), col("rank"), col(idCol), col("pdist"))
   }
 
+  /** [[ivfPqTopKBatch]] over SELF-TRAINED cells — no caller block
+    * column ([[Quantize.ivfAdcTopKBatchAuto]]'s composition on the PQ
+    * tier): AutoBlock angular cells (or a pre-trained [[CellIndex]])
+    * assign the coded corpus, probes route via the codegen'd
+    * (cosine, cell) struct sort, and the per-probe LUT + bounded-heap
+    * scoring are [[ivfPqTopKBatch]]'s exactly. `nprobe >= numCells`
+    * ⇒ exactly the flat PQ-ADC top-k at any centroid quality (gate
+    * q149). Zero-norm vectors drop on both sides (angular routing).
+    * A FROZEN [[loadCodebook]] artifact via `codebook` keeps codes
+    * comparable across batches. */
+  def ivfPqTopKBatchAuto(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, vecCol: String,
+                         m: Int, ks: Int, nprobe: Int, k: Int,
+                         seed: Int = 0, numCells: Int = 0,
+                         refineIters: Int = 1,
+                         index: Option[CellIndex] = None,
+                         codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(corpus, idCol, vecCol, m, ks, seed))
+    requireCompatible(probes, vecCol, cb, "Pq.ivfPqTopKBatchAuto(probes)")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && Similarity.finiteNorm(col("nrm")))
+    val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
+      AutoBlock.resolveCells(numCells, base.count()), refineIters))
+    val prep = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("q"), col(vecCol).as("_pv"),
+        Similarity.norm(col(vecCol)).as("_pnrm"))
+      .filter(col("q").isNotNull && Similarity.finiteNorm(col("_pnrm")))
+      .crossJoin(broadcast(nested(cb)))
+      .withColumn("lut", probeLut)
+      .drop("cents")
+    if (cents.isEmpty)
+      return prep.select(col("probe_id"), lit(1L).as("rank"),
+        col("probe_id").as(idCol), lit(0.0).as("pdist")).limit(0)
+    val coded = withPqCodes(corpus, vecCol, cb).drop("cents")
+      .withColumn("_nrm", Similarity.norm(col(vecCol)))
+      .filter(col(vecCol).isNotNull && Similarity.finiteNorm(col("_nrm")))
+      .withColumn("_cell", AutoBlock
+        .nearestCellStruct(cents, col(vecCol), col("_nrm")).getField("cell"))
+    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((graft.functions.GraftExtensions.dot(col("_pv"),
+        typedLit(c.toSeq)) / col("_pnrm")).as("c"), lit(-i).as("nc"))
+    }
+    val routed = prep
+      .withColumn("_cells", slice(sort_array(array(scored: _*), asc = false),
+        1, math.min(nprobe, cents.length)))
+      .select(col("probe_id"), col("lut"), explode(col("_cells")).as("_c"))
+      .select(col("probe_id"), col("lut"), (-col("_c.nc")).as("_cell"))
+    val cand = coded.join(broadcast(routed), Seq("_cell"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("pdist", pqAdcDist)
+    graft.ops.TopK.topKPerGroup(cand, Seq("probe_id"),
+        Seq(("pdist", true), (idCol, true)), k, "rank")
+      .select(col("probe_id"), col("rank"), col(idCol), col("pdist"))
+  }
+
   /** Recall audit for the PQ index — [[Quantize.adcRecallBatch]]'s
     * contract: per probe, how many of the PQ-ADC top-k survive in the
     * EXACT squared-L2 top-k. Integer output `(probe_id, n_overlap)`,

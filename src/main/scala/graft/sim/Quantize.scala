@@ -149,6 +149,62 @@ object Quantize {
       .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
   }
 
+  /** [[ivfAdcTopKBatch]] over SELF-TRAINED cells — no caller block
+    * column: [[AutoBlock.fitCells]] trains `numCells` angular
+    * centroids (deterministic distinct-vector seeds + spherical
+    * k-means; `numCells = 0` derives K from the corpus count), or a
+    * pre-trained [[CellIndex]] skips training entirely (the
+    * train-once/query-many production shape — numCells/refineIters
+    * are then ignored). Corpus codes are assigned by the codegen'd
+    * centroid-literal expression (zero shuffle); probes route via ONE
+    * codegen'd sort of the K (cosine, cell) structs (cell-id
+    * tie-break — deterministic cutoff); the ADC scoring and
+    * bounded-heap top-k are [[ivfAdcTopKBatch]]'s exactly. Zero-norm
+    * vectors drop on both sides (angular routing has no direction
+    * for them — [[Similarity.ivfTopKBatch]]'s rule). `nprobe >=
+    * numCells` searches every cell ⇒ exactly the flat ADC top-k at
+    * ANY centroid quality (the q148 gate pins that against an oracle
+    * with no k-means in it). */
+  def ivfAdcTopKBatchAuto(corpus: DataFrame, probes: DataFrame,
+                          idCol: String, vecCol: String,
+                          nprobe: Int, k: Int,
+                          numCells: Int = 0, refineIters: Int = 1,
+                          index: Option[CellIndex] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && Similarity.finiteNorm(col("nrm")))
+    val cents = index.map(_.centroids).getOrElse(AutoBlock.fitCells(base,
+      AutoBlock.resolveCells(numCells, base.count()), refineIters))
+    val p0 = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("q"), col(vecCol).as("_pv"),
+        Similarity.norm(col(vecCol)).as("_pnrm"))
+      .filter(col("q").isNotNull && Similarity.finiteNorm(col("_pnrm")))
+    if (cents.isEmpty)
+      return p0.select(col("probe_id"), lit(1L).as("rank"),
+        col("probe_id").as(idCol), lit(0.0).as("adist")).limit(0)
+    val coded = withSq8Codes(corpus, vecCol, sq8Params(corpus, vecCol))
+      .withColumn("_nrm", Similarity.norm(col(vecCol)))
+      .filter(col(vecCol).isNotNull && Similarity.finiteNorm(col("_nrm")))
+      .withColumn("_cell", AutoBlock
+        .nearestCellStruct(cents, col(vecCol), col("_nrm")).getField("cell"))
+    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((graft.functions.GraftExtensions.dot(col("_pv"),
+        typedLit(c.toSeq)) / col("_pnrm")).as("c"), lit(-i).as("nc"))
+    }
+    val routed = p0
+      .withColumn("_cells", slice(sort_array(array(scored: _*), asc = false),
+        1, math.min(nprobe, cents.length)))
+      .select(col("probe_id"), col("q"), explode(col("_cells")).as("_c"))
+      .select(col("probe_id"), col("q"), (-col("_c.nc")).as("_cell"))
+    val cand = coded.join(broadcast(routed), Seq("_cell"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("adist", adcDist)
+    graft.ops.TopK.topKPerGroup(cand, Seq("probe_id"),
+        Seq(("adist", true), (idCol, true)), k, "rank")
+      .select(col("probe_id"), col("rank"), col(idCol), col("adist"))
+  }
+
   /** Recall audit for the compressed index — the "did quantization
     * hurt" gauge (q68's recall-contract pattern, applied to SQ8):
     * per probe, how many of the ADC top-k survive in the EXACT

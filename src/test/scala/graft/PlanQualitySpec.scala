@@ -482,4 +482,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "the coded corpus must never shuffle-join or cross-join")
   }
+
+  test("q146 trained IVF-PQ: shortlist + refine ranks both custom, " +
+      "routing and shortlist broadcast, no window, no corpus-sized " +
+      "shuffle join, no cartesian") {
+    val p = plan("q146_ivfpq_topk")
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2,
+      "the ADC shortlist AND the refined top-k must use TopKPerGroup")
+    assert(!p.contains("Window"),
+      "no ranking stage may fall back to a window sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the routing table and the refine shortlist must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the coded corpus must never shuffle-join or cross-join — the " +
+        "model rides as expression literals, not a joined frame")
+  }
 }
