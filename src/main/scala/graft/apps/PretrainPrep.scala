@@ -1220,7 +1220,13 @@ object PretrainPrepIncrementalMain {
       "[shards=64] [seed=0] [check=on|off|full] [ledger=on]\n" +
       "   or: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
       "[check=off]\n" +
-      "   or: pretrain-prep-incremental why <chainRootDir> <docId>"
+      "   or: pretrain-prep-incremental why <chainRootDir> <docId>\n" +
+      "check=on (default) trusts the chain.meta sidecar recorded when " +
+      "each link was WRITTEN (O(links), no corpus read) plus a per-link " +
+      "file-count/byte fingerprint re-listed each run; it detects " +
+      "dropped/duplicated/reordered links and out-of-band file changes, " +
+      "but NOT an in-place byte edit that preserves sizes — " +
+      "check=full re-scans every (shard, pos) for that"
   private val knownKeys = Set("bench", "policy", "badwords", "spanN",
     "spanMinDocs", "method", "decontamN", "quota", "budget", "budgets",
     "budgetDefault", "shards", "seed", "check", "ledger")
@@ -1315,20 +1321,29 @@ object PretrainPrepIncrementalMain {
     * links. */
   private[apps] val ChainMetaFile = "chain.meta"
 
-  private[apps] def readChainMeta(spark: SparkSession,
-                                  dir: String): Map[String, LinkStats] = {
+  private def chainMetaLines(spark: SparkSession,
+                             dir: String): List[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$ChainMetaFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return Nil
     val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    lines.map { l =>
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Sentinel in the shard slot marking a per-link file fingerprint
+    * line: `<dir>\tFP\t<nFiles>\t<totalBytes>`. Never a shard id, so
+    * pre-fingerprint sidecars parse unchanged. */
+  private[apps] val FpTag = "FP"
+
+  private[apps] def readChainMeta(spark: SparkSession,
+                                  dir: String): Map[String, LinkStats] =
+    chainMetaLines(spark, dir).flatMap { l =>
       l.split("\t") match {
+        case Array(d, FpTag, _, _) => None
         case Array(d, s, n, mn, mx) =>
-          (d, s.toLong, (n.toLong, mn.toLong, mx.toLong))
+          Some((d, s.toLong, (n.toLong, mn.toLong, mx.toLong)))
         case _ => throw new IllegalStateException(
           s"$dir/$ChainMetaFile: malformed line '$l' — regenerate the " +
             "sidecar (delete it; the next checked run rebuilds it from " +
@@ -1337,17 +1352,58 @@ object PretrainPrepIncrementalMain {
     }.groupBy(_._1).map { case (d, es) =>
       d -> es.map { case (_, s, st) => s -> st }.toMap
     }
+
+  /** The recorded per-link file fingerprints `(nFiles, totalBytes)` of
+    * a sidecar (empty for pre-fingerprint sidecars). */
+  private[apps] def readChainFp(spark: SparkSession,
+                                dir: String): Map[String, (Long, Long)] =
+    chainMetaLines(spark, dir).flatMap { l =>
+      l.split("\t") match {
+        case Array(d, FpTag, n, b) => Some(d -> (n.toLong, b.toLong))
+        case _ => None
+      }
+    }.toMap
+
+  /** Count + total size of a link's non-hidden data files — ONE
+    * filesystem listing, no data read. The cheap out-of-band-mutation
+    * tripwire `check=on` re-verifies each run: a file added, removed,
+    * truncated or grown since the link was written flips it. (An
+    * in-place byte edit that preserves every size is invisible here —
+    * that is `check=full`'s job, and the usage string says so.) */
+  private[apps] def listFingerprint(spark: SparkSession,
+                                    dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val nm = f.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith(".")) {
+        n += 1; bytes += f.getLen
+      }
+    }
+    (n, bytes)
   }
 
+  /** Writes the sidecar. Fingerprints are INHERITED for links that
+    * already carry one (`inheritedFp` — recomputing would silently
+    * re-vouch a link mutated since it was written) and freshly listed
+    * only for links without one (this run's own link, pre-fingerprint
+    * roots). */
   private[apps] def writeChainMeta(spark: SparkSession,
                                    meta: Seq[(String, LinkStats)],
-                                   outDir: String): Unit = {
+                                   outDir: String,
+                                   inheritedFp: Map[String, (Long, Long)] =
+                                     Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val lines = meta.flatMap { case (d, st) =>
       val p = new org.apache.hadoop.fs.Path(d)
       val q = p.getFileSystem(conf).makeQualified(p).toString
+      val (fn, fb) = inheritedFp.getOrElse(q, listFingerprint(spark, q))
       st.toSeq.sortBy(_._1).map { case (s, (n, mn, mx)) =>
-        s"$q\t$s\t$n\t$mn\t$mx" }
+        s"$q\t$s\t$n\t$mn\t$mx" } :+ s"$q\t$FpTag\t$fn\t$fb"
     }
     val p = new org.apache.hadoop.fs.Path(s"$outDir/$ChainMetaFile")
     val out = p.getFileSystem(conf).create(p, true)
@@ -1394,6 +1450,22 @@ object PretrainPrepIncrementalMain {
       p.getFileSystem(conf).makeQualified(p).toString
     }
     val cached = readChainMeta(spark, rootDir)
+    // fingerprint tripwire: links the sidecar vouches for must still
+    // LIST the same (file count, total bytes) — an out-of-band file
+    // add/remove/resize since write time fails here instead of
+    // passing on stale metadata (in-place same-size edits need
+    // check=full; the usage string says so)
+    val fps = readChainFp(spark, rootDir)
+    chain.map(qual).distinct.foreach { d =>
+      fps.get(d).foreach { case (fn, fb) =>
+        val (an, ab) = listFingerprint(spark, d)
+        if ((an, ab) != (fn, fb)) throw new IllegalStateException(
+          s"chain link $d was modified after it was written: recorded " +
+            s"$fn files / $fb bytes, found $an files / $ab bytes — the " +
+            "chain.meta sidecar cannot vouch for it; rerun with " +
+            "check=full to re-validate the data (or restore the link)")
+      }
+    }
     // scan each UNCOVERED directory once even if the manifest lists it
     // twice — the tiling check still sees one entry per manifest line
     val scanned = scala.collection.mutable.Map.empty[String, LinkStats]
@@ -1809,7 +1881,8 @@ object PretrainPrepIncrementalMain {
       // placement bug fails this run, not tomorrow's
       requireTiling(inheritedMeta ++ ownEntry,
         s"$chainCtx + $ownLink (post-write)")
-    writeChainMeta(spark, inheritedMeta ++ ownEntry, outDir)
+    writeChainMeta(spark, inheritedMeta ++ ownEntry, outDir,
+      inheritedFp = readChainFp(spark, corpusOut))
     writeChain(spark, chain ++ ownEntry.map(_._1), outDir)
     graft.ops.StageCut.release(out)
     println(s"[prep+] ${report.input} in -> ${report.afterQuota} accepted / " +

@@ -215,7 +215,14 @@ object Fuzzy {
       if (probeScale)
         ProbeGuard.tiered(bk, ak, Seq("_k"), "Fuzzy.fuzzyJoinAgainst")
       else ProbeGuard.Sides(ProbeGuard.Shape.Shuffle, -1L, bk, ak)
-    val joined = t.shape match {
+    // the edit-distance verify, applied per tier so the Bloom branch
+    // can materialize its final output eagerly and release its pair
+    // cache before returning
+    def verify(joined: DataFrame): DataFrame = joined
+      .withColumn("dist", levenshtein(col("_na"), col("_nb")))
+      .filter(col("dist") <= maxDist)
+      .select(col(idA), col(idB), col("dist").cast("long").as("dist"))
+    t.shape match {
       case ProbeGuard.Shape.Probe =>
         // daily shape: batch keys broadcast → the corpus key index is
         // scanned, not exchanged; the candidate id pairs (bounded by
@@ -229,8 +236,8 @@ object Fuzzy {
           .select(col(idA), col(idB)).distinct()
         val fetched = bNormRaw.join(broadcast(pairs), Seq(idB))
           .select(col(idA), col(idB), col("_nb"))
-        (if (ck.isDefined) fetched.distinct() else fetched)
-          .join(aNorm, Seq(idA))
+        verify((if (ck.isDefined) fetched.distinct() else fetched)
+          .join(aNorm, Seq(idA)))
       case ProbeGuard.Shape.Bloom =>
         // Bloom tier: the candidate pair set is over the broadcast cap
         // (its parent key set is), so the corpus string fetch scans
@@ -242,9 +249,12 @@ object Fuzzy {
         // key fan-out can put orders of magnitude more ids in than the
         // sizing expects, degrading fpp toward 1), and both the filter
         // build and the fetch join read the one cached evaluation.
-        // The cache lives until session end / LRU eviction — bounded
-        // by construction, and the price of not re-running the
-        // candidate join.
+        // The branch materializes its VERIFIED output eagerly (the
+        // simhashNearDupPairsAgainst lifecycle) so the pair cache is
+        // released HERE — a long-lived session running many A-vs-B
+        // scrubs no longer stacks one cached pair plan per call; the
+        // returned frame's own (bounded, final-result-sized) cache is
+        // the caller's to release.
         val pairs = t.standing.join(t.keys, Seq("_k"))
           .select(col(idA), col(idB)).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -254,19 +264,20 @@ object Fuzzy {
             Seq(idB), ids.count(), "Fuzzy.fuzzyJoinAgainst(fetch)"))
           .join(pairs, Seq(idB))
           .select(col(idA), col(idB), col("_nb"))
-        (if (ck.isDefined) fetched.distinct() else fetched)
-          .join(aNorm, Seq(idA))
+        val out = verify(
+          (if (ck.isDefined) fetched.distinct() else fetched)
+            .join(aNorm, Seq(idA)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        pairs.unpersist()
+        out
       case ProbeGuard.Shape.Shuffle =>
         val bNorm =
           if (ck.isDefined) bNormRaw.distinct() else bNormRaw
-        t.keys.join(t.standing, Seq("_k"))
+        verify(t.keys.join(t.standing, Seq("_k"))
           .select(col(idA), col(idB)).distinct()
           .join(aNorm, Seq(idA))
-          .join(bNorm, Seq(idB))
+          .join(bNorm, Seq(idB)))
     }
-    joined
-      .withColumn("dist", levenshtein(col("_na"), col("_nb")))
-      .filter(col("dist") <= maxDist)
-      .select(col(idA), col(idB), col("dist").cast("long").as("dist"))
   }
 }

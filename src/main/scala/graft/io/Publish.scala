@@ -43,13 +43,19 @@ object Publish {
     // an all-empty frame writes NO parquet files (only _SUCCESS) —
     // the read-back count would die on schema inference; report the
     // zero without reading so callers can act on it (the prep chain
-    // skips fileless links)
+    // skips fileless links). "Data file" = any non-hidden name (not
+    // '_'/'.'-prefixed — Hadoop's hidden-file convention), NOT a
+    // '.parquet' suffix match: a committer or naming scheme that
+    // drops the suffix must not make a real write report 0 rows (and,
+    // downstream, silently drop the chain link).
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     var hasData = false
-    while (!hasData && it.hasNext)
-      hasData = it.next().getPath.getName.endsWith(".parquet")
+    while (!hasData && it.hasNext) {
+      val n = it.next().getPath.getName
+      hasData = !n.startsWith("_") && !n.startsWith(".")
+    }
     if (!hasData) 0L else df.sparkSession.read.parquet(outDir).count()
   }
 

@@ -829,6 +829,38 @@ class PretrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("chain.meta fingerprint tripwire: an out-of-band file added to " +
+      "a vouched link fails the cached check loudly; restoring the " +
+      "link heals it; fingerprints are inherited, not re-vouched") {
+    val (day0, day1, day2, _, _, _, _) = chained
+    val chain = PretrainPrepIncrementalMain.corpusChain(spark, day2)
+    // the sidecar carries one fingerprint per link, and day2's entry
+    // for day0's link equals day1's (inherited, not re-listed)
+    val fp2 = PretrainPrepIncrementalMain.readChainFp(spark, day2)
+    val fp1 = PretrainPrepIncrementalMain.readChainFp(spark, day1)
+    assert(fp2.keySet == chain.toSet)
+    val day0Link = chain.head
+    assert(fp2(day0Link) == fp1(day0Link))
+    // out-of-band mutation: drop an extra (non-hidden) file into the
+    // oldest link's data dir — metadata arithmetic alone cannot see
+    // it, the fingerprint re-listing must
+    val intruder = new java.io.File(
+      new java.net.URI(day0Link).getPath, "intruder.bin")
+    java.nio.file.Files.write(intruder.toPath, Array[Byte](9, 9))
+    try {
+      val e = intercept[IllegalStateException] {
+        PretrainPrepIncrementalMain.checkChainCached(spark, day2, chain,
+          "mutated link")
+      }
+      assert(e.getMessage.contains("modified after it was written"),
+        e.getMessage)
+    } finally assert(intruder.delete())
+    // restored: the same check passes again
+    val ok = PretrainPrepIncrementalMain.checkChainCached(spark, day2,
+      chain, "restored link")
+    assert(ok.size == chain.size)
+  }
+
   test("chain.meta: a pre-metadata root falls back to a one-time scan " +
       "reproducing the cached stats; duplicated or gapped links fail " +
       "loudly from arithmetic alone") {
