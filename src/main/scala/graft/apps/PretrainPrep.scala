@@ -1220,6 +1220,8 @@ object PretrainPrepIncrementalMain {
       "[shards=64] [seed=0] [check=on|off|full] [ledger=on]\n" +
       "   or: pretrain-prep-incremental compact <chainRootDir> <outDir> " +
       "[check=off]\n" +
+      "   or: pretrain-prep-incremental gc <chainRootDir> " +
+      "<compactedRootDir> [apply]\n" +
       "   or: pretrain-prep-incremental why <chainRootDir> <docId>\n" +
       "check=on (default) trusts the chain.meta sidecar recorded when " +
       "each link was WRITTEN (O(links), no corpus read) plus a per-link " +
@@ -1618,9 +1620,10 @@ object PretrainPrepIncrementalMain {
     * ([[whyDropped]]) still resolves after the original run
     * directories are deleted. NOT carried: per-run `accepted/`
     * outputs — corpus state already holds the accepted rows. The
-    * source dirs are left untouched — delete them once the compacted
-    * root is in use (the manifest-last write makes "usable"
-    * well-defined: `chain.txt` exists iff the compact completed).
+    * source dirs are left untouched by compact itself; the
+    * `gc <chainRootDir> <compactedRootDir>` verb ([[gcChain]])
+    * verifies coverage + ledger consolidation and deletes them (dry
+    * run by default).
     *
     * Returns the consolidated row count. */
   private[apps] def compactChain(spark: SparkSession, rootDir: String,
@@ -1676,6 +1679,137 @@ object PretrainPrepIncrementalMain {
     written
   }
 
+  private val gcUsage =
+    "usage: pretrain-prep-incremental gc <chainRootDir> <compactedRootDir> " +
+      "[apply]\n" +
+      "Deletes the run directories of the chain under <chainRootDir> once " +
+      "a compacted root covers them. DRY-RUN by default (lists what would " +
+      "be deleted); pass 'apply' to delete. Refuses loudly when the " +
+      "compacted root is unusable (no chain.txt), still references a " +
+      "directory slated for deletion, does not cover every shard's rows, " +
+      "or lacks the consolidated drop ledger the chain carries."
+
+  /** `gc <chainRootDir> <compactedRootDir> [apply]` — the deletion half
+    * of [[compactChain]]'s lifecycle (whose doc used to end at "delete
+    * them once the compacted root is in use", a manual step; the
+    * reference's sync mode deletes orphans itself rather than printing
+    * instructions — `/root/reference/lwetl/programs/db_copy/main.py:362-391`).
+    * Returns the run directories slated for (or, with `apply`,
+    * actually) deleted — the PARENT of each chain data link, which
+    * holds that day's `data/`, `ledger/`, `accepted/` and artifacts.
+    *
+    * Safety gates, each a loud refusal, all BEFORE any deletion:
+    *  1. the compacted root must be usable — `chain.txt` present (the
+    *     manifest-last discipline makes this exactly "compact
+    *     completed");
+    *  2. no link of the compacted root's own chain may live under a
+    *     directory slated for deletion (catches gc against an
+    *     uncompacted root, the old root itself, or a compact written
+    *     inside a run directory);
+    *  3. coverage: per shard, the compacted root's dense epoch must
+    *     reach at least the old chain's max pos — verified from
+    *     chain.meta arithmetic ([[checkChainCached]], which also
+    *     re-validates both chains' tiling and fingerprints; O(links),
+    *     no corpus read on sidecar-covered roots);
+    *  4. every drop ledger along the old chain must already be
+    *     consolidated: the compacted root's `ledger/` must hold at
+    *     least as many rows per source run as the run's own ledger
+    *     (ledgers are batch-scale audit tables — the count is cheap).
+    */
+  private[apps] def gcChain(spark: SparkSession, rootDir: String,
+                            compactedRoot: String,
+                            apply: Boolean): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    def under(child: String, dir: String) =
+      child == dir || child.startsWith(dir.stripSuffix("/") + "/")
+    // 1. usable compacted root
+    val manifest = new org.apache.hadoop.fs.Path(s"$compactedRoot/chain.txt")
+    require(manifest.getFileSystem(conf).exists(manifest),
+      s"refusing gc: $compactedRoot has no chain.txt — the compact did " +
+        "not complete (or this is not a corpus root); nothing was deleted")
+    val oldChain = corpusChain(spark, rootDir).map(qual).distinct
+    val newChain = corpusChain(spark, compactedRoot).map(qual).distinct
+    val runDirs = oldChain
+      .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString)
+      .distinct
+    // 2. the compacted root and its links must be outside the blast radius
+    (qual(compactedRoot) +: newChain).foreach { nl =>
+      runDirs.find(under(nl, _)).foreach { rd =>
+        throw new IllegalStateException(
+          s"refusing gc: $nl is (under) run directory $rd slated for " +
+            s"deletion — the chain under $rootDir is not compacted away " +
+            "from it; nothing was deleted")
+      }
+    }
+    // 3. per-shard coverage from sidecar arithmetic (both chains also
+    // re-validate tiling + fingerprints here)
+    def shardMax(stats: Seq[(String, LinkStats)]): Map[Long, Long] =
+      stats.flatMap(_._2.toSeq).groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2._3).max }
+    val oldMax = shardMax(checkChainCached(spark, rootDir, oldChain,
+      s"gc source $rootDir"))
+    val newMax = shardMax(checkChainCached(spark, compactedRoot, newChain,
+      s"gc target $compactedRoot"))
+    oldMax.foreach { case (s, mx) =>
+      val n = newMax.getOrElse(s, 0L)
+      require(n >= mx,
+        s"refusing gc: compacted root covers shard $s only to pos $n " +
+          s"but the chain under $rootDir reaches $mx — wrong compacted " +
+          "root, or the chain advanced after the compact; nothing was " +
+          "deleted")
+    }
+    // 4. ledgers consolidated
+    val oldLedgerDirs = ledgerDirs(spark, rootDir)
+    if (oldLedgerDirs.nonEmpty) {
+      require(dirNonEmpty(spark, s"$compactedRoot/ledger"),
+        s"refusing gc: the chain under $rootDir carries " +
+          s"${oldLedgerDirs.size} drop ledger(s) but $compactedRoot has " +
+          "no consolidated ledger/ — rerun compact (ledger consolidation " +
+          "landed with it); nothing was deleted")
+      val cons = spark.read.parquet(s"$compactedRoot/ledger")
+        .groupBy(col("run")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      oldLedgerDirs.foreach { l =>
+        val runDir = new org.apache.hadoop.fs.Path(l).getParent
+        val tag = qual(runDir.toString)
+        val have = spark.read.parquet(l).count()
+        val got = cons.getOrElse(tag, 0L)
+        require(got >= have,
+          s"refusing gc: run $tag recorded $have ledger rows but the " +
+            s"consolidated ledger carries $got for it — the audit trail " +
+            "would be lost; rerun compact; nothing was deleted")
+      }
+    }
+    if (apply) runDirs.foreach { rd =>
+      val p = new org.apache.hadoop.fs.Path(rd)
+      p.getFileSystem(conf).delete(p, true)
+      System.err.println(s"[prep-gc] deleted $rd")
+    }
+    runDirs
+  }
+
+  private def gcMain(args: Array[String]): Unit = {
+    require(args.length == 2 ||
+      (args.length == 3 && args(2) == "apply"),
+      gcUsage)
+    val spark = Mains.session("graft-pretrain-prep-gc")
+    val apply = args.length == 3
+    val dirs = gcChain(spark, args(0), args(1), apply)
+    if (!apply) {
+      dirs.foreach(d => println(s"[prep-gc] would delete $d"))
+      println(s"[prep-gc] dry run — ${dirs.size} run director" +
+        s"${if (dirs.size == 1) "y" else "ies"} covered by ${args(1)}; " +
+        "pass 'apply' to delete")
+    } else
+      println(s"[prep-gc] deleted ${dirs.size} run directories covered " +
+        s"by ${args(1)}")
+    Mains.stop(spark)
+  }
+
   private val whyUsage =
     "usage: pretrain-prep-incremental why <chainRootDir> <docId>"
 
@@ -1721,6 +1855,7 @@ object PretrainPrepIncrementalMain {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("compact")) return compactMain(args.tail)
+    if (args.headOption.contains("gc")) return gcMain(args.tail)
     if (args.headOption.contains("why")) return whyMain(args.tail)
     if (args.length < 3) throw new IllegalArgumentException(usage)
     val Array(batchDir, corpusOut, outDir, rest @ _*) =

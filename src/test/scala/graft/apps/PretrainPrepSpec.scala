@@ -1061,6 +1061,107 @@ class PretrainPrepSpec extends SparkSpec {
     assert(e3.getMessage.contains("unrecognized option"))
   }
 
+  // ---- chain GC: verified deletion of compact-covered run dirs ----
+
+  test("gc: every unsafe precondition refuses loudly and deletes " +
+      "nothing (missing manifest, uncompacted target, chain advanced " +
+      "past the compact, missing consolidated ledger); dry run lists") {
+    val (day0, day1, day2, _, _, _, _) = chained
+    // target without chain.txt: the compact never completed
+    val dead = java.nio.file.Files.createTempDirectory("gcdead").toString
+    val e1 = intercept[IllegalArgumentException] {
+      PretrainPrepIncrementalMain.gcChain(spark, day1, dead, apply = false)
+    }
+    assert(e1.getMessage.contains("no chain.txt"), e1.getMessage)
+    // uncompacted target (the root itself): its links sit inside the
+    // blast radius
+    val e2 = intercept[IllegalStateException] {
+      PretrainPrepIncrementalMain.gcChain(spark, day2, day2, apply = false)
+    }
+    assert(e2.getMessage.contains("slated for deletion"), e2.getMessage)
+    val cDir = java.nio.file.Files.createTempDirectory("gccov").toString
+    Mains.keepSessionForTests = true
+    try {
+      PretrainPrepIncrementalMain.main(
+        Array("compact", day1, cDir, "check=on"))
+      // the chain advanced past the compact: day2 reaches further
+      val e3 = intercept[IllegalArgumentException] {
+        PretrainPrepIncrementalMain.gcChain(spark, day2, cDir,
+          apply = false)
+      }
+      assert(e3.getMessage.contains("only to pos"), e3.getMessage)
+      // correct pairing, DRY RUN: lists exactly the covered run dirs,
+      // deletes nothing
+      val listed = PretrainPrepIncrementalMain.gcChain(spark, day1, cDir,
+        apply = false)
+      assert(listed.map(d => new java.io.File(new java.net.URI(d))
+        .toString).toSet == Set(day0, day1))
+      assert(new java.io.File(s"$day0/data").exists() &&
+        new java.io.File(s"$day1/data").exists())
+      // consolidated ledger gone → refusal (the audit trail would die
+      // with the run dirs)
+      val led = new java.io.File(s"$cDir/ledger")
+      led.listFiles().foreach(_.delete()); assert(led.delete())
+      val e4 = intercept[IllegalArgumentException] {
+        PretrainPrepIncrementalMain.gcChain(spark, day1, cDir,
+          apply = false)
+      }
+      assert(e4.getMessage.contains("no consolidated ledger"),
+        e4.getMessage)
+    } finally Mains.keepSessionForTests = false
+  }
+
+  test("gc apply: deletes the covered run dirs; the next daily run " +
+      "off the compacted root is identical before and after, and the " +
+      "consolidated audit trail still resolves") {
+    // a fresh, private chain — apply DELETES it; the shared fixture
+    // must survive for the other tests
+    val (corpusDocs, batch1, bench) = incFixture()
+    val batch2 = chainBatch2(corpusDocs, batch1)
+    val g0 = java.nio.file.Files.createTempDirectory("gcap0").toString
+    val g1 = java.nio.file.Files.createTempDirectory("gcap1").toString
+    val cDir = java.nio.file.Files.createTempDirectory("gcapc").toString
+    val d2a = java.nio.file.Files.createTempDirectory("gcap2a").toString
+    val d2b = java.nio.file.Files.createTempDirectory("gcap2b").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    bench.write.mode("overwrite").parquet(benchDir)
+    val (cin, b1, b2) =
+      (writeDocsDir(corpusDocs), writeDocsDir(batch1), writeDocsDir(batch2))
+    Mains.keepSessionForTests = true
+    try {
+      PretrainPrepMain.main((Seq(cin, g0, s"bench=$benchDir",
+        "ledger=on") ++ chainArgs :+ "seqLen=64").toArray)
+      PretrainPrepIncrementalMain.main((Seq(b1, g0, g1,
+        s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
+      PretrainPrepIncrementalMain.main(
+        Array("compact", g1, cDir, "check=on"))
+      // day-2 off the compacted root BEFORE gc
+      PretrainPrepIncrementalMain.main((Seq(b2, cDir, d2a,
+        s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
+      // gc apply through the CLI verb
+      PretrainPrepIncrementalMain.main(Array("gc", g1, cDir, "apply"))
+      assert(!new java.io.File(g0).exists(), "day-0 run dir must be gone")
+      assert(!new java.io.File(g1).exists(), "day-1 run dir must be gone")
+      // day-2 AFTER gc — the compacted root is self-contained
+      PretrainPrepIncrementalMain.main((Seq(b2, cDir, d2b,
+        s"bench=$benchDir", "ledger=on") ++ chainArgs).toArray)
+    } finally Mains.keepSessionForTests = false
+    def snap(dir: String, tail: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$tail").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(snap(d2b, "accepted", Seq("doc_id", "clean_text", "shard", "pos"))
+      == snap(d2a, "accepted", Seq("doc_id", "clean_text", "shard", "pos")))
+    assert(snap(d2b, "ledger", Seq("doc_id", "stage", "reason", "winner_id"))
+      == snap(d2a, "ledger", Seq("doc_id", "stage", "reason", "winner_id")))
+    // the folded days' drop records survive their run dirs: every
+    // consolidated row still resolves through whyDropped
+    val led = spark.read.parquet(s"$cDir/ledger")
+    assert(led.count() > 0, "the consolidated ledger must be non-empty")
+    val someDoc = led.select(col("doc_id")).as[Long].head()
+    assert(PretrainPrepIncrementalMain.whyDropped(spark, cDir, someDoc)
+      .count() > 0)
+  }
+
   // -------------------------------------------- token-budget stage 8b
 
   /** Everything passes, so the budget stage is the only dropper. */
