@@ -1191,6 +1191,35 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Unigram-LM tokenizer config shared by the q150/q151 gates and
+    * their generated oracle. */
+  private def unigramTrainVocab(s: SparkSession, d: String) =
+    graft.text.Unigram.trainUnigram(
+      T(s, d, "documents").filter(col("doc_id") % 2 === 0), "text",
+      vocabSize = 40, maxPieceLen = 4, seedMulti = 48, emIters = 1)
+
+  /** Unigram-LM (SentencePiece-style) vocabulary through the gate
+    * ([[graft.text.Unigram.trainUnigram]] on even doc_ids): seeded
+    * substring candidates, ONE hard-EM Viterbi pass, count-pruned to
+    * 40 pieces — counts and the integer piecewise-linear log2 scores
+    * all exact. The oracle re-derives the whole training with
+    * recursive-CTE Viterbi DP and `bin()`-arithmetic logs — no
+    * transcendental feeds any decision on either side. */
+  private def q150(s: SparkSession, d: String): DataFrame =
+    graft.text.Unigram.vocabRows(s, unigramTrainVocab(s, d))
+      .orderBy(col("piece"))
+
+  /** Held-out unigram segmentation through the gate
+    * ([[graft.text.Unigram.withUnigramTokens]]): odd doc_ids
+    * segmented under the even-trained vocabulary — every Viterbi
+    * tie-break (longer piece wins equal scores) pinned token by
+    * token, q77's held-out discipline for the unigram family. */
+  private def q151(s: SparkSession, d: String): DataFrame =
+    graft.text.Unigram.withUnigramTokens(
+        T(s, d, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", unigramTrainVocab(s, d))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Builds `body`'s plan with the probe-broadcast cap forced to 1, so
     * every [[graft.ops.ProbeGuard]] site inside lands on the BLOOM
     * tier (batch keys > 1 but far below the Bloom cap) — the tier
@@ -2548,6 +2577,8 @@ object SparkEntry {
     "q147_ivfpq_recall" -> (q147 _),
     "q148_adc_auto" -> (q148 _),
     "q149_pq_auto" -> (q149 _),
+    "q150_unigram_vocab" -> (q150 _),
+    "q151_unigram_segment" -> (q151 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3432,6 +3463,125 @@ object SparkEntry {
        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
            ORDER BY pdist, vec_id) AS rn FROM pd)
        WHERE rn <= 5 ORDER BY probe_id, rank"""
+
+  /** Integer piecewise-linear log2 in SQL — [[graft.text.Unigram
+    * .ilog2f]]'s exact value from `bin()` string length (the msb) and
+    * integer interpolation; no transcendental. */
+  private def ilog2fSql(c: String): String =
+    s"((length(bin($c))-1)*65536 + (($c - (1::BIGINT << (length(bin($c))-1)))" +
+      s" * 65536) // (1::BIGINT << (length(bin($c))-1)))"
+
+  /** Recursive-CTE Viterbi DP over `wordsCte(w, freq)` with scores
+    * from `scoresCte(piece, sc)` — the SQL twin of
+    * `Unigram.viterbiTokens`: per word a (maxLen × position) score
+    * matrix, a forward recursion carrying `best`/`bps` arrays (ties
+    * prefer the longer piece — `list_max` over (s, d) structs, the
+    * same lexicographic rule as Spark's `array_max`), and a backward
+    * recursion reconstructing the piece sequence. Emits
+    * `<name>tok(w, freq, toks)`. */
+  private def unigramDpSql(name: String, wordsCte: String,
+                           scoresCte: String): String = {
+    val (l, maxw, miss) = (4, 64, -(1L << 53))
+    s"""${name}sc AS MATERIALIZED (SELECT wf.w, wf.freq, j.j, d.d, s.sc
+      FROM $wordsCte wf
+      CROSS JOIN range(1, $maxw+1) j(j) CROSS JOIN range(1, $l+1) d(d)
+      LEFT JOIN $scoresCte s ON s.piece = substring(wf.w, (j.j - d.d + 1)::INT, d.d::INT)
+      WHERE j.j <= length(wf.w) AND d.d <= j.j),
+    ${name}mj AS (SELECT w, freq, j, list(coalesce(sc, $miss) ORDER BY d) AS row
+      FROM ${name}sc GROUP BY w, freq, j),
+    ${name}mat AS MATERIALIZED (SELECT w, freq, list(row ORDER BY j) AS mat
+      FROM ${name}mj GROUP BY w, freq),
+    ${name}r AS (
+      SELECT w, freq, mat, 0 AS j, [0]::BIGINT[] AS best, []::INT[] AS bps
+      FROM ${name}mat
+      UNION ALL
+      SELECT w, freq, mat, j + 1,
+        list_append(best, list_max([{'s': best[j + 2 - d] + mat[j + 1][d], 'd': d}
+          for d in range(1, least($l, j + 1) + 1)])['s']),
+        list_append(bps, list_max([{'s': best[j + 2 - d] + mat[j + 1][d], 'd': d}
+          for d in range(1, least($l, j + 1) + 1)])['d']::INT)
+      FROM ${name}r WHERE j < length(w)),
+    ${name}f AS MATERIALIZED (SELECT w, freq, bps FROM ${name}r WHERE j = length(w)),
+    ${name}bt AS (
+      SELECT w, freq, bps, length(w) AS p, []::VARCHAR[] AS toks FROM ${name}f
+      UNION ALL
+      SELECT w, freq, bps, p - bps[p],
+        list_append(toks, substring(w, (p - bps[p] + 1)::INT, bps[p]::INT))
+      FROM ${name}bt WHERE p > 0),
+    ${name}tok AS MATERIALIZED (SELECT w, freq, list_reverse(toks) AS toks
+      FROM ${name}bt WHERE p = 0)"""
+  }
+
+  /** Shared CTE chain for the unigram oracles (q150/q151): train-side
+    * word frequencies (even doc_ids), occurrence-weighted substring
+    * seed counts, char + top-48 multi seed vocab with integer log
+    * scores, ONE hard-EM Viterbi pass (DP above), character floor at
+    * count 1, zero-count multi drop, count-prune to 40, final
+    * re-score. Ends in `vf(piece, cnt, sc)`. */
+  private def unigramOracleCtes: String = {
+    val (l, seedm, vsz, maxw) = (4, 48, 40, 64)
+    raw"""tw AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents WHERE doc_id % 2 = 0),
+    wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
+      FROM (SELECT unnest(ws) AS w FROM tw) WHERE length(w) > 0 GROUP BY w),
+    sub AS MATERIALIZED (SELECT substring(w, i.i::INT, d.d::INT) AS piece,
+        sum(freq)::BIGINT AS cnt
+      FROM wf CROSS JOIN range(1, $l+1) d(d) CROSS JOIN range(1, $maxw+1) i(i)
+      WHERE i.i + d.d - 1 <= length(w)
+      GROUP BY piece),
+    chs AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+    mul AS (SELECT piece, cnt FROM (SELECT *, row_number()
+        OVER (ORDER BY cnt DESC, piece) AS rk FROM sub WHERE length(piece) > 1)
+      WHERE rk <= $seedm),
+    seed AS MATERIALIZED (SELECT * FROM chs UNION ALL SELECT * FROM mul),
+    st AS (SELECT sum(cnt)::BIGINT AS t FROM seed),
+    s0 AS MATERIALIZED (SELECT piece, cnt,
+        (${ilog2fSql("cnt")}) - (${ilog2fSql("t")}) AS sc FROM seed, st),
+    ${unigramDpSql("e1", "wf", "s0")},
+    emc AS MATERIALIZED (SELECT tok AS piece, sum(freq)::BIGINT AS cnt
+      FROM (SELECT unnest(toks) AS tok, freq FROM e1tok) GROUP BY tok),
+    v1 AS MATERIALIZED (
+      SELECT s0.piece, greatest(coalesce(emc.cnt, 0), 1)::BIGINT AS cnt
+      FROM s0 LEFT JOIN emc USING (piece) WHERE length(s0.piece) = 1
+      UNION ALL
+      SELECT s0.piece, emc.cnt FROM s0 JOIN emc USING (piece)
+      WHERE length(s0.piece) > 1),
+    nch AS (SELECT count(*)::BIGINT AS n FROM v1 WHERE length(piece) = 1),
+    keep AS MATERIALIZED (
+      SELECT piece, cnt FROM v1 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (SELECT v1.*, row_number()
+          OVER (ORDER BY cnt DESC, piece) AS rk FROM v1, nch
+          WHERE length(piece) > 1) WHERE rk <= $vsz - (SELECT n FROM nch)),
+    kt AS (SELECT sum(cnt)::BIGINT AS t FROM keep),
+    vf AS MATERIALIZED (SELECT piece, cnt,
+        (${ilog2fSql("cnt")}) - (${ilog2fSql("t")}) AS sc FROM keep, kt)"""
+  }
+
+  /** q150 oracle: the trained unigram vocabulary. */
+  private def q150Sql: String =
+    s"""WITH RECURSIVE $unigramOracleCtes
+       SELECT piece, cnt, sc AS score FROM vf ORDER BY piece"""
+
+  /** q151 oracle: held-out docs' words DP'd under the final
+    * vocabulary, tokens re-joined in document order. */
+  private def q151Sql: String =
+    raw"""WITH RECURSIVE $unigramOracleCtes,
+       hd AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         FROM documents WHERE doc_id % 2 = 1),
+       hw AS (SELECT doc_id, i.i AS wi, ws[i.i::INT] AS w
+         FROM hd CROSS JOIN range(1, 513) i(i)
+         WHERE i.i <= len(ws) AND length(ws[i.i::INT]) > 0),
+       hdw AS MATERIALIZED (SELECT w, 1::BIGINT AS freq
+         FROM (SELECT DISTINCT w FROM hw)),
+       ${unigramDpSql("h1", "hdw", "vf")},
+       seq AS (SELECT hw.doc_id, hw.wi, t.i AS ti, h1tok.toks[t.i::INT] AS tok
+         FROM hw JOIN h1tok ON h1tok.w = hw.w
+         CROSS JOIN range(1, 257) t(i) WHERE t.i <= len(h1tok.toks))
+       SELECT doc_id, (row_number() OVER (PARTITION BY doc_id
+           ORDER BY wi, ti) - 1)::BIGINT AS pos,
+         tok AS token
+       FROM seq ORDER BY doc_id, pos"""
 
   /** q132 oracle: the q72 chain's DROP LEDGER — the q131 recipe over
     * the vector fragments: odd vectors missing from the validity CTE,
@@ -5606,6 +5756,8 @@ object SparkEntry {
     "q147_ivfpq_recall" -> q147Sql,
     "q148_adc_auto" -> q148Sql,
     "q149_pq_auto" -> q149Sql,
+    "q150_unigram_vocab" -> q150Sql,
+    "q151_unigram_segment" -> q151Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

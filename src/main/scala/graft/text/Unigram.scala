@@ -1,0 +1,271 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword tokenizer — the other
+  * tokenizer family production pipelines train alongside BPE
+  * ([[TextOps.trainBpe]]): instead of greedy pair merges, a vocabulary
+  * of candidate pieces is scored as a unigram language model and each
+  * word is segmented by VITERBI — the piece sequence maximizing the
+  * summed piece log-probabilities (Kudo 2018, the SentencePiece
+  * `unigram` trainer; reference-analog: lwetl has no tokenizer — this
+  * is part of the LLM-pipeline extension layer).
+  *
+  * Engine-exactness: every training decision is INTEGER arithmetic.
+  * Log-probabilities use [[ilog2f]] — a piecewise-linear fixed-point
+  * log2 (`msb·2^16 + frac`, computable from `bin()`/bit arithmetic in
+  * any engine, max ~1.4% relative error: irrelevant to a tokenizer
+  * objective, decisive for cross-engine reproducibility because no
+  * transcendental ever feeds a DECISION). Viterbi DP sums these
+  * integer scores; ties break toward the LONGER piece, then the
+  * lexicographic argmax of the (score, length) struct — the q150/q151
+  * gates pin the whole train → prune → segment pipeline against a
+  * DuckDB oracle that re-derives it with recursive-CTE DP.
+  *
+  * Training is hard-EM (Viterbi counts, not forward-backward
+  * expectations — the standard hard-EM simplification; expected
+  * counts in floating point would break engine-exactness), and
+  * pruning keeps the count-top pieces rather than re-estimating
+  * likelihood loss per removal — both deviations documented here, not
+  * hidden.
+  *
+  * Distributed shape: the corpus collapses to a DISTINCT-word
+  * frequency table up front (the BPE discipline — segmentation cost
+  * scales with vocabulary, not corpus); the piece table is
+  * model-sized driver state broadcast as a map literal; each EM pass
+  * is ONE codegen'd DP over the word table plus a vocab-sized count
+  * aggregate; final segmentation is a narrow per-row expression (or
+  * the [[withUnigramTokensPartitioned]] mapPartitions twin). */
+object Unigram {
+
+  /** One trained piece: surface, hard-EM count, integer log-score. */
+  case class Piece(piece: String, cnt: Long, score: Long)
+
+  /** Fixed-point log2 fraction bits. */
+  val LogScaleBits: Int = 16
+
+  /** Sentinel score for out-of-vocab pieces: −2^53 — more negative
+    * than any real path (scores are ≥ −(63·2^16) per piece) yet far
+    * from Long overflow even summed over a pathological 512-char
+    * word. */
+  val Miss: Long = -(1L << 53)
+
+  /** Piecewise-linear fixed-point log2: `msb·2^16 + (c − 2^msb)·2^16
+    * / 2^msb` (floor). Exact integer arithmetic — `bin()`-derivable
+    * in SQL — and monotone in `c`. Requires `0 < c < 2^46` (the
+    * interpolation product must not overflow). */
+  def ilog2f(c: Long): Long = {
+    require(c > 0 && c < (1L << 46), s"ilog2f domain: 0 < $c < 2^46")
+    val msb = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    (msb.toLong << LogScaleBits) +
+      ((c - (1L << msb)) << LogScaleBits) / (1L << msb)
+  }
+
+  /** Distinct lowercase words with corpus frequencies — the working
+    * set every training pass runs over. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.words(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** All substrings up to `maxPieceLen` with occurrence-weighted
+    * counts (`freq` per occurrence, so a piece appearing twice in one
+    * word counts twice) — the seed candidate pool. */
+  def seedCounts(wf: DataFrame, maxPieceLen: Int): DataFrame =
+    wf.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), least(length(col("w")), lit(maxPieceLen))),
+          d => transform(sequence(lit(1), length(col("w")) - d + 1),
+            i => col("w").substr(i, d))))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+
+  /** The per-word Viterbi DP as ONE codegen'd expression: `dp(j+1)` =
+    * the best (score, last-piece-length) reaching position `j`,
+    * folded left to right with candidates over the last `maxLen`
+    * characters; out-of-vocab pieces score [[Miss]]. Ties prefer the
+    * longer piece (`array_max` over (s, d) structs — lexicographic).
+    * A second bounded fold backtraces the piece sequence. Cost
+    * O(len·maxLen) per word, no shuffle, no UDF. */
+  private def viterbiTokens(w: Column, scoreMap: Column,
+                            maxLen: Int): Column = {
+    val n = length(w)
+    val dp = aggregate(sequence(lit(1), n),
+      array(struct(lit(0L).as("s"), lit(0).as("d"))),
+      (acc, j) => concat(acc, array(array_max(
+        transform(sequence(lit(1), least(j, lit(maxLen))), d =>
+          struct((element_at(acc, j - d + 1).getField("s") +
+            coalesce(try_element_at(scoreMap, w.substr(j - d + 1, d)),
+              lit(Miss))).as("s"),
+            d.cast("int").as("d")))))))
+    val bt = aggregate(sequence(lit(1), n),
+      struct(n.as("p"), array().cast("array<string>").as("t")),
+      (st, _) => {
+        val p = st.getField("p")
+        val d = element_at(dp, p + 1).getField("d")
+        when(p > 0,
+          struct((p - d).as("p"),
+            concat(st.getField("t"),
+              array(w.substr(p - d + 1, d))).as("t")))
+          .otherwise(st)
+      }).getField("t")
+    reverse(bt)
+  }
+
+  private def scoreMapLit(pieces: Seq[Piece]): Column =
+    typedLit(pieces.map(p => p.piece -> p.score).toMap)
+
+  private def withScores(counts: Seq[(String, Long)]): Seq[Piece] = {
+    val total = counts.map(_._2).sum
+    val lt = ilog2f(total)
+    counts.map { case (p, c) => Piece(p, c, ilog2f(c) - lt) }
+  }
+
+  /** Train a unigram vocabulary over `df(textCol)`:
+    *  1. seed = every single character plus the `seedMulti`
+    *     count-top multi-char substrings (≤ `maxPieceLen`), scored
+    *     `ilog2f(cnt) − ilog2f(total)`;
+    *  2. `emIters` hard-EM passes: Viterbi-segment the distinct-word
+    *     table under current scores, re-count pieces
+    *     (occurrence-weighted, integer), drop multi-char pieces that
+    *     won no occurrences (characters stay, floored at count 1 —
+    *     coverage must survive), re-score;
+    *  3. prune to `vocabSize`: all characters plus the count-top
+    *     multi-char pieces (ties: lexicographically smaller piece),
+    *     re-scored over the pruned total.
+    * Returns pieces sorted by surface. All counts/scores integer —
+    * the q150 oracle re-derives every step. */
+  def trainUnigram(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 4, seedMulti: Int = 64,
+                   emIters: Int = 1): Seq[Piece] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emIters >= 0, s"emIters must be >= 0, got $emIters")
+    val wf = wordFreq(df, textCol).localCheckpoint(true)
+    try {
+      val sc = seedCounts(wf, maxPieceLen)
+      val chars = sc.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      if (chars.isEmpty) return Seq.empty
+      val multi = sc.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(seedMulti)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      var vocab = withScores(chars ++ multi)
+      for (_ <- 0 until emIters) {
+        val counts = wf
+          .select(col("freq"),
+            explode(viterbiTokens(col("w"), scoreMapLit(vocab),
+              maxPieceLen)).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        vocab = withScores(
+          vocab.filter(_.piece.length == 1)
+            .map(p => p.piece -> math.max(counts.getOrElse(p.piece, 0L), 1L)) ++
+          vocab.filter(_.piece.length > 1)
+            .flatMap(p => counts.get(p.piece).map(p.piece -> _)))
+      }
+      val cs = vocab.filter(_.piece.length == 1)
+      val keepMulti = vocab.filter(_.piece.length > 1)
+        .sortBy(p => (-p.cnt, p.piece))
+        .take(math.max(0, vocabSize - cs.length))
+      withScores((cs ++ keepMulti).map(p => p.piece -> p.cnt))
+        .sortBy(_.piece)
+    } finally graft.ops.StageCut.release(wf)
+  }
+
+  /** Per-document unigram segmentation: `(idCol, pos, token)` — each
+    * word Viterbi-segmented under the trained vocabulary, tokens
+    * numbered 0.. in document order. One narrow codegen'd pass. */
+  def withUnigramTokens(df: DataFrame, idCol: String, textCol: String,
+                        vocab: Seq[Piece],
+                        maxPieceLen: Int = 4): DataFrame = {
+    val sm = scoreMapLit(vocab)
+    df.select(col(idCol),
+        posexplode(flatten(transform(
+          filter(TextOps.words(lower(col(textCol))), w => length(w) > 0),
+          w => viterbiTokens(w, sm, maxPieceLen)))).as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
+  }
+
+  /** Driver-side Viterbi twin (same scores, same tie-breaks) — the
+    * scale path: segmentation as plain Scala over mapPartitions with
+    * the vocab broadcast once per executor, no per-row expression
+    * evaluation of a map literal. UnigramSpec pins token-for-token
+    * equality with [[withUnigramTokens]]. */
+  private[text] def viterbiScala(w: String, scores: Map[String, Long],
+                                 maxLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val best = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bs = Long.MinValue
+      var bd = 0
+      var d = 1
+      val dm = math.min(j, maxLen)
+      while (d <= dm) {
+        val s = best(j - d) + scores.getOrElse(w.substring(j - d, j), Miss)
+        // strict >=: later (larger) d wins ties — array_max's
+        // lexicographic (s, d) preference
+        if (s >= bs) { bs = s; bd = d }
+        d += 1
+      }
+      best(j) = bs; bp(j) = bd
+      j += 1
+    }
+    var p = n
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (p > 0) { out += w.substring(p - bp(p), p); p -= bp(p) }
+    out.reverse.toSeq
+  }
+
+  /** [[withUnigramTokens]] on the mapPartitions scale path. */
+  def withUnigramTokensPartitioned(df: DataFrame, idCol: String,
+                                   textCol: String, vocab: Seq[Piece],
+                                   maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scores = vocab.map(p => p.piece -> p.score).toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.flatMap { case (id, text) =>
+          val toks = Option(text).toSeq
+            .flatMap(_.toLowerCase.trim.split("\\s+").toSeq)
+            .filter(_.nonEmpty)
+            .flatMap(w => viterbiScala(w, sc, maxPieceLen))
+          toks.zipWithIndex.map { case (t, i) => (id, i.toLong, t) }
+        }
+      }
+      .toDF(idCol, "pos", "token")
+  }
+
+  /** The trained vocabulary as a gate-comparable frame. */
+  def vocabRows(spark: SparkSession, vocab: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    vocab.map(p => (p.piece, p.cnt, p.score)).toDF("piece", "cnt", "score")
+  }
+
+  /** Persist / reload the vocabulary artifact (the
+    * [[TextOps.saveTokenizer]] contract: train once, segment daily
+    * batches against FROZEN pieces). Load fails loudly on wrong
+    * columns or duplicate pieces. */
+  def saveVocab(spark: SparkSession, path: String,
+                vocab: Seq[Piece]): Unit =
+    vocabRows(spark, vocab).coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadVocab(spark: SparkSession, path: String): Seq[Piece] = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSet == Set("piece", "cnt", "score"),
+      s"not a unigram vocab artifact: ${df.columns.mkString(",")}")
+    val rows = df.collect()
+      .map(r => Piece(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.piece).toSeq
+    require(rows.map(_.piece).distinct.length == rows.length,
+      s"unigram vocab artifact at $path carries duplicate pieces")
+    rows
+  }
+}
