@@ -373,13 +373,15 @@ object Multimodal {
     * Determinism contract (what the audio gates lean on): window w
     * covers frame range `[w*n/65, (w+1)*n/65)` — integer boundaries,
     * the [[dHash64]] grid rule — and samples normalize as
-    * `signed/2^(bits-1)` (8-bit unsigned recenters by 128), so a
-    * constant-amplitude step signal has window energy exactly
+    * `signed/2^(bits-1)` (unsigned recenters by 2^(bits-1); IEEE
+    * float samples are used as-is — they are already in [-1, 1]), so
+    * a constant-amplitude step signal has window energy exactly
     * `(v/2^(bits-1))²` and the hash is analytically derivable from
-    * the step levels. None for payloads that don't decode, exotic
-    * encodings (only PCM 8/16-bit), or signals shorter than 65
-    * frames (no meaningful hash; callers drop such rows like
-    * NULL-text). */
+    * the step levels. Integer PCM covers 8/16/24/32-bit (both
+    * endiannesses — real crawls carry 24-bit studio masters), float
+    * PCM 32/64-bit. None for payloads that don't decode, other
+    * encodings (μ-law/ADPCM), or signals shorter than 65 frames (no
+    * meaningful hash; callers drop such rows like NULL-text). */
   def aHash64(payload: Array[Byte]): Option[Long] =
     try {
       if (payload == null) None
@@ -392,7 +394,11 @@ object Multimodal {
           val bits = f.getSampleSizeInBits
           val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-          if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+          val isFloat = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT
+          val intOk = (signed || unsigned) &&
+            (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+          val floatOk = isFloat && (bits == 32 || bits == 64)
+          if (!intOk && !floatOk) None
           else {
             val bytes = in.readAllBytes()
             val frameSize = f.getFrameSize
@@ -402,16 +408,30 @@ object Multimodal {
               val ch = f.getChannels
               val bps = bits / 8
               val big = f.isBigEndian
-              val full = (1 << (bits - 1)).toDouble
+              val full = (1L << (bits - 1)).toDouble
+              // raw little/big-endian unsigned word of `bps` bytes
+              def word(off: Int): Long = {
+                var v = 0L
+                var k = 0
+                while (k < bps) {
+                  val b = bytes(off + (if (big) k else bps - 1 - k)) & 0xffL
+                  v = (v << 8) | b
+                  k += 1
+                }
+                v
+              }
               def sample(off: Int): Double =
-                if (bits == 8) {
-                  val b = bytes(off)
-                  (if (unsigned) (b & 0xff) - 128 else b.toInt) / full
+                if (isFloat) {
+                  if (bits == 32)
+                    java.lang.Float.intBitsToFloat(word(off).toInt).toDouble
+                  else
+                    java.lang.Double.longBitsToDouble(word(off))
                 } else {
-                  val raw =
-                    if (big) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
-                    else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
-                  (if (unsigned) raw - 32768 else raw.toShort.toInt) / full
+                  val raw = word(off)
+                  val v =
+                    if (unsigned) raw - (1L << (bits - 1))
+                    else (raw << (64 - bits)) >> (64 - bits) // sign-extend
+                  v / full
                 }
               val e = new Array[Double](65)
               var w = 0

@@ -351,6 +351,77 @@ class MultimodalSpec extends SparkSpec {
     assert(other > 7, s"independent bases only $other bits apart")
   }
 
+  /** The step signal's amplitudes at other widths/encodings. Every
+    * amplitude is a multiple of 1/2^15, so the 24/32-bit int and IEEE
+    * float renditions are EXACT requantizations of the 16-bit master
+    * — hash-identical by the normalization contract. */
+  private def stepAmps(base: Long, variant: Int): Array[Int] = {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def amp(h: String): Int = 1000 + ((h(0) * 131 + h(1) * 17 + h(2)) % 151) * 200
+    Array.tabulate(65) { w =>
+      val v =
+        if (variant == 3 && w == 33) amp(md5(s"${base}_p"))
+        else amp(md5(s"${base}_$w"))
+      if (variant == 1) v / 2 else v
+    }
+  }
+
+  private def wavOf(base: Long, variant: Int, bits: Int, fmtCode: Int,
+                    put: (java.nio.ByteBuffer, Int) => Unit): Array[Byte] = {
+    val amps = stepAmps(base, variant)
+    val bps = bits / 8
+    val dataLen = 65 * 160 * bps
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtCode.toShort).putShort(1)
+      .putInt(8000).putInt(8000 * bps)
+      .putShort(bps.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    amps.foreach(a => (0 until 160).foreach(_ => put(bb, a)))
+    bb.array()
+  }
+
+  test("aHash PCM breadth: 24/32-bit int, 32/64-bit float WAV and " +
+      "24-bit big-endian AU all hash identically to the 16-bit master") {
+    for (base <- Seq(3L, 77L); v <- Seq(0, 3)) {
+      val ref = aHash64(synthStepWav(base, v))
+      assert(ref.isDefined)
+      val w24 = wavOf(base, v, 24, 1, (bb, a) => {
+        val s = a << 8 // exact ×256: same normalized amplitude
+        bb.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+          .put(((s >> 16) & 0xff).toByte); ()
+      })
+      assert(aHash64(w24) == ref, "24-bit wav")
+      val w32 = wavOf(base, v, 32, 1, (bb, a) => { bb.putInt(a << 16); () })
+      assert(aHash64(w32) == ref, "32-bit int wav")
+      val f32 = wavOf(base, v, 32, 3,
+        (bb, a) => { bb.putFloat(a / 32768.0f); () })
+      assert(aHash64(f32) == ref, "float32 wav")
+      val f64 = wavOf(base, v, 64, 3,
+        (bb, a) => { bb.putDouble(a / 32768.0); () })
+      assert(aHash64(f64) == ref, "float64 wav")
+      // AU, big-endian 24-bit linear (encoding 4)
+      val amps = stepAmps(base, v)
+      val au = java.nio.ByteBuffer.allocate(24 + 65 * 160 * 3)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      au.put(".snd".getBytes("US-ASCII")).putInt(24)
+        .putInt(65 * 160 * 3).putInt(4).putInt(8000).putInt(1)
+      amps.foreach { a =>
+        val s = a << 8
+        (0 until 160).foreach { _ =>
+          au.put(((s >> 16) & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+            .put((s & 0xff).toByte); ()
+        }
+      }
+      assert(aHash64(au.array()) == ref, "24-bit au")
+    }
+  }
+
   test("aHash is None for undecodable, too-short, and null payloads") {
     assert(aHash64(null) == None)
     assert(aHash64(Array[Byte](1, 2, 3)) == None)
