@@ -492,6 +492,120 @@ class StreamingSpec extends SparkSpec {
     r1.unpersist(); r2.unpersist()
   }
 
+  test("CurateMediaStream byte budget: admit-until-exhausted across " +
+      "micro-batches equals the chained budget composition; spend " +
+      "registry replay-safe and compacts") {
+    import spark.implicits._
+    import graft.apps.Curate
+    import graft.multimodal.Multimodal
+    import graft.ops.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("medbudget").toString
+    val m = graft.dedup.SimilarityMethod.ImageDHash()
+    val (p1, p2, p3) = (Multimodal.synthGridImage(50L, 0),
+      Multimodal.synthGridImage(70L, 0), Multimodal.synthGridImage(80L, 0))
+    // budget: batch 0's byte-richest prefix keeps exactly ONE of the
+    // two distinct images; batch 1's novel image exceeds the headroom
+    val big = math.max(p1.length, p2.length).toLong
+    val budget = big + math.min(p1.length, p2.length) - 1L
+    def run(id: Long, rows: Seq[(Long, Array[Byte])]): Unit =
+      CurateMediaStream.processBatch(rows.toDF("media_id", "payload"), id,
+        "media_id", "payload", dir, m, (_, _) => (), keepLedger = true,
+        byteBudget = budget)
+    run(0L, Seq(1L -> p1, 2L -> p2))
+    run(1L, Seq(13L -> p3))
+    def corpusIds() = spark.read.parquet(
+        new java.io.File(dir, "corpus").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("media_id").as[Long].collect().toSet
+    // the stream == the hand-chained incremental + byte-budget chain
+    def budgeted(df: org.apache.spark.sql.DataFrame, b: Long) =
+      Sampling.tokenBudgetSelect(
+          df.withColumn("_n", octet_length(col("payload")).cast("long")),
+          "media_id", "_n", "_n", b, log = _ => ())
+        .drop("_n")
+    val empty = Seq.empty[(Long, Array[Byte])]
+      .toDF("media_id", "payload")
+    val (r1, _) = Curate.runIncrementalMedia(
+      Seq(1L -> p1, 2L -> p2).toDF("media_id", "payload"), empty,
+      "media_id", "payload", m, log = _ => ())
+    val a1 = budgeted(r1, budget)
+    val spent1 = a1.agg(coalesce(sum(octet_length(col("payload"))
+      .cast("long")), lit(0L))).head().getLong(0)
+    val (r2, _) = Curate.runIncrementalMedia(
+      Seq(13L -> p3).toDF("media_id", "payload"), a1,
+      "media_id", "payload", m, log = _ => ())
+    val a2 = budgeted(r2, budget - spent1)
+    val want = (a1.select("media_id").as[Long].collect() ++
+      a2.select("media_id").as[Long].collect()).toSet
+    assert(corpusIds() == want, s"stream=${corpusIds()} chain=$want")
+    assert(want.size == 1 && (want == Set(1L) || want == Set(2L)))
+    // budget drops ledgered (quota / byte_budget, no winner)
+    def ledgerOf(id: Long) = spark.read.parquet(s"$dir/ledger/b$id")
+      .select(col("media_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(ledgerOf(0L).exists(r =>
+      r._2 == "quota" && r._3 == "byte_budget" && r._4.isEmpty))
+    assert(ledgerOf(1L) == Seq((13L, "quota", "byte_budget", None)),
+      s"b1: ${ledgerOf(1L)}")
+    // spend registry totals the admitted bytes
+    val spend = spark.read.parquet(
+        new java.io.File(dir, "spend").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .agg(sum(col("spend"))).head().getLong(0)
+    assert(spend == big, s"spend=$spend want=$big")
+    // replay of batch 0 idempotent; compaction preserves the total
+    run(0L, Seq(1L -> p1, 2L -> p2))
+    assert(corpusIds() == want)
+    CurateMediaStream.compact(spark, dir)
+    run(1L, Seq(13L -> p3))
+    assert(corpusIds() == want, "post-compact replay must admit identically")
+    r1.unpersist(); r2.unpersist()
+  }
+
+  test("CurateEmbeddingStream vector budget: count-capped admission " +
+      "across micro-batches, ledgered, replay- and compaction-safe") {
+    import spark.implicits._
+    import graft.dedup.SimilarityMethod
+    val dir = java.nio.file.Files.createTempDirectory("embbudget").toString
+    val m = SimilarityMethod.EmbeddingCosine(minCos = 0.95, numCells = 2)
+    // all orthogonal-ish — every vector passes curation; the budget
+    // is the only dropper. vecBudget 3: batch 0 admits both, batch 1
+    // admits the id-smallest of its two acceptances
+    val b1 = Seq(1L -> Seq(1.0f, 0.0f, 0.0f), 2L -> Seq(0.0f, 1.0f, 0.0f))
+    val b2 = Seq(11L -> Seq(0.0f, 0.0f, 1.0f),
+      12L -> Seq(-1.0f, 0.0f, 0.0f), 13L -> Seq(0.0f, -1.0f, 0.0f))
+    def run(id: Long, rows: Seq[(Long, Seq[Float])]): Unit =
+      CurateEmbeddingStream.processBatch(rows.toDF("vec_id", "embedding"),
+        id, "vec_id", "embedding", dir, m, (_, _) => (),
+        keepLedger = true, vecBudget = 3L)
+    run(0L, b1)
+    run(1L, b2)
+    def corpusIds() = spark.read.parquet(
+        new java.io.File(dir, "corpus").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("vec_id").as[Long].collect().toSet
+    assert(corpusIds() == Set(1L, 2L, 11L), s"got ${corpusIds()}")
+    def ledgerOf(id: Long) = spark.read.parquet(s"$dir/ledger/b$id")
+      .select(col("vec_id"), col("stage"), col("reason"), col("winner_id"))
+      .as[(Long, String, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(ledgerOf(0L).isEmpty)
+    assert(ledgerOf(1L) == Seq(
+      (12L, "quota", "vec_budget", None),
+      (13L, "quota", "vec_budget", None)), s"b1: ${ledgerOf(1L)}")
+    val spend = spark.read.parquet(
+        new java.io.File(dir, "spend").listFiles()
+          .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .agg(sum(col("spend"))).head().getLong(0)
+    assert(spend == 3L, s"spend=$spend")
+    // replay + compaction idempotence
+    run(1L, b2)
+    assert(corpusIds() == Set(1L, 2L, 11L))
+    CurateEmbeddingStream.compact(spark, dir)
+    run(1L, b2)
+    assert(corpusIds() == Set(1L, 2L, 11L),
+      "post-compact replay must admit identically")
+  }
+
   test("CurateStream ledger: per-batch drop audit subdirs, replay " +
       "overwrites, audit disjoint from acceptances") {
     import spark.implicits._
