@@ -1220,6 +1220,16 @@ object SparkEntry {
         "doc_id", "text", unigramTrainVocab(s, d))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Unigram token-id ENCODING through the gate
+    * ([[graft.text.Unigram.withUnigramTokenIds]], q78's contract on
+    * this family): q151's held-out segmentation resolved to vocabulary
+    * ranks via the broadcast join, OOV as -1. */
+  private def q152(s: SparkSession, d: String): DataFrame =
+    graft.text.Unigram.withUnigramTokenIds(
+        T(s, d, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", unigramTrainVocab(s, d))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Builds `body`'s plan with the probe-broadcast cap forced to 1, so
     * every [[graft.ops.ProbeGuard]] site inside lands on the BLOOM
     * tier (batch keys > 1 but far below the Bloom cap) — the tier
@@ -2579,6 +2589,7 @@ object SparkEntry {
     "q149_pq_auto" -> (q149 _),
     "q150_unigram_vocab" -> (q150 _),
     "q151_unigram_segment" -> (q151 _),
+    "q152_unigram_ids" -> (q152 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -3563,10 +3574,12 @@ object SparkEntry {
     s"""WITH RECURSIVE $unigramOracleCtes
        SELECT piece, cnt, sc AS score FROM vf ORDER BY piece"""
 
-  /** q151 oracle: held-out docs' words DP'd under the final
-    * vocabulary, tokens re-joined in document order. */
-  private def q151Sql: String =
-    raw"""WITH RECURSIVE $unigramOracleCtes,
+  /** Held-out segmentation CTEs shared by q151/q152: odd docs' words
+    * in order, DISTINCT-word DP under the final vocabulary, tokens
+    * re-joined with document positions. Ends in
+    * `poss(doc_id, pos, token)`. */
+  private def unigramSegCtes: String =
+    raw"""$unigramOracleCtes,
        hd AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
          FROM documents WHERE doc_id % 2 = 1),
        hw AS (SELECT doc_id, i.i AS wi, ws[i.i::INT] AS w
@@ -3577,11 +3590,26 @@ object SparkEntry {
        ${unigramDpSql("h1", "hdw", "vf")},
        seq AS (SELECT hw.doc_id, hw.wi, t.i AS ti, h1tok.toks[t.i::INT] AS tok
          FROM hw JOIN h1tok ON h1tok.w = hw.w
-         CROSS JOIN range(1, 257) t(i) WHERE t.i <= len(h1tok.toks))
-       SELECT doc_id, (row_number() OVER (PARTITION BY doc_id
-           ORDER BY wi, ti) - 1)::BIGINT AS pos,
-         tok AS token
-       FROM seq ORDER BY doc_id, pos"""
+         CROSS JOIN range(1, 257) t(i) WHERE t.i <= len(h1tok.toks)),
+       poss AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id
+           ORDER BY wi, ti) - 1)::BIGINT AS pos, tok AS token
+         FROM seq)"""
+
+  /** q151 oracle: held-out docs' words DP'd under the final
+    * vocabulary, tokens re-joined in document order. */
+  private def q151Sql: String =
+    s"""WITH RECURSIVE $unigramSegCtes
+       SELECT doc_id, pos, token FROM poss ORDER BY doc_id, pos"""
+
+  /** q152 oracle: q151's segmentation resolved to vocabulary ranks
+    * (surface order), OOV as -1. */
+  private def q152Sql: String =
+    s"""WITH RECURSIVE $unigramSegCtes,
+       vid AS (SELECT piece, (row_number() OVER (ORDER BY piece) - 1)::INT AS id
+         FROM vf)
+       SELECT doc_id, pos, token, coalesce(vid.id, -1) AS token_id
+       FROM poss LEFT JOIN vid ON vid.piece = poss.token
+       ORDER BY doc_id, pos"""
 
   /** q132 oracle: the q72 chain's DROP LEDGER — the q131 recipe over
     * the vector fragments: odd vectors missing from the validity CTE,
@@ -5758,6 +5786,7 @@ object SparkEntry {
     "q149_pq_auto" -> q149Sql,
     "q150_unigram_vocab" -> q150Sql,
     "q151_unigram_segment" -> q151Sql,
+    "q152_unigram_ids" -> q152Sql,
   )
 
   /** Shared CTE prefix for the bigram-LM oracles: train bigram/context

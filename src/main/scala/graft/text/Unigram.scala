@@ -243,6 +243,27 @@ object Unigram {
       .toDF(idCol, "pos", "token")
   }
 
+  /** ENCODE to unigram token ids — the [[TextOps.withBpeTokenIds]]
+    * contract on this family: `(idCol, pos, token, token_id)` with
+    * ids = the vocabulary's piece rank in surface order (stable
+    * across engines: pieces are unique and sorted), resolved via a
+    * BROADCAST join (never a map-literal lookup — O(1) per token, no
+    * shuffle). Pieces outside the vocabulary (an OOV character a
+    * held-out doc introduced) encode as -1, the UNK sentinel. */
+  def withUnigramTokenIds(df: DataFrame, idCol: String, textCol: String,
+                          vocab: Seq[Piece],
+                          maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // internal rank name: a caller idCol of "id" must not collide
+    val vocabDf = vocab.map(_.piece).sorted.zipWithIndex
+      .map { case (p, i) => (p, i) }.toDF("token", "_uid")
+    withUnigramTokens(df, idCol, textCol, vocab, maxPieceLen)
+      .join(broadcast(vocabDf), Seq("token"), "left")
+      .select(col(idCol), col("pos"), col("token"),
+        coalesce(col("_uid"), lit(-1)).as("token_id"))
+  }
+
   /** The trained vocabulary as a gate-comparable frame. */
   def vocabRows(spark: SparkSession, vocab: Seq[Piece]): DataFrame = {
     import spark.implicits._

@@ -128,6 +128,26 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("token-id encoding: ids are the vocabulary's surface ranks, " +
+      "OOV pieces encode -1, broadcast-join resolution") {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val vocab = Unigram.trainUnigram(df, "text", vocabSize = 16,
+      maxPieceLen = 3, seedMulti = 12, emIters = 1)
+    val rank = vocab.map(_.piece).sorted.zipWithIndex.toMap
+    val held = Seq((1L, "the xyz hat")).toDF("id", "text")
+    val got = Unigram.withUnigramTokenIds(held, "id", "text", vocab,
+        maxPieceLen = 3)
+      .as[(Long, Long, String, Int)].collect().sortBy(_._2).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, tok, tid) =>
+      assert(tid == rank.getOrElse(tok, -1), s"token $tok id $tid") }
+    // x/y/z never occur in training: their pieces must be -1
+    assert(got.exists(_._4 == -1))
+    // and the id stream decodes back: rank is a bijection on vocab
+    assert(rank.values.toSeq.sorted == (0 until vocab.size).toSeq)
+  }
+
   test("vocab artifact: save → load round-trips; duplicates fail " +
       "loudly; frozen-vocab segmentation ≡ inline") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
