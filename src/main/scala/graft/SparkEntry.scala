@@ -1120,6 +1120,22 @@ object SparkEntry {
       .orderBy(col("probe_id"))
   }
 
+  /** Gate-scoped memo of the trained IVF-PQ model (driver-held longs,
+    * no frame ownership): q145 — the gate that IS the training —
+    * always rebuilds and stores; q146/q147 read it like a production
+    * consumer querying a frozen model. */
+  private val ivfPqMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.sim.IvfPq.Model]
+
+  private def ivfPqModel(s: SparkSession, d: String,
+                         rebuild: Boolean = false): graft.sim.IvfPq.Model =
+    if (rebuild) {
+      val m = graft.sim.IvfPq.train(T(s, d, "embeddings"), "vec_id",
+        "embedding", kCells = 32, m = 8, ks = 64)
+      ivfPqMemo(d) = m
+      m
+    } else ivfPqMemo.getOrElseUpdate(d, ivfPqModel(s, d, rebuild = true))
+
   /** Trained residual IVF-PQ model through the gate
     * ([[graft.sim.IvfPq.train]] — 2^20 fixed-point Lloyd, K=32 coarse
     * cells × 4 iters, m=8 × ks=64 residual codebooks × 3 iters):
@@ -1128,13 +1144,9 @@ object SparkEntry {
     * every floorDiv centroid mean, empty-cell retention, residuals —
     * with plain integer SUMs (associativity makes fold order
     * irrelevant; the q142 double-fold discipline is not needed). */
-  private def q145(s: SparkSession, d: String): DataFrame = {
-    val emb = T(s, d, "embeddings")
-    graft.sim.IvfPq.modelRows(s,
-        graft.sim.IvfPq.train(emb, "vec_id", "embedding",
-          kCells = 32, m = 8, ks = 64))
+  private def q145(s: SparkSession, d: String): DataFrame =
+    graft.sim.IvfPq.modelRows(s, ivfPqModel(s, d, rebuild = true))
       .orderBy(col("part"), col("sub"), col("cid"), col("pos"))
-  }
 
   /** Trained IVF-PQ search with exact refine through the gate
     * ([[graft.sim.IvfPq.topKBatch]]): probes vec_id<25 routed to
@@ -1145,7 +1157,8 @@ object SparkEntry {
     val emb = T(s, d, "embeddings")
     graft.sim.IvfPq.topKBatch(emb, emb.filter(col("vec_id") < 25),
         "vec_id", "embedding", kCells = 32, m = 8, ks = 64,
-        nprobe = 16, k = 10, refine = 200)
+        nprobe = 16, k = 10, refine = 200,
+        model = Some(ivfPqModel(s, d)))
       .orderBy(col("probe_id"), col("rank"))
   }
 
@@ -1159,7 +1172,8 @@ object SparkEntry {
     val emb = T(s, d, "embeddings")
     graft.sim.IvfPq.recallBatch(emb, emb.filter(col("vec_id") < 25),
         "vec_id", "embedding", kCells = 32, m = 8, ks = 64,
-        nprobe = 16, k = 10, refine = 200)
+        nprobe = 16, k = 10, refine = 200,
+        model = Some(ivfPqModel(s, d)))
       .orderBy(col("probe_id"))
   }
 
@@ -1191,12 +1205,23 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  /** Unigram-LM tokenizer config shared by the q150/q151 gates and
-    * their generated oracle. */
-  private def unigramTrainVocab(s: SparkSession, d: String) =
-    graft.text.Unigram.trainUnigram(
-      T(s, d, "documents").filter(col("doc_id") % 2 === 0), "text",
-      vocabSize = 40, maxPieceLen = 4, seedMulti = 48, emIters = 1)
+  /** Unigram-LM tokenizer config shared by the q150–q152 gates and
+    * their generated oracle. Memoized like [[ivfPqModel]]: q150 — the
+    * training gate — always rebuilds; q151/q152 segment against the
+    * stored vocabulary like production consumers. */
+  private val unigramMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.text.Unigram.Piece]]
+
+  private def unigramTrainVocab(s: SparkSession, d: String,
+      rebuild: Boolean = false): Seq[graft.text.Unigram.Piece] =
+    if (rebuild) {
+      val v = graft.text.Unigram.trainUnigram(
+        T(s, d, "documents").filter(col("doc_id") % 2 === 0), "text",
+        vocabSize = 40, maxPieceLen = 4, seedMulti = 48, emIters = 1)
+      unigramMemo(d) = v
+      v
+    } else unigramMemo.getOrElseUpdate(d,
+      unigramTrainVocab(s, d, rebuild = true))
 
   /** Unigram-LM (SentencePiece-style) vocabulary through the gate
     * ([[graft.text.Unigram.trainUnigram]] on even doc_ids): seeded
@@ -1206,7 +1231,7 @@ object SparkEntry {
     * recursive-CTE Viterbi DP and `bin()`-arithmetic logs — no
     * transcendental feeds any decision on either side. */
   private def q150(s: SparkSession, d: String): DataFrame =
-    graft.text.Unigram.vocabRows(s, unigramTrainVocab(s, d))
+    graft.text.Unigram.vocabRows(s, unigramTrainVocab(s, d, rebuild = true))
       .orderBy(col("piece"))
 
   /** Held-out unigram segmentation through the gate

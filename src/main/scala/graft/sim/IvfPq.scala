@@ -52,6 +52,17 @@ object IvfPq {
     * O(sample · K · dim) regardless of corpus size. */
   val DefaultTrainSample: Int = 1 << 16
 
+  /** Samples up to this size train ON THE DRIVER after one collect
+    * (64k × 64-dim longs ≈ 33 MB — model-fit input, the k-means
+    * contract): integer arithmetic is order-free, so the local loop
+    * is bit-identical to the distributed fold while paying ONE Spark
+    * job instead of ~(coarseIters + pqIters) job round-trips whose
+    * scheduling latency dominates at any scale (the corpus-sized
+    * work — coding, search — is distributed either way; only the
+    * bounded model fit moves). Larger `trainSample`s keep the
+    * distributed iteration. IvfPqSpec pins local ≡ distributed. */
+  val LocalTrainMax: Int = 1 << 16
+
   /** The trained model: `coarse(cell)(dim)` cell centroids and
     * `books(sub)(cid)(subDim)` per-subvector residual codebooks, all
     * in [[Scale]] fixed point — O((K + m·ks)·dim) driver-held longs,
@@ -239,6 +250,18 @@ object IvfPq {
     val q = quantized(df, idCol, vecCol, m, "IvfPq.train")
     val u = graft.text.TextOps.md5_32(
       concat(lit(s"$seed|"), col("_tid").cast("string")))
+    if (trainSample <= LocalTrainMax) {
+      // bounded sample ⇒ one collect, local integer Lloyd — bit-equal
+      // to the distributed path below (order-free arithmetic), minus
+      // its per-iteration job latency. TakeOrdered keeps donor order.
+      val data = q.withColumn("_u", u)
+        .orderBy(col("_u"), col("_tid"))
+        .limit(trainSample)
+        .select(col("xq")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(data.nonEmpty, "IvfPq.train: empty corpus")
+      return trainLocal(data, kCells, m, ks, coarseIters, pqIters)
+    }
     val smp = q.withColumn("_u", u)
       .orderBy(col("_u"), col("_tid"))
       .limit(trainSample)
@@ -276,6 +299,75 @@ object IvfPq {
       val books = lloyd(subRows, books0, pqIters)
       Model(coarse, books)
     } finally { smp.unpersist(); () }
+  }
+
+  /** The driver-local training loop — the same donors (`data` arrives
+    * in seeded order), the same integer Lloyd (strict-< argmin,
+    * `Math.floorDiv` means, empty cells keep their centroid), the
+    * same residual book construction as the distributed path. */
+  private def trainLocal(data: Array[Array[Long]], kCells: Int, m: Int,
+                         ks: Int, ci: Int, pi: Int): Model = {
+    val dim = data.head.length
+    val sd = dim / m
+    def iD(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def argmin(v: Array[Long], cents: Array[Array[Long]]): Int = {
+      var bi = 0; var bd = Long.MaxValue; var j = 0
+      while (j < cents.length) {
+        val d = iD(v, cents(j))
+        if (d < bd) { bd = d; bi = j }
+        j += 1
+      }
+      bi
+    }
+    def lloyd(pts: Array[Array[Long]], init: Array[Array[Long]],
+              iters: Int): Array[Array[Long]] = {
+      var c = init
+      var it = 0
+      while (it < iters) {
+        val asg = pts.map(argmin(_, c))
+        val next = c.map(_.clone())
+        val sums = Array.fill(c.length, c.head.length)(0L)
+        val cnt = new Array[Long](c.length)
+        var r = 0
+        while (r < pts.length) {
+          val cell = asg(r); val v = pts(r)
+          var p = 0
+          while (p < v.length) { sums(cell)(p) += v(p); p += 1 }
+          cnt(cell) += 1
+          r += 1
+        }
+        var cell = 0
+        while (cell < c.length) {
+          if (cnt(cell) > 0) {
+            var p = 0
+            while (p < next(cell).length) {
+              next(cell)(p) = Math.floorDiv(sums(cell)(p), cnt(cell))
+              p += 1
+            }
+          }
+          cell += 1
+        }
+        c = next
+        it += 1
+      }
+      c
+    }
+    val coarse = lloyd(data,
+      data.take(math.min(kCells, data.length)).map(_.clone()), ci)
+    val resid = data.map { v =>
+      val c = coarse(argmin(v, coarse))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val donorRes = resid.take(math.min(ks, resid.length))
+    val books = Array.tabulate(m) { s =>
+      lloyd(resid.map(_.slice(s * sd, (s + 1) * sd)),
+        donorRes.map(_.slice(s * sd, (s + 1) * sd)), pi)
+    }
+    Model(coarse, books)
   }
 
   /** Code a frame against a trained model: adds `xq` (fixed-point

@@ -122,6 +122,17 @@ class IvfPqSpec extends SparkSpec {
       again.books.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("local and distributed training are bit-identical (the " +
+      "LocalTrainMax fast path changes latency, never the model)") {
+    val (kc, m, ks, ci, pi, _, _, _) = cfg
+    val local = IvfPq.train(vecs, "id", "vec", kc, m, ks, ci, pi)
+    val dist = IvfPq.train(vecs, "id", "vec", kc, m, ks, ci, pi,
+      trainSample = IvfPq.LocalTrainMax + 1)
+    assert(local.coarse.map(_.toSeq).toSeq == dist.coarse.map(_.toSeq).toSeq)
+    assert(local.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      dist.books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("withCodes: cell + residual codes match the twin; frozen " +
       "model from another space fails loudly") {
     val (kc, m, ks, ci, pi, _, _, _) = cfg
