@@ -3310,10 +3310,19 @@ object SparkEntry {
     * double-fold `list_reduce` discipline unnecessary. CTEs are
     * MATERIALIZED: each level is referenced several times, and
     * inlining would re-evaluate the training tree exponentially. */
-  private def ivfPqOracleCtes: String = {
+  /** The q145–q147 gate config in ONE place — the oracle CTE builder
+    * AND the final SELECTs interpolate from here, so changing an
+    * iteration count or dimension cannot silently desynchronize a
+    * hardcoded `c4`/`b3`/range literal. (The Spark-side gates pass
+    * the same numbers explicitly; CORRECTNESS catches a drift there.) */
+  private object IvfPqCfg {
     val (k, ci, m, sd, ks, pi) = (32, 4, 8, 8, 64, 3)
     val (nprobe, refine, kk, pmax) = (16, 200, 10, 25)
-    val dim = m * sd
+    val dim: Int = m * sd
+  }
+
+  private def ivfPqOracleCtes: String = {
+    import IvfPqCfg.{k, ci, m, sd, ks, pi, nprobe, refine, kk, pmax, dim}
     val smpN = graft.sim.IvfPq.DefaultTrainSample
     val b = Seq.newBuilder[String]
     b += s"""uq AS MATERIALIZED (SELECT vec_id,
@@ -3416,9 +3425,10 @@ object SparkEntry {
     s"""WITH $ivfPqOracleCtes
        SELECT part, sub, cid, pos, cv FROM (
          SELECT 'coarse' AS part, 0 AS sub, cell AS cid, p.i - 1 AS pos, cq[p.i] AS cv
-         FROM c4 CROSS JOIN range(1,65) p(i)
+         FROM c${IvfPqCfg.ci} CROSS JOIN range(1,${IvfPqCfg.dim + 1}) p(i)
          UNION ALL
-         SELECT 'book', sub, cid, p.i - 1, bq[p.i] FROM b3 CROSS JOIN range(1,9) p(i))
+         SELECT 'book', sub, cid, p.i - 1, bq[p.i]
+         FROM b${IvfPqCfg.pi} CROSS JOIN range(1,${IvfPqCfg.sd + 1}) p(i))
        ORDER BY part, sub, cid, pos"""
 
   /** q146 oracle: routing → LUT ADC → shortlist → exact refine,
@@ -3433,13 +3443,16 @@ object SparkEntry {
   private def q147Sql: String =
     s"""WITH $ivfPqOracleCtes,
        xb AS MATERIALIZED (SELECT p.vec_id AS probe_id, e.vec_id,
-         CAST(list_sum(list_transform(range(1,65),
+         CAST(list_sum(list_transform(range(1,${IvfPqCfg.dim + 1}),
            i -> (p.xq[i]-e.xq[i])*(p.xq[i]-e.xq[i]))) AS BIGINT) AS xd
-         FROM eq p CROSS JOIN eq e WHERE p.vec_id < 25 AND e.vec_id <> p.vec_id),
+         FROM eq p CROSS JOIN eq e
+         WHERE p.vec_id < ${IvfPqCfg.pmax} AND e.vec_id <> p.vec_id),
        xr AS MATERIALIZED (SELECT probe_id, vec_id FROM (SELECT *, row_number()
-         OVER (PARTITION BY probe_id ORDER BY xd, vec_id) AS rk FROM xb) WHERE rk <= 10),
+         OVER (PARTITION BY probe_id ORDER BY xd, vec_id) AS rk FROM xb)
+         WHERE rk <= ${IvfPqCfg.kk}),
        ax AS (SELECT probe_id, vec_id FROM (SELECT *, row_number()
-         OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk FROM cand) WHERE rk <= 10),
+         OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk FROM cand)
+         WHERE rk <= ${IvfPqCfg.kk}),
        na AS (SELECT ax.probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap_adc
          FROM ax LEFT JOIN xr USING (probe_id, vec_id) GROUP BY ax.probe_id),
        nr AS (SELECT rr.probe_id, CAST(count(xr.vec_id) AS BIGINT) AS n_overlap
@@ -3514,7 +3527,14 @@ object SparkEntry {
     * prefer the longer piece — `list_max` over (s, d) structs, the
     * same lexicographic rule as Spark's `array_max`), and a backward
     * recursion reconstructing the piece sequence. Emits
-    * `<name>tok(w, freq, toks)`. */
+    * `<name>tok(w, freq, toks)`.
+    *
+    * ORACLE BOUNDS (gate-corpus facts, not operator limits): words
+    * ≤ 64 chars (the documents table maxes at 8; the Spark side
+    * handles up to `Unigram.MaxWordChars` and raises loudly past it),
+    * ≤ 512 words/doc and ≤ 256 tokens/word in [[unigramSegCtes]] —
+    * data beyond a bound would fail the gate VISIBLY (row-count
+    * mismatch), never silently pass. */
   private def unigramDpSql(name: String, wordsCte: String,
                            scoresCte: String): String = {
     val (l, maxw, miss) = (4, 64, -(1L << 53))

@@ -1774,14 +1774,27 @@ object PretrainPrepIncrementalMain {
         .groupBy(col("run")).agg(count(lit(1)).as("_n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       oldLedgerDirs.foreach { l =>
+        val df = spark.read.parquet(l)
+        // per-PROVENANCE counts: an old ledger that is ITSELF a
+        // consolidated one (a second-generation compact) carries its
+        // ORIGINAL run tags — those, not the old root's directory, are
+        // what the new consolidated ledger preserves (chainLedger's
+        // keep-original-tags contract); looking the old compacted root
+        // up by its parent dir would find 0 rows and refuse forever
         val runDir = new org.apache.hadoop.fs.Path(l).getParent
-        val tag = qual(runDir.toString)
-        val have = spark.read.parquet(l).count()
-        val got = cons.getOrElse(tag, 0L)
-        require(got >= have,
-          s"refusing gc: run $tag recorded $have ledger rows but the " +
-            s"consolidated ledger carries $got for it — the audit trail " +
-            "would be lost; rerun compact; nothing was deleted")
+        val oldCounts: Map[String, Long] =
+          if (df.columns.contains("run"))
+            df.groupBy(col("run")).agg(count(lit(1)).as("_n"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          else Map(qual(runDir.toString) -> df.count())
+        oldCounts.foreach { case (tag, have) =>
+          val got = cons.getOrElse(tag, 0L)
+          require(got >= have,
+            s"refusing gc: run $tag recorded $have ledger rows (under " +
+              s"$l) but the consolidated ledger carries $got for it — " +
+              "the audit trail would be lost; rerun compact; nothing " +
+              "was deleted")
+        }
       }
     }
     if (apply) runDirs.foreach { rd =>

@@ -82,12 +82,17 @@ object EntityResolve {
           matched.select(col(batchIdCol)), Seq(batchIdCol), "left_anti")
         .select(col(batchIdCol), col(batchStrCol)))
       try {
-        // batch-only components over the SAME blocked join, min-id labels
-        val selfPairs = Fuzzy.fuzzyJoinAgainst(
+        // batch-only components over the SAME blocked join, min-id
+        // labels. The RAW frame is kept for the release below:
+        // fuzzyJoinAgainst's Bloom tier returns a cached frame, and
+        // unpersisting a derived filter/select would be a no-op on the
+        // cached root (the round-18 StageCut-release lesson)
+        val selfRaw = Fuzzy.fuzzyJoinAgainst(
             unmatched.select(col(batchIdCol).as("_ra"), col(batchStrCol)),
             unmatched.select(col(batchIdCol).as("_rb"), col(batchStrCol)),
             "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket,
             probeScale = probeScale)
+        val selfPairs = selfRaw
           .filter(col("_ra") < col("_rb"))
           .select(col("_ra").as("id_a"), col("_rb").as("id_b"))
         val clusters = Dedup.dupClusters(selfPairs)
@@ -108,6 +113,13 @@ object EntityResolve {
         // enforces that pairing.
         val out = graft.ops.StageCut(matched.unionByName(fresh))
         out.count()
+        // the fuzzy joins' OWN caches (the Bloom tier returns a
+        // persisted result frame) are released here, after `out` holds
+        // the data — a long-lived stream trigger leaves zero cached
+        // frames per call (release is a no-op unpersist on the
+        // probe/shuffle tiers' plain frames)
+        graft.ops.StageCut.release(toMaster)
+        graft.ops.StageCut.release(selfRaw)
         out
       } finally graft.ops.StageCut.release(unmatched)
     } finally graft.ops.StageCut.release(matched)

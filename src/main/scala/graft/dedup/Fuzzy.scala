@@ -176,7 +176,14 @@ object Fuzzy {
     * caller that leaves the default on picks up the right shape from
     * the measured size rather than from a silent assumption. Pass
     * false to skip the probe shape (and the guard count) outright
-    * when the A side is known to be corpus-scale. */
+    * when the A side is known to be corpus-scale.
+    *
+    * Cache ownership: on the BLOOM tier the returned frame is
+    * persisted (materialized eagerly so the internal pair cache could
+    * be released before return) — callers looping in a long-lived
+    * session should [[graft.ops.StageCut.release]] it after
+    * consuming (a no-op on the other tiers' plain frames;
+    * [[EntityResolve.resolveBatch]] does exactly this). */
   def fuzzyJoinAgainst(a: DataFrame, b: DataFrame, idA: String,
                        strA: String, idB: String, strB: String,
                        maxDist: Int,

@@ -45,6 +45,37 @@ object Unigram {
   /** Fixed-point log2 fraction bits. */
   val LogScaleBits: Int = 16
 
+  /** Hard per-word length bound, enforced LOUDLY in both segmentation
+    * paths: (a) a 512-char "word" is not natural-language input (a
+    * whitespace-free CJK/binary run needs pre-segmentation — C4Clean's
+    * territory), and (b) the bound is what makes [[Miss]] accumulation
+    * overflow-free by arithmetic (512 · 2^53 = 2^62 < Long range); an
+    * unbounded all-OOV run would wrap past Long.MinValue at ~4093
+    * consecutive unknown characters and silently garble the argmax. */
+  val MaxWordChars: Int = 512
+
+  /** UTF-8 binary string order — what Spark's string comparison and
+    * DuckDB's ORDER BY both implement. Java's String ordering compares
+    * UTF-16 code units, which ranks supplementary-plane characters
+    * (surrogates, < 0xE000) BEFORE U+E000..U+FFFF — the opposite of
+    * codepoint/UTF-8 order — so every driver-side piece sort must use
+    * this ordering or token ids drift from the engine-side sorts on
+    * exotic vocabularies. */
+  private[text] val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8")
+      val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
+  }
+
   /** Sentinel score for out-of-vocab pieces: −2^53 — more negative
     * than any real path (scores are ≥ −(63·2^16) per piece) yet far
     * from Long overflow even summed over a pathological 512-char
@@ -86,8 +117,15 @@ object Unigram {
     * longer piece (`array_max` over (s, d) structs — lexicographic).
     * A second bounded fold backtraces the piece sequence. Cost
     * O(len·maxLen) per word, no shuffle, no UDF. */
-  private def viterbiTokens(w: Column, scoreMap: Column,
+  private def viterbiTokens(w0: Column, scoreMap: Column,
                             maxLen: Int): Column = {
+    // loud length guard (see MaxWordChars): a silent overflow would
+    // garble segmentation; the oracle would error differently
+    val w = when(length(w0) > lit(MaxWordChars),
+      raise_error(concat(lit(s"Unigram: word longer than $MaxWordChars " +
+        "chars ('"), substring(w0, 1, 32),
+        lit("…') — pre-segment whitespace-free runs before tokenizing"))))
+      .otherwise(w0)
     val n = length(w)
     val dp = aggregate(sequence(lit(1), n),
       array(struct(lit(0L).as("s"), lit(0).as("d"))),
@@ -166,10 +204,11 @@ object Unigram {
       }
       val cs = vocab.filter(_.piece.length == 1)
       val keepMulti = vocab.filter(_.piece.length > 1)
-        .sortBy(p => (-p.cnt, p.piece))
+        .sortBy(p => (-p.cnt, p.piece))(
+          Ordering.Tuple2(Ordering.Long, utf8Order))
         .take(math.max(0, vocabSize - cs.length))
       withScores((cs ++ keepMulti).map(p => p.piece -> p.cnt))
-        .sortBy(_.piece)
+        .sortBy(_.piece)(utf8Order)
     } finally graft.ops.StageCut.release(wf)
   }
 
@@ -196,6 +235,10 @@ object Unigram {
                                  maxLen: Int): Seq[String] = {
     val n = w.length
     if (n == 0) return Seq.empty
+    require(n <= MaxWordChars,
+      s"Unigram: word longer than $MaxWordChars chars " +
+        s"('${w.take(32)}…') — pre-segment whitespace-free runs " +
+        "before tokenizing")
     val best = new Array[Long](n + 1)
     val bp = new Array[Int](n + 1)
     var j = 1
@@ -226,6 +269,14 @@ object Unigram {
                                    maxPieceLen: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the rows ride as (Long, String) pairs — a non-integral id would
+    // silently null out under a cast; fail loudly instead (the
+    // expression path handles any id type)
+    require(Set("long", "int", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"withUnigramTokensPartitioned needs an integral $idCol, got " +
+        s"${df.schema(idCol).dataType.typeName} — use withUnigramTokens " +
+        "for other id types")
     val scores = vocab.map(p => p.piece -> p.score).toMap
     val bc = spark.sparkContext.broadcast(scores)
     df.select(col(idCol).cast("long"), col(textCol))
@@ -233,8 +284,12 @@ object Unigram {
       .mapPartitions { it =>
         val sc = bc.value
         it.flatMap { case (id, text) =>
+          // Locale.ROOT: Spark's lower() takes the locale-independent
+          // path — a tr_TR default locale would map 'I' to dotless ı
+          // here and break the pinned twin equality
           val toks = Option(text).toSeq
-            .flatMap(_.toLowerCase.trim.split("\\s+").toSeq)
+            .flatMap(_.toLowerCase(java.util.Locale.ROOT)
+              .trim.split("\\s+").toSeq)
             .filter(_.nonEmpty)
             .flatMap(w => viterbiScala(w, sc, maxPieceLen))
           toks.zipWithIndex.map { case (t, i) => (id, i.toLong, t) }
@@ -255,8 +310,9 @@ object Unigram {
                           maxPieceLen: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // internal rank name: a caller idCol of "id" must not collide
-    val vocabDf = vocab.map(_.piece).sorted.zipWithIndex
+    // internal rank name: a caller idCol of "id" must not collide;
+    // UTF-8 order matches the engine-side ORDER BY (see utf8Order)
+    val vocabDf = vocab.map(_.piece).sorted(utf8Order).zipWithIndex
       .map { case (p, i) => (p, i) }.toDF("token", "_uid")
     withUnigramTokens(df, idCol, textCol, vocab, maxPieceLen)
       .join(broadcast(vocabDf), Seq("token"), "left")
@@ -284,7 +340,7 @@ object Unigram {
       s"not a unigram vocab artifact: ${df.columns.mkString(",")}")
     val rows = df.collect()
       .map(r => Piece(r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_.piece).toSeq
+      .sortBy(_.piece)(utf8Order).toSeq
     require(rows.map(_.piece).distinct.length == rows.length,
       s"unigram vocab artifact at $path carries duplicate pieces")
     rows

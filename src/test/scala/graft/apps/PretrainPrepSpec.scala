@@ -1098,6 +1098,20 @@ class PretrainPrepSpec extends SparkSpec {
         .toString).toSet == Set(day0, day1))
       assert(new java.io.File(s"$day0/data").exists() &&
         new java.io.File(s"$day1/data").exists())
+      // SECOND-GENERATION compact: gc of a chain whose root is itself
+      // a compacted root must verify the consolidated ledger by its
+      // ORIGINAL run tags (the rows keep them), not by the old root's
+      // directory — a parent-dir lookup would find 0 rows and refuse
+      // a perfectly covered chain forever
+      val cDir2 = java.nio.file.Files.createTempDirectory("gccov2").toString
+      PretrainPrepIncrementalMain.main(
+        Array("compact", cDir, cDir2, "check=on"))
+      val listed2 = PretrainPrepIncrementalMain.gcChain(spark, cDir, cDir2,
+        apply = false)
+      assert(listed2.map(d => new java.io.File(new java.net.URI(d))
+        .toString) == Seq(cDir))
+      assert(new java.io.File(s"$cDir/data").exists(),
+        "dry run must not delete")
       // consolidated ledger gone → refusal (the audit trail would die
       // with the run dirs)
       val led = new java.io.File(s"$cDir/ledger")
