@@ -64,6 +64,12 @@ object EntityResolve {
     val toMaster = Fuzzy.fuzzyJoinAgainst(batch, master,
       batchIdCol, batchStrCol, masterIdCol, masterStrCol,
       maxDist, maxBucket, masterKeys, probeScale)
+    // every internal frame's release lives in a finally so a failure
+    // ANYWHERE in the resolve (including dupClusters or the final
+    // materializing count) frees the fuzzy joins' Bloom-tier caches
+    // too — not just the stage cuts (ADVICE r19: toMaster/selfRaw
+    // were released on the success path only)
+    try {
     // closest master wins, ties by min id — one struct-min aggregate.
     // Stage-cut ([[graft.ops.StageCut]]): consumed twice (anti-join
     // source + final union), and cutting keeps the blocked-join tree
@@ -92,6 +98,7 @@ object EntityResolve {
             unmatched.select(col(batchIdCol).as("_rb"), col(batchStrCol)),
             "_ra", batchStrCol, "_rb", batchStrCol, maxDist, maxBucket,
             probeScale = probeScale)
+        try {
         val selfPairs = selfRaw
           .filter(col("_ra") < col("_rb"))
           .select(col("_ra").as("id_a"), col("_rb").as("id_b"))
@@ -113,16 +120,17 @@ object EntityResolve {
         // enforces that pairing.
         val out = graft.ops.StageCut(matched.unionByName(fresh))
         out.count()
-        // the fuzzy joins' OWN caches (the Bloom tier returns a
-        // persisted result frame) are released here, after `out` holds
-        // the data — a long-lived stream trigger leaves zero cached
-        // frames per call (release is a no-op unpersist on the
-        // probe/shuffle tiers' plain frames)
-        graft.ops.StageCut.release(toMaster)
-        graft.ops.StageCut.release(selfRaw)
         out
+        // the fuzzy joins' OWN caches (the Bloom tier returns a
+        // persisted result frame) are released in the finallys below,
+        // after `out` holds the data on the success path — a
+        // long-lived stream trigger leaves zero cached frames per call
+        // whether the resolve succeeded or threw (release is a no-op
+        // unpersist on the probe/shuffle tiers' plain frames)
+        } finally graft.ops.StageCut.release(selfRaw)
       } finally graft.ops.StageCut.release(unmatched)
     } finally graft.ops.StageCut.release(matched)
+    } finally graft.ops.StageCut.release(toMaster)
   }
 
   /** Loan-pattern form of [[resolveBatch]]: hands the resolved frame to

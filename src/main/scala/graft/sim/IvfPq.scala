@@ -136,9 +136,41 @@ object IvfPq {
   }
 
   /** `array<long>` fixed-point quantization of a float/double vector:
-    * `floor(x · 2^20)` per coordinate. */
+    * `floor(x · 2^20)` per coordinate. Prefer [[quantizeChecked]] at
+    * any site that knows the dimension — this raw form has no
+    * overflow guard. */
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(Scale.toDouble)))
+
+  /** Largest |coordinate| the fixed-point distance arithmetic can
+    * carry at dimension `dim` with NO possibility of Long overflow:
+    * [[iDist]] sums `dim` squares of differences, each difference at
+    * most `2·max·Scale`, so safety needs
+    * `dim · (2·max·Scale)² < Long.MaxValue`, i.e.
+    * `max < sqrt(Long.MaxValue / dim) / 2 / Scale` (~181 at dim 64).
+    * Embedding pipelines are far below this (unit-norm coordinates
+    * are ≤ 1), but a caller feeding raw un-normalized features would
+    * otherwise get silently garbled argmins — [[ilog2f]]'s
+    * enforce-the-domain discipline applied here too (ADVICE r19). */
+  def maxAbsCoord(dim: Int): Double =
+    math.sqrt(Long.MaxValue.toDouble / dim) / 2.0 / Scale.toDouble
+
+  /** [[quantize]] with the [[maxAbsCoord]] guard: any coordinate at
+    * or beyond the bound fails LOUDLY instead of corrupting every
+    * downstream distance. Identical output to [[quantize]] on all
+    * in-range input. */
+  def quantizeChecked(vec: Column, dim: Int): Column = {
+    val bound = maxAbsCoord(dim)
+    transform(vec, x =>
+      when(abs(x.cast("double")) >= lit(bound) ||
+          isnan(x.cast("double")),
+        raise_error(concat(
+          lit(s"IvfPq: |coordinate| >= $bound (or NaN) overflows the " +
+            s"2^$ScaleBits fixed-point distance arithmetic at " +
+            s"dim=$dim — normalize or rescale embeddings first (got "),
+          x.cast("string"), lit(")"))).cast("long"))
+        .otherwise(floor(x.cast("double") * lit(Scale.toDouble))))
+  }
 
   /** Integer squared L2 between two `array<long>` columns — a plain
     * sum of per-dim squares (associative: fold order is irrelevant,
@@ -211,7 +243,8 @@ object IvfPq {
       s"$site: ragged vectors (dims ${dims.getInt(0)}..${dims.getInt(1)})")
     require(dims.getInt(0) % m == 0,
       s"$site: dimension ${dims.getInt(0)} not divisible by m=$m")
-    base.select(col(idCol).as("_tid"), quantize(col(vecCol)).as("xq"))
+    base.select(col(idCol).as("_tid"),
+      quantizeChecked(col(vecCol), dims.getInt(0)).as("xq"))
   }
 
   /** Validate a frame against a (possibly FROZEN) model — dimension
@@ -381,7 +414,7 @@ object IvfPq {
     val bl = booksLit(model)
     val sd = model.subDim
     df.filter(col(vecCol).isNotNull)
-      .withColumn("xq", quantize(col(vecCol)))
+      .withColumn("xq", quantizeChecked(col(vecCol), model.dim))
       .withColumn("cell", nearestLit(col("xq"), cl, model.kCells))
       .withColumn("codes",
         transform(sequence(lit(0), lit(model.m - 1)), s => {
@@ -411,7 +444,8 @@ object IvfPq {
         lit(i).as("cell"))
     }
     probes.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .select(col(idCol).as("probe_id"),
+        quantizeChecked(col(vecCol), model.dim).as("pq"))
       .withColumn("_cells",
         slice(sort_array(array(scored: _*)), 1,
           math.min(nprobe, model.kCells)))
@@ -471,9 +505,10 @@ object IvfPq {
     // late fetch: raw vectors only for the shortlist (probes×refine
     // rows — broadcast), then the exact integer re-rank
     val raw = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol), quantize(col(vecCol)).as("_cxq"))
+      .select(col(idCol), quantizeChecked(col(vecCol), mdl.dim).as("_cxq"))
     val pq = probes.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .select(col(idCol).as("probe_id"),
+        quantizeChecked(col(vecCol), mdl.dim).as("pq"))
     val refined = raw.join(broadcast(short), Seq(idCol))
       .join(broadcast(pq), Seq("probe_id"))
       .withColumn("xdist", iDist(col("pq"), col("_cxq")))
@@ -516,7 +551,8 @@ object IvfPq {
       Seq("probe_id"), Seq(("_xd", true), (idCol, true)), k, "_rr")
     // exact top-k: integer brute force over all (probe, corpus) pairs
     val pqf = probes.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .select(col(idCol).as("probe_id"),
+        quantizeChecked(col(vecCol), mdl.dim).as("pq"))
     val brute = coded.select(col(idCol), col("xq"))
       .crossJoin(broadcast(pqf))
       .filter(col(idCol) =!= col("probe_id"))

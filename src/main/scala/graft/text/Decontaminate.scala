@@ -46,7 +46,16 @@ object Decontaminate {
     override def removeEldestEntry(e: java.util.Map.Entry[
         (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
         DataFrame]): Boolean =
-      if (size > 8) { e.getValue.unpersist(); true } else false
+      if (size > 8) {
+        // best-effort: the evicted frame may belong to an already
+        // STOPPED SparkSession (multi-session process, test suites) —
+        // its unpersist would throw from inside the map insertion and
+        // fail an unrelated later benchGrams call (ADVICE r19). The
+        // StageCut.release precedent: swallow NonFatal, still evict.
+        try e.getValue.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+        true
+      } else false
   }
 
   /** The benchmark's distinct n-gram set, as a 1-column frame of

@@ -76,6 +76,29 @@ object Unigram {
     }
   }
 
+  /** Codepoint length — what Spark's `length()`/`substr()` and
+    * DuckDB's `length()` count. Java's `String.length` counts UTF-16
+    * code units, so a supplementary-plane character (emoji, CJK
+    * extensions) is 2 there but 1 everywhere the oracle looks; every
+    * driver-side length decision must use THIS or the twin paths
+    * silently diverge on astral input. */
+  private[text] def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** UTF-16 offsets of each codepoint boundary in `w` (length
+    * `cpLen(w) + 1`, first 0, last `w.length`) — the index map that
+    * lets driver-side DP walk codepoints without ever splitting a
+    * surrogate pair. */
+  private[text] def cpOffsets(w: String): Array[Int] = {
+    val out = new Array[Int](cpLen(w) + 1)
+    var i = 0; var k = 0
+    while (i < w.length) {
+      out(k) = i; k += 1
+      i += Character.charCount(w.codePointAt(i))
+    }
+    out(k) = w.length
+    out
+  }
+
   /** Sentinel score for out-of-vocab pieces: −2^53 — more negative
     * than any real path (scores are ≥ −(63·2^16) per piece) yet far
     * from Long overflow even summed over a pathological 512-char
@@ -196,14 +219,17 @@ object Unigram {
               maxPieceLen)).as("piece"))
           .groupBy("piece").agg(sum(col("freq")).as("cnt"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // cpLen, not String.length: the engine's seed filter counted
+        // codepoints, so an astral single character must keep its
+        // count-1 coverage floor here too
         vocab = withScores(
-          vocab.filter(_.piece.length == 1)
+          vocab.filter(p => cpLen(p.piece) == 1)
             .map(p => p.piece -> math.max(counts.getOrElse(p.piece, 0L), 1L)) ++
-          vocab.filter(_.piece.length > 1)
+          vocab.filter(p => cpLen(p.piece) > 1)
             .flatMap(p => counts.get(p.piece).map(p.piece -> _)))
       }
-      val cs = vocab.filter(_.piece.length == 1)
-      val keepMulti = vocab.filter(_.piece.length > 1)
+      val cs = vocab.filter(p => cpLen(p.piece) == 1)
+      val keepMulti = vocab.filter(p => cpLen(p.piece) > 1)
         .sortBy(p => (-p.cnt, p.piece))(
           Ordering.Tuple2(Ordering.Long, utf8Order))
         .take(math.max(0, vocabSize - cs.length))
@@ -233,7 +259,11 @@ object Unigram {
     * equality with [[withUnigramTokens]]. */
   private[text] def viterbiScala(w: String, scores: Map[String, Long],
                                  maxLen: Int): Seq[String] = {
-    val n = w.length
+    // codepoint indexing throughout — the engine path's substr/length
+    // count codepoints, and UTF-16 indices would split surrogate
+    // pairs into invalid tokens on supplementary-plane input
+    val off = cpOffsets(w)
+    val n = off.length - 1
     if (n == 0) return Seq.empty
     require(n <= MaxWordChars,
       s"Unigram: word longer than $MaxWordChars chars " +
@@ -248,7 +278,8 @@ object Unigram {
       var d = 1
       val dm = math.min(j, maxLen)
       while (d <= dm) {
-        val s = best(j - d) + scores.getOrElse(w.substring(j - d, j), Miss)
+        val s = best(j - d) +
+          scores.getOrElse(w.substring(off(j - d), off(j)), Miss)
         // strict >=: later (larger) d wins ties — array_max's
         // lexicographic (s, d) preference
         if (s >= bs) { bs = s; bd = d }
@@ -259,7 +290,9 @@ object Unigram {
     }
     var p = n
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (p > 0) { out += w.substring(p - bp(p), p); p -= bp(p) }
+    while (p > 0) {
+      out += w.substring(off(p - bp(p)), off(p)); p -= bp(p)
+    }
     out.reverse.toSeq
   }
 

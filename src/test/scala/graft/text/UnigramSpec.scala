@@ -148,6 +148,52 @@ class UnigramSpec extends SparkSpec {
     assert(rank.values.toSeq.sorted == (0 until vocab.size).toSeq)
   }
 
+  test("supplementary-plane input: codepoint indexing keeps " +
+      "expression ≡ partitioned twin, never splits surrogate pairs, " +
+      "and astral single characters keep the char coverage floor") {
+    // 😀 = U+1F600, 𝕏 = U+1D54F — both 2 UTF-16 code units, 1
+    // codepoint (the r19 ADVICE divergence: UTF-16 String.length
+    // indexing split these into invalid half-surrogate tokens and
+    // misclassified them as multi-char pieces in trainUnigram)
+    val astral = Seq((0L, "the 😀😀 cat 𝕏ray"),
+      (1L, "😀 mat 𝕏𝕏 bat"),
+      (2L, "cat😀hat mat"))
+      .toDF("id", "text")
+    val vocab = Unigram.trainUnigram(astral, "text", vocabSize = 24,
+      maxPieceLen = 3, seedMulti = 12, emIters = 2)
+    // astral chars are SINGLE characters: they must survive pruning
+    // via the char coverage floor, as chars (cnt >= 1), not as
+    // droppable multi-char pieces
+    assert(vocab.exists(_.piece == "😀"))
+    assert(vocab.exists(_.piece == "𝕏"))
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    vocab.foreach(p => assert(wellFormed(p.piece), s"piece '${p.piece}'"))
+    val ex = Unigram.withUnigramTokens(astral, "id", "text", vocab,
+        maxPieceLen = 3)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val tw = Unigram.withUnigramTokensPartitioned(astral, "id", "text",
+        vocab, maxPieceLen = 3)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ex == tw)
+    ex.foreach { case (_, _, t) => assert(wellFormed(t), s"token '$t'") }
+    // reconstruction across the astral boundary
+    val byDoc = ex.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString).toMap
+    assert(byDoc(2L) == "cat😀hatmat")
+  }
+
   test("vocab artifact: save → load round-trips; duplicates fail " +
       "loudly; frozen-vocab segmentation ≡ inline") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
