@@ -225,9 +225,17 @@ object Fuzzy {
     // the edit-distance verify, applied per tier so the Bloom branch
     // can materialize its final output eagerly and release its pair
     // cache before returning
+    // THRESHOLDED levenshtein (Spark 3.5+): the banded DP visits
+    // O(maxDist · len) cells instead of the full O(lenA · lenB)
+    // matrix and bails out early once every band cell exceeds the
+    // bound — at maxDist=2 over ~25-char entity strings that is
+    // ~5x less DP work per candidate pair. Returns -1 above the
+    // bound, so `>= 0` is exactly the old `<= maxDist` keep set and
+    // kept rows carry the identical distance (r20 optimization;
+    // FuzzySpec pins the join output either way).
     def verify(joined: DataFrame): DataFrame = joined
-      .withColumn("dist", levenshtein(col("_na"), col("_nb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("_na"), col("_nb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col(idA), col(idB), col("dist").cast("long").as("dist"))
     t.shape match {
       case ProbeGuard.Shape.Probe =>

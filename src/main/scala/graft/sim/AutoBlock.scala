@@ -127,13 +127,32 @@ object AutoBlock {
     cents
   }
 
-  /** `struct(cell, ang)`: the nearest centroid's index and the angle to
-    * it, as ONE codegen'd expression over centroid literals — a
-    * `greatest` over K `(cosine, -cell)` structs (struct ordering is
-    * lexicographic, so ties break toward the SMALLER cell id — a
-    * deterministic assignment even for duplicate seed vectors). */
+  /** `struct(cell, ang)`: the nearest centroid's index and the angle
+    * to it. Since r20 this is the REFERENCE-OBJECT expression
+    * ([[graft.functions.NearestUnitCell]] — the centroid table rides
+    * the expression as a plain JVM array, the `might_contain` pattern),
+    * so generated code and plan size are O(1) in K instead of the
+    * previous O(K·dim) literal fold — the large-K scale fix the r19
+    * verdict named, and a per-row win at small K too (one tight
+    * primitive loop instead of K folded Catalyst aggregates).
+    * Tie-break and arithmetic are decision-identical to the literal
+    * fold ([[nearestCellStructLit]], kept for the pinning spec):
+    * max cosine, ties to the smaller cell id, `acos` clamped the
+    * `least(greatest(c,-1),1)` way. */
   private[graft] def nearestCellStruct(cents: Array[Array[Double]],
                                        v: Column, nrm: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.NearestUnitCell(
+      bridge.expression(v), bridge.expression(nrm), cents))
+  }
+
+  /** The pre-r20 centroid-LITERAL fold — a `greatest` over K
+    * `(cosine, -cell)` structs (lexicographic, so ties break toward
+    * the SMALLER cell id). Kept as the pinning twin:
+    * `AutoBlockSpec` asserts literal ≡ reference-object assignment on
+    * real corpora including K = 256. */
+  private[graft] def nearestCellStructLit(cents: Array[Array[Double]],
+                                          v: Column, nrm: Column): Column = {
     val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
       struct((graft.functions.GraftExtensions.dot(v, typedLit(c.toSeq)) / nrm)
         .as("c"), lit(-i).as("nc"))
@@ -141,6 +160,20 @@ object AutoBlock {
     val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     struct((-best.getField("nc")).as("cell"),
       acos(least(greatest(best.getField("c"), lit(-1.0)), lit(1.0))).as("ang"))
+  }
+
+  /** `array<int>` of the `nprobe` nearest cells for a probe row —
+    * cosine descending, cell id ascending on ties — as the
+    * reference-object router ([[graft.functions.RoutedUnitCells]]).
+    * Replaces the per-site `sort_array(array(K structs), asc=false)`
+    * construction (plan-size O(K·dim)); order is pinned identical by
+    * AutoBlockSpec's routing twin test. */
+  private[graft] def routedCellIds(cents: Array[Array[Double]],
+                                   v: Column, nrm: Column,
+                                   nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.RoutedUnitCells(
+      bridge.expression(v), bridge.expression(nrm), cents, nprobe))
   }
 
   /** The qualifying cell-pair list (BOTH directions + diagonal): the

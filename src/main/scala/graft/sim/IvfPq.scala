@@ -179,9 +179,13 @@ object IvfPq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, t) => acc + t)
 
-  /** Argmin cell over a centroid-list literal: fold over the list,
-    * strict `<` so the SMALLEST index wins exact ties. */
-  private def nearestLit(vq: Column, cents: Column, n: Int): Column =
+  /** Argmin cell over a centroid-list LITERAL: fold over the list,
+    * strict `<` so the SMALLEST index wins exact ties. Superseded in
+    * every production path by the reference-object expression
+    * ([[nearestCell]] — r20, the large-K fix: plan/codegen O(1) in K
+    * instead of O(K·dim)); kept as the pinning twin IvfPqSpec asserts
+    * bit-equal at K = 256. */
+  private[graft] def nearestLit(vq: Column, cents: Column, n: Int): Column =
     aggregate(sequence(lit(0), lit(n - 1)),
       struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
       (acc, c) => {
@@ -190,11 +194,52 @@ object IvfPq {
           struct(d.as("d"), c.cast("int").as("c"))).otherwise(acc)
       }).getField("c")
 
-  private def coarseLit(model: Model): Column =
+  private[graft] def coarseLit(model: Model): Column =
     typedLit(model.coarse.map(_.toSeq).toSeq)
 
   private def booksLit(model: Model): Column =
     typedLit(model.books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  // ---- reference-object expression builders (r20) -------------------
+  // The centroid/book tables ride the expression as plain JVM arrays
+  // (graft.functions.CellOps — the `might_contain` pattern), so plan
+  // size and generated code are O(1) in K at any cell count; the
+  // argmin arithmetic and tie-breaks are decision-identical to the
+  // literal folds above (IvfPqSpec pins it at K=256).
+
+  private def nearestCell(vq: Column, cents: Array[Array[Long]]): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.NearestLongCell(
+      bridge.expression(vq), cents))
+  }
+
+  private def nearestCellGrouped(vq: Column, g: Column,
+                                 cents3: Array[Array[Array[Long]]]): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.NearestLongCellGrouped(
+      bridge.expression(vq), bridge.expression(g), cents3))
+  }
+
+  private def residualCol(vq: Column, cell: Column,
+                          cents: Array[Array[Long]]): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.LongCellResidual(
+      bridge.expression(vq), bridge.expression(cell), cents))
+  }
+
+  private def probeLutCol(prl: Column,
+                          books: Array[Array[Array[Long]]]): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.LongProbeLut(
+      bridge.expression(prl), books))
+  }
+
+  private def routedCellsCol(vq: Column, cents: Array[Array[Long]],
+                             nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.RoutedLongCells(
+      bridge.expression(vq), cents, nprobe))
+  }
 
   /** One fixed-point Lloyd refinement pass shared by the coarse and
     * per-subvector trainings: rows are `(g, vq)` with `g` the
@@ -210,11 +255,8 @@ object IvfPq {
     var cur = cents
     var it = 0
     while (it < iters) {
-      val cl = typedLit(cur.map(_.map(_.toSeq).toSeq).toSeq)
-      val gb = element_at(cl, col("g") + 1)
-      val k = cur.head.length
       val sums = rows
-        .withColumn("_cell", nearestLit(col("vq"), gb, k))
+        .withColumn("_cell", nearestCellGrouped(col("vq"), col("g"), cur))
         .select(col("g"), col("_cell"),
           posexplode(col("vq")).as(Seq("_p", "_v")))
         .groupBy(col("g"), col("_cell"), col("_p"))
@@ -311,12 +353,8 @@ object IvfPq {
         smp.select(lit(0).as("g"), col("xq").as("vq")),
         coarse0, coarseIters).head
       // residuals of the sample against the trained coarse cells
-      val cl = typedLit(coarse.map(_.toSeq).toSeq)
-      val res = smp.withColumn("_cell",
-          nearestLit(col("xq"), cl, coarse.length))
-        .withColumn("_rq",
-          zip_with(col("xq"), element_at(cl, col("_cell") + 1),
-            (x, c) => x - c))
+      val res = smp.withColumn("_cell", nearestCell(col("xq"), coarse))
+        .withColumn("_rq", residualCol(col("xq"), col("_cell"), coarse))
       val subDim = donors.head.length / m
       // book init: the donors' residuals, sliced per subvector
       val donorRes = res.orderBy(col("_u"), col("_tid"))
@@ -410,20 +448,21 @@ object IvfPq {
     * `cell` + `codes` (~m+1 small ints) are the stored index. */
   def withCodes(df: DataFrame, vecCol: String, model: Model): DataFrame = {
     requireDim(df, vecCol, model, "IvfPq.withCodes")
-    val cl = coarseLit(model)
-    val bl = booksLit(model)
     val sd = model.subDim
+    // reference-object assignment (r20): cell, residual and per-sub
+    // codes each via one tight-loop expression — same integer argmins
+    // and tie-breaks as the literal-fold construction (spec-pinned),
+    // but the plan no longer carries the K·dim coarse table or the
+    // m·ks·subDim books as literals. `m` is model-sized and static,
+    // so the codes array is built by a Scala-level loop.
     df.filter(col(vecCol).isNotNull)
       .withColumn("xq", quantizeChecked(col(vecCol), model.dim))
-      .withColumn("cell", nearestLit(col("xq"), cl, model.kCells))
-      .withColumn("codes",
-        transform(sequence(lit(0), lit(model.m - 1)), s => {
-          val rsub = zip_with(
-            slice(col("xq"), s * sd + 1, lit(sd)),
-            slice(element_at(cl, col("cell") + 1), s * sd + 1, lit(sd)),
-            (x, c) => x - c)
-          nearestLit(rsub, element_at(bl, s + 1), model.ks)
-        }))
+      .withColumn("cell", nearestCell(col("xq"), model.coarse))
+      .withColumn("_rq", residualCol(col("xq"), col("cell"), model.coarse))
+      .withColumn("codes", array((0 until model.m).map(s =>
+        nearestCell(slice(col("_rq"), s * sd + 1, sd),
+          model.books(s))): _*))
+      .drop("_rq")
   }
 
   /** The routed probe frame `(probe_id, pq, cell, lut)`: each probe
@@ -436,30 +475,19 @@ object IvfPq {
   private def routedProbes(probes: DataFrame, idCol: String,
                            vecCol: String, model: Model,
                            nprobe: Int): DataFrame = {
-    val cl = coarseLit(model)
-    val bl = booksLit(model)
-    val sd = model.subDim
-    val scored = model.coarse.toSeq.zipWithIndex.map { case (c, i) =>
-      struct(iDist(col("pq"), typedLit(c.toSeq)).as("d"),
-        lit(i).as("cell"))
-    }
+    // reference-object routing (r20): cells by one integer-L2 sort
+    // (ascending distance, cell-id tie-break — the literal path's
+    // sort_array order), residual + m×ks LUT off the model arrays —
+    // the plan carries none of them as literals.
     probes.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("probe_id"),
         quantizeChecked(col(vecCol), model.dim).as("pq"))
-      .withColumn("_cells",
-        slice(sort_array(array(scored: _*)), 1,
-          math.min(nprobe, model.kCells)))
+      .withColumn("_cells", routedCellsCol(col("pq"), model.coarse,
+        math.min(nprobe, model.kCells)))
       .select(col("probe_id"), col("pq"),
-        explode(col("_cells")).as("_c"))
-      .select(col("probe_id"), col("pq"), col("_c.cell").as("cell"))
-      .withColumn("_prl",
-        zip_with(col("pq"), element_at(cl, col("cell") + 1),
-          (x, c) => x - c))
-      .withColumn("lut",
-        transform(sequence(lit(0), lit(model.m - 1)), s => {
-          val rsub = slice(col("_prl"), s * sd + 1, lit(sd))
-          transform(element_at(bl, s + 1), cent => iDist(rsub, cent))
-        }))
+        explode(col("_cells")).as("cell"))
+      .withColumn("_prl", residualCol(col("pq"), col("cell"), model.coarse))
+      .withColumn("lut", probeLutCol(col("_prl"), model.books))
       .drop("_prl")
   }
 

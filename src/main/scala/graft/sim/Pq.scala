@@ -278,15 +278,12 @@ object Pq {
       .filter(col(vecCol).isNotNull && Similarity.finiteNorm(col("_nrm")))
       .withColumn("_cell", AutoBlock
         .nearestCellStruct(cents, col(vecCol), col("_nrm")).getField("cell"))
-    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
-      struct((graft.functions.GraftExtensions.dot(col("_pv"),
-        typedLit(c.toSeq)) / col("_pnrm")).as("c"), lit(-i).as("nc"))
-    }
+    // reference-object router (r20): plan-size O(1) in K, order
+    // pinned identical to the old K-struct sort_array construction
     val routed = prep
-      .withColumn("_cells", slice(sort_array(array(scored: _*), asc = false),
-        1, math.min(nprobe, cents.length)))
-      .select(col("probe_id"), col("lut"), explode(col("_cells")).as("_c"))
-      .select(col("probe_id"), col("lut"), (-col("_c.nc")).as("_cell"))
+      .withColumn("_cells", AutoBlock.routedCellIds(cents, col("_pv"),
+        col("_pnrm"), math.min(nprobe, cents.length)))
+      .select(col("probe_id"), col("lut"), explode(col("_cells")).as("_cell"))
     val cand = coded.join(broadcast(routed), Seq("_cell"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("pdist", pqAdcDist)

@@ -257,16 +257,13 @@ object Similarity {
         lit(0.0).as("cos_sim"), lit(1).as("rn")).limit(0)
     val assigned = base.withColumn("cell",
       AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")).getField("cell"))
-    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
-      struct((graft.functions.GraftExtensions.dot(col("pv"), typedLit(c.toSeq))
-        / col("pnrm")).as("c"), lit(-i).as("nc"))
-    }
+    // reference-object router (r20): plan-size O(1) in K, order
+    // pinned identical to the old K-struct sort_array construction
     val routed = p0
-      .withColumn("_cells", slice(sort_array(array(scored: _*), asc = false),
-        1, math.min(nprobe, cents.length)))
+      .withColumn("_cells", AutoBlock.routedCellIds(cents, col("pv"),
+        col("pnrm"), math.min(nprobe, cents.length)))
       .select(col("pid"), col("pv"), col("pnrm"),
-        explode(col("_cells")).as("_c"))
-      .select(col("pid"), col("pv"), col("pnrm"), (-col("_c.nc")).as("cell"))
+        explode(col("_cells")).as("cell"))
     val cand =
       if (lateFetch) {
         // keys-only cell join, then per-side vector fetch by id — the

@@ -58,6 +58,75 @@ object Decontaminate {
       } else false
   }
 
+  /** Budget for the r20 ROW-PATH tier: the benchmark gram set is
+    * COLLECTED (bounded, like [[withContamination]]'s broadcast) and
+    * each corpus row counts its distinct-gram hits in one codegen'd
+    * scan expression ([[graft.functions.BenchGramCount]]) — zero
+    * explode, zero exchange, the text never leaves its scan (6.10 s →
+    * 2.64 s on the q82 shape at sf0.1). The effective budget is
+    * `min(this, graft.probe.maxKeys)`, so forcing the ProbeGuard cap
+    * down (the ProbeGuardSpec fallback drills, a mispointed
+    * corpus-sized "benchmark") declines the row path and lands on the
+    * existing tiered probe/Bloom/sort-merge ladder unchanged. Set to
+    * 0 to disable the row path outright. */
+  val RowPathMaxGramsKey = "spark.graft.decontam.rowPathMaxGrams"
+
+  /** Default for [[RowPathMaxGramsKey]] — [[withContamination]]'s
+    * 2M-gram broadcast budget (a 13-gram eval suite sits far below). */
+  val DefaultRowPathMaxGrams = 2000000L
+
+  /** Memoized COLLECTED gram sets for the row-path tier — bounded
+    * like [[gramCache]] (driver strings, MBs by the benchmark-size
+    * contract the budget enforces). */
+  private val gramSetCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
+      java.util.HashSet[String]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
+        java.util.HashSet[String]]): Boolean = size > 8
+  }
+
+  /** The row-path gram set, if the benchmark fits the budget: the
+    * LIMIT-bounded count probes the persisted gram frame first (the
+    * same count discipline ProbeGuard's tiers run), so a mispointed
+    * corpus-sized frame declines cheaply instead of OOMing the
+    * driver. */
+  private def rowPathGrams(bench: DataFrame, textCol: String,
+                           n: Int): Option[java.util.HashSet[String]] = {
+    val conf = bench.sparkSession.conf
+    val budget = math.min(math.min(
+      conf.get(RowPathMaxGramsKey, DefaultRowPathMaxGrams.toString).toLong,
+      conf.get(graft.ops.ProbeGuard.ConfKey,
+        graft.ops.ProbeGuard.DefaultMaxKeys.toString).toLong),
+      (Int.MaxValue - 2).toLong)
+    if (budget <= 0) return None
+    val key = (bench.queryExecution.analyzed, textCol, n)
+    gramSetCache.synchronized {
+      val hit = gramSetCache.get(key)
+      // a cached set only short-circuits when it fits the CURRENT
+      // budget — a session that lowered graft.probe.maxKeys after a
+      // larger run must still land on the tiered ladder
+      if (hit != null && hit.size <= budget) return Some(hit)
+    }
+    val grams = benchGrams(bench, textCol, n)
+    val probed = grams.limit(budget.toInt + 1).count()
+    if (probed > budget) None
+    else {
+      val set = new java.util.HashSet[String]()
+      grams.limit(budget.toInt).collect().foreach(r => set.add(r.getString(0)))
+      gramSetCache.synchronized { gramSetCache.put(key, set) }
+      Some(set)
+    }
+  }
+
+  private def gramCountCol(textCol: String,
+                           set: java.util.HashSet[String],
+                           n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.BenchGramCount(
+      bridge.expression(col(textCol)), set, n))
+  }
+
   /** The benchmark's distinct n-gram set, as a 1-column frame of
     * `_gram` — distilled once, broadcast at both call sites.
     * Persisted so the ProbeGuard's eager count and the probe join
@@ -102,15 +171,25 @@ object Decontaminate {
                           idCol: String, textCol: String,
                           n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val hits = corpusHits(corpus, benchGrams(bench, textCol, n),
-        idCol, textCol, n)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bad_grams"))
-    corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bad_grams"), lit(0L)).as("n_bad_grams"),
-        (coalesce(col("n_bad_grams"), lit(0L)) > 0).as("contaminated"))
+    rowPathGrams(bench, textCol, n) match {
+      case Some(set) =>
+        // row-path tier (r20): one codegen'd membership count per
+        // row — no explode, no exchange, no join-back
+        corpus.select(col(idCol),
+          gramCountCol(textCol, set, n).as("n_bad_grams"))
+          .select(col(idCol), col("n_bad_grams"),
+            (col("n_bad_grams") > 0).as("contaminated"))
+      case None =>
+        val hits = corpusHits(corpus, benchGrams(bench, textCol, n),
+            idCol, textCol, n)
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bad_grams"))
+        corpus.select(col(idCol))
+          .join(hits, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("n_bad_grams"), lit(0L)).as("n_bad_grams"),
+            (coalesce(col("n_bad_grams"), lit(0L)) > 0).as("contaminated"))
+    }
   }
 
   /** The clean corpus: every row whose document shares NO word n-gram
@@ -121,9 +200,18 @@ object Decontaminate {
   def decontaminate(corpus: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val badIds = corpusHits(corpus, benchGrams(bench, textCol, n),
-        idCol, textCol, n)
-      .select(col(idCol)).distinct()
+    // bad ids from the row-path count when the benchmark fits the
+    // budget (no explode, no gram exchange); the id-keyed anti-join
+    // stays so duplicate-id corpora keep the id-level drop rule
+    val badIds = rowPathGrams(bench, textCol, n) match {
+      case Some(set) =>
+        corpus.filter(gramCountCol(textCol, set, n) > 0)
+          .select(col(idCol)).distinct()
+      case None =>
+        corpusHits(corpus, benchGrams(bench, textCol, n),
+            idCol, textCol, n)
+          .select(col(idCol)).distinct()
+    }
     corpus.join(badIds, Seq(idCol), "left_anti")
   }
 

@@ -213,12 +213,7 @@ object Unigram {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       var vocab = withScores(chars ++ multi)
       for (_ <- 0 until emIters) {
-        val counts = wf
-          .select(col("freq"),
-            explode(viterbiTokens(col("w"), scoreMapLit(vocab),
-              maxPieceLen)).as("piece"))
-          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val counts = emCounts(wf, vocab, maxPieceLen)
         // cpLen, not String.length: the engine's seed filter counted
         // codepoints, so an astral single character must keep its
         // count-1 coverage floor here too
@@ -238,12 +233,84 @@ object Unigram {
     } finally graft.ops.StageCut.release(wf)
   }
 
+  /** Conf key: vocabulary size above which [[trainUnigram]]'s hard-EM
+    * counting pass routes through the [[viterbiScala]] mapPartitions
+    * twin instead of the codegen'd expression DP. The expression path
+    * carries the vocabulary as a `typedLit` map — ideal at gate-sized
+    * vocabularies (zero broadcast, whole-stage codegen), but the map
+    * literal bloats the plan linearly with vocabulary size and at the
+    * 32k–128k pieces real tokenizers train it stops being viable
+    * (plan analysis cost, Janino method limits). The twin is pinned
+    * token-for-token equal (UnigramSpec), and per-piece counts are
+    * order-free integer sums, so the two paths produce bit-identical
+    * vocabularies — the route is a pure performance decision. */
+  val EmExprMaxVocabKey = "spark.graft.unigram.emExprMaxVocab"
+
+  /** Default for [[EmExprMaxVocabKey]]: past ~2k pieces the typedLit
+    * plan cost dominates; gate configs (≤ 88 seed pieces) stay on the
+    * expression path, so the bench keeps measuring codegen DP. */
+  val DefaultEmExprMaxVocab = 2048
+
+  /** One hard-EM counting pass: Viterbi-segment the distinct-word
+    * table under `vocab`, sum occurrence-weighted integer counts per
+    * piece. Expression path at small vocabularies, [[viterbiScala]]
+    * mapPartitions past [[EmExprMaxVocabKey]] — identical counts
+    * (spec-pinned; sums are associative integers). */
+  private def emCounts(wf: DataFrame, vocab: Seq[Piece],
+                       maxPieceLen: Int): Map[String, Long] = {
+    val spark = wf.sparkSession
+    val maxExpr = spark.conf.get(EmExprMaxVocabKey,
+      DefaultEmExprMaxVocab.toString).toInt
+    val counted =
+      if (vocab.size <= maxExpr)
+        wf.select(col("freq"),
+            explode(viterbiTokens(col("w"), scoreMapLit(vocab),
+              maxPieceLen)).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      else {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(
+          vocab.map(p => p.piece -> p.score).toMap)
+        wf.select(col("w"), col("freq")).as[(String, Long)]
+          .mapPartitions { it =>
+            val sc = bc.value
+            it.flatMap { case (w, f) =>
+              viterbiScala(w, sc, maxPieceLen).map(_ -> f) }
+          }
+          .toDF("piece", "cnt")
+          .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+      }
+    counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Per-document unigram segmentation: `(idCol, pos, token)` — each
     * word Viterbi-segmented under the trained vocabulary, tokens
-    * numbered 0.. in document order. One narrow codegen'd pass. */
+    * numbered 0.. in document order.
+    *
+    * Since r20 this DISPATCHES to the [[withUnigramTokensPartitioned]]
+    * mapPartitions twin whenever the id column is integral (the twin's
+    * one precondition): the expression-path DP builds and tears down
+    * O(len) struct arrays per word inside Catalyst aggregates, and a
+    * head-to-head at sf0.1 measured the twin 9.2× faster (4.56 s →
+    * 0.49 s) with token-for-token pinned equality (UnigramSpec's twin
+    * tests, and the q151/q152 oracle hashes are unchanged). Exotic id
+    * types keep the expression path ([[withUnigramTokensExpr]]). */
   def withUnigramTokens(df: DataFrame, idCol: String, textCol: String,
                         vocab: Seq[Piece],
-                        maxPieceLen: Int = 4): DataFrame = {
+                        maxPieceLen: Int = 4): DataFrame =
+    if (Set("long", "int", "integer", "short", "byte")
+        .contains(df.schema(idCol).dataType.typeName))
+      withUnigramTokensPartitioned(df, idCol, textCol, vocab, maxPieceLen)
+    else withUnigramTokensExpr(df, idCol, textCol, vocab, maxPieceLen)
+
+  /** The codegen'd EXPRESSION form of the segmentation — one narrow
+    * pass, vocabulary as a map literal. The construction that mirrors
+    * the SQL oracle's recursive-CTE DP; kept as the pinning twin (and
+    * the path for non-integral id columns). */
+  private[graft] def withUnigramTokensExpr(df: DataFrame, idCol: String,
+                                          textCol: String,
+                                          vocab: Seq[Piece],
+                                          maxPieceLen: Int = 4): DataFrame = {
     val sm = scoreMapLit(vocab)
     df.select(col(idCol),
         posexplode(flatten(transform(

@@ -84,6 +84,21 @@ class UnigramSpec extends SparkSpec {
     assert(got.length <= math.max(16, chars.size))
   }
 
+  test("trainUnigram: EM counting pass routed through the " +
+      "mapPartitions twin (emExprMaxVocab=0) trains the bit-identical " +
+      "vocabulary") {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaExpr = Unigram.trainUnigram(df, "text", vocabSize = 16,
+      maxPieceLen = 3, seedMulti = 12, emIters = 2)
+    spark.conf.set(Unigram.EmExprMaxVocabKey, "0")
+    try {
+      val viaTwin = Unigram.trainUnigram(df, "text", vocabSize = 16,
+        maxPieceLen = 3, seedMulti = 12, emIters = 2)
+      assert(viaTwin == viaExpr)
+    } finally spark.conf.unset(Unigram.EmExprMaxVocabKey)
+  }
+
   test("segmentation: expression path ≡ Scala twin token for token " +
       "(ties prefer the longer piece), and tokens reconstruct every " +
       "word — OOV characters included") {
@@ -95,7 +110,7 @@ class UnigramSpec extends SparkSpec {
     val held = Seq((100L, "the xyz bazaar"), (101L, "banana hat"),
       (102L, "  "), (103L, "cathatmat"))
       .toDF("id", "text")
-    val ex = Unigram.withUnigramTokens(held, "id", "text", vocab,
+    val ex = Unigram.withUnigramTokensExpr(held, "id", "text", vocab,
         maxPieceLen = 3)
       .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     val tw = Unigram.withUnigramTokensPartitioned(held, "id", "text",
@@ -116,7 +131,7 @@ class UnigramSpec extends SparkSpec {
       .filter(col("doc_id") < 60)
     val vocab = Unigram.trainUnigram(docs, "text", vocabSize = 40,
       maxPieceLen = 4, seedMulti = 48, emIters = 1)
-    val ex = Unigram.withUnigramTokens(docs, "doc_id", "text", vocab)
+    val ex = Unigram.withUnigramTokensExpr(docs, "doc_id", "text", vocab)
       .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     val tw = Unigram.withUnigramTokensPartitioned(docs, "doc_id", "text",
         vocab)
@@ -180,7 +195,7 @@ class UnigramSpec extends SparkSpec {
       true
     }
     vocab.foreach(p => assert(wellFormed(p.piece), s"piece '${p.piece}'"))
-    val ex = Unigram.withUnigramTokens(astral, "id", "text", vocab,
+    val ex = Unigram.withUnigramTokensExpr(astral, "id", "text", vocab,
         maxPieceLen = 3)
       .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     val tw = Unigram.withUnigramTokensPartitioned(astral, "id", "text",
