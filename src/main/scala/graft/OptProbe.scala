@@ -45,18 +45,45 @@ object OptProbe {
     def decRow() = graft.text.Decontaminate.withContamination(
       corpus, "doc_id", "text", bench, n = 3).orderBy(col("doc_id"))
 
+    // ---- policy/repetition: composed twins vs the one-pass scan -----
+    def polJoined() = graft.text.FilterPolicy.applyJoined(
+      docs, "doc_id", "text").orderBy(col("doc_id"))
+    def polOnePass() = graft.text.FilterPolicy(
+      docs, "doc_id", "text").orderBy(col("doc_id"))
+    def polRowHof() = graft.text.FilterPolicy.withDecisionComposed(
+      docs, "doc_id", "text").orderBy(col("doc_id"))
+    def repAgg() = graft.text.TextOps.repetitionStatsAgg(
+      docs, "doc_id", "text").orderBy(col("doc_id"))
+    def repOnePass() = graft.text.TextOps.repetitionStats(
+      docs, "doc_id", "text").orderBy(col("doc_id"))
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
       "uni_expr" -> (uniExpr _),
       "uni_part" -> (uniPart _),
       "dec_join" -> (decJoin _),
-      "dec_row" -> (decRow _))
+      "dec_row" -> (decRow _),
+      "pol_joined" -> (polJoined _),
+      "pol_onepass" -> (polOnePass _),
+      "pol_rowhof" -> (polRowHof _),
+      "rep_agg" -> (repAgg _),
+      "rep_onepass" -> (repOnePass _))
+
+    if (sys.env.contains("OPT_PROBE_STAGELOG"))
+      spark.conf.set(graft.ops.StageCut.LogKey, "true")
+
+    // any declared gate runs by name too (stageCutLog + reps timing —
+    // the pipeline-boundary instrumentation loop)
+    val gateCases: Seq[(String, () => DataFrame)] =
+      args.toSeq.filter(SparkEntry.queries.contains).map(n =>
+        n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
     val sel = if (args.nonEmpty) args.toSet else cases.map(_._1).toSet
-    cases.filter(c => sel.contains(c._1)).foreach { case (name, fn) =>
-      time(spark, fn()) // untimed codegen warm-up
-      val ts = (1 to reps).map(_ => time(spark, fn()))
-      println(f"[optprobe] $name%-10s min=${ts.min}%7.3f  " +
-        ts.map(t => f"$t%.3f").mkString(" "))
+    (cases.filter(c => sel.contains(c._1)) ++ gateCases).foreach {
+      case (name, fn) =>
+        time(spark, fn()) // untimed codegen warm-up
+        val ts = (1 to reps).map(_ => time(spark, fn()))
+        println(f"[optprobe] $name%-10s min=${ts.min}%7.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
     }
     spark.stop()
   }

@@ -281,9 +281,9 @@ object PretrainPrep {
     // free only when `docs` is a plain parquet scan (row-group counts,
     // no data read); a TRANSFORMED input pays one full scan here —
     // `countInput = false` skips it (Report.input becomes -1). The
-    // Observation idiom cannot replace it — FilterPolicy scans its
-    // input twice (signals + repetition aggregate), and an observe
-    // node evaluated twice in one job double-counts.
+    // Observation idiom still cannot replace it — the policy frame
+    // joins back onto `docs` (the semi join below), so one job
+    // evaluates the observed subtree twice and double-counts.
     val input = if (countInput) docs.count() else -1L
     // ledger mode materializes the verdict frame once so keep AND
     // drop reasons come from a single policy evaluation

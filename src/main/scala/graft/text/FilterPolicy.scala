@@ -29,10 +29,10 @@ object PolicyConfig {
   * Gopher-style curation pipeline runs after computing its signals
   * (Rae et al. 2021 appendix A, public knowledge): token-count
   * bounds, mean-word-length bounds, minimum stopword count,
-  * repetition caps. Every signal is computed in the same staged
-  * single pass over the token array (no re-tokenization per rule),
-  * the repetition fractions arrive from [[TextOps.repetitionStats]]'s
-  * doc-keyed aggregate, and the verdict is the FIRST failing rule in
+  * repetition caps. Every signal — token counts AND the repetition
+  * fractions — comes from ONE codegen'd scan pass per document
+  * ([[graft.functions.PolicySignals]], r20; no re-tokenization per
+  * rule, no shuffle), and the verdict is the FIRST failing rule in
   * a fixed order — so a rejected document says why, the way a
   * production pipeline logs drop reasons.
   *
@@ -80,15 +80,45 @@ object FilterPolicy {
         size(filter(col("_fw"),
           w => w.isInCollection(TextOps.Stopwords))).cast("long"))
 
+  /** The one-pass verdict projection shared by [[apply]] and
+    * [[withDecision]] (r20): every signal from ONE
+    * [[graft.functions.PolicySignals]] scan expression — no second
+    * corpus scan, no gram explode, no exchange, no join. Values are
+    * bit-identical to the composed forms (the expression's contract);
+    * the `coalesce(_, 0.0)` re-establishes the 0.0 repetition default
+    * the join/otherwise paths produced for null text. */
+  private def onePass(df: DataFrame, idCol: String, textCol: String,
+                      config: PolicyConfig): DataFrame =
+    df.withColumn("_sig", TextOps.policySignals(col(textCol)))
+      .withColumn("reason", reasonExpr(config)(
+        col("_sig.n_tokens"), col("_sig.alpha"), col("_sig.n_stop"),
+        coalesce(col("_sig.top2_frac"), lit(0.0)),
+        coalesce(col("_sig.dup5_frac"), lit(0.0))))
+      .select(col(idCol), col("_sig.n_tokens").as("n_tokens"),
+        col("_sig.n_stop").as("n_stop"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+
   /** `(<idCol>, n_tokens, n_stop, keep, reason)` — reason ∈
     * {'n_tokens', 'word_len', 'stopwords', 'repetition', 'ok'}, the
-    * first failing rule in that fixed order. One narrow signal pass +
-    * the repetition aggregate joined back on the id. */
+    * first failing rule in that fixed order. One single-pass scan
+    * projection ([[graft.functions.PolicySignals]], r20 — measured
+    * against the signals-join form it replaces; [[applyJoined]] stays
+    * as the value-pinning twin). */
   def apply(df: DataFrame, idCol: String, textCol: String,
+            config: PolicyConfig = PolicyConfig.Gopher): DataFrame =
+    onePass(df, idCol, textCol, config)
+
+  /** The pre-r20 composed form of [[apply]] — one narrow signal pass +
+    * [[TextOps.repetitionStatsAgg]] joined back on the id. Kept as the
+    * independently-derived value twin (`FilterPolicySpec` pins
+    * [[apply]] ≡ this verdict-for-verdict) and for duplicate-id
+    * inputs' historical join semantics; the single-pass form emits
+    * exactly one verdict per input ROW, this one joins per id. */
+  private[graft] def applyJoined(df: DataFrame, idCol: String, textCol: String,
             config: PolicyConfig = PolicyConfig.Gopher): DataFrame = {
     val sig = withSignals(df, textCol)
       .select(col(idCol), col("_nt"), col("_alpha"), col("_nstop"))
-    val rep = TextOps.repetitionStats(df, idCol, textCol)
+    val rep = TextOps.repetitionStatsAgg(df, idCol, textCol)
     sig.join(rep, Seq(idCol))
       .withColumn("reason", reasonExpr(config)(col("_nt"), col("_alpha"),
         col("_nstop"), col("top2_frac"), col("dup5_frac")))
@@ -97,14 +127,22 @@ object FilterPolicy {
         (col("reason") === "ok").as("keep"), col("reason"))
   }
 
-  /** [[apply]] as PURE per-row expressions — the repetition metrics
-    * come from [[TextOps.withRepetitionCols]] instead of the doc-keyed
-    * aggregate, so there is no shuffle and no state anywhere: the
-    * policy runs unchanged inside a Structured Streaming
+  /** [[apply]] as PURE per-row expressions — no shuffle and no state
+    * anywhere: the policy runs unchanged inside a Structured Streaming
     * `readStream → filter → writeStream` (quality-filter documents as
     * they are crawled, no watermark needed). Identical verdicts to
-    * the batch form — the rule expression is literally shared. */
+    * the batch form — since r20 the two are literally the same
+    * single-pass projection ([[graft.functions.PolicySignals]]; the
+    * previous per-row form paid an O(grams²) HOF scan per document). */
   def withDecision(df: DataFrame, idCol: String, textCol: String,
+                   config: PolicyConfig = PolicyConfig.Gopher): DataFrame =
+    onePass(df, idCol, textCol, config)
+
+  /** The pre-r20 per-row composed form of [[withDecision]]
+    * ([[TextOps.withRepetitionCols]] over the signal columns) — kept as
+    * the value-pinning twin for `StreamingPolicySpec`. */
+  private[graft] def withDecisionComposed(df: DataFrame, idCol: String,
+                   textCol: String,
                    config: PolicyConfig = PolicyConfig.Gopher): DataFrame =
     TextOps.withRepetitionCols(withSignals(df, textCol), textCol,
         "_t2f", "_d5f")

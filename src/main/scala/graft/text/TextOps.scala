@@ -163,6 +163,18 @@ object TextOps {
 
   // -------------------------------------------- repetition metrics
 
+  /** Every Gopher-policy signal in one codegen'd scan expression —
+    * `struct<n_tokens, alpha, n_stop : bigint, top2_frac, dup5_frac :
+    * double>`, null for null text ([[graft.functions.PolicySignals]];
+    * values bit-identical to the composed forms, callers re-apply the
+    * 0.0 repetition default with `coalesce` where needed). */
+  def policySignals(c: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    val stop = new java.util.HashSet[String]()
+    Stopwords.foreach(stop.add)
+    bridge.column(graft.functions.PolicySignals(bridge.expression(c), stop))
+  }
+
   /** One position-tagged word n-gram stream as an array of
     * `struct<n:int, g:string>` over a staged word-array column —
     * empty when the document has fewer than `n` words. NOT distinct:
@@ -193,14 +205,27 @@ object TextOps {
     * `totalChars` = sum of all word lengths in the document. Both
     * metrics are 0.0 for documents too short to have an n-gram.
     *
-    * Distributed shape: both n-gram streams explode in ONE pass
-    * (tagged structs) → `groupBy (doc, n, gram)` count (map-side
-    * partial aggregation applies) → `groupBy doc` conditional
-    * aggregates. Two shuffles total, both keyed by document, no join
-    * back — short documents survive via `explode_outer`'s null row.
+    * Distributed shape (r20): ONE codegen'd scan expression
+    * ([[policySignals]] — hash-map gram counting, O(grams) per row,
+    * zero shuffle, the text never leaves its scan); the pre-r20
+    * explode + two doc-keyed exchanges survives as the value-pinning
+    * twin [[repetitionStatsAgg]].
     * Returns one row per input row: `(idCol, top2_frac, dup5_frac)`.
     */
   def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.withColumn("_sig", policySignals(col(textCol)))
+      .select(col(idCol),
+        coalesce(col("_sig.top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("_sig.dup5_frac"), lit(0.0)).as("dup5_frac"))
+
+  /** The pre-r20 aggregate form of [[repetitionStats]] — the tagged
+    * explode + two doc-keyed shuffles described above. Kept as the
+    * independently-derived value twin (`RepetitionSpec` pins the
+    * one-pass expression ≡ this bitwise) and for duplicate-id inputs,
+    * where this form merges gram counts across an id's rows into one
+    * output row while the scan form scores each row alone. */
+  private[graft] def repetitionStatsAgg(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val tagged = df
       .withColumn("_rw",

@@ -55,4 +55,31 @@ class RepetitionSpec extends SparkSpec {
     // -> 3*6/15 (top2 can exceed 1.0 for degenerate repetition too)
     assert(stats(7L -> "Foo  FOO\tfoo\nFoo bar")(7L)._1 == 18.0 / 15.0)
   }
+
+  test("one-pass scan expression ≡ aggregate twin, bitwise") {
+    // the r20 PolicySignals path vs the pre-r20 explode+shuffle form:
+    // same doubles bit-for-bit on normalization edges, repetition
+    // degeneracy, short/empty docs, non-BMP text (length = code
+    // points), leading non-space whitespace (trim is 0x20-only), and
+    // null text (aggregate's explode_outer default 0.0 ≡ the scan
+    // path's coalesce)
+    val rows = Seq[(java.lang.Long, String)](
+      (0L, "aa bb aa bb aa"), (1L, "a b a b cc dd"),
+      (2L, "a b c d e a b c d e a b c d e"), (3L, "hi"), (4L, ""),
+      (5L, "   "), (6L, "one two three four"),
+      (7L, "Foo  FOO\tfoo\nFoo bar"),
+      (8L, "\t\nthe quick éé 😀😀 " +
+        "😀😀 the quick éé brown fox"),
+      (9L, null),
+      (10L, "x y z x y z x y z x y z w w w w w q"))
+      .toDF("doc_id", "text")
+    val fast = TextOps.repetitionStats(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val agg = TextOps.repetitionStatsAgg(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(fast == agg)
+    assert(fast.size == 11)
+  }
 }

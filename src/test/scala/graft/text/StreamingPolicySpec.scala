@@ -39,12 +39,20 @@ class StreamingPolicySpec extends SparkSpec {
     assert(cols == agg)
   }
 
-  test("withDecision == batch FilterPolicy on the real corpus") {
-    val batch = FilterPolicy(docs, "doc_id", "text")
+  test("one-pass FilterPolicy == both composed twins on the real corpus") {
+    // r20: apply/withDecision are one PolicySignals scan; the pre-r20
+    // signals-join and per-row-HOF forms stay as independently-derived
+    // twins and must agree verdict-for-verdict (and on every signal
+    // column) with the scan path
+    val onePass = FilterPolicy(docs, "doc_id", "text")
       .as[(Long, Long, Long, Boolean, String)].collect().sortBy(_._1).toSeq
-    val perRow = FilterPolicy.withDecision(docs, "doc_id", "text")
+    val joined = FilterPolicy.applyJoined(docs, "doc_id", "text")
       .as[(Long, Long, Long, Boolean, String)].collect().sortBy(_._1).toSeq
-    assert(perRow == batch)
+    val perRow = FilterPolicy.withDecisionComposed(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(onePass == joined)
+    assert(onePass == perRow)
+    assert(onePass.nonEmpty)
   }
 
   test("the policy filters a document stream statelessly") {
