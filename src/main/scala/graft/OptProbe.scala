@@ -57,7 +57,26 @@ object OptProbe {
     def repOnePass() = graft.text.TextOps.repetitionStats(
       docs, "doc_id", "text").orderBy(col("doc_id"))
 
+    // ---- auto-embedding pairs: vectors-through-cell-join vs the
+    // pre-r20 late-fetch candidate shape (q64/q71/q72 near stages) ----
+    val embAll = T("embeddings")
+    def embCell() = {
+      val out = graft.dedup.SimilarJoin.similarJoin(embAll, "vec_id",
+        "embedding",
+        graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16))
+      out.unpersist()
+      out
+    }
+    def embLate() = {
+      val out = graft.dedup.SimilarJoin.autoEmbeddingPairsLateFetch(embAll,
+        "vec_id", "embedding", 0.4, 16, 1, graft.dedup.Dedup.defaultMaxBucket)
+      out.unpersist()
+      out
+    }
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      "emb_cell" -> (embCell _),
+      "emb_late" -> (embLate _),
       "uni_expr" -> (uniExpr _),
       "uni_part" -> (uniPart _),
       "dec_join" -> (decJoin _),
@@ -70,6 +89,58 @@ object OptProbe {
 
     if (sys.env.contains("OPT_PROBE_STAGELOG"))
       spark.conf.set(graft.ops.StageCut.LogKey, "true")
+
+    // ---- pipeline stage timing: the gate builds with a timestamped
+    // log, so the delta between [t=..] lines is each stage's cost ----
+    def timedLog(): String => Unit = {
+      val t0 = System.nanoTime()
+      m => println(f"[t=${(System.nanoTime() - t0) / 1e9}%7.3f] $m")
+    }
+    if (args.contains("prep_stages")) {
+      val (corpus, bench) = SparkEntry.prepCorpusInput(spark, sfDir)
+      val t = graft.apps.PretrainPrep.runTracked(
+        corpus, "doc_id", "text", "source", bench = Some(bench),
+        badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+        method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+        decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
+        keepArtifacts = true, keepLedger = true, log = timedLog())
+      println(f"[t=done] prep_stages")
+      graft.ops.StageCut.release(t.out)
+      t.ledger.foreach(graft.ops.StageCut.release)
+      t.artifacts.foreach(a => graft.ops.StageCut.release(a.scrubInput))
+    }
+    if (args.contains("curate_stages")) {
+      val docsAll = T("documents")
+      val method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+      val lg = timedLog()
+      val (corpus, _) = graft.apps.Curate.run(
+        docsAll.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minQuality = 0.6, method = method, log = lg)
+      lg("=== corpus built, incremental starts ===")
+      val (accepted, _, ledger) = graft.apps.Curate.runIncrementalTracked(
+        docsAll.filter(col("doc_id") % 2 === 1), corpus, "doc_id", "text",
+        minQuality = 0.6, method = method, log = lg)
+      println(f"[t=done] curate_stages")
+      graft.ops.StageCut.release(corpus)
+      graft.ops.StageCut.release(accepted)
+      graft.ops.StageCut.release(ledger)
+    }
+    if (args.contains("emb_stages")) {
+      val emb = T("embeddings")
+      val method = graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16)
+      val lg = timedLog()
+      val (corpus, _) = graft.apps.Curate.runEmbedding(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        method, log = lg)
+      lg("=== corpus built, incremental starts ===")
+      val (accepted, _, ledger) = graft.apps.Curate.runIncrementalEmbeddingTracked(
+        emb.filter(col("vec_id") % 2 === 1), corpus, "vec_id", "embedding",
+        method, log = lg)
+      println(f"[t=done] emb_stages")
+      graft.ops.StageCut.release(corpus)
+      graft.ops.StageCut.release(accepted)
+      graft.ops.StageCut.release(ledger)
+    }
 
     // any declared gate runs by name too (stageCutLog + reps timing —
     // the pipeline-boundary instrumentation loop)

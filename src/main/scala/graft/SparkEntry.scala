@@ -2226,7 +2226,7 @@ object SparkEntry {
   /** The q128 gate family's corpus INPUT — base docs plus the two
     * manufactured collision families (+100000 exact, +200000 near) —
     * and its held-out bench slice. Shared by [[prepTracked]]. */
-  private def prepCorpusInput(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def prepCorpusInput(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = T(s, d, "documents")
     val benchPred = col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0
     val base = docs.filter(!benchPred)

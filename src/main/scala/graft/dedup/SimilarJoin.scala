@@ -272,10 +272,12 @@ object SimilarJoin {
     * plain brute force) — because the bound over-approximates, never
     * under-approximates, and in-bound candidates are cosine-verified.
     *
-    * The candidate join carries (cell, id) only; vectors and norms are
-    * fetched per-side AFTER pair enumeration, so the cell-pair shuffle
-    * stays bytes-per-row small — the same late-fetch shape as the text
-    * finders. Hot CELLS are culled under `maxBucket` through the
+    * Vectors and norms ride the ONE cell-keyed candidate join (r20 —
+    * the ivfTopKBatch shape): a vector lives in exactly one cell, so
+    * each pair is generated once and there is nothing for a keys-first
+    * pass to dedup; per-pair-id fetch joins only re-shuffled every
+    * candidate's two vectors (IvfShuffleSpec measured the same trade
+    * at 8.2× the shuffle bytes). Hot CELLS are culled under `maxBucket` through the
     * shared loud hook; a fired cap trades exactness for boundedness,
     * exactly like the text paths (run exact dedup first or raise the
     * cap). Driver-side state is K centroids + K radii + the qualifying
@@ -300,8 +302,8 @@ object SimilarJoin {
 
   /** The un-materialized auto-block plan — exposed like
     * [[Dedup.lshPlan]] so PlanQualitySpec pins the SHIPPED join shape
-    * (one scan into the caches, broadcast cell-pair list, (cell,id)
-    * exchanges, late vector fetch) before persist()/count() hide it
+    * (one scan into the caches, broadcast cell-pair list, vectors
+    * riding the one cell-keyed join) before persist()/count() hide it
     * behind an InMemoryTableScan. Returns (base cache, assigned cache
     * if one was created, verified). */
   private[graft] def autoEmbeddingPlan(df: DataFrame, idCol: String,
@@ -369,9 +371,69 @@ object SimilarJoin {
       import spark.implicits._
       AutoBlock.qualifyingCellPairs(cents, radii, theta).toDF("ci", "cj")
     }
-    val capped0 = assigned.select(col("cell"), col("id"))
+    val capped0 = assigned
     val capped = if (hotSet.isEmpty) capped0
       else capped0.filter(!col("cell").isin(hotSet.toSeq: _*))
+    // vectors ride the ONE cell-keyed join (r20): the left side
+    // replicates per qualifying cell pair (bounded by the broadcast
+    // list's fan-out), the right side exchanges its vectors exactly
+    // once — the ivfTopKBatch shape IvfShuffleSpec measured at 8.2×
+    // fewer shuffle bytes than enumerating (id_a, id_b) candidates and
+    // re-joining each side BY PAIR ID for its vector (every candidate
+    // pair dragged two vectors through two more exchanges; a vector
+    // lives in exactly ONE cell here, so unlike the banded text
+    // finders there is no multi-bucket pair dedup to amortize a
+    // keys-first pass against). Same pairs, same dot/round arithmetic.
+    val verified = capped
+      .select(col("cell").as("ci"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("n_a"))
+      .join(broadcast(cellPairs), Seq("ci"))
+      .select(col("cj").as("_jc"), col("id_a"), col("v_a"), col("n_a"))
+      .join(capped.select(col("cell").as("_jc"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("n_b")), Seq("_jc"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b"))
+          / (col("n_a") * col("n_b")), 6).as("score"))
+      .filter(col("score") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
+    (base, if (cacheSignatures) Some(assigned) else None, verified)
+  }
+
+  /** The pre-r20 candidate tail of [[autoEmbeddingPlan]] — (cell, id)
+    * pair enumeration + per-pair-id vector fetch joins. Kept private
+    * as the measured twin (`EmbJoinShapeSpec`/OptProbe head-to-head;
+    * same pairs, same scores) documenting WHY the shipped shape
+    * carries vectors through the cell join instead. */
+  private[graft] def autoEmbeddingPairsLateFetch(df: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, numCells: Int,
+      refineIters: Int, maxBucket: Int): DataFrame = {
+    import graft.sim.AutoBlock
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && Similarity.finiteNorm(col("nrm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = AutoBlock.fitCells(base,
+      AutoBlock.resolveCells(numCells, base.count()), refineIters)
+    val assigned = base
+      .withColumn("_nc", AutoBlock.nearestCellStruct(cents, col("v"), col("nrm")))
+      .select(col("id"), col("v"), col("nrm"),
+        col("_nc.cell").as("cell"), col("_nc.ang").as("ang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = assigned.groupBy(col("cell"))
+      .agg(max(col("ang")).as("r"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val radii = stats.collect {
+      case (c, r, n) if n <= maxBucket => c -> r
+    }.toMap
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCos - 5e-7)))
+    val cellPairs = {
+      import spark.implicits._
+      AutoBlock.qualifyingCellPairs(cents, radii, theta).toDF("ci", "cj")
+    }
+    val capped0 = assigned.select(col("cell"), col("id"))
+    val capped = capped0.filter(col("cell").isInCollection(radii.keys.toSeq))
     val cand = capped.select(col("cell").as("ci"), col("id").as("id_a"))
       .join(broadcast(cellPairs), Seq("ci"))
       .select(col("cj").as("cell"), col("id_a"))
@@ -388,7 +450,10 @@ object SimilarJoin {
           / (col("n_a") * col("n_b")), 6).as("score"))
       .filter(col("score") >= minCos)
       .orderBy(col("id_a"), col("id_b"))
-    (base, if (cacheSignatures) Some(assigned) else None, verified)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    assigned.unpersist(); base.unpersist()
+    verified
   }
 
   /** Caller-blocked embedding A-vs-B: candidates share the caller's
@@ -438,8 +503,8 @@ object SimilarJoin {
     * triangle-inequality bound ([[graft.sim.AutoBlock
     * .qualifyingCellPairsAB]]) enumerates exactly the (A-cell, B-cell)
     * pairs that can hold a qualifying vector pair — EXACT at any
-    * centroid quality, like the self-join form. Candidate exchanges
-    * carry (cell, id) only; vectors are late-fetched per side. Hot
+    * centroid quality, like the self-join form. Vectors ride the one
+    * cell-keyed join per side (the self form's r20 shape). Hot
     * cells are culled per SIDE from the two K-row stats aggs (an
     * A-vs-B bucket costs |A_cell| × |B_cell|, so each side is capped
     * at `maxBucket`), loudly. */
@@ -536,24 +601,24 @@ object SimilarJoin {
         .toDF("ci", "cj")
     }
     def capped(assigned: DataFrame, hotSet: Set[Int]) = {
-      val c0 = assigned.select(col("cell"), col("id"))
-      if (hotSet.isEmpty) c0
-      else c0.filter(!col("cell").isin(hotSet.toSeq: _*))
+      if (hotSet.isEmpty) assigned
+      else assigned.filter(!col("cell").isin(hotSet.toSeq: _*))
     }
     // (a, b) is generated at most once: a lives in exactly one A-cell,
-    // b in one B-cell, and (ci, cj) appears once — no distinct needed
-    val cand = capped(assignedA, hotA)
-      .select(col("cell").as("ci"), col("id").as("id_a"))
+    // b in one B-cell, and (ci, cj) appears once — no distinct needed.
+    // Vectors ride the one cell-keyed join (r20, the self-join /
+    // ivfTopKBatch shape): the A side replicates per qualifying
+    // directed pair, the B side exchanges its vectors once — instead
+    // of enumerating (id_a, id_b) and dragging each candidate's two
+    // vectors through two more pair-id exchanges.
+    val verified = capped(assignedA, hotA)
+      .select(col("cell").as("ci"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("n_a"))
       .join(broadcast(cellPairs), Seq("ci"))
-      .select(col("cj").as("cell"), col("id_a"))
-      .join(capped(assignedB, hotB).select(col("cell"), col("id").as("id_b")),
-        Seq("cell"))
-      .select(col("id_a"), col("id_b"))
-    val verified = cand
-      .join(assignedA.select(col("id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("n_a")), Seq("id_a"))
-      .join(assignedB.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("n_b")), Seq("id_b"))
+      .select(col("cj").as("_jc"), col("id_a"), col("v_a"), col("n_a"))
+      .join(capped(assignedB, hotB).select(col("cell").as("_jc"),
+        col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")),
+        Seq("_jc"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.dot(col("v_a"), col("v_b"))
           / (col("n_a") * col("n_b")), 6).as("score"))

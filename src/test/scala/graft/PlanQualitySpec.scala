@@ -103,26 +103,27 @@ class PlanQualitySpec extends SparkSpec {
         emb, "vec_id", "embedding", minCos = 0.4, numCells = 16,
         refineIters = 1, cacheSignatures = true, maxBucket = 10000)
       val p = explainOf(verified)
-      // the corpus is scanned ONCE (inside the base cache) — assignment,
-      // candidates and both vector fetches all read the caches
+      // the corpus is scanned ONCE (inside the base cache) — assignment
+      // and both candidate sides all read the caches
       val parquetScans = p.linesIterator
         .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
       assert(parquetScans == 1, s"expected ONE embeddings scan, got $parquetScans")
-      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
-        "candidate side and both vector fetches must reuse the cache")
-      // nearest-cell assignment is the centroid-literal codegen
-      // expression (graft_dot under greatest), never an interpreted
-      // lambda or a crossJoin row blow-up
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        "both candidate sides must reuse the assignment cache")
+      // nearest-cell assignment is the reference-object codegen
+      // expression, never an interpreted lambda or a crossJoin blow-up
       assert(p.contains("graft_dot"), "assignment/verify must use the native dot")
       assert(!p.contains("lambdafunction"), "no interpreted HOFs in the plan")
       // the qualifying cell-pair list rides a broadcast (explicit hint —
-      // survives the disabled threshold); candidates shuffle on cell
-      // then id, never on vectors
+      // survives the disabled threshold); vectors ride the ONE
+      // cell-keyed join (the ivfTopKBatch shape — late fetch measured
+      // 8.2× the shuffle bytes); no per-pair-id vector fetch exchanges
       assert(p.contains("BroadcastHashJoin"), "cell-pair list must broadcast")
-      assert(p.linesIterator.exists(_.contains("hashpartitioning(cell")),
-        "candidate join must partition by cell")
-      assert(p.linesIterator.exists(_.contains("hashpartitioning(id_a")),
-        "vector fetch must partition by pair id")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(_jc")),
+        "candidate join must partition by the routed cell key")
+      assert(!p.linesIterator.exists(_.contains("hashpartitioning(id_a")) &&
+        !p.linesIterator.exists(_.contains("hashpartitioning(id_b")),
+        "pair rows must not re-shuffle by id for vectors (late fetch):\n" + p)
       assigned.foreach(_.unpersist())
       base.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -190,7 +191,7 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
-  test("q67 A-vs-B auto-block: per-side scans/caches, broadcast cell pairs, late fetch") {
+  test("q67 A-vs-B auto-block: per-side scans/caches, broadcast cell pairs, vectors ride the cell join") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
@@ -199,26 +200,25 @@ class PlanQualitySpec extends SparkSpec {
         "vec_id", "embedding", minCos = 0.4, numCells = 16,
         refineIters = 1, cacheSignatures = true, maxBucket = 10000)
       val p = explainOf(verified)
-      // one scan per side; candidates and both vector fetches read caches
+      // one scan per side; both candidate sides read the caches
       val parquetScans = p.linesIterator
         .count(_.trim.matches("""\(\d+\) Scan parquet\s*.*"""))
       assert(parquetScans == 2, s"expected ONE scan per side, got $parquetScans")
-      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
-        "candidate sides and both vector fetches must reuse the caches")
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        "both candidate sides must reuse the per-side caches")
       // assignment and verify ride the native codegen'd dot product;
       // no interpreted lambdas anywhere in the shipped plan
       assert(p.contains("graft_dot"), "assignment/verify must use the native dot")
       assert(!p.contains("lambdafunction"), "no interpreted HOFs in the plan")
-      // the DIRECTED cell-pair list rides a broadcast; candidate
-      // exchanges carry (cell, id); vectors are fetched per side AFTER
-      // pair enumeration (exchanges on the pair ids)
+      // the DIRECTED cell-pair list rides a broadcast; vectors ride the
+      // ONE cell-keyed join (r20 — the ivfTopKBatch shape); no
+      // per-pair-id vector fetch exchanges
       assert(p.contains("BroadcastHashJoin"), "cell-pair list must broadcast")
-      assert(p.linesIterator.exists(_.contains("hashpartitioning(cell")),
-        "candidate join must partition by cell")
-      assert(p.linesIterator.exists(_.contains("hashpartitioning(id_a")),
-        "A-side vector fetch must partition by pair id")
-      assert(p.linesIterator.exists(_.contains("hashpartitioning(id_b")),
-        "B-side vector fetch must partition by pair id")
+      assert(p.linesIterator.exists(_.contains("hashpartitioning(_jc")),
+        "candidate join must partition by the routed cell key")
+      assert(!p.linesIterator.exists(_.contains("hashpartitioning(id_a")) &&
+        !p.linesIterator.exists(_.contains("hashpartitioning(id_b")),
+        "pair rows must not re-shuffle by id for vectors (late fetch):\n" + p)
       caches.foreach(_.unpersist())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
