@@ -74,7 +74,15 @@ object OptProbe {
       out
     }
 
+    // ---- span scrub: interval rebuild vs exploded anti-join twin ----
+    def spanIv() = graft.text.SpanDedup.removeDuplicatedSpans(
+      docs, "doc_id", "text", n = 4).orderBy(col("doc_id"))
+    def spanExpl() = graft.text.SpanDedup.removeDuplicatedSpansExploded(
+      docs, "doc_id", "text", n = 4).orderBy(col("doc_id"))
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      "span_iv" -> (spanIv _),
+      "span_expl" -> (spanExpl _),
       "emb_cell" -> (embCell _),
       "emb_late" -> (embLate _),
       "uni_expr" -> (uniExpr _),

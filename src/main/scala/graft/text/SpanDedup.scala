@@ -123,11 +123,11 @@ object SpanDedup {
     * keep-one-copy policy needs a canonical-owner choice that is
     * deployment-specific). Returns `(<idCol>, clean_text, n_kept)` —
     * documents whose every token is covered disappear (nothing left
-    * to keep). Shape: the duplicated-position set (doc-keyed, small)
-    * anti-joins the positioned token stream, and each document
-    * reassembles with ONE doc-keyed aggregate (sort_array over
-    * (pos, token) structs — collect_list order is not deterministic,
-    * the sort is what makes the rebuild exact). */
+    * to keep). Shape (r20): the duplicated hit positions aggregate to
+    * per-doc merged cover intervals and each document rebuilds in its
+    * own row ([[scrubByHits]]) — the corpus text crosses at most one
+    * exchange instead of pos-exploding every token through an
+    * (id, pos) anti-join and a doc-keyed sort-aggregate. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
@@ -231,11 +231,65 @@ object SpanDedup {
     scrubByHits(newDf, idCol, textCol, n, grams.join(dup, Seq("h")))
   }
 
-  /** Shared removal tail: expand hit positions to covered token
-    * offsets, anti-join the positioned token stream, rebuild each
-    * document in position order (sort_array over (pos, token) —
-    * collect_list alone is order-nondeterministic). */
+  /** Shared removal tail (r20 shape): the hit positions aggregate to
+    * per-document MERGED COVER INTERVALS — a doc's duplicated spans
+    * are few once merged — and each document rebuilds IN ITS OWN ROW
+    * by filtering its token array against those intervals. The
+    * document text crosses at most one exchange (the id join; none at
+    * all when the interval table broadcasts), where the pre-r20 tail
+    * pos-exploded every token through the (id, pos) anti-join exchange
+    * and a doc-keyed sort-aggregate rebuild — the whole corpus token
+    * stream shuffled twice. Same outputs row-for-row (the
+    * [[scrubByHitsExploded]] twin, pinned in SpanDedupSpec): tokens
+    * kept in position order joined by single spaces, `n_kept` = kept
+    * count, documents with every token covered (or null text)
+    * disappear. */
   private def scrubByHits(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, hits: DataFrame): DataFrame = {
+    val ivTy = "array<struct<s:int,e:int>>"
+    // sorted distinct gram starts fold into merged [s, e] cover
+    // intervals: a start within (last start + n) touches the previous
+    // gram's coverage [p, p+n-1], so the interval extends; otherwise a
+    // new interval opens. O(starts) fold per doc, intervals stay few.
+    val ivs = hits
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("p"))).as("_ps"))
+      .select(col(idCol), aggregate(col("_ps"),
+        array().cast(ivTy),
+        (acc, p) => {
+          val last = element_at(acc, size(acc))
+          when(size(acc) === 0 || p > last.getField("e") + 1,
+            concat(acc, array(struct(p.cast("int").as("s"),
+              (p + (n - 1)).cast("int").as("e")))))
+            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("s").as("s"),
+                (p + (n - 1)).cast("int").as("e")))))
+        }).as("_iv"))
+    val w = TextOps.words(lower(col(textCol)))
+    val idxTokens = filter(
+      zip_with(col("_w"), sequence(lit(0), size(col("_w")) - 1),
+        (tk, i) => struct(tk.as("tk"), i.as("i"))),
+      s => !exists(col("_iv"),
+        iv => s.getField("i") >= iv.getField("s") &&
+          s.getField("i") <= iv.getField("e")))
+    df.select(col(idCol), w.as("_w"))
+      .filter(col("_w").isNotNull)
+      .join(ivs, Seq(idCol), "left")
+      .withColumn("_iv", coalesce(col("_iv"), array().cast(ivTy)))
+      .withColumn("_kept", transform(idxTokens, s => s.getField("tk")))
+      .filter(size(col("_kept")) > 0)
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        size(col("_kept")).cast("long").as("n_kept"))
+  }
+
+  /** The pre-r20 removal tail — expand hit positions to covered token
+    * offsets, anti-join the positioned token stream, rebuild each
+    * document with a doc-keyed sort-aggregate. Kept as the
+    * independently-shaped value twin for SpanDedupSpec's
+    * scrub-equality pin. */
+  private[graft] def scrubByHitsExploded(df: DataFrame, idCol: String,
+                          textCol: String,
                           n: Int, hits: DataFrame): DataFrame = {
     val covered = hits
       .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1)))
@@ -250,5 +304,18 @@ object SpanDedup {
           sort_array(collect_list(struct(col("pos"), col("tk")))),
           s => s.getField("tk"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
+  }
+
+  /** [[removeDuplicatedSpans]] through the pre-r20 exploded tail —
+    * the value twin SpanDedupSpec pins against the shipped interval
+    * path. */
+  private[graft] def removeDuplicatedSpansExploded(df: DataFrame,
+      idCol: String, textCol: String, n: Int, minDocs: Int = 2): DataFrame = {
+    val grams = positionedGrams(df, idCol, textCol, n)
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    scrubByHitsExploded(df, idCol, textCol, n, grams.join(dup, Seq("h")))
   }
 }

@@ -77,6 +77,29 @@ class SpanDedupSpec extends SparkSpec {
     assert(scrub(docs, n = 3) == Seq((3L, "u v w x", 4L)))
   }
 
+  test("interval scrub == exploded-rebuild twin on the real corpus") {
+    // the r20 scrub tail (per-doc merged cover intervals, text never
+    // pos-exploded) against the pre-r20 exploded anti-join + sort
+    // aggregate — row-for-row including disappearing fully-covered
+    // docs, null-text drops, empty-token docs and multi-span merges
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val edge = Seq((900001L, ""), (900002L, "   "),
+      (900003L, null.asInstanceOf[String]),
+      (900004L, "a b c d e f a b c d e f gap1 gap2 gap3 gap4 gap5 " +
+        "gap6 gap7 a b c d e f"),
+      (900005L, "a b c d e f a b c d e f gap a b c d e f"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val fast = SpanDedup.removeDuplicatedSpans(all, "doc_id", "text", 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val slow = SpanDedup.removeDuplicatedSpansExploded(all, "doc_id",
+        "text", 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
   test("A-vs-B spans hit corpus grams only — batch-internal dups don't count") {
     val corpus = Seq((0L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
     // batch doc 1 shares "a b c d" with the corpus; docs 3 and 5 share
