@@ -157,12 +157,18 @@ object OptProbe {
         n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
     val sel = if (args.nonEmpty) args.toSet else cases.map(_._1).toSet
+    val explain = sys.env.contains("OPT_PROBE_EXPLAIN")
     (cases.filter(c => sel.contains(c._1)) ++ gateCases).foreach {
       case (name, fn) =>
-        time(spark, fn()) // untimed codegen warm-up
-        val ts = (1 to reps).map(_ => time(spark, fn()))
-        println(f"[optprobe] $name%-10s min=${ts.min}%7.3f  " +
-          ts.map(t => f"$t%.3f").mkString(" "))
+        if (explain) { // plan capture (the plans/r20 artifact loop)
+          println(s"========== $name ==========")
+          fn().explain("formatted")
+        } else {
+          time(spark, fn()) // untimed codegen warm-up
+          val ts = (1 to reps).map(_ => time(spark, fn()))
+          println(f"[optprobe] $name%-10s min=${ts.min}%7.3f  " +
+            ts.map(t => f"$t%.3f").mkString(" "))
+        }
     }
     spark.stop()
   }

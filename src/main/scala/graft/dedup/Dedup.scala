@@ -563,20 +563,34 @@ object Dedup {
       .withColumn("label", col("id"))
     var labelsPath: Option[String] = None
     var changed = true
-    while (changed) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+    // one min-propagation sweep: label' = min(label, min over
+    // neighbors' labels), with `from`/`to` naming so two sweeps chain
+    // inside one materialized round
+    def sweep(ls: DataFrame, from: String, to: String): DataFrame = {
+      val nm = edges
+        .join(ls.select(col("id").as("dst"), col(from).as("nlabel")),
+          Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      // carry the OLD label through the propagation join so convergence
-      // is read off the snapshotted round — one heavy (join+agg) job
-      // per round, not a second full join just to diff labels
+        .agg(min(col("nlabel")).as("_nmin"))
+      ls.join(nm, Seq("id"), "left")
+        .select(col("id"), col(from),
+          least(col(from), coalesce(col("_nmin"), col(from))).as(to))
+    }
+    while (changed) {
+      // TWO sweeps per materialized round (r20): labels only DECREASE
+      // toward the per-component min (monotone + confluent), so
+      // unrolling a second sweep into the same checkpointed plan
+      // halves the round count on chains — and the fixpoint test reads
+      // off the SECOND sweep alone: if sweep 2 changed nothing, its
+      // input was already the fixpoint, so the star-shaped components
+      // the banded pair finders produce converge in ONE materialized
+      // round where the old change-since-round-start test needed a
+      // whole extra round (and the single-sweep loop needed three).
+      // Same fixpoint, same labels — pinned in DupClustersSpec.
       val (next, nextPath) = materialize(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-      changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
+        sweep(sweep(labels, "label", "_mid").select(col("id"), col("_mid")),
+          "_mid", "label"))
+      changed = next.filter(col("label") =!= col("_mid")).limit(1).count() > 0
       // `next` is safely on disk (and its convergence read): the
       // previous round's snapshot is superseded — drop it now
       labelsPath.foreach(deleteSnapshot)

@@ -24,6 +24,34 @@ class ClusterSpec extends SparkSpec {
     assert(got.keySet == Set(5L, 6L, 7L, 8L, 9L))
   }
 
+  test("dupClusters: double-sweep fixpoint equals driver union-find on a mixed graph") {
+    // the r20 two-sweeps-per-round unroll (fixpoint read off the
+    // second sweep) against an independent union-find: stars, a long
+    // chain in label-descending order, a cycle, and cross links
+    val pairs = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), // star, hub NOT min
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L),
+      (31L, 30L), (32L, 31L), (33L, 32L), (34L, 33L), // descending chain
+      (40L, 41L), (41L, 42L), (42L, 40L),             // cycle
+      (25L, 33L),                                     // bridges two chains
+      (50L, 50L))                                     // self loop
+    val expected = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val got = Dedup.dupClusters(pairs.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("dupClusters: reliable-checkpoint mode (checkpoint dir set) matches the local path") {
     // the fault-tolerance knob for real clusters: with a checkpoint dir
     // configured the loop uses replicated, recompute-free checkpoint()
