@@ -141,6 +141,11 @@ case class PolicySignals(text: Expression,
           s"$prettyName expects a string column, got ${other.simpleString}")
     }
 
+  // plan/UI rendering: never inline the set contents (the TextProbe
+  // stringArgs discipline; cosmetic here — 10 stopwords)
+  override def stringArgs: Iterator[Any] =
+    Iterator(text, s"stopwords[${stopwords.size}]")
+
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("alpha", LongType, nullable = false),

@@ -84,6 +84,14 @@ case class BenchGramCount(text: Expression, grams: java.util.HashSet[String],
 
   override def dataType: DataType = LongType
 
+  // plan/UI rendering: show the gram-set SIZE, never its contents — a
+  // contract-sized benchmark (up to 2M grams) would otherwise inline
+  // ~50 MB of strings into every treeString/explain/error rendering
+  // (the reference-object mechanism keeps the plan TREE O(1); this
+  // keeps the plan TEXT O(1) too)
+  override def stringArgs: Iterator[Any] =
+    Iterator(text, s"grams[${grams.size}]", n)
+
   override def eval(input: InternalRow): Any =
     TextProbe.benchGramCount(
       text.eval(input).asInstanceOf[UTF8String], grams, n)

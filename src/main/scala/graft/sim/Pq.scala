@@ -34,7 +34,18 @@ import org.apache.spark.sql.functions._
   * broadcast); coding is a narrow per-row expression; batch search is
   * the [[Quantize.ivfAdcTopKBatch]] plan — broadcast routing, one
   * cell-keyed candidate join, bounded-heap top-k — with the LUT built
-  * on the broadcast probe side. No corpus-sized shuffle anywhere. */
+  * on the broadcast probe side. No corpus-sized shuffle anywhere.
+  *
+  * PRODUCTION RETRIEVAL GUIDANCE — use [[IvfPq]], not this tier: the
+  * seeded-sample codebooks here are the cross-engine EXACTNESS tier
+  * (bit-reproducible in any SQL oracle), and the r18/r19 recall audit
+  * measured their quality cliff — recall@10 ≈ 1.5/10, vs ≈ 8.8/10 for
+  * [[IvfPq]]'s TRAINED residual codebooks at the SAME m/ks code
+  * budget (its integer fixed-point Lloyd is order-free, so it keeps
+  * bit-reproducibility too, plus an exact re-rank). Reach for this
+  * tier when you need a quantizer an external engine must re-derive
+  * verbatim; reach for [[IvfPq.topKBatch]] when the answers have to be
+  * good. */
 object Pq {
 
   /** The per-subvector codebook — `(sub, cid, centroid)` rows,
