@@ -133,6 +133,66 @@ object OptProbe {
       graft.ops.StageCut.release(accepted)
       graft.ops.StageCut.release(ledger)
     }
+    if (args.contains("inc_near_pieces")) {
+      // q70's incremental near stage, piece by piece: batch pairs,
+      // cross pairs, component pass, final assembly
+      val docsAll = T("documents")
+      val method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6)
+      val (corpus, _) = graft.apps.Curate.run(
+        docsAll.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minQuality = 0.6, method = method, log = _ => ())
+      val batch = docsAll.filter(col("doc_id") % 2 === 1)
+        .transform(graft.text.TextOps.withQualityScore(_, "text", "quality"))
+        .filter(col("quality") >= 0.6).drop("quality")
+        .transform(graft.ops.StageCut.apply)
+      batch.count()
+      val lg = timedLog()
+      lg("start")
+      val bp = graft.dedup.SimilarJoin.similarJoin(batch, "doc_id", "text", method)
+      bp.count(); lg(s"batch pairs")
+      val cp = graft.dedup.SimilarJoin.similarJoinAgainst(batch, corpus,
+        "doc_id", "text", method)
+      cp.count(); lg(s"cross pairs")
+      val edges = bp.select(col("id_a"), col("id_b"))
+        .unionByName(cp.select(col("id_a"), col("id_b")))
+      val cl = graft.dedup.Dedup.dupClusters(edges)
+      cl.count(); lg(s"components")
+      bp.unpersist(); cp.unpersist()
+      graft.ops.StageCut.release(corpus)
+      graft.ops.StageCut.release(batch)
+      println("[t=done] inc_near_pieces")
+    }
+    if (args.contains("prep_inc_stages")) {
+      // the q129 daily-run shape with a timestamped log
+      val (corpus0, bench) = SparkEntry.prepCorpusInput(spark, sfDir)
+      val t = graft.apps.PretrainPrep.runTracked(
+        corpus0, "doc_id", "text", "source", bench = Some(bench),
+        badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+        method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+        decontamN = 5, quotaPerSource = 15, nShards = 4, seed = 7,
+        keepArtifacts = true, keepLedger = false, log = _ => ())
+      val (corpus, arts) = (t.out, t.artifacts.get)
+      val sigs = graft.dedup.Dedup.lshSignatures(
+        corpus.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text", nGram = 3, bands = 4)
+      val lg = timedLog()
+      lg("daily run starts (corpus built untimed)")
+      val docsAll = T("documents")
+      val (out, _) = graft.apps.PretrainPrep.runIncremental(
+        SparkEntry.prepGateBatch(docsAll), corpus, arts.fps, arts.gramCounts,
+        "doc_id", "text", "source",
+        bench = Some(docsAll.filter(col("doc_id") % 2 === 1 &&
+          col("doc_id") % 7 === 0)),
+        badWords = Seq("dup"), spanN = 4, spanMinDocs = 3,
+        method = graft.dedup.SimilarityMethod.MinHashLsh(minJaccard = 0.6),
+        corpusSigs = Some(sigs), decontamN = 5, quotaPerSource = 18,
+        nShards = 4, seed = 7, log = lg)
+      out.count()
+      println("[t=done] prep_inc_stages")
+      graft.ops.StageCut.release(out)
+      graft.ops.StageCut.release(t.out)
+      t.artifacts.foreach(a => graft.ops.StageCut.release(a.scrubInput))
+    }
     if (args.contains("emb_stages")) {
       val emb = T("embeddings")
       val method = graft.dedup.SimilarityMethod.EmbeddingCosine(0.4, numCells = 16)

@@ -2170,11 +2170,13 @@ object SparkEntry {
     * each stage sees) the way q95/q109 pin the curation chains. */
   private def q126(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
-    val pol = graft.text.FilterPolicy(docs, "doc_id", "text")
+    // join-free policy gate (r20): the verdict is a per-row
+    // expression, so the keep decision filters the one scan itself —
+    // same rows/columns as the former verdict-join, no exchange
+    val kept = graft.text.FilterPolicy.withVerdict(
+        docs.select(col("doc_id"), col("source"), col("text")), "text")
       .filter(col("keep"))
-      .select(col("doc_id"), col("n_tokens"))
-    val kept = docs.select(col("doc_id"), col("source"), col("text"))
-      .join(pol, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
     // blocklist/n tuned to the synthetic corpus's tiny dense
     // vocabulary: 'dup' is the one mid-frequency word (common words
     // appear in ~80% of docs and would drop everything); 3-grams
@@ -2440,9 +2442,10 @@ object SparkEntry {
   private def q95(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val docs = T(s, d, "documents")
-    val pol = graft.text.FilterPolicy(docs, "doc_id", "text")
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = docs.join(pol, Seq("doc_id"), "left_semi")
+    // join-free policy gate (r20): in-row verdict filters the scan
+    val kept = graft.text.FilterPolicy.withVerdict(docs, "text")
+      .filter(col("keep"))
+      .select(docs.columns.map(col).toSeq: _*)
     val scr = graft.text.SpanDedup.removeDuplicatedSpans(
         kept, "doc_id", "text", n = 4)
       .transform(graft.ops.StageCut.apply)

@@ -416,11 +416,14 @@ object Curate {
     }
     def noWin = lit(null).cast(newVecs.schema(idCol).dataType).as("winner_id")
 
-    // stage 1: validity on the BATCH only (the corpus already passed)
+    // stage 1: validity on the BATCH only (the corpus already passed).
+    // The ledger fragment is the IN-ROW COMPLEMENT of the keep
+    // predicate (r20): `not(pred <=> true)` keeps exactly the rows
+    // `filter(pred)` dropped (false AND null verdicts), so no id
+    // anti-join exchange.
     val (valid, input, afterValid) = observedStage(newVecs,
       _.filter(validVector(embCol)))
-    frag(newVecs.select(col(idCol))
-      .join(valid.select(col(idCol)), Seq(idCol), "left_anti")
+    frag(newVecs.filter(!(validVector(embCol) <=> lit(true)))
       .select(col(idCol), lit("validity").as("stage"),
         lit("invalid_vector").as("reason"), noWin))
     log(s"[curate-emb+] valid vectors: $input -> $afterValid")
@@ -587,11 +590,12 @@ object Curate {
     }
     def noWin = lit(null).cast(newMedia.schema(idCol).dataType).as("winner_id")
 
-    // stage 1: validity — prefix check only, rides the scan
+    // stage 1: validity — prefix check only, rides the scan; ledger
+    // fragment is the in-row complement (no anti-join, r20).
+    // `isNotNull` is never null itself, so plain negation complements.
     val (valid, input, afterValid) = observedStage(newMedia,
       _.filter(mediaFormat(payloadCol, method).isNotNull))
-    frag(newMedia.select(col(idCol))
-      .join(valid.select(col(idCol)), Seq(idCol), "left_anti")
+    frag(newMedia.filter(mediaFormat(payloadCol, method).isNull)
       .select(col(idCol), lit("validity").as("stage"),
         lit(s"invalid_${mediaKind(method)}").as("reason"), noWin))
     log(s"[curate-img+] ${mediaKind(method)} magic: $input -> $afterValid")
@@ -850,12 +854,16 @@ object Curate {
     }
     def noWin = lit(null).cast(newDocs.schema(idCol).dataType).as("winner_id")
 
-    // stage 1: quality on the BATCH only (the corpus already passed it)
+    // stage 1: quality on the BATCH only (the corpus already passed
+    // it). The ledger fragment is the in-row complement of the keep
+    // predicate (r20): `not(pred <=> true)` keeps exactly the rows
+    // `filter(pred)` dropped (false AND null scores) — no anti-join.
     val (quality, input, afterQuality) = observedStage(newDocs,
       _.transform(TextOps.withQualityScore(_, textCol, "quality"))
         .filter(col("quality") >= minQuality))
-    frag(newDocs.select(col(idCol))
-      .join(quality.select(col(idCol)), Seq(idCol), "left_anti")
+    frag(newDocs
+      .transform(TextOps.withQualityScore(_, textCol, "quality"))
+      .filter(!((col("quality") >= minQuality) <=> lit(true)))
       .select(col(idCol), lit("quality").as("stage"),
         lit("low_quality").as("reason"), noWin))
     log(s"[curate+] quality >= $minQuality: $input -> $afterQuality")

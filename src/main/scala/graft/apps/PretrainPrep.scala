@@ -280,40 +280,51 @@ object PretrainPrep {
     // stage 1: policy gate. The input stat is a dedicated count():
     // free only when `docs` is a plain parquet scan (row-group counts,
     // no data read); a TRANSFORMED input pays one full scan here —
-    // `countInput = false` skips it (Report.input becomes -1). The
-    // Observation idiom still cannot replace it — the policy frame
-    // joins back onto `docs` (the semi join below), so one job
-    // evaluates the observed subtree twice and double-counts.
+    // `countInput = false` skips it (Report.input becomes -1).
     val input = if (countInput) docs.count() else -1L
-    // ledger mode materializes the verdict frame once so keep AND
-    // drop reasons come from a single policy evaluation
-    val verdicts =
-      if (keepLedger) Some(stage(FilterPolicy(docs, idCol, textCol, config)))
+    // The verdict is a pure per-row expression since r20
+    // ([[FilterPolicy.withVerdict]]), so the gate FILTERS THE SCAN
+    // ITSELF — no verdict semi-join back onto a second read of `docs`.
+    // Ledger mode materializes the flagged frame once so keep AND
+    // drop reasons come from a single policy evaluation + one scan.
+    val flagged =
+      if (keepLedger) Some(stage(FilterPolicy.withVerdict(
+        docs.select(col(idCol), col(srcCol), col(textCol)),
+        textCol, config)
+        .select(col(idCol), col(srcCol), col(textCol),
+          col("keep"), col("reason"))))
       else None
-    val keptIds = verdicts
-      .getOrElse(FilterPolicy(docs, idCol, textCol, config))
-      .filter(col("keep")).select(col(idCol))
-    val kept = docs.select(col(idCol), col(srcCol), col(textCol))
-      .join(keptIds, Seq(idCol), "left_semi")
+    val kept = flagged
+      .map(_.filter(col("keep")))
+      .getOrElse(FilterPolicy.withVerdict(
+        docs.select(col(idCol), col(srcCol), col(textCol)),
+        textCol, config).filter(col("keep")))
+      .select(col(idCol), col(srcCol), col(textCol))
       .transform(stage)
     val afterPolicy = kept.count()
-    verdicts.foreach { v =>
+    flagged.foreach { v =>
       frag(v.filter(!col("keep")).select(col(idCol),
         lit("policy").as("stage"), col("reason"), noWin))
       graft.ops.StageCut.release(v)
     }
     log(s"[prep] policy gate: $input -> $afterPolicy")
 
-    // stage 2: C4 bad-words page filter — pure in-row, rides the scan
+    // stage 2: C4 bad-words page filter — pure in-row, rides the scan.
+    // The ledger fragment is the IN-ROW COMPLEMENT of the keep
+    // predicate (r20): `!(badWordCount <=> 0)` catches both hit docs
+    // and null-text docs (count null), exactly the rows the
+    // kept-anti-noBad id join used to find — without the id exchange.
     val noBad =
       (if (badWords.isEmpty) kept
        else C4Clean.dropBadWordDocs(kept, textCol, badWords))
         .transform(stage)
     val afterBadWords = noBad.count()
-    frag(kept.select(col(idCol))
-      .join(noBad.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), lit("bad_words").as("stage"),
-        lit("bad_word").as("reason"), noWin))
+    frag(
+      (if (badWords.isEmpty) kept.filter(lit(false))
+       else kept.filter(
+         !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
+        .select(col(idCol), lit("bad_words").as("stage"),
+          lit("bad_word").as("reason"), noWin))
     graft.ops.StageCut.release(kept)
     log(s"[prep] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
@@ -728,36 +739,44 @@ object PretrainPrep {
       s"corpus must be a previous run's ACCEPTED output; missing " +
         s"columns: ${missing.mkString(", ")}")
 
-    // stage 1: policy gate on the batch (same count note as run())
+    // stage 1: policy gate on the batch (same count note as run();
+    // join-free in-row verdict — the runImpl stage-1 shape)
     val input = if (countInput) newDocs.count() else -1L
-    val verdicts =
-      if (keepLedger)
-        Some(stage(FilterPolicy(newDocs, idCol, textCol, config)))
+    val flagged =
+      if (keepLedger) Some(stage(FilterPolicy.withVerdict(
+        newDocs.select(col(idCol), col(srcCol), col(textCol)),
+        textCol, config)
+        .select(col(idCol), col(srcCol), col(textCol),
+          col("keep"), col("reason"))))
       else None
-    val keptIds = verdicts
-      .getOrElse(FilterPolicy(newDocs, idCol, textCol, config))
-      .filter(col("keep")).select(col(idCol))
-    val kept = newDocs.select(col(idCol), col(srcCol), col(textCol))
-      .join(keptIds, Seq(idCol), "left_semi")
+    val kept = flagged
+      .map(_.filter(col("keep")))
+      .getOrElse(FilterPolicy.withVerdict(
+        newDocs.select(col(idCol), col(srcCol), col(textCol)),
+        textCol, config).filter(col("keep")))
+      .select(col(idCol), col(srcCol), col(textCol))
       .transform(stage)
     val afterPolicy = kept.count()
-    verdicts.foreach { v =>
+    flagged.foreach { v =>
       frag(v.filter(!col("keep")).select(col(idCol),
         lit("policy").as("stage"), col("reason"), noWin))
       graft.ops.StageCut.release(v)
     }
     log(s"[prep+] policy gate: $input -> $afterPolicy")
 
-    // stage 2: bad-words — in-row, rides the scan
+    // stage 2: bad-words — in-row, rides the scan; ledger fragment is
+    // the in-row complement (the runImpl stage-2 shape, r20)
     val noBad =
       (if (badWords.isEmpty) kept
        else C4Clean.dropBadWordDocs(kept, textCol, badWords))
         .transform(stage)
     val afterBadWords = noBad.count()
-    frag(kept.select(col(idCol))
-      .join(noBad.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), lit("bad_words").as("stage"),
-        lit("bad_word").as("reason"), noWin))
+    frag(
+      (if (badWords.isEmpty) kept.filter(lit(false))
+       else kept.filter(
+         !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
+        .select(col(idCol), lit("bad_words").as("stage"),
+          lit("bad_word").as("reason"), noWin))
     graft.ops.StageCut.release(kept)
     log(s"[prep+] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")

@@ -108,6 +108,34 @@ object FilterPolicy {
             config: PolicyConfig = PolicyConfig.Gopher): DataFrame =
     onePass(df, idCol, textCol, config)
 
+  /** The JOIN-FREE consumer shape (r20): appends `n_tokens`, `n_stop`,
+    * `keep`, `reason` to `df`'s OWN columns, so a pipeline gates its
+    * corpus by filtering the scan itself — `withVerdict(docs)
+    * .filter(col("keep"))` — instead of computing verdicts in one
+    * scan and semi-joining them back onto a second scan of the same
+    * corpus (two reads of every document plus a corpus-sized
+    * exchange; at cluster scale the exchange alone dwarfs the
+    * policy). Verdicts are bit-identical to [[apply]] row-for-row
+    * (same [[graft.functions.PolicySignals]] expression, same
+    * [[reasonExpr]]). `df` must not already carry the four output
+    * names. */
+  def withVerdict(df: DataFrame, textCol: String,
+                  config: PolicyConfig = PolicyConfig.Gopher): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("n_tokens", "n_stop", "keep", "reason", "_sig"))
+    require(clash.isEmpty,
+      s"withVerdict output columns collide with input: ${clash.mkString(", ")}")
+    df.withColumn("_sig", TextOps.policySignals(col(textCol)))
+      .withColumn("reason", reasonExpr(config)(
+        col("_sig.n_tokens"), col("_sig.alpha"), col("_sig.n_stop"),
+        coalesce(col("_sig.top2_frac"), lit(0.0)),
+        coalesce(col("_sig.dup5_frac"), lit(0.0))))
+      .withColumn("n_tokens", col("_sig.n_tokens"))
+      .withColumn("n_stop", col("_sig.n_stop"))
+      .withColumn("keep", col("reason") === "ok")
+      .drop("_sig")
+  }
+
   /** The pre-r20 composed form of [[apply]] — one narrow signal pass +
     * [[TextOps.repetitionStatsAgg]] joined back on the id. Kept as the
     * independently-derived value twin (`FilterPolicySpec` pins

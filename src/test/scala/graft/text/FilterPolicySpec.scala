@@ -57,6 +57,45 @@ class FilterPolicySpec extends SparkSpec {
     assert(nt == 0L && !keep && reason == "n_tokens")
   }
 
+  test("withVerdict == apply verdict-for-verdict and keeps input columns") {
+    val docs = Seq(
+      (1L, "s1", passText),
+      (2L, "s1", "zz zz zz"),
+      (3L, "s2", Seq.fill(30)("z").mkString(" ")),
+      (4L, "s2", (0 until 30).map(i => f"w$i%03d").mkString(" ")),
+      (5L, "s3", ("the fox " * 20).trim),
+      (6L, "s3", ""),
+      (7L, "s4", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val viaApply = FilterPolicy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val inRow = FilterPolicy.withVerdict(docs, "text")
+    assert(inRow.columns.toSeq ==
+      Seq("doc_id", "source", "text", "reason", "n_tokens", "n_stop", "keep"))
+    val viaRow = inRow
+      .select("doc_id", "n_tokens", "n_stop", "keep", "reason")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaRow == viaApply)
+    // the join-free gate keeps exactly the rows the semi-join kept
+    val keptRows = inRow.filter($"keep")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val semiRows = docs.join(
+        FilterPolicy(docs, "doc_id", "text").filter($"keep")
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(keptRows == semiRows)
+  }
+
+  test("withVerdict rejects colliding input columns") {
+    val df = Seq((1L, "x", true)).toDF("id", "text", "keep")
+    val e = intercept[IllegalArgumentException] {
+      FilterPolicy.withVerdict(df, "text")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("policy artifact round-trips and reproduces tuned verdicts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("policy").toString
