@@ -80,7 +80,24 @@ object OptProbe {
     def spanExpl() = graft.text.SpanDedup.removeDuplicatedSpansExploded(
       docs, "doc_id", "text", n = 4).orderBy(col("doc_id"))
 
+    // ---- dupClusters: driver union-find tier vs distributed loop ----
+    def clustersOf(maxEdges: String): DataFrame = {
+      spark.conf.set("spark.graft.clusters.localMaxEdges", maxEdges)
+      try {
+        val pairs = graft.dedup.Dedup.lshNearDupPairs(
+          docs, "doc_id", "text", nGram = 3, bands = 4, minJaccard = 0.6)
+        val out = graft.dedup.Dedup.dupClusters(pairs)
+          .orderBy(org.apache.spark.sql.functions.col("id"))
+        pairs.unpersist()
+        out
+      } finally spark.conf.unset("spark.graft.clusters.localMaxEdges")
+    }
+    def cluLocal() = clustersOf("500000")
+    def cluLoop() = clustersOf("0")
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      "clu_local" -> (cluLocal _),
+      "clu_loop" -> (cluLoop _),
       "span_iv" -> (spanIv _),
       "span_expl" -> (spanExpl _),
       "emb_cell" -> (embCell _),
@@ -97,6 +114,12 @@ object OptProbe {
 
     if (sys.env.contains("OPT_PROBE_STAGELOG"))
       spark.conf.set(graft.ops.StageCut.LogKey, "true")
+    // OPT_PROBE_CONF="k=v;k=v" — arbitrary session confs for A/B runs
+    sys.env.get("OPT_PROBE_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     // ---- pipeline stage timing: the gate builds with a timestamped
     // log, so the delta between [t=..] lines is each stage's cost ----
@@ -215,6 +238,76 @@ object OptProbe {
     val gateCases: Seq[(String, () => DataFrame)] =
       args.toSeq.filter(SparkEntry.queries.contains).map(n =>
         n -> (() => SparkEntry.queries(n)(spark, sfDir)))
+
+    // OPT_PROBE_JOBS=1: run each selected case ONCE with a job-level
+    // listener — every Spark job's callsite + wall ms, slowest first —
+    // so a composition gate's cost attributes to the exact count()/
+    // checkpoint/collect line that paid it (guide §1/§7.1 without a UI)
+    if (sys.env.contains("OPT_PROBE_JOBS")) {
+      // Group jobs by SQL execution id: an AQE action runs one job per
+      // exchange query stage (named after the materialization future,
+      // useless), plus a final job named with the action's callsite —
+      // summing the group under its best-named member attributes the
+      // whole action correctly and exposes the JOB COUNT per action.
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, String, Long)]
+      val execDesc = new java.util.concurrent.ConcurrentHashMap[String, String]
+      val done = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+      val lsn = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              execDesc.put(s.executionId.toString, s.description)
+            case _ => ()
+          }
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val cs = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val eid = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .getOrElse("none")
+          jobs.put(js.jobId, (eid, cs, System.nanoTime()))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.remove(je.jobId)).foreach { case (eid, cs, t0) =>
+            done.synchronized {
+              done += ((eid, cs, (System.nanoTime() - t0) / 1e6))
+            }
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(lsn)
+      (cases.filter(c => args.contains(c._1)) ++
+          args.toSeq.filter(SparkEntry.queries.contains).map(n =>
+            n -> (() => SparkEntry.queries(n)(spark, sfDir)))).foreach {
+        case (name, fn) =>
+          done.synchronized(done.clear())
+          val t0 = System.nanoTime()
+          time(spark, fn())
+          Thread.sleep(300) // let the listener bus drain
+          val total = (System.nanoTime() - t0) / 1e9
+          val snap = done.synchronized(done.toVector)
+          // label each execution group by its best-named job (the
+          // non-future callsite), then aggregate per label
+          val byExec = snap.groupBy(_._1).toVector.map { case (eid, v) =>
+            val label = v.map(_._2)
+              .filterNot(_.contains("withThreadLocalCaptured"))
+              .headOption
+              .orElse(Option(execDesc.get(eid)))
+              .getOrElse(v.head._2)
+            (eid, label, v.size, v.map(_._3).sum)
+          }
+          val byLabel = byExec.groupBy(_._2).view
+            .mapValues(v => (v.size, v.map(_._3).sum, v.map(_._4).sum))
+            .toVector.sortBy(-_._2._3)
+          println(f"[jobs] ===== $name total=$total%.3f s, " +
+            f"${snap.size} jobs / ${byExec.size} actions, " +
+            f"${snap.map(_._3).sum / 1e3}%.3f s in jobs =====")
+          byLabel.take(40).foreach { case (cs, (acts, nj, ms)) =>
+            println(f"[jobs] ${ms / 1e3}%8.3f s  acts=$acts%-3d jobs=$nj%-4d $cs")
+          }
+      }
+      spark.stop()
+      return
+    }
 
     val sel = if (args.nonEmpty) args.toSet else cases.map(_._1).toSet
     val explain = sys.env.contains("OPT_PROBE_EXPLAIN")

@@ -115,10 +115,11 @@ object Curate {
     * set is a subset of the guarded key set, so it inherits the
     * bound (and keeps the broadcast hint only in the probe tier). */
   private[graft] def corpusFpHits(batchFps: DataFrame, fpCol: String,
-                                 cfps: DataFrame): DataFrame = {
+                                 cfps: DataFrame,
+                                 keysUpperBound: Long = -1L): DataFrame = {
     val keys = batchFps.select(col(fpCol)).distinct()
     graft.ops.ProbeGuard.standingHits(cfps, keys, Seq(fpCol),
-      "Curate.corpusFpHits")
+      "Curate.corpusFpHits", keysUpperBound)
   }
 
   /** The persistable corpus fingerprint tables for the incremental
@@ -412,7 +413,7 @@ object Curate {
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
     val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def frag(df: => DataFrame): Unit = if (keepLedger) {
-      val f = stage(df); f.count(); ledgerFrags += f
+      ledgerFrags += graft.ops.StageCut.materialize(stage(df))
     }
     def noWin = lit(null).cast(newVecs.schema(idCol).dataType).as("winner_id")
 
@@ -444,7 +445,9 @@ object Curate {
     val batchFp = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
     // the hit set comes back broadcast-hinted (or guard-fallback plain)
     // from corpusFpHits — the hint decision lives there
-    val fpHits = corpusFpHits(batchFp, "_fp", cfps)
+    // r21: afterValid (already counted) soundly bounds the distinct
+    // batch fingerprint count — the guard skips its dedicated count
+    val fpHits = corpusFpHits(batchFp, "_fp", cfps, afterValid)
     val exact = batchFp
       .join(fpHits, Seq("_fp"), "left_anti")
       .drop("_fp")
@@ -484,8 +487,8 @@ object Curate {
     }
     val nearDrops =
       if (keepLedger) {
-        val d = stage(batchNearDrops(exact, corpus, idCol, embCol, m3))
-        d.count(); Some(d)
+        Some(graft.ops.StageCut.materialize(
+          stage(batchNearDrops(exact, corpus, idCol, embCol, m3))))
       } else None
     val curated = nearDrops
       .map(d => exact.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
@@ -514,8 +517,8 @@ object Curate {
 
     val ledger =
       if (keepLedger) {
-        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
-        l.count()
+        val l = graft.ops.StageCut.materialize(
+          stage(ledgerFrags.reduce(_.unionByName(_))))
         ledgerFrags.foreach(graft.ops.StageCut.release)
         Some(l)
       } else None
@@ -586,7 +589,7 @@ object Curate {
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
     val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def frag(df: => DataFrame): Unit = if (keepLedger) {
-      val f = stage(df); f.count(); ledgerFrags += f
+      ledgerFrags += graft.ops.StageCut.materialize(stage(df))
     }
     def noWin = lit(null).cast(newMedia.schema(idCol).dataType).as("winner_id")
 
@@ -615,7 +618,9 @@ object Curate {
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     val batchFp = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
     // hint decision lives in corpusFpHits (ProbeGuard)
-    val fpHits = corpusFpHits(batchFp, "_fp", cfps)
+    // r21: afterValid (already counted) soundly bounds the distinct
+    // batch fingerprint count — the guard skips its dedicated count
+    val fpHits = corpusFpHits(batchFp, "_fp", cfps, afterValid)
     val exact = batchFp
       .join(fpHits, Seq("_fp"), "left_anti")
       .drop("_fp")
@@ -641,9 +646,9 @@ object Curate {
     // with corpusSigs supplied)
     val nearDrops =
       if (keepLedger) {
-        val d = stage(batchNearDrops(exact, corpus, idCol, payloadCol,
-          method, corpusSigs))
-        d.count(); Some(d)
+        Some(graft.ops.StageCut.materialize(
+          stage(batchNearDrops(exact, corpus, idCol, payloadCol,
+            method, corpusSigs))))
       } else None
     val curated = nearDrops
       .map(d => exact.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
@@ -673,8 +678,8 @@ object Curate {
 
     val ledger =
       if (keepLedger) {
-        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
-        l.count()
+        val l = graft.ops.StageCut.materialize(
+          stage(ledgerFrags.reduce(_.unionByName(_))))
         ledgerFrags.foreach(graft.ops.StageCut.release)
         Some(l)
       } else None
@@ -850,7 +855,7 @@ object Curate {
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
     val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def frag(df: => DataFrame): Unit = if (keepLedger) {
-      val f = stage(df); f.count(); ledgerFrags += f
+      ledgerFrags += graft.ops.StageCut.materialize(stage(df))
     }
     def noWin = lit(null).cast(newDocs.schema(idCol).dataType).as("winner_id")
 
@@ -886,7 +891,9 @@ object Curate {
     val batchFp = withFp.join(keepIds, Seq("_fp", idCol), "left_semi")
     // the hit set comes back broadcast-hinted (or guard-fallback plain)
     // from corpusFpHits — the hint decision lives there
-    val fpHits = corpusFpHits(batchFp, "_fp", cfps)
+    // r21: afterQuality (already counted) soundly bounds the distinct
+    // batch fingerprint count — the guard skips its dedicated count
+    val fpHits = corpusFpHits(batchFp, "_fp", cfps, afterQuality)
     val exact = batchFp
       .join(fpHits, Seq("_fp"), "left_anti")
       .drop("_fp")
@@ -914,9 +921,9 @@ object Curate {
     // rows once and shares them with the anti-join.
     val nearDrops =
       if (keepLedger) {
-        val d = stage(batchNearDrops(exact, corpus, idCol, textCol,
-          method, corpusSigs))
-        d.count(); Some(d)
+        Some(graft.ops.StageCut.materialize(
+          stage(batchNearDrops(exact, corpus, idCol, textCol,
+            method, corpusSigs))))
       } else None
     val curated = nearDrops
       .map(d => exact.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
@@ -949,8 +956,8 @@ object Curate {
 
     val ledger =
       if (keepLedger) {
-        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
-        l.count()
+        val l = graft.ops.StageCut.materialize(
+          stage(ledgerFrags.reduce(_.unionByName(_))))
         ledgerFrags.foreach(graft.ops.StageCut.release)
         Some(l)
       } else None

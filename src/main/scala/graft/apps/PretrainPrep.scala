@@ -268,12 +268,14 @@ object PretrainPrep {
       s"quotaPerSource must be >= 1, got $quotaPerSource")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     // drop-ledger plumbing: each fragment is an id-column frame built
-    // from frames alive at its stage, materialized (stage + count)
-    // BEFORE those parents are released — the StageCut ordering
-    // contract. Fragments union into one final ledger at the end.
+    // from frames alive at its stage, materialized BEFORE those parents
+    // are released — the StageCut ordering contract
+    // ([[graft.ops.StageCut.materialize]]: no redundant count job when
+    // the cut path already materialized eagerly). Fragments union into
+    // one final ledger at the end.
     val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def frag(df: => DataFrame): Unit = if (keepLedger) {
-      val f = stage(df); f.count(); ledgerFrags += f
+      ledgerFrags += graft.ops.StageCut.materialize(stage(df))
     }
     def noWin = lit(null).cast(docs.schema(idCol).dataType).as("winner_id")
 
@@ -294,18 +296,23 @@ object PretrainPrep {
         .select(col(idCol), col(srcCol), col(textCol),
           col("keep"), col("reason"))))
       else None
+    // In ledger mode `kept` is a LAZY filter over the already-cut
+    // flagged frame (r21): cutting it again re-materialized the whole
+    // keep subset — text and all — a second corpus-sized checkpoint
+    // whose only reader is the next stage's scan. The filter view
+    // reads flagged's cached blocks instead; flagged therefore stays
+    // alive until stage 2 (its only consumers) has materialized.
     val kept = flagged
-      .map(_.filter(col("keep")))
-      .getOrElse(FilterPolicy.withVerdict(
+      .map(_.filter(col("keep"))
+        .select(col(idCol), col(srcCol), col(textCol)))
+      .getOrElse(stage(FilterPolicy.withVerdict(
         docs.select(col(idCol), col(srcCol), col(textCol)),
-        textCol, config).filter(col("keep")))
-      .select(col(idCol), col(srcCol), col(textCol))
-      .transform(stage)
+        textCol, config).filter(col("keep"))
+        .select(col(idCol), col(srcCol), col(textCol))))
     val afterPolicy = kept.count()
     flagged.foreach { v =>
       frag(v.filter(!col("keep")).select(col(idCol),
         lit("policy").as("stage"), col("reason"), noWin))
-      graft.ops.StageCut.release(v)
     }
     log(s"[prep] policy gate: $input -> $afterPolicy")
 
@@ -325,7 +332,12 @@ object PretrainPrep {
          !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
         .select(col(idCol), lit("bad_words").as("stage"),
           lit("bad_word").as("reason"), noWin))
-    graft.ops.StageCut.release(kept)
+    // release the stage-1 root: flagged in ledger mode (kept is a
+    // lazy view over its blocks), the cut kept frame otherwise
+    flagged match {
+      case Some(v) => graft.ops.StageCut.release(v)
+      case None    => graft.ops.StageCut.release(kept)
+    }
     log(s"[prep] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
 
@@ -385,11 +397,11 @@ object PretrainPrep {
       scrubbed.select(col(idCol), col("clean_text").as(textCol)),
       idCol, textCol, method)
     val nearPairs =
-      if (keepLedger) {
-        val p = stage(clusters.filter(col("cluster") =!= col("id"))
-          .select(col("id").as(idCol), col("cluster").as("_win")))
-        p.count(); Some(p)
-      } else None
+      if (keepLedger)
+        Some(graft.ops.StageCut.materialize(
+          stage(clusters.filter(col("cluster") =!= col("id"))
+            .select(col("id").as(idCol), col("cluster").as("_win")))))
+      else None
     val dropIds = nearPairs.map(_.select(col(idCol)))
       .getOrElse(clusters.filter(col("cluster") =!= col("id"))
         .select(col("id").as(idCol)))
@@ -520,8 +532,8 @@ object PretrainPrep {
 
     val ledger =
       if (keepLedger) {
-        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
-        l.count()
+        val l = graft.ops.StageCut.materialize(
+          stage(ledgerFrags.reduce(_.unionByName(_))))
         ledgerFrags.foreach(graft.ops.StageCut.release)
         Some(l)
       } else None
@@ -720,10 +732,10 @@ object PretrainPrep {
           log: String => Unit): Tracked[IncReport] = {
     val stage = (df: DataFrame) => graft.ops.StageCut(df)
     // drop-ledger plumbing — same materialize-before-release contract
-    // as runImpl's
+    // as runImpl's (StageCut.materialize: no redundant count job)
     val ledgerFrags = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def frag(df: => DataFrame): Unit = if (keepLedger) {
-      val f = stage(df); f.count(); ledgerFrags += f
+      ledgerFrags += graft.ops.StageCut.materialize(stage(df))
     }
     def noWin =
       lit(null).cast(newDocs.schema(idCol).dataType).as("winner_id")
@@ -749,18 +761,20 @@ object PretrainPrep {
         .select(col(idCol), col(srcCol), col(textCol),
           col("keep"), col("reason"))))
       else None
+    // ledger mode: `kept` is a LAZY filter over the cut flagged frame
+    // (the r21 runImpl stage-1 shape — no second batch-sized
+    // checkpoint); flagged stays alive until stage 2 materializes
     val kept = flagged
-      .map(_.filter(col("keep")))
-      .getOrElse(FilterPolicy.withVerdict(
+      .map(_.filter(col("keep"))
+        .select(col(idCol), col(srcCol), col(textCol)))
+      .getOrElse(stage(FilterPolicy.withVerdict(
         newDocs.select(col(idCol), col(srcCol), col(textCol)),
-        textCol, config).filter(col("keep")))
-      .select(col(idCol), col(srcCol), col(textCol))
-      .transform(stage)
+        textCol, config).filter(col("keep"))
+        .select(col(idCol), col(srcCol), col(textCol))))
     val afterPolicy = kept.count()
     flagged.foreach { v =>
       frag(v.filter(!col("keep")).select(col(idCol),
         lit("policy").as("stage"), col("reason"), noWin))
-      graft.ops.StageCut.release(v)
     }
     log(s"[prep+] policy gate: $input -> $afterPolicy")
 
@@ -777,7 +791,10 @@ object PretrainPrep {
          !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
         .select(col(idCol), lit("bad_words").as("stage"),
           lit("bad_word").as("reason"), noWin))
-    graft.ops.StageCut.release(kept)
+    flagged match {
+      case Some(v) => graft.ops.StageCut.release(v)
+      case None    => graft.ops.StageCut.release(kept)
+    }
     log(s"[prep+] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
 
@@ -800,7 +817,9 @@ object PretrainPrep {
       .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     // the hit set comes back broadcast-hinted (or guard-fallback plain)
     // from corpusFpHits — the hint decision lives there
-    val fpHits = Curate.corpusFpHits(fpMin, "_fp", cfps)
+    // r21: afterBadWords (already counted) soundly bounds fpMin's
+    // distinct fingerprints — the guard skips its dedicated count
+    val fpHits = Curate.corpusFpHits(fpMin, "_fp", cfps, afterBadWords)
     val winners = fpMin
       .join(fpHits, Seq("_fp"), "left_anti")
       .select(col(idCol))
@@ -854,11 +873,11 @@ object PretrainPrep {
       col("clean_text"), col("clean_text").as(textCol))
     val corpusText = corpus.select(col(idCol), col("clean_text").as(textCol))
     val nearDrops =
-      if (keepLedger) {
-        val d = stage(Curate.batchNearDrops(nearBase, corpusText,
-          idCol, textCol, method, corpusSigs))
-        d.count(); Some(d)
-      } else None
+      if (keepLedger)
+        Some(graft.ops.StageCut.materialize(
+          stage(Curate.batchNearDrops(nearBase, corpusText,
+            idCol, textCol, method, corpusSigs))))
+      else None
     val near = nearDrops
       .map(d => nearBase.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
       .getOrElse(Curate.dropBatchNearDups(nearBase, corpusText,
@@ -1003,8 +1022,8 @@ object PretrainPrep {
 
     val ledger =
       if (keepLedger) {
-        val l = stage(ledgerFrags.reduce(_.unionByName(_)))
-        l.count()
+        val l = graft.ops.StageCut.materialize(
+          stage(ledgerFrags.reduce(_.unionByName(_))))
         ledgerFrags.foreach(graft.ops.StageCut.release)
         Some(l)
       } else None

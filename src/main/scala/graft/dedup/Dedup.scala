@@ -559,6 +559,66 @@ object Dedup {
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
+    // DRIVER UNION-FIND TIER (r21): below a measured edge bound the
+    // component fixpoint is computed in one collect instead of 1-3
+    // materialized propagation rounds (each a join + agg + snapshot +
+    // convergence count — 4-8 AQE stage jobs per round). The banded
+    // pair finders' near-dup graphs are MODEL-sized (bounded by the
+    // hot-bucket caps), so this is the ProbeGuard shape decision
+    // applied to clustering: measure, then pick the plan. The edge
+    // list is already materialized here either way; its count is one
+    // cheap cached-scan job. Bound: `spark.graft.clusters
+    // .localMaxEdges` (default 500k doubled edges ≈ 8 MB collected —
+    // far under any maxResultSize; 0 disables the tier). INTEGRAL id
+    // types only: the distributed path's min() over strings orders by
+    // UTF8 binary bytes, which differs from String#compareTo on
+    // supplementary planes — don't risk a cross-tier divergence.
+    // Identical fixpoint (component min id), identical output schema
+    // and order — pinned tier-vs-tier in DupClustersSpec.
+    // (reliable mode — a checkpoint dir — is an explicit opt-in to
+    // replicated round snapshots; it keeps the distributed loop
+    // unconditionally so its materialization contract stays intact)
+    val srcType = edges.schema("src").dataType
+    val localMaxEdges = spark.conf
+      .get("spark.graft.clusters.localMaxEdges", "500000").toLong
+    val integralId = srcType == org.apache.spark.sql.types.ByteType ||
+      srcType == org.apache.spark.sql.types.ShortType ||
+      srcType == org.apache.spark.sql.types.IntegerType ||
+      srcType == org.apache.spark.sql.types.LongType
+    if (reliableBase.isEmpty && integralId && localMaxEdges > 0 &&
+        edges.count() <= localMaxEdges) {
+      val rows = edges
+        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x0 // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        val (s, d) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) parent.put(math.max(rs, rd), math.min(rs, rd))
+      }
+      // second pass: component min = the DSU root under min-union
+      val out = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator(); var i = 0
+      while (it.hasNext) { val id = it.next(); out(i) = (id.longValue, find(id)); i += 1 }
+      edges.queryExecution.analyzed match { // free the edge snapshot
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+      import spark.implicits._
+      return out.sortBy(_._1).toSeq.toDF("id", "cluster")
+        .select(col("id").cast(srcType).as("id"),
+          col("cluster").cast(srcType).as("cluster"))
+        .orderBy(col("id"))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var labelsPath: Option[String] = None

@@ -28,6 +28,37 @@ object Multimodal {
                       width: Int, height: Int, aspect: Double,
                       checksum: Long)
 
+  /** Full-frame decode through a MEMORY-backed image input stream.
+    * `ImageIO.read(InputStream)` honors the global `useCache` default
+    * (true), which spools every payload — bytes ALREADY in memory —
+    * through a disk temp file before decoding: one file create/write/
+    * read/delete cycle of syscalls per row. The explicit
+    * MemoryCacheImageInputStream keeps the whole decode in memory;
+    * the decoder and therefore the pixels are identical. */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read(ImageInputStream) closes the stream itself; a
+    // second close throws "IOException: closed", so only clean up on
+    // the paths read() did not reach (it throwing before the close).
+    try javax.imageio.ImageIO.read(in)
+    finally {
+      try in.close()
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Encode through a MEMORY-backed image output stream — the write
+    * twin of [[readImage]]: `ImageIO.write(img, fmt, OutputStream)`
+    * otherwise buffers the encoder's output in a disk temp file per
+    * image. Same encoder, same bytes, no syscalls. Returns false when
+    * no writer handles `fmt` (the ImageIO.write contract). */
+  private def writeImage(img: java.awt.image.RenderedImage, fmt: String,
+                         out: java.io.OutputStream): Boolean = {
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(img, fmt, ios) finally ios.close()
+  }
+
   /** STUB codec — NOT a real decoder. Parses the deterministic fake
     * header laid out by [[encodeFake]]: [kind:1][width:4][height:4]
     * [duration:8] big-endian, then payload bytes. Real IMAGE payloads
@@ -108,8 +139,7 @@ object Multimodal {
     private[multimodal] def resizeImage(payload: Array[Byte], fmt: String,
                                         maxDim: Int): Option[(Array[Byte], Int, Int)] =
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        val img = readImage(payload)
         if (img == null) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -133,7 +163,7 @@ object Multimodal {
               g.drawImage(img, 0, 0, nw, nh, null)
             } finally g.dispose()
             val out = new java.io.ByteArrayOutputStream()
-            if (!javax.imageio.ImageIO.write(dst, fmt, out)) None
+            if (!writeImage(dst, fmt, out)) None
             else Some((out.toByteArray, nw, nh))
           }
         }
@@ -299,11 +329,16 @@ object Multimodal {
     try {
       if (payload == null) None
       else {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        val img = readImage(payload)
         if (img == null || img.getWidth < 9 || img.getHeight < 8) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
+          // ONE bulk default-RGB conversion of the frame: the per-pixel
+          // getRGB(x, y) form re-enters the ColorModel per call (plus
+          // bounds checks and dispatch) — for the 9x8-cell sweep that
+          // is O(pixels) avoidable overhead. The bulk form is
+          // documented to produce the identical default-RGB ints.
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           val mean = Array.ofDim[Double](8, 9)
           var cy = 0
           while (cy < 8) {
@@ -314,9 +349,10 @@ object Multimodal {
               var sum = 0L; var n = 0
               var y = y0
               while (y < y1) {
+                val row = y * w
                 var x = x0
                 while (x < x1) {
-                  val rgb = img.getRGB(x, y)
+                  val rgb = px(row + x)
                   sum += (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
                     + 114 * (rgb & 255)) / 1000
                   n += 1; x += 1
@@ -507,7 +543,8 @@ object Multimodal {
       .putInt(8000).putInt(16000)      // rate, byte rate
       .putShort(2).putShort(16)        // block align, bits
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    pcm.foreach(bb.putShort)
+    var i = 0
+    while (i < pcm.length) { bb.putShort(pcm(i)); i += 1 }
     bb.array()
   }
 
@@ -522,7 +559,8 @@ object Multimodal {
     bb.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(dataLen)
       .putInt(3)                       // 16-bit linear PCM
       .putInt(8000).putInt(1)          // rate, channels
-    pcm.foreach(bb.putShort)
+    var i = 0
+    while (i < pcm.length) { bb.putShort(pcm(i)); i += 1 }
     bb.array()
   }
 
@@ -569,6 +607,11 @@ object Multimodal {
   def synthGridImage(base: Long, variant: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(72, 64,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // fill the TYPE_INT_RGB backing raster directly — one int per
+    // pixel, 0x00RRGGBB, exactly what setRGB(x, y, rgb) stores for
+    // this type, without 4608 per-pixel dispatch/ColorModel calls
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var cy = 0
     while (cy < 8) {
       var cx = 0
@@ -580,8 +623,9 @@ object Multimodal {
         val rgb = (g << 16) | (g << 8) | g
         var py = cy * 8
         while (py < cy * 8 + 8) {
+          val row = py * 72
           var px = cx * 8
-          while (px < cx * 8 + 8) { img.setRGB(px, py, rgb); px += 1 }
+          while (px < cx * 8 + 8) { data(row + px) = rgb; px += 1 }
           py += 1
         }
         cx += 1
@@ -589,7 +633,7 @@ object Multimodal {
       cy += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    writeImage(img, "png", out)
     out.toByteArray
   }
 
@@ -599,10 +643,27 @@ object Multimodal {
   private[graft] def grayOf(h: String): Int =
     40 + ((h(0) * 131 + h(1) * 17 + h(2)) % 151)
 
-  private[graft] def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+  // one digest per thread, hex via table lookup: the synthetic
+  // fixtures call this 65-72x PER ROW (one md5 per grid cell / audio
+  // window), where a fresh MessageDigest.getInstance plus a formatted
+  // string PER BYTE ("%02x" runs a java.util.Formatter each call) cost
+  // more than the hash itself. Output string is identical.
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[graft] def md5Hex(s: String): String = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    val c = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      c(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      c(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(c)
+  }
 
   /** Frame sampling for video rows: one virtual frame every `everyMs`,
     * exploded as (media_id, frame_idx, ts_ms) — the downstream shape a

@@ -215,10 +215,25 @@ object ProbeGuard {
     * plus the counted size (the Bloom build reuses it for sizing).
     * [[fits]]' overflow policy applies only when the decision lands on
     * [[Shape.Shuffle]] — the Bloom tier is a designed regime, not a
-    * contract breach, and logs an info line instead. */
-  def shapeOf(keys: DataFrame, site: String): (Shape, Long) = {
+    * contract breach, and logs an info line instead.
+    *
+    * `keysUpperBound` (r21): a caller-known SOUND upper bound on the
+    * key count (e.g. the batch row count a pipeline stage already
+    * paid a count() for — distinct keys can never exceed the rows
+    * they derive from). When the bound itself is under the cap, the
+    * actual count is too, so the Probe decision is already proven and
+    * the guard's dedicated count job (a full distinct + scan of the
+    * key set, re-run later inside the join anyway) is skipped. A
+    * bound over the cap proves nothing and the guard counts as
+    * before — the tier decision never weakens, it just stops paying
+    * for certainty the caller already had. Pass -1 (default) for no
+    * bound. */
+  def shapeOf(keys: DataFrame, site: String,
+              keysUpperBound: Long = -1L): (Shape, Long) = {
     val mx = cap(keys)
     if (mx <= 0L) return (Shape.Probe, -1L)
+    if (keysUpperBound >= 0L && keysUpperBound <= mx)
+      return (Shape.Probe, keysUpperBound)
     val n = keys.count()
     if (n <= mx) return (Shape.Probe, n)
     val policy = keys.sparkSession.conf.getOption(PolicyKey)
@@ -306,8 +321,8 @@ object ProbeGuard {
     * probe tier). All three tiers produce bit-identical join
     * results. */
   def tiered(standing: DataFrame, keys: DataFrame, joinCols: Seq[String],
-             site: String): Sides =
-    shapeOf(keys, site) match {
+             site: String, keysUpperBound: Long = -1L): Sides =
+    shapeOf(keys, site, keysUpperBound) match {
       case (Shape.Probe, n) => Sides(Shape.Probe, n, standing, broadcast(keys))
       case (Shape.Bloom, n) =>
         Sides(Shape.Bloom, n,
@@ -327,8 +342,9 @@ object ProbeGuard {
     * broadcast cap by construction); Shuffle tier is the plain
     * semi-join. All three are value-identical. */
   def standingHits(standing: DataFrame, keys: DataFrame,
-                   joinCols: Seq[String], site: String): DataFrame = {
-    val t = tiered(standing, keys, joinCols, site)
+                   joinCols: Seq[String], site: String,
+                   keysUpperBound: Long = -1L): DataFrame = {
+    val t = tiered(standing, keys, joinCols, site, keysUpperBound)
     val hits = t.standing.select(joinCols.map(col): _*)
       .join(t.keys, joinCols, "left_semi").distinct()
     if (t.shape == Shape.Probe) broadcast(hits) else hits

@@ -134,6 +134,25 @@ object StageCut {
     out
   }
 
+  /** Ensure a frame RETURNED BY [[apply]] is materialized before its
+    * parents are released — WITHOUT paying a redundant job when the
+    * cut path already ran one. The eager cut paths return a root
+    * [[org.apache.spark.sql.execution.LogicalRDD]] whose blocks exist
+    * by apply()'s contract, so a follow-up `count()` is a whole extra
+    * job per stage boundary that reads every cached block just to
+    * throw the number away (the tracked pipelines pay it 7-10 times
+    * per run for ledger fragments whose counts nobody reads). Only the
+    * LAZY persist path (plans under [[MinNodesKey]]) still needs the
+    * count. Callers that DO consume the count keep calling `count()`
+    * directly. */
+  def materialize(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+      case _ => df.count()
+    }
+    df
+  }
+
   /** Deterministically free a frame RETURNED BY [[apply]] (or any
     * eager checkpoint). Only a ROOT-level checkpoint RDD is released —
     * the shape apply() returns — so calling this on a frame that

@@ -312,19 +312,33 @@ class PlanQualitySpec extends SparkSpec {
   test("q49 clusters: returned frame reads the final checkpoint, not the loop lineage") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // a model-sized graph lands on the r21 driver union-find tier: the
+    // result is a LOCAL relation — nothing to re-evaluate at all
     val clusters = graft.dedup.Dedup.dupClusters(pairs)
     val p = explainOf(clusters)
-    // convergence materializes each round via localCheckpoint; the
-    // result must scan those blocks — if the full iterative lineage
-    // (joins over the original pair pipeline) reappears here, every
-    // downstream action re-runs the whole propagation
-    assert(p.contains("Scan ExistingRDD"), "result must read the checkpointed labels")
+    assert(p.contains("LocalTableScan"),
+      "driver-tier result must be a local relation:\n" + p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "no propagation joins may survive into the result plan:\n" + p)
     assert(!p.contains("Scan parquet"))
-    // and it is still correct
     val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the distributed loop (forced): the returned frame must read the
+    // final round's checkpointed blocks — if the full iterative
+    // lineage (joins over the original pair pipeline) reappears here,
+    // every downstream action re-runs the whole propagation
+    spark.conf.set("spark.graft.clusters.localMaxEdges", "0")
+    try {
+      val loop = graft.dedup.Dedup.dupClusters(pairs)
+      val lp = explainOf(loop)
+      assert(lp.contains("Scan ExistingRDD"),
+        "loop result must read the checkpointed labels:\n" + lp)
+      assert(!lp.contains("SortMergeJoin") && !lp.contains("BroadcastHashJoin"),
+        "no propagation joins may survive into the result plan:\n" + lp)
+      assert(!lp.contains("Scan parquet"))
+      val lg = loop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lg == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally spark.conf.unset("spark.graft.clusters.localMaxEdges")
   }
 
   test("table-cardinality summary reads the table ONCE (no per-column scans)") {

@@ -203,6 +203,25 @@ class ProbeGuardSpec extends SparkSpec {
     }
   }
 
+  test("shapeOf: a caller bound under the cap skips the count and picks " +
+      "Probe; a bound over the cap changes nothing") {
+    import spark.implicits._
+    val keys = (1 to 40).map(i => s"k$i").toDF("k")
+    withCap("100") {
+      // bound under the cap: Probe, keyCount = the bound (no count ran
+      // — the reported size is the caller's bound, not 40)
+      val (s1, n1) = ProbeGuard.shapeOf(keys, "spec-site", 60L)
+      assert(s1 == ProbeGuard.Shape.Probe && n1 == 60L)
+    }
+    withCap("10") {
+      // bound over the cap proves nothing: the guard counts (40) and
+      // tiers exactly as without a bound
+      val (s2, n2) = ProbeGuard.shapeOf(keys, "spec-site", 60L)
+      val (s3, n3) = ProbeGuard.shapeOf(keys, "spec-site")
+      assert(s2 == s3 && n2 == n3 && n2 == 40L)
+    }
+  }
+
   test("tiered: the Bloom filter is superset-safe — join results are " +
       "bit-identical, and the filter really prunes the standing scan") {
     import spark.implicits._

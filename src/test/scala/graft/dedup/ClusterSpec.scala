@@ -52,6 +52,41 @@ class ClusterSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dupClusters: driver union-find tier == distributed min-propagation loop") {
+    // r21: below spark.graft.clusters.localMaxEdges the component
+    // fixpoint comes from a driver union-find over the materialized
+    // edge list. Pin tier ≡ tier on the mixed graph (stars with a
+    // non-min hub, descending chain, cycle, bridge, self loop) by
+    // forcing the distributed path with the knob at 0.
+    val pairs = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L),
+      (31L, 30L), (32L, 31L), (33L, 32L), (34L, 33L),
+      (40L, 41L), (41L, 42L), (42L, 40L),
+      (25L, 33L), (50L, 50L)).toDF("id_a", "id_b")
+    val driver = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    spark.conf.set("spark.graft.clusters.localMaxEdges", "0")
+    try {
+      val dist = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+      assert(driver == dist)
+    } finally spark.conf.unset("spark.graft.clusters.localMaxEdges")
+  }
+
+  test("dupClusters: driver tier preserves a non-long integral id type") {
+    // int ids must come back as ints from BOTH tiers (the driver tier
+    // collects through a long cast and must cast back)
+    val pairs = Seq((7, 8), (8, 9), (30, 31)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.schema("cluster").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val m = got.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(m == Map(7 -> 7, 8 -> 7, 9 -> 7, 30 -> 30, 31 -> 30))
+  }
+
   test("dupClusters: reliable-checkpoint mode (checkpoint dir set) matches the local path") {
     // the fault-tolerance knob for real clusters: with a checkpoint dir
     // configured the loop uses replicated, recompute-free checkpoint()
