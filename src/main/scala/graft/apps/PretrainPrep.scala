@@ -321,10 +321,14 @@ object PretrainPrep {
     // predicate (r20): `!(badWordCount <=> 0)` catches both hit docs
     // and null-text docs (count null), exactly the rows the
     // kept-anti-noBad id join used to find — without the id exchange.
+    // noBad is a LAZY filter over the stage-1 blocks (r21): its own
+    // checkpoint re-wrote nearly the whole batch text one stage after
+    // stage 1 did, for a filter that is pure in-row work; the stage-1
+    // root therefore stays alive until stage 3 (noBad's last readers)
+    // has materialized.
     val noBad =
-      (if (badWords.isEmpty) kept
-       else C4Clean.dropBadWordDocs(kept, textCol, badWords))
-        .transform(stage)
+      if (badWords.isEmpty) kept
+      else C4Clean.dropBadWordDocs(kept, textCol, badWords)
     val afterBadWords = noBad.count()
     frag(
       (if (badWords.isEmpty) kept.filter(lit(false))
@@ -332,12 +336,6 @@ object PretrainPrep {
          !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
         .select(col(idCol), lit("bad_words").as("stage"),
           lit("bad_word").as("reason"), noWin))
-    // release the stage-1 root: flagged in ledger mode (kept is a
-    // lazy view over its blocks), the cut kept frame otherwise
-    flagged match {
-      case Some(v) => graft.ops.StageCut.release(v)
-      case None    => graft.ops.StageCut.release(kept)
-    }
     log(s"[prep] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
 
@@ -365,7 +363,12 @@ object PretrainPrep {
           lit("duplicate_text").as("reason"), col("_win").as("winner_id")))
       graft.ops.StageCut.release(fa)
     }
-    graft.ops.StageCut.release(noBad)
+    // release the stage-1 root (noBad was a lazy view over it):
+    // flagged in ledger mode, the cut kept frame otherwise
+    flagged match {
+      case Some(v) => graft.ops.StageCut.release(v)
+      case None    => graft.ops.StageCut.release(kept)
+    }
     log(s"[prep] exact dedup: $afterBadWords -> $afterExact")
 
     // stage 4: span scrub — text becomes clean_text (+ n_kept);
@@ -779,11 +782,12 @@ object PretrainPrep {
     log(s"[prep+] policy gate: $input -> $afterPolicy")
 
     // stage 2: bad-words — in-row, rides the scan; ledger fragment is
-    // the in-row complement (the runImpl stage-2 shape, r20)
+    // the in-row complement (the runImpl stage-2 shape, r20). noBad is
+    // a LAZY filter over the stage-1 blocks (r21, the runImpl shape):
+    // the stage-1 root stays alive until stage 3 materializes.
     val noBad =
-      (if (badWords.isEmpty) kept
-       else C4Clean.dropBadWordDocs(kept, textCol, badWords))
-        .transform(stage)
+      if (badWords.isEmpty) kept
+      else C4Clean.dropBadWordDocs(kept, textCol, badWords)
     val afterBadWords = noBad.count()
     frag(
       (if (badWords.isEmpty) kept.filter(lit(false))
@@ -791,10 +795,6 @@ object PretrainPrep {
          !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
         .select(col(idCol), lit("bad_words").as("stage"),
           lit("bad_word").as("reason"), noWin))
-    flagged match {
-      case Some(v) => graft.ops.StageCut.release(v)
-      case None    => graft.ops.StageCut.release(kept)
-    }
     log(s"[prep+] bad-words (${badWords.size} terms): " +
       s"$afterPolicy -> $afterBadWords")
 
@@ -841,7 +841,12 @@ object PretrainPrep {
             .as("winner_id")))
       graft.ops.StageCut.release(fa)
     }
-    graft.ops.StageCut.release(noBad)
+    // release the stage-1 root (noBad was a lazy view over it):
+    // flagged in ledger mode, the cut kept frame otherwise
+    flagged match {
+      case Some(v) => graft.ops.StageCut.release(v)
+      case None    => graft.ops.StageCut.release(kept)
+    }
     log(s"[prep+] exact dedup (batch + corpus fps): " +
       s"$afterBadWords -> $afterExact")
 
