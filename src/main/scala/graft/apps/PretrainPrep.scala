@@ -289,26 +289,37 @@ object PretrainPrep {
     // ITSELF — no verdict semi-join back onto a second read of `docs`.
     // Ledger mode materializes the flagged frame once so keep AND
     // drop reasons come from a single policy evaluation + one scan.
+    // The stage-2 bad-words verdict is PRECOMPUTED into the stage-1
+    // materialization (r21): `_nb` = `badWordCount <=> 0` (null-safe —
+    // false for hit docs AND null-text docs, exactly the complement
+    // the ledger fragment wants) rides the same one-pass policy scan,
+    // so stage 2 becomes a trivial boolean filter over the stage-1
+    // blocks instead of either a second corpus-sized checkpoint (the
+    // pre-r21 shape) or a re-run of the tokenizing bad-words fold on
+    // every downstream scan.
+    def withNb(df: DataFrame): DataFrame =
+      if (badWords.isEmpty) df
+      else df.withColumn("_nb",
+        C4Clean.badWordCount(col(textCol), badWords) <=> 0)
     val flagged =
-      if (keepLedger) Some(stage(FilterPolicy.withVerdict(
+      if (keepLedger) Some(stage(withNb(FilterPolicy.withVerdict(
         docs.select(col(idCol), col(srcCol), col(textCol)),
         textCol, config)
         .select(col(idCol), col(srcCol), col(textCol),
-          col("keep"), col("reason"))))
+          col("keep"), col("reason")))))
       else None
     // In ledger mode `kept` is a LAZY filter over the already-cut
     // flagged frame (r21): cutting it again re-materialized the whole
     // keep subset — text and all — a second corpus-sized checkpoint
     // whose only reader is the next stage's scan. The filter view
     // reads flagged's cached blocks instead; flagged therefore stays
-    // alive until stage 2 (its only consumers) has materialized.
+    // alive until stage 3 (the views' last readers) has materialized.
     val kept = flagged
-      .map(_.filter(col("keep"))
-        .select(col(idCol), col(srcCol), col(textCol)))
-      .getOrElse(stage(FilterPolicy.withVerdict(
+      .map(_.filter(col("keep")).drop("keep", "reason"))
+      .getOrElse(stage(withNb(FilterPolicy.withVerdict(
         docs.select(col(idCol), col(srcCol), col(textCol)),
         textCol, config).filter(col("keep"))
-        .select(col(idCol), col(srcCol), col(textCol))))
+        .select(col(idCol), col(srcCol), col(textCol)))))
     val afterPolicy = kept.count()
     flagged.foreach { v =>
       frag(v.filter(!col("keep")).select(col(idCol),
@@ -316,24 +327,17 @@ object PretrainPrep {
     }
     log(s"[prep] policy gate: $input -> $afterPolicy")
 
-    // stage 2: C4 bad-words page filter — pure in-row, rides the scan.
-    // The ledger fragment is the IN-ROW COMPLEMENT of the keep
-    // predicate (r20): `!(badWordCount <=> 0)` catches both hit docs
-    // and null-text docs (count null), exactly the rows the
-    // kept-anti-noBad id join used to find — without the id exchange.
-    // noBad is a LAZY filter over the stage-1 blocks (r21): its own
-    // checkpoint re-wrote nearly the whole batch text one stage after
-    // stage 1 did, for a filter that is pure in-row work; the stage-1
-    // root therefore stays alive until stage 3 (noBad's last readers)
-    // has materialized.
+    // stage 2: C4 bad-words page filter — the precomputed `_nb`
+    // boolean filter over the stage-1 blocks; the ledger fragment is
+    // its in-row complement (r20 semantics, r21 shape).
     val noBad =
       if (badWords.isEmpty) kept
-      else C4Clean.dropBadWordDocs(kept, textCol, badWords)
+      else kept.filter(col("_nb"))
+        .select(col(idCol), col(srcCol), col(textCol))
     val afterBadWords = noBad.count()
     frag(
       (if (badWords.isEmpty) kept.filter(lit(false))
-       else kept.filter(
-         !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
+       else kept.filter(!col("_nb")))
         .select(col(idCol), lit("bad_words").as("stage"),
           lit("bad_word").as("reason"), noWin))
     log(s"[prep] bad-words (${badWords.size} terms): " +
@@ -757,23 +761,27 @@ object PretrainPrep {
     // stage 1: policy gate on the batch (same count note as run();
     // join-free in-row verdict — the runImpl stage-1 shape)
     val input = if (countInput) newDocs.count() else -1L
+    // the r21 runImpl stage-1 shape: the bad-words verdict `_nb`
+    // precomputed into the stage-1 materialization, stage 2 a trivial
+    // boolean filter over the stage-1 blocks; the stage-1 root stays
+    // alive until stage 3 materializes
+    def withNb(df: DataFrame): DataFrame =
+      if (badWords.isEmpty) df
+      else df.withColumn("_nb",
+        C4Clean.badWordCount(col(textCol), badWords) <=> 0)
     val flagged =
-      if (keepLedger) Some(stage(FilterPolicy.withVerdict(
+      if (keepLedger) Some(stage(withNb(FilterPolicy.withVerdict(
         newDocs.select(col(idCol), col(srcCol), col(textCol)),
         textCol, config)
         .select(col(idCol), col(srcCol), col(textCol),
-          col("keep"), col("reason"))))
+          col("keep"), col("reason")))))
       else None
-    // ledger mode: `kept` is a LAZY filter over the cut flagged frame
-    // (the r21 runImpl stage-1 shape — no second batch-sized
-    // checkpoint); flagged stays alive until stage 2 materializes
     val kept = flagged
-      .map(_.filter(col("keep"))
-        .select(col(idCol), col(srcCol), col(textCol)))
-      .getOrElse(stage(FilterPolicy.withVerdict(
+      .map(_.filter(col("keep")).drop("keep", "reason"))
+      .getOrElse(stage(withNb(FilterPolicy.withVerdict(
         newDocs.select(col(idCol), col(srcCol), col(textCol)),
         textCol, config).filter(col("keep"))
-        .select(col(idCol), col(srcCol), col(textCol))))
+        .select(col(idCol), col(srcCol), col(textCol)))))
     val afterPolicy = kept.count()
     flagged.foreach { v =>
       frag(v.filter(!col("keep")).select(col(idCol),
@@ -781,18 +789,16 @@ object PretrainPrep {
     }
     log(s"[prep+] policy gate: $input -> $afterPolicy")
 
-    // stage 2: bad-words — in-row, rides the scan; ledger fragment is
-    // the in-row complement (the runImpl stage-2 shape, r20). noBad is
-    // a LAZY filter over the stage-1 blocks (r21, the runImpl shape):
-    // the stage-1 root stays alive until stage 3 materializes.
+    // stage 2: bad-words — the precomputed `_nb` filter; ledger
+    // fragment is its in-row complement (r20 semantics, r21 shape)
     val noBad =
       if (badWords.isEmpty) kept
-      else C4Clean.dropBadWordDocs(kept, textCol, badWords)
+      else kept.filter(col("_nb"))
+        .select(col(idCol), col(srcCol), col(textCol))
     val afterBadWords = noBad.count()
     frag(
       (if (badWords.isEmpty) kept.filter(lit(false))
-       else kept.filter(
-         !(C4Clean.badWordCount(col(textCol), badWords) <=> 0)))
+       else kept.filter(!col("_nb")))
         .select(col(idCol), lit("bad_words").as("stage"),
           lit("bad_word").as("reason"), noWin))
     log(s"[prep+] bad-words (${badWords.size} terms): " +
