@@ -585,10 +585,20 @@ object Dedup {
       srcType == org.apache.spark.sql.types.ShortType ||
       srcType == org.apache.spark.sql.types.IntegerType ||
       srcType == org.apache.spark.sql.types.LongType
-    if (reliableBase.isEmpty && integralId && localMaxEdges > 0 &&
-        edges.count() <= localMaxEdges) {
-      val rows = edges
-        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val localRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (reliableBase.isEmpty && integralId && localMaxEdges > 0 &&
+          edges.count() <= localMaxEdges) {
+        val rows = edges
+          .select(col("src").cast("long"), col("dst").cast("long")).collect()
+        // a NULL id would silently read as 0 through getLong and merge
+        // with a real id 0 — no pair finder emits one, but if a direct
+        // caller does, the distributed loop (whose joins drop null
+        // keys) keeps its historical behavior rather than corrupting
+        if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else Some(rows)
+      } else None
+    if (localRows.isDefined) {
+      val rows = localRows.get
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
       def find(x0: Long): Long = {
         var r = x0
